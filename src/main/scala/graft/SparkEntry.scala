@@ -1,13 +1,310 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Ops, Tables}
+import graft.text.{Dedup, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is a named operator from SURVEY.md §2 (or
+  * the training-data extension set), run against the TPC-H-ish
+  * testdata directory passed by the driver, with an equivalent
+  * DuckDB oracle in `oracleSql`. Column names and types are aligned
+  * between both sides (driver hash-compares after sorting columns by
+  * name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Ops.equiJoinAgg(Tables.orders(spark, d), Tables.customer(spark, d), Tables.nation(spark, d))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2b/§2a: scans, projection, filters, scalar expressions ----
+    "q_scan_filter" -> ((s, d) => Ops.scanFilter(Tables.lineitem(s, d))),
+    "q_project" -> ((s, d) => Ops.project(Tables.orders(s, d))),
+    "q_contains_filter" -> ((s, d) => Ops.containsFilter(Tables.documents(s, d), "window")),
+    "q_regex_extract" -> ((s, d) => Ops.regexExtract(Tables.events(s, d))),
+    "q_scalar_math" -> ((s, d) => Ops.scalarMath(Tables.lineitem(s, d))),
+    "q_string_keys" -> ((s, d) => Ops.stringKeys(Tables.part(s, d))),
+    // ---- §2c: sampling / limits / ordering ----
+    "q_sample_n" -> ((s, d) => Ops.sampleN(Tables.orders(s, d), 100)),
+    // ---- §2d: joins ----
+    "q_semi_join" -> ((s, d) => Ops.semiJoin(Tables.lineitem(s, d), Tables.orders(s, d), 100)),
+    "q_anti_join" -> ((s, d) => Ops.antiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_equi_join" -> ((s, d) => Ops.equiJoinAgg(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // ---- §2e: fan-out / generators ----
+    "q_fanout_explode" -> ((s, d) => Ops.fanoutExplode(Tables.part(s, d), Seq("100", "110", "111"))),
+    // ---- §2f: aggregations & windows ----
+    "q_count" -> ((s, d) => Ops.countByGroup(Tables.lineitem(s, d))),
+    "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
+    "q_pivot" -> ((s, d) => Ops.pivotByType(Tables.events(s, d))),
+    "q_group_baseline_diff" -> ((s, d) => Ops.baselineDiff(Tables.lineitem(s, d))),
+    "q_regr_fit" -> ((s, d) => Ops.regrFit(Tables.lineitem(s, d))),
+    "q_window_agg" -> ((s, d) => Ops.windowAgg(Tables.eventsWithTs(s, d))),
+    "q_topk_per_group" -> ((s, d) => Ops.topKPerGroup(Tables.orders(s, d), 3)),
+    // ---- §2g: set ops & dedup ----
+    "q_union" -> ((s, d) => Ops.unionEntities(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_dedup" -> ((s, d) => Ops.dedupDistinct(Tables.lineitem(s, d))),
+    "q_dedup_keyed" -> ((s, d) => Ops.dedupKeyed(Tables.lineitem(s, d))),
+    // ---- §2a #6: text render sink shape ----
+    "q_render_text" -> ((s, d) => Ops.renderDeck(Tables.part(s, d))),
+    // ---- training-data extension: dedup family ----
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, Tables.documents(s, d))),
+    "q_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, Tables.documents(s, d))),
+    "q_simhash" -> ((s, d) => Dedup.simhash(s, Tables.documents(s, d))),
+    "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.8)),
+    // ---- training-data extension: text analysis ----
+    "q_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "q_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    // ---- training-data extension: similarity search ----
+    "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
+  )
+
+  /** DuckDB oracle SQL, aligned column-by-column with `queries`. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount > 0.03""".stripMargin,
+
+    "q_project" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+
+    "q_contains_filter" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE contains(text, 'window')",
+
+    "q_regex_extract" ->
+      """SELECT event_id, regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k_val, event_type
+        |FROM events""".stripMargin,
+
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+        |  l_quantity * -27.2114 - 4.66 AS pzc_like
+        |FROM lineitem""".stripMargin,
+
+    "q_string_keys" ->
+      """SELECT p_partkey, p_brand || '-' || p_size::VARCHAR AS part_key,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS name_stem, upper(p_type) AS type_uc
+        |FROM part""".stripMargin,
+
+    "q_sample_n" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY (o_orderkey * 9973 + 12345) % 1000003, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  ORDER BY (o_orderkey * 9973 + 12345) % 1000003, o_orderkey LIMIT 100)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "q_equi_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_fanout_explode" ->
+      """SELECT p_partkey, f.facet_idx::BIGINT AS facet_idx, f.facet,
+        |  p_partkey::VARCHAR || '-' || f.facet AS slab_key
+        |FROM part CROSS JOIN (VALUES (0, '100'), (1, '110'), (2, '111')) f(facet_idx, facet)""".stripMargin,
+
+    "q_count" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT l_orderkey)::BIGINT AS n_orders
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_last_per_group" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts)::BIGINT AS ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(round(value,2) AS DECIMAL(18,2))) FILTER (WHERE event_type='click') AS DOUBLE) AS click_sum,
+        |  CAST(SUM(CAST(round(value,2) AS DECIMAL(18,2))) FILTER (WHERE event_type='view') AS DOUBLE) AS view_sum,
+        |  CAST(SUM(CAST(round(value,2) AS DECIMAL(18,2))) FILTER (WHERE event_type='purchase') AS DOUBLE) AS purchase_sum,
+        |  CAST(SUM(CAST(round(value,2) AS DECIMAL(18,2))) FILTER (WHERE event_type='signup') AS DOUBLE) AS signup_sum,
+        |  CAST(SUM(CAST(round(value,2) AS DECIMAL(18,2))) FILTER (WHERE event_type='error') AS DOUBLE) AS error_sum
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_group_baseline_diff" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |  l_quantity - max(CASE WHEN l_linenumber = 1 THEN l_quantity END)
+        |    OVER (PARTITION BY l_orderkey) AS qty_diff
+        |FROM lineitem""".stripMargin,
+
+    "q_regr_fit" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS bucket, event_type,
+        |  count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(value,2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk::BIGINT AS rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier""".stripMargin,
+
+    "q_dedup" ->
+      "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+
+    "q_dedup_keyed" ->
+      """SELECT l_partkey,
+        |  min_by(l_extendedprice, l_orderkey * 10 + l_linenumber) AS first_price,
+        |  min(l_orderkey * 10 + l_linenumber)::BIGINT AS first_ord
+        |FROM lineitem GROUP BY l_partkey""".stripMargin,
+
+    "q_render_text" ->
+      """SELECT p_brand,
+        |  string_agg(line, chr(10) ORDER BY line) AS deck,
+        |  count(*)::BIGINT AS n_lines
+        |FROM (SELECT p_brand,
+        |        printf('ion %s %f %f %d', regexp_extract(p_name, '^(\w+)', 1),
+        |               p_retailprice, p_retailprice * 1.88973, p_partkey) AS line
+        |      FROM part)
+        |GROUP BY p_brand""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_minhash_sig" ->
+      """WITH c AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 AS code
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        |        FROM documents)),
+        |p AS (SELECT range AS hid, 2*range + 1 AS a, 101*range + 7 AS b FROM range(16))
+        |SELECT c.doc_id, p.hid::BIGINT AS hid, min((c.code * p.a + p.b) % 2147483647)::BIGINT AS mh
+        |FROM c CROSS JOIN p GROUP BY 1, 2""".stripMargin,
+
+    "q_minhash_lsh_pairs" ->
+      """WITH c AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 AS code
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        |        FROM documents)),
+        |p AS (SELECT range AS hid, 2*range + 1 AS a, 101*range + 7 AS b FROM range(16)),
+        |sig AS (SELECT c.doc_id, p.hid, min((c.code * p.a + p.b) % 2147483647) AS mh
+        |        FROM c CROSS JOIN p GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, hid // 4 AS band,
+        |            md5(string_agg(hid::VARCHAR || ':' || mh::VARCHAR, ',' ORDER BY hid)) AS bkey
+        |          FROM sig GROUP BY 1, 2)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin,
+
+    "q_simhash" ->
+      """WITH c AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS code
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        |        FROM documents)),
+        |bts AS (SELECT range AS bit, (1::BIGINT << range) AS w FROM range(32)),
+        |s AS (SELECT doc_id, bit, w, sum(2 * ((code >> bit) & 1) - 1) AS sgn
+        |      FROM c CROSS JOIN bts GROUP BY 1, 2, 3)
+        |SELECT doc_id, sum(CASE WHEN sgn > 0 THEN w ELSE 0 END)::BIGINT AS simhash
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "q_jaccard_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS bkt,
+        |    list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |          / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_distinct(toks))::BIGINT AS n_uniq,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_subword,
+        |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 6) AS avg_tok_len
+        |FROM (SELECT doc_id, text,
+        |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |      FROM documents)""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang, s_en, s_es, s_de,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::BIGINT AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','y'], x)))::BIGINT AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und'], x)))::BIGINT AS s_de
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents))""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  round(len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks), 6) AS stop_ratio,
+        |  round(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+        |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks))
+        |      + 0.2 * least((list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 10.0, 1.0), 6) AS quality
+        |FROM (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |      FROM documents)""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+        |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 1000000007)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(x*x) FROM (SELECT unnest(embedding)::DOUBLE AS x)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM e WHERE vec_id < 8),
+        |d AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round((SELECT sum(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a, unnest(q.q_vec)::DOUBLE AS b))
+        |          / sqrt(e.nrm * q.q_nrm), 6) AS sim
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+        |      FROM d)
+        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin,
+  )
 }

@@ -1,0 +1,244 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator library — SURVEY.md §2 generalized to
+  * `DataFrame => DataFrame` combinators.
+  *
+  * Every combinator is a lazy, declarative plan fragment: Catalyst
+  * handles pushdown/pruning/join-strategy, AQE handles skew, and
+  * nothing collects to the driver. Reference citations point into
+  * `/root/reference` (the echem ETL whose data operations these
+  * generalize).
+  *
+  * Oracle-parity conventions (driver hashes values after sorting
+  * columns by name):
+  *  - integer outputs are cast to LongType (DuckDB BIGINT),
+  *  - unordered double sums go through exact DECIMAL(18,s)
+  *    accumulation then back to double, so summation order cannot
+  *    perturb low bits,
+  *  - row-wise double arithmetic is written in the same operation
+  *    order as the oracle SQL (IEEE ops are deterministic given
+  *    identical order).
+  */
+object Ops {
+
+  /** Exact-sum helper: round to `scale`, accumulate in decimal
+    * (order-independent), return double. Keeps group sums
+    * bit-identical across engines and across partitionings — also
+    * the right call at 100 TB, where a double sum over shuffled
+    * partitions is not even deterministic run-to-run.
+    */
+  def moneySum(c: Column, scale: Int): Column =
+    sum(round(c, scale).cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Predicate filter + projection pushed to the parquet scan.
+    * Generalizes the reference's server-side chemistry filter
+    * (`dags/my_dag.py:28-29`). */
+  def scanFilter(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+              col("l_shipdate") <  lit("1996-01-01").cast(TimestampType) &&
+              col("l_discount") > 0.03)
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice"))
+
+  /** Column pruning (`dags/my_dag.py:33-37` keeps material_id+structure). */
+  def project(orders: DataFrame): DataFrame =
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Substring-match filter (`dags/my_dag.py:156`). */
+  def containsFilter(documents: DataFrame, needle: String): DataFrame =
+    documents.filter(col("text").contains(needle)).select("doc_id", "lang", "n_chars")
+
+  /** Tokenize + positional extract + cast (`dags/my_dag.py:157-162`):
+    * pull the numeric payload out of a semi-structured string. */
+  def regexExtract(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(LongType).as("k_val"),
+      col("event_type"))
+
+  /** Unit-conversion arithmetic (`dags/my_dag.py:164-170`,
+    * constants `dags/utils.py:1`): plain codegen'd column math.
+    * Deliberately unrounded — IEEE ops in a fixed order are
+    * bit-identical across engines, whereas round() algorithms
+    * (BigDecimal HALF_UP vs float multiply-round) are not. */
+  def scalarMath(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast(LongType).as("l_linenumber"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"),
+      (col("l_quantity") * lit(-27.2114) - lit(4.66)).as("pzc_like"))
+
+  /** Key derivation string ops (`dags/my_dag.py:95,122,131`). */
+  def stringKeys(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      concat_ws("-", col("p_brand"), col("p_size").cast(StringType)).as("part_key"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("name_stem"),
+      upper(col("p_type")).as("type_uc"))
+
+  /** Deterministic pseudo-random order key: mirrors the reference's
+    * seeded `random.sample` (`dags/my_dag.py:55-57`) with an
+    * arithmetic scrambler both engines compute identically
+    * (Python's RNG is not SQL-reproducible — SURVEY.md §7 risk). */
+  def scrambleKey(key: Column): Column = (key * 9973 + 12345) % 1000003
+
+  /** Seeded sample-n (`dags/my_dag.py:55-57,109-111`). */
+  def sampleN(orders: DataFrame, n: Int): DataFrame =
+    orders.orderBy(scrambleKey(col("o_orderkey")), col("o_orderkey"))
+      .limit(n)
+      .select("o_orderkey", "o_custkey")
+
+  /** Semi-join: refetch only sampled keys (`dags/my_dag.py:69-70`).
+    * Build side is tiny → broadcast, no shuffle of the fact table. */
+  def semiJoin(lineitem: DataFrame, orders: DataFrame, n: Int): DataFrame = {
+    val sampled = sampleN(orders, n).select("o_orderkey")
+    lineitem.join(broadcast(sampled), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"), col("l_quantity"))
+  }
+
+  /** Anti-join: `ON CONFLICT DO NOTHING` as a plan
+    * (`dags/my_dag.py:201-202`). */
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Equi-join star pattern + grouped rollup (metrics↔geometry join,
+    * `dags/my_dag.py:153,166-168`). Dimensions broadcast; only the
+    * fact side shuffles for the final aggregate. */
+  def equiJoinAgg(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+
+  /** Fan-out against a literal dimension with ordinal — the bulk ×
+    * facet expansion (`dags/my_dag.py:78-81`) and per-slab index
+    * (`dags/my_dag.py:93-95`). `posexplode` keeps the ordinal
+    * without any shuffle. */
+  def fanoutExplode(part: DataFrame, facets: Seq[String]): DataFrame =
+    part.select(col("p_partkey"), posexplode(typedLit(facets)))
+      .select(
+        col("p_partkey"),
+        col("pos").cast(LongType).as("facet_idx"),
+        col("col").as("facet"),
+        concat(col("p_partkey").cast(StringType), lit("-"), col("col")).as("slab_key"))
+
+  /** Count + distinct count (`dags/my_dag.py:30`). */
+  def countByGroup(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Last-match-per-group — the reference parse loop keeps the final
+    * `FillingsUpdate` line per file (`dags/my_dag.py:154-158`).
+    * One shuffle on the group key; at scale this is the canonical
+    * window-dedup and AQE handles group skew. */
+  def lastPerGroup(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+              expr("ts div 1000").as("ts_us"))
+  }
+
+  val EventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Ordered-series pivot per group (`dags/my_dag.py:151-160` collects
+    * the 3 charge series per sample). Explicit pivot values avoid the
+    * extra distinct-scan Spark needs to infer them. */
+  def pivotByType(events: DataFrame): DataFrame = {
+    val p = events.groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(moneySum(col("value"), 2))
+    p.select(col("user_id") +: EventTypes.map(t => col(t).as(s"${t}_sum")): _*)
+  }
+
+  /** Within-group baseline subtraction — `rhoes = -(nes - nes[1])`
+    * subtracts the charge=0 row from every row of its group
+    * (`dags/my_dag.py:169`). Conditional window aggregate: one
+    * shuffle, no self-join. */
+  def baselineDiff(lineitem: DataFrame): DataFrame = {
+    val base = max(when(col("l_linenumber") === 1, col("l_quantity")))
+      .over(Window.partitionBy(col("l_orderkey")))
+    lineitem.select(
+      col("l_orderkey"),
+      col("l_linenumber").cast(LongType).as("l_linenumber"),
+      (col("l_quantity") - base).as("qty_diff"))
+  }
+
+  /** Degree-1 least-squares fit per group — `np.polyfit(pots, rhoes, 1)`
+    * (`dags/my_dag.py:171`) via the built-in `regr_*` aggregates
+    * (partial-aggregable → map-side combine, no custom Aggregator). */
+  def regrFit(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+           round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+           regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+
+  /** Same-schema union/append (`dags/my_dag.py:75,99`). */
+  def unionEntities(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_custkey").as("entity_key"), col("c_name").as("name"),
+                    col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+      .unionByName(
+        supplier.select(col("s_suppkey").as("entity_key"), col("s_name").as("name"),
+                        col("s_acctbal").as("acctbal"), lit("supplier").as("src")))
+
+  /** Exact key dedup (UNIQUE(MP_id), `dags/my_dag.py:199-201`). */
+  def dedupDistinct(lineitem: DataFrame): DataFrame =
+    lineitem.select("l_partkey", "l_suppkey").distinct()
+
+  /** Keep-first-per-key dedup with a deterministic order — the
+    * idempotent-load semantics of `ON CONFLICT DO NOTHING`
+    * (`dags/my_dag.py:201`) made order-stable. `min_by` is a single
+    * partial-aggregable pass (no window sort). */
+  def dedupKeyed(lineitem: DataFrame): DataFrame = {
+    val ord = col("l_orderkey") * 10 + col("l_linenumber")
+    lineitem.groupBy("l_partkey")
+      .agg(min_by(col("l_extendedprice"), ord).as("first_price"),
+           min(ord).as("first_ord"))
+  }
+
+  /** Text render of a struct row + ordered group concat — the JDFTx
+    * input-deck builder (`dags/utils.py:3-48`: `'ion %s %f %f %f %i'`
+    * per atom, newline-joined). Pure codegen'd expressions; the
+    * per-group document is assembled with a deterministic sort so
+    * results are partition-order independent. */
+  def renderDeck(part: DataFrame): DataFrame = {
+    val line = format_string("ion %s %f %f %d",
+      regexp_extract(col("p_name"), "^(\\w+)", 1),
+      col("p_retailprice"),
+      col("p_retailprice") * lit(1.88973),
+      col("p_partkey"))
+    part.select(col("p_brand"), line.as("line"))
+      .groupBy("p_brand")
+      .agg(array_join(array_sort(collect_list(col("line"))), "\n").as("deck"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Tumbling event-time window aggregate — the batch twin of the
+    * Structured Streaming path (`graft.streaming`); same plan shape
+    * Spark uses under `readStream` with a watermark. */
+  def windowAgg(eventsWithTs: DataFrame): DataFrame =
+    eventsWithTs
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  /** Top-k per group (rank window) — generalization of the
+    * pick-one-per-group sampling (`dags/my_dag.py:109-111`). */
+  def topKPerGroup(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+}

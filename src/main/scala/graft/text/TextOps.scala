@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions (whole-stage
+  * codegen, no UDFs) — each runs embarrassingly parallel over
+  * partitions with zero shuffle, which is exactly what a 100 TB
+  * document sweep needs.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Portable 32-bit token hash: first 8 hex digits of md5, as a
+    * long. Chosen over Spark's murmur `hash()` because any engine
+    * with md5 can reproduce it (DuckDB oracle, future Flink/Trino
+    * parity). Cost: one md5 per token — fine off the hot join path;
+    * swap for xxhash64 when cross-engine parity is not needed.
+    */
+  def tokenCode(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)
+
+  /** Per-document token statistics: whitespace token count, distinct
+    * count, BPE-ish subword count (letter runs / digit runs / single
+    * punctuation), mean token length.
+    */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
+    documents.select(
+      col("doc_id"),
+      size(toks).cast(LongType).as("n_tokens"),
+      size(array_distinct(toks)).cast(LongType).as("n_uniq"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType).as("n_subword"),
+      round(sumLen.cast(DoubleType) / size(toks), 6).as("avg_tok_len"))
+  }
+
+  private val EnMarkers = Seq("the", "a", "of", "and")
+  private val EsMarkers = Seq("el", "la", "de", "y")
+  private val DeMarkers = Seq("der", "die", "das", "und")
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(markers), t))).cast(LongType)
+
+  /** N-gram-style language-ID heuristic: score text against per-
+    * language marker-token lists, argmax with a fixed tie order.
+    * Deterministic and shuffle-free; a real model slots in as a
+    * richer scoring expression with the same shape.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+        col("doc_id"), col("lang"),
+        markerCount(toks, EnMarkers).as("s_en"),
+        markerCount(toks, EsMarkers).as("s_es"),
+        markerCount(toks, DeMarkers).as("s_de"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+  }
+
+  /** Heuristic quality score in [0,1]: linear blend of token count,
+    * stopword ratio, and mean token length (deliberately exp-free so
+    * the arithmetic is bit-reproducible across engines).
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast(DoubleType)
+    val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
+    val meanTok = sumLen.cast(DoubleType) / nTok
+    val stopRatio = markerCount(toks, EnMarkers).cast(DoubleType) / nTok
+    documents.select(
+      col("doc_id"),
+      size(toks).cast(LongType).as("n_tokens"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(lit(0.4) * least(nTok / 100.0, lit(1.0))
+          + lit(0.4) * stopRatio
+          + lit(0.2) * least(meanTok / 10.0, lit(1.0)), 6).as("quality"))
+  }
+
+  /** Rolling polynomial fingerprint over the token stream (mod a
+    * 31-bit prime) — an order-sensitive document signature, the
+    * columnar form of a rolling-hash shingle fingerprint.
+    */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val P = 1000000007L
+    val codes = transform(tokens(col("text")), t => tokenCode(t) % P)
+    documents.select(
+      col("doc_id"),
+      aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % P).as("fp"))
+  }
+}

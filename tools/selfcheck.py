@@ -1,0 +1,40 @@
+import duckdb, json, sys, glob, math
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        files = glob.glob(f'{out}/{name}/*.parquet')
+        if not files:
+            print(f'{name}: NO SPARK OUTPUT'); fails.append(name); continue
+        sp = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetch_df()
+        du = con.execute(sql).fetch_df()
+        sp = sp.reindex(sorted(sp.columns), axis=1)
+        du = du.reindex(sorted(du.columns), axis=1)
+        if list(sp.columns) != list(du.columns):
+            print(f'{name}: COLS spark={list(sp.columns)} duck={list(du.columns)}'); fails.append(name); continue
+        if len(sp) != len(du):
+            print(f'{name}: ROWS spark={len(sp)} duck={len(du)}'); fails.append(name); continue
+        sp = sp.sort_values(by=list(sp.columns)).reset_index(drop=True)
+        du = du.sort_values(by=list(du.columns)).reset_index(drop=True)
+        mismatch = 0; first = None
+        for c in sp.columns:
+            a, b = sp[c], du[c]
+            try: neq = ~((a == b) | (a.isna() & b.isna()))
+            except Exception: neq = a.astype(str) != b.astype(str)
+            n = int(neq.sum())
+            if n: 
+                mismatch += n
+                if first is None:
+                    i = neq.idxmax(); first = (c, a[i], b[i])
+        if mismatch:
+            print(f'{name}: {mismatch} value mismatches, first={first}'); fails.append(name)
+        else:
+            print(f'{name}: OK ({len(sp)} rows)')
+    except Exception as e:
+        print(f'{name}: ERROR {str(e).splitlines()[0][:200]}'); fails.append(name)
+print('---'); print('FAILED:', fails if fails else 'none')
