@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.echem._
+import graft.echem.ProcessRunner.{Exec, Run}
+import graft.echem.Schemas.Slab
+import graft.sink.JdbcUpsert
+
+/** Pipeline composition — the Airflow DAG re-expressed as one lazy
+  * DataFrame graph (SURVEY.md §3).
+  *
+  * EP1 (`my-DAG`, `dags/my_dag.py:246-265`): bulks → seeded sample →
+  * slab fan-out → pick-one-slab → charge fan-out → deck render →
+  * external DFT → log parse → electrochem analysis → idempotent load.
+  * XCom hand-offs disappear: every arrow is an unmaterialized plan
+  * edge; the only pipeline-breaking actions are the final sink write
+  * and the report collect (cache at that diamond —
+  * `dags/my_dag.py:262-264`).
+  *
+  * EP2 (`dev-only`, `dags/dev.py:97-109`): the analysis tail over a
+  * fixture directory — the unit-test entry point.
+  */
+object Pipeline {
+
+  /** Deterministic stand-in for `random.seed(n); random.sample(...)`
+    * (`dags/my_dag.py:55-57`): order by a seeded hash of the key.
+    * Distributed TABLESAMPLE-style pushdown is impossible for exact-n
+    * seeded samples; a global sort-limit of keys is the scalable
+    * equivalent (the sort runs on the key column only). */
+  def seededSample(slabs: Dataset[Slab], n: Int, seed: Int): Dataset[Slab] = {
+    import slabs.sparkSession.implicits._
+    slabs.orderBy(xxhash64(lit(seed), col("mpKey"))).limit(n).as[Slab]
+  }
+
+  /** EP2 — analysis tail over golden fixture dirs. */
+  def analyzeFixtures(spark: SparkSession, gcDftDir: String, poscarDir: String): DataFrame = {
+    val metrics = JdftxOutParser.metrics(spark, gcDftDir)
+    val geometry = slabGeometry(PoscarCodec.read(spark, poscarDir))
+    Analysis.electrochem(metrics, geometry)
+  }
+
+  /** Slab cell diagonals for the area term (`dags/my_dag.py:166-168`). */
+  def slabGeometry(slabs: Dataset[Slab]): DataFrame =
+    slabs.toDF().select(
+      col("mpKey").as("mp_key"),
+      (element_at(element_at(col("lattice"), 1), 1) * col("scale")).as("cell00"),
+      (element_at(element_at(col("lattice"), 2), 2) * col("scale")).as("cell11"))
+
+  /** EP1 — the full pipeline, external binary injected as [[Exec]]
+    * (stub replay in tests; `BinaryExec(Seq("jdftx", "-i"))` live).
+    *
+    * @return (mp_id, pzc, capacitance), deduped and anti-joined
+    *         against `existing` (idempotent-load semantics) */
+  def full(
+      spark: SparkSession,
+      bulkPoscarDir: String,
+      facets: Seq[String],
+      nBulkSample: Int,
+      nShifts: Int,
+      charges: Seq[Double],
+      exec: Exec,
+      existing: DataFrame): DataFrame = {
+    import spark.implicits._
+
+    // extract + sample before the expensive fan-out (§4: manual
+    // plan ordering across the UDF barrier)
+    val bulks = seededSample(PoscarCodec.read(spark, bulkPoscarDir), nBulkSample, seed = 27)
+    val slabs = SlabGen.generate(bulks, facets, nShifts)
+    // reference picks one slab per run (`dags/my_dag.py:109-111`)
+    val picked = seededSample(slabs, 1, seed = 20)
+
+    val runs: Dataset[Run] = picked.flatMap { s =>
+      charges.map(c => Run(s"${s.mpKey}_$c", JdftxDeck.render(s, c)))
+    }
+    val outputs = ProcessRunner.run(runs, exec)
+
+    val metrics = JdftxOutParser.metricsFromRuns(
+      outputs.filter(col("exitCode") === 0).toDF())
+    val results = Analysis.electrochem(metrics, slabGeometry(slabs))
+
+    JdbcUpsert.newRows(results, existing, "mp_id")
+  }
+
+  /** Report body (`write_report`, `dags/my_dag.py:213-243`): the
+    * final small result rendered driver-side. Collect is correct
+    * here — it is the terminal, human-facing artifact. */
+  def reportMarkdown(results: DataFrame): String = {
+    val rows = results.select("mp_id", "pzc", "capacitance")
+      .orderBy("mp_id").collect()
+    val header = "| MP id | PZC (V vs SHE) | Capacitance (µF/cm²) |\n|---|---|---|\n"
+    header + rows.map(r => f"| ${r.getString(0)} | ${r.getDouble(1)}%.5f | ${r.getDouble(2)}%.5f |")
+      .mkString("\n")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.echem
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JDFTx output-log scanner (ops #4, #12-14, #29). The reference
+  * loops over lines, overwriting `fermi`/`ne` on every
+  * `FillingsUpdate:  mu:` match so the *last* (converged) value wins
+  * (`dags/my_dag.py:153-158`).
+  *
+  * Spark-first form: read each log as one `wholetext` row and take
+  * `element_at(regexp_extract_all(...), -1)` — last-match semantics
+  * without depending on line ordering across splits, entirely in
+  * codegen'd expressions. Logs are KBs–MBs, so one row per file
+  * distributes fine at any corpus size.
+  */
+object JdftxOutParser {
+
+  private val MetricRe = "FillingsUpdate:\\s+mu:\\s+(\\S+)\\s+nElectrons:\\s+(\\S+)"
+  private val FileRe = "([^/]+)_(-?[0-9.]+)\\.out$"
+
+  /** Core extraction over any (mp_key, charge, text) frame: one row
+    * per log with the final FillingsUpdate values; n_updates is the
+    * match cardinality (72/9/9 for the golden fixtures, BASELINE.md).
+    * Used both by the directory scan below and by the in-flight
+    * ProcessRunner outputs in the full pipeline (no re-read from
+    * disk between stages — the reference re-parses files per task,
+    * we keep it one plan). */
+  def metricsFromText(logs: DataFrame, textCol: String): DataFrame = {
+    val lastMatch = (group: Int) =>
+      element_at(regexp_extract_all(col(textCol), lit(MetricRe), lit(group)), -1)
+        .cast(DoubleType)
+    logs.withColumn("mu", lastMatch(1))
+      .withColumn("nelectrons", lastMatch(2))
+      .withColumn("n_updates",
+        size(regexp_extract_all(col(textCol), lit(MetricRe), lit(0))).cast(LongType))
+      .drop(textCol)
+  }
+
+  /** Directory scan form: one row per `.out` file, key + charge from
+    * the filename (`{mp_key}_{charge}.out`, `dags/my_dag.py:131,153`). */
+  def metrics(spark: SparkSession, dir: String): DataFrame =
+    metricsFromText(
+      spark.read.option("wholetext", "true").text(dir)
+        .select(input_file_name().as("file"), col("value"))
+        .filter(col("file").endsWith(".out"))
+        .select(
+          regexp_extract(col("file"), FileRe, 1).as("mp_key"),
+          regexp_extract(col("file"), FileRe, 2).cast(DoubleType).as("charge"),
+          col("value")),
+      "value")
+
+  /** Run-key form for in-flight outputs keyed `{mp_key}_{charge}`. */
+  val KeyRe = "(.+)_(-?[0-9.]+)$"
+  def metricsFromRuns(runs: DataFrame): DataFrame =
+    metricsFromText(
+      runs.select(
+        regexp_extract(col("key"), KeyRe, 1).as("mp_key"),
+        regexp_extract(col("key"), KeyRe, 2).cast(DoubleType).as("charge"),
+        col("output")),
+      "output")
+}

@@ -1,0 +1,73 @@
+package graft.echem
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import Schemas.{Atom, Slab}
+
+/** POSCAR (VASP direct format) parse + render — the codec behind the
+  * reference's `ase.io.read` / `Poscar.write_file`
+  * (`dags/my_dag.py:44,97,127,167,224`). Pure Scala string codec,
+  * invoked per-row inside `Dataset.map` partitions — no driver-side
+  * file iteration, so a directory of millions of POSCARs distributes
+  * like any other scan.
+  *
+  * Layout (FIXTURES.md A1): title / scale / 3×3 lattice / species
+  * symbols / per-species counts / "direct" / one fractional row +
+  * element per atom.
+  */
+object PoscarCodec {
+
+  def parse(mpKey: String, text: String): Slab = {
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    val title = lines(0)
+    val scale = lines(1).toDouble
+    val lattice = (2 to 4).map(i => lines(i).split("\\s+").map(_.toDouble).toSeq)
+    val species = lines(5).split("\\s+").toSeq
+    val counts = lines(6).split("\\s+").map(_.toInt).toSeq
+    require(lines(7).toLowerCase.startsWith("d"), s"only 'direct' POSCAR supported, got: ${lines(7)}")
+    val nAtoms = counts.sum
+    val positions = (8 until 8 + nAtoms).map { i =>
+      val p = lines(i).split("\\s+")
+      // element label may trail the coordinates; fall back to the
+      // species/counts expansion when absent
+      val el =
+        if (p.length > 3) p(3)
+        else {
+          val idx = i - 8
+          val cum = counts.scanLeft(0)(_ + _).tail
+          species(cum.indexWhere(idx < _))
+        }
+      Atom(p(0).toDouble, p(1).toDouble, p(2).toDouble, el)
+    }
+    Slab(mpKey, title, scale, lattice, species, counts, positions, Seq.empty)
+  }
+
+  def render(s: Slab): String = {
+    val sb = new StringBuilder
+    sb.append(s.title).append('\n')
+    sb.append(s.scale.toString).append('\n')
+    s.lattice.foreach { row =>
+      sb.append(row.map(v => f"$v%20.16f").mkString(" ")).append('\n')
+    }
+    sb.append(s.species.mkString(" ")).append('\n')
+    sb.append(s.counts.mkString(" ")).append('\n')
+    sb.append("direct\n")
+    s.positions.foreach { a =>
+      sb.append(f"${a.x}%20.16f ${a.y}%20.16f ${a.z}%20.16f ${a.element}\n")
+    }
+    sb.toString
+  }
+
+  /** Distributed POSCAR directory scan → typed `Dataset[Slab]`
+    * (op #3). `wholetext` gives one row per file; the key is the
+    * filename stem (`Path(p).stem`, `dags/my_dag.py:122`). */
+  def read(spark: SparkSession, dir: String): Dataset[Slab] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(dir)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.poscar$", 1).as("mp_key"),
+        col("value"))
+      .as[(String, String)]
+      .map { case (k, v) => parse(k, v) }
+  }
+}

@@ -1,0 +1,37 @@
+package graft.sink
+
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Idempotent keyed append — the relational form of
+  * `INSERT … ON CONFLICT (MP_id) DO NOTHING`
+  * (`dags/my_dag.py:196-210`; ops #7/#21/#35).
+  *
+  * Spark's JDBC writer has no upsert, so idempotence is a plan:
+  *  1. `dropDuplicates(key)` — intra-batch dedup (UNIQUE constraint),
+  *  2. `left_anti` vs the existing table — skip already-loaded keys,
+  *  3. append.
+  *
+  * At scale the anti-join build side is `SELECT key FROM sink` —
+  * pushed down via the JDBC source so only the key column crosses
+  * the wire, then broadcast when small. Re-running the pipeline is a
+  * no-op, which is the reference's crash-recovery story
+  * (`retries: 0` + idempotent load, SURVEY.md §2j).
+  */
+object JdbcUpsert {
+
+  /** Pure plan: the rows of `incoming` that survive dedup + anti-join
+    * against `existing`. Exposed separately so tests (and non-JDBC
+    * sinks) exercise the semantics without a database. */
+  def newRows(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
+    incoming
+      .dropDuplicates(key)
+      .join(existing.select(key), Seq(key), "left_anti")
+
+  def upsertAppend(spark: SparkSession, incoming: DataFrame, key: String,
+                   url: String, table: String, props: Properties): Unit = {
+    val existing = spark.read.jdbc(url, table, props).select(key)
+    newRows(incoming, existing, key)
+      .write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+}

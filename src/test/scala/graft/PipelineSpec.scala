@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import graft.echem.ProcessRunner
+import graft.echem.ProcessRunner.{Exec, RunOutput}
+import graft.sink.JdbcUpsert
+
+/** EP1 — full pipeline with a stubbed external binary, plus the
+  * idempotent-load property (SURVEY.md §5 item 4).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stub that replays the golden 0.0 log for every charge, with mu
+    * shifted so the 3 runs differ (keeps regr_slope finite). */
+  case object SyntheticExec extends Exec {
+    def run(key: String, input: String): RunOutput = {
+      val charge = key.substring(key.lastIndexOf('_') + 1).toDouble
+      val mu = -0.188377150 + 0.015 * charge
+      val ne = 250.0 + charge
+      val out = (1 to 5).map(i =>
+        s"FillingsUpdate:  mu: ${mu - 0.001 * (5 - i)}  nElectrons: $ne").mkString("\n")
+      RunOutput(key, out, 0)
+    }
+  }
+
+  test("EP1: bulks → slabs → charges → stub DFT → results (one row)") {
+    val existing = Seq.empty[String].toDF("mp_id")
+    val res = Pipeline.full(spark,
+      bulkPoscarDir = fixturePath("slab_poscars"),
+      facets = Seq("111"),
+      nBulkSample = 2,
+      nShifts = 5,
+      charges = Seq(-0.1, 0.0, 0.1),
+      exec = SyntheticExec,
+      existing = existing)
+    val rows = res.collect()
+    assert(rows.length == 1) // one slab picked (`dags/my_dag.py:109-111`)
+    val r = rows.head
+    assert(r.getAs[String]("mp_id").startsWith("mp-755394-111-3-111-"))
+    assert(!r.getAs[Double]("pzc").isNaN)
+    assert(!r.getAs[Double]("capacitance").isNaN)
+  }
+
+  test("idempotent load: second run of the same batch appends nothing (ops #21/#35)") {
+    val batch = Seq(("a", 1.0, 2.0), ("a", 1.0, 2.0), ("b", 3.0, 4.0))
+      .toDF("mp_id", "pzc", "capacitance")
+    val empty = Seq.empty[String].toDF("mp_id")
+    val first = JdbcUpsert.newRows(batch, empty, "mp_id")
+    assert(first.count() == 2) // intra-batch dedup
+    val second = JdbcUpsert.newRows(batch, first.select("mp_id"), "mp_id")
+    assert(second.count() == 0) // ON CONFLICT DO NOTHING semantics
+  }
+
+  test("ProcessRunner.BinaryExec pipes a real process with timeout") {
+    val runs = Seq(ProcessRunner.Run("k1", "hello-deck")).toDS()
+    val out = ProcessRunner.run(runs, ProcessRunner.BinaryExec(Seq("cat"), timeoutSec = 60))
+      .collect().head
+    assert(out.exitCode == 0)
+    assert(out.output.contains("hello-deck")) // `cat <deckfile>` prints the deck back
+  }
+
+  test("EP2 report render") {
+    val res = Pipeline.analyzeFixtures(spark,
+      fixturePath("gc_dft"), fixturePath("slab_poscars"))
+    val md = Pipeline.reportMarkdown(res)
+    assert(md.contains("mp-755394-111-3"))
+    assert(md.contains("0.46601"))
+  }
+}

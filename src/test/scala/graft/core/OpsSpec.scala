@@ -1,0 +1,108 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.text.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Operator semantics on hand-built frames — the properties SURVEY.md
+  * §5 flags as easy to get subtly wrong (last-per-group, baseline
+  * diff, dedup idempotence) plus the text/similarity extension ops.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lastPerGroup == imperative overwrite-loop semantics (op #29)") {
+    // reference loop: for line in f: if match: fermi = ... (last wins)
+    val events = Seq(
+      (1L, 10L, "a", 1.0, 100L), (1L, 11L, "b", 2.0, 200L), (1L, 12L, "c", 3.0, 150L),
+      (2L, 20L, "x", 9.0, 50L))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Ops.lastPerGroup(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("event_type")).toMap
+    // user 1: max ts = 200 → "b"; user 2 → "x"
+    assert(got == Map(1L -> "b", 2L -> "x"))
+  }
+
+  test("baselineDiff subtracts the linenumber-1 row within each group (op #31)") {
+    val li = Seq((1L, 1, 10.0), (1L, 2, 14.0), (1L, 3, 9.0), (2L, 1, 5.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity")
+    val got = Ops.baselineDiff(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 4.0 && got((1L, 3L)) == -1.0 && got((2L, 1L)) == 0.0)
+  }
+
+  test("dedup is idempotent: dedup(dedup(df)) == dedup(df) (op #35)") {
+    val df = Seq((1L, 1L), (1L, 1L), (2L, 3L)).toDF("l_partkey", "l_suppkey")
+    val once = Ops.dedupDistinct(df)
+    assert(once.count() == 2)
+    assert(Ops.dedupDistinct(once).count() == once.count())
+  }
+
+  test("scrambleKey sample is deterministic across invocations (op #17)") {
+    val orders = (1L to 500L).map(k => (k, k % 7)).toDF("o_orderkey", "o_custkey")
+    val a = Ops.sampleN(orders, 50).collect().map(_.getLong(0)).toSeq
+    val b = Ops.sampleN(orders, 50).collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.length == 50)
+  }
+
+  test("minhash LSH: identical token sets always pair; disjoint never do") {
+    val docs = Seq(
+      (1L, "spark window join filter"),
+      (2L, "filter join window spark"),   // same token set, different order
+      (3L, "completely different words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical sets equal, near sets close in hamming distance") {
+    val docs = Seq(
+      (1L, "spark window join filter group"),
+      (2L, "filter join window spark group"),
+      (3L, "zq xv qqq ww eee rr"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simhash(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 4)
+  }
+
+  test("cosine topk: nearest neighbor of a duplicated vector is its twin") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),  // duplicate of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, nQueries = 1, k = 3).collect()
+    val first = top.find(r => r.getAs[Long]("rk") == 1L).get
+    assert(first.getAs[Long]("vec_id") == 1L)
+    assert(first.getAs[Double]("sim") == 1.0)
+  }
+
+  test("bucketed ANN recall: duplicated vector lands in the same bucket") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
+      (1L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
+      (2L, Array(-1.0f, 0.9f, 0.1f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopKBucketed(vecs, nQueries = 1, k = 2).collect()
+    assert(top.exists(r => r.getAs[Long]("vec_id") == 1L && r.getAs[Double]("sim") == 1.0))
+  }
+
+  test("langId predicted column is total and deterministic") {
+    val docs = Seq((1L, "the cat and the hat", "en"), (2L, "el la y de", "es"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    assert(got(1L) == "en" && got(2L) == "es")
+  }
+
+  test("quality score stays in [0,1]") {
+    val docs = Seq((1L, "a"), (2L, ("word " * 500).trim)).toDF("doc_id", "text")
+    val qs = TextOps.qualityScore(docs).collect().map(_.getAs[Double]("quality"))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.echem
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+/** Golden-fixture tests for the POSCAR codec and JDFTx deck renderer
+  * (fixtures copied from the reference's published outputs —
+  * SURVEY.md §5 values).
+  */
+class CodecSpec extends SparkSpec {
+
+  private def slurp(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+
+  lazy val goldenSlab = PoscarCodec.parse(
+    "mp-755394-111-3", slurp(fixturePath("slab_poscars/mp-755394-111-3.poscar")))
+
+  test("POSCAR parse: golden slab geometry (FIXTURES.md A1)") {
+    assert(goldenSlab.title == "V10 O20")
+    assert(goldenSlab.scale == 1.0)
+    assert(goldenSlab.cell(0, 0) == 5.6881524815949263)
+    assert(goldenSlab.cell(1, 1) == 4.3557533104979962)
+    assert(goldenSlab.nAtoms == 30)
+    assert(goldenSlab.counts.sum == 30)
+    assert(goldenSlab.positions.count(_.element == "V") == 10)
+    assert(goldenSlab.positions.count(_.element == "O") == 20)
+  }
+
+  test("POSCAR render/parse roundtrip") {
+    val rt = PoscarCodec.parse(goldenSlab.mpKey, PoscarCodec.render(goldenSlab))
+    assert(rt.title == goldenSlab.title)
+    assert(rt.species == goldenSlab.species)
+    assert(rt.counts == goldenSlab.counts)
+    assert(rt.lattice.flatten.zip(goldenSlab.lattice.flatten).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(rt.positions.zip(goldenSlab.positions).forall { case (a, b) =>
+      math.abs(a.x - b.x) < 1e-12 && math.abs(a.z - b.z) < 1e-12 && a.element == b.element })
+  }
+
+  test("distributed POSCAR read (op #3)") {
+    val ds = PoscarCodec.read(spark, fixturePath("slab_poscars"))
+    val s = ds.collect().head
+    assert(s.mpKey == "mp-755394-111-3")
+    assert(s.nAtoms == 30)
+  }
+
+  test("JDFTx deck render matches golden .in byte-for-byte (op #6)") {
+    val golden = slurp(fixturePath("gc_dft/mp-755394-111-3_0.0.in"))
+    val rendered = JdftxDeck.render(goldenSlab, 0.0)
+    assert(rendered == golden)
+  }
+
+  test("deck render: charge formatting matches python repr") {
+    val d = JdftxDeck.render(goldenSlab, -0.1)
+    assert(d.endsWith("elec-initial-charge -0.1"))
+    assert(JdftxDeck.render(goldenSlab, 0.1).endsWith("elec-initial-charge 0.1"))
+  }
+}
