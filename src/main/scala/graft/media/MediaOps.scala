@@ -1,0 +1,118 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The Spark-side contract (schema, partition-parallel batch shape,
+  * stage signatures) is real and tested; the *codec* itself is a
+  * pluggable [[Decoder]] — this container ships no image/audio libs,
+  * so the default is [[StubDecoder]], a clearly-marked deterministic
+  * fake that derives "pixels" from the byte stream. Swapping in a
+  * real JNI/javacv decoder changes one constructor argument and no
+  * plan shape.
+  *
+  * Scale notes: media bytes never pass through a shuffle — decode /
+  * featurize are narrow `mapPartitions` stages; only the (tiny)
+  * feature vectors and metadata flow onward to joins/aggregations.
+  * Read with `spark.read.format("binaryFile")` at ingest, or as a
+  * parquet `binary` column as here.
+  */
+object MediaOps {
+
+  /** Typed metadata carried beside the payload. */
+  case class MediaMeta(kind: String, width: Int, height: Int, durationMs: Long)
+  case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           mean_byte: Double, features: Seq[Double])
+  case class Frame(media_id: Long, frame_idx: Int, frame_ts_ms: Long, payload: Array[Byte])
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("durationMs", LongType))), nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Decode + featurize one payload. Real implementations wrap an
+    * image/audio library; must be deterministic for a given byte
+    * stream. */
+  trait Decoder extends Serializable {
+    def features(meta: MediaMeta, payload: Array[Byte], dim: Int): Seq[Double]
+  }
+
+  /** STUB: deterministic fake decode — banded byte means standing in
+    * for pixel statistics. Replace with a real codec in production;
+    * everything downstream (schema, partitioning, batch shape) is
+    * identical. */
+  case object StubDecoder extends Decoder {
+    def features(meta: MediaMeta, payload: Array[Byte], dim: Int): Seq[Double] = {
+      val n = payload.length
+      (0 until dim).map { d =>
+        val from = n.toLong * d / dim
+        val until = n.toLong * (d + 1) / dim
+        if (until == from) 0.0
+        else {
+          var s = 0.0
+          var i = from.toInt
+          while (i < until) { s += (payload(i) & 0xff); i += 1 }
+          s / (until - from)
+        }
+      }
+    }
+  }
+
+  /** Partition-parallel feature extraction: the media analogue of a
+    * vectorized batch UDF — rows stream through each partition once,
+    * payloads are dropped on the way out. */
+  def featurize(media: Dataset[MediaRow], decoder: Decoder = StubDecoder,
+                dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val f = decoder.features(m.meta, m.payload, dim)
+      val mean = if (m.payload.isEmpty) 0.0
+                 else m.payload.map(b => (b & 0xff).toDouble).sum / m.payload.length
+      MediaFeatures(m.media_id, m.meta.kind, m.payload.length.toLong, mean, f)
+    })
+  }
+
+  /** Video frame sampling: 1 row → N frame rows at a fixed stride.
+    * The per-frame payload slice is a stub (real impl: demux +
+    * decode); cardinality, ordinals, and timestamps are the real
+    * contract. */
+  def sampleFrames(media: Dataset[MediaRow], strideMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val n = math.max(1L, m.meta.durationMs / strideMs).toInt
+      (0 until n).map { i =>
+        val ts = i * strideMs
+        // STUB frame payload: deterministic slice standing in for a decoded frame
+        val sliceLen = math.max(1, m.payload.length / n)
+        val from = math.min(i * sliceLen, math.max(0, m.payload.length - 1))
+        val until = math.min(from + sliceLen, m.payload.length)
+        Frame(m.media_id, i, ts, m.payload.slice(from, until))
+      }
+    }
+  }
+
+  /** "Resize": re-bucket the stub feature vector to a new dimension —
+    * exercises the downstream reshape contract without a pixel codec. */
+  def resizeFeatures(features: Dataset[MediaFeatures], newDim: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val src = f.features
+      val out = (0 until newDim).map { d =>
+        val from = src.size * d / newDim
+        val until = math.max(from + 1, src.size * (d + 1) / newDim)
+        src.slice(from, until).sum / (until - from)
+      }
+      f.copy(features = out)
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2h: the reference is
+  * batch-only; this is the engine's forward path for continuous
+  * ingestion, with the idempotent-append load as the natural
+  * `foreachBatch` body).
+  *
+  * Design: streaming plans reuse the same declarative fragments as
+  * the batch module (`Ops.windowAgg` is the batch twin of
+  * [[windowedAgg]]) so a pipeline can switch `read` ↔ `readStream`
+  * without rewriting logic. Watermarks bound state; the stateful
+  * sessionizer uses `flatMapGroupsWithState` with event-time timeout
+  * so state size is O(active keys), not O(history) — the property
+  * that matters at 100 TB/day.
+  */
+object StreamingOps {
+
+  /** Events schema as the stream source sees it (ts already µs —
+    * streaming readers should pre-convert nanos with
+    * `Tables.eventsWithTs` semantics). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_t", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Watermarked tumbling-window aggregate — streaming twin of
+    * `Ops.windowAgg` (same grouping, same decimal-exact sum). */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value"), 2).cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+              col("event_type"), col("n"), col("sum_value"))
+
+  case class Event(event_id: Long, ts_t: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization: a session closes after `gapMinutes`
+    * of inactivity (event-time timeout — state is dropped as the
+    * watermark passes, so it cannot grow unboundedly). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, s.start, s.last, s.n, s.total))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts_t.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts_t.getTime * 1000L
+          cur match {
+            case Some(s) if t - s.last <= gapUs =>
+              cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, s.start, s.last, s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last / 1000L + gapMinutes * 60L * 1000L)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts_t", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Idempotent micro-batch load: the `foreachBatch` body — dedup +
+    * anti-join against the sink before append (`JdbcUpsert.newRows`
+    * semantics per batch). Exactly-once-per-key under retries. */
+  def idempotentForeachBatch(key: String, readSink: SparkSession => DataFrame,
+                             append: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val existing = readSink(batch.sparkSession).select(key)
+      append(graft.sink.JdbcUpsert.newRows(batch, existing, key))
+    }
+}

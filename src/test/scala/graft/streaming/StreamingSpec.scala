@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.{Ops, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics: the streaming windowed aggregate must agree
+  * with its batch twin on the same data (read ↔ readStream symmetry),
+  * and sessionization must produce gap-delimited sessions.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingOps._
+
+  private def eventsBatch = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+    .select(col("event_id"), col("ts_t"), col("user_id"), col("event_type"), col("value"))
+
+  test("streaming windowedAgg == batch windowAgg on the same parquet") {
+    // batch truth
+    val batch = Ops.windowAgg(Tables.eventsWithTs(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // stream the same rows through a memory sink (complete mode so
+    // the watermark needn't advance past the last window)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    eventsBatch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(EventSchema).parquet(dir)
+    val q = windowedAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("win_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == batch)
+  }
+
+  test("sessionize: gap-delimited sessions with event-time timeout") {
+    // positive epoch base: a ts equal to the initial watermark (0)
+    // is filtered as late by definition
+    val t0 = 1600000000000L
+    def ev(id: Long, user: Long, tMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(t0 + tMs), user, "click", v)
+    // user 1: two bursts separated by > gap; user 2: one burst
+    val rows = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 60000, 2.0),            // session A: 2 events
+      ev(3, 1, 3 * 3600000L, 5.0),                        // session B (gap 3h)
+      ev(4, 2, 1000, 7.0), ev(5, 2, 2000, 8.0),
+      // sentinel far in the future advances the watermark so earlier
+      // sessions time out and emit
+      ev(99, 9, 100 * 3600000L, 0.0))
+    // one file → one micro-batch: otherwise the future sentinel can
+    // land in an earlier batch and watermark-drop the t=0 events
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    rows.toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(EventSchema).parquet(dir).as[Event]
+    val q = sessionize(stream, gapMinutes = 30).writeStream
+      .outputMode("append").format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val sess = spark.table("sess_out").as[Session].collect()
+      .filter(_.user_id != 9).sortBy(s => (s.user_id, s.start_us))
+    assert(sess.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
+      Seq((1L, 2, 3.0), (1L, 1, 5.0), (2L, 2, 15.0)))
+  }
+}
