@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,22 +45,60 @@ object Dedup {
   }
 
   /** LSH banding over the signatures (bands of 4 → collision prob
-    * ≈ J⁴ per band) + same-bucket self-join → candidate near-dup
-    * pairs. The join key is (band, md5(band signature)): uniform,
-    * small, and shuffle-partitionable. */
+    * ≈ J⁴ per band) + same-bucket collision → candidate near-dup
+    * pairs.
+    *
+    * Scale structure — a naive per-(doc, band) self-join is
+    * catastrophic on duplicate-heavy corpora: documents with the
+    * SAME full signature collide in every band, so each such pair is
+    * produced `bands` times and a giant distinct has to un-duplicate
+    * a quadratic blow-up. Instead:
+    *
+    *  1. collapse documents to their full-signature cluster
+    *     (`sig_key` = md5 of all 16 minhashes — exact-duplicate sets
+    *     share it),
+    *  2. band-join only the DISTINCT signatures (buckets shrink from
+    *     cluster size to 1),
+    *  3. expand: intra-cluster pairs via one self-join on `sig_key`,
+    *     cross-cluster pairs via the deduped signature-pair list.
+    *
+    * Each candidate pair is emitted exactly once — no distinct over
+    * the expansion. Output is identical to the naive banding. */
   def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val nBands = MinhashFuncs / rowsPerBand
     val sig = minhashSignatures(spark, documents)
-    val bands = sig
-      .withColumn("band", expr(s"hid div $rowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("hid"), col("mh")))),
-          x => concat(x.getField("hid").cast(StringType), lit(":"), x.getField("mh").cast(StringType))),
-        ",")).as("bkey"))
-    bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val entryStr = (c: Column) =>
+      transform(c, x => concat(x.getField("hid").cast(StringType), lit(":"), x.getField("mh").cast(StringType)))
+    val full = sig
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("hid"), col("mh")))).as("entries"))
+      .select(col("doc_id"), col("entries"),
+        md5(array_join(entryStr(col("entries")), ",")).as("sig_key"))
+
+    val members = full.select(col("doc_id"), col("sig_key"))
+    // entries are identical within a sig_key group by construction
+    val sigs = full.groupBy(col("sig_key")).agg(first(col("entries")).as("entries"))
+    val bandKeys = (0 until nBands).map { b =>
+      md5(array_join(entryStr(slice(col("entries"), b * rowsPerBand + 1, rowsPerBand)), ","))
+    }
+    val sigBands = sigs
+      .select(col("sig_key"), posexplode(array(bandKeys: _*)))
+      .select(col("sig_key"), col("pos").as("band"), col("col").as("bkey"))
+    val sigPairs = sigBands.as("x").join(sigBands.as("y"), Seq("band", "bkey"))
+      .filter(col("x.sig_key") < col("y.sig_key"))
+      .select(col("x.sig_key").as("sig_a"), col("y.sig_key").as("sig_b"))
       .distinct()
+
+    val intra = members.as("ma").join(members.as("mb"), "sig_key")
+      .filter(col("ma.doc_id") < col("mb.doc_id"))
+      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"))
+    val cross = sigPairs
+      .join(members.as("ma"), col("sig_a") === col("ma.sig_key"))
+      .join(members.as("mb"), col("sig_b") === col("mb.sig_key"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"))
+    intra.unionByName(cross)
   }
 
   /** 32-bit SimHash fingerprint: per distinct token take bit b of the
@@ -81,23 +119,39 @@ object Dedup {
   }
 
   /** Blocked n-gram Jaccard near-dup pairs: block on
-    * (lang, n_chars div 64) so the self-join is per-block, compute
-    * exact Jaccard over distinct token sets, keep pairs ≥ threshold.
-    * Blocking keys bound the quadratic term; at scale, block width
-    * trades recall for cost (near-dups of very different length are
-    * missed — by design, mirroring length-bucketed MinHash practice).
+    * (lang, n_chars div 64), exact Jaccard over distinct token sets,
+    * keep pairs ≥ threshold. Blocking keys bound the quadratic term;
+    * at scale, block width trades recall for cost (near-dups of very
+    * different length are missed — by design, mirroring
+    * length-bucketed MinHash practice).
+    *
+    * Computed as a token co-count join, not per-pair array set ops:
+    * |A∩B| falls out of a (block, token) equi-join + count, and
+    * |A∪B| = |A| + |B| − |A∩B|. Everything is codegen'd
+    * join/aggregate — no per-pair hash-set building — and the
+    * intermediate is bounded by Σ_token df(token)² within each
+    * block, the standard sparse-similarity-join shape. Pairs with
+    * zero common tokens never materialize (they cannot pass any
+    * threshold > 0).
     */
   def jaccardNearDupPairs(documents: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
     val base = documents.select(
       col("doc_id"), col("lang"),
       expr("n_chars div 64").as("bkt"),
       array_distinct(TextOps.tokens(col("text"))).as("toks"))
-    val j = size(array_intersect(col("x.toks"), col("y.toks"))).cast(DoubleType) /
-            size(array_union(col("x.toks"), col("y.toks")))
-    base.as("x").join(base.as("y"),
+    val tok = base.select(
+      col("doc_id"), col("lang"), col("bkt"),
+      size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
+    val co = tok.as("x").join(tok.as("y"),
         col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), round(j, 6).as("jaccard"))
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).cast(IntegerType).as("c"))
+    val j = col("c").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("c"))
+    co.select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
