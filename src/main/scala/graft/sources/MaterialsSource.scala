@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for a materials catalog — the engine's
+  * re-expression of the reference's REST scan with server-side
+  * filters (`mpr.materials.oxidation_states.search(chemsys=…,
+  * possible_species=…)`, `dags/my_dag.py:28-29`; SURVEY.md §2a #1,
+  * §4 "the only candidate extension").
+  *
+  * What it demonstrates, Spark-internals-wise:
+  *  - `SupportsPushDownFilters`: `EqualTo`/`In` predicates on
+  *    `material_id` / `chemsys` / `possible_species` become backend
+  *    query parameters (the "API" never ships non-matching rows —
+  *    exactly how the reference pushes chemistry filters to the
+  *    Materials Project server),
+  *  - `SupportsPushDownRequiredColumns`: column pruning reaches the
+  *    backend,
+  *  - partition planning: the key space is split into `pages`
+  *    input partitions, the DSv2 analogue of paginated API fetches —
+  *    each executor pulls its own page.
+  *
+  * The backend is pluggable; the in-repo implementation reads a
+  * local pipe-separated catalog file (zero-egress CI). A real HTTP
+  * backend implements the same [[MaterialsBackend]] contract and the
+  * pushdown machinery is unchanged.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.MaterialsSource")
+  *     .option("path", catalog).option("pages", "4").load()
+  *     .filter($"chemsys" === "V-O")   // → PushedFilters
+  * }}}
+  */
+class MaterialsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MaterialsSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new MaterialsTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object MaterialsSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("material_id", StringType, nullable = false),
+    StructField("chemsys", StringType, nullable = false),
+    StructField("formula", StringType, nullable = false),
+    StructField("possible_species", StringType, nullable = true),
+    StructField("nsites", IntegerType, nullable = false),
+    StructField("energy_per_atom", DoubleType, nullable = false)))
+
+  /** Query predicates the "server" understands — the pushed subset. */
+  case class BackendQuery(equal: Map[String, String], in: Map[String, Seq[String]]) {
+    def matches(col: String, value: String): Boolean =
+      equal.get(col).forall(_ == value) && in.get(col).forall(_.contains(value))
+  }
+}
+
+private[sources] class MaterialsTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"materials(${properties.getOrElse("path", "?")})"
+  override def schema(): StructType = MaterialsSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MaterialsScanBuilder(
+      options.getOrDefault("path", properties.getOrElse("path", "")),
+      options.getOrDefault("pages", properties.getOrElse("pages", "4")).toInt)
+}
+
+private[sources] class MaterialsScanBuilder(path: String, pages: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import MaterialsSource._
+
+  private val Pushable = Set("material_id", "chemsys", "possible_species")
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(a, _: String) => Pushable(a)
+      case In(a, vs) if vs.forall(_.isInstanceOf[String]) => Pushable(a)
+      case _ => false
+    }
+    pushed = accepted
+    rejected // Spark re-applies these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val eq = pushed.collect { case EqualTo(a, v: String) => a -> v }.toMap
+    val in = pushed.collect { case In(a, vs) => a -> vs.map(_.asInstanceOf[String]).toSeq }.toMap
+    new MaterialsScan(path, pages, BackendQuery(eq, in), required, pushed.map(_.toString))
+  }
+}
+
+private[sources] class MaterialsScan(
+    path: String, pages: Int, query: MaterialsSource.BackendQuery,
+    required: StructType, pushedDesc: Array[String]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"MaterialsScan path=$path PushedBackendQuery=[${pushedDesc.mkString(", ")}]"
+
+  /** Paginated partition planning: page i of n — each reader fetches
+    * only its own page from the backend. */
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).map(i => MaterialsPage(path, i, pages): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MaterialsReaderFactory(query, required)
+}
+
+private[sources] case class MaterialsPage(path: String, page: Int, nPages: Int)
+    extends InputPartition
+
+private[sources] class MaterialsReaderFactory(
+    query: MaterialsSource.BackendQuery, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MaterialsPage]
+    new MaterialsPageReader(p, query, required)
+  }
+}
+
+/** Reads one page from the catalog backend, applying the pushed
+  * query "server-side" (before any row reaches Spark). */
+private[sources] class MaterialsPageReader(
+    page: MaterialsPage, query: MaterialsSource.BackendQuery, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[Array[String]] =
+    LocalCatalogBackend.fetch(page.path, page.page, page.nPages, query)
+  private var current: Array[String] = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  private val fieldIdx = required.fields.map(f =>
+    MaterialsSource.Schema.fieldIndex(f.name))
+
+  override def get(): InternalRow = {
+    val values = fieldIdx.map { i =>
+      val raw = current(i)
+      MaterialsSource.Schema.fields(i).dataType match {
+        case StringType  => UTF8String.fromString(raw)
+        case IntegerType => raw.toInt
+        case DoubleType  => raw.toDouble
+        case dt          => throw new IllegalStateException(s"unhandled $dt")
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+  override def close(): Unit = ()
+}
+
+/** Zero-egress stand-in for the remote materials API: a local
+  * pipe-separated catalog file. `fetch` honours the pushed query and
+  * the page split — rows filtered here never cross the "wire",
+  * mirroring server-side filtering. */
+object LocalCatalogBackend {
+  import MaterialsSource.BackendQuery
+
+  def fetch(path: String, page: Int, nPages: Int, query: BackendQuery): Iterator[Array[String]] = {
+    val src = scala.io.Source.fromFile(path)
+    val out = mutable.ArrayBuffer.empty[Array[String]]
+    try {
+      src.getLines().filterNot(l => l.isEmpty || l.startsWith("#")).foreach { line =>
+        val f = line.split("\\|", -1)
+        // page split on a stable hash of the key → balanced pages
+        val inPage = math.floorMod(f(0).hashCode, nPages) == page
+        if (inPage &&
+            query.matches("material_id", f(0)) &&
+            query.matches("chemsys", f(1)) &&
+            query.matches("possible_species", f(3)))
+          out += f
+      }
+    } finally src.close()
+    out.iterator
+  }
+}
