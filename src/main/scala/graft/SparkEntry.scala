@@ -65,6 +65,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     // ---- training-data extension: similarity search ----
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
+    "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5)),
   )
 
   /** DuckDB oracle SQL, aligned column-by-column with `queries`. */
@@ -305,6 +306,30 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, sim,
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
         |      FROM d)
+        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH comp AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j, unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT c.vec_id, p.range AS plane,
+        |    sum(c.x * (CASE WHEN ((c.j * (2*p.range + 3) + p.range*7919) % 2) = 0 THEN 1.0 ELSE -1.0 END)) AS pr
+        |  FROM comp c CROSS JOIN range(4) p GROUP BY 1, 2),
+        |bkt AS (
+        |  SELECT vec_id, sum(CASE WHEN pr > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS bkt
+        |  FROM proj GROUP BY 1),
+        |e AS (
+        |  SELECT em.vec_id, em.embedding, b.bkt,
+        |    (SELECT sum(x*x) FROM (SELECT unnest(em.embedding)::DOUBLE AS x)) AS nrm
+        |  FROM embeddings em JOIN bkt b USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, bkt AS q_bkt FROM e WHERE vec_id < 8),
+        |d AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round((SELECT sum(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a, unnest(q.q_vec)::DOUBLE AS b))
+        |          / sqrt(e.nrm * q.q_nrm), 6) AS sim
+        |  FROM e JOIN q ON e.bkt = q.q_bkt AND e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk FROM d)
         |SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin,
   )
 }
