@@ -1,0 +1,101 @@
+package graft.text
+
+import scala.util.Random
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Randomized equivalence tests: the shuffle-optimized near-dup
+  * implementations must produce exactly the naive formulation's
+  * results on arbitrary corpora (SURVEY.md §5 property-test plan).
+  * Seeds are fixed — failures are reproducible.
+  */
+class DedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Random corpus: vocab small enough to force heavy duplication
+    * (the regime that broke the naive plans). */
+  private def corpus(seed: Int, nDocs: Int, vocab: Int): DataFrame = {
+    val rnd = new Random(seed)
+    val words = (0 until vocab).map(i => s"w$i")
+    (0 until nDocs).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      val text = Seq.fill(n)(words(rnd.nextInt(vocab))).mkString(" ")
+      (i.toLong, "en", text, text.length.toLong)
+    }.toDF("doc_id", "lang", "text", "n_chars")
+  }
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("co-count jaccard == naive array-based jaccard (3 random corpora)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val docs = corpus(seed, nDocs = 120, vocab = 15)
+      val fast = Dedup.jaccardNearDupPairs(docs, 0.6)
+
+      val base = docs.select(col("doc_id"), col("lang"),
+        expr("n_chars div 64").as("bkt"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val j = size(array_intersect(col("x.toks"), col("y.toks"))).cast(DoubleType) /
+              size(array_union(col("x.toks"), col("y.toks")))
+      val naive = base.as("x").join(base.as("y"),
+          col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), round(j, 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+
+      val f = fast.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val n = naive.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(f == n, s"seed=$seed: fast=${f.size} naive=${n.size}")
+    }
+  }
+
+  test("cluster-collapsed LSH pairs == naive per-(doc,band) banding (3 random corpora)") {
+    for (seed <- Seq(11, 12, 13)) {
+      val docs = corpus(seed, nDocs = 100, vocab = 10)
+      val fast = pairsOf(Dedup.minhashLshPairs(spark, docs))
+
+      // naive formulation: band per (doc, band) group + self-join + distinct
+      val sig = Dedup.minhashSignatures(spark, docs)
+      val bands = sig.withColumn("band", expr("hid div 4"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("hid"), col("mh")))),
+            x => concat(x.getField("hid").cast("string"), lit(":"), x.getField("mh").cast("string"))),
+          ",")).as("bkey"))
+      val naive = pairsOf(bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct())
+
+      assert(fast == naive, s"seed=$seed: fast=${fast.size} naive=${naive.size}")
+    }
+  }
+
+  test("decimal moneySum is invariant under repartitioning") {
+    val rnd = new Random(7)
+    val df = (1 to 5000).map(i => (i % 13, rnd.nextDouble() * 1000)).toDF("k", "v")
+    def total(parts: Int): Map[Int, Double] =
+      df.repartition(parts).groupBy("k")
+        .agg(graft.core.Ops.moneySum(col("v"), 2).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(total(1) == total(32))
+  }
+
+  test("lastPerGroup == Scala overwrite loop on random events") {
+    val rnd = new Random(5)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextInt(40).toLong, s"t${rnd.nextInt(5)}", rnd.nextDouble(),
+        1600000000000000000L + rnd.nextInt(1000000) * 1000L)
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = graft.core.Ops.lastPerGroup(df).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    // imperative reference: iterate in (ts, event_id) order, overwrite
+    val expected = rows.groupBy(_._2).map { case (u, rs) =>
+      u -> rs.maxBy(r => (r._5, r._1))._1
+    }
+    assert(got == expected)
+  }
+}
