@@ -1,0 +1,55 @@
+package graft.functions
+
+import scala.util.Random
+import graft.SparkSpec
+import graft.text.Similarity
+import org.apache.spark.sql.functions._
+
+/** The native codegen'd vector expressions must be bit-identical to
+  * the higher-order-fold formulation (same accumulation order), and
+  * robust to nulls/length mismatch.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomVecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+  }
+
+  test("dot_f / norm2_f are bit-identical to the fold formulation") {
+    val df = randomVecs(500, 64, seed = 3)
+    val paired = df.as("a").crossJoin(df.as("b")).filter(col("a.id") < col("b.id")).limit(2000)
+    val cmp = paired.select(
+      Similarity.dot(col("a.v"), col("b.v")).as("native"),
+      Similarity.dotFold(col("a.v"), col("b.v")).as("fold"),
+      Similarity.norm2(col("a.v")).as("n_native"),
+      Similarity.norm2Fold(col("a.v")).as("n_fold"))
+    val bad = cmp.filter(col("native") =!= col("fold") || col("n_native") =!= col("n_fold")).count()
+    assert(bad == 0)
+  }
+
+  test("null input → null out; mismatched lengths use min length") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f, 5.0f))),
+      (None, Some(Array(1.0f)))
+    ).toDF("a", "b")
+    val rows = df.select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).getDouble(0) == 11.0) // 1*3 + 2*4, third elem ignored
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("expression survives whole-stage codegen in an aggregate pipeline") {
+    val df = randomVecs(1000, 32, seed = 9)
+    val s = df.select(sum(Similarity.norm2(col("v"))).as("t")).head.getDouble(0)
+    assert(s > 0.0 && !s.isNaN)
+  }
+
+  test("type check rejects non-float arrays") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    intercept[Exception] {
+      df.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+  }
+}
