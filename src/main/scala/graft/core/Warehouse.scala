@@ -16,10 +16,24 @@ object Warehouse {
     * a full-network shuffle into local merges. (Local session
     * catalog here; on a cluster this is the metastore + object
     * store.) */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a fresh (in-memory) catalog may not know a table whose previous
+    // location survives on disk — clear both before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Skew-salted equi-join that preserves inner-join semantics
     * exactly: the big (skewed) side gets a deterministic salt in

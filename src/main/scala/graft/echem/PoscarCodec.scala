@@ -26,17 +26,13 @@ object PoscarCodec {
     val counts = lines(6).split("\\s+").map(_.toInt).toSeq
     require(lines(7).toLowerCase.startsWith("d"), s"only 'direct' POSCAR supported, got: ${lines(7)}")
     val nAtoms = counts.sum
+    // the species line + counts is the authoritative element source
+    // (VASP spec); trailing per-atom labels may carry pymatgen
+    // oxidation-state suffixes like "V4+" and are ignored
+    val cum = counts.scanLeft(0)(_ + _).tail
     val positions = (8 until 8 + nAtoms).map { i =>
       val p = lines(i).split("\\s+")
-      // element label may trail the coordinates; fall back to the
-      // species/counts expansion when absent
-      val el =
-        if (p.length > 3) p(3)
-        else {
-          val idx = i - 8
-          val cum = counts.scanLeft(0)(_ + _).tail
-          species(cum.indexWhere(idx < _))
-        }
+      val el = species(cum.indexWhere((i - 8) < _))
       Atom(p(0).toDouble, p(1).toDouble, p(2).toDouble, el)
     }
     Slab(mpKey, title, scale, lattice, species, counts, positions, Seq.empty)

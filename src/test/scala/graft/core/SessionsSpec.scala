@@ -1,0 +1,23 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** SQL-facing registration of the native expressions. */
+class SessionsSpec extends SparkSpec {
+
+  test("dot_f / norm2_f are callable from SQL after tune()") {
+    Sessions.tune(spark)
+    val r = spark.sql(
+      """SELECT dot_f(array(cast(1.0 as float), cast(2.0 as float)),
+        |             array(cast(3.0 as float), cast(4.0 as float))) AS d,
+        |       norm2_f(array(cast(3.0 as float), cast(4.0 as float))) AS n""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+  }
+
+  test("tune enables nanos parquet reads on a fresh query path") {
+    Sessions.tune(spark)
+    assert(spark.read.parquet("/root/testdata/sf0.001/events.parquet").count() == 1000)
+  }
+}
