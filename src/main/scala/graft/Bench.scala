@@ -29,7 +29,10 @@ object Bench {
     // code is compiled and cached (codegen keys on plan shape, not
     // paths); the timed loop then measures steady-state execution.
     spark.range(1000000L).selectExpr("sum(id)", "count(distinct id % 100)").collect()
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // sf0.01, not sf0.001: the warm pass must run the generated code
+    // enough iterations to trigger C2 JIT on the hot loops, or the
+    // first timed run at the target SF pays interpreted execution
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
