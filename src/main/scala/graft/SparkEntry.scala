@@ -28,6 +28,7 @@ object SparkEntry {
     "q_project" -> ((s, d) => Ops.project(Tables.orders(s, d))),
     "q_contains_filter" -> ((s, d) => Ops.containsFilter(Tables.documents(s, d), "window")),
     "q_regex_extract" -> ((s, d) => Ops.regexExtract(Tables.events(s, d))),
+    "q_json_extract" -> ((s, d) => Ops.jsonExtract(Tables.events(s, d))),
     "q_scalar_math" -> ((s, d) => Ops.scalarMath(Tables.lineitem(s, d))),
     "q_string_keys" -> ((s, d) => Ops.stringKeys(Tables.part(s, d))),
     // ---- §2c: sampling / limits / ordering ----
@@ -58,6 +59,7 @@ object SparkEntry {
     "q_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, Tables.documents(s, d))),
     "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.8)),
+    "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.3, ngram = 2)),
     // ---- training-data extension: text analysis ----
     "q_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -248,6 +250,24 @@ object SparkEntry {
         |          / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val FROM events""",
+
+    "q_shingle_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS bkt,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents))
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |          / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE jaccard >= 0.3""".stripMargin,
 
     "q_token_stats" ->
       """SELECT doc_id,

@@ -62,6 +62,15 @@ object Ops {
       regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(LongType).as("k_val"),
       col("event_type"))
 
+  /** Semi-structured JSON payload extraction — the schema-on-read
+    * path for the `props` column (typed access without a parse
+    * stage; at scale prefer `from_json` with an explicit schema when
+    * extracting many fields). */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+
   /** Unit-conversion arithmetic (`dags/my_dag.py:164-170`,
     * constants `dags/utils.py:1`): plain codegen'd column math.
     * Deliberately unrounded — IEEE ops in a fixed order are

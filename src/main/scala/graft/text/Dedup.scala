@@ -138,14 +138,15 @@ object Dedup {
     * zero common tokens never materialize (they cannot pass any
     * threshold > 0).
     */
-  def jaccardNearDupPairs(documents: DataFrame, threshold: Double): DataFrame = {
+  def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
     require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
     require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
     val base = documents.select(
         col("doc_id"), col("lang"),
         expr("n_chars div 64").as("bkt"),
-        array_sort(array_distinct(TextOps.tokens(col("text")))).as("toks"))
-      // token-less docs have undefined (null) jaccard — never pair
+        array_sort(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), ngram))).as("toks"))
+      // shingle-less docs have undefined (null) jaccard — never pair
       .filter(size(col("toks")) > 0)
 
     // collapse identical token sets (same trick as the LSH path):

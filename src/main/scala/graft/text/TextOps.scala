@@ -17,6 +17,16 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"].
+    * The `when` guard avoids Spark's descending-sequence surprise
+    * when the document is shorter than n. */
+  def shingles(toks: Column, n: Int): Column =
+    if (n <= 1) toks
+    else when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+
   /** Portable 32-bit token hash: first 8 hex digits of md5, as a
     * long. Chosen over Spark's murmur `hash()` because any engine
     * with md5 can reproduce it (DuckDB oracle, future Flink/Trino
