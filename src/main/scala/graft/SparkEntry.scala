@@ -47,6 +47,9 @@ object SparkEntry {
     "q_regr_fit" -> ((s, d) => Ops.regrFit(Tables.lineitem(s, d))),
     "q_window_agg" -> ((s, d) => Ops.windowAgg(Tables.eventsWithTs(s, d))),
     "q_topk_per_group" -> ((s, d) => Ops.topKPerGroup(Tables.orders(s, d), 3)),
+    "q_rollup" -> ((s, d) => Ops.rollupSummary(Tables.lineitem(s, d))),
+    "q_histogram" -> ((s, d) => Ops.histogram(Tables.lineitem(s, d), 5.0)),
+    "q_percentile" -> ((s, d) => Ops.percentiles(Tables.lineitem(s, d))),
     // ---- §2g: set ops & dedup ----
     "q_union" -> ((s, d) => Ops.unionEntities(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_dedup" -> ((s, d) => Ops.dedupDistinct(Tables.lineitem(s, d))),
@@ -173,6 +176,25 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |      FROM orders)
         |WHERE rk <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT floor(l_quantity / 5.0)::BIGINT AS bucket, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_union" ->
       """SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer

@@ -192,6 +192,32 @@ object Ops {
            round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
            regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
 
+  /** Hierarchical rollup with grouping indicators — subtotal and
+    * grand-total rows in one pass (partial-aggregable; the rollup
+    * expansion happens map-side). */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("l_extendedprice"), 2).as("revenue"),
+           grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+           grouping(col("l_linestatus")).cast(LongType).as("g_status"))
+
+  /** Fixed-width histogram: arithmetic bucketing + count — the
+    * shuffle carries |buckets| rows after map-side combine. */
+  def histogram(lineitem: DataFrame, width: Double): DataFrame =
+    lineitem.groupBy(floor(col("l_quantity") / width).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice"), 2).as("revenue"))
+
+  /** Exact interpolated percentiles per group (`percentile`, not
+    * `approx_percentile` — t-digest/GK sketches are not
+    * cross-engine reproducible; the exact form is, and stays
+    * partial-aggregable). */
+  def percentiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
+           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+
   /** Same-schema union/append (`dags/my_dag.py:75,99`). */
   def unionEntities(customer: DataFrame, supplier: DataFrame): DataFrame =
     customer.select(col("c_custkey").as("entity_key"), col("c_name").as("name"),
