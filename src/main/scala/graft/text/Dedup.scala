@@ -69,17 +69,20 @@ object Dedup {
     val sig = minhashSignatures(spark, documents)
     val entryStr = (c: Column) =>
       transform(c, x => concat(x.getField("hid").cast(StringType), lit(":"), x.getField("mh").cast(StringType)))
+    // internal keys are xxhash64 (8-byte join/shuffle keys, not
+    // 32-char md5 strings); a key collision between distinct
+    // signatures is ~2^-64 — same order as any content-hash scheme
     val full = sig
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("hid"), col("mh")))).as("entries"))
       .select(col("doc_id"), col("entries"),
-        md5(array_join(entryStr(col("entries")), ",")).as("sig_key"))
+        xxhash64(array_join(entryStr(col("entries")), ",")).as("sig_key"))
 
     val members = full.select(col("doc_id"), col("sig_key"))
     // entries are identical within a sig_key group by construction
     val sigs = full.groupBy(col("sig_key")).agg(first(col("entries")).as("entries"))
     val bandKeys = (0 until nBands).map { b =>
-      md5(array_join(entryStr(slice(col("entries"), b * rowsPerBand + 1, rowsPerBand)), ","))
+      xxhash64(array_join(entryStr(slice(col("entries"), b * rowsPerBand + 1, rowsPerBand)), ","))
     }
     val sigBands = sigs
       .select(col("sig_key"), posexplode(array(bandKeys: _*)))
@@ -151,9 +154,10 @@ object Dedup {
 
     // collapse identical token sets (same trick as the LSH path):
     // J(identical sets) = 1.0 with no arithmetic, and the quadratic
-    // co-count stage only sees DISTINCT sets per block
+    // co-count stage only sees DISTINCT sets per block; 8-byte
+    // xxhash64 cluster keys keep the joins narrow
     val withKey = base.withColumn("set_key",
-      md5(concat_ws(":", col("lang"), col("bkt"), array_join(col("toks"), " "))))
+      xxhash64(concat_ws(":", col("lang"), col("bkt"), array_join(col("toks"), " "))))
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = withKey.groupBy(col("set_key"))
       .agg(first(col("lang")).as("lang"), first(col("bkt")).as("bkt"),
