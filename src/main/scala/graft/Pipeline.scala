@@ -82,6 +82,18 @@ object Pipeline {
     JdbcUpsert.newRows(results, existing, "mp_id")
   }
 
+  /** The reference DAG's diamond: `load_db` and `write_report` both
+    * consume `analyze_electrochem`'s output (`dags/my_dag.py:262-264`,
+    * SURVEY.md §2j). Two actions over one plan → cache exactly here,
+    * run both consumers, release. */
+  def runDiamond(results: DataFrame)(load: DataFrame => Unit): String = {
+    results.cache()
+    try {
+      load(results)
+      reportMarkdown(results)
+    } finally results.unpersist()
+  }
+
   /** Report body (`write_report`, `dags/my_dag.py:213-243`): the
     * final small result rendered driver-side. Collect is correct
     * here — it is the terminal, human-facing artifact. */

@@ -61,6 +61,16 @@ class PipelineSpec extends SparkSpec {
     assert(out.output.contains("hello-deck")) // `cat <deckfile>` prints the deck back
   }
 
+  test("diamond: one cached plan feeds both the load and the report (§2j)") {
+    val res = Pipeline.analyzeFixtures(spark,
+      fixturePath("gc_dft"), fixturePath("slab_poscars"))
+    var loaded = 0L
+    val md = Pipeline.runDiamond(res)(df => loaded = df.count())
+    assert(loaded == 1L)
+    assert(md.contains("mp-755394-111-3"))
+    assert(res.storageLevel == org.apache.spark.storage.StorageLevel.NONE) // released
+  }
+
   test("EP2 report render") {
     val res = Pipeline.analyzeFixtures(spark,
       fixturePath("gc_dft"), fixturePath("slab_poscars"))
