@@ -42,6 +42,10 @@ object Bench {
     }
     try graft.core.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // drop warm-up cache blocks (some library stages persist their
+    // signature tables) so timed runs don't inherit GC pressure
+    spark.sqlContext.clearCache()
+    System.gc()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

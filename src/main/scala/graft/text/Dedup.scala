@@ -71,7 +71,11 @@ object Dedup {
       transform(c, x => concat(x.getField("hid").cast(StringType), lit(":"), x.getField("mh").cast(StringType)))
     // internal keys are xxhash64 (8-byte join/shuffle keys, not
     // 32-char md5 strings); a key collision between distinct
-    // signatures is ~2^-64 — same order as any content-hash scheme
+    // signatures is ~2^-64 — same order as any content-hash scheme.
+    // No persist here: the signature subtree ends in a groupBy
+    // exchange, so ReuseExchange already shares the shuffle files
+    // across the band join and both expansion joins — caching would
+    // only serialize the first execution.
     val full = sig
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("hid"), col("mh")))).as("entries"))
@@ -92,16 +96,18 @@ object Dedup {
       .select(col("x.sig_key").as("sig_a"), col("y.sig_key").as("sig_b"))
       .distinct()
 
-    // expansion joins: build sides are doc→cluster maps — leave the
-    // strategy to Catalyst/AQE (broadcast while they fit, hash
-    // beyond); a hash join streams the many-to-many fan-out either
-    // way, only SMJ would buffer duplicate key groups
-    val intra = members.as("ma").join(members.as("mb"), "sig_key")
+    // expansion joins: pin shuffled-hash. They are many-to-many with
+    // deliberately hot keys (a duplicate-heavy cluster IS one key),
+    // and a sort-merge plan buffers every matched group — observed
+    // as multi-10s spill stalls when the planner drifts there. A
+    // hash build streams the quadratic fan-out, and unlike broadcast
+    // it also holds at corpus scale.
+    val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "sig_key")
       .filter(col("ma.doc_id") < col("mb.doc_id"))
       .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"))
     val cross = sigPairs
-      .join(members.as("ma"), col("sig_a") === col("ma.sig_key"))
-      .join(members.as("mb"), col("sig_b") === col("mb.sig_key"))
+      .join(members.as("ma").hint("shuffle_hash"), col("sig_a") === col("ma.sig_key"))
+      .join(members.as("mb").hint("shuffle_hash"), col("sig_b") === col("mb.sig_key"))
       .select(
         least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
         greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"))
@@ -144,20 +150,39 @@ object Dedup {
   def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
     require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
     require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
-    val base = documents.select(
-        col("doc_id"), col("lang"),
-        expr("n_chars div 64").as("bkt"),
-        array_sort(array_distinct(
-          TextOps.shingles(TextOps.tokens(col("text")), ngram))).as("toks"))
+    // tokenize + shingle + distinct as a typed map, not a column
+    // expression: Catalyst's projection collapse inlines a derived
+    // array column into every downstream reference, and the shingle
+    // expression references its input several times — the combined
+    // effect re-tokenized each document O(refs²) times. A per-row
+    // Scala closure is evaluated exactly once per document, stays
+    // fully distributed, and this is precisely the "custom codec in
+    // a map" escape hatch (SURVEY.md §2i) for logic the expression
+    // optimizer mishandles.
+    import documents.sparkSession.implicits._
+    val base = documents
+      .select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"), col("text"))
+      .as[(Long, String, Long, String)]
+      .map { case (id, lang, bkt, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        val sh =
+          if (ngram <= 1) t.toSeq
+          else t.sliding(ngram).filter(_.length == ngram).map(_.mkString(" ")).toSeq
+        (id, lang, bkt, sh.distinct.sorted)
+      }
+      .toDF("doc_id", "lang", "bkt", "toks")
       // shingle-less docs have undefined (null) jaccard — never pair
       .filter(size(col("toks")) > 0)
 
     // collapse identical token sets (same trick as the LSH path):
     // J(identical sets) = 1.0 with no arithmetic, and the quadratic
     // co-count stage only sees DISTINCT sets per block; 8-byte
-    // xxhash64 cluster keys keep the joins narrow
+    // xxhash64 cluster keys keep the joins narrow. Persisted for the
+    // same reason as the LSH signature table — five downstream
+    // references would otherwise each re-tokenize the corpus.
     val withKey = base.withColumn("set_key",
       xxhash64(concat_ws(":", col("lang"), col("bkt"), array_join(col("toks"), " "))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = withKey.groupBy(col("set_key"))
       .agg(first(col("lang")).as("lang"), first(col("bkt")).as("bkt"),

@@ -18,14 +18,24 @@ object TextOps {
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"].
-    * The `when` guard avoids Spark's descending-sequence surprise
-    * when the document is shorter than n. */
+    *
+    * Built by zipping shifted slices, NOT by
+    * `transform(sequence, i => element_at(toks, i+k))`: Catalyst
+    * duplicates the `toks` subtree into every `element_at`, so when
+    * `toks` is itself an unmaterialized expression (the usual case —
+    * `split(text)`), the per-element form re-tokenizes the document
+    * O(tokens) times per shingle. Slices evaluate `toks` a constant
+    * number of times per row. `greatest(0, …)` keeps slice lengths
+    * legal for documents shorter than n. */
   def shingles(toks: Column, n: Int): Column =
     if (n <= 1) toks
-    else when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    else {
+      val cnt = greatest(lit(0), size(toks) - (n - 1))
+      var acc = slice(toks, lit(1), cnt)
+      for (k <- 1 until n)
+        acc = zip_with(acc, slice(toks, lit(k + 1), cnt), (a, b) => concat(a, lit(" "), b))
+      acc
+    }
 
   /** Portable 32-bit token hash: first 8 hex digits of md5, as a
     * long. Chosen over Spark's murmur `hash()` because any engine
