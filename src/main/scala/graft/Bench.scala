@@ -33,8 +33,13 @@ object Bench {
     // enough iterations to trigger C2 JIT on the hot loops, or the
     // first timed run at the target SF pays interpreted execution
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // optional comma-separated subset for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+      graft.text.Dedup.releaseCaches()
     }
     Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>
       try graft.core.Tables.table(spark, sfDir, t).count()
@@ -47,15 +52,32 @@ object Bench {
     spark.sqlContext.clearCache()
     System.gc()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // failure-loud: a query that throws gets a stack trace on stderr
+    // and an entry in the "errors" object — never a fake timing that
+    // makes "crashed instantly" look like "fast".
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); () } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release library-persisted tables so timed queries never run
+      // under cache pressure accumulated by earlier ones
+      graft.text.Dedup.releaseCaches()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nErr = errors.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr,"sf":"$sfDir"}""")
+    if (nErr > 0) System.err.println(s"[bench] $nErr quer${if (nErr == 1) "y" else "ies"} FAILED — timings for those entries are invalid")
     spark.stop()
   }
 }

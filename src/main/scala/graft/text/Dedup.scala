@@ -16,6 +16,31 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Registry of tables persisted by library operators (currently the
+    * jaccard set-key table). `persist` without a release is a leak in
+    * a long-lived session — every invocation would pin another
+    * MEMORY_AND_DISK table until eviction chaos. Callers materialize
+    * the returned plan, then call [[releaseCaches]]; `Bench` and
+    * `Verify` do this after every query. */
+  private val cachedTables = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def registerCache(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedTables.add(df)
+    df
+  }
+
+  /** Unpersist every table cached by operators in this object since
+    * the last release. Safe to call while nothing is running; plans
+    * already materialized are unaffected (they recompute if re-run). */
+  def releaseCaches(): Unit = {
+    var df = cachedTables.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = cachedTables.poll()
+    }
+  }
+
   /** Exact dedup via content hash: one shuffle on md5(text).
     * `min(doc_id)` is the canonical survivor (deterministic). */
   def exactDedup(documents: DataFrame): DataFrame =
@@ -116,19 +141,37 @@ object Dedup {
 
   /** 32-bit SimHash fingerprint: per distinct token take bit b of the
     * portable token hash, sum ±1 votes per bit, set bit where the
-    * vote is positive. The bit dimension (32 rows, with precomputed
-    * weights 2^b) is broadcast; two partial-aggregable groupBys. */
+    * vote is positive.
+    *
+    * Computed as ONE pass over each document — an `aggregate`
+    * higher-order fold whose accumulator is (token count, 32 bit
+    * counters). Bit b of the fingerprint is set iff
+    * 2·ones_b > n  ⇔  Σ(2·bit_b − 1) > 0, identical to the per-bit
+    * vote. Zero explode, zero shuffle, stays in whole-stage codegen;
+    * the struct accumulator exists so `n` is a field of an
+    * already-evaluated value rather than a re-inlined subexpression
+    * (the projection-collapse pitfall, SCALING.md). */
   def simhash(spark: SparkSession, documents: DataFrame): DataFrame = {
-    import spark.implicits._
-    val bits = (0 until 32).map(b => (b.toLong, 1L << b)).toDF("bit", "w")
-    val codes = documents
-      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-      .withColumn("code", TextOps.tokenCode(col("tok")))
-    codes.crossJoin(broadcast(bits))
-      .groupBy(col("doc_id"), col("bit"), col("w"))
-      .agg(sum(expr("2 * (shiftright(code, cast(bit as int)) & 1) - 1")).as("sgn"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("sgn") > 0, col("w")).otherwise(0L)).as("simhash"))
+    val bitIdx = sequence(lit(0), lit(31))
+    val weights = typedLit((0 until 32).map(b => 1L << b))
+    val codes = transform(array_distinct(TextOps.tokens(col("text"))),
+      t => TextOps.tokenCode(t))
+    val fold = aggregate(
+      codes,
+      struct(lit(0L).as("n"), array_repeat(lit(0L), 32).as("ones")),
+      (acc, code) => struct(
+        (acc.getField("n") + lit(1L)).as("n"),
+        zip_with(acc.getField("ones"), bitIdx,
+          (o, b) => o + call_function("shiftright", code, b).bitwiseAND(lit(1L))).as("ones")),
+      acc => aggregate(
+        zip_with(acc.getField("ones"), weights,
+          (o, w) => when(o * 2 > acc.getField("n"), w).otherwise(lit(0L))),
+        lit(0L), (s, x) => s + x))
+    documents
+      // docs with no tokens have no votes — excluded, matching the
+      // explode/unnest formulations on both engines
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+      .select(col("doc_id"), fold.as("simhash"))
   }
 
   /** Blocked n-gram Jaccard near-dup pairs: block on
@@ -179,10 +222,11 @@ object Dedup {
     // co-count stage only sees DISTINCT sets per block; 8-byte
     // xxhash64 cluster keys keep the joins narrow. Persisted for the
     // same reason as the LSH signature table — five downstream
-    // references would otherwise each re-tokenize the corpus.
-    val withKey = base.withColumn("set_key",
-      xxhash64(concat_ws(":", col("lang"), col("bkt"), array_join(col("toks"), " "))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // references would otherwise each re-tokenize the corpus. The
+    // persist is registered: callers release it via releaseCaches()
+    // once the returned plan is materialized.
+    val withKey = registerCache(base.withColumn("set_key",
+      xxhash64(concat_ws(":", col("lang"), col("bkt"), array_join(col("toks"), " ")))))
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = withKey.groupBy(col("set_key"))
       .agg(first(col("lang")).as("lang"), first(col("bkt")).as("bkt"),

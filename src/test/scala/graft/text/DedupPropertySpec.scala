@@ -73,6 +73,18 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("releaseCaches unpersists every table the jaccard path pinned") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = corpus(seed = 21, nDocs = 80, vocab = 12)
+    Dedup.jaccardNearDupPairs(docs, 0.5).count()
+    Dedup.jaccardNearDupPairs(docs, 0.4, ngram = 2).count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "expected the set-key tables to be persisted during execution")
+    Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "releaseCaches must leave no cached RDDs behind")
+  }
+
   test("decimal moneySum is invariant under repartitioning") {
     val rnd = new Random(7)
     val df = (1 to 5000).map(i => (i % 13, rnd.nextDouble() * 1000)).toDF("k", "v")
