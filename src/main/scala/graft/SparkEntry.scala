@@ -356,7 +356,7 @@ object SparkEntry {
         |  FROM embeddings),
         |proj AS (
         |  SELECT c.vec_id, p.range AS plane,
-        |    sum(c.x * (CASE WHEN ((c.j * (2*p.range + 3) + p.range*7919) % 2) = 0 THEN 1.0 ELSE -1.0 END)) AS pr
+        |    sum(c.x * (CASE WHEN (((c.j * 2654435761 + p.range * 40503 + 12345) >> 16) & 1) = 0 THEN 1.0 ELSE -1.0 END)) AS pr
         |  FROM comp c CROSS JOIN range(4) p GROUP BY 1, 2),
         |bkt AS (
         |  SELECT vec_id, sum(CASE WHEN pr > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS bkt

@@ -60,34 +60,81 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rk")
   }
 
-  /** Deterministic pseudo-hyperplanes: component j of plane p is
-    * ±1 by bit parity of a small arithmetic mix — literal-generated,
-    * identical on any engine, no RNG state. */
+  /** Deterministic pseudo-hyperplanes: component j of plane p is ±1
+    * by a middle bit of an LCG-style integer mix — literal-generated,
+    * identical on any engine (pure 64-bit integer arithmetic), no RNG
+    * state.
+    *
+    * The mix must be genuinely non-linear in (p, j) mod 2: any affine
+    * parity (the previous `(j·(2p+3) + p·7919) % 2`, or `j² + 3jp + p`
+    * since j² ≡ j) makes every plane equal or complementary to one of
+    * two base patterns, collapsing 2^h buckets to ~2–4 and silently
+    * turning the ANN path into a half-corpus scan. Bit 16 of
+    * `j·2654435761 + p·40503 + 12345` (Knuth multiplicative constant)
+    * mixes via carries; measured on the test embeddings it yields all
+    * 2^4 buckets with near-uniform occupancy. */
   private def planeSign(p: Int, j: Column): Column =
-    when(((j * (2 * p + 3) + p * 7919) % 2) === 0, 1.0).otherwise(-1.0)
+    when(shiftright(j.cast(LongType) * lit(2654435761L) + lit(p * 40503L + 12345L), 16)
+           .bitwiseAND(lit(1L)) === 0, 1.0).otherwise(-1.0)
+
+  private def planeProjection(vec: Column, p: Int): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, j) => x.cast(DoubleType) * planeSign(p, j)),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Sign-LSH bucket id from `nPlanes` hyperplanes (bucket = bit
     * pattern of projection signs). */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast(DoubleType) * planeSign(p, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(planeProjection(vec, p) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-probe bucket list: the vector's own bucket first, then
+    * `nProbes − 1` neighbors obtained by flipping the sign bit of the
+    * plane with the i-th smallest |projection| — the planes the
+    * vector sits closest to, i.e. where a true near neighbor most
+    * likely landed on the other side. Standard single-bit multi-probe
+    * (Lv et al., VLDB'07); recall rises with `nProbes` at the cost of
+    * scoring proportionally more buckets. */
+  def probeBuckets(vec: Column, nPlanes: Int, nProbes: Int): Column = {
+    require(nProbes >= 1 && nProbes <= nPlanes + 1,
+      s"nProbes must be in [1, nPlanes+1], got $nProbes")
+    val projs = array((0 until nPlanes).map(p => planeProjection(vec, p)): _*)
+    // evaluate the projections ONCE into a fold accumulator, then
+    // derive bucket + flips from the evaluated array (element access
+    // on a bound lambda variable — no re-inlining of the folds)
+    aggregate(
+      array(projs),
+      lit(null).cast("array<bigint>"),
+      (_, pr) => {
+        val bucket = (0 until nPlanes).map { p =>
+          when(element_at(pr, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val order = array_sort(zip_with(pr, sequence(lit(0), lit(nPlanes - 1)),
+          (x, i) => struct(abs(x).as("a"), i.as("i"))))
+        val flips = (0 until nProbes - 1).map { i =>
+          bucket.bitwiseXOR(
+            call_function("shiftleft", lit(1L), element_at(order, i + 1).getField("i")))
+        }
+        array((bucket +: flips): _*)
+      })
   }
 
   /** ANN top-k: score only pairs sharing an LSH bucket. Recall is
-    * approximate (cosine-close vectors agree on hyperplane signs
-    * with high probability); the bucket key is the shuffle key. */
-  def cosineTopKBucketed(embeddings: DataFrame, nQueries: Int, k: Int, nPlanes: Int = 4): DataFrame = {
+    * approximate (cosine-close vectors agree on hyperplane signs with
+    * high probability) and tunable: `nProbes > 1` additionally scores
+    * the buckets adjacent across the query's lowest-margin
+    * hyperplanes. The corpus shuffles once on its (single) bucket key;
+    * only the tiny broadcast query block fans out ×nProbes. */
+  def cosineTopKBucketed(embeddings: DataFrame, nQueries: Int, k: Int,
+                         nPlanes: Int = 4, nProbes: Int = 1): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("nrm"), lshBucket(col("embedding"), nPlanes).as("bkt"))
-    val q = e.filter(col("vec_id") < nQueries)
+    val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-              col("nrm").as("q_nrm"), col("bkt").as("q_bkt"))
+              norm2(col("embedding")).as("q_nrm"),
+              explode(probeBuckets(col("embedding"), nPlanes, nProbes)).as("q_bkt"))
     val scored = e.join(broadcast(q), col("bkt") === col("q_bkt") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))

@@ -1,0 +1,87 @@
+package graft.text
+
+import scala.util.Random
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN-path properties: hyperplane quality (bucket dispersion — the
+  * regression an oracle-parity check cannot catch, since the oracle
+  * mirrors the formula), multi-probe recall, and the probe-list
+  * contract.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val realEmbeddings = "/root/testdata/sf0.001/embeddings.parquet"
+
+  /** Clustered corpus: `nClusters` seeded centers, `perCluster` points
+    * at small radius — the geometry real embedding corpora have and
+    * the one LSH recall guarantees are stated for. */
+  private def clustered(seed: Int, nClusters: Int, perCluster: Int, dim: Int,
+                        noise: Float = 0.05f): DataFrame = {
+    val rnd = new Random(seed)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat)
+    // interleave: point i belongs to cluster i % nClusters, so the
+    // first `nQueries` vec_ids span distinct clusters
+    (0 until nClusters * perCluster).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => x + noise * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = pairs(exact)
+    pairs(approx).intersect(e).size.toDouble / e.size
+  }
+
+  test("lshBucket disperses the real embeddings across ~2^h buckets") {
+    val emb = spark.read.parquet(realEmbeddings)
+    val counts = emb.select(Similarity.lshBucket(col("embedding"), 4).as("bkt"))
+      .groupBy("bkt").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    // the degenerate affine-parity planes yielded 2 buckets of ~n/2;
+    // genuine mixing must give (nearly) all 16, none dominant
+    assert(counts.length >= 12, s"only ${counts.length} distinct buckets: ${counts.toSeq}")
+    assert(counts.map(_._2).max.toDouble / total < 0.3,
+      s"a single bucket holds ${counts.map(_._2).max} of $total vectors")
+  }
+
+  test("probeBuckets: primary bucket first, distinct, nProbes entries") {
+    val emb = spark.read.parquet(realEmbeddings).limit(50)
+    val rows = emb.select(
+        Similarity.lshBucket(col("embedding"), 4).as("bkt"),
+        Similarity.probeBuckets(col("embedding"), 4, 3).as("probes"))
+      .collect()
+    rows.foreach { r =>
+      val probes = r.getSeq[Long](1)
+      assert(probes.length == 3)
+      assert(probes.head == r.getLong(0), "first probe must be the vector's own bucket")
+      assert(probes.distinct.length == probes.length, s"duplicate probes: $probes")
+      // each extra probe differs from the primary in exactly one bit
+      probes.tail.foreach(p => assert(java.lang.Long.bitCount(p ^ probes.head) == 1))
+    }
+  }
+
+  test("2-probe ANN recall@5 >= 0.9 on clustered vectors") {
+    val vecs = clustered(seed = 42, nClusters = 12, perCluster = 25, dim = 64)
+    val exact = Similarity.cosineTopK(vecs, nQueries = 8, k = 5)
+    val approx = Similarity.cosineTopKBucketed(vecs, nQueries = 8, k = 5, nPlanes = 4, nProbes = 2)
+    val r = recallAtK(approx, exact)
+    assert(r >= 0.9, s"recall@5 = $r")
+  }
+
+  test("recall rises with nProbes on the real embeddings table") {
+    val vecs = spark.read.parquet(realEmbeddings)
+    val exact = Similarity.cosineTopK(vecs, nQueries = 8, k = 5)
+    val rs = Seq(1, 2, 4).map { np =>
+      recallAtK(Similarity.cosineTopKBucketed(vecs, 8, 5, nPlanes = 4, nProbes = np), exact)
+    }
+    // uniform-random vectors have no cluster structure, so absolute
+    // recall is data-limited here; the probe dial must still move it
+    assert(rs(1) >= rs(0) && rs(2) >= rs(1), s"recall not monotone in probes: $rs")
+    assert(rs(2) > rs(0), s"4-probe must beat 1-probe: $rs")
+  }
+}
