@@ -71,6 +71,19 @@ object SparkEntry {
     // ---- training-data extension: similarity search ----
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
     "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5)),
+    // ---- training-data extension: multimodal columns ----
+    // payload = UTF-8 bytes of documents.text (deterministic binary
+    // corpus), featurized by the real mapPartitions pipeline; the
+    // oracle recomputes the same byte statistics from the same bytes
+    "q_media_features" -> ((s, d) => {
+      import graft.media.MediaOps
+      val feats = MediaOps.featurize(MediaOps.mediaFromDocuments(Tables.documents(s, d))).toDF()
+      val bandCols = (0 until 8).map(i =>
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("features"), i + 1).as(s"f$i"))
+      feats.select(Seq("media_id", "kind", "n_bytes", "mean_byte")
+        .map(org.apache.spark.sql.functions.col) ++ bandCols: _*)
+    }),
   )
 
   /** DuckDB oracle SQL, aligned column-by-column with `queries`. */
@@ -88,7 +101,11 @@ object SparkEntry {
       "SELECT doc_id, lang, n_chars FROM documents WHERE contains(text, 'window')",
 
     "q_regex_extract" ->
-      """SELECT event_id, regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k_val, event_type
+      // TRY_CAST: DuckDB regexp_extract yields '' on no match and
+      // ''::BIGINT raises — TRY_CAST mirrors Spark's null-on-no-match,
+      // so a future props row without the key stays a parity check
+      // instead of a harness error
+      """SELECT event_id, TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val, event_type
         |FROM events""".stripMargin,
 
     "q_scalar_math" ->
@@ -349,6 +366,25 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
         |      FROM d)
         |SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "q_media_features" -> {
+      // StubDecoder band d covers payload[n·d/8, n·(d+1)/8) — floor
+      // division on both engines; empty bands are 0.0. Text is ASCII
+      // (asserted by n_bytes == length), so unicode(char) == byte.
+      val bands = (0 until 8).map { d =>
+        s"CASE WHEN (n_bytes*${d + 1})//8 = (n_bytes*$d)//8 THEN 0.0 " +
+          s"ELSE list_sum(codes[(n_bytes*$d)//8+1:(n_bytes*${d + 1})//8])::DOUBLE " +
+          s"/ ((n_bytes*${d + 1})//8 - (n_bytes*$d)//8) END AS f$d"
+      }.mkString(",\n  ")
+      s"""WITH b AS (
+         |  SELECT doc_id, 'text' AS kind, octet_length(encode(text))::BIGINT AS n_bytes,
+         |    list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
+         |  FROM documents)
+         |SELECT doc_id AS media_id, kind, n_bytes,
+         |  list_sum(codes)::DOUBLE / n_bytes AS mean_byte,
+         |  $bands
+         |FROM b""".stripMargin
+    },
 
     "q_ann_topk" ->
       """WITH comp AS (

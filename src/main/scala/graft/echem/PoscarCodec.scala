@@ -38,18 +38,24 @@ object PoscarCodec {
     Slab(mpKey, title, scale, lattice, species, counts, positions, Seq.empty)
   }
 
+  // Locale.ROOT, not the f-interpolator: the interpolator formats with
+  // the default JVM locale, and a comma-decimal locale (de_DE, ...)
+  // would emit "0,5" — unparseable by parse() and by VASP/JDFTx.
+  private def f16(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%20.16f", Double.box(v))
+
   def render(s: Slab): String = {
     val sb = new StringBuilder
     sb.append(s.title).append('\n')
     sb.append(s.scale.toString).append('\n')
     s.lattice.foreach { row =>
-      sb.append(row.map(v => f"$v%20.16f").mkString(" ")).append('\n')
+      sb.append(row.map(f16).mkString(" ")).append('\n')
     }
     sb.append(s.species.mkString(" ")).append('\n')
     sb.append(s.counts.mkString(" ")).append('\n')
     sb.append("direct\n")
     s.positions.foreach { a =>
-      sb.append(f"${a.x}%20.16f ${a.y}%20.16f ${a.z}%20.16f ${a.element}\n")
+      sb.append(s"${f16(a.x)} ${f16(a.y)} ${f16(a.z)} ${a.element}\n")
     }
     sb.toString
   }

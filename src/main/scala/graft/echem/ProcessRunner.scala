@@ -33,23 +33,42 @@ object ProcessRunner {
 
   /** Real execution: write the deck to a scratch file, run
     * `cmd deckPath`, capture stdout, enforce the timeout, clean up
-    * scratch (`rm wfns fillings...`, `dags/my_dag.py:137`). */
+    * scratch (`rm wfns fillings...`, `dags/my_dag.py:137`).
+    *
+    * Output goes to a scratch FILE, not a pipe read on this thread:
+    * reading the pipe before `waitFor(timeout)` would block forever
+    * on a hung process that keeps stdout open (the primary hang
+    * scenario the timeout exists for), and buffers unbounded output
+    * in memory. With file redirection the kernel absorbs the stream,
+    * `waitFor` is the first blocking call, and on expiry the process
+    * is killed and the partial output still read back. */
   case class BinaryExec(cmd: Seq[String], timeoutSec: Long = 10800L) extends Exec {
     def run(key: String, input: String): RunOutput = {
       val deck = Files.createTempFile(s"graft-$key", ".in")
+      val outFile = Files.createTempFile(s"graft-$key", ".out")
       try {
         Files.write(deck, input.getBytes(StandardCharsets.UTF_8))
         val pb = new ProcessBuilder((cmd :+ deck.toString): _*)
         pb.redirectErrorStream(true)
+        pb.redirectOutput(outFile.toFile)
         val proc = pb.start()
         proc.getOutputStream.close()
-        val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
         val finished = proc.waitFor(timeoutSec, TimeUnit.SECONDS)
-        if (!finished) {
-          proc.destroyForcibly()
-          RunOutput(key, out, -1)
-        } else RunOutput(key, out, proc.exitValue())
-      } finally Files.deleteIfExists(deck)
+        val exit =
+          if (finished) proc.exitValue()
+          else {
+            proc.destroyForcibly()
+            // bounded wait for the kill to land so the output file is
+            // quiescent before we read it
+            proc.waitFor(10, TimeUnit.SECONDS)
+            -1
+          }
+        val out = new String(Files.readAllBytes(outFile), StandardCharsets.UTF_8)
+        RunOutput(key, out, exit)
+      } finally {
+        Files.deleteIfExists(deck)
+        Files.deleteIfExists(outFile)
+      }
     }
   }
 

@@ -68,6 +68,22 @@ object MediaOps {
     }
   }
 
+  /** Deterministic media corpus derived from a text table: payload =
+    * UTF-8 bytes of `text`, keyed by `doc_id`. This is the
+    * oracle-checkable test harness for the media pipeline — the
+    * features any engine computes over the same bytes must agree, so
+    * the driver's DuckDB compare can vouch for the plumbing
+    * (`q_media_features`) even while the production decoder is
+    * stubbed. */
+  def mediaFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, MediaMeta("text", 0, 0, 0L),
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
   /** Partition-parallel feature extraction: the media analogue of a
     * vectorized batch UDF — rows stream through each partition once,
     * payloads are dropped on the way out. */

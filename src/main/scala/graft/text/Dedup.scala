@@ -207,9 +207,9 @@ object Dedup {
       .select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"), col("text"))
       .as[(Long, String, Long, String)]
       .map { case (id, lang, bkt, text) =>
-        val t = text.split("\\s+").filter(_.nonEmpty)
+        val t = TextOps.tokensOf(text)
         val sh =
-          if (ngram <= 1) t.toSeq
+          if (ngram <= 1) t
           else t.sliding(ngram).filter(_.length == ngram).map(_.mkString(" ")).toSeq
         (id, lang, bkt, sh.distinct.sorted)
       }

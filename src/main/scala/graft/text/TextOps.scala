@@ -17,6 +17,25 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Scala twin of [[tokens]] for typed-map paths — identical output
+    * (Java and Spark split on the same \s+ regex; the leading empty
+    * string from leading whitespace is filtered on both sides). */
+  def tokensOf(text: String): Seq[String] =
+    text.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** (doc_id, text, toks) with the token array materialized ONCE per
+    * row by a typed map. The operators below reference the token list
+    * 3–5× per row; as a derived *expression* column those references
+    * each re-run split() under projection collapse (SCALING.md
+    * optimizer pitfall #1), while an attribute produced by a per-row
+    * closure is tokenized exactly once and stays fully distributed. */
+  private def tokenized(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, text, tokensOf(text)) }
+      .toDF("doc_id", "text", "toks")
+  }
+
   /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"].
     *
     * Built by zipping shifted slices, NOT by
@@ -51,9 +70,9 @@ object TextOps {
     * punctuation), mean token length.
     */
   def tokenStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks")
     val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
-    documents.select(
+    tokenized(documents).select(
       col("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
       size(array_distinct(toks)).cast(LongType).as("n_uniq"),
@@ -74,8 +93,12 @@ object TextOps {
     * richer scoring expression with the same shape.
     */
   def langId(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    documents.select(
+    import documents.sparkSession.implicits._
+    val toks = col("toks")
+    documents.select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+      .map { case (id, lang, text) => (id, lang, tokensOf(text)) }
+      .toDF("doc_id", "lang", "toks")
+      .select(
         col("doc_id"), col("lang"),
         markerCount(toks, EnMarkers).as("s_en"),
         markerCount(toks, EsMarkers).as("s_es"),
@@ -91,12 +114,12 @@ object TextOps {
     * the arithmetic is bit-reproducible across engines).
     */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks")
     val nTok = size(toks).cast(DoubleType)
     val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
     val meanTok = sumLen.cast(DoubleType) / nTok
     val stopRatio = markerCount(toks, EnMarkers).cast(DoubleType) / nTok
-    documents.select(
+    tokenized(documents).select(
       col("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
       round(stopRatio, 6).as("stop_ratio"),

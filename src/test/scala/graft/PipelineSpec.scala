@@ -61,6 +61,31 @@ class PipelineSpec extends SparkSpec {
     assert(out.output.contains("hello-deck")) // `cat <deckfile>` prints the deck back
   }
 
+  test("BinaryExec timeout fires on a hung process that keeps stdout open") {
+    // `sleep 30` never writes or exits — the regression case where a
+    // pipe read before waitFor(timeout) blocks until the child exits
+    val t0 = System.nanoTime()
+    // the deck path is appended as the last arg; with `sh -c` it
+    // lands in $0 and the command still just hangs
+    val out = ProcessRunner.BinaryExec(Seq("sh", "-c", "sleep 30"), timeoutSec = 2).run("hang", "x")
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(out.exitCode == -1)
+    assert(elapsedSec < 15.0, s"timeout did not fire promptly: ${elapsedSec}s")
+  }
+
+  test("BinaryExec captures partial output from a timed-out process") {
+    val script = java.nio.file.Files.createTempFile("graft-partial", ".sh")
+    java.nio.file.Files.write(script,
+      "#!/bin/sh\necho started\nsleep 30\necho never\n".getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    try {
+      val out = ProcessRunner.BinaryExec(Seq("sh", script.toString), timeoutSec = 2).run("partial", "x")
+      assert(out.exitCode == -1)
+      assert(out.output.contains("started"), s"partial output lost: '${out.output}'")
+      assert(!out.output.contains("never"))
+    } finally java.nio.file.Files.deleteIfExists(script)
+  }
+
   test("diamond: one cached plan feeds both the load and the report (§2j)") {
     val res = Pipeline.analyzeFixtures(spark,
       fixturePath("gc_dft"), fixturePath("slab_poscars"))
