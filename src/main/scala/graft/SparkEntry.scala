@@ -63,6 +63,10 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.simhash(s, Tables.documents(s, d))),
     "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.8)),
     "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.3, ngram = 2)),
+    // rep-mode output: linear (cluster_rep, member) instead of the
+    // quadratic pair list a colossal duplicate cluster would emit
+    "q_dedup_clusters" -> ((s, d) => Dedup.minhashClusters(s, Tables.documents(s, d))),
+    "q_jaccard_clusters" -> ((s, d) => Dedup.jaccardClusters(Tables.documents(s, d))),
     // ---- training-data extension: text analysis ----
     "q_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -265,6 +269,32 @@ object SparkEntry {
         |          FROM sig GROUP BY 1, 2)
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH c AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 AS code
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        |        FROM documents)),
+        |p AS (SELECT range AS hid, 2*range + 1 AS a, 101*range + 7 AS b FROM range(16)),
+        |sig AS (SELECT c.doc_id, p.hid, min((c.code * p.a + p.b) % 2147483647) AS mh
+        |        FROM c CROSS JOIN p GROUP BY 1, 2),
+        |fullsig AS (SELECT doc_id, string_agg(hid::VARCHAR || ':' || mh::VARCHAR, ',' ORDER BY hid) AS sig_str
+        |            FROM sig GROUP BY 1)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY sig_str) AS rep_id,
+        |  count(*) OVER (PARTITION BY sig_str)::BIGINT AS cluster_size
+        |FROM fullsig""".stripMargin,
+
+    "q_jaccard_clusters" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS bkt,
+        |    list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY lang, bkt, array_to_string(list_sort(toks), ' ')) AS rep_id,
+        |  count(*) OVER (PARTITION BY lang, bkt, array_to_string(list_sort(toks), ' '))::BIGINT AS cluster_size
+        |FROM t WHERE len(toks) > 0""".stripMargin,
 
     "q_simhash" ->
       """WITH c AS (

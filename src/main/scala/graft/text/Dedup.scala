@@ -89,23 +89,44 @@ object Dedup {
     *
     * Each candidate pair is emitted exactly once — no distinct over
     * the expansion. Output is identical to the naive banding. */
-  def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    val nBands = MinhashFuncs / rowsPerBand
-    val sig = minhashSignatures(spark, documents)
-    val entryStr = (c: Column) =>
-      transform(c, x => concat(x.getField("hid").cast(StringType), lit(":"), x.getField("mh").cast(StringType)))
-    // internal keys are xxhash64 (8-byte join/shuffle keys, not
-    // 32-char md5 strings); a key collision between distinct
-    // signatures is ~2^-64 — same order as any content-hash scheme.
-    // No persist here: the signature subtree ends in a groupBy
-    // exchange, so ReuseExchange already shares the shuffle files
-    // across the band join and both expansion joins — caching would
-    // only serialize the first execution.
-    val full = sig
+  private val entryStr = (c: Column) =>
+    transform(c, x => concat(x.getField("hid").cast(StringType), lit(":"), x.getField("mh").cast(StringType)))
+
+  /** (doc_id, entries, sig_key): every document keyed by its FULL
+    * MinHash signature — exact-duplicate sets share a `sig_key`.
+    * Internal keys are xxhash64 (8-byte join/shuffle keys, not
+    * 32-char md5 strings); a key collision between distinct
+    * signatures is ~2^-64 — same order as any content-hash scheme.
+    * No persist here: the subtree ends in a groupBy exchange, so
+    * ReuseExchange already shares the shuffle files across downstream
+    * references — caching would only serialize the first execution. */
+  private def signatureClusters(spark: SparkSession, documents: DataFrame): DataFrame =
+    minhashSignatures(spark, documents)
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("hid"), col("mh")))).as("entries"))
       .select(col("doc_id"), col("entries"),
         xxhash64(array_join(entryStr(col("entries")), ",")).as("sig_key"))
+
+  /** Rep-mode dedup output: (doc_id, rep_id, cluster_size) where a
+    * cluster is an identical-full-signature set and the rep is its
+    * min doc_id. LINEAR in corpus size — the output mode to use when
+    * a colossal duplicate cluster would make pair output quadratic
+    * (pairs-mode emits |C|·(|C|−1)/2 rows for a cluster of |C|).
+    *
+    * Shape: partial-aggregable groupBy on sig_key, then a streamed
+    * hash join back to the members — NOT a window over sig_key, which
+    * would buffer the colossal cluster's whole partition in one task. */
+  def minhashClusters(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val members = signatureClusters(spark, documents).select(col("doc_id"), col("sig_key"))
+    val reps = members.groupBy(col("sig_key"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cluster_size"))
+    members.join(reps.hint("shuffle_hash"), "sig_key")
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"))
+  }
+
+  def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val nBands = MinhashFuncs / rowsPerBand
+    val full = signatureClusters(spark, documents)
 
     val members = full.select(col("doc_id"), col("sig_key"))
     // entries are identical within a sig_key group by construction
@@ -190,20 +211,20 @@ object Dedup {
     * zero common tokens never materialize (they cannot pass any
     * threshold > 0).
     */
-  def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
-    require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
-    require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
-    // tokenize + shingle + distinct as a typed map, not a column
-    // expression: Catalyst's projection collapse inlines a derived
-    // array column into every downstream reference, and the shingle
-    // expression references its input several times — the combined
-    // effect re-tokenized each document O(refs²) times. A per-row
-    // Scala closure is evaluated exactly once per document, stays
-    // fully distributed, and this is precisely the "custom codec in
-    // a map" escape hatch (SURVEY.md §2i) for logic the expression
-    // optimizer mishandles.
+  /** (doc_id, lang, bkt, toks): blocked, sorted-distinct token/shingle
+    * sets. Tokenize + shingle + distinct as a typed map, not a column
+    * expression: Catalyst's projection collapse inlines a derived
+    * array column into every downstream reference, and the shingle
+    * expression references its input several times — the combined
+    * effect re-tokenized each document O(refs²) times. A per-row
+    * Scala closure is evaluated exactly once per document, stays
+    * fully distributed, and this is precisely the "custom codec in
+    * a map" escape hatch (SURVEY.md §2i) for logic the expression
+    * optimizer mishandles. Shingle-less docs are dropped (undefined
+    * jaccard). */
+  private def tokenSets(documents: DataFrame, ngram: Int): DataFrame = {
     import documents.sparkSession.implicits._
-    val base = documents
+    documents
       .select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"), col("text"))
       .as[(Long, String, Long, String)]
       .map { case (id, lang, bkt, text) =>
@@ -214,8 +235,29 @@ object Dedup {
         (id, lang, bkt, sh.distinct.sorted)
       }
       .toDF("doc_id", "lang", "bkt", "toks")
-      // shingle-less docs have undefined (null) jaccard — never pair
       .filter(size(col("toks")) > 0)
+  }
+
+  private def setKey: Column =
+    xxhash64(concat_ws(":", col("lang"), col("bkt"), array_join(col("toks"), " ")))
+
+  /** Rep-mode exact-set dedup: (doc_id, rep_id, cluster_size) where a
+    * cluster is an identical token/shingle set within a (lang,
+    * length-bucket) block. Same linear-output rationale as
+    * [[minhashClusters]]; one partial-aggregable shuffle plus a
+    * streamed hash join — no window over a possibly-colossal cluster. */
+  def jaccardClusters(documents: DataFrame, ngram: Int = 1): DataFrame = {
+    val members = tokenSets(documents, ngram).select(col("doc_id"), setKey.as("set_key"))
+    val reps = members.groupBy(col("set_key"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cluster_size"))
+    members.join(reps.hint("shuffle_hash"), "set_key")
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"))
+  }
+
+  def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
+    require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
+    require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
+    val base = tokenSets(documents, ngram)
 
     // collapse identical token sets (same trick as the LSH path):
     // J(identical sets) = 1.0 with no arithmetic, and the quadratic
@@ -225,8 +267,7 @@ object Dedup {
     // references would otherwise each re-tokenize the corpus. The
     // persist is registered: callers release it via releaseCaches()
     // once the returned plan is materialized.
-    val withKey = registerCache(base.withColumn("set_key",
-      xxhash64(concat_ws(":", col("lang"), col("bkt"), array_join(col("toks"), " ")))))
+    val withKey = registerCache(base.withColumn("set_key", setKey))
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = withKey.groupBy(col("set_key"))
       .agg(first(col("lang")).as("lang"), first(col("bkt")).as("bkt"),

@@ -73,6 +73,39 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("rep-mode clusters and pairs-mode output induce the same clustering") {
+    for (seed <- Seq(31, 32)) {
+      val docs = corpus(seed, nDocs = 120, vocab = 8) // heavy duplication
+
+      // LSH: identical-signature clusters — every intra-cluster pair
+      // must appear in pairs-mode output, sizes/reps must be coherent
+      val clusters = Dedup.minhashClusters(spark, docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      clusters.groupBy(_._2).foreach { case (rep, ms) =>
+        assert(ms.forall(_._3 == ms.length), s"cluster_size mismatch for rep $rep")
+        assert(ms.map(_._1).min == rep, s"rep $rep is not the min doc_id")
+      }
+      val intra = clusters.groupBy(_._2).values
+        .flatMap(ms => { val ids = ms.map(_._1).sorted.toSeq; for (a <- ids; b <- ids if a < b) yield (a, b) })
+        .toSet
+      val pairs = pairsOf(Dedup.minhashLshPairs(spark, docs))
+      assert(intra.subsetOf(pairs),
+        s"seed=$seed: ${intra.diff(pairs).size} intra-cluster pairs missing from pairs-mode")
+
+      // Jaccard: pairs with J == 1.0 are EXACTLY the intra-cluster
+      // pairs of the identical-set clustering
+      val jMembers = Dedup.jaccardClusters(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val jIntra = jMembers.groupBy(_._2).values
+        .flatMap(ms => { val ids = ms.map(_._1).sorted.toSeq; for (a <- ids; b <- ids if a < b) yield (a, b) })
+        .toSet
+      val jExact = Dedup.jaccardNearDupPairs(docs, 0.5).collect()
+        .filter(_.getAs[Double]("jaccard") == 1.0)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(jIntra == jExact, s"seed=$seed: jaccard rep-mode vs J==1.0 pairs diverge")
+    }
+  }
+
   test("releaseCaches unpersists every table the jaccard path pinned") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = corpus(seed = 21, nDocs = 80, vocab = 12)
