@@ -50,24 +50,35 @@ object Dedup {
   val MinhashFuncs = 16
   val MinhashPrime = 2147483647L // 2^31 - 1; keeps a*code+b inside long
 
-  /** Universal-hash parameter table (hid, a, b): a = 2i+1, b = 101i+7.
-    * Tiny literal dimension — broadcast, never shuffled. */
-  private def hashParams(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    (0 until MinhashFuncs).map(i => (i.toLong, 2L * i + 1, 101L * i + 7)).toDF("hid", "a", "b")
+  /** MinHash signatures as ONE fold per document: (doc_id, mhs[k])
+    * where mhs[p] = min over distinct tokens of
+    * ((code·(2p+1) + 101p+7) mod P), code = tokenCode mod P.
+    *
+    * The universal-hash family lives inside the fold as arithmetic on
+    * the lambda index — no parameter table, no explode, no shuffle:
+    * at 100 TB the signature stage is a pure map over the corpus.
+    * Docs with no tokens carry no signature (dropped, matching the
+    * explode/unnest formulations). */
+  def minhashSignatureArrays(documents: DataFrame): DataFrame = {
+    val codes = transform(array_distinct(TextOps.tokens(col("text"))),
+      t => TextOps.tokenCode(t) % MinhashPrime)
+    val fold = aggregate(
+      codes,
+      array_repeat(lit(MinhashPrime), MinhashFuncs),
+      (acc, code) => zip_with(acc, sequence(lit(0L), lit(MinhashFuncs - 1L)),
+        (m, p) => least(m, (code * (p * 2L + 1L) + (p * 101L + 7L)) % MinhashPrime)))
+    documents
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+      .select(col("doc_id"), fold.as("mhs"))
   }
 
-  /** MinHash signatures, long form (doc_id, hid, mh): explode distinct
-    * tokens, broadcast-join the k hash functions, min per (doc, hid).
-    * Partial aggregation makes the shuffle carry at most
-    * |docs| × k rows regardless of document length. */
-  def minhashSignatures(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-    toks.withColumn("code", TextOps.tokenCode(col("tok")) % MinhashPrime)
-      .crossJoin(broadcast(hashParams(spark)))
-      .groupBy(col("doc_id"), col("hid"))
-      .agg(min((col("code") * col("a") + col("b")) % MinhashPrime).as("mh"))
-  }
+  /** MinHash signatures, long form (doc_id, hid, mh) — the array
+    * form exploded for consumers (and the oracle) that want one row
+    * per hash function. */
+  def minhashSignatures(spark: SparkSession, documents: DataFrame): DataFrame =
+    minhashSignatureArrays(documents)
+      .select(col("doc_id"), posexplode(col("mhs")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("hid"), col("col").as("mh"))
 
   /** LSH banding over the signatures (bands of 4 → collision prob
     * ≈ J⁴ per band) + same-bucket collision → candidate near-dup
@@ -89,23 +100,17 @@ object Dedup {
     *
     * Each candidate pair is emitted exactly once — no distinct over
     * the expansion. Output is identical to the naive banding. */
-  private val entryStr = (c: Column) =>
-    transform(c, x => concat(x.getField("hid").cast(StringType), lit(":"), x.getField("mh").cast(StringType)))
-
-  /** (doc_id, entries, sig_key): every document keyed by its FULL
-    * MinHash signature — exact-duplicate sets share a `sig_key`.
-    * Internal keys are xxhash64 (8-byte join/shuffle keys, not
-    * 32-char md5 strings); a key collision between distinct
-    * signatures is ~2^-64 — same order as any content-hash scheme.
-    * No persist here: the subtree ends in a groupBy exchange, so
-    * ReuseExchange already shares the shuffle files across downstream
-    * references — caching would only serialize the first execution. */
-  private def signatureClusters(spark: SparkSession, documents: DataFrame): DataFrame =
-    minhashSignatures(spark, documents)
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("hid"), col("mh")))).as("entries"))
-      .select(col("doc_id"), col("entries"),
-        xxhash64(array_join(entryStr(col("entries")), ",")).as("sig_key"))
+  /** (doc_id, mhs, sig_key): every document keyed by its FULL MinHash
+    * signature — exact-duplicate sets share a `sig_key`. Internal
+    * keys are xxhash64 (8-byte join/shuffle keys, not 32-char md5
+    * strings); a key collision between distinct signatures is ~2^-64
+    * — same order as any content-hash scheme. No persist: the
+    * signature fold is a pure map, and the downstream self-joins
+    * shuffle structurally identical subtrees that ReuseExchange
+    * dedupes — caching would only pin memory. */
+  private def signatureClusters(documents: DataFrame): DataFrame =
+    minhashSignatureArrays(documents)
+      .select(col("doc_id"), col("mhs"), xxhash64(col("mhs")).as("sig_key"))
 
   /** Rep-mode dedup output: (doc_id, rep_id, cluster_size) where a
     * cluster is an identical-full-signature set and the rep is its
@@ -117,7 +122,7 @@ object Dedup {
     * hash join back to the members — NOT a window over sig_key, which
     * would buffer the colossal cluster's whole partition in one task. */
   def minhashClusters(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val members = signatureClusters(spark, documents).select(col("doc_id"), col("sig_key"))
+    val members = signatureClusters(documents).select(col("doc_id"), col("sig_key"))
     val reps = members.groupBy(col("sig_key"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cluster_size"))
     members.join(reps.hint("shuffle_hash"), "sig_key")
@@ -126,13 +131,13 @@ object Dedup {
 
   def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val nBands = MinhashFuncs / rowsPerBand
-    val full = signatureClusters(spark, documents)
+    val full = signatureClusters(documents)
 
     val members = full.select(col("doc_id"), col("sig_key"))
-    // entries are identical within a sig_key group by construction
-    val sigs = full.groupBy(col("sig_key")).agg(first(col("entries")).as("entries"))
+    // signature arrays are identical within a sig_key group by construction
+    val sigs = full.groupBy(col("sig_key")).agg(first(col("mhs")).as("mhs"))
     val bandKeys = (0 until nBands).map { b =>
-      xxhash64(array_join(entryStr(slice(col("entries"), b * rowsPerBand + 1, rowsPerBand)), ","))
+      xxhash64(lit(b), slice(col("mhs"), b * rowsPerBand + 1, rowsPerBand))
     }
     val sigBands = sigs
       .select(col("sig_key"), posexplode(array(bandKeys: _*)))
