@@ -174,21 +174,30 @@ private[sources] class MaterialsPageReader(
 object LocalCatalogBackend {
   import MaterialsSource.BackendQuery
 
-  def fetch(path: String, page: Int, nPages: Int, query: BackendQuery): Iterator[Array[String]] = {
-    val src = scala.io.Source.fromFile(path)
-    val out = mutable.ArrayBuffer.empty[Array[String]]
-    try {
-      src.getLines().filterNot(l => l.isEmpty || l.startsWith("#")).foreach { line =>
-        val f = line.split("\\|", -1)
-        // page split on a stable hash of the key → balanced pages
-        val inPage = math.floorMod(f(0).hashCode, nPages) == page
-        if (inPage &&
-            query.matches("material_id", f(0)) &&
-            query.matches("chemsys", f(1)) &&
-            query.matches("possible_species", f(3)))
-          out += f
-      }
-    } finally src.close()
-    out.iterator
+  /** Catalog parsed once per (path, mtime) per executor JVM. A real
+    * paginated backend fetches each page over the wire; the stand-in
+    * otherwise re-read and re-split the whole file once per page per
+    * query. mtime in the key keeps tests that rewrite the catalog
+    * correct. */
+  private val parsed =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Array[String]]]()
+
+  private def catalog(path: String): Array[Array[String]] = {
+    val key = (path, new java.io.File(path).lastModified())
+    parsed.computeIfAbsent(key, _ => {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().filterNot(l => l.isEmpty || l.startsWith("#"))
+        .map(_.split("\\|", -1)).toArray
+      finally src.close()
+    })
   }
+
+  def fetch(path: String, page: Int, nPages: Int, query: BackendQuery): Iterator[Array[String]] =
+    catalog(path).iterator.filter { f =>
+      // page split on a stable hash of the key → balanced pages
+      math.floorMod(f(0).hashCode, nPages) == page &&
+      query.matches("material_id", f(0)) &&
+      query.matches("chemsys", f(1)) &&
+      query.matches("possible_species", f(3))
+    }
 }

@@ -1,0 +1,84 @@
+package graft.echem
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Miller-oriented slab geometry: golden comparison against a slab the
+  * reference pipeline actually produced (pymatgen SlabGenerator,
+  * `dags/my_dag.py:84-99`), plus frame-independent invariants for the
+  * other facets.
+  */
+class SlabGenSpec extends SparkSpec {
+
+  private def readSlab(rel: String): Schemas.Slab = {
+    val p = fixturePath(s"slab_golden/$rel")
+    PoscarCodec.parse(
+      Paths.get(p).getFileName.toString.stripSuffix(".poscar"),
+      new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+  }
+
+  private def dot(u: Seq[Double], v: Seq[Double]): Double =
+    u.lazyZip(v).map(_ * _).sum
+  private def norm(u: Seq[Double]): Double = math.sqrt(dot(u, u))
+
+  test("golden: (111) in-plane lattice matches the reference slab (mp-755394)") {
+    val bulk = readSlab("mp-755394.poscar")
+    val ref = readSlab("mp-755394-111-3.poscar")
+    val got = SlabGen.cut(bulk, "111", nShifts = 1).head
+
+    // the two lattices live in different cartesian frames (pymatgen
+    // rotates its slabs); compare the rotation-invariant in-plane
+    // geometry: |a|, |b|, and the angle between them
+    def invariants(l: Seq[Seq[Double]]): (Double, Double, Double) =
+      (norm(l(0)), norm(l(1)), dot(l(0), l(1)) / (norm(l(0)) * norm(l(1))))
+    val (ra, rb, rg) = invariants(ref.lattice)
+    val (ga, gb, gg) = invariants(got.lattice)
+    assert(math.abs(ga - ra) / ra < 1e-6, s"|a|: got $ga, reference $ra")
+    assert(math.abs(gb - rb) / rb < 1e-6, s"|b|: got $gb, reference $rb")
+    assert(math.abs(gg - rg) < 1e-6, s"cos(gamma): got $gg, reference $rg")
+  }
+
+  test("in-plane basis lies in the (hkl) plane; stacking vector leaves it") {
+    val bulk = readSlab("mp-755394.poscar")
+    for (facet <- Seq("100", "110", "111")) {
+      val miller = facet.map(_.asDigit)
+      // a lattice combo v is in plane (hkl) iff v·(h,k,l) = 0 — exact
+      // integer arithmetic, frame-independent
+      val s = SlabGen.millerScaleFactors(miller, bulk.lattice)
+      for (row <- Seq(s(0), s(1)))
+        assert(row.lazyZip(miller).map(_ * _).sum == 0,
+          s"facet $facet: scale factor $row not in the ($miller) plane")
+      assert(s(2).lazyZip(miller).map(_ * _).sum != 0,
+        s"facet $facet: stacking vector ${s(2)} lies in the surface plane")
+
+      // canonical slab frame: a along +x, b in xy, normal along +z —
+      // makes the reference's diagonal-product area formula exact
+      val l = SlabGen.cut(bulk, facet, nShifts = 1).head.lattice
+      assert(math.abs(l(0)(1)) < 1e-12 && math.abs(l(0)(2)) < 1e-12)
+      assert(math.abs(l(1)(2)) < 1e-12)
+      assert(l(0)(0) > 0 && l(1)(1) > 0 && l(2)(2) > 0,
+        s"facet $facet: canonical frame not right-handed-positive: $l")
+    }
+  }
+
+  test("oriented-cell stacking preserves atom bookkeeping") {
+    val bulk = readSlab("mp-755394.poscar")
+    for (facet <- Seq("100", "110", "111"); layers <- Seq(1, 3)) {
+      val slabs = SlabGen.cut(bulk, facet, nShifts = 3, layers = layers)
+      assert(slabs.length == 3)
+      slabs.foreach { s =>
+        assert(s.positions.length == s.counts.sum,
+          s"facet $facet: ${s.positions.length} atoms vs counts ${s.counts}")
+        assert(s.positions.length % (bulk.positions.length * layers) == 0)
+        // fractional coordinates legal, species grouped per header
+        s.positions.foreach(a => Seq(a.x, a.y, a.z).foreach(c =>
+          assert(c >= 0.0 && c < 1.0, s"fractional coord $c out of range")))
+        val grouped = s.species.lazyZip(s.counts).flatMap((sp, n) => Seq.fill(n)(sp))
+        assert(s.positions.map(_.element) == grouped,
+          s"facet $facet: positions not grouped by species header order")
+      }
+      // distinct terminations move the atoms
+      assert(slabs.map(_.positions.map(a => (a.x, a.y, a.z))).distinct.length == 3)
+    }
+  }
+}
