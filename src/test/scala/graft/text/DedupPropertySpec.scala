@@ -106,16 +106,15 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("releaseCaches unpersists every table the jaccard path pinned") {
+  test("near-dup operators leave no cached tables behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = corpus(seed = 21, nDocs = 80, vocab = 12)
     Dedup.jaccardNearDupPairs(docs, 0.5).count()
     Dedup.jaccardNearDupPairs(docs, 0.4, ngram = 2).count()
-    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
-      "expected the set-key tables to be persisted during execution")
+    Dedup.minhashLshPairs(spark, docs).count()
     Dedup.releaseCaches()
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
-      "releaseCaches must leave no cached RDDs behind")
+      "dedup operators must not leak persisted tables into the session")
   }
 
   test("decimal moneySum is invariant under repartitioning") {
