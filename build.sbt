@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 44+ codegen'd queries × (warm + timed) plan compilations overflow
+  // the default 240 MB code cache mid-bench; a full code cache stops
+  // JIT compilation and randomly deoptimizes one query by ~15×
+  "-XX:ReservedCodeCacheSize=512m",
 )

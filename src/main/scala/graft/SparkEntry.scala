@@ -75,6 +75,8 @@ object SparkEntry {
     // ---- training-data extension: similarity search ----
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
     "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5)),
+    "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
+    "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 5)),
     // ---- training-data extension: multimodal columns ----
     // payload = UTF-8 bytes of documents.text (deterministic binary
     // corpus), featurized by the real mapPartitions pipeline; the
@@ -437,6 +439,57 @@ object SparkEntry {
         |    round((SELECT sum(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a, unnest(q.q_vec)::DOUBLE AS b))
         |          / sqrt(e.nrm * q.q_nrm), 6) AS sim
         |  FROM e JOIN q ON e.bkt = q.q_bkt AND e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk FROM d)
+        |SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin,
+
+    // banded sign-LSH: 16 global plane indices, band = plane // 4,
+    // bit position = plane % 4 — mirrors Similarity.lshBandBucket
+    "q_embed_neardup" ->
+      """WITH comp AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j, unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT c.vec_id, p.range AS plane,
+        |    sum(c.x * (CASE WHEN (((c.j * 2654435761 + p.range * 40503 + 12345) >> 16) & 1) = 0 THEN 1.0 ELSE -1.0 END)) AS pr
+        |  FROM comp c CROSS JOIN range(16) p GROUP BY 1, 2),
+        |bkt AS (
+        |  SELECT vec_id, plane // 4 AS band,
+        |    sum(CASE WHEN pr > 0 THEN (1::BIGINT << (plane % 4)) ELSE 0 END) AS bkt
+        |  FROM proj GROUP BY 1, 2),
+        |e AS (
+        |  SELECT em.vec_id, em.embedding, b.band, b.bkt,
+        |    (SELECT sum(x*x) FROM (SELECT unnest(em.embedding)::DOUBLE AS x)) AS nrm
+        |  FROM embeddings em JOIN bkt b USING (vec_id))
+        |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y))
+        |        / sqrt(a.nrm * b.nrm), 6) AS sim
+        |FROM e a JOIN e b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+        |WHERE round((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y))
+        |        / sqrt(a.nrm * b.nrm), 6) >= 0.3""".stripMargin,
+
+    // IVF: centroids = vec_id < 16, assignment = argmax cosine
+    // (ties -> lower cell), queries probe their 2 nearest cells
+    "q_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(x*x) FROM (SELECT unnest(embedding)::DOUBLE AS x)) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, embedding AS c_vec, nrm AS c_nrm FROM e WHERE vec_id < 16),
+        |cs AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+        |    round((SELECT sum(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a, unnest(c.c_vec)::DOUBLE AS b))
+        |          / sqrt(e.nrm * c.c_nrm), 6) AS c_sim
+        |  FROM e CROSS JOIN cent c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS rn FROM cs),
+        |assigned AS (SELECT vec_id, embedding, nrm, cell FROM ranked WHERE rn = 1),
+        |qc AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, cell
+        |       FROM ranked WHERE vec_id < 8 AND rn <= 2),
+        |d AS (
+        |  SELECT q.q_id, a.vec_id,
+        |    round((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x, unnest(q.q_vec)::DOUBLE AS y))
+        |          / sqrt(a.nrm * q.q_nrm), 6) AS sim
+        |  FROM assigned a JOIN qc q ON a.cell = q.cell AND a.vec_id <> q.q_id),
         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk FROM d)
         |SELECT q_id, vec_id, sim, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin,
   )

@@ -121,6 +121,104 @@ object Similarity {
       })
   }
 
+  /** Sign-LSH bucket id for band `b` of a multi-band family: same
+    * integer mix as [[lshBucket]] but over plane indices
+    * `b·nPlanes … b·nPlanes+nPlanes−1`, so each band is an
+    * independent set of hyperplanes. */
+  def lshBandBucket(vec: Column, band: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(planeProjection(vec, band * nPlanes + p) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-duplicate pairs, banded sign-LSH.
+    *
+    * OR-of-ANDs banding (the MinHash-LSH construction applied to
+    * random-hyperplane signatures): `nBands` independent families of
+    * `nPlanes` hyperplanes each; a pair is *scored* iff it lands in
+    * the same bucket of at least one band, and *emitted* iff its
+    * exact cosine ≥ `threshold`. Per-band collision probability for
+    * vectors at angle θ is (1 − θ/π)^nPlanes; banding drives recall
+    * to 1 − (1 − p^nPlanes)^nBands while keeping the candidate set
+    * far below all-pairs.
+    *
+    * Scale shape: the corpus is exploded ×nBands (a constant), each
+    * (band, bucket) group self-joins — a single shuffle on the
+    * composite key, never a cross join. The terminal
+    * `dropDuplicates` is bounded by the *output* pair count (a pair
+    * can match in ≤ nBands bands), not the candidate count, because
+    * the threshold filter runs before it. Near-dup output is
+    * linear-ish in corpus size by construction (few true near-dups),
+    * so the distinct is cheap even at 100 TB.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
+                            nPlanes: Int = 4, nBands: Int = 4): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), lshBandBucket(col("embedding"), b, nPlanes).as("bkt"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    val a = e.select(col("band"), col("bkt"), col("vec_id").as("id_a"),
+      col("embedding").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("band"), col("bkt"), col("vec_id").as("id_b"),
+      col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("band", "bkt")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(dot(col("vec_a"), col("vec_b")) / sqrt(col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** IVF (inverted-file) top-k: coarse-quantize the corpus into
+    * `nCells` cells, search only the `nProbe` cells nearest each
+    * query.
+    *
+    * Centroids are the first `nCells` corpus vectors (`vec_id <
+    * nCells`) — a deterministic stand-in for k-means seeds (k-means++
+    * without the Lloyd iterations; a trained quantizer slots into the
+    * same broadcast seam). Assignment = argmax cosine(centroid),
+    * ties broken by lower cell id.
+    *
+    * Scale shape: centroids broadcast (nCells rows); assignment is a
+    * map-side crossJoin×nCells + per-vector argmax (partial-aggable
+    * `max_by`), so the corpus shuffles ONCE on its cell id — the
+    * inverted file. Queries fan out ×nProbe on the broadcast side
+    * only. This is the standard IVF-Flat layout: at 1000 executors
+    * the cell id is the partitioning key and each probe touches
+    * nProbe/nCells of the data.
+    */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cent = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
+    // cosine to every centroid; argmax by (sim desc, cell asc)
+    def cellSims(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cent))
+        .withColumn("c_sim", round(dot(col("embedding"), col("c_vec")) / sqrt(col("nrm") * col("c_nrm")), 6))
+    // argmax over the 16 candidate cells: partial-aggregable max_by
+    // keyed on vec_id alone (the embedding rides as agg state, not a
+    // 64-float shuffle key)
+    val assigned = cellSims(e)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("nrm"), col("cell")),
+        struct(col("c_sim"), -col("cell"))).as("s"))
+      .select(col("vec_id"), col("s.embedding"), col("s.nrm"), col("s.cell"))
+    val qCells = cellSims(e.filter(col("vec_id") < nQueries))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("cell"))))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val scored = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select("q_id", "vec_id", "sim", "rk")
+  }
+
   /** ANN top-k: score only pairs sharing an LSH bucket. Recall is
     * approximate (cosine-close vectors agree on hyperplane signs with
     * high probability) and tunable: `nProbes > 1` additionally scores

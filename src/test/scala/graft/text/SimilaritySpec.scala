@@ -73,6 +73,53 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.9, s"recall@5 = $r")
   }
 
+  test("embeddingNearDupPairs: subset of brute-force pairs, recall rises with bands") {
+    val vecs = clustered(seed = 7, nClusters = 10, perCluster = 20, dim = 64, noise = 0.15f)
+    val tau = 0.8
+    // brute-force ground truth over all pairs
+    val e = vecs.select(col("vec_id"), col("embedding"),
+      Similarity.norm2(col("embedding")).as("nrm"))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(Similarity.dot(col("a.embedding"), col("b.embedding"))
+        / sqrt(col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("sim") >= tau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test geometry must produce near-dup pairs")
+    def found(nBands: Int): Set[(Long, Long)] =
+      Similarity.embeddingNearDupPairs(vecs, tau, nPlanes = 4, nBands = nBands)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f1 = found(1); val f4 = found(4)
+    // every emitted pair is a true near-dup (precision 1 by construction)
+    assert(f4.subsetOf(truth), s"false positives: ${f4.diff(truth).take(5)}")
+    assert(f1.subsetOf(f4) || f1.size <= f4.size, "banding must not lose pairs")
+    val recall = f4.size.toDouble / truth.size
+    assert(recall >= 0.9, s"4-band recall = $recall (${f4.size}/${truth.size})")
+  }
+
+  test("embeddingNearDupPairs emits each pair once with id_a < id_b") {
+    val vecs = spark.read.parquet(realEmbeddings)
+    val rows = Similarity.embeddingNearDupPairs(vecs, 0.3).collect()
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "duplicate pairs emitted")
+    keys.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("ivfTopK equals brute-force when probing all cells") {
+    val vecs = spark.read.parquet(realEmbeddings)
+    val exact = Similarity.cosineTopK(vecs, nQueries = 8, k = 5)
+    val all = Similarity.ivfTopK(vecs, nQueries = 8, k = 5, nCells = 16, nProbe = 16)
+    assert(recallAtK(all, exact) == 1.0, "nProbe = nCells must recover the exact top-k")
+  }
+
+  test("ivfTopK recall@5 on clustered vectors with 2-probe") {
+    val vecs = clustered(seed = 42, nClusters = 12, perCluster = 25, dim = 64)
+    val exact = Similarity.cosineTopK(vecs, nQueries = 8, k = 5)
+    val approx = Similarity.ivfTopK(vecs, nQueries = 8, k = 5, nCells = 16, nProbe = 2)
+    val r = recallAtK(approx, exact)
+    assert(r >= 0.8, s"IVF 2-probe recall@5 = $r")
+  }
+
   test("recall rises with nProbes on the real embeddings table") {
     val vecs = spark.read.parquet(realEmbeddings)
     val exact = Similarity.cosineTopK(vecs, nQueries = 8, k = 5)
