@@ -5,8 +5,9 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -110,29 +111,81 @@ private[sources] class MaterialsScanBuilder(path: String, pages: Int)
 
 private[sources] class MaterialsScan(
     path: String, pages: Int, query: MaterialsSource.BackendQuery,
-    required: StructType, pushedDesc: Array[String]) extends Scan with Batch {
+    required: StructType, pushedDesc: Array[String])
+    extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"MaterialsScan path=$path PushedBackendQuery=[${pushedDesc.mkString(", ")}]"
 
+  /** Runtime filters (DSv2 dynamic filtering): when this scan sits
+    * under a join, Spark hands the build side's key values here after
+    * they are known; In(material_id, …) merges into the backend query
+    * so filtered rows never cross the "wire". The 100 TB payoff of
+    * dynamic partition pruning, expressed at the source seam. */
+  private var runtime: MaterialsSource.BackendQuery = query
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("material_id"))
+  override def filter(filters: Array[Filter]): Unit = {
+    val ins = filters.collect {
+      case In(a, vs) if vs.forall(_.isInstanceOf[String]) =>
+        a -> vs.map(_.asInstanceOf[String]).toSeq
+      case EqualTo(a, v: String) => a -> Seq(v)
+    }.toMap
+    if (ins.nonEmpty) {
+      val mergedIn = (runtime.in.keySet ++ ins.keySet).map { k =>
+        k -> ((runtime.in.get(k), ins.get(k)) match {
+          case (Some(x), Some(y)) => x.intersect(y)
+          case (x, y)             => x.orElse(y).get
+        })
+      }.toMap
+      runtime = runtime.copy(in = mergedIn)
+    }
+  }
+
+  /** Post-pushdown statistics: the backend counts matching rows so
+    * the planner sizes this side correctly (broadcast vs shuffle) —
+    * without this, a heavily-filtered scan is costed at table size. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = LocalCatalogBackend.count(path, runtime)
+    // ~64 bytes per catalog row (measured on the stand-in format)
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(n * 64L)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+  }
+
+  /** Pages are hash-buckets of `material_id` (every row of one id is
+    * on exactly one page), reported as KeyGroupedPartitioning over
+    * bucket(pages, material_id) with the page id as the partition
+    * key. A grouping/join on material_id can then reuse the scan's
+    * layout instead of shuffling (subject to the session's v2
+    * bucketing confs; format-based sources without a FunctionCatalog
+    * may still re-shuffle — the report is the honest contract either
+    * way). */
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(pages, "material_id")), pages)
+
   /** Paginated partition planning: page i of n — each reader fetches
     * only its own page from the backend. */
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until pages).map(i => MaterialsPage(path, i, pages): InputPartition).toArray
+    (0 until pages).map(i => MaterialsPage(path, i, pages, runtime): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new MaterialsReaderFactory(query, required)
+    new MaterialsReaderFactory(required)
 }
 
-private[sources] case class MaterialsPage(path: String, page: Int, nPages: Int)
-    extends InputPartition
+private[sources] case class MaterialsPage(
+    path: String, page: Int, nPages: Int, query: MaterialsSource.BackendQuery)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(page)
+}
 
-private[sources] class MaterialsReaderFactory(
-    query: MaterialsSource.BackendQuery, required: StructType)
+private[sources] class MaterialsReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MaterialsPage]
-    new MaterialsPageReader(p, query, required)
+    new MaterialsPageReader(p, p.query, required)
   }
 }
 
@@ -200,4 +253,13 @@ object LocalCatalogBackend {
       query.matches("chemsys", f(1)) &&
       query.matches("possible_species", f(3))
     }
+
+  /** "Server-side" count for the pushed query — backs the scan's
+    * post-pushdown statistics report. */
+  def count(path: String, query: BackendQuery): Long =
+    catalog(path).count { f =>
+      query.matches("material_id", f(0)) &&
+      query.matches("chemsys", f(1)) &&
+      query.matches("possible_species", f(3))
+    }.toLong
 }

@@ -57,4 +57,57 @@ class MaterialsSourceSpec extends SparkSpec {
     // pages are disjoint and complete
     assert(df.select("material_id").distinct().count() == 10)
   }
+
+  test("post-pushdown statistics shrink with the pushed filter") {
+    val full = load().queryExecution.optimizedPlan.stats.sizeInBytes
+    val filtered = load().filter(col("chemsys") === "V-O")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    // 10 rows × 64 B vs 6 rows × 64 B — the planner sees the backend
+    // filter, so a filtered scan can qualify for broadcast
+    assert(full == BigInt(640), s"full-scan stats = $full")
+    assert(filtered == BigInt(384), s"filtered-scan stats = $filtered")
+  }
+
+  test("scan reports key-grouped partitioning over bucket(pages, material_id)") {
+    import org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val table = new MaterialsTable(Map("path" -> catalog, "pages" -> "3"))
+    val scan = table.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val part = scan.asInstanceOf[MaterialsScan].outputPartitioning()
+    val kg = part.asInstanceOf[KeyGroupedPartitioning]
+    assert(kg.numPartitions == 3)
+    assert(kg.keys.head.toString.toLowerCase.contains("bucket"))
+    // each input partition carries its page id as the partition key
+    val pages = scan.asInstanceOf[MaterialsScan].planInputPartitions()
+    assert(pages.map(_.asInstanceOf[MaterialsPage].partitionKey().getInt(0)).toSeq == Seq(0, 1, 2))
+  }
+
+  test("join runtime filter reaches the scan (DSv2 dynamic filtering)") {
+    // the dim must be file-backed: a filtered LocalRelation is
+    // constant-folded before PartitionPruning looks for a selective
+    // predicate, so DPP never triggers on in-memory test dims
+    val dimPath = java.nio.file.Files.createTempDirectory("dim").toString
+    import spark.implicits._
+    Seq(("mp-1001", "x"), ("mp-1002", "y")).toDF("material_id", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    withSQLConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1000000") {
+      val dim = spark.read.parquet(dimPath).filter(col("tag") === "x")
+      val j = load().join(dim, "material_id")
+      assert(j.collect().map(_.getAs[String]("material_id")).toSeq == Seq("mp-1001"))
+      val rf = j.queryExecution.executedPlan.toString
+      assert(rf.contains("dynamicpruningexpression(material_id"),
+        s"runtime filter missing from plan:\n$rf")
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
