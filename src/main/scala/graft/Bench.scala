@@ -69,6 +69,11 @@ object Bench {
       // release library-persisted tables so timed queries never run
       // under cache pressure accumulated by earlier ones
       graft.text.Dedup.releaseCaches()
+      // settle the heap between queries: garbage from query N must
+      // not bill its collection pause to query N+1 (observed as a
+      // rare 15×+ spike on whichever heavy query a major GC landed
+      // in). GC time here is untimed by construction.
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
