@@ -89,6 +89,21 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming twin of `Dedup.exactDedup`: content-hash dedup on
+    * ingest. `dropDuplicatesWithinWatermark` keeps one row per
+    * `md5(text)` and — unlike plain streaming `dropDuplicates`, whose
+    * key state grows forever — evicts a key's state once the
+    * watermark passes it, so state is O(docs per watermark window),
+    * not O(corpus). The right shape for a 100 TB/day ingest: an exact
+    * duplicate arriving within the window is dropped in-flight; one
+    * arriving later is caught by the batch dedup downstream. */
+  def dedupStream(documents: DataFrame, tsCol: String = "ts_t",
+                  watermark: String = "1 hour"): DataFrame =
+    documents
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Idempotent micro-batch load: the `foreachBatch` body — dedup +
     * anti-join against the sink before append (`JdbcUpsert.newRows`
     * semantics per batch). Exactly-once-per-key under retries. */

@@ -36,6 +36,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("dedupStream drops exact duplicates across micro-batches, keeps distinct texts") {
+    val t0 = 1600000000000L
+    def doc(id: Long, tMs: Long, text: String) =
+      (id, new java.sql.Timestamp(t0 + tMs), text)
+    // duplicates of "aaa" in the same and a later micro-batch (inside
+    // the watermark window); "bbb"/"ccc" distinct
+    val b1 = Seq(doc(1, 0, "aaa"), doc(2, 1000, "aaa"), doc(3, 2000, "bbb"))
+    val b2 = Seq(doc(4, 60000, "aaa"), doc(5, 61000, "ccc"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    b1.toDF("doc_id", "ts_t", "text").coalesce(1).write.parquet(s"$dir/in")
+    b2.toDF("doc_id", "ts_t", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_t", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = StreamingOps.dedupStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("dedup_out").select("text").as[String].collect().sorted.toSeq
+    assert(out == Seq("aaa", "bbb", "ccc"), s"got $out")
+  }
+
   test("sessionize: gap-delimited sessions with event-time timeout") {
     // positive epoch base: a ts equal to the initial watermark (0)
     // is filtered as late by definition
