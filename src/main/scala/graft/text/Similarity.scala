@@ -179,37 +179,52 @@ object Similarity {
     * same broadcast seam). Assignment = argmax cosine(centroid),
     * ties broken by lower cell id.
     *
-    * Scale shape: centroids broadcast (nCells rows); assignment is a
-    * map-side crossJoin×nCells + per-vector argmax (partial-aggable
-    * `max_by`), so the corpus shuffles ONCE on its cell id — the
-    * inverted file. Queries fan out ×nProbe on the broadcast side
-    * only. This is the standard IVF-Flat layout: at 1000 executors
-    * the cell id is the partitioning key and each probe touches
-    * nProbe/nCells of the data.
+    * Scale shape: the coarse quantizer collapses to ONE broadcast row
+    * (an nCells-element array of centroid structs), and assignment is
+    * a per-row argmax fold over it — pure map, zero corpus shuffle,
+    * no aggregate at all (the earlier groupBy-argmax formulation fell
+    * to SortAggregate: an array-bearing buffer cannot hash-aggregate).
+    * Queries fan out ×nProbe on the broadcast side only, so the only
+    * shuffle in the whole search is the final top-k over candidate
+    * rows. A *persisted* inverted file is the same assignment column
+    * written `repartition/bucketBy(cell)` so repeated query batches
+    * prune partitions instead of rescanning.
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    // one row: the whole quantizer, ordered by cell id
     val cent = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
-    // cosine to every centroid; argmax by (sim desc, cell asc)
-    def cellSims(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(cent))
-        .withColumn("c_sim", round(dot(col("embedding"), col("c_vec")) / sqrt(col("nrm") * col("c_nrm")), 6))
-    // argmax over the 16 candidate cells: partial-aggregable max_by
-    // keyed on vec_id alone (the embedding rides as agg state, not a
-    // 64-float shuffle key)
-    val assigned = cellSims(e)
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("nrm"), col("cell")),
-        struct(col("c_sim"), -col("cell"))).as("s"))
-      .select(col("vec_id"), col("s.embedding"), col("s.nrm"), col("s.cell"))
-    val qCells = cellSims(e.filter(col("vec_id") < nQueries))
+      .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
+    // argmax cosine over the centroid array: strict > keeps the
+    // lowest cell id on ties (matches the oracle's c_sim DESC, cell
+    // ASC ranking)
+    def bestCell(vec: Column, nrm: Column): Column =
+      aggregate(
+        col("cents"),
+        struct(lit(-2.0).as("best_sim"), lit(-1L).as("cell")),
+        (acc, c) => {
+          val sim = round(dot(vec, c.getField("c_vec")) / sqrt(nrm * c.getField("c_nrm")), 6)
+          when(sim > acc.getField("best_sim"),
+            struct(sim.as("best_sim"), c.getField("cell").as("cell")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("cell"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        bestCell(col("embedding"), col("nrm")).as("cell"))
+    // query side is tiny (nQueries × nCells rows): expand and rank
+    val qCells = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("cents")).as("c"))
+      .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
+        / sqrt(col("nrm") * col("c.c_nrm")), 6))
       .withColumn("c_rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("cell"))))
+        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
       .filter(col("c_rk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("nrm").as("q_nrm"), col("cell"))
+        col("nrm").as("q_nrm"), col("c.cell").as("cell"))
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
