@@ -366,10 +366,10 @@ object SparkEntry {
     "q_quality_score" ->
       """SELECT doc_id,
         |  len(toks)::BIGINT AS n_tokens,
-        |  round(len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks), 6) AS stop_ratio,
-        |  round(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks) AS stop_ratio,
+        |  0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
         |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks))
-        |      + 0.2 * least((list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 10.0, 1.0), 6) AS quality
+        |      + 0.2 * least((list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 10.0, 1.0) AS quality
         |FROM (SELECT doc_id,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |      FROM documents)""".stripMargin,

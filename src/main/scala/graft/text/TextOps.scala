@@ -119,13 +119,17 @@ object TextOps {
     val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
     val meanTok = sumLen.cast(DoubleType) / nTok
     val stopRatio = markerCount(toks, EnMarkers).cast(DoubleType) / nTok
+    // deliberately UNROUNDED: both engines evaluate this fixed-order
+    // IEEE expression bit-identically, while round() disagrees on
+    // decimal-boundary doubles (Spark BigDecimal HALF_UP vs DuckDB
+    // float rounding — observed as a 1-ulp mismatch at sf0.1)
     tokenized(documents).select(
       col("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(lit(0.4) * least(nTok / 100.0, lit(1.0))
+      stopRatio.as("stop_ratio"),
+      (lit(0.4) * least(nTok / 100.0, lit(1.0))
           + lit(0.4) * stopRatio
-          + lit(0.2) * least(meanTok / 10.0, lit(1.0)), 6).as("quality"))
+          + lit(0.2) * least(meanTok / 10.0, lit(1.0))).as("quality"))
   }
 
   /** Rolling polynomial fingerprint over the token stream (mod a
