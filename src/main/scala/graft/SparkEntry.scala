@@ -72,6 +72,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "q_ngram_topk" -> ((s, d) => TextOps.ngramTopK(Tables.documents(s, d), 2, 20)),
     // ---- training-data extension: similarity search ----
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
     "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5)),
@@ -373,6 +374,16 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |      FROM documents)""".stripMargin,
+
+    "q_ngram_topk" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingle
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT shingle, count(*)::BIGINT AS cnt
+        |FROM sh GROUP BY 1 ORDER BY cnt DESC, shingle LIMIT 20""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -132,6 +132,26 @@ object TextOps {
           + lit(0.2) * least(meanTok / 10.0, lit(1.0))).as("quality"))
   }
 
+  /** Corpus-level n-gram frequency top-k: the vocabulary-statistics
+    * sweep of a training-data pipeline (stop-list construction,
+    * contamination screening, tokenizer corpus analysis).
+    *
+    * Scale shape: explode → partial-aggregated count (map-side
+    * combine collapses each partition's counts before the single
+    * shuffle on the n-gram) → global top-k, which Spark plans as
+    * TakeOrderedAndProject — per-partition heaps of k rows, never a
+    * full sort. Deterministic total order (count desc, n-gram asc)
+    * makes the k-boundary reproducible. */
+  def ngramTopK(documents: DataFrame, n: Int, k: Int): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) => tokensOf(text).sliding(n).filter(_.length == n).map(_.mkString(" ")) }
+      .toDF("shingle")
+      .groupBy("shingle").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("shingle"))
+      .limit(k)
+  }
+
   /** Rolling polynomial fingerprint over the token stream (mod a
     * 31-bit prime) — an order-sensitive document signature, the
     * columnar form of a rolling-hash shingle fingerprint.

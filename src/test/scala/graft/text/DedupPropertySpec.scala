@@ -106,6 +106,24 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("ngramTopK: agrees with the shingles() expression twin and plans a top-k, not a sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextOps.ngramTopK(docs, 2, 20)
+    // expression-twin truth: shingles() column fold over the same corpus
+    val truth = docs
+      .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("shingle")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == truth)
+    // global top-k must be a per-partition heap (TakeOrderedAndProject),
+    // never a full Sort + Limit — the difference at corpus scale
+    assert(got.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      got.queryExecution.executedPlan.toString)
+  }
+
   test("near-dup operators leave no cached tables behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = corpus(seed = 21, nDocs = 80, vocab = 12)
