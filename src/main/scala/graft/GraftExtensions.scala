@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions entry point — the library's Catalyst
+  * integration in one switch:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Installs:
+  *  - the native vector functions (`dot_f`, `norm2_f`) into the SQL
+  *    function registry (what `FunctionBridge.registerAll` does for
+  *    an already-built session),
+  *  - [[graft.functions.VectorFoldRewrite]], which transparently
+  *    upgrades the portable `aggregate(zip_with(...))` fold
+  *    formulation to those codegen'd expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[graft.functions.VectorExpressions.DotProductF].getName, "dot_f"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VectorExpressions.DotProductF(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("norm2_f"),
+      new ExpressionInfo(classOf[graft.functions.VectorExpressions.Norm2F].getName, "norm2_f"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VectorExpressions.Norm2F(exprs.head)))
+    ext.injectOptimizerRule(_ => graft.functions.VectorFoldRewrite)
+  }
+}
