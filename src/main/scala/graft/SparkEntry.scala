@@ -33,6 +33,7 @@ object SparkEntry {
     "q_string_keys" -> ((s, d) => Ops.stringKeys(Tables.part(s, d))),
     // ---- §2c: sampling / limits / ordering ----
     "q_sample_n" -> ((s, d) => Ops.sampleN(Tables.orders(s, d), 100)),
+    "q_sample_stratified" -> ((s, d) => Ops.sampleStratified(Tables.documents(s, d), "lang", "doc_id", 25)),
     // ---- §2d: joins ----
     "q_semi_join" -> ((s, d) => Ops.semiJoin(Tables.lineitem(s, d), Tables.orders(s, d), 100)),
     "q_anti_join" -> ((s, d) => Ops.antiJoin(Tables.customer(s, d), Tables.orders(s, d))),
@@ -129,6 +130,14 @@ object SparkEntry {
     "q_sample_n" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |ORDER BY (o_orderkey * 9973 + 12345) % 1000003, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 9973 + 12345) % 1000003, doc_id)::BIGINT AS rk
+        |  FROM documents)
+        |WHERE rk <= 25""".stripMargin,
 
     "q_semi_join" ->
       """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity

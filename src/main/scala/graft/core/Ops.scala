@@ -103,6 +103,22 @@ object Ops {
       .limit(n)
       .select("o_orderkey", "o_custkey")
 
+  /** Deterministic stratified sample: the first `n` rows of each
+    * group in [[scrambleKey]] order — per-language / per-source quota
+    * sampling for training-data curation, reproducible on any engine.
+    *
+    * Scale shape: one shuffle on the stratum key, then
+    * `WindowGroupLimit` keeps a per-partition top-n heap per group —
+    * no group is ever fully buffered, so a colossal stratum costs
+    * O(n) memory, not O(|stratum|). */
+  def sampleStratified(df: DataFrame, stratum: String, key: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratum)).orderBy(scrambleKey(col(key)), col(key))
+    df.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= n)
+      .select(col(stratum), col(key), col("rk"))
+  }
+
   /** Semi-join: refetch only sampled keys (`dags/my_dag.py:69-70`).
     * Build side is tiny → broadcast, no shuffle of the fact table. */
   def semiJoin(lineitem: DataFrame, orders: DataFrame, n: Int): DataFrame = {

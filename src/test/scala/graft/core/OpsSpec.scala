@@ -105,4 +105,30 @@ class OpsSpec extends SparkSpec {
     val qs = TextOps.qualityScore(docs).collect().map(_.getAs[Double]("quality"))
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
+
+  test("stratified sample: n per group in scramble order, heap-limited plan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Ops.sampleStratified(docs, "lang", "doc_id", 5)
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly min(5, |group|) per group, rk dense from 1
+    val byLang = rows.groupBy(_._1)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == math.min(5, sizes(lang).toInt))
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // reproducible: the per-group pick equals a driver-side sort
+    val truth = docs.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.flatMap { case (lang, ks) =>
+        ks.map(_._2).sortBy(k => ((k * 9973 + 12345) % 1000003, k)).take(5)
+          .zipWithIndex.map { case (k, i) => (lang, k, i + 1L) }
+      }.toSet
+    assert(rows.toSet == truth)
+    // plan: rank must be heap-limited per partition, not a full sort
+    // of each stratum (WindowGroupLimit — O(n) memory per group)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
