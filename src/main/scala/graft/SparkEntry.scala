@@ -43,6 +43,7 @@ object SparkEntry {
     // ---- §2f: aggregations & windows ----
     "q_count" -> ((s, d) => Ops.countByGroup(Tables.lineitem(s, d))),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
+    "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_pivot" -> ((s, d) => Ops.pivotByType(Tables.events(s, d))),
     "q_group_baseline_diff" -> ((s, d) => Ops.baselineDiff(Tables.lineitem(s, d))),
     "q_regr_fit" -> ((s, d) => Ops.regrFit(Tables.lineitem(s, d))),
@@ -174,6 +175,14 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the union-merge form
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts)::BIGINT AS p_us, epoch_us(c.ts)::BIGINT AS asof_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

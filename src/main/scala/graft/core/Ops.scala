@@ -174,6 +174,32 @@ object Ops {
               expr("ts div 1000").as("ts_us"))
   }
 
+  /** As-of join: for each left-type event, the most recent right-type
+    * event of the same user with `ts_right <= ts_left` (DuckDB/kdb
+    * ASOF semantics, equal timestamps match).
+    *
+    * Spark has no native as-of join; the naive formulations are a
+    * range θ-join (quadratic blow-up per user) or a per-row subquery.
+    * The scale-correct shape is the tagged union-merge: union both
+    * sides, ONE shuffle on the join key, one ordered pass per
+    * partition with a running `last(right_ts) ignoreNulls` window —
+    * right side sorted before left at equal ts so ties match. Cost is
+    * sort-merge of |L|+|R|, the same as a single window-dedup, and
+    * AQE's skew split covers hot users. */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"),
+        when(col("event_type") === rightType, 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("asof_us", last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"), col("asof_us"))
+  }
+
   val EventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
 
   /** Ordered-series pivot per group (`dags/my_dag.py:151-160` collects

@@ -106,6 +106,24 @@ class OpsSpec extends SparkSpec {
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("asofJoin == brute-force latest right <= left per user (equal ts matches)") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = Ops.asofJoin(events, "purchase", "click")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    // brute force on the driver
+    val raw = events.select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = raw.filter(_._4 == "click").groupBy(_._2)
+    val truth = raw.filter(_._4 == "purchase").map { case (id, u, ts, _) =>
+      val best = clicksByUser.getOrElse(u, Array.empty)
+        .map(_._3).filter(_ <= ts).sorted.lastOption
+      (id, u, ts / 1000, best.map(_ / 1000))
+    }.toSet
+    assert(got == truth)
+    assert(truth.exists(_._4.isEmpty) || truth.nonEmpty) // sanity: non-trivial
+  }
+
   test("stratified sample: n per group in scramble order, heap-limited plan") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = Ops.sampleStratified(docs, "lang", "doc_id", 5)
