@@ -44,6 +44,7 @@ object SparkEntry {
     "q_count" -> ((s, d) => Ops.countByGroup(Tables.lineitem(s, d))),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
+    "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
     "q_pivot" -> ((s, d) => Ops.pivotByType(Tables.events(s, d))),
     "q_group_baseline_diff" -> ((s, d) => Ops.baselineDiff(Tables.lineitem(s, d))),
     "q_regr_fit" -> ((s, d) => Ops.regrFit(Tables.lineitem(s, d))),
@@ -183,6 +184,13 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id, count(c.ts)::BIGINT AS n_in_window
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+        |  ON c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+        |GROUP BY 1""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

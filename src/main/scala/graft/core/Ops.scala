@@ -200,6 +200,34 @@ object Ops {
       .select(col("event_id"), col("user_id"), col("us").as("p_us"), col("asof_us"))
   }
 
+  /** Range join (interval containment), grain-bucketed: count
+    * right-type events inside [ts − w, ts + w] of each left-type
+    * event, across all users.
+    *
+    * A raw `BETWEEN` θ-join has no equi-key — Spark plans it as a
+    * nested-loop, O(|L|·|R|). Bucketing both sides to a time grain of
+    * the window width recovers an equi-join: each interval covers ≤ 3
+    * grains (explode ×3 — a constant), each point exactly one, and a
+    * (grain) shuffle co-locates every candidate pair; the exact
+    * containment predicate then filters within buckets. Cost is the
+    * true pair count + a 3× constant, at any scale. Unmatched
+    * intervals keep count 0 via the left join. */
+  def rangeJoinCount(events: DataFrame, leftType: String, rightType: String,
+                     windowUs: Long): DataFrame = {
+    val grain = windowUs // grain = window half-width → ≤ 3 grains/interval
+    val iv = events.filter(col("event_type") === leftType)
+      .select(col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("lo", col("us") - windowUs)
+      .withColumn("hi", col("us") + windowUs)
+      .withColumn("grain", explode(sequence(expr(s"lo div $grain"), expr(s"hi div $grain"))))
+    val pts = events.filter(col("event_type") === rightType)
+      .select(expr("ts div 1000").as("pt_us"))
+      .withColumn("grain", expr(s"pt_us div $grain"))
+    iv.join(pts, Seq("grain"), "left")
+      .groupBy(col("event_id"))
+      .agg(sum(when(col("pt_us").between(col("lo"), col("hi")), 1L).otherwise(0L)).as("n_in_window"))
+  }
+
   val EventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
 
   /** Ordered-series pivot per group (`dags/my_dag.py:151-160` collects

@@ -124,6 +124,25 @@ class OpsSpec extends SparkSpec {
     assert(truth.exists(_._4.isEmpty) || truth.nonEmpty) // sanity: non-trivial
   }
 
+  test("rangeJoinCount == brute-force window counts, no nested-loop join in plan") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val w = 300000000L // ±5 min in µs
+    val df = Ops.rangeJoinCount(events, "error", "click", w)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = events.select("event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getString(2)))
+    val clicks = raw.filter(_._3 == "click").map(_._2)
+    val truth = raw.filter(_._3 == "error").map { case (id, us, _) =>
+      id -> clicks.count(c => c >= us - w && c <= us + w).toLong
+    }.toMap
+    assert(got == truth)
+    assert(truth.valuesIterator.exists(_ > 0), "test window must produce matches")
+    // the grain bucketing must recover an equi-join: a nested-loop
+    // plan here means the rewrite regressed to O(|L|*|R|)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("stratified sample: n per group in scramble order, heap-limited plan") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = Ops.sampleStratified(docs, "lang", "doc_id", 5)
