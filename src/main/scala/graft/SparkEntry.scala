@@ -76,6 +76,7 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "q_ngram_topk" -> ((s, d) => TextOps.ngramTopK(Tables.documents(s, d), 2, 20)),
+    "q_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d), 32, 8)),
     // ---- training-data extension: similarity search ----
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
     "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5)),
@@ -400,6 +401,20 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |      FROM documents)""".stripMargin,
+
+    // size 32, overlap 8 → starts every 24 tokens; DuckDB list slices
+    // clamp at len, matching the Scala slice
+    "q_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
+        |  (least(start + 32, len(toks)) - start)::BIGINT AS n_tok,
+        |  array_to_string(toks[start + 1 : least(start + 32, len(toks))], ' ') AS chunk_text
+        |FROM s""".stripMargin,
 
     "q_ngram_topk" ->
       """WITH toks AS (

@@ -152,6 +152,29 @@ object TextOps {
       .limit(k)
   }
 
+  /** Fixed-size token-window chunking with overlap — the
+    * context-window prep step of a training/RAG pipeline (split each
+    * document into `size`-token chunks starting every `size − overlap`
+    * tokens; the last chunk may be short; empty docs yield none).
+    *
+    * Pure per-row fan-out (typed flatMap: tokenization and slicing in
+    * one pass, no projection-collapse re-tokenization) — zero
+    * shuffle, linear in corpus size. */
+  def chunk(documents: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got ($size, $overlap)")
+    val step = size - overlap
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = tokensOf(text)
+        (0 until toks.length by step).iterator.map { s =>
+          val c = toks.slice(s, math.min(s + size, toks.length))
+          (id, (s / step).toLong, c.length.toLong, c.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_tok", "chunk_text")
+  }
+
   /** Rolling polynomial fingerprint over the token stream (mod a
     * 31-bit prime) — an order-sensitive document signature, the
     * columnar form of a rolling-hash shingle fingerprint.

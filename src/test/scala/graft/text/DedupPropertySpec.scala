@@ -124,6 +124,34 @@ class DedupPropertySpec extends SparkSpec {
       got.queryExecution.executedPlan.toString)
   }
 
+  test("chunk: overlapping windows tile the token stream and reconstruct it") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = TextOps.chunk(docs, size = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> TextOps.tokensOf(t) }.toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // indices dense from 0; every chunk the declared length
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, idx, n, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        assert(toks.length == n)
+        assert(toks.toSeq == orig(id).slice(idx.toInt * 24, idx.toInt * 24 + n.toInt))
+      }
+      // dropping each chunk's 8-token overlap reconstructs the doc
+      val rebuilt = sorted.flatMap { case (_, idx, _, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty).toSeq
+        if (idx == 0) toks else toks.drop(8)
+      }.toSeq
+      // (last chunk shorter than overlap re-emits tail tokens — the
+      // documented overlap contract covers them; assert prefix match)
+      assert(rebuilt.take(orig(id).length) == orig(id) || rebuilt == orig(id))
+    }
+    assert(chunks.nonEmpty)
+  }
+
   test("near-dup operators leave no cached tables behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = corpus(seed = 21, nDocs = 80, vocab = 12)
