@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dumps `explain("formatted")` for the headline queries to a
+  * markdown file — the plan-shape evidence behind SCALING.md's
+  * claims (pushed filters, pruned schemas, broadcast placements,
+  * whole-stage codegen spans, absence of nested-loop joins).
+  *
+  * Regenerate with:
+  * {{{
+  *   sbt "runMain graft.Plans /root/testdata/sf0.01 PLANS.md"
+  * }}}
+  */
+object Plans {
+
+  /** Queries whose plan shape carries a documented claim. */
+  val Headline: Seq[String] = Seq(
+    "q_scan_filter",      // PushedFilters + pruned ReadSchema
+    "q_equi_join",        // broadcast dimension
+    "q_window_agg",       // single shuffle + window
+    "q_topk_per_group",   // WindowGroupLimit heap
+    "q_sample_stratified",// WindowGroupLimit heap per stratum
+    "q_asof_join",        // union-merge, no range join
+    "q_range_join",       // grain bucketing, no nested loop
+    "q_simhash",          // one-pass fold, zero shuffle
+    "q_minhash_lsh_pairs",// cluster collapse + pinned hash joins
+    "q_embed_neardup",    // banded LSH self-join
+    "q_ivf_topk",         // map-side assignment, broadcast quantizer
+    "q_ngram_topk",       // TakeOrderedAndProject
+    "q_chunks")           // pure fan-out, zero shuffle
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb.append("# Physical plans (generated — do not edit)\n\n")
+    sb.append(s"Source: `sbt \"runMain graft.Plans $sfDir $out\"` — formatted\n")
+    sb.append("explain of each headline query against the named testdata.\n")
+    Headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.write(Paths.get(out), sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"wrote ${Headline.size} plans to $out")
+    spark.stop()
+  }
+}
