@@ -122,14 +122,20 @@ object Dedup {
     val full = signatureClusters(documents)
 
     val members = full.select(col("doc_id"), col("sig_key"))
-    // signature arrays are identical within a sig_key group by construction
-    val sigs = full.groupBy(col("sig_key")).agg(first(col("mhs")).as("mhs"))
+    // distinct signatures' band keys, WITHOUT a first(mhs) collapse:
+    // an array-valued aggregation buffer cannot hash-aggregate, so
+    // groupBy(sig_key).agg(first(mhs)) plans two SortAggregates per
+    // reference. Exploding the band keys first and distinct-ing the
+    // (sig_key, band, bkey) primitive triple is the same set —
+    // identical-signature docs collapse per band — in one
+    // hash-aggregable shuffle of narrow rows.
     val bandKeys = (0 until nBands).map { b =>
       xxhash64(lit(b), slice(col("mhs"), b * rowsPerBand + 1, rowsPerBand))
     }
-    val sigBands = sigs
+    val sigBands = full
       .select(col("sig_key"), posexplode(array(bandKeys: _*)))
       .select(col("sig_key"), col("pos").as("band"), col("col").as("bkey"))
+      .distinct()
     val sigPairs = sigBands.as("x").join(sigBands.as("y"), Seq("band", "bkey"))
       .filter(col("x.sig_key") < col("y.sig_key"))
       .select(col("x.sig_key").as("sig_a"), col("y.sig_key").as("sig_b"))
