@@ -269,13 +269,16 @@ object Dedup {
     // than the branch recomputes it saves).
     val withKey = base.withColumn("set_key", setKey)
     val members = withKey.select(col("doc_id"), col("set_key"))
-    val reps = withKey.groupBy(col("set_key"))
-      .agg(first(col("lang")).as("lang"), first(col("bkt")).as("bkt"),
-           first(col("toks")).as("toks"))
-
-    val tok = reps.select(
-      col("set_key"), col("lang"), col("bkt"),
-      size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
+    // distinct-set token table WITHOUT a first(toks) collapse: an
+    // array-valued aggregation buffer cannot hash-aggregate (plans a
+    // SortAggregate — same fix as the LSH banding). Exploding every
+    // member's tokens and distinct-ing the primitive quintuple is the
+    // same relation, hash-aggregable, with map-side partial dedup
+    // collapsing duplicate-heavy corpora before the shuffle.
+    val tok = withKey.select(
+        col("set_key"), col("lang"), col("bkt"),
+        size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
+      .distinct()
     // shuffled-hash, not sort-merge: this is a many-to-many join
     // (every key repeats df(token) times per side) and SMJ buffers
     // each duplicate group; a per-partition hash build streams the
