@@ -124,6 +124,43 @@ class OpsSpec extends SparkSpec {
     assert(truth.exists(_._4.isEmpty) || truth.nonEmpty) // sanity: non-trivial
   }
 
+  test("asofJoin and rangeJoinCount match brute force on adversarial random corpora") {
+    import scala.util.Random
+    // heavy ts ties, tiny key space, empty-side cases — the edges the
+    // real-events test can't hit
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new Random(seed)
+      val n = 300
+      val types = Seq("purchase", "click", "error")
+      val rows = (0 until n).map { i =>
+        // ts in NANOS (matching events.parquet), µs-aligned, from a
+        // small pool so exact ties are common
+        val tsUs = (rnd.nextInt(40) + 1).toLong * 60000000L
+        (i.toLong, tsUs * 1000L, rnd.nextInt(5).toLong,
+          types(rnd.nextInt(types.length)), 0.0, "{}")
+      }
+      val ev = spark.createDataFrame(rows).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+      val asofGot = Ops.asofJoin(ev, "purchase", "click").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val clicks = rows.filter(_._4 == "click")
+      rows.filter(_._4 == "purchase").foreach { case (id, ts, u, _, _, _) =>
+        val best = clicks.filter(c => c._3 == u && c._2 <= ts).map(_._2 / 1000)
+          .sorted.lastOption.getOrElse(-1L)
+        assert(asofGot(id) == best, s"seed=$seed event=$id")
+      }
+
+      val w = 5L * 60000000L
+      val rjGot = Ops.rangeJoinCount(ev, "error", "click", w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      rows.filter(_._4 == "error").foreach { case (id, ts, _, _, _, _) =>
+        val us = ts / 1000
+        val cnt = clicks.count(c => { val cu = c._2 / 1000; cu >= us - w && cu <= us + w }).toLong
+        assert(rjGot(id) == cnt, s"seed=$seed event=$id")
+      }
+    }
+  }
+
   test("rangeJoinCount == brute-force window counts, no nested-loop join in plan") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val w = 300000000L // ±5 min in µs
