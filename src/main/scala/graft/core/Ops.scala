@@ -187,6 +187,8 @@ object Ops {
     * sort-merge of |L|+|R|, the same as a single window-dedup, and
     * AQE's skew split covers hot users. */
   def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    require(leftType != rightType,
+      "self-as-of needs distinct side tags; equal types would tag every row as the left side")
     val ev = events
       .filter(col("event_type").isin(leftType, rightType))
       .select(col("event_id"), col("user_id"),
@@ -214,6 +216,7 @@ object Ops {
     * intervals keep count 0 via the left join. */
   def rangeJoinCount(events: DataFrame, leftType: String, rightType: String,
                      windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"window half-width must be positive, got $windowUs")
     val grain = windowUs // grain = window half-width → ≤ 3 grains/interval
     val iv = events.filter(col("event_type") === leftType)
       .select(col("event_id"), expr("ts div 1000").as("us"))

@@ -143,6 +143,7 @@ object TextOps {
     * full sort. Deterministic total order (count desc, n-gram asc)
     * makes the k-boundary reproducible. */
   def ngramTopK(documents: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got ($n, $k)")
     import documents.sparkSession.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (_, text) => tokensOf(text).sliding(n).filter(_.length == n).map(_.mkString(" ")) }
