@@ -409,8 +409,10 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |s AS (
-        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
-        |  FROM t WHERE len(toks) > 0)
+        |  SELECT doc_id, toks, start FROM (
+        |    SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        |    FROM t WHERE len(toks) > 0)
+        |  WHERE start = 0 OR start + 8 < len(toks))
         |SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
         |  (least(start + 32, len(toks)) - start)::BIGINT AS n_tok,
         |  array_to_string(toks[start + 1 : least(start + 32, len(toks))], ' ') AS chunk_text

@@ -112,7 +112,6 @@ object Ops {
     * no group is ever fully buffered, so a colossal stratum costs
     * O(n) memory, not O(|stratum|). */
   def sampleStratified(df: DataFrame, stratum: String, key: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratum)).orderBy(scrambleKey(col(key)), col(key))
     df.withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= n)

@@ -32,9 +32,14 @@ object VectorExpressions {
       s"$side must be array<float>, got ${other.simpleString}")
   }
 
-  /** Σ a(i)·b(i) over min(len) elements, accumulated in double. */
+  /** Σ a(i)·b(i) accumulated in double; NULL when the lengths differ
+    * — exactly the higher-order fold's semantics (`zip_with` pads the
+    * short side with nulls, which null the whole sum), so the
+    * [[VectorFoldRewrite]] substitution cannot change results on
+    * ragged inputs. */
   case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       checkFloatArray(left.dataType, "left") match {
         case TypeCheckResult.TypeCheckSuccess => checkFloatArray(right.dataType, "right")
@@ -44,11 +49,14 @@ object VectorExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-      s
+      if (x.numElements() != y.numElements()) null
+      else {
+        val n = x.numElements()
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+        s
+      }
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,12 +65,16 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |  }
+           |  ${ev.value} = $s;
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
 

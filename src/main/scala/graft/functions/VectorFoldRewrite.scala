@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   * Conservative by design: any deviation — different zero, non-sum
   * merge, non-identity finish, non-float arrays (the fold also
-  * accepts doubles; the native expression does not) — leaves the
-  * expression untouched.
+  * accepts doubles; the native expression does not), or a
+  * nullable-element array type (a null element nulls the whole fold;
+  * the native loop would read it as 0.0f) — leaves the expression
+  * untouched. Length-mismatched inputs are safe to rewrite because
+  * [[VectorExpressions.DotProductF]] mirrors the fold's
+  * NULL-on-ragged semantics.
   *
   * Install via `spark.sql.extensions=graft.GraftExtensions` or
   * `spark.experimental.extraOptimizations`.
@@ -32,7 +36,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 object VectorFoldRewrite extends Rule[LogicalPlan] {
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+    case ArrayType(FloatType, containsNull) => !containsNull
     case _ => false
   }
 

@@ -103,9 +103,18 @@ private[sources] class MaterialsScanBuilder(path: String, pages: Int)
     required = requiredSchema
 
   override def build(): Scan = {
-    val eq = pushed.collect { case EqualTo(a, v: String) => a -> v }.toMap
-    val in = pushed.collect { case In(a, vs) => a -> vs.map(_.asInstanceOf[String]).toSeq }.toMap
-    new MaterialsScan(path, pages, BackendQuery(eq, in), required, pushed.map(_.toString))
+    // multiple accepted conjuncts can hit the SAME column (e.g. two
+    // isin() filters); since pushFilters returned no residual for
+    // them, Spark never re-applies them — a last-wins .toMap here
+    // would silently widen the result. Intersect value sets instead;
+    // EqualTo folds in as a singleton In.
+    val in = pushed.collect {
+        case EqualTo(a, v: String) => a -> Seq(v)
+        case In(a, vs) => a -> vs.map(_.asInstanceOf[String]).toSeq
+      }
+      .groupBy(_._1)
+      .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
+    new MaterialsScan(path, pages, BackendQuery(Map.empty, in), required, pushed.map(_.toString))
   }
 }
 
@@ -227,28 +236,43 @@ private[sources] class MaterialsPageReader(
 object LocalCatalogBackend {
   import MaterialsSource.BackendQuery
 
-  /** Catalog parsed once per (path, mtime) per executor JVM. A real
-    * paginated backend fetches each page over the wire; the stand-in
-    * otherwise re-read and re-split the whole file once per page per
-    * query. mtime in the key keeps tests that rewrite the catalog
-    * correct. */
+  /** Catalog parsed once per path per executor JVM, replaced when the
+    * file's mtime moves — one entry per path (a (path, mtime) key
+    * would pin every superseded parse forever in a long-lived JVM).
+    * A real paginated backend fetches each page over the wire; the
+    * stand-in otherwise re-read and re-split the whole file once per
+    * page per query. */
   private val parsed =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Array[String]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Array[String]])]()
 
   private def catalog(path: String): Array[Array[String]] = {
-    val key = (path, new java.io.File(path).lastModified())
-    parsed.computeIfAbsent(key, _ => {
-      val src = scala.io.Source.fromFile(path)
-      try src.getLines().filterNot(l => l.isEmpty || l.startsWith("#"))
-        .map(_.split("\\|", -1)).toArray
-      finally src.close()
-    })
+    val mtime = new java.io.File(path).lastModified()
+    parsed.compute(path, (_, cur) =>
+      if (cur != null && cur._1 == mtime) cur
+      else {
+        val src = scala.io.Source.fromFile(path)
+        try (mtime, src.getLines().filterNot(l => l.isEmpty || l.startsWith("#"))
+          .map(_.split("\\|", -1)).toArray)
+        finally src.close()
+      })._2
+  }
+
+  /** Page of a key: Spark's own murmur3 string hash (the
+    * `hashpartitioning` function, seed 42) pmod nPages — so the page
+    * layout genuinely is the bucket layout the scan reports, not a
+    * lookalike under a different hash (a Java `hashCode` split would
+    * silently mis-pair partitions if a consumer ever trusts the
+    * report for a storage-partitioned join). */
+  def pageOf(id: String, nPages: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    math.floorMod(Murmur3HashFunction.hash(UTF8String.fromString(id), StringType, 42L), nPages.toLong).toInt
   }
 
   def fetch(path: String, page: Int, nPages: Int, query: BackendQuery): Iterator[Array[String]] =
     catalog(path).iterator.filter { f =>
-      // page split on a stable hash of the key → balanced pages
-      math.floorMod(f(0).hashCode, nPages) == page &&
+      pageOf(f(0), nPages) == page &&
       query.matches("material_id", f(0)) &&
       query.matches("chemsys", f(1)) &&
       query.matches("possible_species", f(3))

@@ -227,10 +227,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"), col("text"))
       .as[(Long, String, Long, String)]
       .map { case (id, lang, bkt, text) =>
-        val t = TextOps.tokensOf(text)
-        val sh =
-          if (ngram <= 1) t
-          else t.sliding(ngram).filter(_.length == ngram).map(_.mkString(" ")).toSeq
+        val sh = TextOps.shinglesOf(TextOps.tokensOf(text), ngram)
         (id, lang, bkt, sh.distinct.sorted)
       }
       .toDF("doc_id", "lang", "bkt", "toks")

@@ -85,10 +85,13 @@ object Similarity {
 
   /** Sign-LSH bucket id from `nPlanes` hyperplanes (bucket = bit
     * pattern of projection signs). */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"nPlanes must be in [1, 63] (bucket bits live in one long), got $nPlanes")
     (0 until nPlanes).map { p =>
       when(planeProjection(vec, p) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Multi-probe bucket list: the vector's own bucket first, then
     * `nProbes − 1` neighbors obtained by flipping the sign bit of the
@@ -125,10 +128,13 @@ object Similarity {
     * integer mix as [[lshBucket]] but over plane indices
     * `b·nPlanes … b·nPlanes+nPlanes−1`, so each band is an
     * independent set of hyperplanes. */
-  def lshBandBucket(vec: Column, band: Int, nPlanes: Int): Column =
+  def lshBandBucket(vec: Column, band: Int, nPlanes: Int): Column = {
+    require(band >= 0 && nPlanes >= 1 && nPlanes <= 63,
+      s"need band >= 0 and nPlanes in [1, 63], got ($band, $nPlanes)")
     (0 until nPlanes).map { p =>
       when(planeProjection(vec, band * nPlanes + p) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Embedding-cosine near-duplicate pairs, banded sign-LSH.
     *
@@ -152,6 +158,7 @@ object Similarity {
     */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
                             nPlanes: Int = 4, nBands: Int = 4): DataFrame = {
+    require(nBands >= 1, s"nBands must be >= 1 (0 bands silently emits no pairs), got $nBands")
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("nrm"),
       explode(array((0 until nBands).map(b =>
@@ -192,6 +199,8 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells && k >= 1,
+      s"need 1 <= nProbe <= nCells and k >= 1, got (nCells=$nCells, nProbe=$nProbe, k=$k)")
     val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // one row: the whole quantizer, ordered by cell id
     val cent = e.filter(col("vec_id") < nCells)

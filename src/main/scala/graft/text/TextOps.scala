@@ -23,6 +23,14 @@ object TextOps {
   def tokensOf(text: String): Seq[String] =
     text.split("\\s+").toSeq.filter(_.nonEmpty)
 
+  /** Scala twin of [[shingles]] — the one word-n-gram definition every
+    * typed-map path shares (n-gram top-k, Jaccard shingle sets), so
+    * the separator and the short-document rule cannot drift between
+    * operators. */
+  def shinglesOf(toks: Seq[String], n: Int): Seq[String] =
+    if (n <= 1) toks
+    else toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+
   /** (doc_id, text, toks) with the token array materialized ONCE per
     * row by a typed map. The operators below reference the token list
     * 3–5× per row; as a derived *expression* column those references
@@ -31,9 +39,13 @@ object TextOps {
     * closure is tokenized exactly once and stays fully distributed. */
   private def tokenized(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, text, tokensOf(text)) }
-      .toDF("doc_id", "text", "toks")
+    // lang rides along for langId; tolerate lang-less frames (the
+    // stats/quality operators don't require one)
+    val base = if (documents.columns.contains("lang")) documents
+               else documents.withColumn("lang", lit(""))
+    base.select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+      .map { case (id, lang, text) => (id, lang, text, tokensOf(text)) }
+      .toDF("doc_id", "lang", "text", "toks")
   }
 
   /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"].
@@ -93,11 +105,8 @@ object TextOps {
     * richer scoring expression with the same shape.
     */
   def langId(documents: DataFrame): DataFrame = {
-    import documents.sparkSession.implicits._
     val toks = col("toks")
-    documents.select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
-      .map { case (id, lang, text) => (id, lang, tokensOf(text)) }
-      .toDF("doc_id", "lang", "toks")
+    tokenized(documents)
       .select(
         col("doc_id"), col("lang"),
         markerCount(toks, EnMarkers).as("s_en"),
@@ -146,7 +155,7 @@ object TextOps {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got ($n, $k)")
     import documents.sparkSession.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (_, text) => tokensOf(text).sliding(n).filter(_.length == n).map(_.mkString(" ")) }
+      .flatMap { case (_, text) => shinglesOf(tokensOf(text), n) }
       .toDF("shingle")
       .groupBy("shingle").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("shingle"))
@@ -168,10 +177,15 @@ object TextOps {
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = tokensOf(text)
-        (0 until toks.length by step).iterator.map { s =>
-          val c = toks.slice(s, math.min(s + size, toks.length))
-          (id, (s / step).toLong, c.length.toLong, c.mkString(" "))
-        }
+        (0 until toks.length by step).iterator
+          // a start whose remaining tail fits inside the previous
+          // chunk's overlap would emit a strict subset of that chunk
+          // — pure duplicate text in the output corpus; skip it
+          .filter(s => s == 0 || s + overlap < toks.length)
+          .map { s =>
+            val c = toks.slice(s, math.min(s + size, toks.length))
+            (id, (s / step).toLong, c.length.toLong, c.mkString(" "))
+          }
       }
       .toDF("doc_id", "chunk_idx", "n_tok", "chunk_text")
   }

@@ -30,14 +30,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("null input → null out; mismatched lengths use min length") {
+  test("null input or mismatched lengths → null out (fold parity)") {
     val df = Seq(
       (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f, 5.0f))),
-      (None, Some(Array(1.0f)))
+      (None, Some(Array(1.0f))),
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f)))
     ).toDF("a", "b")
-    val rows = df.select(Similarity.dot(col("a"), col("b")).as("d")).collect()
-    assert(rows(0).getDouble(0) == 11.0) // 1*3 + 2*4, third elem ignored
-    assert(rows(1).isNullAt(0))
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.dotFold(col("a"), col("b")).as("f")).collect()
+    // ragged: the fold nulls the sum (zip_with pads with null) and
+    // the native expression must agree, or the optimizer rewrite
+    // would change results
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getDouble(0) == 11.0 && rows(2).getDouble(1) == 11.0)
   }
 
   test("expression survives whole-stage codegen in an aggregate pipeline") {

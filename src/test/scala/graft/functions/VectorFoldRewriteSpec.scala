@@ -64,6 +64,17 @@ class VectorFoldRewriteSpec extends SparkSpec {
         zip_with(col("v"), col("v"), (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, x) => greatest(acc, x))).queryExecution.optimizedPlan.toString
       assert(!p3.contains("DotProductF"), p3)
+      // nullable-element arrays → a null element nulls the fold but
+      // not the native loop; must not rewrite
+      val nn = df.select(transform(col("v"),
+        x => when(x > 100f, lit(null.asInstanceOf[Float])).otherwise(x)).as("v"))
+      val p4 = nn.select(aggregate(
+        zip_with(col("v"), col("v"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).queryExecution.optimizedPlan.toString
+      assert(!p4.contains("DotProductF"), p4)
+      // ragged lengths DO rewrite — DotProductF mirrors the fold's
+      // NULL-on-mismatch, so results agree (checked in
+      // VectorExpressionsSpec fold-parity test)
     }
   }
 

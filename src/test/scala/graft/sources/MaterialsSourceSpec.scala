@@ -40,6 +40,19 @@ class MaterialsSourceSpec extends SparkSpec {
     assert(d.contains("EqualTo(chemsys,V-O)") && d.contains("EqualTo(possible_species,V4+)"))
   }
 
+  test("two pushed In filters on the SAME column intersect, not last-wins") {
+    // both conjuncts are accepted by pushFilters (no residual), so a
+    // last-wins merge would return {mp-1002, mp-1005} instead of the
+    // correct singleton — rows Spark would never re-filter
+    val df = load().filter(
+      col("material_id").isin("mp-1002", "mp-1005") &&
+      col("material_id").isin("mp-1005", "mp-1008"))
+    assert(df.collect().map(_.getAs[String]("material_id")).toSeq == Seq("mp-1005"))
+    // contradictory equalities → empty, not last-wins
+    val none = load().filter(col("chemsys") === "V-O" && col("chemsys") === "Pt")
+    assert(none.count() == 0)
+  }
+
   test("unsupported predicates stay above the scan and still apply") {
     val df = load().filter(col("nsites") > 10) // not pushable → Spark-side filter
     assert(df.count() == 4) // nsites 14, 16, 22, 14
