@@ -44,6 +44,18 @@ object Similarity {
     aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Shared ranking tail of every top-k search: rank `scored`
+    * (q_id, vec_id, sim) per query by (sim desc, vec_id) — the
+    * vec_id tiebreak keeps ranks deterministic under float noise —
+    * and keep the first `k`. One place defines the ranking contract
+    * for the exact, IVF, and ANN paths. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select("q_id", "vec_id", "sim", "rk")
+  }
+
   /** Exact cosine top-k: queries = vec_id < nQueries (broadcast),
     * rank by rounded similarity with vec_id tiebreak (deterministic
     * under float noise). */
@@ -54,10 +66,7 @@ object Similarity {
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
-      .select("q_id", "vec_id", "sim", "rk")
+    topK(scored, k)
   }
 
   /** Deterministic pseudo-hyperplanes: component j of plane p is ±1
@@ -237,10 +246,7 @@ object Similarity {
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
-      .select("q_id", "vec_id", "sim", "rk")
+    topK(scored, k)
   }
 
   /** ANN top-k: score only pairs sharing an LSH bucket. Recall is
@@ -259,9 +265,6 @@ object Similarity {
               explode(probeBuckets(col("embedding"), nPlanes, nProbes)).as("q_bkt"))
     val scored = e.join(broadcast(q), col("bkt") === col("q_bkt") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
-      .select("q_id", "vec_id", "sim", "rk")
+    topK(scored, k)
   }
 }
