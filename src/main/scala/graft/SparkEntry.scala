@@ -77,6 +77,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "q_ngram_topk" -> ((s, d) => TextOps.ngramTopK(Tables.documents(s, d), 2, 20)),
     "q_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d), 32, 8)),
+    "q_repetition" -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d), 2)),
     // ---- training-data extension: similarity search ----
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
     "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5)),
@@ -417,6 +418,19 @@ object SparkEntry {
         |  (least(start + 32, len(toks)) - start)::BIGINT AS n_tok,
         |  array_to_string(toks[start + 1 : least(start + 32, len(toks))], ' ') AS chunk_text
         |FROM s""".stripMargin,
+
+    // unrounded division: single fixed-order IEEE op, bit-identical
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM t)
+        |SELECT doc_id, len(grams)::BIGINT AS n_grams,
+        |  len(list_distinct(grams))::BIGINT AS n_distinct,
+        |  1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE AS dup_ratio
+        |FROM g WHERE len(grams) > 0""".stripMargin,
 
     "q_ngram_topk" ->
       """WITH toks AS (

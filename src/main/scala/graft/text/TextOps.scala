@@ -162,6 +162,23 @@ object TextOps {
       .limit(k)
   }
 
+  /** Repetition score: fraction of duplicated word n-grams per
+    * document (1 − distinct/total) — the standard repetitious-text
+    * filter of dataset-curation pipelines. Shuffle-free column
+    * arithmetic over the once-materialized token array; docs with no
+    * n-gram (fewer than n tokens) are dropped, where the ratio is
+    * undefined. */
+  def repetitionScore(documents: DataFrame, n: Int = 2): DataFrame = {
+    val sh = shingles(col("toks"), n)
+    tokenized(documents)
+      .select(col("doc_id"),
+        size(sh).cast(LongType).as("n_grams"),
+        size(array_distinct(sh)).cast(LongType).as("n_distinct"))
+      .filter(col("n_grams") > 0)
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
   /** Fixed-size token-window chunking with overlap — the
     * context-window prep step of a training/RAG pipeline (split each
     * document into `size`-token chunks starting every `size − overlap`

@@ -124,6 +124,20 @@ class DedupPropertySpec extends SparkSpec {
       got.queryExecution.executedPlan.toString)
   }
 
+  test("repetitionScore: known ratios on crafted docs, short docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b a b a b"),   // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+      (2L, "en", "w x y z"),       // 3 distinct of 3 → ratio 0
+      (3L, "en", "solo")           // no bigram → dropped
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.repetitionScore(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0) == ((1L, 5L, 2L, 1.0 - 2.0 / 5.0)))
+    assert(got(1) == ((2L, 3L, 3L, 0.0)))
+  }
+
   test("chunk: overlapping windows tile the token stream and reconstruct it") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
