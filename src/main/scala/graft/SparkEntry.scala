@@ -78,6 +78,13 @@ object SparkEntry {
     "q_ngram_topk" -> ((s, d) => TextOps.ngramTopK(Tables.documents(s, d), 2, 20)),
     "q_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d), 32, 8)),
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d), 2)),
+    // probe set = doc_id < 5 as the benchmark stand-in
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 5),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 5), 3)
+    }),
     // ---- training-data extension: similarity search ----
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
     "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5)),
@@ -418,6 +425,18 @@ object SparkEntry {
         |  (least(start + 32, len(toks)) - start)::BIGINT AS n_tok,
         |  array_to_string(toks[start + 1 : least(start + 32, len(toks))], ' ') AS chunk_text
         |FROM s""".stripMargin,
+
+    "q_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |d AS (SELECT doc_id, unnest(grams) AS gram FROM t WHERE doc_id >= 5),
+        |p AS (SELECT doc_id AS probe_id, unnest(grams) AS gram FROM t WHERE doc_id < 5)
+        |SELECT d.doc_id, p.probe_id, count(*)::BIGINT AS n_shared
+        |FROM d JOIN p USING (gram) GROUP BY 1, 2""".stripMargin,
 
     // unrounded division: single fixed-order IEEE op, bit-identical
     "q_repetition" ->

@@ -159,6 +159,31 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /** Contamination screen: which corpus documents share word n-grams
+    * with a probe set (benchmark/eval texts) — the decontamination
+    * step of a training-data pipeline. Returns (doc_id, probe_id,
+    * n_shared) = count of DISTINCT n-grams in common, for pairs
+    * sharing at least one.
+    *
+    * Scale shape: both sides explode to distinct (id, gram) rows; the
+    * probe side is a benchmark — small by nature — so it broadcasts
+    * and the corpus never shuffles; the per-pair count is a
+    * partial-aggregable groupBy bounded by |docs| × |probes|. A
+    * corpus-sized probe set degrades to one hash join on the gram. */
+  def contamination(documents: DataFrame, probes: DataFrame, ngram: Int = 3): DataFrame = {
+    import documents.sparkSession.implicits._
+    def grams(df: DataFrame, idCol: String) =
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct.map(g => (id, g))
+        }
+        .toDF(idCol, "gram")
+    grams(documents, "doc_id")
+      .join(broadcast(grams(probes, "probe_id")), "gram")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 32-bit SimHash fingerprint: per distinct token take bit b of the
     * portable token hash, sum ±1 votes per bit, set bit where the
     * vote is positive.

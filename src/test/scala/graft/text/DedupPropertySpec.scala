@@ -124,6 +124,20 @@ class DedupPropertySpec extends SparkSpec {
       got.queryExecution.executedPlan.toString)
   }
 
+  test("contamination: verbatim inclusion flagged with exact shared-gram count") {
+    import spark.implicits._
+    val probes = Seq((100L, "en", "the quick brown fox jumps")).toDF("doc_id", "lang", "text")
+    val docs = Seq(
+      (1L, "en", "prefix words the quick brown fox jumps suffix words"), // contains probe verbatim
+      (2L, "en", "quick brown cat sleeps all day"),                       // shares 0 trigrams
+      (3L, "en", "the quick brown dog")                                   // shares 1 trigram
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.contamination(docs, probes, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // probe has 3 distinct trigrams; doc 1 contains all 3, doc 3 one
+    assert(got.toSeq == Seq((1L, 100L, 3L), (3L, 100L, 1L)))
+  }
+
   test("repetitionScore: known ratios on crafted docs, short docs dropped") {
     import spark.implicits._
     val docs = Seq(
