@@ -95,8 +95,11 @@ object StreamingOps {
     * key state grows forever — evicts a key's state once the
     * watermark passes it, so state is O(docs per watermark window),
     * not O(corpus). The right shape for a 100 TB/day ingest: an exact
-    * duplicate arriving within the window is dropped in-flight; one
-    * arriving later is caught by the batch dedup downstream. */
+    * duplicate arriving within the window is GUARANTEED dropped
+    * in-flight; one arriving later may or may not be (Spark evicts
+    * expired key state lazily — the guarantee is one-sided by
+    * design), which is why the batch exact-dedup downstream is the
+    * backstop, not an optimization. */
   def dedupStream(documents: DataFrame, tsCol: String = "ts_t",
                   watermark: String = "1 hour"): DataFrame =
     documents
