@@ -78,6 +78,7 @@ object SparkEntry {
     "q_ngram_topk" -> ((s, d) => TextOps.ngramTopK(Tables.documents(s, d), 2, 20)),
     "q_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d), 32, 8)),
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d), 2)),
+    "q_bm25" -> ((s, d) => TextOps.bm25TopK(Tables.documents(s, d), Seq("table", "scan", "fast"), 20)),
     // probe set = doc_id < 5 as the benchmark stand-in
     "q_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -425,6 +426,34 @@ object SparkEntry {
         |  (least(start + 32, len(toks)) - start)::BIGINT AS n_tok,
         |  array_to_string(toks[start + 1 : least(start + 32, len(toks))], ' ') AS chunk_text
         |FROM s""".stripMargin,
+
+    // BM25 (k1=1.2, b=0.75) over query terms table/scan/fast; score
+    // rounded to 5 (ln differs by 1 ulp across libms); fixed-order
+    // per-term sum mirrors the Spark column order
+    "q_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len(toks)::DOUBLE AS dl,
+        |    len(list_filter(toks, x -> x = 'table'))::DOUBLE AS tf0,
+        |    len(list_filter(toks, x -> x = 'scan'))::DOUBLE AS tf1,
+        |    len(list_filter(toks, x -> x = 'fast'))::DOUBLE AS tf2
+        |  FROM t),
+        |s AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(dl) AS sumdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM f),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n))))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl / (sumdl / n)))), 5) AS score
+        |  FROM f CROSS JOIN s)
+        |SELECT doc_id, score FROM sc WHERE score > 0.0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (

@@ -162,6 +162,50 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 top-k: rank documents against a fixed query-term list
+    * (Robertson/Okapi k1–b form) — the lexical-retrieval half of a
+    * training-data search stack.
+    *
+    * Shape chosen for determinism as much as scale:
+    *  - per-document term frequencies are `size(filter(toks, = term))`
+    *    column arithmetic — no explode, zero shuffle over the corpus;
+    *  - corpus stats (N, Σdl, per-term df) are ONE partial-aggregated
+    *    row, broadcast back — all integer-valued doubles, so their
+    *    sums are exact in any aggregation order;
+    *  - each document's score sums its per-term contributions in
+    *    FIXED column order (t0 + t1 + …), never a float sum across
+    *    shuffled rows;
+    *  - the score is rounded to 5 decimals because `ln` differs by
+    *    1 ulp between the JVM and other libms (measured) — for
+    *    irrational outputs the round absorbs it.
+    * Output: (doc_id, score) for the top `k` by (score desc, doc_id).
+    */
+  def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k >= 1, s"need terms and k >= 1, got ($terms, $k)")
+    val toks = col("toks")
+    val f = tokenized(documents).select(
+      col("doc_id") +: size(toks).cast(DoubleType).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === t)).cast(DoubleType).as(s"tf$i")
+        }: _*)
+    val aggCols = count(lit(1)).cast(DoubleType).as("n") +: sum(col("dl")).as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast(DoubleType).as(s"df$i"))
+    val stats = f.agg(aggCols.head, aggCols.tail: _*)
+    val scored = f.crossJoin(broadcast(stats))
+    val norm = col("dl") / (col("sumdl") / col("n"))
+    val score = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      val tf = col(s"tf$i")
+      idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * norm))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), round(score, 5).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Repetition score: fraction of duplicated word n-grams per
     * document (1 − distinct/total) — the standard repetitious-text
     * filter of dataset-curation pipelines. Shuffle-free column

@@ -124,6 +124,37 @@ class DedupPropertySpec extends SparkSpec {
       got.queryExecution.executedPlan.toString)
   }
 
+  test("bm25TopK matches a driver-side Okapi implementation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "table scan fast table"),
+      (2L, "en", "table merge join merge join merge"),
+      (3L, "en", "sort window batch"),
+      (4L, "en", "fast fast fast scan")
+    ).toDF("doc_id", "lang", "text")
+    val terms = Seq("table", "scan", "fast")
+    val got = TextOps.bm25TopK(docs, terms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // independent reference computation
+    val corpus = Map(1L -> "table scan fast table", 2L -> "table merge join merge join merge",
+      3L -> "sort window batch", 4L -> "fast fast fast scan")
+      .map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.length).sum / n
+    def score(toks: Seq[String]): Double = terms.map { t =>
+      val df = corpus.values.count(_.contains(t)).toDouble
+      val tf = toks.count(_ == t).toDouble
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (toks.length / avgdl)))
+    }.sum
+    val truth = corpus.map { case (id, toks) =>
+      id -> BigDecimal(score(toks)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter(_._2 > 0).toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq == truth, s"got ${got.toSeq}, want $truth")
+    // doc 3 has no query term -> excluded; doc 1 (2 terms + tf) should lead
+    assert(got.head._1 == 1L && !got.map(_._1).contains(3L))
+  }
+
   test("contamination: verbatim inclusion flagged with exact shared-gram count") {
     import spark.implicits._
     val probes = Seq((100L, "en", "the quick brown fox jumps")).toDF("doc_id", "lang", "text")
