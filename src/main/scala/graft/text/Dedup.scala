@@ -16,18 +16,33 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** No operator in this object persists anything: every
-    * multi-referenced subtree is consumed through structurally
-    * identical shuffles, so `ReuseExchange` shares the shuffle files
-    * (the natural materialization) instead of pinning MEMORY_AND_DISK
-    * tables that someone must remember to release. Measured on the
-    * jaccard path, this beats a scoped persist by ~25% at sf0.1 —
-    * the cache round-trip of the token-set arrays cost more than the
-    * occasional branch recompute — and at 100 TB a persisted derived
-    * table is a second full write of the corpus. Kept as a no-op so
-    * harness callers stay source-compatible if a future operator
-    * genuinely needs a scoped cache. */
-  def releaseCaches(): Unit = ()
+  /** Scoped-cache registry. The near-dup operators in this object
+    * persist nothing: their multi-referenced subtrees are consumed
+    * through structurally identical shuffles, so `ReuseExchange`
+    * shares the shuffle files (measured ~25% faster than a persist
+    * on the jaccard path — the cache round-trip of the token-set
+    * arrays cost more than the branch recomputes it saved, and at
+    * 100 TB a persisted token table is a second full write of the
+    * corpus). The registry exists for the one legitimate case: a
+    * NARROW derived frame referenced by branches with no common
+    * exchange (BM25's per-doc tf row — a few doubles per document —
+    * feeds both a broadcast stats aggregate and the probe side;
+    * without a persist the whole corpus tokenizes twice). Callers
+    * that own the query lifecycle (Bench, Verify, tests) release
+    * after each action. */
+  private val scopedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private[text] def registerCache(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scopedCaches.add(df)
+    df
+  }
+
+  def releaseCaches(): Unit = {
+    var d = scopedCaches.poll()
+    while (d != null) { d.unpersist(blocking = false); d = scopedCaches.poll() }
+  }
 
   /** Exact dedup via content hash: one shuffle on md5(text).
     * `min(doc_id)` is the canonical survivor (deterministic). */

@@ -184,11 +184,15 @@ object TextOps {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k >= 1, s"need terms and k >= 1, got ($terms, $k)")
     val toks = col("toks")
-    val f = tokenized(documents).select(
+    // persisted (scoped, released by Dedup.releaseCaches): this
+    // narrow frame — a few doubles per document — feeds both the
+    // broadcast stats aggregate and the probe side, which share no
+    // exchange; without the persist the corpus tokenizes twice
+    val f = Dedup.registerCache(tokenized(documents).select(
       col("doc_id") +: size(toks).cast(DoubleType).as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === t)).cast(DoubleType).as(s"tf$i")
-        }: _*)
+        }: _*))
     val aggCols = count(lit(1)).cast(DoubleType).as("n") +: sum(col("dl")).as("sumdl") +:
       terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast(DoubleType).as(s"df$i"))

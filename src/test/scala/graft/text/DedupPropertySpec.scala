@@ -153,6 +153,10 @@ class DedupPropertySpec extends SparkSpec {
     assert(got.toSeq == truth, s"got ${got.toSeq}, want $truth")
     // doc 3 has no query term -> excluded; doc 1 (2 terms + tf) should lead
     assert(got.head._1 == 1L && !got.map(_._1).contains(3L))
+    // the scoped tf-frame persist is released through the shared hook
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size <= before.size)
   }
 
   test("contamination: verbatim inclusion flagged with exact shared-gram count") {
