@@ -42,10 +42,16 @@ object SparkEntry {
     "q_fanout_explode" -> ((s, d) => Ops.fanoutExplode(Tables.part(s, d), Seq("100", "110", "111"))),
     // ---- §2f: aggregations & windows ----
     "q_count" -> ((s, d) => Ops.countByGroup(Tables.lineitem(s, d))),
+    // no oracle entry by design: HLL sketch values are engine-specific
+    // (driver records the weaker rows-only check; the error bound vs
+    // the exact count is unit-tested)
+    "q_approx_distinct" -> ((s, d) => Ops.approxDistinct(Tables.documents(s, d), "lang", "text")),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
     "q_pivot" -> ((s, d) => Ops.pivotByType(Tables.events(s, d))),
+    // 30-minute inactivity gap; batch twin of StreamingOps.sessionize
+    "q_sessionize" -> ((s, d) => Ops.sessionize(Tables.events(s, d), 1800L * 1000000L)),
     "q_group_baseline_diff" -> ((s, d) => Ops.baselineDiff(Tables.lineitem(s, d))),
     "q_regr_fit" -> ((s, d) => Ops.regrFit(Tables.lineitem(s, d))),
     "q_window_agg" -> ((s, d) => Ops.windowAgg(Tables.eventsWithTs(s, d))),
@@ -210,6 +216,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(value,2) AS DECIMAL(18,2))) FILTER (WHERE event_type='signup') AS DOUBLE) AS signup_sum,
         |  CAST(SUM(CAST(round(value,2) AS DECIMAL(18,2))) FILTER (WHERE event_type='error') AS DOUBLE) AS error_sum
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM f)
+        |SELECT user_id, session_seq::BIGINT AS session_seq, count(*)::BIGINT AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_group_baseline_diff" ->
       """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,

@@ -230,6 +230,54 @@ object Ops {
       .agg(sum(when(col("pt_us").between(col("lo"), col("hi")), 1L).otherwise(0L)).as("n_in_window"))
   }
 
+  /** Gaps-and-islands sessionization: split each user's event stream
+    * into sessions wherever the gap to the previous event exceeds
+    * `gapUs`. The batch twin of Structured Streaming's
+    * `session_window` (`graft.streaming.StreamingOps.sessionizeStream`
+    * shares the session definition).
+    *
+    * Scale shape: ONE shuffle on the user key; the session-boundary
+    * flag (`lag`) and the running session counter (prefix `sum`) are
+    * two window functions over the SAME (partition, order), so they
+    * share one sort. The per-session rollup regroups on
+    * (user, session) — bounded by the session count, after map-side
+    * combine. No join, no self-comparison of the stream. */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"session gap must be positive, got $gapUs")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val prev = lag(col("us"), 1).over(w)
+    events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("new_sess",
+        when(prev.isNull || col("us") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("us")).as("start_us"),
+           max(col("us")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+  }
+
+  /** HyperLogLog++ distinct-count sketch per group — the
+    * fixed-memory path when exact `countDistinct`'s shuffle of every
+    * distinct value is unaffordable (vocabulary/user cardinality
+    * sweeps at 100 TB). Sketches merge associatively, so the
+    * aggregate stays partial-aggregable: each partition ships one
+    * ~`1.04/rsd²`-register sketch, not its value set. Exact count
+    * rides along here for the error-bound contract (tests assert
+    * |approx − exact| within 3·rsd); drop it in production sweeps —
+    * it is the expensive half of the plan.
+    *
+    * No DuckDB oracle by design: HLL register layouts are
+    * engine-specific, so cross-engine value equality is not defined
+    * for sketches (the driver records the weaker rows-only check). */
+  def approxDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_nd"),
+           countDistinct(col(valueCol)).as("exact_nd"))
+
   val EventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
 
   /** Ordered-series pivot per group (`dags/my_dag.py:151-160` collects

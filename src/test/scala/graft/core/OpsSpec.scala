@@ -205,4 +205,41 @@ class OpsSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("sessionize: gap boundary splits, exact-gap stays, totals conserved") {
+    val gapUs = 1800L * 1000000L // 30 min
+    def ns(us: Long) = us * 1000L
+    // user 1: events at 0, exactly-gap, gap+1µs past that → the
+    // exact-gap event extends session A; the +1 event opens B
+    val events = Seq(
+      (1L, 10L, ns(0L)), (1L, 11L, ns(gapUs)), (1L, 12L, ns(2 * gapUs + 1)),
+      (2L, 20L, ns(5L)), (2L, 21L, ns(6L)))
+      .toDF("user_id", "event_id", "ts")
+    val got = Ops.sessionize(events, gapUs).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+                 r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+                 r.getAs[Long]("end_us"), r.getAs[Long]("dur_us"))).toSet
+    assert(got == Set(
+      (1L, 1L, 2L, 0L, gapUs, gapUs),
+      (1L, 2L, 1L, 2 * gapUs + 1, 2 * gapUs + 1, 0L),
+      (2L, 1L, 2L, 5L, 6L, 1L)))
+    // conservation: every event lands in exactly one session
+    val total = Ops.sessionize(events, gapUs)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == 5L)
+  }
+
+  test("approxDistinct: HLL estimate within 3·rsd of exact, partial-aggregable plan") {
+    val df = (1 to 5000).map(i => (s"g${i % 3}", s"v${i % 1217}")).toDF("g", "v")
+    val rows = Ops.approxDistinct(df, "g", "v", rsd = 0.05).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx_nd"), r.getAs[Long]("exact_nd"))
+      assert(math.abs(approx - exact) <= math.max(3, (0.15 * exact).toLong),
+        s"approx $approx vs exact $exact")
+    }
+    // the sketch aggregate must partial-aggregate (map-side combine)
+    val plan = Ops.approxDistinct(df, "g", "v").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct") || plan.contains("HashAggregate"), plan)
+  }
 }

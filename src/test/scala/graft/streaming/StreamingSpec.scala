@@ -92,5 +92,17 @@ class StreamingSpec extends SparkSpec {
       .filter(_.user_id != 9).sortBy(s => (s.user_id, s.start_us))
     assert(sess.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
       Seq((1L, 2, 3.0), (1L, 1, 5.0), (2L, 2, 15.0)))
+
+    // batch twin: Ops.sessionize over the same events (ts in nanos)
+    // produces the same (user, start, end, n) sessions — the
+    // read ↔ readStream swap must not change the session definition
+    val batchIn = rows.filter(_.user_id != 9)
+      .map(e => (e.user_id, e.event_id, e.ts_t.getTime * 1000000L))
+      .toDF("user_id", "event_id", "ts")
+    val batch = graft.core.Ops.sessionize(batchIn, 30L * 60L * 1000000L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+                 r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .sortBy(s => (s._1, s._2)).toSeq
+    assert(batch == sess.map(s => (s.user_id, s.start_us, s.end_us, s.n_events.toLong)).toSeq)
   }
 }
