@@ -85,6 +85,17 @@ object SparkEntry {
     "q_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d), 32, 8)),
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d), 2)),
     "q_bm25" -> ((s, d) => TextOps.bm25TopK(Tables.documents(s, d), Seq("table", "scan", "fast"), 20)),
+    "q_tfidf" -> ((s, d) => TextOps.tfidfTopK(Tables.documents(s, d), 30)),
+    // synthetic PII injected deterministically (the word-salad corpus
+    // carries none) so the scrub has real matches to find and mask
+    "q_pii_scrub" -> ((s, d) => {
+      val injected = Tables.documents(s, d).selectExpr("doc_id",
+        "concat(text, ' contact user', cast(doc_id as string), '@example.com via 10.', " +
+          "cast(doc_id % 256 as string), '.0.', cast(doc_id % 7 as string)) as text")
+      TextOps.piiScrub(injected).selectExpr("doc_id", "n_emails", "n_ips",
+        "md5(clean_text) as clean_hash", "cast(length(clean_text) as bigint) as clean_len")
+    }),
+    "q_dup_spans" -> ((s, d) => TextOps.dupSpans(Tables.documents(s, d), 16)),
     // probe set = doc_id < 5 as the benchmark stand-in
     "q_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -474,6 +485,53 @@ object SparkEntry {
         |  FROM f CROSS JOIN s)
         |SELECT doc_id, score FROM sc WHERE score > 0.0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM x GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT doc_id, term,
+        |  round((tf::DOUBLE / dl::DOUBLE) * ln(n / df::DOUBLE), 5) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY score DESC, doc_id, term LIMIT 30""".stripMargin,
+
+    // injection mirrored verbatim; 'g' flag: DuckDB regexp_replace is
+    // first-match-only by default while Spark replaces all
+    "q_pii_scrub" ->
+      """WITH x AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || '@example.com via 10.'
+        |         || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 7)::VARCHAR AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |        len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+'))::BIGINT AS n_emails,
+        |        len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))::BIGINT AS n_ips,
+        |        regexp_replace(
+        |          regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+        |          '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS clean_text
+        |      FROM x)
+        |SELECT doc_id, n_emails, n_ips, md5(clean_text) AS clean_hash,
+        |  length(clean_text)::BIGINT AS clean_len
+        |FROM p""".stripMargin,
+
+    // contiguous 16-token windows (chunk with overlap 0); a span is
+    // duplicated if its md5 occurs more than once corpus-wide
+    "q_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, md5(array_to_string(toks[start + 1 : least(start + 16, len(toks))], ' ')) AS h
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS start
+        |        FROM t WHERE len(toks) > 0)),
+        |c AS (SELECT h, count(*) AS cnt FROM s GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+        |  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_ratio
+        |FROM s JOIN c USING (h) GROUP BY doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (

@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed graph primitives for dedup-cluster construction.
+  *
+  * The near-dup operators emit PAIRS (edges); turning "A~B, B~C" into
+  * the transitive cluster {A,B,C} is a connected-components problem —
+  * the step that decides which documents a curation pipeline actually
+  * drops. GraphX solves it with Pregel min-propagation; this is the
+  * same algorithm expressed as DataFrame joins (no RDD graph copy, and
+  * the frames keep AQE + whole-stage codegen).
+  */
+object Graph {
+
+  /** Connected components by min-label propagation with pointer
+    * jumping: (node, component) where `component` is the smallest
+    * node id reachable from `node`.
+    *
+    * Each round does
+    *  1. propagate — `comp'(v) = min(comp(v), min over neighbors
+    *     comp(u))`: one shuffle join of the (symmetrized, materialized
+    *     once) edge list with the label table plus a partial-aggregated
+    *     min;
+    *  2. shortcut — `comp''(v) = comp'(comp'(v))` (pointer jumping):
+    *     one self-join of the label table. Plain propagation needs
+    *     `diameter` rounds; the shortcut composes paths so label
+    *     distance roughly halves per round → O(log d) rounds, the
+    *     property that matters when a 100 TB near-dup graph chains
+    *     into long paths.
+    *
+    * Convergence: labels are monotone non-increasing longs, so
+    * `sum(comp)` strictly decreases until fixpoint — one cheap
+    * aggregate per round decides termination, no row-level diff join.
+    * At fixpoint every edge has equal labels on both ends and each
+    * component's label is its minimum node id (the min's own label
+    * never changes, and equality along edges spreads it).
+    *
+    * Every round materializes the label table via `localCheckpoint` —
+    * without it round N's plan would re-run rounds 1..N−1 (and
+    * re-derive the edge input, which may itself be an expensive
+    * near-dup pipeline). On a long-lived cluster job prefer
+    * `checkpoint` with a reliable dir — localCheckpoint trades fault
+    * tolerance for speed, the right call for an iterative interactive
+    * job and the wrong one for a 12-hour pipeline stage.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
+    val sym = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .union(edges.select(col(dstCol).cast(LongType).as("src"), col(srcCol).cast(LongType).as("dst")))
+      .localCheckpoint()
+
+    var lab = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("comp"))
+      .localCheckpoint()
+
+    def labelSum(df: DataFrame): Option[Long] =
+      Option(df.agg(sum(col("comp"))).collect()(0).get(0)).map(_.asInstanceOf[Long])
+
+    var prev = labelSum(lab)
+    var iter = 0
+    var converged = prev.isEmpty // empty edge set → nothing to do
+    while (!converged && iter < maxIter) {
+      val viaEdges = sym.join(lab, col("src") === col("node"))
+        .select(col("dst").as("node"), col("comp"))
+      val prop = lab.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("comp")).as("comp"))
+      val jumped = prop.as("a")
+        .join(prop.as("b"), col("a.comp") === col("b.node"), "left")
+        .select(col("a.node").as("node"),
+                coalesce(col("b.comp"), col("a.comp")).as("comp"))
+      lab = jumped.localCheckpoint()
+      val cur = labelSum(lab)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    lab
+  }
+}

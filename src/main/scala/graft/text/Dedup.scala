@@ -290,22 +290,11 @@ object Dedup {
       .select(col("doc_id"), col("rep_id"), col("cluster_size"))
   }
 
-  def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
-    require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
-    require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
-    val base = tokenSets(documents, ngram)
-
-    // collapse identical token sets (same trick as the LSH path):
-    // J(identical sets) = 1.0 with no arithmetic, and the quadratic
-    // co-count stage only sees DISTINCT sets per block; 8-byte
-    // xxhash64 cluster keys keep the joins narrow. No persist: the
-    // five downstream references all consume this subtree through
-    // shuffles on set_key / (lang, bkt, tok), and ReuseExchange
-    // dedupes the structurally identical ones — measured faster than
-    // a persist (the cache round-trip of the toks arrays costs more
-    // than the branch recomputes it saves).
-    val withKey = base.withColumn("set_key", setKey)
-    val members = withKey.select(col("doc_id"), col("set_key"))
+  /** Near-dup pairs between DISTINCT token sets: (set_a, set_b,
+    * jaccard) over the `set_key`-collapsed sets of `withKey` — the
+    * quadratic core both the pair expansion and the component
+    * builder share. */
+  private def setPairs(withKey: DataFrame, threshold: Double): DataFrame = {
     // distinct-set token table WITHOUT a first(toks) collapse: an
     // array-valued aggregation buffer cannot hash-aggregate (plans a
     // SortAggregate — same fix as the LSH banding). Exploding every
@@ -329,8 +318,27 @@ object Dedup {
         col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
       .agg(count(lit(1)).cast(IntegerType).as("c"))
     val j = col("c").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("c"))
-    val repPairs = co.select(col("set_a"), col("set_b"), round(j, 6).as("jaccard"))
+    co.select(col("set_a"), col("set_b"), round(j, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
+    require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
+    require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
+    val base = tokenSets(documents, ngram)
+
+    // collapse identical token sets (same trick as the LSH path):
+    // J(identical sets) = 1.0 with no arithmetic, and the quadratic
+    // co-count stage only sees DISTINCT sets per block; 8-byte
+    // xxhash64 cluster keys keep the joins narrow. No persist: the
+    // five downstream references all consume this subtree through
+    // shuffles on set_key / (lang, bkt, tok), and ReuseExchange
+    // dedupes the structurally identical ones — measured faster than
+    // a persist (the cache round-trip of the toks arrays costs more
+    // than the branch recomputes it saves).
+    val withKey = base.withColumn("set_key", setKey)
+    val members = withKey.select(col("doc_id"), col("set_key"))
+    val repPairs = setPairs(withKey, threshold)
 
     // expand rep pairs to doc pairs; intra-cluster pairs are exact
     // duplicates (J = 1.0)
@@ -346,5 +354,34 @@ object Dedup {
       .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
               lit(1.0).as("jaccard"))
     intra.unionByName(cross)
+  }
+
+  /** Transitive near-dup clustering: (doc_id, component) where
+    * `component` is the smallest doc_id transitively reachable
+    * through the blocked-Jaccard near-dup graph — the step that turns
+    * "A~B, B~C" pairs into the {A,B,C} cluster a curation pipeline
+    * actually deduplicates on. Docs whose token set is empty are
+    * absent (no vertex); singletons map to themselves.
+    *
+    * Scale shape: identical token sets collapse to their min-doc rep
+    * BEFORE the graph is built, so a colossal exact-duplicate cluster
+    * contributes ONE vertex to the component search instead of a
+    * quadratic pair clique; [[graft.core.Graph.connectedComponents]]
+    * then runs min-label propagation with pointer jumping (O(log
+    * diameter) rounds) over the rep graph only, and members join
+    * their rep's component back with a streamed hash join. */
+  def jaccardComponents(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
+    val withKey = tokenSets(documents, ngram).withColumn("set_key", setKey)
+    val members = withKey.select(col("doc_id"), col("set_key"))
+    val reps = members.groupBy(col("set_key")).agg(min(col("doc_id")).as("rep_id"))
+    val repPairs = setPairs(withKey, threshold)
+      .join(reps.as("ra"), col("set_a") === col("ra.set_key"))
+      .join(reps.as("rb"), col("set_b") === col("rb.set_key"))
+      .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
+              greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
+    val comp = graft.core.Graph.connectedComponents(repPairs, "rep_a", "rep_b")
+    members.join(reps.hint("shuffle_hash"), "set_key")
+      .join(comp, col("rep_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 }

@@ -210,6 +210,93 @@ object TextOps {
       .limit(k)
   }
 
+  /** TF-IDF (document, term) scores, global top-k: the classic
+    * lexical-salience ranking (BM25's idf-free cousin), used for
+    * keyword extraction and corpus-level topic sweeps.
+    *
+    * Scale shape: explode to (doc, term) → ONE partial-aggregated
+    * shuffle for tf (map-side combine collapses within-partition
+    * repeats), a second partial-aggregated shuffle of the already
+    * per-document-distinct tf rows for df, a broadcast one-row N, and
+    * a shuffle join tf⋈df on the term. The global top-k plans as
+    * TakeOrderedAndProject (per-partition k-heaps, no full sort).
+    * Score = (tf/dl)·ln(N/df), rounded to 5 (ln differs by 1 ulp
+    * across libms); deterministic total order (score desc, doc, term).
+    */
+  def tfidfTopK(documents: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import documents.sparkSession.implicits._
+    val tf = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = tokensOf(text)
+        toks.map(t => (id, t, toks.length))
+      }
+      .toDF("doc_id", "term", "dl")
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).cast(DoubleType).as("n"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round((col("tf").cast(DoubleType) / col("dl").cast(DoubleType))
+          * log(col("n") / col("df").cast(DoubleType)), 5).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("term"))
+      .limit(k)
+  }
+
+  /** Email / IPv4 patterns for [[piiScrub]]. Deliberately simple and
+    * expressible identically in Java regex and RE2 (no backreferences,
+    * no lookaround) so any engine scrubs byte-identically. */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+  val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** PII detection + redaction: count and mask email addresses and
+    * IPv4 literals in a text column — the scrub pass every
+    * web-scraped training corpus runs before release.
+    *
+    * Shuffle-free codegen'd column expressions (`regexp_extract_all`
+    * / `regexp_replace`), embarrassingly parallel over partitions.
+    * Emails are masked before IPs so a digit-dotted mail domain can
+    * never double-count. Returns the input plus `n_emails`, `n_ips`,
+    * `clean_text`. */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast(LongType))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast(LongType))
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
+  }
+
+  /** Cross-document duplicated-span detection: exact substring dedup
+    * at token-window granularity (the practical approximation of
+    * suffix-array substring dedup — Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"). Each document is
+    * cut into contiguous `width`-token windows ([[chunk]] with zero
+    * overlap); a window whose text occurs anywhere else in the corpus
+    * (any doc, any position, including twice in the same doc) is a
+    * duplicated span. Returns per-document span counts and the
+    * duplicated fraction — the filter column for span-level cleaning.
+    *
+    * Scale shape: the narrow (doc_id, span-hash) frame is computed
+    * once (scoped cache — two consumers with no shared exchange),
+    * span counts are ONE partial-aggregated shuffle on the hash, and
+    * the count join back is a streamed shuffled-hash join (a
+    * colossal duplicated span is a hot key — same rationale as the
+    * LSH expansion joins; a window over the hash would buffer that
+    * whole group in one task). */
+  def dupSpans(documents: DataFrame, width: Int = 16): DataFrame = {
+    require(width >= 1, s"need width >= 1, got $width")
+    val spans = Dedup.registerCache(
+      chunk(documents, width, 0)
+        .select(col("doc_id"), md5(col("chunk_text")).as("h")))
+    val counts = spans.groupBy("h").agg(count(lit(1)).as("cnt"))
+    spans.join(counts.hint("shuffle_hash"), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
+  }
+
   /** Repetition score: fraction of duplicated word n-grams per
     * document (1 − distinct/total) — the standard repetitious-text
     * filter of dataset-curation pipelines. Shuffle-free column

@@ -229,6 +229,46 @@ class OpsSpec extends SparkSpec {
     assert(total == 5L)
   }
 
+  test("tfidf: rare-term-in-short-doc outranks common terms, closed-form score") {
+    val docs = Seq((0L, "a a b"), (1L, "b c"), (2L, "c c c")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopK(docs, 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) -> r.getAs[Double]("score")).toMap
+    def score(tf: Int, dl: Int, df: Int) =
+      BigDecimal((tf.toDouble / dl) * math.log(3.0 / df))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((0L, "a")) == score(2, 3, 1)) // a: only in doc0, tf 2/3
+    assert(got((2L, "c")) == score(3, 3, 2)) // c: in 2 docs
+    assert(got((1L, "b")) == score(1, 2, 2))
+    // top row is the highest score with deterministic tiebreak
+    val top = TextOps.tfidfTopK(docs, 1).collect()(0)
+    assert(top.getAs[Long]("doc_id") == 0L && top.getAs[String]("term") == "a")
+  }
+
+  test("piiScrub masks emails then IPs, counts both, leaves clean text intact") {
+    val df = Seq(
+      (1L, "write to bob.smith@mail.example from 192.168.0.1 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.com c.d@e.org one ip 10.0.0.255"))
+      .toDF("doc_id", "text")
+    val got = TextOps.piiScrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"), r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((1L, 1L, "write to <EMAIL> from <IP> now")))
+    assert(got(2L) == ((0L, 0L, "no pii here at all")))
+    assert(got(3L) == ((2L, 1L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("dupSpans flags windows repeated anywhere in the corpus") {
+    val docs = Seq((1L, "x y x y"), (2L, "x y q")).toDF("doc_id", "text")
+    // width 2 → doc1: [x y][x y]; doc2: [x y][q] — "x y" occurs 3×
+    val got = TextOps.dupSpans(docs, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"), r.getAs[Double]("dup_ratio")))).toMap
+    graft.text.Dedup.releaseCaches()
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+  }
+
   test("approxDistinct: HLL estimate within 3·rsd of exact, partial-aggregable plan") {
     val df = (1 to 5000).map(i => (s"g${i % 3}", s"v${i % 1217}")).toDF("g", "v")
     val rows = Ops.approxDistinct(df, "g", "v", rsd = 0.05).collect()
