@@ -76,6 +76,16 @@ object SparkEntry {
     // quadratic pair list a colossal duplicate cluster would emit
     "q_dedup_clusters" -> ((s, d) => Dedup.minhashClusters(s, Tables.documents(s, d))),
     "q_jaccard_clusters" -> ((s, d) => Dedup.jaccardClusters(Tables.documents(s, d))),
+    // transitive closure of the near-dup graph: pairs → clusters.
+    // Identical sets collapse to reps before the component search;
+    // min-label propagation + pointer jumping over the rep graph
+    "q_connected_components" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{coalesce, col}
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"))
+        .join(Dedup.jaccardComponents(docs, 0.8), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    }),
     // ---- training-data extension: text analysis ----
     "q_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -365,6 +375,36 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY lang, bkt, array_to_string(list_sort(toks), ' ')) AS rep_id,
         |  count(*) OVER (PARTITION BY lang, bkt, array_to_string(list_sort(toks), ' '))::BIGINT AS cluster_size
         |FROM t WHERE len(toks) > 0""".stripMargin,
+
+    // transitive min-reachable closure (WITH RECURSIVE) over the same
+    // rep-collapsed near-dup graph; the UNION-distinct closure is the
+    // SQL-expressible truth the iterative Spark propagation must match
+    "q_connected_components" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, lang, n_chars // 64 AS bkt,
+        |        list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks
+        |      FROM documents),
+        |tk AS (SELECT doc_id, lang, bkt, toks,
+        |         lang || ':' || bkt::VARCHAR || ':' || array_to_string(list_sort(toks), ' ') AS skey
+        |       FROM t WHERE len(toks) > 0),
+        |ds AS (SELECT skey, min(doc_id) AS rep_id, any_value(lang) AS lang,
+        |              any_value(bkt) AS bkt, any_value(toks) AS toks
+        |       FROM tk GROUP BY skey),
+        |rp AS (SELECT least(a.rep_id, b.rep_id) AS ra, greatest(a.rep_id, b.rep_id) AS rb
+        |       FROM ds a JOIN ds b ON a.lang = b.lang AND a.bkt = b.bkt AND a.skey < b.skey
+        |       WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |             / len(list_distinct(a.toks || b.toks)), 6) >= 0.8),
+        |e AS (SELECT ra AS src, rb AS dst FROM rp UNION ALL SELECT rb, ra FROM rp),
+        |reach(node, r) AS (
+        |  SELECT rep_id, rep_id FROM ds
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node),
+        |rc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        |cl AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY skey) AS rep_id FROM tk)
+        |SELECT d.doc_id, coalesce(rc.comp, cl.rep_id, d.doc_id)::BIGINT AS component
+        |FROM documents d
+        |LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |LEFT JOIN rc ON cl.rep_id = rc.node""".stripMargin,
 
     "q_simhash" ->
       """WITH c AS (

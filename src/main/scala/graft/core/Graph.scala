@@ -46,18 +46,32 @@ object Graph {
     * tolerance for speed, the right call for an iterative interactive
     * job and the wrong one for a 12-hour pipeline stage.
     */
+  /** Materialize an iteration result and RESET its logical lineage:
+    * `localCheckpoint` stores the rows, and the RDD round-trip swaps
+    * the plan for a bare scan with EMPTY constraints/stats. Without
+    * the round-trip each round's `LogicalRDD` inherits the previous
+    * round's constraint set rewritten through four join branches —
+    * exponential growth that hangs the driver inside
+    * `rewriteStatsAndConstraints` by round ~10 (observed). The
+    * re-encoding cost is two longs per row — noise next to the
+    * shuffles. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50): DataFrame = {
     require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
     val sym = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .union(edges.select(col(dstCol).cast(LongType).as("src"), col(srcCol).cast(LongType).as("dst")))
-      .localCheckpoint()
+      .transform(materialize)
 
     var lab = sym.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("comp"))
-      .localCheckpoint()
+      .transform(materialize)
 
     def labelSum(df: DataFrame): Option[Long] =
       Option(df.agg(sum(col("comp"))).collect()(0).get(0)).map(_.asInstanceOf[Long])
@@ -66,15 +80,19 @@ object Graph {
     var iter = 0
     var converged = prev.isEmpty // empty edge set → nothing to do
     while (!converged && iter < maxIter) {
-      val viaEdges = sym.join(lab, col("src") === col("node"))
-        .select(col("dst").as("node"), col("comp"))
-      val prop = lab.unionByName(viaEdges)
-        .groupBy("node").agg(min(col("comp")).as("comp"))
+      // min over neighbors (join-only, no self-union: a union whose
+      // branches share attribute ids trips Catalyst's Union
+      // constraint rewrite), then combine with the node's own label
+      val fromNbrs = sym.join(lab, col("src") === col("node"))
+        .groupBy(col("dst").as("nbr_node")).agg(min(col("comp")).as("nbr_comp"))
+      val prop = lab.join(fromNbrs, col("node") === col("nbr_node"), "left")
+        .select(col("node"),
+                least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       val jumped = prop.as("a")
         .join(prop.as("b"), col("a.comp") === col("b.node"), "left")
         .select(col("a.node").as("node"),
                 coalesce(col("b.comp"), col("a.comp")).as("comp"))
-      lab = jumped.localCheckpoint()
+      lab = materialize(jumped)
       val cur = labelSum(lab)
       converged = cur == prev
       prev = cur

@@ -92,6 +92,18 @@ object Similarity {
         (x, j) => x.cast(DoubleType) * planeSign(p, j)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Random-signs projection (Johnson–Lindenstrauss style) of an
+    * embedding column onto `outDims` pseudo-random ±1 hyperplanes —
+    * the dimensionality-reduction pass that runs BEFORE clustering /
+    * ANN at scale (a 1024-dim corpus shrinks ~128× before any
+    * shuffle). Deterministic (same integer mix as [[lshBucket]]), a
+    * pure per-row map: zero shuffle, reproducible on any engine.
+    * Output element p = Σ_j vec[j]·sign(p, j). */
+  def randomProjection(vec: Column, outDims: Int): Column = {
+    require(outDims >= 1, s"need outDims >= 1, got $outDims")
+    array((0 until outDims).map(p => planeProjection(vec, p)): _*)
+  }
+
   /** Sign-LSH bucket id from `nPlanes` hyperplanes (bucket = bit
     * pattern of projection signs). */
   def lshBucket(vec: Column, nPlanes: Int): Column = {

@@ -1,0 +1,87 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Connected components: closed-form cases, the pathological path
+  * graph (worst diameter — exercises pointer jumping), and randomized
+  * equivalence against a driver-side union-find oracle.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+
+  /** Driver-side union-find truth. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("two triangles and a bridge collapse to min ids") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (3L, 10L),
+                    (20L, 21L))
+    assert(cc(edges) == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("path graph (diameter 63) converges well under maxIter via pointer jumping") {
+    // min id in the MIDDLE so the label must travel ~32 hops each way
+    val ids = ((100L to 131L) :+ 1L) ++ (200L to 230L)
+    val edges = ids.zip(ids.tail)
+    assert(cc(edges) == ids.map(_ -> 1L).toMap)
+  }
+
+  test("empty edge set yields empty labels") {
+    assert(cc(Seq.empty) == Map.empty)
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 5) {
+      val n = 200
+      val edges = (1 to 300).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(cc(edges) == unionFind(edges))
+    }
+  }
+
+  test("jaccardComponents groups transitive near-dup chains") {
+    // a~b (J=1 identical), b~c high overlap, c~d high overlap, e isolated
+    val mk = (id: Long, words: Seq[String]) =>
+      (id, words.mkString(" "), "en", words.mkString(" ").length.toLong)
+    val base = (1 to 10).map(i => s"w$i")
+    val docs = Seq(
+      mk(1L, base), mk(2L, base),                    // identical pair
+      mk(3L, base.tail :+ "x1"),                     // J(1,3) = 9/11 ≈ 0.818
+      mk(4L, (base.tail :+ "x1").tail :+ "x2"),      // chains via 3
+      mk(5L, Seq("zz", "yy", "xx", "ww", "vv", "uu", "tt", "ss", "rr", "qq")))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = graft.text.Dedup.jaccardComponents(docs, 0.8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(5L) == 5L)
+    // doc 4 joins the chain iff J(3,4) ≥ 0.8 — same formula as the op
+    val s3 = (base.tail :+ "x1").toSet
+    val s4 = ((base.tail :+ "x1").tail :+ "x2").toSet
+    val j34 = s3.intersect(s4).size.toDouble / s3.union(s4).size
+    assert(got(4L) == (if (j34 >= 0.8) 1L else 4L))
+    // pairs-mode and component-mode agree: every emitted pair shares a component
+    val pairs = graft.text.Dedup.jaccardNearDupPairs(docs, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(got(a) == got(b), s"pair ($a,$b) split") }
+  }
+}
