@@ -118,6 +118,15 @@ object SparkEntry {
     "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5)),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 5)),
+    // random-signs (JL) projection to 8 dims, long format
+    "q_embed_project" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode, round}
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(Similarity.randomProjection(col("embedding"), 8)))
+        .select(col("vec_id"),
+          col("pos").cast(org.apache.spark.sql.types.LongType).as("plane"),
+          round(col("col"), 6).as("proj"))
+    }),
     // ---- training-data extension: multimodal columns ----
     // payload = UTF-8 bytes of documents.text (deterministic binary
     // corpus), featurized by the real mapPartitions pipeline; the
@@ -651,6 +660,17 @@ object SparkEntry {
          |  $bands
          |FROM b""".stripMargin
     },
+
+    // same integer mix as the ANN planes; round(6) absorbs the
+    // unordered-vs-folded summation difference of the 32-term dot
+    "q_embed_project" ->
+      """WITH comp AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j, unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings)
+        |SELECT c.vec_id, p.range::BIGINT AS plane,
+        |  round(sum(c.x * (CASE WHEN (((c.j * 2654435761 + p.range * 40503 + 12345) >> 16) & 1) = 0
+        |                        THEN 1.0 ELSE -1.0 END)), 6) AS proj
+        |FROM comp c CROSS JOIN range(8) p GROUP BY 1, 2""".stripMargin,
 
     "q_ann_topk" ->
       """WITH comp AS (

@@ -1,0 +1,46 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Curated-corpus export — the write side of a training-data
+  * pipeline. The layout contract is what makes the NEXT job cheap at
+  * 100 TB:
+  *
+  *  - hive-style partition directories (`partitionBy`) → readers
+  *    prune whole partitions from the listing, never open a file;
+  *  - rows sorted by `sortCols` within each file
+  *    (`sortWithinPartitions` with the partition columns prefixed, so
+  *    a task's rows stream into its files already grouped) → parquet
+  *    gets long runs for RLE/dictionary/delta encodings and range
+  *    readers get locality;
+  *  - `maxRecordsPerFile` caps file size → no 2 GB parquet monsters,
+  *    bounded memory per reader task, parallelism preserved for
+  *    downstream scans.
+  *
+  * The `repartition(partitionCols)` before the write is deliberate:
+  * without it every task can hold rows of every partition value and a
+  * P-partition × T-task write emits P·T small files — the classic
+  * small-files explosion; with it each partition value's rows
+  * coalesce into ⌈rows/maxRecordsPerFile⌉ files. A visibly skewed
+  * partition column (one language is half the corpus) calls for
+  * `repartitionByRange` on (partition, sort) keys instead — noted
+  * rather than defaulted, since range partitioning needs a sample
+  * pass.
+  */
+object CuratedSink {
+
+  def write(df: DataFrame, path: String,
+            partitionCols: Seq[String], sortCols: Seq[String],
+            maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(partitionCols.nonEmpty, "curated export requires at least one partition column")
+    require(maxRecordsPerFile > 0, s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+}

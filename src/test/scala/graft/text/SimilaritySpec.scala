@@ -131,4 +131,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rs(1) >= rs(0) && rs(2) >= rs(1), s"recall not monotone in probes: $rs")
     assert(rs(2) > rs(0), s"4-probe must beat 1-probe: $rs")
   }
+
+  test("randomProjection signs reproduce lshBucket bits; projection is length-preserving-ish") {
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(realEmbeddings).limit(50)
+    val h = 4
+    val rows = vecs.select(
+        col("vec_id"),
+        Similarity.randomProjection(col("embedding"), h).as("projs"),
+        Similarity.lshBucket(col("embedding"), h).as("bkt"))
+      .collect()
+    rows.foreach { r =>
+      val projs = r.getAs[scala.collection.Seq[Double]]("projs")
+      val expected = projs.zipWithIndex.map { case (p, i) => if (p > 0) 1L << i else 0L }.sum
+      assert(expected == r.getAs[Long]("bkt"),
+        s"vec ${r.getAs[Long]("vec_id")}: bucket ${r.getAs[Long]("bkt")} != sign pattern $expected")
+      // no degenerate all-equal projections (the parity-collapse bug)
+      assert(projs.distinct.size > 1)
+    }
+  }
 }
