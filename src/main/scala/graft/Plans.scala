@@ -31,7 +31,12 @@ object Plans {
     "q_embed_neardup",    // banded LSH self-join
     "q_ivf_topk",         // map-side assignment, broadcast quantizer
     "q_ngram_topk",       // TakeOrderedAndProject
-    "q_chunks")           // pure fan-out, zero shuffle
+    "q_chunks",           // pure fan-out, zero shuffle
+    "q_sessionize",       // one shuffle, lag + prefix-sum share a sort
+    "q_tfidf",            // two partial aggs + broadcast N + heap top-k
+    "q_dup_spans",        // scoped span cache + shuffled-hash count join
+    "q_embed_project",    // per-row JL fold, zero shuffle
+    "q_pii_scrub")        // shuffle-free regexp sweep
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

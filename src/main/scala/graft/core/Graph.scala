@@ -88,6 +88,11 @@ object Graph {
       val prop = lab.join(fromNbrs, col("node") === col("nbr_node"), "left")
         .select(col("node"),
                 least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // one shortcut hop per round (comp∘comp): ~2× path compression
+      // per materialization → O(log diameter) rounds. A double hop
+      // (comp⁴) was measured SLOWER end-to-end on the near-dup graphs:
+      // the nested self-join re-evaluates the propagation subtree
+      // faster than it saves rounds at realistic diameters (≤ ~10).
       val jumped = prop.as("a")
         .join(prop.as("b"), col("a.comp") === col("b.node"), "left")
         .select(col("a.node").as("node"),
