@@ -57,6 +57,7 @@ object SparkEntry {
     "q_window_agg" -> ((s, d) => Ops.windowAgg(Tables.eventsWithTs(s, d))),
     "q_topk_per_group" -> ((s, d) => Ops.topKPerGroup(Tables.orders(s, d), 3)),
     "q_rollup" -> ((s, d) => Ops.rollupSummary(Tables.lineitem(s, d))),
+    "q_cube" -> ((s, d) => Ops.cubeSummary(Tables.lineitem(s, d))),
     "q_histogram" -> ((s, d) => Ops.histogram(Tables.lineitem(s, d), 5.0)),
     "q_percentile" -> ((s, d) => Ops.percentiles(Tables.lineitem(s, d))),
     // ---- §2g: set ops & dedup ----
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "q_quality_ntile" -> ((s, d) => TextOps.qualityNtile(Tables.documents(s, d), 10)),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "q_ngram_topk" -> ((s, d) => TextOps.ngramTopK(Tables.documents(s, d), 2, 20)),
     "q_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d), 32, 8)),
@@ -294,6 +296,13 @@ object SparkEntry {
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
     "q_histogram" ->
       """SELECT floor(l_quantity / 5.0)::BIGINT AS bucket, count(*)::BIGINT AS n,
         |  CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -490,6 +499,18 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |      FROM documents)""".stripMargin,
+
+    "q_quality_ntile" ->
+      """SELECT doc_id, lang, quality,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)::BIGINT AS tile
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+        |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks))
+        |      + 0.2 * least((list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 10.0, 1.0) AS quality
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents))""".stripMargin,
 
     // size 32, overlap 8 → starts every 24 tokens; DuckDB list slices
     // clamp at len, matching the Scala slice

@@ -322,6 +322,17 @@ object Ops {
            grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
            grouping(col("l_linestatus")).cast(LongType).as("g_status"))
 
+  /** Full cube with grouping indicators — every subtotal combination
+    * in one pass (2ᵏ grouping sets expanded map-side, still
+    * partial-aggregable; same shape as [[rollupSummary]] with the
+    * lattice completed). */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("l_extendedprice"), 2).as("revenue"),
+           grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+           grouping(col("l_linestatus")).cast(LongType).as("g_status"))
+
   /** Fixed-width histogram: arithmetic bucketing + count — the
     * shuffle carries |buckets| rows after map-side combine. */
   def histogram(lineitem: DataFrame, width: Double): DataFrame =

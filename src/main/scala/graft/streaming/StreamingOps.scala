@@ -89,6 +89,27 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Declarative session windows — the built-in
+    * (`session_window`) alternative to the stateful
+    * [[sessionize]] sessionizer, and the streaming twin of
+    * `Ops.sessionize` (equivalence unit-tested in batch mode, where
+    * `session_window` also runs). One honest boundary difference: an
+    * event arriving at EXACTLY the gap extends the session in the
+    * batch op (`>` split test) but opens a new one here
+    * (`session_window` merges only on strict interval overlap) — at
+    * microsecond event-time resolution this is measure-zero, but a
+    * consumer switching shapes should know. Prefer this shape unless
+    * per-event custom state is needed: Spark manages merge/eviction
+    * state natively and the plan stays declarative. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(col("user_id"), session_window(col("ts_t"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("start_t"), col("w.end").as("end_t"),
+              col("n_events"))
+
   /** Streaming twin of `Dedup.exactDedup`: content-hash dedup on
     * ingest. `dropDuplicatesWithinWatermark` keeps one row per
     * `md5(text)` and — unlike plain streaming `dropDuplicates`, whose

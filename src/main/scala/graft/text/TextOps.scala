@@ -118,6 +118,23 @@ object TextOps {
           .otherwise("de"))
   }
 
+  /** The quality blend over a token-array column — shared by
+    * [[qualityScore]] and [[qualityNtile]] so the definition cannot
+    * drift. Deliberately UNROUNDED and exp-free: both engines
+    * evaluate this fixed-order IEEE expression bit-identically, while
+    * round() disagrees on decimal-boundary doubles (Spark BigDecimal
+    * HALF_UP vs DuckDB float rounding — observed as a 1-ulp mismatch
+    * at sf0.1). */
+  private def qualityExpr(toks: Column): Column = {
+    val nTok = size(toks).cast(DoubleType)
+    val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
+    val meanTok = sumLen.cast(DoubleType) / nTok
+    val stopRatio = markerCount(toks, EnMarkers).cast(DoubleType) / nTok
+    lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.4) * stopRatio +
+      lit(0.2) * least(meanTok / 10.0, lit(1.0))
+  }
+
   /** Heuristic quality score in [0,1]: linear blend of token count,
     * stopword ratio, and mean token length (deliberately exp-free so
     * the arithmetic is bit-reproducible across engines).
@@ -125,20 +142,33 @@ object TextOps {
   def qualityScore(documents: DataFrame): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast(DoubleType)
-    val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
-    val meanTok = sumLen.cast(DoubleType) / nTok
     val stopRatio = markerCount(toks, EnMarkers).cast(DoubleType) / nTok
-    // deliberately UNROUNDED: both engines evaluate this fixed-order
-    // IEEE expression bit-identically, while round() disagrees on
-    // decimal-boundary doubles (Spark BigDecimal HALF_UP vs DuckDB
-    // float rounding — observed as a 1-ulp mismatch at sf0.1)
     tokenized(documents).select(
       col("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
       stopRatio.as("stop_ratio"),
-      (lit(0.4) * least(nTok / 100.0, lit(1.0))
-          + lit(0.4) * stopRatio
-          + lit(0.2) * least(meanTok / 10.0, lit(1.0))).as("quality"))
+      qualityExpr(toks).as("quality"))
+  }
+
+  /** Per-language quality percentile buckets: `ntile(n)` over the
+    * quality blend — the "keep the top 20% of each language" filter
+    * of a curation pipeline, as a reusable column rather than a
+    * corpus-wide sort-and-cut.
+    *
+    * Scale shape: one shuffle on the language key, one ordered pass
+    * per partition (ntile is a running counter once the partition is
+    * sorted). A colossal language is one partition here — when a
+    * single language dominates the corpus, pre-bucket it (e.g. tile
+    * within (lang, shard) then combine) or accept the skew and let
+    * AQE split the sort; noted because ntile, unlike rank, needs the
+    * partition row count and cannot heap-limit. */
+  def qualityNtile(documents: DataFrame, n: Int = 10): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    tokenized(documents)
+      .select(col("doc_id"), col("lang"), qualityExpr(col("toks")).as("quality"))
+      .withColumn("tile", ntile(n).over(w).cast(LongType))
   }
 
   /** Corpus-level n-gram frequency top-k: the vocabulary-statistics

@@ -104,5 +104,15 @@ class StreamingSpec extends SparkSpec {
                  r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
       .sortBy(s => (s._1, s._2)).toSeq
     assert(batch == sess.map(s => (s.user_id, s.start_us, s.end_us, s.n_events.toLong)).toSeq)
+
+    // declarative session_window twin (runs in batch mode too): same
+    // (user, start, count) sessions as the gaps-and-islands batch op
+    val sw = StreamingOps.sessionWindowAgg(
+        rows.filter(_.user_id != 9).toDS().toDF()).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+                 r.getAs[java.sql.Timestamp]("start_t").getTime * 1000L,
+                 r.getAs[Long]("n_events")))
+      .sortBy(s => (s._1, s._2)).toSeq
+    assert(sw == batch.map(s => (s._1, s._2, s._4)))
   }
 }
