@@ -142,6 +142,13 @@ object SparkEntry {
       feats.select(Seq("media_id", "kind", "n_bytes", "mean_byte")
         .map(org.apache.spark.sql.functions.col) ++ bandCols: _*)
     }),
+    // REAL decode path: synthesized PCM → actual WAV bytes → RIFF
+    // chunk-walk parse → features; the oracle recomputes the features
+    // from the synthesis formula, so a decode bug cannot hash-match
+    "q_audio_features" -> ((s, d) => {
+      import graft.media.MediaOps
+      MediaOps.audioFeatures(MediaOps.synthWavCorpus(Tables.documents(s, d))).toDF()
+    }),
   )
 
   /** DuckDB oracle SQL, aligned column-by-column with `queries`. */
@@ -692,6 +699,23 @@ object SparkEntry {
         |  round(sum(c.x * (CASE WHEN (((c.j * 2654435761 + p.range * 40503 + 12345) >> 16) & 1) = 0
         |                        THEN 1.0 ELSE -1.0 END)), 6) AS proj
         |FROM comp c CROSS JOIN range(8) p GROUP BY 1, 2""".stripMargin,
+
+    // closed-form twin of the synthesized PCM: integer sums + one
+    // division + IEEE sqrt are bit-identical, no rounding needed
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, 256 + doc_id % 128 AS n, 8000 + (doc_id % 5) * 1000 AS rate
+        |           FROM documents),
+        |s AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM d),
+        |a AS (SELECT doc_id, n, rate, i,
+        |        (i * (doc_id + 7)) % 2048 - 1024 AS amp,
+        |        CASE WHEN i > 0 THEN ((i - 1) * (doc_id + 7)) % 2048 - 1024 END AS prev_amp
+        |      FROM s)
+        |SELECT doc_id AS media_id, max(rate)::BIGINT AS sample_rate, max(n)::BIGINT AS n_samples,
+        |  sum(amp)::DOUBLE / max(n) AS mean_amp,
+        |  sqrt(sum(amp * amp)::DOUBLE / max(n)) AS rms,
+        |  max(abs(amp))::BIGINT AS peak,
+        |  sum(CASE WHEN i > 0 AND ((amp >= 0) != (prev_amp >= 0)) THEN 1 ELSE 0 END)::BIGINT AS n_zero_cross
+        |FROM a GROUP BY doc_id""".stripMargin,
 
     "q_ann_topk" ->
       """WITH comp AS (

@@ -98,6 +98,59 @@ object MediaOps {
     })
   }
 
+  /** Decoded-audio features. All fields are closed-form functions of
+    * the PCM samples, so an oracle that knows the synthesis formula
+    * can check the WHOLE decode path (header walk, LE sample parse,
+    * feature math) end to end. `rms` stays unrounded: integer sums,
+    * one division, and an IEEE-correctly-rounded sqrt are
+    * bit-identical on any conforming engine. */
+  case class AudioFeatures(media_id: Long, sample_rate: Long, n_samples: Long,
+                           mean_amp: Double, rms: Double, peak: Long,
+                           n_zero_cross: Long)
+
+  /** Deterministic audio corpus: per document, a sawtooth-ish PCM-16
+    * signal `amp_i = (i·(doc_id+7)) mod 2048 − 1024` of
+    * `256 + doc_id mod 128` samples at `8000 + (doc_id mod 5)·1000`
+    * Hz, ENCODED TO REAL WAV BYTES. Downstream stages see only the
+    * binary payload — they must actually parse it. */
+  def synthWavCorpus(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val n = 256 + (id % 128).toInt
+      val rate = 8000 + (id % 5).toInt * 1000
+      val samples = Array.tabulate(n)(i => ((i.toLong * (id + 7)) % 2048 - 1024).toShort)
+      MediaRow(id, MediaMeta("audio", 0, 0, n * 1000L / rate),
+        WavCodec.encode(samples, rate))
+    }
+  }
+
+  /** Real audio decode + feature extraction: RIFF/WAVE parse per row
+    * inside `mapPartitions` (payloads never shuffle), emitting the
+    * narrow feature row. This is the non-stub media path — the same
+    * stage shape [[featurize]] uses, with [[WavCodec]] in place of
+    * the pluggable pixel decoder. */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val wav = WavCodec.decode(m.payload)
+      val s = wav.samples
+      val n = s.length
+      var sum = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+      var i = 0
+      while (i < n) {
+        val v = s(i).toLong
+        sum += v; sumSq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+        i += 1
+      }
+      AudioFeatures(m.media_id, wav.sampleRate.toLong, n.toLong,
+        if (n == 0) 0.0 else sum.toDouble / n,
+        if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n),
+        peak, zc)
+    })
+  }
+
   /** Video frame sampling: 1 row → N frame rows at a fixed stride.
     * The per-frame payload slice is a stub (real impl: demux +
     * decode); cardinality, ordinals, and timestamps are the real

@@ -1,0 +1,65 @@
+package graft.media
+
+import graft.SparkSpec
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.util.Random
+
+/** Real-codec contract: roundtrip identity, foreign-chunk tolerance,
+  * loud failure on malformed/unsupported streams, and end-to-end
+  * decoded features matching a driver-side reference. */
+class WavCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode/decode roundtrip preserves samples and rate") {
+    val rnd = new Random(11)
+    for (_ <- 1 to 20) {
+      val n = rnd.nextInt(2000)
+      val rate = 8000 + rnd.nextInt(40000)
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val wav = WavCodec.decode(WavCodec.encode(samples, rate))
+      assert(wav.sampleRate == rate)
+      assert(wav.samples.toSeq == samples.toSeq)
+    }
+  }
+
+  test("decoder skips foreign chunks (LIST before data)") {
+    val samples = Array.tabulate(100)(i => (i * 3 - 150).toShort)
+    val plain = WavCodec.encode(samples, 16000)
+    // splice a LIST chunk between fmt and data (odd size → padded)
+    val listBody = "INFOsoftware graft".getBytes("US-ASCII") // 18 bytes
+    val spliced = ByteBuffer.allocate(plain.length + 8 + listBody.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    spliced.put(plain, 0, 36)                        // RIFF…fmt chunk end
+    spliced.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    spliced.put(plain, 36, plain.length - 36)        // data chunk
+    val wav = WavCodec.decode(spliced.array())
+    assert(wav.sampleRate == 16000 && wav.samples.toSeq == samples.toSeq)
+  }
+
+  test("decoder fails loudly on garbage, truncation, and stereo") {
+    intercept[IllegalArgumentException](WavCodec.decode("not a wav at all".getBytes))
+    val ok = WavCodec.encode(Array.tabulate(50)(_.toShort), 8000)
+    intercept[IllegalArgumentException](WavCodec.decode(ok.dropRight(7)))
+    val stereo = ok.clone()
+    stereo(22) = 2 // channels field
+    intercept[IllegalArgumentException](WavCodec.decode(stereo))
+  }
+
+  test("audioFeatures over real WAV bytes match the synthesis formula") {
+    val docs = Seq((3L, "x"), (10L, "y"), (131L, "z")).toDF("doc_id", "text")
+    val got = MediaOps.audioFeatures(MediaOps.synthWavCorpus(docs)).collect()
+      .map(f => f.media_id -> f).toMap
+    Seq(3L, 10L, 131L).foreach { id =>
+      val n = 256 + (id % 128).toInt
+      val amps = (0 until n).map(i => (i.toLong * (id + 7)) % 2048 - 1024)
+      val f = got(id)
+      assert(f.sample_rate == 8000 + (id % 5) * 1000)
+      assert(f.n_samples == n)
+      assert(f.mean_amp == amps.sum.toDouble / n)
+      assert(f.rms == math.sqrt(amps.map(a => a * a).sum.toDouble / n))
+      assert(f.peak == amps.map(math.abs).max)
+      assert(f.n_zero_cross ==
+        amps.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)))
+    }
+  }
+}
