@@ -38,6 +38,8 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => Ops.semiJoin(Tables.lineitem(s, d), Tables.orders(s, d), 100)),
     "q_anti_join" -> ((s, d) => Ops.antiJoin(Tables.customer(s, d), Tables.orders(s, d))),
     "q_equi_join" -> ((s, d) => Ops.equiJoinAgg(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q_outer_join" -> ((s, d) => Ops.outerJoinBalance(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_running_sum" -> ((s, d) => Ops.runningTotals(Tables.events(s, d))),
     // ---- §2e: fan-out / generators ----
     "q_fanout_explode" -> ((s, d) => Ops.fanoutExplode(Tables.part(s, d), Seq("100", "110", "111"))),
     // ---- §2f: aggregations & windows ----
@@ -215,6 +217,24 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS entity_key, c.c_acctbal,
+        |  coalesce(o.n_orders, 0)::BIGINT AS n_orders, o.spend
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us, value,
+        |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT AS rn
+        |FROM events""".stripMargin,
 
     "q_fanout_explode" ->
       """SELECT p_partkey, f.facet_idx::BIGINT AS facet_idx, f.facet,

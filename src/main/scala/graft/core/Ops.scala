@@ -349,6 +349,41 @@ object Ops {
            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
 
+  /** Full outer join with both-side orphans: the reconciliation
+    * shape (entities vs activity rollup, neither side authoritative).
+    * The aggregate side is pre-collapsed so the join carries one row
+    * per key — never join-then-aggregate when the rollup can go
+    * map-side first. */
+  def outerJoinBalance(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val c = customer.filter(col("c_custkey") % 2 === 0).select("c_custkey", "c_acctbal")
+    val o = orders.filter(col("o_orderkey") % 3 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice"), 2).as("spend"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("entity_key"),
+        col("c_acctbal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("spend"))
+  }
+
+  /** Per-key running totals: cumulative decimal-exact sum in event
+    * order — the balance/backlog analytic. One shuffle on the key,
+    * one sort per partition; the decimal accumulator keeps every
+    * prefix exact, so the running values are identical on any engine
+    * and any partitioning (a float running sum would drift
+    * row-by-row). */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"), col("value"))
+      .withColumn("run_value",
+        sum(round(col("value"), 2).cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))).cast(LongType))
+  }
+
   /** Same-schema union/append (`dags/my_dag.py:75,99`). */
   def unionEntities(customer: DataFrame, supplier: DataFrame): DataFrame =
     customer.select(col("c_custkey").as("entity_key"), col("c_name").as("name"),
