@@ -229,6 +229,32 @@ class OpsSpec extends SparkSpec {
     assert(total == 5L)
   }
 
+  test("sessionize matches a driver-side reference on random streams") {
+    val rnd = new scala.util.Random(3)
+    val gapUs = 3600L * 1000000L
+    val rows = (1 to 2000).map { i =>
+      (rnd.nextInt(20).toLong, i.toLong,
+       math.abs(rnd.nextLong() % (86400L * 1000000L)) * 1000L) // ns in one day
+    }
+    val got = Ops.sessionize(rows.toDF("user_id", "event_id", "ts"), gapUs).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+                 r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+                 r.getAs[Long]("end_us"))).toSet
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.map(e => (e._3 / 1000L, e._2)).sortBy(identity)
+      val sessions = sorted.foldLeft(List.empty[List[Long]]) { case (acc, (us, _)) =>
+        acc match {
+          case cur :: rest if us - cur.last <= gapUs => (cur :+ us) :: rest
+          case _ => List(us) :: acc
+        }
+      }.reverse
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, i + 1L, s.length.toLong, s.head, s.last)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("tfidf: rare-term-in-short-doc outranks common terms, closed-form score") {
     val docs = Seq((0L, "a a b"), (1L, "b c"), (2L, "c c c")).toDF("doc_id", "text")
     val got = TextOps.tfidfTopK(docs, 10).collect()
