@@ -39,6 +39,16 @@ object SparkEntry {
     "q_anti_join" -> ((s, d) => Ops.antiJoin(Tables.customer(s, d), Tables.orders(s, d))),
     "q_equi_join" -> ((s, d) => Ops.equiJoinAgg(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q_outer_join" -> ((s, d) => Ops.outerJoinBalance(Tables.customer(s, d), Tables.orders(s, d))),
+    // skew-salting must be result-invariant: the oracle is the PLAIN
+    // join — any salt/replica bookkeeping error breaks the hash match
+    "q_salted_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"))
+      val parts = Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.core.Warehouse.saltedJoin(li, parts, "l_partkey", 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), Ops.moneySum(col("l_quantity"), 2).as("qty"))
+    }),
     "q_running_sum" -> ((s, d) => Ops.runningTotals(Tables.events(s, d))),
     // ---- §2e: fan-out / generators ----
     "q_fanout_explode" -> ((s, d) => Ops.fanoutExplode(Tables.part(s, d), Seq("100", "110", "111"))),
@@ -227,6 +237,12 @@ object SparkEntry {
         |    CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1) o
         |ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT p_brand, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
 
     "q_running_sum" ->
       """SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us, value,
