@@ -85,6 +85,7 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.simhash(s, Tables.documents(s, d))),
     "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.8)),
     "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.3, ngram = 2)),
+    "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d), 20)),
     // rep-mode output: linear (cluster_rep, member) instead of the
     // quadratic pair list a colossal duplicate cluster would emit
     "q_dedup_clusters" -> ((s, d) => Dedup.minhashClusters(s, Tables.documents(s, d))),
@@ -493,6 +494,15 @@ object SparkEntry {
 
     "q_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val FROM events""",
+
+    "q_edit_distance" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars // 64 AS bkt, substr(text, 1, 64) AS p
+        |           FROM documents)
+        |SELECT doc_a, doc_b, dist FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    levenshtein(a.p, b.p)::BIGINT AS dist
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+        |WHERE dist <= 20""".stripMargin,
 
     "q_shingle_jaccard" ->
       """WITH t AS (

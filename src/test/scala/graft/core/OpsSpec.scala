@@ -295,6 +295,19 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 0.5)))
   }
 
+  test("editDistancePairs: known distances within blocks, cross-block pairs never compared") {
+    val docs = Seq(
+      (1L, "kitten town", "en", 11L),
+      (2L, "sitting town", "en", 12L),   // lev(prefix)=3
+      (3L, "kitten town", "en", 11L),    // exact dup of 1 → 0
+      (4L, "kitten town", "de", 11L),    // other lang block
+      (5L, "x" * 100, "en", 100L))       // other length bucket
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = graft.text.Dedup.editDistancePairs(docs, 5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("dist")).toMap
+    assert(got == Map((1L, 2L) -> 3L, (1L, 3L) -> 0L, (2L, 3L) -> 3L))
+  }
+
   test("approxDistinct: HLL estimate within 3·rsd of exact, partial-aggregable plan") {
     val df = (1 to 5000).map(i => (s"g${i % 3}", s"v${i % 1217}")).toDF("g", "v")
     val rows = Ops.approxDistinct(df, "g", "v", rsd = 0.05).collect()
