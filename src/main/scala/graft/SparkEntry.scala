@@ -70,6 +70,7 @@ object SparkEntry {
     "q_topk_per_group" -> ((s, d) => Ops.topKPerGroup(Tables.orders(s, d), 3)),
     "q_rollup" -> ((s, d) => Ops.rollupSummary(Tables.lineitem(s, d))),
     "q_cube" -> ((s, d) => Ops.cubeSummary(Tables.lineitem(s, d))),
+    "q_grouping_sets" -> ((s, d) => Ops.groupingSetsSummary(Tables.lineitem(s, d))),
     "q_histogram" -> ((s, d) => Ops.histogram(Tables.lineitem(s, d), 5.0)),
     "q_percentile" -> ((s, d) => Ops.percentiles(Tables.lineitem(s, d))),
     // ---- §2g: set ops & dedup ----
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, Tables.documents(s, d))),
     "q_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, Tables.documents(s, d))),
+    "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDupPairs(s, Tables.documents(s, d), 1)),
     "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.8)),
     "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.3, ngram = 2)),
     "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d), 20)),
@@ -347,6 +349,13 @@ object SparkEntry {
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
     "q_histogram" ->
       """SELECT floor(l_quantity / 5.0)::BIGINT AS bucket, count(*)::BIGINT AS n,
         |  CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -479,6 +488,34 @@ object SparkEntry {
         |      FROM c CROSS JOIN bts GROUP BY 1, 2, 3)
         |SELECT doc_id, sum(CASE WHEN sgn > 0 THEN w ELSE 0 END)::BIGINT AS simhash
         |FROM s GROUP BY 1""".stripMargin,
+
+    // fingerprint-collapsed banded simhash: distinct fingerprints
+    // band-join (8-bit bands recall any pair within hamming 3),
+    // identical-fingerprint clusters expand separately at hamming 0
+    "q_simhash_neardup" ->
+      """WITH c AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS code
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        |        FROM documents)),
+        |bts AS (SELECT range AS bit, (1::BIGINT << range) AS w FROM range(32)),
+        |s AS (SELECT doc_id, bit, w, sum(2 * ((code >> bit) & 1) - 1) AS sgn
+        |      FROM c CROSS JOIN bts GROUP BY 1, 2, 3),
+        |sh AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN w ELSE 0 END)::BIGINT AS simhash
+        |       FROM s GROUP BY 1),
+        |fps AS (SELECT DISTINCT simhash FROM sh),
+        |bands AS (SELECT simhash, range AS band, (simhash >> (range::INT * 8)) & 255 AS bkey
+        |          FROM fps CROSS JOIN range(4)),
+        |fp_ok AS (
+        |  SELECT fa, fb, bit_count(xor(fa, fb))::BIGINT AS hamming FROM (
+        |    SELECT DISTINCT x.simhash AS fa, y.simhash AS fb
+        |    FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.simhash < y.simhash)
+        |  WHERE bit_count(xor(fa, fb)) <= 1),
+        |intra AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0::BIGINT AS hamming
+        |          FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id),
+        |crossp AS (SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b, k.hamming
+        |           FROM fp_ok k JOIN sh a ON k.fa = a.simhash JOIN sh b ON k.fb = b.simhash)
+        |SELECT * FROM intra UNION ALL SELECT * FROM crossp""".stripMargin,
 
     "q_jaccard_neardup" ->
       """WITH t AS (

@@ -333,6 +333,19 @@ object Ops {
            grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
            grouping(col("l_linestatus")).cast(LongType).as("g_status"))
 
+  /** Explicit grouping sets — the lattice cuts rollup/cube can't
+    * express (per-flag and per-status subtotals plus grand total,
+    * WITHOUT the combined (flag, status) cells). Same map-side
+    * expansion, partial-aggregable. */
+  def groupingSetsSummary(lineitem: DataFrame): DataFrame =
+    lineitem.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("l_extendedprice"), 2).as("revenue"),
+           grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+           grouping(col("l_linestatus")).cast(LongType).as("g_status"))
+
   /** Fixed-width histogram: arithmetic bucketing + count — the
     * shuffle carries |buckets| rows after map-side combine. */
   def histogram(lineitem: DataFrame, width: Double): DataFrame =

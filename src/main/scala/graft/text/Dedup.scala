@@ -234,6 +234,47 @@ object Dedup {
       .select(col("doc_id"), fold.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: Hamming distance ≤ `maxHamming`
+    * between 32-bit fingerprints, candidates generated by 8-bit band
+    * collision (a pair within Hamming distance h agrees on ≥ 4−h of
+    * the 4 bands, so any h ≤ 3 is fully recalled by one shared band).
+    *
+    * Same scale structure as the MinHash-LSH path: identical
+    * fingerprints collapse FIRST (an exact-dup cluster is one vertex
+    * of the band join — its pairs expand afterwards in a streamed
+    * hash join), the band self-join sees only DISTINCT fingerprints,
+    * and each pair is emitted exactly once. `bit_count(a XOR b)` is a
+    * single codegen'd instruction pair — the confirm step costs
+    * nothing next to the join. */
+  def simhashNearDupPairs(spark: SparkSession, documents: DataFrame,
+                          maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"band recall guarantee holds for maxHamming in [0, 3], got $maxHamming")
+    val sh = simhash(spark, documents) // (doc_id, simhash)
+    val fps = sh.select(col("simhash")).distinct()
+    val banded = fps.select(col("simhash"), posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
+      .select(col("simhash"), col("pos").as("band"), col("col").as("bkey"))
+    val fpPairs = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .filter(col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+    val intra = sh.as("ma").join(sh.as("mb").hint("shuffle_hash"), "simhash")
+      .filter(col("ma.doc_id") < col("mb.doc_id"))
+      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
+              lit(0L).as("hamming"))
+    val cross = fpPairs
+      .join(sh.as("ma").hint("shuffle_hash"), col("fp_a") === col("ma.simhash"))
+      .join(sh.as("mb").hint("shuffle_hash"), col("fp_b") === col("mb.simhash"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+              greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+              col("hamming"))
+    intra.unionByName(cross)
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs: block on
     * (lang, n_chars div 64), exact Jaccard over distinct token sets,
     * keep pairs ≥ threshold. Blocking keys bound the quadratic term;

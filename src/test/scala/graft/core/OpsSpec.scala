@@ -295,6 +295,23 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 0.5)))
   }
 
+  test("simhashNearDupPairs == brute-force hamming filter (bands fully recall h <= 1)") {
+    val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val docs = (0 until 40).map { i =>
+      val words = if (i % 4 == 0) base else base.take(7) :+ s"w$i"
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(spark, docs, 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val fp = Dedup.simhash(spark, docs).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 1
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute)
+    assert(got.exists(_._3 == 0L), "identical docs must pair at hamming 0")
+  }
+
   test("editDistancePairs: known distances within blocks, cross-block pairs never compared") {
     val docs = Seq(
       (1L, "kitten town", "en", 11L),
