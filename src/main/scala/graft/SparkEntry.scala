@@ -77,6 +77,18 @@ object SparkEntry {
     "q_union" -> ((s, d) => Ops.unionEntities(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_dedup" -> ((s, d) => Ops.dedupDistinct(Tables.lineitem(s, d))),
     "q_dedup_keyed" -> ((s, d) => Ops.dedupKeyed(Tables.lineitem(s, d))),
+    // hourly tumbling window; batch backstop of StreamingOps.dedupStream
+    "q_window_dedup" -> ((s, d) => Ops.windowDedup(Tables.events(s, d), 3600L * 1000000L)),
+    "q_unpivot" -> ((s, d) => Ops.unpivotMetrics(Tables.lineitem(s, d))),
+    // the spark.sql entry path: correlated EXISTS over temp views —
+    // the one API surface the DataFrame-composed queries don't touch
+    "q_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT c_custkey, c_name FROM g_customer c
+              |WHERE EXISTS (SELECT 1 FROM g_orders o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin)
+    }),
     // ---- §2a #6: text render sink shape ----
     "q_render_text" -> ((s, d) => Ops.renderDeck(Tables.part(s, d))),
     // ---- training-data extension: dedup family ----
@@ -375,6 +387,27 @@ object SparkEntry {
 
     "q_dedup" ->
       "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+
+    "q_window_dedup" ->
+      """SELECT user_id, event_type, win, event_id, us FROM (
+        |  SELECT user_id, event_type, epoch_us(ts)::BIGINT // 3600000000 AS win,
+        |    event_id, epoch_us(ts)::BIGINT AS us,
+        |    row_number() OVER (PARTITION BY user_id, event_type, epoch_us(ts)::BIGINT // 3600000000
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber::BIGINT, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber::BIGINT, 'l_discount', l_discount FROM lineitem""".stripMargin,
+
+    "q_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
 
     "q_dedup_keyed" ->
       """SELECT l_partkey,

@@ -397,6 +397,38 @@ object Ops {
         Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))).cast(LongType))
   }
 
+  /** Windowed dedup: keep the FIRST event per (user, type) within
+    * each tumbling window — the batch twin (and backstop) of
+    * `StreamingOps.dedupStream`'s watermark-scoped key state. One
+    * shuffle on (key, window); `WindowGroupLimit` heap-limits the
+    * rank. */
+  def windowDedup(events: DataFrame, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"window must be positive, got $windowUs")
+    val us = expr("ts div 1000")
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("win"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"), us.as("us"))
+      .withColumn("win", expr(s"us div $windowUs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("win"), col("event_id"), col("us"))
+  }
+
+  /** Melt/unpivot: wide metric columns → (key, metric, val) long form
+    * — the inverse of [[pivotByType]], zero shuffle (pure per-row
+    * fan-out via the native `unpivot`). */
+  def unpivotMetrics(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+
   /** Same-schema union/append (`dags/my_dag.py:75,99`). */
   def unionEntities(customer: DataFrame, supplier: DataFrame): DataFrame =
     customer.select(col("c_custkey").as("entity_key"), col("c_name").as("name"),
