@@ -565,13 +565,16 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val FROM events""",
 
+    // prefix-blocked (first 8 chars must match) — the record-linkage
+    // candidate cut that keeps the quadratic term near-linear
     "q_edit_distance" ->
       """WITH t AS (SELECT doc_id, lang, n_chars // 64 AS bkt, substr(text, 1, 64) AS p
         |           FROM documents)
         |SELECT doc_a, doc_b, dist FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    levenshtein(a.p, b.p)::BIGINT AS dist
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt
+        |    AND substr(a.p, 1, 8) = substr(b.p, 1, 8) AND a.doc_id < b.doc_id)
         |WHERE dist <= 20""".stripMargin,
 
     "q_shingle_jaccard" ->

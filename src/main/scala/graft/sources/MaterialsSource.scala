@@ -81,12 +81,22 @@ private[sources] class MaterialsTable(properties: Map[String, String])
 }
 
 private[sources] class MaterialsScanBuilder(path: String, pages: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   import MaterialsSource._
 
   private val Pushable = Set("material_id", "chemsys", "possible_species")
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Schema
+  private var limit: Int = -1
+
+  /** LIMIT pushdown: each page reader stops after `n` matching rows
+    * (a real paginated backend would put it on the request), so a
+    * `df.limit(k)` probe of a petabyte catalog reads ≤ k·pages rows
+    * instead of scanning everything. Spark still applies the global
+    * limit above the scan — pushing is an optimization, never a
+    * semantics change. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -114,20 +124,22 @@ private[sources] class MaterialsScanBuilder(path: String, pages: Int)
       }
       .groupBy(_._1)
       .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
-    new MaterialsScan(path, pages, BackendQuery(Map.empty, in), required, pushed.map(_.toString))
+    new MaterialsScan(path, pages, BackendQuery(Map.empty, in), required,
+      pushed.map(_.toString), limit)
   }
 }
 
 private[sources] class MaterialsScan(
     path: String, pages: Int, query: MaterialsSource.BackendQuery,
-    required: StructType, pushedDesc: Array[String])
+    required: StructType, pushedDesc: Array[String], limit: Int = -1)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"MaterialsScan path=$path PushedBackendQuery=[${pushedDesc.mkString(", ")}]"
+    s"MaterialsScan path=$path PushedBackendQuery=[${pushedDesc.mkString(", ")}]" +
+      (if (limit >= 0) s" PushedLimit=$limit" else "")
 
   /** Runtime filters (DSv2 dynamic filtering): when this scan sits
     * under a join, Spark hands the build side's key values here after
@@ -179,13 +191,15 @@ private[sources] class MaterialsScan(
   /** Paginated partition planning: page i of n — each reader fetches
     * only its own page from the backend. */
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until pages).map(i => MaterialsPage(path, i, pages, runtime): InputPartition).toArray
+    (0 until pages).map(i =>
+      MaterialsPage(path, i, pages, runtime, limit): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MaterialsReaderFactory(required)
 }
 
 private[sources] case class MaterialsPage(
-    path: String, page: Int, nPages: Int, query: MaterialsSource.BackendQuery)
+    path: String, page: Int, nPages: Int, query: MaterialsSource.BackendQuery,
+    limit: Int = -1)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(page)
 }
@@ -204,8 +218,11 @@ private[sources] class MaterialsPageReader(
     page: MaterialsPage, query: MaterialsSource.BackendQuery, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val rows: Iterator[Array[String]] =
+  private val fetched: Iterator[Array[String]] =
     LocalCatalogBackend.fetch(page.path, page.page, page.nPages, query)
+  // pushed LIMIT: stop the backend iterator after n matches
+  private val rows: Iterator[Array[String]] =
+    if (page.limit >= 0) fetched.take(page.limit) else fetched
   private var current: Array[String] = _
 
   override def next(): Boolean =

@@ -312,15 +312,16 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_._3 == 0L), "identical docs must pair at hamming 0")
   }
 
-  test("editDistancePairs: known distances within blocks, cross-block pairs never compared") {
+  test("editDistancePairs: known distances within blocks; lang/length/prefix blocks exclude") {
     val docs = Seq(
-      (1L, "kitten town", "en", 11L),
-      (2L, "sitting town", "en", 12L),   // lev(prefix)=3
-      (3L, "kitten town", "en", 11L),    // exact dup of 1 → 0
-      (4L, "kitten town", "de", 11L),    // other lang block
-      (5L, "x" * 100, "en", 100L))       // other length bucket
+      (1L, "common kitten town", "en", 18L),
+      (2L, "common sitting town", "en", 19L),  // lev = 3, shares 6-char prefix
+      (3L, "common kitten town", "en", 18L),   // exact dup of 1 → 0
+      (4L, "common kitten town", "de", 18L),   // other lang block
+      (5L, "x" * 100, "en", 100L),             // other length bucket
+      (6L, "KOMMON kitten town", "en", 18L))   // same block, different prefix → never compared
       .toDF("doc_id", "text", "lang", "n_chars")
-    val got = graft.text.Dedup.editDistancePairs(docs, 5).collect()
+    val got = graft.text.Dedup.editDistancePairs(docs, 5, blockChars = 6).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("dist")).toMap
     assert(got == Map((1L, 2L) -> 3L, (1L, 3L) -> 0L, (2L, 3L) -> 3L))
   }

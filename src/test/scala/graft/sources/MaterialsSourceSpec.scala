@@ -53,6 +53,17 @@ class MaterialsSourceSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("LIMIT is pushed into the scan; the global limit still holds") {
+    val df = load().limit(3)
+    assert(df.collect().length == 3)
+    val scan = df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("PushedLimit=3"), scan.scan.description())
+    // pushed limit composes with a pushed filter: ≤ n rows per page,
+    // all matching the predicate
+    val filtered = load().filter(col("chemsys") === "V-O").limit(2)
+    assert(filtered.collect().map(_.getAs[String]("chemsys")).toSeq == Seq("V-O", "V-O"))
+  }
+
   test("unsupported predicates stay above the scan and still apply") {
     val df = load().filter(col("nsites") > 10) // not pushable → Spark-side filter
     assert(df.count() == 4) // nsites 14, 16, 22, 14
