@@ -36,7 +36,12 @@ object Plans {
     "q_tfidf",            // two partial aggs + broadcast N + heap top-k
     "q_dup_spans",        // scoped span cache + shuffled-hash count join
     "q_embed_project",    // per-row JL fold, zero shuffle
-    "q_pii_scrub")        // shuffle-free regexp sweep
+    "q_pii_scrub",        // shuffle-free regexp sweep
+    "q_salted_join",      // explicit salt spread + replica explode
+    "q_edit_distance",    // prefix-blocked candidate join
+    "q_simhash_neardup",  // banded fingerprint collision + hash expansion
+    "q_window_dedup",     // WindowGroupLimit first-per-window
+    "q_running_sum")      // decimal running window sum
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
