@@ -73,34 +73,40 @@ object Graph {
       .select(col("node"), least(col("node"), col("mn")).as("comp"))
       .transform(materialize)
 
-    def labelSum(df: DataFrame): Option[Long] =
-      Option(df.agg(sum(col("comp"))).collect()(0).get(0)).map(_.asInstanceOf[Long])
-
-    var prev = labelSum(lab)
+    // Active set (vote-to-halt): only labels that CHANGED last round
+    // can lower a neighbor, so the edge join probes the delta, not
+    // the full label table. At scale most of the graph converges in
+    // the first rounds and the per-round edge join shrinks toward the
+    // few long chains still moving — the classic Pregel halting
+    // shape. Round one seeds everything as active.
+    var active = lab
     var iter = 0
-    var converged = prev.isEmpty // empty edge set → nothing to do
+    var converged = active.isEmpty // empty edge set → nothing to do
     while (!converged && iter < maxIter) {
-      // min over neighbors (join-only, no self-union: a union whose
-      // branches share attribute ids trips Catalyst's Union
+      // min over ACTIVE neighbors (join-only, no self-union: a union
+      // whose branches share attribute ids trips Catalyst's Union
       // constraint rewrite), then combine with the node's own label
-      val fromNbrs = sym.join(lab, col("src") === col("node"))
+      val fromNbrs = sym.join(active, col("src") === col("node"))
         .groupBy(col("dst").as("nbr_node")).agg(min(col("comp")).as("nbr_comp"))
       val prop = lab.join(fromNbrs, col("node") === col("nbr_node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("old"),
                 least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // one shortcut hop per round (comp∘comp): ~2× path compression
       // per materialization → O(log diameter) rounds. A double hop
       // (comp⁴) was measured SLOWER end-to-end on the near-dup graphs:
       // the nested self-join re-evaluates the propagation subtree
       // faster than it saves rounds at realistic diameters (≤ ~10).
+      // The jump also lowers labels of nodes with no active neighbor;
+      // the old-vs-new compare below catches them for the next delta.
+      val propL = prop.select(col("node"), col("comp"))
       val jumped = prop.as("a")
-        .join(prop.as("b"), col("a.comp") === col("b.node"), "left")
-        .select(col("a.node").as("node"),
+        .join(propL.as("b"), col("a.comp") === col("b.node"), "left")
+        .select(col("a.node").as("node"), col("a.old").as("old"),
                 coalesce(col("b.comp"), col("a.comp")).as("comp"))
-      lab = materialize(jumped)
-      val cur = labelSum(lab)
-      converged = cur == prev
-      prev = cur
+      val m = materialize(jumped)
+      lab = m.select("node", "comp")
+      active = m.filter(col("comp") < col("old")).select("node", "comp")
+      converged = active.isEmpty
       iter += 1
     }
     lab
