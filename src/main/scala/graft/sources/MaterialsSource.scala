@@ -5,7 +5,7 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
@@ -82,7 +82,7 @@ private[sources] class MaterialsTable(properties: Map[String, String])
 
 private[sources] class MaterialsScanBuilder(path: String, pages: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   import MaterialsSource._
 
   private val Pushable = Set("material_id", "chemsys", "possible_species")
@@ -97,6 +97,28 @@ private[sources] class MaterialsScanBuilder(path: String, pages: Int)
     * limit above the scan — pushing is an optimization, never a
     * semantics change. */
   override def pushLimit(n: Int): Boolean = { limit = n; true }
+
+  private var topN: Option[(String, Boolean, Int)] = None // (col, descending, n)
+
+  /** ORDER BY … LIMIT n pushdown: each page returns only its own
+    * top n under the sort (a real backend would put `sort=` +
+    * `limit=` on the request). Partial by construction — pages are
+    * independent, so Spark keeps the global top-n merge above the
+    * scan; the wire cost still drops from |catalog| to n·pages.
+    * Only a single-column sort on a scan column is accepted; anything
+    * richer is declined and planned engine-side. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
+    orders match {
+      case Array(o) =>
+        o.expression() match {
+          case ref: NamedReference if ref.fieldNames().length == 1 =>
+            topN = Some((ref.fieldNames()(0), o.direction() == SortDirection.DESCENDING, n))
+            true
+          case _ => false
+        }
+      case _ => false
+    }
+  override def isPartiallyPushed: Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -125,13 +147,14 @@ private[sources] class MaterialsScanBuilder(path: String, pages: Int)
       .groupBy(_._1)
       .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
     new MaterialsScan(path, pages, BackendQuery(Map.empty, in), required,
-      pushed.map(_.toString), limit)
+      pushed.map(_.toString), limit, topN)
   }
 }
 
 private[sources] class MaterialsScan(
     path: String, pages: Int, query: MaterialsSource.BackendQuery,
-    required: StructType, pushedDesc: Array[String], limit: Int = -1)
+    required: StructType, pushedDesc: Array[String], limit: Int = -1,
+    topN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
@@ -139,7 +162,9 @@ private[sources] class MaterialsScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"MaterialsScan path=$path PushedBackendQuery=[${pushedDesc.mkString(", ")}]" +
-      (if (limit >= 0) s" PushedLimit=$limit" else "")
+      (if (limit >= 0) s" PushedLimit=$limit" else "") +
+      topN.map { case (c, desc, n) =>
+        s" PushedTopN=[$c ${if (desc) "DESC" else "ASC"} LIMIT $n]" }.getOrElse("")
 
   /** Runtime filters (DSv2 dynamic filtering): when this scan sits
     * under a join, Spark hands the build side's key values here after
@@ -192,14 +217,14 @@ private[sources] class MaterialsScan(
     * only its own page from the backend. */
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(i =>
-      MaterialsPage(path, i, pages, runtime, limit): InputPartition).toArray
+      MaterialsPage(path, i, pages, runtime, limit, topN): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MaterialsReaderFactory(required)
 }
 
 private[sources] case class MaterialsPage(
     path: String, page: Int, nPages: Int, query: MaterialsSource.BackendQuery,
-    limit: Int = -1)
+    limit: Int = -1, topN: Option[(String, Boolean, Int)] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(page)
 }
@@ -220,9 +245,22 @@ private[sources] class MaterialsPageReader(
 
   private val fetched: Iterator[Array[String]] =
     LocalCatalogBackend.fetch(page.path, page.page, page.nPages, query)
+  // pushed TOP-N: per-page sort + cut (the "server" orders the page);
   // pushed LIMIT: stop the backend iterator after n matches
-  private val rows: Iterator[Array[String]] =
-    if (page.limit >= 0) fetched.take(page.limit) else fetched
+  private val rows: Iterator[Array[String]] = page.topN match {
+    case Some((c, desc, n)) =>
+      val i = MaterialsSource.Schema.fieldIndex(c)
+      val key: Array[String] => (Double, String) =
+        MaterialsSource.Schema.fields(i).dataType match {
+          case IntegerType | DoubleType => f => (f(i).toDouble, "")
+          case _                        => f => (0.0, f(i))
+        }
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+      val sorted = fetched.toArray.sortBy(key)(if (desc) ord.reverse else ord)
+      sorted.iterator.take(n)
+    case None =>
+      if (page.limit >= 0) fetched.take(page.limit) else fetched
+  }
   private var current: Array[String] = _
 
   override def next(): Boolean =

@@ -64,6 +64,21 @@ class MaterialsSourceSpec extends SparkSpec {
     assert(filtered.collect().map(_.getAs[String]("chemsys")).toSeq == Seq("V-O", "V-O"))
   }
 
+  test("ORDER BY + LIMIT is pushed as per-page TopN; global order still exact") {
+    val df = load().orderBy(col("energy_per_atom").desc).limit(2)
+    val got = df.collect().map(_.getAs[Double]("energy_per_atom")).toSeq
+    val full = load().collect().map(_.getAs[Double]("energy_per_atom")).sorted.reverse.take(2).toSeq
+    assert(got == full, s"topN pushdown changed results: $got vs $full")
+    val scan = df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("PushedTopN=[energy_per_atom DESC LIMIT 2]"),
+      scan.scan.description())
+    // multi-column sorts are declined and stay engine-side
+    val multi = load().orderBy(col("chemsys"), col("nsites")).limit(2)
+    val mscan = multi.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    assert(!mscan.scan.description().contains("PushedTopN"))
+    assert(multi.collect().length == 2)
+  }
+
   test("unsupported predicates stay above the scan and still apply") {
     val df = load().filter(col("nsites") > 10) // not pushable → Spark-side filter
     assert(df.count() == 4) // nsites 14, 16, 22, 14
