@@ -149,8 +149,11 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 5)),
     // random-signs (JL) projection to 8 dims, long format
     "q_embed_project" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, posexplode, round}
+      import org.apache.spark.sql.functions.{col, posexplode, round, size}
       Tables.embeddings(s, d)
+        // empty vectors have no projection (the oracle's unnest emits
+        // nothing for them; an 8-zero row would diverge)
+        .filter(size(col("embedding")) > 0)
         .select(col("vec_id"), posexplode(Similarity.randomProjection(col("embedding"), 8)))
         .select(col("vec_id"),
           col("pos").cast(org.apache.spark.sql.types.LongType).as("plane"),
@@ -703,10 +706,12 @@ object SparkEntry {
         |         || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 7)::VARCHAR AS text
         |  FROM documents),
         |p AS (SELECT doc_id,
-        |        len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+'))::BIGINT AS n_emails,
-        |        len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))::BIGINT AS n_ips,
+        |        len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+'))::BIGINT AS n_emails,
+        |        len(regexp_extract_all(
+        |          regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+', '<EMAIL>', 'g'),
+        |          '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))::BIGINT AS n_ips,
         |        regexp_replace(
-        |          regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+        |          regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+', '<EMAIL>', 'g'),
         |          '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS clean_text
         |      FROM x)
         |SELECT doc_id, n_emails, n_ips, md5(clean_text) AS clean_hash,

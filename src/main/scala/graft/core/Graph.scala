@@ -109,6 +109,13 @@ object Graph {
       converged = active.isEmpty
       iter += 1
     }
+    // labels that stopped moving ARE the components; labels cut off
+    // mid-flight are not transitively closed — returning them would
+    // silently under-merge dedup clusters downstream
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds " +
+          "(pointer jumping needs ~log2(diameter)); raise maxIter")
     lab
   }
 }

@@ -410,7 +410,11 @@ object Ops {
       .orderBy(col("us"), col("event_id"))
     events
       .select(col("user_id"), col("event_type"), col("event_id"), us.as("us"))
-      .withColumn("win", expr(s"us div $windowUs"))
+      // FLOOR division, not `div` (truncate-toward-zero): a pre-1970
+      // timestamp must land in the window below zero, matching both
+      // calendar semantics and the oracle's `//` operator
+      .withColumn("win",
+        expr(s"us div $windowUs") - when(col("us") % windowUs < 0, 1L).otherwise(0L))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type"), col("win"), col("event_id"), col("us"))

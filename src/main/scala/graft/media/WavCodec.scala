@@ -74,6 +74,10 @@ object WavCodec {
           require(audioFormat == 1, s"not PCM (format $audioFormat)")
           require(channels == 1, s"expected mono, got $channels channels")
           require(bitsPerSample == 16, s"expected 16-bit, got $bitsPerSample")
+          // a valid 16-bit PCM data chunk is always even; odd means
+          // corrupt — fail loudly rather than silently dropping the
+          // trailing byte and desyncing the chunk walk
+          require(size % 2 == 0, s"odd 16-bit data chunk ($size bytes)")
           samples = new Array[Short](size / 2)
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort; i += 1 }

@@ -105,13 +105,21 @@ private[sources] class MaterialsScanBuilder(path: String, pages: Int)
     * `limit=` on the request). Partial by construction — pages are
     * independent, so Spark keeps the global top-n merge above the
     * scan; the wire cost still drops from |catalog| to n·pages.
-    * Only a single-column sort on a scan column is accepted; anything
-    * richer is declined and planned engine-side. */
+    * Only a single NUMERIC sort column is accepted: a partially
+    * pushed top-n must cut each page under EXACTLY Spark's global
+    * ordering, and for strings the JVM's UTF-16 comparison diverges
+    * from Spark's UTF-8 binary order on supplementary-plane
+    * characters — declined rather than silently wrong. (The catalog
+    * columns are non-nullable, so null ordering cannot diverge.)
+    * Anything richer is planned engine-side. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
     orders match {
       case Array(o) =>
         o.expression() match {
-          case ref: NamedReference if ref.fieldNames().length == 1 =>
+          case ref: NamedReference if ref.fieldNames().length == 1 &&
+              MaterialsSource.Schema.fields.exists(f =>
+                f.name == ref.fieldNames()(0) &&
+                  (f.dataType == IntegerType || f.dataType == DoubleType)) =>
             topN = Some((ref.fieldNames()(0), o.direction() == SortDirection.DESCENDING, n))
             true
           case _ => false
@@ -249,14 +257,11 @@ private[sources] class MaterialsPageReader(
   // pushed LIMIT: stop the backend iterator after n matches
   private val rows: Iterator[Array[String]] = page.topN match {
     case Some((c, desc, n)) =>
+      // numeric-only by the builder's acceptance rule
       val i = MaterialsSource.Schema.fieldIndex(c)
-      val key: Array[String] => (Double, String) =
-        MaterialsSource.Schema.fields(i).dataType match {
-          case IntegerType | DoubleType => f => (f(i).toDouble, "")
-          case _                        => f => (0.0, f(i))
-        }
-      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
-      val sorted = fetched.toArray.sortBy(key)(if (desc) ord.reverse else ord)
+      val ord = Ordering.Double.TotalOrdering
+      val sorted = fetched.toArray
+        .sortBy(f => f(i).toDouble)(if (desc) ord.reverse else ord)
       sorted.iterator.take(n)
     case None =>
       if (page.limit >= 0) fetched.take(page.limit) else fetched

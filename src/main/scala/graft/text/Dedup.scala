@@ -336,6 +336,11 @@ object Dedup {
     * quadratic core both the pair expansion and the component
     * builder share. */
   private def setPairs(withKey: DataFrame, threshold: Double): DataFrame = {
+    // guard on the shared core so EVERY entry point (pairs,
+    // components) fails fast: threshold 0 would edge-connect all
+    // token-sharing docs — catastrophic over-dedup, silently
+    require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
+    require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
     // distinct-set token table WITHOUT a first(toks) collapse: an
     // array-valued aggregation buffer cannot hash-aggregate (plans a
     // SortAggregate — same fix as the LSH banding). Exploding every

@@ -276,7 +276,7 @@ object TextOps {
   /** Email / IPv4 patterns for [[piiScrub]]. Deliberately simple and
     * expressible identically in Java regex and RE2 (no backreferences,
     * no lookaround) so any engine scrubs byte-identically. */
-  val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+  val EmailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
   val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
 
   /** PII detection + redaction: count and mask email addresses and
@@ -285,15 +285,18 @@ object TextOps {
     *
     * Shuffle-free codegen'd column expressions (`regexp_extract_all`
     * / `regexp_replace`), embarrassingly parallel over partitions.
-    * Emails are masked before IPs so a digit-dotted mail domain can
-    * never double-count. Returns the input plus `n_emails`, `n_ips`,
-    * `clean_text`. */
+    * Emails are masked before IPs, and `n_ips` is counted on the
+    * email-masked text, so the counts describe exactly the
+    * redactions performed (a digit-dotted mail domain is one email,
+    * zero IPs — in both the text and the counts). Returns the input
+    * plus `n_emails`, `n_ips`, `clean_text`. */
   def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
     df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast(LongType))
-      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast(LongType))
-      .withColumn("clean_text",
-        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast(LongType))
+      .withColumn("clean_text", regexp_replace(afterEmail, Ipv4Re, "<IP>"))
   }
 
   /** Cross-document duplicated-span detection: exact substring dedup

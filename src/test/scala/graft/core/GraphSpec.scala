@@ -49,6 +49,14 @@ class GraphSpec extends SparkSpec {
     assert(cc(Seq.empty) == Map.empty)
   }
 
+  test("maxIter cutoff fails loudly instead of returning unclosed labels") {
+    val ids = (1L to 40L)
+    val edges = ids.zip(ids.tail).toDF("a", "b")
+    val ex = intercept[IllegalStateException](
+      Graph.connectedComponents(edges, "a", "b", maxIter = 1).collect())
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("random graphs match union-find") {
     val rnd = new Random(7)
     for (_ <- 1 to 5) {

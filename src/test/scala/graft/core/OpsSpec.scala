@@ -274,7 +274,11 @@ class OpsSpec extends SparkSpec {
     val df = Seq(
       (1L, "write to bob.smith@mail.example from 192.168.0.1 now"),
       (2L, "no pii here at all"),
-      (3L, "two mails a@b.com c.d@e.org one ip 10.0.0.255"))
+      (3L, "two mails a@b.com c.d@e.org one ip 10.0.0.255"),
+      (4L, "mixed case Bob.Smith@Example.COM stays caught"),
+      // digit-dotted mail domain: ONE email, ZERO ips — counts must
+      // describe the redactions actually performed
+      (5L, "odd domain bob@10.0.0.1.net here"))
       .toDF("doc_id", "text")
     val got = TextOps.piiScrub(df).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -282,6 +286,20 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == ((1L, 1L, "write to <EMAIL> from <IP> now")))
     assert(got(2L) == ((0L, 0L, "no pii here at all")))
     assert(got(3L) == ((2L, 1L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+    assert(got(4L) == ((1L, 0L, "mixed case <EMAIL> stays caught")))
+    assert(got(5L) == ((1L, 0L, "odd domain <EMAIL> here")))
+  }
+
+  test("windowDedup floors negative timestamps into the window below zero") {
+    val w = 1000000L // 1s windows
+    val events = Seq(
+      (1L, "a", 10L, -1L * 1000L),   // −1 µs → window −1, not 0
+      (1L, "a", 11L, 1L * 1000L),    // +1 µs → window 0
+      (1L, "a", 12L, 2L * 1000L))    // same window as 11 → deduped
+      .toDF("user_id", "event_type", "event_id", "ts")
+    val got = Ops.windowDedup(events, w).collect()
+      .map(r => (r.getAs[Long]("win"), r.getAs[Long]("event_id"))).toSet
+    assert(got == Set((-1L, 10L), (0L, 11L)))
   }
 
   test("dupSpans flags windows repeated anywhere in the corpus") {

@@ -36,13 +36,18 @@ class WavCodecSpec extends SparkSpec {
     assert(wav.sampleRate == 16000 && wav.samples.toSeq == samples.toSeq)
   }
 
-  test("decoder fails loudly on garbage, truncation, and stereo") {
+  test("decoder fails loudly on garbage, truncation, stereo, and odd data chunks") {
     intercept[IllegalArgumentException](WavCodec.decode("not a wav at all".getBytes))
     val ok = WavCodec.encode(Array.tabulate(50)(_.toShort), 8000)
     intercept[IllegalArgumentException](WavCodec.decode(ok.dropRight(7)))
     val stereo = ok.clone()
     stereo(22) = 2 // channels field
     intercept[IllegalArgumentException](WavCodec.decode(stereo))
+    // odd-sized 16-bit data chunk = corrupt; must not silently floor
+    val odd = ByteBuffer.allocate(44 + 101).order(ByteOrder.LITTLE_ENDIAN)
+      .put(ok, 0, 40).putInt(101).put(ok, 44, 100).put(0.toByte).array()
+    val ex = intercept[IllegalArgumentException](WavCodec.decode(odd))
+    assert(ex.getMessage.contains("odd 16-bit data chunk"))
   }
 
   test("audioFeatures over real WAV bytes match the synthesis formula") {
