@@ -114,5 +114,21 @@ class StreamingSpec extends SparkSpec {
                  r.getAs[Long]("n_events")))
       .sortBy(s => (s._1, s._2)).toSeq
     assert(sw == batch.map(s => (s._1, s._2, s._4)))
+
+    // and in TRUE streaming mode: session_window state merges across
+    // the watermark and emits the same closed sessions (the sentinel
+    // advances the watermark past every real session)
+    val swq = StreamingOps.sessionWindowAgg(
+        spark.readStream.schema(EventSchema).parquet(dir))
+      .writeStream.outputMode("append").format("memory").queryName("sw_out")
+      .trigger(Trigger.AvailableNow()).start()
+    swq.awaitTermination(120000)
+    val streamed = spark.table("sw_out").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+                 r.getAs[java.sql.Timestamp]("start_t").getTime * 1000L,
+                 r.getAs[Long]("n_events")))
+      .filter(_._1 != 9L)
+      .sortBy(s => (s._1, s._2)).toSeq
+    assert(streamed == batch.map(s => (s._1, s._2, s._4)))
   }
 }
