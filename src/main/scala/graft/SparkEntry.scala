@@ -57,7 +57,8 @@ object SparkEntry {
     // no oracle entry by design: HLL sketch values are engine-specific
     // (driver records the weaker rows-only check; the error bound vs
     // the exact count is unit-tested)
-    "q_approx_distinct" -> ((s, d) => Ops.approxDistinct(Tables.documents(s, d), "lang", "text")),
+    "q_approx_distinct" -> ((s, d) =>
+      Ops.approxDistinct(Tables.documents(s, d), "lang", "text", includeExact = true)),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
@@ -165,7 +166,11 @@ object SparkEntry {
     // oracle recomputes the same byte statistics from the same bytes
     "q_media_features" -> ((s, d) => {
       import graft.media.MediaOps
-      val feats = MediaOps.featurize(MediaOps.mediaFromDocuments(Tables.documents(s, d))).toDF()
+      // StubDecoder explicitly: this corpus is UTF-8 text bytes, not a
+      // parseable image — the query checks the stage plumbing; the
+      // real-codec twins are q_image_features / q_video_features
+      val feats = MediaOps.featurize(MediaOps.mediaFromDocuments(Tables.documents(s, d)),
+        MediaOps.StubDecoder).toDF()
       val bandCols = (0 until 8).map(i =>
         org.apache.spark.sql.functions.element_at(
           org.apache.spark.sql.functions.col("features"), i + 1).as(s"f$i"))
@@ -178,6 +183,24 @@ object SparkEntry {
     "q_audio_features" -> ((s, d) => {
       import graft.media.MediaOps
       MediaOps.audioFeatures(MediaOps.synthWavCorpus(Tables.documents(s, d))).toDF()
+    }),
+    // REAL image decode: synthesized pixels → actual BMP (even ids) /
+    // PPM (odd ids) bytes → magic-sniffed byte-walk parse → features.
+    // wsum is raster-position × channel-mix weighted, so a decoder
+    // that misses the BMP bottom-up flip, BGR order, or row padding
+    // cannot hash-match the formula-recomputing oracle
+    "q_image_features" -> ((s, d) => {
+      import graft.media.MediaOps
+      MediaOps.imageFeatures(MediaOps.synthImageCorpus(Tables.documents(s, d))).toDF()
+    }),
+    // REAL video demux: concatenated-P6 stream (ffmpeg image2pipe
+    // format) → per-frame byte slices → per-frame decode + features;
+    // frame pixels depend on the frame index, so a demux that drifts
+    // a boundary or reorders frames cannot hash-match
+    "q_video_features" -> ((s, d) => {
+      import graft.media.MediaOps
+      MediaOps.frameFeatures(MediaOps.videoFrames(
+        MediaOps.synthVideoCorpus(Tables.documents(s, d)))).toDF()
     }),
   )
 
@@ -840,6 +863,46 @@ object SparkEntry {
         |  max(abs(amp))::BIGINT AS peak,
         |  sum(CASE WHEN i > 0 AND ((amp >= 0) != (prev_amp >= 0)) THEN 1 ELSE 0 END)::BIGINT AS n_zero_cross
         |FROM a GROUP BY doc_id""".stripMargin,
+
+    // closed-form twin of the synthesized pixels; integer sums + one
+    // division per mean are bit-identical, no rounding needed
+    "q_image_features" ->
+      """WITH d AS (SELECT doc_id, 5 + doc_id % 8 AS w, 3 + doc_id % 5 AS h FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+        |xs AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |         (x*7 + y*11 + doc_id*3) % 256 AS r,
+        |         (x*5 + y*13 + doc_id*7) % 256 AS g,
+        |         (x*3 + y*17 + doc_id*11) % 256 AS b
+        |       FROM xs)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+        |  max(w)::BIGINT AS width, max(h)::BIGINT AS height, count(*)::BIGINT AS n_px,
+        |  sum(r)::DOUBLE / count(*) AS mean_r,
+        |  sum(g)::DOUBLE / count(*) AS mean_g,
+        |  sum(b)::DOUBLE / count(*) AS mean_b,
+        |  max(r)::BIGINT AS peak_r,
+        |  sum((y*w + x) * (r + 2*g + 3*b))::BIGINT AS wsum
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_video_features" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS f, 5 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, f)) AS t FROM d),
+        |ys AS (SELECT doc_id, w, h, t, unnest(range(0, h)) AS y FROM fr),
+        |xs AS (SELECT doc_id, w, h, t, y, unnest(range(0, w)) AS x FROM ys),
+        |px AS (SELECT doc_id, t, w, x, y,
+        |         (x*7 + y*11 + t*19 + doc_id*3) % 256 AS r,
+        |         (x*5 + y*13 + t*23 + doc_id*7) % 256 AS g,
+        |         (x*3 + y*17 + t*29 + doc_id*11) % 256 AS b
+        |       FROM xs)
+        |SELECT doc_id AS media_id, t::BIGINT AS frame_idx, (t * 40)::BIGINT AS frame_ts_ms,
+        |  count(*)::BIGINT AS n_px,
+        |  sum(r)::DOUBLE / count(*) AS mean_r,
+        |  sum(g)::DOUBLE / count(*) AS mean_g,
+        |  sum(b)::DOUBLE / count(*) AS mean_b,
+        |  sum((y*w + x) * (r + 2*g + 3*b))::BIGINT AS wsum
+        |FROM px GROUP BY doc_id, t""".stripMargin,
 
     "q_ann_topk" ->
       """WITH comp AS (

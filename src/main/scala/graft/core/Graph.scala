@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -15,100 +16,195 @@ import org.apache.spark.sql.types.LongType
   */
 object Graph {
 
+  /** Materialize an iteration result in ONE Spark job and RESET its
+    * logical lineage, returning the frame, the checkpointed RDD
+    * handle (so a later round can free its blocks), and the number of
+    * rows matching `deltaWhen`.
+    *
+    * Three concerns fold into the single pass:
+    *  - `localCheckpoint` + count stores the rows — without it round
+    *    N's plan would re-run rounds 1..N−1 (and re-derive the edge
+    *    input, which may itself be an expensive near-dup pipeline);
+    *  - the RDD round-trip through `createDataFrame` swaps the plan
+    *    for a bare scan with EMPTY constraints/stats. Without it each
+    *    round's `LogicalRDD` inherits the previous round's constraint
+    *    set rewritten through four join branches — exponential growth
+    *    that hangs the driver inside `rewriteStatsAndConstraints` by
+    *    round ~10 (observed);
+    *  - a `LongAccumulator` fed by the materializing map counts the
+    *    delta rows DURING the checkpoint job, so convergence needs no
+    *    separate `isEmpty`/count action per round. Accumulators in an
+    *    RDD *action* are exactly-once per partition, and this count
+    *    is read once right after the forcing `count()`.
+    *
+    * On a long-lived cluster job prefer `checkpoint` with a reliable
+    * dir — localCheckpoint trades fault tolerance for speed, the
+    * right call for an iterative interactive job and the wrong one
+    * for a 12-hour pipeline stage. */
+  private def materializeCount(df: DataFrame, deltaWhen: Row => Boolean)
+      : (DataFrame, RDD[Row], Long, Long) = {
+    val spark = df.sparkSession
+    val acc = spark.sparkContext.longAccumulator("graft.graph.delta")
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r => if (deltaWhen(r)) acc.add(1L); r }
+    }.localCheckpoint()
+    val total = rows.count() // the one forcing action: persists blocks + fills the accumulator
+    (spark.createDataFrame(rows, df.schema), rows, acc.value, total)
+  }
+
   /** Connected components by min-label propagation with pointer
     * jumping: (node, component) where `component` is the smallest
     * node id reachable from `node`.
     *
-    * Each round does
-    *  1. propagate — `comp'(v) = min(comp(v), min over neighbors
-    *     comp(u))`: one shuffle join of the (symmetrized, materialized
-    *     once) edge list with the label table plus a partial-aggregated
-    *     min;
+    * Each materialized round runs one propagate+shortcut hop:
+    *  1. propagate — `comp'(v) = min(comp(v), min over ACTIVE
+    *     neighbors comp(u))`: one shuffle join of the (symmetrized,
+    *     materialized once) edge list with the changed-label subset
+    *     plus a partial-aggregated min;
     *  2. shortcut — `comp''(v) = comp'(comp'(v))` (pointer jumping):
     *     one self-join of the label table. Plain propagation needs
     *     `diameter` rounds; the shortcut composes paths so label
-    *     distance roughly halves per round → O(log d) rounds, the
+    *     distance roughly halves per hop → O(log d) rounds, the
     *     property that matters when a 100 TB near-dup graph chains
     *     into long paths.
+    * Composing a SECOND lazy hop per round was measured slower
+    * (8.4 s vs ~6 s at sf0.1): the jump self-join duplicates its
+    * input subtree, so stacked hops re-evaluate the first hop's edge
+    * join ~4× per round — worse than the scheduling overhead it
+    * removes.
     *
-    * Convergence: labels are monotone non-increasing longs, so
-    * `sum(comp)` strictly decreases until fixpoint — one cheap
-    * aggregate per round decides termination, no row-level diff join.
-    * At fixpoint every edge has equal labels on both ends and each
+    * Active set (vote-to-halt): only labels that changed since
+    * neighbors last read them can lower a neighbor, so each edge join
+    * probes the delta, not the full label table. At scale most of the
+    * graph converges in the first rounds and the per-round edge join
+    * shrinks toward the few long chains still moving — the classic
+    * Pregel halting shape.
+    *
+    * Convergence: labels are monotone non-increasing longs, so the
+    * round's delta count (rows lowered) hits zero exactly at fixpoint,
+    * and that count falls out of the materialization job for free. At
+    * fixpoint every edge has equal labels on both ends and each
     * component's label is its minimum node id (the min's own label
     * never changes, and equality along edges spreads it).
     *
-    * Every round materializes the label table via `localCheckpoint` —
-    * without it round N's plan would re-run rounds 1..N−1 (and
-    * re-derive the edge input, which may itself be an expensive
-    * near-dup pipeline). On a long-lived cluster job prefer
-    * `checkpoint` with a reliable dir — localCheckpoint trades fault
-    * tolerance for speed, the right call for an iterative interactive
-    * job and the wrong one for a 12-hour pipeline stage.
-    */
-  /** Materialize an iteration result and RESET its logical lineage:
-    * `localCheckpoint` stores the rows, and the RDD round-trip swaps
-    * the plan for a bare scan with EMPTY constraints/stats. Without
-    * the round-trip each round's `LogicalRDD` inherits the previous
-    * round's constraint set rewritten through four join branches —
-    * exponential growth that hangs the driver inside
-    * `rewriteStatsAndConstraints` by round ~10 (observed). The
-    * re-encoding cost is two longs per row — noise next to the
-    * shuffles. */
-  private def materialize(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
-  }
-
+    * Input ids are validated during the one edge-materialization pass:
+    * a null — or a value the LongType cast nulls out — fails loudly
+    * instead of collapsing into a bogus `null` component.
+    *
+    * Storage hygiene: each round unpersists the previous round's
+    * checkpoint blocks once the new round is materialized, and the
+    * edge list is released on exit; only the returned label table
+    * stays cached for the caller to consume. */
+  /** @param localSolveMaxEdges size gate for the driver-side solve:
+    *        once the (deduplicated) edge count is at or under it, the
+    *        component search runs as union-find on the driver instead
+    *        of the iterative join loop. This is the graph analogue of
+    *        a broadcast join — below the threshold, moving the data
+    *        to one node beats ANY sequence of distributed rounds,
+    *        because each round costs several scheduling barriers
+    *        regardless of data size (measured: ~0.8 s/round on
+    *        local[32] for a 3k-node graph the driver solves in
+    *        milliseconds). The default (1M edges ≈ tens of MB
+    *        collected) is conservative for any real driver; pass 0 to
+    *        force the distributed path. The near-dup inputs are
+    *        rep-collapsed before they get here, but a 100 TB corpus
+    *        can still exceed any driver — the iterative path is the
+    *        scale path, the gate only short-circuits the tail. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          localSolveMaxEdges: Long = 1000000L): DataFrame = {
     require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
-    val sym = edges
+    val spark = edges.sparkSession
+    val symPlan = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .union(edges.select(col(dstCol).cast(LongType).as("src"), col(srcCol).cast(LongType).as("dst")))
-      .transform(materialize)
+    val (sym, symRdd, badIds, symCount) =
+      materializeCount(symPlan, r => r.isNullAt(0) || r.isNullAt(1))
+    if (badIds > 0) {
+      symRdd.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"connectedComponents: $badIds edge endpoint(s) in '$srcCol'/'$dstCol' are null " +
+          "or not castable to long — fix or filter the edge input, a null id would " +
+          "otherwise collapse into one bogus component")
+    }
 
-    var lab = sym.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("node"), least(col("node"), col("mn")).as("comp"))
-      .transform(materialize)
+    // ---- small-graph path: exact union-find on the driver ----
+    // symCount counts both directions, so /2 ≈ undirected edges. The
+    // collect below is BOUNDED by the gate — this is not an unguarded
+    // driver loop; it reads the already-checkpointed blocks once.
+    if (symCount / 2 <= localSolveMaxEdges) {
+      import spark.implicits._
+      // one row per undirected edge; src <= dst also keeps self-loops
+      // so isolated self-loop nodes still receive a label
+      val pairs = sym.filter(col("src") <= col("dst"))
+        .as[(Long, Long)].collect()
+      symRdd.unpersist(blocking = false)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      // second pass pins every component label to its MIN member id
+      // (union by min-root already ensures it, but stay explicit)
+      val labels = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+        .map(n => n -> find(n))
+      return spark.sparkContext
+        .parallelize(labels.toIndexedSeq, math.max(1, labels.length / 500000 + 1))
+        .toDF("node", "comp")
+    }
 
-    // Active set (vote-to-halt): only labels that CHANGED last round
-    // can lower a neighbor, so the edge join probes the delta, not
-    // the full label table. At scale most of the graph converges in
-    // the first rounds and the per-round edge join shrinks toward the
-    // few long chains still moving — the classic Pregel halting
-    // shape. Round one seeds everything as active.
-    var active = lab
-    var iter = 0
-    var converged = active.isEmpty // empty edge set → nothing to do
-    while (!converged && iter < maxIter) {
-      // min over ACTIVE neighbors (join-only, no self-union: a union
+    // one propagate+shortcut hop, all lazy: cur = (node, old, comp),
+    // act = the subset whose labels neighbors have not read yet
+    def hop(cur: DataFrame, act: DataFrame): DataFrame = {
+      // min over active neighbors (join-only, no self-union: a union
       // whose branches share attribute ids trips Catalyst's Union
       // constraint rewrite), then combine with the node's own label
-      val fromNbrs = sym.join(active, col("src") === col("node"))
+      val fromNbrs = sym.join(act, col("src") === col("node"))
         .groupBy(col("dst").as("nbr_node")).agg(min(col("comp")).as("nbr_comp"))
-      val prop = lab.join(fromNbrs, col("node") === col("nbr_node"), "left")
-        .select(col("node"), col("comp").as("old"),
+      val prop = cur.join(fromNbrs, col("node") === col("nbr_node"), "left")
+        .select(col("node"), col("old"),
                 least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      // one shortcut hop per round (comp∘comp): ~2× path compression
-      // per materialization → O(log diameter) rounds. A double hop
-      // (comp⁴) was measured SLOWER end-to-end on the near-dup graphs:
-      // the nested self-join re-evaluates the propagation subtree
-      // faster than it saves rounds at realistic diameters (≤ ~10).
-      // The jump also lowers labels of nodes with no active neighbor;
-      // the old-vs-new compare below catches them for the next delta.
+      // pointer jump (comp∘comp). A second jump per hop (comp⁴) was
+      // measured SLOWER end-to-end on the near-dup graphs: the nested
+      // self-join re-evaluates the propagation subtree faster than it
+      // saves rounds at realistic diameters (≤ ~10). The jump also
+      // lowers labels of nodes with no active neighbor; the
+      // comp-vs-old compare catches them for the next active set.
       val propL = prop.select(col("node"), col("comp"))
-      val jumped = prop.as("a")
+      prop.as("a")
         .join(propL.as("b"), col("a.comp") === col("b.node"), "left")
         .select(col("a.node").as("node"), col("a.old").as("old"),
                 coalesce(col("b.comp"), col("a.comp")).as("comp"))
-      val m = materialize(jumped)
+    }
+
+    val lab0 = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("comp"))
+    var (lab, labRdd, _, nNodes) = materializeCount(lab0, _ => false)
+
+    var active = lab
+    var iter = 0
+    var converged = nNodes == 0L // empty edge set → nothing to do
+    while (!converged && iter < maxIter) {
+      val cur = lab.select(col("node"), col("comp").as("old"), col("comp"))
+      val step = hop(cur, active)
+      // delta = labels lowered this round: comp (idx 2) < old (idx 1)
+      val (m, mRdd, delta, _) = materializeCount(step, r => r.getLong(2) < r.getLong(1))
+      labRdd.unpersist(blocking = false) // previous round's blocks are dead now
+      labRdd = mRdd
       lab = m.select("node", "comp")
       active = m.filter(col("comp") < col("old")).select("node", "comp")
-      converged = active.isEmpty
+      converged = delta == 0L
       iter += 1
     }
+    symRdd.unpersist(blocking = false) // edge blocks not referenced by the label scan
     // labels that stopped moving ARE the components; labels cut off
     // mid-flight are not transitively closed — returning them would
     // silently under-merge dedup clusters downstream

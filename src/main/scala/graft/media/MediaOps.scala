@@ -8,19 +8,21 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The Spark-side contract (schema, partition-parallel batch shape,
-  * stage signatures) is real and tested; the *codec* itself is a
-  * pluggable [[Decoder]] — this container ships no image/audio libs,
-  * so the default is [[StubDecoder]], a clearly-marked deterministic
-  * fake that derives "pixels" from the byte stream. Swapping in a
-  * real JNI/javacv decoder changes one constructor argument and no
-  * plan shape.
+  * All three modalities now run REAL decoders with no library
+  * dependencies: [[WavCodec]] (RIFF/PCM-16) for audio, [[ImageCodec]]
+  * (24-bit BMP + binary PPM) for images, and the concatenated-P6
+  * stream demux (ffmpeg `image2pipe` format) for video frames. The
+  * codec behind [[featurize]] stays a pluggable [[Decoder]] seam —
+  * default [[ImageDecoder]] — so a JPEG/H.264 JNI decoder swaps in as
+  * one constructor argument with no plan change; [[StubDecoder]]
+  * remains only as the arbitrary-byte fake that lets the plumbing be
+  * oracle-checked over non-image payloads.
   *
   * Scale notes: media bytes never pass through a shuffle — decode /
-  * featurize are narrow `mapPartitions` stages; only the (tiny)
-  * feature vectors and metadata flow onward to joins/aggregations.
-  * Read with `spark.read.format("binaryFile")` at ingest, or as a
-  * parquet `binary` column as here.
+  * featurize / demux are narrow `mapPartitions` stages; only the
+  * (tiny) feature vectors and metadata flow onward to
+  * joins/aggregations. Read with `spark.read.format("binaryFile")`
+  * at ingest, or as a parquet `binary` column as here.
   */
 object MediaOps {
 
@@ -47,10 +49,32 @@ object MediaOps {
     def features(meta: MediaMeta, payload: Array[Byte], dim: Int): Seq[Double]
   }
 
-  /** STUB: deterministic fake decode — banded byte means standing in
-    * for pixel statistics. Replace with a real codec in production;
-    * everything downstream (schema, partitioning, batch shape) is
-    * identical. */
+  /** REAL image decode behind the seam: sniff + parse the payload
+    * with [[ImageCodec]] (BMP or PPM), then emit `dim` row-banded
+    * mean-luma features over the normalized top-down RGB raster. */
+  case object ImageDecoder extends Decoder {
+    def features(meta: MediaMeta, payload: Array[Byte], dim: Int): Seq[Double] = {
+      val img = ImageCodec.decode(payload)
+      val n = img.width * img.height
+      (0 until dim).map { d =>
+        val from = n.toLong * d / dim
+        val until = n.toLong * (d + 1) / dim
+        if (until == from) 0.0
+        else {
+          var s = 0L
+          var i = from.toInt
+          while (i < until) { s += (img.rgb(3 * i) & 0xff) + (img.rgb(3 * i + 1) & 0xff) + (img.rgb(3 * i + 2) & 0xff); i += 1 }
+          s.toDouble / (3.0 * (until - from))
+        }
+      }
+    }
+  }
+
+  /** Fake decode over ARBITRARY bytes — banded byte means standing in
+    * for pixel statistics. Not the default ([[ImageDecoder]] is); it
+    * exists so the stage plumbing (schema, partitioning, batch shape)
+    * can be driven — and oracle-checked — by payloads that aren't
+    * parseable media, e.g. the UTF-8 corpus in `q_media_features`. */
   case object StubDecoder extends Decoder {
     def features(meta: MediaMeta, payload: Array[Byte], dim: Int): Seq[Double] = {
       val n = payload.length
@@ -87,7 +111,7 @@ object MediaOps {
   /** Partition-parallel feature extraction: the media analogue of a
     * vectorized batch UDF — rows stream through each partition once,
     * payloads are dropped on the way out. */
-  def featurize(media: Dataset[MediaRow], decoder: Decoder = StubDecoder,
+  def featurize(media: Dataset[MediaRow], decoder: Decoder = ImageDecoder,
                 dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
@@ -151,23 +175,161 @@ object MediaOps {
     })
   }
 
-  /** Video frame sampling: 1 row → N frame rows at a fixed stride.
-    * The per-frame payload slice is a stub (real impl: demux +
-    * decode); cardinality, ordinals, and timestamps are the real
-    * contract. */
-  def sampleFrames(media: Dataset[MediaRow], strideMs: Long): Dataset[Frame] = {
+  /** REAL video demux: 1 row → N frame rows, each payload the
+    * complete byte slice of one P6 frame out of a concatenated-PPM
+    * stream (the ffmpeg `image2pipe -vcodec ppm` container). Frame
+    * timestamps come from the fixed frame interval
+    * `durationMs / nFrames`. Narrow stage — payload bytes stay inside
+    * their partition. */
+  def videoFrames(media: Dataset[MediaRow]): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val n = math.max(1L, m.meta.durationMs / strideMs).toInt
-      (0 until n).map { i =>
-        val ts = i * strideMs
-        // STUB frame payload: deterministic slice standing in for a decoded frame
-        val sliceLen = math.max(1, m.payload.length / n)
-        val from = math.min(i * sliceLen, math.max(0, m.payload.length - 1))
-        val until = math.min(from + sliceLen, m.payload.length)
-        Frame(m.media_id, i, ts, m.payload.slice(from, until))
+      val slices = ImageCodec.decodePpmStream(m.payload)
+      val interval = if (slices.isEmpty) 0L else m.meta.durationMs / slices.length
+      slices.iterator.zipWithIndex.map { case (bytes, i) =>
+        Frame(m.media_id, i, i * interval, bytes)
       }
     }
+  }
+
+  /** Frame sampling at a time stride: demux, then keep every k-th
+    * frame where `k = strideMs / frameInterval` (at least every
+    * frame). Same real demux as [[videoFrames]], thinned. */
+  def sampleFrames(media: Dataset[MediaRow], strideMs: Long): Dataset[Frame] = {
+    require(strideMs > 0, s"strideMs must be positive, got $strideMs")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val slices = ImageCodec.decodePpmStream(m.payload)
+      val interval = if (slices.isEmpty) 1L
+                     else math.max(1L, m.meta.durationMs / slices.length)
+      val k = math.max(1L, strideMs / interval).toInt
+      slices.iterator.zipWithIndex.collect { case (bytes, i) if i % k == 0 =>
+        Frame(m.media_id, i / k, i * interval, bytes)
+      }
+    }
+  }
+
+  // ------------------------------------------------------ image/video
+
+  /** Decoded-image features. Like [[AudioFeatures]], every field is a
+    * closed-form function of the pixels: integer channel sums, one
+    * division for the means, and a position-×-channel weighted sum
+    * (`wsum`) that is sensitive to BOTH raster order and channel
+    * order — a BMP decoder that forgets the bottom-up row flip, the
+    * BGR swap, or the 4-byte row padding cannot produce it. */
+  case class ImageFeatures(media_id: Long, fmt: String, width: Long, height: Long,
+                           n_px: Long, mean_r: Double, mean_g: Double, mean_b: Double,
+                           peak_r: Long, wsum: Long)
+
+  /** Per-frame features out of the video demux; `frame_idx` and
+    * `frame_ts_ms` verify the demux walked frame boundaries
+    * correctly (each frame's pixels depend on its index). */
+  case class FrameFeatures(media_id: Long, frame_idx: Long, frame_ts_ms: Long,
+                           n_px: Long, mean_r: Double, mean_g: Double, mean_b: Double,
+                           wsum: Long)
+
+  /** Deterministic pixel synthesis shared by the image and video
+    * corpora (frame `t`, channel ramps with coprime strides so the
+    * three channels never coincide):
+    * {{{
+    * r = (7x + 11y + 19t +  3·id) mod 256
+    * g = (5x + 13y + 23t +  7·id) mod 256
+    * b = (3x + 17y + 29t + 11·id) mod 256
+    * }}} */
+  def synthPixel(id: Long, t: Int, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 7L + y * 11L + t * 19L + id * 3L) % 256L).toInt,
+    ((x * 5L + y * 13L + t * 23L + id * 7L) % 256L).toInt,
+    ((x * 3L + y * 17L + t * 29L + id * 11L) % 256L).toInt)
+
+  private def synthFrame(id: Long, t: Int, w: Int, h: Int): ImageCodec.Image = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = synthPixel(id, t, x, y)
+        val p = (y * w + x) * 3
+        rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Image(w, h, rgb)
+  }
+
+  /** Per-document dimensions: widths 5..12 sweep every BMP row-pad
+    * residue (15,18,…,36 bytes mod 4 hits 3,2,1,0), heights 3..7. */
+  private def synthDims(id: Long): (Int, Int) =
+    (5 + (id % 8).toInt, 3 + (id % 5).toInt)
+
+  /** Deterministic image corpus, ENCODED TO REAL BYTES: even ids as
+    * 24-bit BMP, odd ids as binary PPM, so one declared query
+    * exercises both decoders. Downstream sees only the payload. */
+  def synthImageCorpus(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = synthDims(id)
+      val img = synthFrame(id, 0, w, h)
+      val bytes = if (id % 2 == 0) ImageCodec.encodeBmp(img) else ImageCodec.encodePpm(img)
+      MediaRow(id, MediaMeta("image", w, h, 0L), bytes)
+    }
+  }
+
+  /** Deterministic video corpus: `2 + id mod 4` P6 frames at 25 fps
+    * concatenated into one image2pipe-style payload per document. */
+  def synthVideoCorpus(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = synthDims(id)
+      val nFrames = 2 + (id % 4).toInt
+      val payload = (0 until nFrames).toArray
+        .flatMap(t => ImageCodec.encodePpm(synthFrame(id, t, w, h)))
+      MediaRow(id, MediaMeta("video", w, h, nFrames * 40L), payload)
+    }
+  }
+
+  private def rgbStats(img: ImageCodec.Image): (Long, Long, Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var peakR = 0L; var wsum = 0L
+    var i = 0
+    val n = img.width * img.height
+    while (i < n) {
+      val r = img.rgb(3 * i) & 0xff
+      val g = img.rgb(3 * i + 1) & 0xff
+      val b = img.rgb(3 * i + 2) & 0xff
+      sr += r; sg += g; sb += b
+      if (r > peakR) peakR = r
+      wsum += i.toLong * (r + 2L * g + 3L * b)
+      i += 1
+    }
+    (sr, sg, sb, peakR, wsum)
+  }
+
+  /** Real image decode + feature extraction: magic-sniffed BMP/PPM
+    * parse per row inside `mapPartitions`, emitting the narrow
+    * feature row — the image twin of [[audioFeatures]]. */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val fmt = if (m.payload.length >= 2 && m.payload(0) == 'B'.toByte) "bmp" else "ppm"
+      val img = ImageCodec.decode(m.payload)
+      val n = img.width.toLong * img.height
+      val (sr, sg, sb, peakR, wsum) = rgbStats(img)
+      ImageFeatures(m.media_id, fmt, img.width.toLong, img.height.toLong, n,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, peakR, wsum)
+    })
+  }
+
+  /** Per-frame features over the REAL demux: each frame payload is
+    * itself a complete P6 image, decoded independently. */
+  def frameFeatures(frames: Dataset[Frame]): Dataset[FrameFeatures] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { f =>
+      val img = ImageCodec.decodePpm(f.payload)
+      val n = img.width.toLong * img.height
+      val (sr, sg, sb, _, wsum) = rgbStats(img)
+      FrameFeatures(f.media_id, f.frame_idx.toLong, f.frame_ts_ms, n,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, wsum)
+    })
   }
 
   /** "Resize": re-bucket the stub feature vector to a new dimension —

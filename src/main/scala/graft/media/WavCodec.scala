@@ -71,6 +71,8 @@ object WavCodec {
           bitsPerSample = buf.getShort
           buf.position(fmtStart + size)
         case "data" =>
+          require(audioFormat != -1, "data chunk before fmt chunk")
+          require(samples == null, "second data chunk (multi-data WAV is malformed)")
           require(audioFormat == 1, s"not PCM (format $audioFormat)")
           require(channels == 1, s"expected mono, got $channels channels")
           require(bitsPerSample == 16, s"expected 16-bit, got $bitsPerSample")

@@ -11,9 +11,18 @@ import scala.util.Random
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** Run BOTH paths — driver union-find (default gate) and the
+    * distributed join loop (gate 0) — and assert they agree before
+    * returning; every closed-form case checks the equivalence too. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val local = Graph.connectedComponents(df, "a", "b")
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    val dist = Graph.connectedComponents(df, "a", "b", localSolveMaxEdges = 0L)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(local == dist, "local union-find and distributed loop disagree")
+    local
+  }
 
   /** Driver-side union-find truth. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -53,7 +62,8 @@ class GraphSpec extends SparkSpec {
     val ids = (1L to 40L)
     val edges = ids.zip(ids.tail).toDF("a", "b")
     val ex = intercept[IllegalStateException](
-      Graph.connectedComponents(edges, "a", "b", maxIter = 1).collect())
+      Graph.connectedComponents(edges, "a", "b", maxIter = 1,
+        localSolveMaxEdges = 0L).collect())
     assert(ex.getMessage.contains("did not converge"))
   }
 
@@ -65,6 +75,29 @@ class GraphSpec extends SparkSpec {
         .filter { case (a, b) => a != b }
       assert(cc(edges) == unionFind(edges))
     }
+  }
+
+  test("null or non-castable ids fail loudly instead of forming a null component") {
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L))).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException](
+      Graph.connectedComponents(withNull, "a", "b").collect())
+    assert(ex.getMessage.contains("null"))
+    val unCastable = Seq(("1", "2"), ("2", "not-an-id")).toDF("a", "b")
+    intercept[IllegalArgumentException](
+      Graph.connectedComponents(unCastable, "a", "b").collect())
+  }
+
+  test("intermediate checkpoint blocks are released; only the result stays cached") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val ids = ((100L to 131L) :+ 1L) ++ (200L to 230L) // multi-round convergence
+    val edges = ids.zip(ids.tail).toDF("a", "b")
+    val result = Graph.connectedComponents(edges, "a", "b", localSolveMaxEdges = 0L)
+    result.count()
+    // rounds ran (diameter ~63 ⇒ several), but at most the final label
+    // table may remain persisted — superseded rounds and the edge list
+    // must have been unpersisted
+    val kept = spark.sparkContext.getPersistentRDDs
+    assert(kept.size <= 1, s"leaked ${kept.size} persisted RDDs: ${kept.values.map(_.name)}")
   }
 
   test("jaccardComponents groups transitive near-dup chains") {

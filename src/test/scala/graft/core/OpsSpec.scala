@@ -346,15 +346,20 @@ class OpsSpec extends SparkSpec {
 
   test("approxDistinct: HLL estimate within 3·rsd of exact, partial-aggregable plan") {
     val df = (1 to 5000).map(i => (s"g${i % 3}", s"v${i % 1217}")).toDF("g", "v")
-    val rows = Ops.approxDistinct(df, "g", "v", rsd = 0.05).collect()
+    val rows = Ops.approxDistinct(df, "g", "v", rsd = 0.05, includeExact = true).collect()
     assert(rows.length == 3)
     rows.foreach { r =>
       val (approx, exact) = (r.getAs[Long]("approx_nd"), r.getAs[Long]("exact_nd"))
       assert(math.abs(approx - exact) <= math.max(3, (0.15 * exact).toLong),
         s"approx $approx vs exact $exact")
     }
+    // default (production) shape: sketch only — no exact_nd column,
+    // so the distinct-value shuffle never enters the plan
+    val prod = Ops.approxDistinct(df, "g", "v")
+    assert(prod.columns.toSeq == Seq("g", "approx_nd"))
+    assert(!prod.queryExecution.executedPlan.toString.contains("count(distinct"))
     // the sketch aggregate must partial-aggregate (map-side combine)
-    val plan = Ops.approxDistinct(df, "g", "v").queryExecution.executedPlan.toString
+    val plan = prod.queryExecution.executedPlan.toString
     assert(plan.contains("partial_approx_count_distinct") || plan.contains("HashAggregate"), plan)
   }
 }

@@ -3,8 +3,8 @@ package graft.media
 import graft.SparkSpec
 import MediaOps._
 
-/** Multimodal plumbing: schema, deterministic stub decode, frame
-  * fan-out cardinality, resize reshape.
+/** Multimodal plumbing: schema, deterministic decode seam, real
+  * frame demux fan-out, resize reshape.
   */
 class MediaSpec extends SparkSpec {
   import spark.implicits._
@@ -13,28 +13,61 @@ class MediaSpec extends SparkSpec {
     MediaRow(id, MediaMeta(kind, 64, 48, durMs),
       Array.tabulate(nBytes)(i => ((i * 31 + id) % 251).toByte))
 
-  test("featurize: partition-parallel stub decode is deterministic") {
-    val media = Seq(row(1, "image", 4096, 0), row(2, "audio", 1024, 5000)).toDS()
-    val f1 = featurize(media).collect().sortBy(_.media_id)
-    val f2 = featurize(media).collect().sortBy(_.media_id)
+  test("featurize: partition-parallel decode seam is deterministic (stub over raw bytes)") {
+    val media = Seq(row(1, "blob", 4096, 0), row(2, "blob", 1024, 5000)).toDS()
+    val f1 = featurize(media, StubDecoder).collect().sortBy(_.media_id)
+    val f2 = featurize(media, StubDecoder).collect().sortBy(_.media_id)
     assert(f1.toSeq == f2.toSeq)
     assert(f1.forall(_.features.size == 8))
     assert(f1.head.n_bytes == 4096L)
     assert(f1.forall(f => f.mean_byte >= 0 && f.mean_byte <= 255))
   }
 
-  test("sampleFrames: 1 video -> N frames at stride") {
-    val media = Seq(row(5, "video", 10000, 10000)).toDS()
-    val frames = sampleFrames(media, strideMs = 1000).collect().sortBy(_.frame_idx)
-    assert(frames.length == 10)
-    assert(frames.map(_.frame_idx).toSeq == (0 until 10))
-    assert(frames.map(_.frame_ts_ms).toSeq == (0 until 10).map(_ * 1000L))
-    assert(frames.forall(_.payload.nonEmpty))
+  test("featurize default decoder really decodes images (band means over pixels)") {
+    val media = synthImageCorpus(Seq((4L, "a"), (9L, "b")).toDF("doc_id", "text"))
+    val feats = featurize(media).collect().sortBy(_.media_id)
+    assert(feats.length == 2 && feats.forall(_.features.size == 8))
+    // band means are pixel-value means, so they sit in [0, 255] and
+    // match a driver-side decode of the same payload
+    val payload = media.collect().find(_.media_id == 4L).get.payload
+    val img = ImageCodec.decode(payload)
+    val n = img.width * img.height
+    val expected0 = {
+      val until = n / 8
+      val s = (0 until until).map(i => (img.rgb(3 * i) & 0xff) + (img.rgb(3 * i + 1) & 0xff) + (img.rgb(3 * i + 2) & 0xff)).sum
+      s.toDouble / (3.0 * until)
+    }
+    assert(feats.find(_.media_id == 4L).get.features.head == expected0)
+  }
+
+  test("videoFrames: real P6-stream demux, one decodable payload per frame") {
+    val docs = Seq((3L, "x"), (6L, "y")).toDF("doc_id", "text")
+    val frames = videoFrames(synthVideoCorpus(docs)).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    Seq(3L, 6L).foreach { id =>
+      val fs = frames(id)
+      assert(fs.length == 2 + (id % 4).toInt)
+      assert(fs.map(_.frame_idx).toSeq == fs.indices)
+      assert(fs.map(_.frame_ts_ms).toSeq == fs.indices.map(_ * 40L))
+      fs.foreach { f =>
+        val img = ImageCodec.decodePpm(f.payload) // every slice is a complete image
+        assert(img.width == 5 + (id % 8).toInt && img.height == 3 + (id % 5).toInt)
+      }
+    }
+  }
+
+  test("sampleFrames thins the demux at the requested time stride") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text") // 3 frames at 40 ms
+    val all = videoFrames(synthVideoCorpus(docs)).collect()
+    val sampled = sampleFrames(synthVideoCorpus(docs), strideMs = 80).collect().sortBy(_.frame_idx)
+    assert(all.length == 3 && sampled.length == 2) // keeps source frames 0 and 2
+    assert(sampled.map(_.frame_ts_ms).toSeq == Seq(0L, 80L))
+    assert(sampled.head.payload.sameElements(all.sortBy(_.frame_idx).head.payload))
   }
 
   test("resizeFeatures reshapes to the requested dimension") {
-    val media = Seq(row(1, "image", 4096, 0)).toDS()
-    val resized = resizeFeatures(featurize(media, dim = 8), newDim = 4).collect().head
+    val media = Seq(row(1, "blob", 4096, 0)).toDS()
+    val resized = resizeFeatures(featurize(media, StubDecoder, dim = 8), newDim = 4).collect().head
     assert(resized.features.size == 4)
   }
 

@@ -50,6 +50,21 @@ class WavCodecSpec extends SparkSpec {
     assert(ex.getMessage.contains("odd 16-bit data chunk"))
   }
 
+  test("decoder rejects data-before-fmt and duplicate data chunks with clear messages") {
+    val ok = WavCodec.encode(Array.tabulate(8)(_.toShort), 8000)
+    // move the data chunk ahead of fmt: RIFF/WAVE header + data + fmt
+    val reordered = ByteBuffer.allocate(ok.length).order(ByteOrder.LITTLE_ENDIAN)
+      .put(ok, 0, 12).put(ok, 36, ok.length - 36).put(ok, 12, 24).array()
+    val ex1 = intercept[IllegalArgumentException](WavCodec.decode(reordered))
+    assert(ex1.getMessage.contains("data chunk before fmt"))
+    // duplicate data chunk: last-one-wins would silently mask corruption
+    val doubled = ByteBuffer.allocate(ok.length + (ok.length - 36))
+      .order(ByteOrder.LITTLE_ENDIAN)
+      .put(ok).put(ok, 36, ok.length - 36).array()
+    val ex2 = intercept[IllegalArgumentException](WavCodec.decode(doubled))
+    assert(ex2.getMessage.contains("second data chunk"))
+  }
+
   test("audioFeatures over real WAV bytes match the synthesis formula") {
     val docs = Seq((3L, "x"), (10L, "y"), (131L, "z")).toDF("doc_id", "text")
     val got = MediaOps.audioFeatures(MediaOps.synthWavCorpus(docs)).collect()
