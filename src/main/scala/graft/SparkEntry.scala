@@ -115,6 +115,17 @@ object SparkEntry {
         .join(Dedup.jaccardComponents(docs, 0.8), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     }),
+    // MinHash-family transitive clusters: banding candidates CONFIRMED
+    // by signature agreement (>= 12/16 minhashes ≈ Ĵ >= 0.75) before
+    // the component search — unconfirmed banding edges chain false
+    // positives into mega-components under transitive closure
+    "q_minhash_components" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{coalesce, col}
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"))
+        .join(Dedup.minhashComponents(s, docs), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    }),
     // ---- training-data extension: text analysis ----
     "q_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -145,7 +156,10 @@ object SparkEntry {
     }),
     // ---- training-data extension: similarity search ----
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
-    "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5)),
+    // 2-probe: each query also scores the bucket across its lowest-
+    // |margin| hyperplane (single-bit multi-probe), mirrored in the
+    // oracle's flip construction
+    "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5, nProbes = 2)),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 5)),
     // random-signs (JL) projection to 8 dims, long format
@@ -536,6 +550,45 @@ object SparkEntry {
         |LEFT JOIN cl ON d.doc_id = cl.doc_id
         |LEFT JOIN rc ON cl.rep_id = rc.node""".stripMargin,
 
+    // MinHash components: banding candidates between signature reps,
+    // confirmed by >= 12/16 agreeing minhash positions, closed
+    // transitively with the same recursive min-reachability CTE as
+    // q_connected_components
+    "q_minhash_components" ->
+      """WITH RECURSIVE
+        |c AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 AS code
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        |        FROM documents)),
+        |p AS (SELECT range AS hid, 2*range + 1 AS a, 101*range + 7 AS b FROM range(16)),
+        |sig AS (SELECT c.doc_id, p.hid, min((c.code * p.a + p.b) % 2147483647) AS mh
+        |        FROM c CROSS JOIN p GROUP BY 1, 2),
+        |fullsig AS (SELECT doc_id, string_agg(hid::VARCHAR || ':' || mh::VARCHAR, ',' ORDER BY hid) AS sig_str
+        |            FROM sig GROUP BY 1),
+        |srep AS (SELECT sig_str, min(doc_id) AS rep_id FROM fullsig GROUP BY 1),
+        |bands AS (SELECT doc_id, hid // 4 AS band,
+        |            md5(string_agg(hid::VARCHAR || ':' || mh::VARCHAR, ',' ORDER BY hid)) AS bkey
+        |          FROM sig WHERE doc_id IN (SELECT rep_id FROM srep) GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS ra, y.doc_id AS rb
+        |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |conf AS (SELECT ca.ra, ca.rb
+        |         FROM cand ca JOIN sig sa ON sa.doc_id = ca.ra
+        |                      JOIN sig sb ON sb.doc_id = ca.rb AND sa.hid = sb.hid
+        |         GROUP BY 1, 2
+        |         HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) >= 12),
+        |e AS (SELECT ra AS src, rb AS dst FROM conf UNION ALL SELECT rb, ra FROM conf),
+        |reach(node, r) AS (
+        |  SELECT rep_id, rep_id FROM srep
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node),
+        |rc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        |cl AS (SELECT f.doc_id, s.rep_id FROM fullsig f JOIN srep s USING (sig_str))
+        |SELECT d.doc_id, coalesce(rc.comp, cl.rep_id, d.doc_id)::BIGINT AS component
+        |FROM documents d
+        |LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |LEFT JOIN rc ON cl.rep_id = rc.node""".stripMargin,
+
     "q_simhash" ->
       """WITH c AS (
         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS code
@@ -904,6 +957,11 @@ object SparkEntry {
         |  sum((y*w + x) * (r + 2*g + 3*b))::BIGINT AS wsum
         |FROM px GROUP BY doc_id, t""".stripMargin,
 
+    // 2-probe mirror: each query probes its own bucket plus the one
+    // across its lowest-|margin| plane (margins rounded to 6 before
+    // ordering on BOTH engines — the raw projection's last ulp is
+    // summation-order dependent); a candidate lives in exactly one
+    // bucket, so the two probes can never double-score a pair
     "q_ann_topk" ->
       """WITH comp AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j, unnest(embedding)::DOUBLE AS x
@@ -915,11 +973,20 @@ object SparkEntry {
         |bkt AS (
         |  SELECT vec_id, sum(CASE WHEN pr > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS bkt
         |  FROM proj GROUP BY 1),
+        |flip AS (
+        |  SELECT vec_id, plane AS fplane FROM (
+        |    SELECT vec_id, plane,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY round(abs(pr), 6), plane) AS rn
+        |    FROM proj)
+        |  WHERE rn = 1),
         |e AS (
         |  SELECT em.vec_id, em.embedding, b.bkt,
         |    (SELECT sum(x*x) FROM (SELECT unnest(em.embedding)::DOUBLE AS x)) AS nrm
         |  FROM embeddings em JOIN bkt b USING (vec_id)),
-        |q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, bkt AS q_bkt FROM e WHERE vec_id < 8),
+        |q AS (
+        |  SELECT e.vec_id AS q_id, e.embedding AS q_vec, e.nrm AS q_nrm,
+        |    unnest([e.bkt, xor(e.bkt, 1::BIGINT << f.fplane)]) AS q_bkt
+        |  FROM e JOIN flip f USING (vec_id) WHERE e.vec_id < 8),
         |d AS (
         |  SELECT q.q_id, e.vec_id,
         |    round((SELECT sum(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a, unnest(q.q_vec)::DOUBLE AS b))

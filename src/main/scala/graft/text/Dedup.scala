@@ -16,27 +16,66 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Scoped-cache registry. The near-dup operators in this object
-    * persist nothing: their multi-referenced subtrees are consumed
-    * through structurally identical shuffles, so `ReuseExchange`
-    * shares the shuffle files (measured ~25% faster than a persist
-    * on the jaccard path — the cache round-trip of the token-set
-    * arrays cost more than the branch recomputes it saved, and at
-    * 100 TB a persisted token table is a second full write of the
-    * corpus). The registry exists for the one legitimate case: a
+  /** Scoped-cache registry — SELF-RELEASING. The near-dup operators
+    * in this object persist nothing: their multi-referenced subtrees
+    * are consumed through structurally identical shuffles, so
+    * `ReuseExchange` shares the shuffle files (measured ~25% faster
+    * than a persist on the jaccard path — the cache round-trip of the
+    * token-set arrays cost more than the branch recomputes it saved,
+    * and at 100 TB a persisted token table is a second full write of
+    * the corpus). The registry exists for the one legitimate case: a
     * NARROW derived frame referenced by branches with no common
     * exchange (BM25's per-doc tf row — a few doubles per document —
     * feeds both a broadcast stats aggregate and the probe side;
-    * without a persist the whole corpus tokenizes twice). Callers
-    * that own the query lifecycle (Bench, Verify, tests) release
-    * after each action. */
+    * without a persist the whole corpus tokenizes twice).
+    *
+    * Lifecycle: a registered cache lives for exactly ONE consuming
+    * action. A per-session [[QueryExecutionListener]] fires after
+    * every action (success or failure) and unpersists each registered
+    * frame whose analyzed plan occurs in the completed query — the
+    * same `sameResult` containment Spark's own cache manager uses for
+    * lookup — so a library user who never heard of the registry leaks
+    * nothing. Until first consumption `persist` is only a lazy marker
+    * (no storage blocks exist), so an abandoned query leaks nothing
+    * either. Re-running a returned frame after its first action
+    * recomputes without the cache — correct, just unaccelerated;
+    * rebuild the operator for repeated runs (Bench does). The
+    * explicit [[releaseCaches]] remains for lifecycle-owning callers
+    * and is idempotent with the listener. */
   private val scopedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val listenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   private[text] def registerCache(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scopedCaches.add(df)
+    val spark = df.sparkSession
+    if (listenerSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit = releaseConsumed(qe)
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = releaseConsumed(qe)
+      })
+    }
     df
+  }
+
+  /** Unpersist every registered cache the completed query actually
+    * read (listener thread; queue is concurrent, unpersist is
+    * idempotent, so racing [[releaseCaches]] is harmless). */
+  private def releaseConsumed(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+    val it = scopedCaches.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      val consumed =
+        try qe.analyzed.exists(_.sameResult(df.queryExecution.analyzed))
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (consumed) { df.unpersist(blocking = false); it.remove() }
+    }
   }
 
   def releaseCaches(): Unit = {
@@ -132,18 +171,19 @@ object Dedup {
       .select(col("doc_id"), col("rep_id"), col("cluster_size"))
   }
 
-  def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  /** Candidate pairs of DISTINCT signatures out of the banding:
+    * (sig_a, sig_b), each emitted once — the shared candidate stage of
+    * the pair expansion and the component builder.
+    *
+    * Band keys are derived WITHOUT a first(mhs) collapse: an
+    * array-valued aggregation buffer cannot hash-aggregate, so
+    * groupBy(sig_key).agg(first(mhs)) plans two SortAggregates per
+    * reference. Exploding the band keys first and distinct-ing the
+    * (sig_key, band, bkey) primitive triple is the same set —
+    * identical-signature docs collapse per band — in one
+    * hash-aggregable shuffle of narrow rows. */
+  private def sigBandPairs(full: DataFrame, rowsPerBand: Int): DataFrame = {
     val nBands = MinhashFuncs / rowsPerBand
-    val full = signatureClusters(documents)
-
-    val members = full.select(col("doc_id"), col("sig_key"))
-    // distinct signatures' band keys, WITHOUT a first(mhs) collapse:
-    // an array-valued aggregation buffer cannot hash-aggregate, so
-    // groupBy(sig_key).agg(first(mhs)) plans two SortAggregates per
-    // reference. Exploding the band keys first and distinct-ing the
-    // (sig_key, band, bkey) primitive triple is the same set —
-    // identical-signature docs collapse per band — in one
-    // hash-aggregable shuffle of narrow rows.
     val bandKeys = (0 until nBands).map { b =>
       xxhash64(lit(b), slice(col("mhs"), b * rowsPerBand + 1, rowsPerBand))
     }
@@ -151,10 +191,16 @@ object Dedup {
       .select(col("sig_key"), posexplode(array(bandKeys: _*)))
       .select(col("sig_key"), col("pos").as("band"), col("col").as("bkey"))
       .distinct()
-    val sigPairs = sigBands.as("x").join(sigBands.as("y"), Seq("band", "bkey"))
+    sigBands.as("x").join(sigBands.as("y"), Seq("band", "bkey"))
       .filter(col("x.sig_key") < col("y.sig_key"))
       .select(col("x.sig_key").as("sig_a"), col("y.sig_key").as("sig_b"))
       .distinct()
+  }
+
+  def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val full = signatureClusters(documents)
+    val members = full.select(col("doc_id"), col("sig_key"))
+    val sigPairs = sigBandPairs(full, rowsPerBand)
 
     // expansion joins: pin shuffled-hash. They are many-to-many with
     // deliberately hot keys (a duplicate-heavy cluster IS one key),
@@ -172,6 +218,53 @@ object Dedup {
         least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
         greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"))
     intra.unionByName(cross)
+  }
+
+  /** Transitive MinHash near-dup clustering: (doc_id, component)
+    * where `component` is the smallest doc_id reachable through the
+    * CONFIRMED MinHash near-dup graph — the MinHash analogue of
+    * [[jaccardComponents]], at banding's far cheaper candidate cost.
+    *
+    * The confirm step is load-bearing: a banding collision alone is a
+    * probabilistic event (≈ J⁴ per band), and under transitive
+    * closure its false positives CHAIN — one bad edge per thousand
+    * docs merges whole swaths of the corpus into a mega-component
+    * (observed; that failure is why [[minhashLshPairs]] is shipped as
+    * a pair list, not components). An edge therefore requires
+    * signature agreement on ≥ `minAgree` of the 16 minhash functions
+    * (agreement/16 is the standard unbiased Jaccard estimate, so the
+    * default 12 ≈ Ĵ ≥ 0.75), computed with one zip_with fold on the
+    * already-joined DISTINCT signature pairs — no token re-scan.
+    *
+    * Scale shape mirrors the Jaccard path: identical signatures
+    * collapse to a rep before the graph exists, candidates come from
+    * the banded self-join of distinct signatures only, the component
+    * search runs on the rep graph, and members rejoin via a streamed
+    * hash join. */
+  def minhashComponents(spark: SparkSession, documents: DataFrame,
+                        minAgree: Int = 12, rowsPerBand: Int = 4): DataFrame = {
+    require(minAgree >= 1 && minAgree <= MinhashFuncs,
+      s"need minAgree in [1, $MinhashFuncs], got $minAgree")
+    val full = signatureClusters(documents)
+    val members = full.select(col("doc_id"), col("sig_key"))
+    val reps = members.groupBy(col("sig_key")).agg(min(col("doc_id")).as("rep_id"))
+    val sigs = full.select(col("sig_key"), col("mhs")).distinct()
+    val agree = aggregate(
+      zip_with(col("mhs_a"), col("mhs_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val confirmed = sigBandPairs(full, rowsPerBand)
+      .join(sigs.select(col("sig_key").as("sig_a"), col("mhs").as("mhs_a")), "sig_a")
+      .join(sigs.select(col("sig_key").as("sig_b"), col("mhs").as("mhs_b")), "sig_b")
+      .filter(agree >= minAgree)
+    val repPairs = confirmed
+      .join(reps.as("ra"), col("sig_a") === col("ra.sig_key"))
+      .join(reps.as("rb"), col("sig_b") === col("rb.sig_key"))
+      .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
+              greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
+    val comp = graft.core.Graph.connectedComponents(repPairs, "rep_a", "rep_b")
+    members.join(reps.hint("shuffle_hash"), "sig_key")
+      .join(comp, col("rep_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 
   /** Contamination screen: which corpus documents share word n-grams

@@ -135,8 +135,13 @@ object Similarity {
         val bucket = (0 until nPlanes).map { p =>
           when(element_at(pr, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
+        // margins rounded to 6 before ordering: the projection is a
+        // summation, so its last ulp is engine/order dependent — the
+        // rounded compare (plus the index tiebreak) keeps the chosen
+        // flip plane identical on any engine that mirrors this
+        // construction (same contract as every rounded sim column)
         val order = array_sort(zip_with(pr, sequence(lit(0), lit(nPlanes - 1)),
-          (x, i) => struct(abs(x).as("a"), i.as("i"))))
+          (x, i) => struct(round(abs(x), 6).as("a"), i.as("i"))))
         val flips = (0 until nProbes - 1).map { i =>
           bucket.bitwiseXOR(
             call_function("shiftleft", lit(1L), element_at(order, i + 1).getField("i")))
@@ -201,11 +206,15 @@ object Similarity {
     * `nCells` cells, search only the `nProbe` cells nearest each
     * query.
     *
-    * Centroids are the first `nCells` corpus vectors (`vec_id <
-    * nCells`) — a deterministic stand-in for k-means seeds (k-means++
-    * without the Lloyd iterations; a trained quantizer slots into the
-    * same broadcast seam). Assignment = argmax cosine(centroid),
-    * ties broken by lower cell id.
+    * Centroids: `lloydIters = 0` (the declared, oracle-mirrored form)
+    * uses the first `nCells` corpus vectors as a deterministic seed
+    * quantizer; `lloydIters > 0` runs that many k-means rounds from
+    * the same seeds ([[trainedQuantizer]]) and slots the trained
+    * centroids into the same broadcast seam — on clustered corpora
+    * this is what makes `nProbe` recall claims meaningful (unit-
+    * tested: recall@5 rises vs the seeded quantizer at equal nProbe).
+    * Assignment = argmax cosine(centroid), ties broken by lower cell
+    * id.
     *
     * Scale shape: the coarse quantizer collapses to ONE broadcast row
     * (an nCells-element array of centroid structs), and assignment is
@@ -219,31 +228,22 @@ object Similarity {
     * prune partitions instead of rescanning.
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 0): DataFrame = {
     require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells && k >= 1,
       s"need 1 <= nProbe <= nCells and k >= 1, got (nCells=$nCells, nProbe=$nProbe, k=$k)")
+    require(lloydIters >= 0, s"need lloydIters >= 0, got $lloydIters")
     val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // one row: the whole quantizer, ordered by cell id
-    val cent = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
-      .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
-    // argmax cosine over the centroid array: strict > keeps the
-    // lowest cell id on ties (matches the oracle's c_sim DESC, cell
-    // ASC ranking)
-    def bestCell(vec: Column, nrm: Column): Column =
-      aggregate(
-        col("cents"),
-        struct(lit(-2.0).as("best_sim"), lit(-1L).as("cell")),
-        (acc, c) => {
-          val sim = round(dot(vec, c.getField("c_vec")) / sqrt(nrm * c.getField("c_nrm")), 6)
-          when(sim > acc.getField("best_sim"),
-            struct(sim.as("best_sim"), c.getField("cell").as("cell")))
-            .otherwise(acc)
-        },
-        acc => acc.getField("cell"))
+    val cent =
+      if (lloydIters == 0)
+        e.filter(col("vec_id") < nCells)
+          .select(col("vec_id").as("cell"), col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
+          .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
+      else
+        trainedQuantizer(e, nCells, lloydIters)
     val assigned = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        bestCell(col("embedding"), col("nrm")).as("cell"))
+        bestCellExpr(col("embedding"), col("nrm")).as("cell"))
     // query side is tiny (nQueries × nCells rows): expand and rank
     val qCells = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -259,6 +259,74 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
     topK(scored, k)
+  }
+
+  /** Argmax cosine over the broadcast `cents` centroid array: strict
+    * > keeps the lowest cell id on ties (matches the oracle's c_sim
+    * DESC, cell ASC ranking). */
+  private def bestCellExpr(vec: Column, nrm: Column): Column =
+    aggregate(
+      col("cents"),
+      struct(lit(-2.0).as("best_sim"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val sim = round(dot(vec, c.getField("c_vec")) / sqrt(nrm * c.getField("c_nrm")), 6)
+        when(sim > acc.getField("best_sim"),
+          struct(sim.as("best_sim"), c.getField("cell").as("cell")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cell"))
+
+  /** One-row quantizer frame (the broadcast side of assignment) from
+    * a (cell, c_vec) table. */
+  private def centsRow(cellVec: DataFrame): DataFrame =
+    cellVec.select(col("cell"), col("c_vec"), norm2(col("c_vec")).as("c_nrm"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
+
+  /** Lloyd-trained coarse quantizer: k-means rounds over the corpus,
+    * seeded deterministically with the first `nCells` vectors (the
+    * same seeds the untrained path uses, so `lloydIters` only ever
+    * ADDS training).
+    *
+    * Per round: assignment is the usual zero-shuffle broadcast argmax
+    * over the corpus; the update aggregates per-(cell, dimension)
+    * component sums in ONE partial-aggregable shuffle of `nCells ×
+    * dim` narrow rows, summed as DECIMAL so the result is independent
+    * of partition order (bit-reproducible training). The per-round
+    * collect is the quantizer itself — `nCells × dim` values, driver
+    * metadata by nature (FAISS trains exactly this way, in memory, on
+    * at most a corpus sample); the corpus is never collected. Train
+    * on `df.sample` upstream when even one pass per round is too much
+    * scan at full scale. */
+  private def trainedQuantizer(e: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var centroids: Array[(Long, Array[Float])] =
+      e.filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+        .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    require(centroids.nonEmpty, s"corpus has no vectors with vec_id < $nCells to seed from")
+    for (_ <- 1 to iters) {
+      val centDf = centsRow(spark.createDataset(centroids.toIndexedSeq).toDF("cell", "c_vec"))
+      val assigned = e.crossJoin(broadcast(centDf))
+        .select(col("embedding"), bestCellExpr(col("embedding"), col("nrm")).as("cell"))
+      val stats = assigned.select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast(DecimalType(30, 10))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = stats.groupBy(_.getLong(0))
+      centroids = centroids.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val v = old.clone()
+            rows.foreach { r =>
+              v(r.getInt(1)) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+            }
+            (cell, v)
+          case None => (cell, old) // empty cell keeps its centroid
+        }
+      }
+    }
+    centsRow(spark.createDataset(centroids.toIndexedSeq).toDF("cell", "c_vec"))
   }
 
   /** ANN top-k: score only pairs sharing an LSH bucket. Recall is

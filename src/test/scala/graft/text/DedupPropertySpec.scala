@@ -215,6 +215,44 @@ class DedupPropertySpec extends SparkSpec {
     assert(chunks.nonEmpty)
   }
 
+  test("minhashComponents: exact + near dups merge transitively, strangers stay apart") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),                               // |
+      (2L, base.mkString(" ")),                               // | exact dup of 1
+      (3L, (base.drop(1) :+ "xx").mkString(" ")),             // near dup of 1 (J ≈ 0.95)
+      (4L, (base.drop(2) ++ Seq("xx", "yy")).mkString(" ")),  // chains via 3
+      (5L, (1 to 40).map(i => s"other$i").mkString(" ")),     // disjoint vocabulary
+      (6L, (1 to 40).map(i => s"other$i").mkString(" ")))     // exact dup of 5
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashComponents(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(got(1L) == 1L && got(2L) == 1L, "exact duplicates must share a component")
+    assert(got(3L) == 1L, "near dup must confirm (agreement >= 12/16) and merge")
+    assert(got(4L) == 1L, "transitive chain 1~3~4 must close")
+    assert(got(5L) == 5L && got(6L) == 5L, "disjoint docs must stay in their own component")
+    // every confirmed component assignment is consistent with the
+    // candidate-pair surface: docs sharing a component must at least
+    // be LSH candidates transitively — spot-check via the pair list
+    val pairs = Dedup.minhashLshPairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((5L, 6L)))
+  }
+
+  test("minhashComponents requires confirmed edges (strict minAgree isolates near dups)") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.drop(6) ++ (1 to 6).map(i => s"zz$i")).mkString(" "))) // J ≈ 0.74
+      .toDF("doc_id", "text")
+    // at minAgree = 16 only IDENTICAL signatures may merge — the
+    // moderately-similar pair must stay apart even if banding
+    // produced the candidate
+    val strict = Dedup.minhashComponents(spark, docs, minAgree = 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(strict(1L) == 1L && strict(2L) == 2L)
+  }
+
   test("near-dup operators leave no cached tables behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = corpus(seed = 21, nDocs = 80, vocab = 12)
@@ -224,6 +262,23 @@ class DedupPropertySpec extends SparkSpec {
     Dedup.releaseCaches()
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
       "dedup operators must not leak persisted tables into the session")
+  }
+
+  test("scoped caches self-release after the consuming action, WITHOUT releaseCaches()") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val docs = corpus(seed = 33, nDocs = 60, vocab = 10)
+    // both registry users, consumed by plain actions a library user
+    // would run; no explicit release anywhere in this test
+    val bm = TextOps.bm25TopK(docs, Seq("w1", "w2"), 5).count()
+    TextOps.dupSpans(docs, 4).count()
+    assert(bm >= 0)
+    // the QueryExecutionListener fires on the listener-bus thread
+    // after the action returns — poll briefly instead of racing it
+    val deadline = System.currentTimeMillis() + 15000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"caches not self-released: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
   test("decimal moneySum is invariant under repartitioning") {
