@@ -31,10 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    input partitions, the DSv2 analogue of paginated API fetches —
   *    each executor pulls its own page.
   *
-  * The backend is pluggable; the in-repo implementation reads a
-  * local pipe-separated catalog file (zero-egress CI). A real HTTP
-  * backend implements the same [[MaterialsBackend]] contract and the
-  * pushdown machinery is unchanged.
+  * The backend is pluggable through [[MaterialsBackend]]:
+  * `.option("path", file)` reads a local pipe-separated catalog
+  * (zero-egress CI); `.option("url", endpoint)` speaks HTTP via
+  * [[HttpCatalogBackend]] — the pushed request becomes query
+  * parameters on the GET, so pushdown → wire translation is
+  * identical across backends (tests assert the same PushedFilters
+  * against a loopback server).
   *
   * Usage:
   * {{{
@@ -68,19 +71,124 @@ object MaterialsSource {
   }
 }
 
+/** The pluggable fetch seam of the source — everything below the
+  * pushdown machinery. A backend receives the FULLY pushed request
+  * (page split, filters, limit, top-n) and is trusted to honour the
+  * filters server-side: pushed conjuncts return no residual, so Spark
+  * never re-applies them (exactly the trust contract of a real REST
+  * API). Limit/top-n are optimizations only — Spark keeps the global
+  * cut above the scan either way.
+  *
+  * Instances are created on the driver and shipped inside
+  * [[MaterialsPage]] to executors, so implementations must be
+  * Serializable value objects (hold a path/url, not a connection). */
+trait MaterialsBackend extends Serializable {
+  import MaterialsSource.BackendQuery
+  /** One page of pipe-separated catalog rows matching `query`. */
+  def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
+            topN: Option[(String, Boolean, Int)]): Iterator[Array[String]]
+  /** Server-side row count for the pushed query (drives scan stats). */
+  def count(query: BackendQuery): Long
+  /** Identifies the backend in plan/table descriptions. */
+  def description: String
+}
+
+/** Local catalog-file backend (zero-egress CI stand-in). Pushed
+  * limit/top-n are applied here, after the page filter — the same
+  * point where [[HttpCatalogBackend]]'s server applies them. */
+case class LocalBackend(path: String) extends MaterialsBackend {
+  import MaterialsSource.BackendQuery
+  override def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
+                     topN: Option[(String, Boolean, Int)]): Iterator[Array[String]] = {
+    val matching = LocalCatalogBackend.fetch(path, page, nPages, query)
+    topN match {
+      case Some((c, desc, n)) =>
+        // numeric-only by the builder's acceptance rule
+        val i = MaterialsSource.Schema.fieldIndex(c)
+        val ord = Ordering.Double.TotalOrdering
+        matching.toArray
+          .sortBy(f => f(i).toDouble)(if (desc) ord.reverse else ord)
+          .iterator.take(n)
+      case None =>
+        if (limit >= 0) matching.take(limit) else matching
+    }
+  }
+  override def count(query: BackendQuery): Long = LocalCatalogBackend.count(path, query)
+  override def description: String = s"path=$path"
+}
+
+/** HTTP backend: the pushed request becomes query parameters on a GET
+  * — the reference's `mpr.materials…search(chemsys=…)` call shape
+  * (`dags/my_dag.py:28-29`), here against any server speaking the
+  * same contract (tests run a loopback `com.sun.net.httpserver`
+  * instance; zero egress).
+  *
+  * Wire contract (`text/plain`, one pipe-separated row per line):
+  *   GET url?page=i&pages=n[&eq.<col>=v][&in.<col>=v]*[&limit=k]
+  *                 [&sort=<col>&dir=asc|desc&topn=k]
+  *   GET url?count=1[&filters…]   → single line: matching row count
+  * Repeated `in.<col>` params form the IN-list (values may contain
+  * any catalog character — no in-value separator to collide with). */
+case class HttpCatalogBackend(url: String) extends MaterialsBackend {
+  import MaterialsSource.BackendQuery
+
+  private def get(params: Seq[(String, String)]): Seq[String] = {
+    val qs = params.map { case (k, v) =>
+      k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
+    val conn = java.net.URI.create(s"$url?$qs").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    try {
+      require(conn.getResponseCode == 200,
+        s"materials backend: HTTP ${conn.getResponseCode} for $url?$qs")
+      val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    } finally conn.disconnect()
+  }
+
+  private def filterParams(q: BackendQuery): Seq[(String, String)] =
+    q.equal.toSeq.sortBy(_._1).map { case (c, v) => s"eq.$c" -> v } ++
+      q.in.toSeq.sortBy(_._1).flatMap { case (c, vs) => vs.map(v => s"in.$c" -> v) }
+
+  override def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
+                     topN: Option[(String, Boolean, Int)]): Iterator[Array[String]] = {
+    val params =
+      Seq("page" -> page.toString, "pages" -> nPages.toString) ++
+        filterParams(query) ++
+        (if (limit >= 0) Seq("limit" -> limit.toString) else Nil) ++
+        topN.toSeq.flatMap { case (c, desc, n) =>
+          Seq("sort" -> c, "dir" -> (if (desc) "desc" else "asc"), "topn" -> n.toString) }
+    get(params).iterator.map(_.split("\\|", -1))
+  }
+
+  override def count(query: BackendQuery): Long =
+    get(Seq("count" -> "1") ++ filterParams(query)).headOption
+      .map(_.trim.toLong)
+      .getOrElse(throw new IllegalStateException(s"empty count response from $url"))
+
+  override def description: String = s"url=$url"
+}
+
 private[sources] class MaterialsTable(properties: Map[String, String])
     extends Table with SupportsRead {
-  override def name(): String = s"materials(${properties.getOrElse("path", "?")})"
+  override def name(): String =
+    s"materials(${properties.get("url").orElse(properties.get("path")).getOrElse("?")})"
   override def schema(): StructType = MaterialsSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MaterialsScanBuilder(
-      options.getOrDefault("path", properties.getOrElse("path", "")),
-      options.getOrDefault("pages", properties.getOrElse("pages", "4")).toInt)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def opt(k: String, default: String): String =
+      options.getOrDefault(k, properties.getOrElse(k, default))
+    val backend: MaterialsBackend = opt("url", "") match {
+      case "" => LocalBackend(opt("path", ""))
+      case u  => HttpCatalogBackend(u)
+    }
+    new MaterialsScanBuilder(backend, opt("pages", "4").toInt)
+  }
 }
 
-private[sources] class MaterialsScanBuilder(path: String, pages: Int)
+private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN {
   import MaterialsSource._
@@ -154,13 +262,13 @@ private[sources] class MaterialsScanBuilder(path: String, pages: Int)
       }
       .groupBy(_._1)
       .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
-    new MaterialsScan(path, pages, BackendQuery(Map.empty, in), required,
+    new MaterialsScan(backend, pages, BackendQuery(Map.empty, in), required,
       pushed.map(_.toString), limit, topN)
   }
 }
 
 private[sources] class MaterialsScan(
-    path: String, pages: Int, query: MaterialsSource.BackendQuery,
+    backend: MaterialsBackend, pages: Int, query: MaterialsSource.BackendQuery,
     required: StructType, pushedDesc: Array[String], limit: Int = -1,
     topN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch
@@ -169,7 +277,7 @@ private[sources] class MaterialsScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"MaterialsScan path=$path PushedBackendQuery=[${pushedDesc.mkString(", ")}]" +
+    s"MaterialsScan ${backend.description} PushedBackendQuery=[${pushedDesc.mkString(", ")}]" +
       (if (limit >= 0) s" PushedLimit=$limit" else "") +
       topN.map { case (c, desc, n) =>
         s" PushedTopN=[$c ${if (desc) "DESC" else "ASC"} LIMIT $n]" }.getOrElse("")
@@ -203,7 +311,7 @@ private[sources] class MaterialsScan(
     * the planner sizes this side correctly (broadcast vs shuffle) —
     * without this, a heavily-filtered scan is costed at table size. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = LocalCatalogBackend.count(path, runtime)
+    private val n = backend.count(runtime)
     // ~64 bytes per catalog row (measured on the stand-in format)
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(n * 64L)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
@@ -225,13 +333,13 @@ private[sources] class MaterialsScan(
     * only its own page from the backend. */
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(i =>
-      MaterialsPage(path, i, pages, runtime, limit, topN): InputPartition).toArray
+      MaterialsPage(backend, i, pages, runtime, limit, topN): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MaterialsReaderFactory(required)
 }
 
 private[sources] case class MaterialsPage(
-    path: String, page: Int, nPages: Int, query: MaterialsSource.BackendQuery,
+    backend: MaterialsBackend, page: Int, nPages: Int, query: MaterialsSource.BackendQuery,
     limit: Int = -1, topN: Option[(String, Boolean, Int)] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(page)
@@ -251,21 +359,10 @@ private[sources] class MaterialsPageReader(
     page: MaterialsPage, query: MaterialsSource.BackendQuery, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val fetched: Iterator[Array[String]] =
-    LocalCatalogBackend.fetch(page.path, page.page, page.nPages, query)
-  // pushed TOP-N: per-page sort + cut (the "server" orders the page);
-  // pushed LIMIT: stop the backend iterator after n matches
-  private val rows: Iterator[Array[String]] = page.topN match {
-    case Some((c, desc, n)) =>
-      // numeric-only by the builder's acceptance rule
-      val i = MaterialsSource.Schema.fieldIndex(c)
-      val ord = Ordering.Double.TotalOrdering
-      val sorted = fetched.toArray
-        .sortBy(f => f(i).toDouble)(if (desc) ord.reverse else ord)
-      sorted.iterator.take(n)
-    case None =>
-      if (page.limit >= 0) fetched.take(page.limit) else fetched
-  }
+  // the backend applies the whole pushed request (filters, limit,
+  // top-n) before any row reaches Spark — "server-side" execution
+  private val rows: Iterator[Array[String]] =
+    page.backend.fetch(page.page, page.nPages, query, page.limit, page.topN)
   private var current: Array[String] = _
 
   override def next(): Boolean =

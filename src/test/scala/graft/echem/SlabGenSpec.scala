@@ -81,4 +81,55 @@ class SlabGenSpec extends SparkSpec {
       assert(slabs.map(_.positions.map(a => (a.x, a.y, a.z))).distinct.length == 3)
     }
   }
+
+  test("golden: distinct-termination counts match the reference slab sets") {
+    // the reference produced exactly these slab files per bulk×facet
+    // (`ls output/slab_poscars/`): enumeration + StructureMatcher
+    // dedup inside `get_slabs(symmetrize=True)`, dags/my_dag.py:84-99
+    val counts = Map("mp-755394" -> 7, "mp-1393040" -> 3)
+    counts.foreach { case (id, expected) =>
+      val slabs = SlabGen.cutTerminations(readSlab(s"$id.poscar"), "111")
+      assert(slabs.length == expected,
+        s"$id-111: got ${slabs.length} terminations, reference produced $expected")
+      // key contract {id}-{facet}-{i} with ascending-shift ordinals
+      assert(slabs.map(_.mpKey) == (0 until expected).map(i => s"$id-111-$i"))
+    }
+  }
+
+  test("termination slabs keep the atom bookkeeping of the fixed fan-out") {
+    val bulk = readSlab("mp-755394.poscar")
+    SlabGen.cutTerminations(bulk, "111").foreach { s =>
+      assert(s.positions.length == s.counts.sum)
+      s.positions.foreach(a => Seq(a.x, a.y, a.z).foreach(c =>
+        assert(c >= 0.0 && c < 1.0, s"fractional coord $c out of range")))
+      val grouped = s.species.lazyZip(s.counts).flatMap((sp, n) => Seq.fill(n)(sp))
+      assert(s.positions.map(_.element) == grouped)
+    }
+    // terminations are genuinely distinct surfaces
+    val all = SlabGen.cutTerminations(bulk, "111")
+    assert(all.map(_.positions.map(a => (a.x, a.y, a.z))).distinct.length == all.length)
+  }
+
+  test("flip-equivalent terminations collapse (mp-1393040: 12 layers -> 3 slabs)") {
+    // the hexagonal V2O4 bulk has 12 distinct z-layers in the (111)
+    // oriented cell; in-plane translation pairs them to 6 and the
+    // upside-down flip to 3 — dropping either equivalence would
+    // overcount what pymatgen's StructureMatcher collapses
+    val bulk = readSlab("mp-1393040.poscar")
+    val slabs = SlabGen.cutTerminations(bulk, "111")
+    assert(slabs.length == 3)
+  }
+
+  test("symmetricOnly filters to two-faced-identical slabs, never widens") {
+    for (id <- Seq("mp-755394", "mp-1393040")) {
+      val bulk = readSlab(s"$id.poscar")
+      val all = SlabGen.cutTerminations(bulk, "111")
+      val sym = SlabGen.cutTerminations(bulk, "111", symmetricOnly = true)
+      assert(sym.length <= all.length)
+      // V-O (111) surfaces here are polar: no termination reads the
+      // same from both faces (why the reference must REPAIR, not
+      // filter, under symmetrize=True)
+      assert(sym.isEmpty, s"$id: unexpectedly symmetric terminations")
+    }
+  }
 }
