@@ -41,7 +41,11 @@ object Plans {
     "q_edit_distance",    // prefix-blocked candidate join
     "q_simhash_neardup",  // banded fingerprint collision + hash expansion
     "q_window_dedup",     // WindowGroupLimit first-per-window
-    "q_running_sum")      // decimal running window sum
+    "q_running_sum",      // decimal running window sum
+    "q_ngram_lm",         // bigram-key aggs + model join + decimal sum
+    "q_minhash_components", // banding + agreement confirm + rep CC
+    "q_image_features",   // narrow decode, zero shuffle
+    "q_ann_topk")         // 2-probe bucket join
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

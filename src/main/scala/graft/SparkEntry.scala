@@ -137,6 +137,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d), 2)),
     "q_bm25" -> ((s, d) => TextOps.bm25TopK(Tables.documents(s, d), Seq("table", "scan", "fast"), 20)),
     "q_tfidf" -> ((s, d) => TextOps.tfidfTopK(Tables.documents(s, d), 30)),
+    "q_ngram_lm" -> ((s, d) => TextOps.ngramLmScore(Tables.documents(s, d))),
     // synthetic PII injected deterministically (the word-salad corpus
     // carries none) so the scrub has real matches to find and mask
     "q_pii_scrub" -> ((s, d) => {
@@ -773,6 +774,26 @@ object SparkEntry {
         |  round((tf::DOUBLE / dl::DOUBLE) * ln(n / df::DOUBLE), 5) AS score
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |ORDER BY score DESC, doc_id, term LIMIT 30""".stripMargin,
+
+    // lp rounds to 6 before an exact DECIMAL sum (order-independent),
+    // mirroring the Spark side; the zipped unnest of the two list
+    // slices is DuckDB's adjacent-pair construction
+    "q_ngram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |       FROM toks WHERE len(t) >= 2),
+        |counts AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY 1, 2),
+        |hist AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM counts GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT x)::BIGINT AS v FROM (SELECT unnest(t) AS x FROM toks)),
+        |scored AS (SELECT b.doc_id,
+        |    round(ln((c.c12 + 1)::DOUBLE / (h.c1 + v.v)), 6)::DECIMAL(12,6) AS lp
+        |  FROM bi b JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |  JOIN hist h ON b.w1 = h.w1 CROSS JOIN vocab v)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(sum(lp)::DOUBLE / count(*), 6) AS avg_logprob
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     // injection mirrored verbatim; 'g' flag: DuckDB regexp_replace is
     // first-match-only by default while Spark replaces all

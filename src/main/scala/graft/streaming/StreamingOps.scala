@@ -128,6 +128,42 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Watermarked stream-stream interval join: for every left event,
+    * the right-stream events of the SAME user within
+    * `[left.ts, left.ts + withinMinutes]` — the stream correlation
+    * primitive (click→conversion attribution, request→error
+    * correlation, sensor cross-matching).
+    *
+    * Why this exact shape scales: Spark buffers BOTH sides in state,
+    * and evicts a buffered row only when the watermark plus the join
+    * range proves no future match can arrive — which requires (a)
+    * watermarks on both inputs and (b) a time-range predicate on the
+    * join condition. An equality-only stream-stream join would
+    * legally buffer forever. With both bounds, state is
+    * O(events per user per (watermark + range)) regardless of stream
+    * age — the property that survives a 100 TB/day pair of streams.
+    * The equi-key (`user_id`) makes the state store hash-partitioned
+    * on the user, so matching is local to each state partition.
+    *
+    * Batch twin: the same join expression on static frames (twin
+    * equivalence unit-tested, read ↔ readStream symmetry). */
+  def intervalJoin(left: DataFrame, right: DataFrame, withinMinutes: Int = 10,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts_t", watermark).alias("l")
+    val r = right.withWatermark("ts_t", watermark).alias("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts_t") >= col("l.ts_t") &&
+        col("r.ts_t") <= col("l.ts_t") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(
+        col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_id"),
+        col("r.event_id").as("right_id"),
+        col("l.event_type").as("left_type"),
+        col("r.event_type").as("right_type"),
+        (col("r.ts_t").cast(LongType) - col("l.ts_t").cast(LongType)).as("lag_sec"))
+  }
+
   /** Idempotent micro-batch load: the `foreachBatch` body — dedup +
     * anti-join against the sink before append (`JdbcUpsert.newRows`
     * semantics per batch). Exactly-once-per-key under retries. */

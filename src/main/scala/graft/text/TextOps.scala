@@ -273,6 +273,55 @@ object TextOps {
       .limit(k)
   }
 
+  /** Bigram language-model self-scoring: train add-one-smoothed
+    * bigram counts on the corpus, score every document by its average
+    * log-probability under that model — the perplexity-style quality
+    * filter of a training-data pipeline (a KenLM stand-in whose model
+    * IS the corpus, so "unusual" text scores low without any external
+    * artifact). Output: (doc_id, n_bigrams, avg_logprob) for every
+    * document with ≥ 1 bigram;
+    * lp(w₁w₂) = ln((c(w₁w₂)+1) / (c(w₁·)+V)).
+    *
+    * Scale shape:
+    *  - bigrams stream out of ONE typed flatMap per corpus pass (no
+    *    posexplode+lag shuffle); counts partial-aggregate on the
+    *    (w₁,w₂) key — far better distributed than unigram keys, whose
+    *    Zipf head ("the") would hot-spot a reducer;
+    *  - history counts derive from the already-aggregated bigram
+    *    table (groupBy w₁ over DISTINCT bigrams — skew bounded by
+    *    fan-out per word, not corpus instances), never a second
+    *    corpus scan;
+    *  - the model (counts ⋈ history ⋈ vocab-size) is assembled first,
+    *    so scoring is a single join back on the well-distributed
+    *    bigram key. At real scale the model table is what a pipeline
+    *    would prune (KenLM-style count cutoffs) and bucket-write;
+    *  - float parity without ordering: each lp rounds to 6 decimals
+    *    and sums as DECIMAL — exact in any partition order (the
+    *    moneySum rule), with one final double divide+round. */
+  def ngramLmScore(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val bi = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = tokensOf(text)
+        if (t.length < 2) Iterator.empty
+        else t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (id, a, b) }
+      }
+      .toDF("doc_id", "w1", "w2")
+    val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val hist = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val model = counts.join(hist, "w1").crossJoin(broadcast(vocab))
+    val lp = round(log((col("c12") + 1).cast(DoubleType) / (col("c1") + col("v"))), 6)
+      .cast(DecimalType(12, 6))
+    bi.join(model, Seq("w1", "w2"))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Email / IPv4 patterns for [[piiScrub]]. Deliberately simple and
     * expressible identically in Java regex and RE2 (no backreferences,
     * no lookaround) so any engine scrubs byte-identically. */

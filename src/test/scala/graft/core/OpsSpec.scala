@@ -362,4 +362,40 @@ class OpsSpec extends SparkSpec {
     val plan = prod.queryExecution.executedPlan.toString
     assert(plan.contains("partial_approx_count_distinct") || plan.contains("HashAggregate"), plan)
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the 100 TB shape this guards: fact ⋈ selectively-filtered dim
+    // where the dim is too big to broadcast — Spark injects a bloom
+    // filter built from the dim's join keys into the fact scan, so
+    // non-matching fact rows die before the shuffle. Declarative
+    // plans get this for free; a hand-scheduled pipeline would not.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    import spark.implicits._
+    (1L to 20000L).map(i => (i, s"pay$i")).toDF("k", "payload")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (1L to 2000L).map(i => (i, i % 7)).toDF("k", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === 3)
+      val j = fact.join(dim, "k")
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom filter injected into the probe side:\n$plan")
+      // the filter is an optimization, never a semantics change
+      assert(j.count() == 2000 / 7 + (if (2000 % 7 >= 3) 1 else 0))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -63,6 +63,34 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("aaa", "bbb", "ccc"), s"got $out")
   }
 
+  test("stream-stream interval join == batch twin; runs in true streaming mode") {
+    // left = error events, right = click events of the same user
+    // within 10 minutes after the error
+    val errors = eventsBatch.filter(col("event_type") === "error")
+    val clicks = eventsBatch.filter(col("event_type") === "click")
+    val batch = intervalJoin(errors, clicks)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture produced no interval matches — test is vacuous")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    errors.write.mode("overwrite").parquet(s"$dir/l")
+    clicks.write.mode("overwrite").parquet(s"$dir/r")
+    val q = intervalJoin(
+        spark.readStream.schema(EventSchema).parquet(s"$dir/l"),
+        spark.readStream.schema(EventSchema).parquet(s"$dir/r"))
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ssjoin_out")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch,
+      s"stream result diverged from batch twin: ${got.size} vs ${batch.size} pairs")
+    // every matched pair respects the interval bound
+    spark.table("ssjoin_out").select("lag_sec").as[Long].collect()
+      .foreach(lag => assert(lag >= 0 && lag <= 600, s"lag $lag outside [0, 600]s"))
+  }
+
   test("sessionize: gap-delimited sessions with event-time timeout") {
     // positive epoch base: a ts equal to the initial watermark (0)
     // is filtered as late by definition

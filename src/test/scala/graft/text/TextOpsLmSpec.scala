@@ -1,0 +1,50 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bigram-LM self-scoring: closed-form check on a corpus small enough
+  * to compute the smoothed model by hand, plus the invariants a
+  * quality filter needs (common text scores above unusual text). */
+class TextOpsLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the hand-computed add-one bigram model") {
+    // corpus: "a b" (twice), "a c"
+    //   bigram counts: (a,b)=2, (a,c)=1 ; history c(a·)=3 ; V=3
+    //   lp(a,b) = ln(3/6) ; lp(a,c) = ln(2/6)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.ngramLmScore(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      (1L, 1L, r6(math.log(3.0 / 6.0))),
+      (2L, 1L, r6(math.log(3.0 / 6.0))),
+      (3L, 1L, r6(math.log(2.0 / 6.0)))))
+  }
+
+  test("documents without bigrams are excluded; common text outscores unusual") {
+    val docs = Seq(
+      (1L, "one"),                      // single token — no bigrams
+      (2L, ""),                         // empty
+      (3L, "the cat sat on the mat"),
+      (4L, "the cat sat on the mat"),
+      (5L, "the cat sat on the mat"),
+      (6L, "zephyr quixotic umbra")     // bigrams seen once each
+    ).toDF("doc_id", "text")
+    val rows = TextOps.ngramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!rows.contains(1L) && !rows.contains(2L))
+    assert(rows(3L) == rows(4L) && rows(4L) == rows(5L))
+    assert(rows(3L) > rows(6L),
+      s"repeated text must outscore hapax text: ${rows(3L)} vs ${rows(6L)}")
+  }
+
+  test("score is partitioning-invariant (decimal-summed lp)") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5} w${i % 3}")).toDF("doc_id", "text")
+    val one = TextOps.ngramLmScore(docs.repartition(1)).orderBy("doc_id").collect().toSeq
+    val many = TextOps.ngramLmScore(docs.repartition(13)).orderBy("doc_id").collect().toSeq
+    assert(one == many)
+  }
+}
