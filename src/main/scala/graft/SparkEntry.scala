@@ -138,6 +138,14 @@ object SparkEntry {
     "q_bm25" -> ((s, d) => TextOps.bm25TopK(Tables.documents(s, d), Seq("table", "scan", "fast"), 20)),
     "q_tfidf" -> ((s, d) => TextOps.tfidfTopK(Tables.documents(s, d), 30)),
     "q_ngram_lm" -> ((s, d) => TextOps.ngramLmScore(Tables.documents(s, d))),
+    // quality-priority collapse of the same near-dup clusters as
+    // q_connected_components: keep the best-written copy, not min-id
+    "q_cluster_best" -> ((s, d) =>
+      Dedup.keepBestPerCluster(Tables.documents(s, d), 0.8)),
+    // token-budget mixture: fr/zh deliberately unbudgeted (dropped)
+    "q_mixture_tokens" -> ((s, d) => TextOps.mixtureByTokenBudget(
+      Tables.documents(s, d), Map("en" -> 5000L, "de" -> 2000L, "es" -> 1500L))),
+    "q_pack_shards" -> ((s, d) => TextOps.packShards(Tables.documents(s, d), 1000L)),
     // synthetic PII injected deterministically (the word-salad corpus
     // carries none) so the scrub has real matches to find and mask
     "q_pii_scrub" -> ((s, d) => {
@@ -774,6 +782,72 @@ object SparkEntry {
         |  round((tf::DOUBLE / dl::DOUBLE) * ln(n / df::DOUBLE), 5) AS score
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |ORDER BY score DESC, doc_id, term LIMIT 30""".stripMargin,
+
+    // the q_connected_components closure extended with the shared
+    // quality blend: per component, the (quality DESC, doc_id) winner
+    "q_cluster_best" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, lang, n_chars // 64 AS bkt,
+        |        list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks
+        |      FROM documents),
+        |tk AS (SELECT doc_id, lang, bkt, toks,
+        |         lang || ':' || bkt::VARCHAR || ':' || array_to_string(list_sort(toks), ' ') AS skey
+        |       FROM t WHERE len(toks) > 0),
+        |ds AS (SELECT skey, min(doc_id) AS rep_id, any_value(lang) AS lang,
+        |              any_value(bkt) AS bkt, any_value(toks) AS toks
+        |       FROM tk GROUP BY skey),
+        |rp AS (SELECT least(a.rep_id, b.rep_id) AS ra, greatest(a.rep_id, b.rep_id) AS rb
+        |       FROM ds a JOIN ds b ON a.lang = b.lang AND a.bkt = b.bkt AND a.skey < b.skey
+        |       WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |             / len(list_distinct(a.toks || b.toks)), 6) >= 0.8),
+        |e AS (SELECT ra AS src, rb AS dst FROM rp UNION ALL SELECT rb, ra FROM rp),
+        |reach(node, r) AS (
+        |  SELECT rep_id, rep_id FROM ds
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node),
+        |rc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        |cl AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY skey) AS rep_id FROM tk),
+        |compo AS (SELECT d.doc_id, coalesce(rc.comp, cl.rep_id, d.doc_id)::BIGINT AS component
+        |  FROM documents d
+        |  LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |  LEFT JOIN rc ON cl.rep_id = rc.node),
+        |q AS (SELECT doc_id,
+        |  0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+        |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks))
+        |      + 0.2 * least((list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 10.0, 1.0) AS quality
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |j AS (SELECT compo.component, compo.doc_id, q.quality,
+        |        row_number() OVER (PARTITION BY compo.component
+        |                           ORDER BY q.quality DESC, compo.doc_id) AS rk
+        |      FROM compo JOIN q USING (doc_id))
+        |SELECT component, count(*)::BIGINT AS n_members,
+        |  max(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS best_doc,
+        |  max(quality) AS best_quality
+        |FROM j GROUP BY component""".stripMargin,
+
+    // shared scramble-key order; a doc is kept iff tokens BEFORE it
+    // are under its language's budget; unbudgeted langs drop out
+    "q_mixture_tokens" ->
+      """SELECT doc_id, lang, n_tokens, cum_before FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 9973 + 12345) % 1000003, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before,
+        |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 WHEN 'es' THEN 1500 END AS budget
+        |  FROM (SELECT doc_id, lang,
+        |          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+        |        FROM documents))
+        |WHERE cum_before < budget""".stripMargin,
+
+    "q_pack_shards" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  (coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000)::BIGINT AS shard
+        |FROM (SELECT doc_id, lang,
+        |        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+        |      FROM documents)""".stripMargin,
 
     // lp rounds to 6 before an exact DECIMAL sum (order-independent),
     // mirroring the Spark side; the zipped unnest of the two list

@@ -559,4 +559,31 @@ object Dedup {
       .join(comp, col("rep_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
+
+  /** Quality-priority dedup collapse: one row per near-dup cluster,
+    * keeping the HIGHEST-quality member (ties → lowest doc_id) — the
+    * curation-grade version of min-id rep selection. A pipeline that
+    * keeps cluster reps by id throws away the best-written copy of
+    * every duplicated page; this keeps the copy worth training on.
+    *
+    * Output: (component, n_members, best_doc, best_quality).
+    *
+    * Scale shape: the cluster search is [[jaccardComponents]]
+    * unchanged; the selection is ONE partial-aggregable `max_by` over
+    * (quality, −doc_id) struct order — no per-cluster window sort, so
+    * a colossal cluster costs its row count, not a single-partition
+    * sort. Quality is the shared `TextOps.qualityScore` blend,
+    * identical on both engine and oracle. */
+  def keepBestPerCluster(documents: DataFrame, threshold: Double,
+                         ngram: Int = 1): DataFrame = {
+    val comp = jaccardComponents(documents, threshold, ngram)
+    val quality = TextOps.qualityScore(documents).select(col("doc_id"), col("quality"))
+    comp.join(quality, "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("nid")))
+          .as("best_doc"),
+        max(col("quality")).as("best_quality"))
+  }
 }

@@ -322,6 +322,64 @@ object TextOps {
         round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Data-mixture sampling by TOKEN budget: keep documents of each
+    * language, in deterministic scramble order, until that language's
+    * token budget is spent — the mixture-weights step of training-data
+    * assembly ("200 M tokens of en, 50 M of de, …"), which row-count
+    * sampling (`sampleStratified`) cannot express because documents
+    * have wildly different lengths.
+    *
+    * A document is kept iff the tokens accumulated BEFORE it are
+    * under budget, so each budget is exceeded by at most one document
+    * (the standard fill rule — budgets are targets, not caps).
+    * Languages absent from `budgets` are dropped. Order is the shared
+    * scramble key (`Ops.scrambleKey`, oracle-reproducible), never an
+    * RNG.
+    *
+    * Scale shape: one shuffle on the language key, one ordered pass
+    * (running sum) per language partition — the same accepted-skew
+    * contract as [[qualityNtile]]: a colossal language is one sort
+    * partition; pre-shard it if that bites. */
+  def mixtureByTokenBudget(documents: DataFrame,
+                           budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "need at least one language budget")
+    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(graft.core.Ops.scrambleKey(col("doc_id")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") <
+        element_at(typedLit(budgets), col("lang")))
+  }
+
+  /** Sequence packing into token shards: assign documents, in
+    * deterministic order within each language, to consecutive shards
+    * of ~`budgetTokens` — the batch-assembly step before example
+    * packing (a shard is what one trainer worker streams). Shard
+    * boundaries use the exclusive prefix sum, so a document straddles
+    * its shard's end rather than opening a gap (contiguous fill — the
+    * scalable, order-preserving discipline; true first-fit bin
+    * packing is inherently sequential and buys ≤ one doc per shard).
+    *
+    * Output: (doc_id, lang, n_tokens, shard) with shard numbering
+    * per-language from 0. Same per-language ordered-pass scale
+    * contract as [[mixtureByTokenBudget]]. */
+  def packShards(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"need budgetTokens >= 1, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("shard",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens).cast(LongType))
+  }
+
   /** Email / IPv4 patterns for [[piiScrub]]. Deliberately simple and
     * expressible identically in Java regex and RE2 (no backreferences,
     * no lookaround) so any engine scrubs byte-identically. */

@@ -1,0 +1,64 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Curation-stage operators: quality-priority cluster collapse,
+  * token-budget mixture sampling, shard packing. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (doc_id, lang, n_chars, text) rows shaped like the documents table
+  private def docs(rows: (Long, String, String)*) =
+    rows.toSeq.map { case (id, lang, text) => (id, lang, text.length.toLong, text) }
+      .toDF("doc_id", "lang", "n_chars", "text")
+
+  test("keepBestPerCluster keeps the highest-quality member, ties to lowest id") {
+    // docs 1..3 near-identical (one cluster); doc 3 has the most
+    // tokens -> highest quality blend; docs 10, 11 are singletons
+    val d = docs(
+      (1L, "en", "the quick brown fox jumps over the dog"),
+      (2L, "en", "the quick brown fox jumps over the dog!"),
+      (3L, "en", "the quick brown fox jumps over the lazy dog and runs off"),
+      (10L, "en", "completely different text about ships"),
+      (11L, "de", "ganz anderer deutscher inhalt"))
+    val out = Dedup.keepBestPerCluster(d, 0.5)
+      .collect().map(r => r.getAs[Long]("component") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("best_doc"))).toMap
+    assert(out(1L) == (3L, 3L), s"cluster {1,2,3} should keep doc 3: $out")
+    assert(out(10L) == (1L, 10L) && out(11L) == (1L, 11L))
+    // exact ties break to the lowest doc_id
+    val tied = docs(
+      (5L, "en", "same words here"),
+      (6L, "en", "same words here"))
+    val best = Dedup.keepBestPerCluster(tied, 0.5).collect()
+    assert(best.length == 1 && best.head.getAs[Long]("best_doc") == 5L)
+  }
+
+  test("mixtureByTokenBudget fills each budget, exceeds by at most one doc") {
+    val d = docs((1L to 30L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", Seq.fill(10)("w").mkString(" "))): _*)
+    // 15 docs x 10 tokens per lang; budget 45 -> keep ceil(45/10)=5 docs
+    val out = TextOps.mixtureByTokenBudget(d, Map("en" -> 45L))
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[String]("lang") == "en"), "unbudgeted lang must drop")
+    assert(rows.length == 5, s"expected 5 en docs, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("cum_before")).max == 40L)
+    // determinism: same selection on any partitioning
+    val again = TextOps.mixtureByTokenBudget(d.repartition(7), Map("en" -> 45L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == rows.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("packShards: contiguous per-language shards of ~budget tokens") {
+    val d = docs((1L to 10L).map(i =>
+      (i, "en", Seq.fill(30)("w").mkString(" "))): _*)  // 10 docs x 30 tokens
+    val out = TextOps.packShards(d, 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    // exclusive prefix sums 0,30,...,270 -> shard = cum/100
+    assert(out == (1L to 10L).map(i => i -> ((i - 1) * 30 / 100)).toMap)
+    // every doc is assigned; shards are consecutive from 0
+    val shards = out.values.toSeq.distinct.sorted
+    assert(shards == (0L to shards.max).toSeq)
+  }
+}
