@@ -45,7 +45,10 @@ object Plans {
     "q_ngram_lm",         // bigram-key aggs + model join + decimal sum
     "q_minhash_components", // banding + agreement confirm + rep CC
     "q_image_features",   // narrow decode, zero shuffle
-    "q_ann_topk")         // 2-probe bucket join
+    "q_ann_topk",         // 2-probe bucket join
+    "q_cluster_best",     // CC + partial-agg max_by winner (no window)
+    "q_mixture_tokens",   // per-lang running sum + budget cut
+    "q_pack_shards")      // exclusive prefix-sum shard assignment
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -165,6 +165,21 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rowsServed.get() == 10) // no server-side cut — honest about the wire cost
   }
 
+  test("non-200 backend response fails loudly with the request context") {
+    server.createContext("/broken", (exchange: HttpExchange) => {
+      exchange.sendResponseHeaders(503, -1)
+      exchange.close()
+    })
+    val broken = spark.read.format("graft.sources.MaterialsSource")
+      .option("url", s"http://127.0.0.1:${server.getAddress.getPort}/broken")
+      .option("pages", "2").load()
+    val e = intercept[Exception] { broken.count() }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("HTTP 503")),
+      s"unhelpful failure chain: $messages")
+  }
+
   test("scan statistics come from the server-side count endpoint") {
     val filtered = loadHttp().filter(col("chemsys") === "V-O")
       .queryExecution.optimizedPlan.stats.sizeInBytes
