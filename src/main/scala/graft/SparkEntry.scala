@@ -146,6 +146,13 @@ object SparkEntry {
     "q_mixture_tokens" -> ((s, d) => TextOps.mixtureByTokenBudget(
       Tables.documents(s, d), Map("en" -> 5000L, "de" -> 2000L, "es" -> 1500L))),
     "q_pack_shards" -> ((s, d) => TextOps.packShards(Tables.documents(s, d), 1000L)),
+    // markup injected deterministically (the corpus carries none) so
+    // the stripper has real tags to remove — the piiScrub pattern
+    "q_strip_markup" -> ((s, d) => {
+      val marked = Tables.documents(s, d).selectExpr("doc_id",
+        "concat('<p id=\"d', cast(doc_id as string), '\">', text, '</p><br>') as text")
+      TextOps.stripMarkup(marked)
+    }),
     // synthetic PII injected deterministically (the word-salad corpus
     // carries none) so the scrub has real matches to find and mask
     "q_pii_scrub" -> ((s, d) => {
@@ -841,6 +848,16 @@ object SparkEntry {
         |        FROM documents))
         |WHERE cum_before < budget""".stripMargin,
 
+    "q_strip_markup" ->
+      """WITH x AS (
+        |  SELECT doc_id, '<p id="d' || doc_id::VARCHAR || '">' || text || '</p><br>' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '<[^>]+>'))::BIGINT AS n_tags,
+        |  length(trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))::BIGINT AS clean_len,
+        |  trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+        |FROM x""".stripMargin,
+
     "q_pack_shards" ->
       """SELECT doc_id, lang, n_tokens,
         |  (coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
@@ -851,7 +868,10 @@ object SparkEntry {
 
     // lp rounds to 6 before an exact DECIMAL sum (order-independent),
     // mirroring the Spark side; the zipped unnest of the two list
-    // slices is DuckDB's adjacent-pair construction
+    // slices is DuckDB's adjacent-pair construction. The average is
+    // deliberately unrounded — exact sum / exact count is the same
+    // correctly-rounded double on both engines, while a final round
+    // diverges on .5 boundaries (HALF_UP vs float rounding)
     "q_ngram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
@@ -866,7 +886,7 @@ object SparkEntry {
         |  FROM bi b JOIN counts c ON b.w1 = c.w1 AND b.w2 = c.w2
         |  JOIN hist h ON b.w1 = h.w1 CROSS JOIN vocab v)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  round(sum(lp)::DOUBLE / count(*), 6) AS avg_logprob
+        |  sum(lp)::DOUBLE / count(*) AS avg_logprob
         |FROM scored GROUP BY doc_id""".stripMargin,
 
     // injection mirrored verbatim; 'g' flag: DuckDB regexp_replace is

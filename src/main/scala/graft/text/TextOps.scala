@@ -297,7 +297,12 @@ object TextOps {
     *    would prune (KenLM-style count cutoffs) and bucket-write;
     *  - float parity without ordering: each lp rounds to 6 decimals
     *    and sums as DECIMAL — exact in any partition order (the
-    *    moneySum rule), with one final double divide+round. */
+    *    moneySum rule). The final divide stays UNROUNDED on purpose:
+    *    both engines correctly-round the same exact decimal sum and
+    *    integer count, so the quotient is bit-identical, whereas a
+    *    final `round(…, 6)` sits Spark's HALF_UP against DuckDB's
+    *    float rounding on exact .5 boundaries (observed: 2/5000 docs
+    *    off by 1e-6 at sf0.1). */
   def ngramLmScore(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     val bi = documents.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -319,7 +324,7 @@ object TextOps {
       .select(col("doc_id"), lp.as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 6).as("avg_logprob"))
+        (sum(col("lp")).cast(DoubleType) / count(lit(1))).as("avg_logprob"))
   }
 
   /** Data-mixture sampling by TOKEN budget: keep documents of each
@@ -378,6 +383,27 @@ object TextOps {
         size(tokens(col("text"))).cast(LongType).as("n_tokens"))
       .withColumn("shard",
         (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens).cast(LongType))
+  }
+
+  /** Markup pattern for [[stripMarkup]] — same portability contract
+    * as the PII patterns: no backreferences or lookaround, identical
+    * semantics in Java regex and RE2. */
+  val TagRe = "<[^>]+>"
+
+  /** Boilerplate/markup stripping: remove tags, collapse the
+    * whitespace runs the removal leaves behind, and report what was
+    * cut — the HTML-cleaning step between web extraction and text
+    * curation. Shuffle-free regexp sweep over partitions (the
+    * [[piiScrub]] scale shape); returns
+    * (doc_id, n_tags, clean_len, clean_text). */
+  def stripMarkup(documents: DataFrame): DataFrame = {
+    val stripped = regexp_replace(col("text"), TagRe, " ")
+    val clean = trim(regexp_replace(stripped, "\\s+", " "))
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(TagRe)).cast(LongType).as("n_tags"),
+      length(clean).cast(LongType).as("clean_len"),
+      clean.as("clean_text"))
   }
 
   /** Email / IPv4 patterns for [[piiScrub]]. Deliberately simple and

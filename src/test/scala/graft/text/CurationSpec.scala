@@ -50,6 +50,19 @@ class CurationSpec extends SparkSpec {
     assert(again == rows.map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  test("stripMarkup removes tags, collapses whitespace, counts what it cut") {
+    val d = docs(
+      (1L, "en", "<p>a  <b>bold</b> move</p>"),
+      (2L, "en", "no markup at all"),
+      (3L, "en", "<br><br>  <div class=\"x\">only tags</div>"))
+    val out = TextOps.stripMarkup(d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tags"), r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == (4L, "a bold move"))
+    assert(out(2L) == (0L, "no markup at all"))
+    assert(out(3L) == (4L, "only tags"))
+  }
+
   test("packShards: contiguous per-language shards of ~budget tokens") {
     val d = docs((1L to 10L).map(i =>
       (i, "en", Seq.fill(30)("w").mkString(" "))): _*)  // 10 docs x 30 tokens
