@@ -65,6 +65,7 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Ops.pivotByType(Tables.events(s, d))),
     // 30-minute inactivity gap; batch twin of StreamingOps.sessionize
     "q_sessionize" -> ((s, d) => Ops.sessionize(Tables.events(s, d), 1800L * 1000000L)),
+    "q_scd2" -> ((s, d) => Ops.scd2(Tables.events(s, d))),
     "q_group_baseline_diff" -> ((s, d) => Ops.baselineDiff(Tables.lineitem(s, d))),
     "q_regr_fit" -> ((s, d) => Ops.regrFit(Tables.lineitem(s, d))),
     "q_window_agg" -> ((s, d) => Ops.windowAgg(Tables.eventsWithTs(s, d))),
@@ -126,6 +127,16 @@ object SparkEntry {
         .join(Dedup.minhashComponents(s, docs), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     }),
+    // SimHash-family transitive clusters: every edge is Hamming-
+    // confirmed before closure (the bound IS the confirm), reps are
+    // distinct fingerprints
+    "q_simhash_components" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{coalesce, col}
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"))
+        .join(Dedup.simhashComponents(s, docs), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    }),
     // ---- training-data extension: text analysis ----
     "q_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -138,6 +149,8 @@ object SparkEntry {
     "q_bm25" -> ((s, d) => TextOps.bm25TopK(Tables.documents(s, d), Seq("table", "scan", "fast"), 20)),
     "q_tfidf" -> ((s, d) => TextOps.tfidfTopK(Tables.documents(s, d), 30)),
     "q_ngram_lm" -> ((s, d) => TextOps.ngramLmScore(Tables.documents(s, d))),
+    "q_vocab_oov" -> ((s, d) => TextOps.vocabOov(Tables.documents(s, d), 200)),
+    "q_pmi" -> ((s, d) => TextOps.pmiCollocations(Tables.documents(s, d), 5L)),
     // quality-priority collapse of the same near-dup clusters as
     // q_connected_components: keep the best-written copy, not min-id
     "q_cluster_best" -> ((s, d) =>
@@ -177,6 +190,10 @@ object SparkEntry {
     // oracle's flip construction
     "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5, nProbes = 2)),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
+    // semantic dedup: transitive closure of the exact-cosine-confirmed
+    // near-dup graph, identical vectors rep-collapsed first
+    "q_embed_components" -> ((s, d) => Similarity.embeddingComponents(Tables.embeddings(s, d), 0.3)),
+    "q_embed_scale" -> ((s, d) => Similarity.minMaxScale(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 5)),
     // random-signs (JL) projection to 8 dims, long format
     "q_embed_project" -> ((s, d) => {
@@ -376,6 +393,19 @@ object SparkEntry {
         |SELECT user_id, session_seq::BIGINT AS session_seq, count(*)::BIGINT AS n_events,
         |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // SCD2 history: change rows (value vs lag) stamped with
+    // [valid_from, valid_to) ranges via lead over the change rows
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts)::BIGINT AS us FROM events),
+        |ch AS (SELECT user_id, event_id, value, us,
+        |         lag(value) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pv
+        |       FROM e),
+        |k AS (SELECT user_id, event_id, value, us FROM ch WHERE pv IS NULL OR value <> pv)
+        |SELECT user_id, value, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+        |FROM k""".stripMargin,
 
     "q_group_baseline_diff" ->
       """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
@@ -600,6 +630,43 @@ object SparkEntry {
         |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node),
         |rc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
         |cl AS (SELECT f.doc_id, s.rep_id FROM fullsig f JOIN srep s USING (sig_str))
+        |SELECT d.doc_id, coalesce(rc.comp, cl.rep_id, d.doc_id)::BIGINT AS component
+        |FROM documents d
+        |LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |LEFT JOIN rc ON cl.rep_id = rc.node""".stripMargin,
+
+    // SimHash components: Hamming-confirmed fingerprint edges between
+    // min-doc reps, closed with the same recursive min-reachability
+    // CTE as the other cluster-family oracles
+    "q_simhash_components" ->
+      """WITH RECURSIVE
+        |c AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS code
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        |        FROM documents)),
+        |bts AS (SELECT range AS bit, (1::BIGINT << range) AS w FROM range(32)),
+        |s AS (SELECT doc_id, bit, w, sum(2 * ((code >> bit) & 1) - 1) AS sgn
+        |      FROM c CROSS JOIN bts GROUP BY 1, 2, 3),
+        |sh AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN w ELSE 0 END)::BIGINT AS simhash
+        |       FROM s GROUP BY 1),
+        |srep AS (SELECT simhash, min(doc_id) AS rep_id FROM sh GROUP BY 1),
+        |bands AS (SELECT simhash, range AS band, (simhash >> (range::INT * 8)) & 255 AS bkey
+        |          FROM srep CROSS JOIN range(4)),
+        |fp_ok AS (
+        |  SELECT fa, fb FROM (
+        |    SELECT DISTINCT x.simhash AS fa, y.simhash AS fb
+        |    FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.simhash < y.simhash)
+        |  WHERE bit_count(xor(fa, fb)) <= 1),
+        |conf AS (SELECT least(a.rep_id, b.rep_id) AS ra, greatest(a.rep_id, b.rep_id) AS rb
+        |         FROM fp_ok k JOIN srep a ON k.fa = a.simhash JOIN srep b ON k.fb = b.simhash),
+        |e AS (SELECT ra AS src, rb AS dst FROM conf UNION ALL SELECT rb, ra FROM conf),
+        |reach(node, r) AS (
+        |  SELECT rep_id, rep_id FROM srep
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node),
+        |rc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        |cl AS (SELECT sh.doc_id, srep.rep_id FROM sh JOIN srep USING (simhash))
         |SELECT d.doc_id, coalesce(rc.comp, cl.rep_id, d.doc_id)::BIGINT AS component
         |FROM documents d
         |LEFT JOIN cl ON d.doc_id = cl.doc_id
@@ -889,6 +956,41 @@ object SparkEntry {
         |  sum(lp)::DOUBLE / count(*) AS avg_logprob
         |FROM scored GROUP BY doc_id""".stripMargin,
 
+    // top-200 vocabulary (count desc, token), per-doc OOV rate via
+    // left join against it
+    "q_vocab_oov" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM occ GROUP BY 1)
+        |      ORDER BY cnt DESC, tok LIMIT 200)
+        |SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+        |FROM occ o LEFT JOIN v ON o.tok = v.tok
+        |GROUP BY 1""".stripMargin,
+
+    // PMI over bigrams with count >= 5; row selection is integer-only,
+    // the ln value rounds to 5 (cross-libm contract)
+    "q_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bi AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |       FROM toks WHERE len(t) >= 2),
+        |counts AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT x AS tok, count(*)::BIGINT AS c
+        |        FROM (SELECT unnest(t) AS x FROM toks) GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c)::DOUBLE FROM uni) AS u_total,
+        |               (SELECT sum(c12)::DOUBLE FROM counts) AS b_total)
+        |SELECT k.w1, k.w2, k.c12,
+        |  round(ln((k.c12::DOUBLE * t.u_total / (a.c::DOUBLE * b.c::DOUBLE)) * (t.u_total / t.b_total)), 5) AS pmi
+        |FROM counts k
+        |JOIN uni a ON k.w1 = a.tok
+        |JOIN uni b ON k.w2 = b.tok
+        |CROSS JOIN tot t
+        |WHERE k.c12 >= 5""".stripMargin,
+
     // injection mirrored verbatim; 'g' flag: DuckDB regexp_replace is
     // first-match-only by default while Spark replaces all
     "q_pii_scrub" ->
@@ -1134,6 +1236,55 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
         |WHERE round((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y))
         |        / sqrt(a.nrm * b.nrm), 6) >= 0.3""".stripMargin,
+
+    // per-dim min-max scaling: exact order-independent aggregates,
+    // identical IEEE arithmetic on both engines
+    "q_embed_scale" ->
+      """WITH c AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM c GROUP BY 1)
+        |SELECT c.vec_id, c.dim::BIGINT AS dim,
+        |  CASE WHEN s.mx = s.mn THEN 0.0
+        |       ELSE round((c.x - s.mn) / (s.mx - s.mn), 6) END AS x_scaled
+        |FROM c JOIN s USING (dim)""".stripMargin,
+
+    // embedding components: identical vectors collapse to min-id reps,
+    // banded sign-LSH pairs over the reps (same construction as
+    // q_embed_neardup), recursive min-reachability closure
+    "q_embed_components" ->
+      """WITH RECURSIVE
+        |grp AS (SELECT embedding, min(vec_id) AS rep_id FROM embeddings GROUP BY embedding),
+        |cl AS (SELECT e.vec_id, g.rep_id FROM embeddings e JOIN grp g ON e.embedding = g.embedding),
+        |rv AS (SELECT rep_id AS vec_id, embedding FROM grp),
+        |comp AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j, unnest(embedding)::DOUBLE AS x
+        |  FROM rv),
+        |proj AS (
+        |  SELECT c.vec_id, p.range AS plane,
+        |    sum(c.x * (CASE WHEN (((c.j * 2654435761 + p.range * 40503 + 12345) >> 16) & 1) = 0 THEN 1.0 ELSE -1.0 END)) AS pr
+        |  FROM comp c CROSS JOIN range(16) p GROUP BY 1, 2),
+        |bkt AS (
+        |  SELECT vec_id, plane // 4 AS band,
+        |    sum(CASE WHEN pr > 0 THEN (1::BIGINT << (plane % 4)) ELSE 0 END) AS bkt
+        |  FROM proj GROUP BY 1, 2),
+        |ev AS (
+        |  SELECT em.vec_id, em.embedding, b.band, b.bkt,
+        |    (SELECT sum(x*x) FROM (SELECT unnest(em.embedding)::DOUBLE AS x)) AS nrm
+        |  FROM rv em JOIN bkt b USING (vec_id)),
+        |pr AS (
+        |  SELECT DISTINCT a.vec_id AS ra, b.vec_id AS rb
+        |  FROM ev a JOIN ev b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+        |  WHERE round((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y))
+        |        / sqrt(a.nrm * b.nrm), 6) >= 0.3),
+        |e AS (SELECT ra AS src, rb AS dst FROM pr UNION ALL SELECT rb, ra FROM pr),
+        |reach(node, r) AS (
+        |  SELECT rep_id, rep_id FROM grp
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node),
+        |rc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+        |SELECT cl.vec_id, coalesce(rc.comp, cl.rep_id)::BIGINT AS component
+        |FROM cl LEFT JOIN rc ON cl.rep_id = rc.node""".stripMargin,
 
     // IVF: centroids = vec_id < 16, assignment = argmax cosine
     // (ties -> lower cell), queries probe their 2 nearest cells

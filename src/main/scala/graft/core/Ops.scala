@@ -259,6 +259,36 @@ object Ops {
       .withColumn("dur_us", col("end_us") - col("start_us"))
   }
 
+  /** Slowly-changing-dimension (type 2) history build: collapse each
+    * key's ordered attribute stream to its CHANGE rows and stamp
+    * them with `[valid_from_us, valid_to_us)` validity ranges
+    * (`valid_to_us` null ⇔ current row) — the warehouse operator
+    * that turns an event/snapshot feed into a queryable dimension
+    * history.
+    *
+    * Consecutive equal attribute values collapse into the earlier
+    * row's range; a value that recurs AFTER an intervening change
+    * opens a new range (history, not distinct-values).
+    *
+    * Scale shape: ONE shuffle on the key. The change filter (`lag`)
+    * and the range stamp (`lead`) are window functions over the same
+    * (partition, order); the filter between them preserves both the
+    * hash partitioning and the sort, so the second window adds no
+    * exchange and no re-sort — the plan is scan → shuffle → sort →
+    * two window passes. No self-join against the history table, the
+    * classic SCD2 implementation mistake at scale. */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val prev = lag(col("value"), 1).over(w)
+    events
+      .select(col("user_id"), col("event_id"), col("value"), expr("ts div 1000").as("us"))
+      .withColumn("changed", prev.isNull || col("value") =!= prev)
+      .filter(col("changed"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("value"), col("us").as("valid_from_us"),
+              col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+  }
+
   /** HyperLogLog++ distinct-count sketch per group — the
     * fixed-memory path when exact `countDistinct`'s shuffle of every
     * distinct value is unaffordable (vocabulary/user cardinality

@@ -341,20 +341,8 @@ object Dedup {
     * nothing next to the join. */
   def simhashNearDupPairs(spark: SparkSession, documents: DataFrame,
                           maxHamming: Int = 1): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"band recall guarantee holds for maxHamming in [0, 3], got $maxHamming")
     val sh = simhash(spark, documents) // (doc_id, simhash)
-    val fps = sh.select(col("simhash")).distinct()
-    val banded = fps.select(col("simhash"), posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
-      .select(col("simhash"), col("pos").as("band"), col("col").as("bkey"))
-    val fpPairs = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
-      .filter(col("x.simhash") < col("y.simhash"))
-      .select(col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType))
-      .filter(col("hamming") <= maxHamming)
+    val fpPairs = simhashFpPairs(sh, maxHamming)
     val intra = sh.as("ma").join(sh.as("mb").hint("shuffle_hash"), "simhash")
       .filter(col("ma.doc_id") < col("mb.doc_id"))
       .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
@@ -366,6 +354,62 @@ object Dedup {
               greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
               col("hamming"))
     intra.unionByName(cross)
+  }
+
+  /** (fp_a, fp_b, hamming): near-dup edges between DISTINCT
+    * fingerprints — the 8-bit banded candidate join plus the
+    * `bit_count(xor)` confirm, shared by the pair and component
+    * views of the SimHash family. The band guarantee (a pair within
+    * Hamming h agrees on ≥ 4−h of the 4 bands) holds for h ≤ 3. */
+  private def simhashFpPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"band recall guarantee holds for maxHamming in [0, 3], got $maxHamming")
+    val fps = sh.select(col("simhash")).distinct()
+    val banded = fps.select(col("simhash"), posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
+      .select(col("simhash"), col("pos").as("band"), col("col").as("bkey"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .filter(col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash transitive near-dup clusters: connected components of
+    * the Hamming-≤`maxHamming` fingerprint graph, every document
+    * labeled with its cluster's minimum doc_id. Completes the
+    * cluster view of the SimHash family the way
+    * [[minhashComponents]] / [[jaccardComponents]] do for theirs —
+    * a pipeline that wants "collapse each near-dup group to one
+    * row" consumes this, not the quadratic pair list.
+    *
+    * SimHash needs no extra confirm step before closure (unlike the
+    * MinHash banding, whose unconfirmed candidates chain false
+    * positives): the Hamming bound IS the confirm, applied to every
+    * edge before it exists.
+    *
+    * Scale shape: identical fingerprints collapse to their min-doc
+    * rep before the graph is built (a colossal exact-dup cluster is
+    * ONE vertex), the component search runs on the distinct-
+    * fingerprint graph via [[graft.core.Graph.connectedComponents]]
+    * (min-label propagation + pointer jumping, O(log diameter)
+    * rounds), and members join their rep's component back with a
+    * streamed hash join. */
+  def simhashComponents(spark: SparkSession, documents: DataFrame,
+                        maxHamming: Int = 1): DataFrame = {
+    val sh = simhash(spark, documents) // (doc_id, simhash)
+    val reps = sh.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id"))
+    val repEdges = simhashFpPairs(sh, maxHamming)
+      .join(reps.as("ra"), col("fp_a") === col("ra.simhash"))
+      .join(reps.as("rb"), col("fp_b") === col("rb.simhash"))
+      .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
+              greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
+    val comp = graft.core.Graph.connectedComponents(repEdges, "rep_a", "rep_b")
+    sh.join(reps.hint("shuffle_hash"), "simhash")
+      .join(comp, col("rep_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 
   /** Blocked n-gram Jaccard near-dup pairs: block on

@@ -202,6 +202,71 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Per-dimension min-max standardization of the embedding column:
+    * x → (x − min_d)/(max_d − min_d), the feature-scaling step before
+    * distance-based ops (ANN, clustering) when dimensions are on
+    * different scales. Constant dimensions map to 0. Output is long
+    * form (vec_id, dim, x_scaled).
+    *
+    * Min/max — not mean/std — on purpose: they are exact,
+    * order-independent aggregates, so the scaled values are
+    * bit-deterministic under ANY partitioning (a mean of floats is a
+    * summation-order lottery; making it deterministic costs a
+    * DECIMAL detour). The statistics shuffle is per-dimension
+    * partials — `nDims × nPartitions` rows regardless of corpus
+    * size — and the application side joins one BROADCAST stats row
+    * per dimension, so the corpus itself never shuffles. */
+  def minMaxScale(embeddings: DataFrame): DataFrame = {
+    val ex = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+              col("xf").cast(DoubleType).as("x"))
+    val stats = ex.groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    ex.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(round((col("x") - col("mn")) / (col("mx") - col("mn")), 6))
+          .as("x_scaled"))
+  }
+
+  /** Semantic (embedding-space) transitive near-dup clusters:
+    * connected components of the [[embeddingNearDupPairs]] graph,
+    * every vector labeled with its cluster's minimum vec_id — the
+    * embedding-space member of the cluster family
+    * ([[graft.text.Dedup.jaccardComponents]] /
+    * `minhashComponents` / `simhashComponents` are the lexical
+    * members). This is the "semantic dedup" step of a training-data
+    * pipeline: paraphrases and re-encodings that share no tokens
+    * still collapse when their embeddings agree.
+    *
+    * Edges are already exact-cosine-confirmed by the pair operator
+    * (LSH only generates candidates), so closure cannot chain a
+    * false positive the confirm would have rejected — the transitive
+    * chain itself is the semantics (A≈B≈C groups A,C even when
+    * cos(A,C) < threshold), same contract as the lexical components.
+    *
+    * Scale shape: bit-identical vectors collapse to their min-id rep
+    * BEFORE the pair search (a colossal exact-dup cluster is one
+    * vertex of the band join, not a quadratic clique — at 100 TB
+    * you'd key this collapse on a 128-bit content fingerprint of the
+    * vector bytes rather than shuffling the arrays themselves; the
+    * array key keeps the declared form exactly oracle-mirrorable),
+    * the component search runs on the rep graph via
+    * [[graft.core.Graph.connectedComponents]], and members rejoin
+    * through a streamed hash join. */
+  def embeddingComponents(embeddings: DataFrame, threshold: Double,
+                          nPlanes: Int = 4, nBands: Int = 4): DataFrame = {
+    val keyed = embeddings.select(col("vec_id"), col("embedding"))
+    val reps = keyed.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id"))
+    val repVecs = reps.select(col("rep_id").as("vec_id"), col("embedding"))
+    val edges = embeddingNearDupPairs(repVecs, threshold, nPlanes, nBands)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.core.Graph.connectedComponents(edges, "id_a", "id_b")
+    keyed.join(reps.hint("shuffle_hash"), "embedding")
+      .join(comp, col("rep_id") === col("node"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("rep_id")).as("component"))
+  }
+
   /** IVF (inverted-file) top-k: coarse-quantize the corpus into
     * `nCells` cells, search only the `nProbe` cells nearest each
     * query.

@@ -327,6 +327,86 @@ object TextOps {
         (sum(col("lp")).cast(DoubleType) / count(lit(1))).as("avg_logprob"))
   }
 
+  /** Vocabulary coverage: build the top-`vocabSize` corpus vocabulary
+    * (by occurrence count, ties → lexicographic) and report each
+    * document's out-of-vocabulary token rate — the tokenizer-fit /
+    * filtering signal of a training-data pipeline (a doc whose words
+    * the vocabulary doesn't cover is noise, code, or the wrong
+    * language). Output: (doc_id, n_tokens, n_oov, oov_rate) for every
+    * document with ≥ 1 token.
+    *
+    * Scale shape: two corpus passes by necessity (a vocabulary must
+    * exist before it can be applied — the standard build-then-apply
+    * split; at 100 TB the vocab table is an artifact you'd persist
+    * between the passes). Pass 1 partial-aggregates token counts and
+    * takes the top-V with TakeOrderedAndProject (per-partition heaps,
+    * no global sort of the vocabulary table). Pass 2 re-streams token
+    * occurrences against the BROADCAST vocabulary — V rows by
+    * construction — so the corpus-sized side never shuffles for the
+    * join, and the per-doc rollup is one partial-aggregable groupBy. */
+  def vocabOov(documents: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"need vocabSize >= 1, got $vocabSize")
+    import documents.sparkSession.implicits._
+    def occurrences = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => tokensOf(text).map(t => (id, t)) }
+      .toDF("doc_id", "tok")
+    val vocab = occurrences.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    occurrences.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast(DoubleType) / col("n_tokens"), 6))
+  }
+
+  /** PMI collocations: every corpus bigram with count ≥ `minCount`,
+    * scored by pointwise mutual information —
+    * pmi = ln(p(w₁w₂) / (p(w₁)·p(w₂))), p(w₁w₂) = c₁₂/B,
+    * p(w) = c/U (U = token occurrences, B = bigram occurrences).
+    * The phrase-mining / tokenizer-merge-candidate signal ("new
+    * york" scores high, "of the" scores low). Emitting the full
+    * ≥ minCount set rather than a top-k keeps row selection purely
+    * integer-determined: no ranking on a float that a 1-ulp libm
+    * difference could reorder.
+    *
+    * Scale shape: bigram and unigram counts are each ONE partial-
+    * aggregated corpus pass (bigram keys are well-distributed; the
+    * unigram Zipf head is absorbed by map-side combine). The
+    * min-count filter runs BEFORE the two unigram joins, so the
+    * joined side is the (small) surviving-bigram table, probing
+    * one-row-per-key unigram builds — per-key fan-out 1, no skew
+    * blow-up. Totals ride one broadcast row. The pmi double is the
+    * same IEEE expression on both engines; ln is the one cross-libm
+    * op, so the value rounds to 5 (the BM25 contract). */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    import documents.sparkSession.implicits._
+    val bi = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val t = tokensOf(text)
+        if (t.length < 2) Iterator.empty
+        else t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (a, b) }
+      }
+      .toDF("w1", "w2")
+    val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).cast(DoubleType).as("u_total"))
+      .crossJoin(counts.agg(sum(col("c12")).cast(DoubleType).as("b_total")))
+    counts.filter(col("c12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast(DoubleType) * col("u_total")
+            / (col("c1").cast(DoubleType) * col("c2").cast(DoubleType)))
+          * (col("u_total") / col("b_total"))), 5).as("pmi"))
+  }
+
   /** Data-mixture sampling by TOKEN budget: keep documents of each
     * language, in deterministic scramble order, until that language's
     * token budget is spent — the mixture-weights step of training-data

@@ -229,6 +229,36 @@ class OpsSpec extends SparkSpec {
     assert(total == 5L)
   }
 
+  test("scd2: change rows get validity ranges, recurring value reopens, one current per key") {
+    def ns(us: Long) = us * 1000L
+    // user 1: 5.0, 5.0 (no change), 7.0, 5.0 (recurs after a change)
+    // user 2: single event
+    val events = Seq(
+      (1L, 10L, ns(100L), 5.0), (1L, 11L, ns(200L), 5.0),
+      (1L, 12L, ns(300L), 7.0), (1L, 13L, ns(400L), 5.0),
+      (2L, 20L, ns(50L), 9.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Ops.scd2(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+                 r.getAs[Long]("valid_from_us"),
+                 Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong),
+                 r.getAs[Boolean]("is_current"))).toSet
+    assert(got == Set(
+      (1L, 5.0, 100L, Some(300L), false), // 200L collapses into this range
+      (1L, 7.0, 300L, Some(400L), false),
+      (1L, 5.0, 400L, None, true),        // same value, new range after the change
+      (2L, 9.0, 50L, None, true)))
+    // invariant: ranges per key tile without gaps — each valid_to is
+    // the next row's valid_from, exactly one open range per key
+    val byKey = got.groupBy(_._1)
+    for ((_, rows) <- byKey) {
+      assert(rows.count(_._4.isEmpty) == 1)
+      val sorted = rows.toSeq.sortBy(_._3)
+      for (Seq(a, b) <- sorted.sliding(2) if sorted.size > 1)
+        assert(a._4.contains(b._3))
+    }
+  }
+
   test("sessionize matches a driver-side reference on random streams") {
     val rnd = new scala.util.Random(3)
     val gapUs = 3600L * 1000000L

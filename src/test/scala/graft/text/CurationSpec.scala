@@ -50,6 +50,37 @@ class CurationSpec extends SparkSpec {
     assert(again == rows.map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  test("vocabOov: top-V by (count desc, token), per-doc OOV closed form") {
+    val d = docs(
+      (1L, "en", "a a a b b c"),   // a:3 b:2 c:1
+      (2L, "en", "b c c d"),       // b:1 c:2 d:1  → corpus: a:3 b:3 c:3 d:1
+      (3L, "en", "d d d"))         // d:3          → corpus: a:3 b:3 c:3 d:4
+    // vocabSize=2 → top by count: d(4), then a/b/c tie at 3 → 'a' wins
+    // lexicographically; vocab = {d, a}
+    val got = TextOps.vocabOov(d, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate")))).toMap
+    assert(got(1L) == ((6L, 3L, 0.5)))       // b b c OOV
+    assert(got(2L) == ((4L, 3L, 0.75)))      // b c c OOV
+    assert(got(3L) == ((3L, 0L, 0.0)))
+  }
+
+  test("pmiCollocations: closed-form PMI, min-count filter is integer-exact") {
+    val d = docs((1L, "en", "x y x y"))
+    // tokens x,y,x,y → U=4, x:2, y:2; bigrams (x,y)(y,x)(x,y) → B=3
+    val got = TextOps.pmiCollocations(d, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("c12"), r.getAs[Double]("pmi")))).toMap
+    def pmi(c12: Long, c1: Long, c2: Long, u: Double, b: Double): Double =
+      BigDecimal(math.log((c12.toDouble * u / (c1.toDouble * c2.toDouble)) * (u / b)))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("x", "y")) == ((2L, pmi(2, 2, 2, 4, 3))))
+    assert(got(("y", "x")) == ((1L, pmi(1, 2, 2, 4, 3))))
+    // minCount=2 drops the single-occurrence bigram
+    val strict = TextOps.pmiCollocations(d, minCount = 2L).collect()
+    assert(strict.map(r => (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
+  }
+
   test("stripMarkup removes tags, collapses whitespace, counts what it cut") {
     val d = docs(
       (1L, "en", "<p>a  <b>bold</b> move</p>"),

@@ -253,6 +253,34 @@ class DedupPropertySpec extends SparkSpec {
     assert(strict(1L) == 1L && strict(2L) == 2L)
   }
 
+  test("simhashComponents: exact dups + hamming-close docs merge, disjoint stay apart") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),                               // |
+      (2L, base.mkString(" ")),                               // | exact dup (hamming 0)
+      (3L, (base.drop(1) :+ "xx").mkString(" ")),             // near: one token swapped
+      (4L, (1 to 60).map(i => s"other$i").mkString(" ")))     // disjoint vocabulary
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashComponents(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L, "identical fingerprints must share a component")
+    assert(got(4L) != got(1L), "disjoint doc must stay apart")
+    // component assignment must equal the union-find closure of the
+    // declared pair operator at the same maxHamming
+    val edges = Dedup.simhashNearDupPairs(spark, docs, maxHamming = 1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    val expected = got.keySet.groupBy(find).flatMap { case (_, ms) =>
+      val m = ms.min; ms.map(_ -> m)
+    }
+    assert(got == expected)
+  }
+
   test("near-dup operators leave no cached tables behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = corpus(seed = 21, nDocs = 80, vocab = 12)

@@ -161,6 +161,48 @@ class SimilaritySpec extends SparkSpec {
     assert(rs(2) > rs(0), s"4-probe must beat 1-probe: $rs")
   }
 
+  test("embeddingComponents == driver union-find closure of the pair operator") {
+    // equivalence against the ground truth the operator promises: the
+    // transitive closure of exactly the edges embeddingNearDupPairs
+    // emits (not of brute-force cosine — LSH recall is the pair
+    // operator's documented contract, not the closure's)
+    val base = clustered(seed = 31, nClusters = 5, perCluster = 8, dim = 8)
+    // exact-dup rows exercise the identical-vector rep collapse
+    val dup = base.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val emb = base.unionByName(dup)
+    val threshold = 0.9
+    val edges = Similarity.embeddingNearDupPairs(emb, threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    // canonical label = min member id, matching the operator's contract
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val expected = ids.groupBy(find).flatMap { case (_, members) =>
+      val m = members.min; members.toSeq.map(_ -> m)
+    }
+    val got = Similarity.embeddingComponents(emb, threshold).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got(1000L) == got(0L), "bit-identical vectors must share a component")
+  }
+
+  test("minMaxScale: closed-form per-dim scaling, constant dims map to 0") {
+    val emb = Seq(
+      (1L, Seq(0f, 10f)),
+      (2L, Seq(5f, 10f)),
+      (3L, Seq(10f, 10f))).toDF("vec_id", "embedding")
+    val got = Similarity.minMaxScale(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 0L)) == 0.0 && got((2L, 0L)) == 0.5 && got((3L, 0L)) == 1.0)
+    assert(Seq(1L, 2L, 3L).forall(id => got((id, 1L)) == 0.0),
+      "constant dimension must scale to 0, not NaN")
+  }
+
   test("randomProjection signs reproduce lshBucket bits; projection is length-preserving-ish") {
     import org.apache.spark.sql.functions._
     val vecs = spark.read.parquet(realEmbeddings).limit(50)
