@@ -48,6 +48,10 @@ object Plans {
     "q_ann_topk",         // 2-probe bucket join
     "q_cluster_best",     // CC + partial-agg max_by winner (no window)
     "q_mixture_tokens",   // per-lang running sum + budget cut
+    "q_scd2",             // one shuffle, lag + lead share a sort
+    "q_vocab_oov",        // heap top-V + broadcast vocab apply
+    "q_pmi",              // min-count filter before the unigram joins
+    "q_embed_scale",      // per-dim partials + broadcast stats join
     "q_pack_shards")      // exclusive prefix-sum shard assignment
 
   def main(args: Array[String]): Unit = {

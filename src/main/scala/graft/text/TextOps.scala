@@ -374,13 +374,18 @@ object TextOps {
     *
     * Scale shape: bigram and unigram counts are each ONE partial-
     * aggregated corpus pass (bigram keys are well-distributed; the
-    * unigram Zipf head is absorbed by map-side combine). The
-    * min-count filter runs BEFORE the two unigram joins, so the
-    * joined side is the (small) surviving-bigram table, probing
-    * one-row-per-key unigram builds — per-key fan-out 1, no skew
-    * blow-up. Totals ride one broadcast row. The pmi double is the
-    * same IEEE expression on both engines; ln is the one cross-libm
-    * op, so the value rounds to 5 (the BM25 contract). */
+    * unigram Zipf head is absorbed by map-side combine), and totals
+    * are a third, NARROW pass (per-doc token count + scalar agg) —
+    * three corpus reads total, the minimum for build-then-score
+    * without persisting token tables. The min-count filter runs
+    * BEFORE any join, and the two per-word lookups are ONE join: the
+    * surviving bigrams melt to (side, word) rows so the unigram
+    * table is built and probed once (two separate joins re-execute
+    * the unigram subtree — exchange reuse does not bridge them;
+    * measured, not assumed). Per-key fan-out on the word join is one
+    * build row per key — no skew blow-up. The pmi double is the same
+    * IEEE expression on both engines; ln is the one cross-libm op,
+    * so the value rounds to 5 (the BM25 contract). */
   def pmiCollocations(documents: DataFrame, minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
     import documents.sparkSession.implicits._
@@ -395,11 +400,25 @@ object TextOps {
     val uni = documents
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val totals = uni.agg(sum(col("c")).cast(DoubleType).as("u_total"))
-      .crossJoin(counts.agg(sum(col("c12")).cast(DoubleType).as("b_total")))
-    counts.filter(col("c12") >= minCount)
-      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
-      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+    // U = Σ tokens, B = Σ max(tokens−1, 0): one NARROW corpus scan +
+    // scalar aggregate, not aggregates over the uni/counts tables —
+    // those subtrees re-execute per reference (exchange reuse does
+    // not bridge the differing parents), which at 100 TB would be two
+    // extra full corpus passes for two scalars
+    val totals = documents
+      .select(size(tokens(col("text"))).cast(LongType).as("n"))
+      .agg(sum(col("n")).cast(DoubleType).as("u_total"),
+           sum(greatest(col("n") - 1L, lit(0L))).cast(DoubleType).as("b_total"))
+    val melted = counts.filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"),
+        explode(array(struct(lit(1).as("side"), col("w1").as("word")),
+                      struct(lit(2).as("side"), col("w2").as("word")))).as("sw"))
+      .select(col("w1"), col("w2"), col("c12"),
+              col("sw.side").as("side"), col("sw.word").as("word"))
+    melted.join(uni.withColumnRenamed("tok", "word"), "word")
+      .groupBy(col("w1"), col("w2"), col("c12"))
+      .agg(max(when(col("side") === 1, col("c"))).as("c1"),
+           max(when(col("side") === 2, col("c"))).as("c2"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c12"),
         round(log((col("c12").cast(DoubleType) * col("u_total")
