@@ -34,6 +34,7 @@ object SparkEntry {
     // ---- §2c: sampling / limits / ordering ----
     "q_sample_n" -> ((s, d) => Ops.sampleN(Tables.orders(s, d), 100)),
     "q_sample_stratified" -> ((s, d) => Ops.sampleStratified(Tables.documents(s, d), "lang", "doc_id", 25)),
+    "q_sample_weighted" -> ((s, d) => Ops.sampleWeighted(Tables.documents(s, d), "doc_id", "n_chars", 150)),
     // ---- §2d: joins ----
     "q_semi_join" -> ((s, d) => Ops.semiJoin(Tables.lineitem(s, d), Tables.orders(s, d), 100)),
     "q_anti_join" -> ((s, d) => Ops.antiJoin(Tables.customer(s, d), Tables.orders(s, d))),
@@ -295,6 +296,16 @@ object SparkEntry {
         |      ORDER BY (doc_id * 9973 + 12345) % 1000003, doc_id)::BIGINT AS rk
         |  FROM documents)
         |WHERE rk <= 25""".stripMargin,
+
+    // Efraimidis-Spirakis weighted sample: priority -ln(u)/w rounded
+    // to 6 (ordering on a cross-libm ln needs the rounding contract)
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars, es_key FROM (
+        |  SELECT doc_id, n_chars,
+        |    round(-ln(((doc_id * 9973 + 12345) % 1000003 + 1)::DOUBLE / 1000004.0)
+        |          / n_chars::DOUBLE, 6) AS es_key
+        |  FROM documents WHERE n_chars > 0)
+        |ORDER BY es_key, doc_id LIMIT 150""".stripMargin,
 
     "q_semi_join" ->
       """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity

@@ -118,6 +118,34 @@ object Ops {
       .select(col(stratum), col(key), col("rk"))
   }
 
+  /** Deterministic weighted sample-n (Efraimidis–Spirakis A-ES): keep
+    * the `n` rows with the smallest priority key −ln(u)/w, where
+    * u ∈ (0,1] derives from [[scrambleKey]] and w is the row's
+    * weight — sampling ∝ weight with a formula any engine reproduces
+    * (the curation use: sample documents ∝ length/quality instead of
+    * uniformly). Rows with non-positive weight are excluded
+    * (undefined priority).
+    *
+    * The priority rounds to 6 decimals before ranking: ln is
+    * cross-libm (1-ulp differences between engines), and an UNROUNDED
+    * order-by would let a 1-ulp flip reorder two adjacent priorities;
+    * at 6 decimals the flip window is ~1e-9 of the key space, and
+    * ties on the rounded key break by id identically everywhere —
+    * the BM25 rounding contract applied to ordering.
+    *
+    * Scale shape: priorities are a per-row map;
+    * `orderBy(...).limit(n)` plans as TakeOrderedAndProject —
+    * per-partition top-n heaps + one n-row merge, no global sort. */
+  def sampleWeighted(df: DataFrame, keyCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val u = (scrambleKey(col(keyCol)) + 1).cast(DoubleType) / 1000004.0d
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", round(-log(u) / col(weightCol).cast(DoubleType), 6))
+      .orderBy(col("es_key"), col(keyCol))
+      .limit(n)
+      .select(col(keyCol), col(weightCol), col("es_key"))
+  }
+
   /** Semi-join: refetch only sampled keys (`dags/my_dag.py:69-70`).
     * Build side is tiny → broadcast, no shuffle of the fact table. */
   def semiJoin(lineitem: DataFrame, orders: DataFrame, n: Int): DataFrame = {

@@ -110,6 +110,51 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("start_t"), col("w.end").as("end_t"),
               col("n_events"))
 
+  case class Scd2State(value: Double, from_us: Long)
+  case class Scd2Closed(user_id: Long, value: Double,
+                        valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming twin of `Ops.scd2`: per-key tracked-value state; the
+    * moment a key's value CHANGES, the closing history row
+    * `[valid_from, valid_to)` is emitted — CDC-style continuous SCD2.
+    * The OPEN range is exactly the per-key state (append-mode streams
+    * cannot retract, so "current" rows are never emitted; a consumer
+    * materializes current = state ∪ latest emission, or runs the
+    * batch [[graft.core.Ops.scd2]] as the authoritative rebuild —
+    * same backstop contract as [[dedupStream]]).
+    *
+    * Ordering contract: rows are ordered per key WITHIN a batch; a
+    * late event older than already-applied state would append as if
+    * new (last-value state cannot re-order history). Feed it a
+    * per-key-ordered stream (watermark-delayed upstream), or treat
+    * emissions as approximate and rebuild in batch. State is one
+    * (value, from) per ACTIVE key — O(keys), never O(history). */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[Scd2State]): Iterator[Scd2Closed] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_t.getTime, e.event_id))
+      var closed = List.empty[Scd2Closed]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts_t.getTime * 1000L
+        cur match {
+          case Some(s) if s.value == e.value => () // no change: range extends
+          case Some(s) =>
+            closed ::= Scd2Closed(userId, s.value, s.from_us, t)
+            cur = Some(Scd2State(e.value, t))
+          case None =>
+            cur = Some(Scd2State(e.value, t))
+        }
+      }
+      cur.foreach(state.update)
+      closed.reverseIterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming twin of `Dedup.exactDedup`: content-hash dedup on
     * ingest. `dropDuplicatesWithinWatermark` keeps one row per
     * `md5(text)` and — unlike plain streaming `dropDuplicates`, whose

@@ -229,6 +229,26 @@ class OpsSpec extends SparkSpec {
     assert(total == 5L)
   }
 
+  test("sampleWeighted == driver-side A-ES reference; non-positive weights excluded") {
+    val rows = (1L to 500L).map(i => (i, if (i % 50 == 0) 0L else (i % 97) + 1))
+    val df = rows.toDF("doc_id", "w")
+    val got = Ops.sampleWeighted(df, "doc_id", "w", 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def key(id: Long, w: Long): Double = {
+      val u = ((id * 9973 + 12345) % 1000003 + 1).toDouble / 1000004.0
+      BigDecimal(-math.log(u) / w.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (k, id) }.take(20)
+    assert(got == expected)
+    // the point of weighting: the selected rows skew heavy
+    val meanSel = got.map(_._2).sum.toDouble / got.size
+    val meanAll = rows.filter(_._2 > 0).map(_._2).sum.toDouble / rows.count(_._2 > 0)
+    assert(meanSel > meanAll, s"weighted sample should skew heavy: $meanSel vs $meanAll")
+  }
+
   test("scd2: change rows get validity ranges, recurring value reopens, one current per key") {
     def ns(us: Long) = us * 1000L
     // user 1: 5.0, 5.0 (no change), 7.0, 5.0 (recurs after a change)

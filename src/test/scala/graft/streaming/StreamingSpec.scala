@@ -91,6 +91,38 @@ class StreamingSpec extends SparkSpec {
       .foreach(lag => assert(lag >= 0 && lag <= 600, s"lag $lag outside [0, 600]s"))
   }
 
+  test("scd2Stream emits closing rows on change; batch scd2's closed rows are the twin") {
+    val t0 = 1600000000000L
+    def ev(id: Long, user: Long, tMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(t0 + tMs), user, "upd", v)
+    // user 1: 5.0 (held), 7.0, back to 5.0 → two closed ranges;
+    // user 2: single value → state only, nothing emitted
+    val rows = Seq(
+      ev(1, 1, 0, 5.0), ev(2, 1, 1000, 5.0), ev(3, 1, 2000, 7.0), ev(4, 1, 3000, 5.0),
+      ev(5, 2, 500, 9.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    rows.toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = scd2Stream(spark.readStream.schema(EventSchema).parquet(dir).as[Event])
+      .writeStream.outputMode("append").format("memory").queryName("scd2_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("scd2_out").as[Scd2Closed].collect()
+      .map(c => (c.user_id, c.value, c.valid_from_us, c.valid_to_us))
+      .sortBy(x => (x._1, x._3)).toSeq
+    val t0us = t0 * 1000L
+    assert(got == Seq(
+      (1L, 5.0, t0us, t0us + 2000000L),
+      (1L, 7.0, t0us + 2000000L, t0us + 3000000L)))
+    // batch twin: exactly the non-current rows of Ops.scd2
+    val batchIn = rows.map(e => (e.user_id, e.event_id, e.ts_t.getTime * 1000000L, e.value))
+      .toDF("user_id", "event_id", "ts", "value")
+    val closed = Ops.scd2(batchIn).filter(!col("is_current")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+                 r.getAs[Long]("valid_from_us"), r.getAs[Long]("valid_to_us")))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(closed == got)
+  }
+
   test("sessionize: gap-delimited sessions with event-time timeout") {
     // positive epoch base: a ts equal to the initial watermark (0)
     // is filtered as late by definition
