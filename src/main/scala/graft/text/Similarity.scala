@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -298,14 +298,7 @@ object Similarity {
       s"need 1 <= nProbe <= nCells and k >= 1, got (nCells=$nCells, nProbe=$nProbe, k=$k)")
     require(lloydIters >= 0, s"need lloydIters >= 0, got $lloydIters")
     val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    // one row: the whole quantizer, ordered by cell id
-    val cent =
-      if (lloydIters == 0)
-        e.filter(col("vec_id") < nCells)
-          .select(col("vec_id").as("cell"), col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
-          .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
-      else
-        trainedQuantizer(e, nCells, lloydIters)
+    val cent = quantizer(e, nCells, lloydIters)
     val assigned = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         bestCellExpr(col("embedding"), col("nrm")).as("cell"))
@@ -346,6 +339,17 @@ object Similarity {
   private def centsRow(cellVec: DataFrame): DataFrame =
     cellVec.select(col("cell"), col("c_vec"), norm2(col("c_vec")).as("c_nrm"))
       .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
+
+  /** Quantizer selection shared by the in-memory and persisted IVF
+    * paths: the deterministic first-`nCells` seed, optionally Lloyd-
+    * trained from those same seeds. */
+  private def quantizer(e: DataFrame, nCells: Int, lloydIters: Int): DataFrame =
+    if (lloydIters == 0)
+      e.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
+    else
+      trainedQuantizer(e, nCells, lloydIters)
 
   /** Lloyd-trained coarse quantizer: k-means rounds over the corpus,
     * seeded deterministically with the first `nCells` vectors (the
@@ -392,6 +396,62 @@ object Similarity {
       }
     }
     centsRow(spark.createDataset(centroids.toIndexedSeq).toDF("cell", "c_vec"))
+  }
+
+  /** Persisted inverted file: the IVF assignment materialized as a
+    * hive-partitioned parquet layout (`index/cell=<id>/…`) plus the
+    * quantizer it was built with (`centroids/`). This is the index
+    * form of [[ivfTopK]] — build once, then every query batch reads
+    * ONLY its probed cells instead of rescanning the corpus
+    * ([[ivfTopKIndexed]]). The assignment itself is the same
+    * zero-shuffle broadcast-argmax map; the write's one shuffle is
+    * the partitioned layout (repartition on cell so each cell is a
+    * contiguous file set, not `nPartitions × nCells` fragments). */
+  def writeInvertedFile(embeddings: DataFrame, dir: String,
+                        nCells: Int = 16, lloydIters: Int = 0): Unit = {
+    require(nCells >= 1, s"need nCells >= 1, got $nCells")
+    val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cent = quantizer(e, nCells, lloydIters)
+    // the quantizer IS part of the index: a reader must probe with
+    // exactly the centroids the assignment used
+    cent.select(explode(col("cents")).as("c"))
+      .select(col("c.cell").as("cell"), col("c.c_vec").as("c_vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        bestCellExpr(col("embedding"), col("nrm")).as("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/index")
+  }
+
+  /** Query a persisted inverted file: rank the stored centroids per
+    * query, probe the `nProbe` best cells, and let DYNAMIC PARTITION
+    * PRUNING cut the index scan to exactly those `cell=` directories
+    * — the probe list is data-dependent, so the pruning is the
+    * runtime kind (a broadcast-join subquery on the partition
+    * column), not a static filter. Same semantics as [[ivfTopK]]
+    * over the same quantizer; plan-asserted in the spec. */
+  def ivfTopKIndexed(spark: SparkSession, dir: String, queries: DataFrame,
+                     k: Int, nProbe: Int = 2): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"need k >= 1 and nProbe >= 1, got ($k, $nProbe)")
+    val cent = centsRow(spark.read.parquet(s"$dir/centroids"))
+    val q = queries
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("cents")).as("c"))
+      .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
+        / sqrt(col("nrm") * col("c.c_nrm")), 6))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"), col("c.cell").as("cell"))
+    val index = spark.read.parquet(s"$dir/index")
+    val scored = index.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(dot(col("embedding"), col("q_vec"))
+        / sqrt(col("nrm") * col("q_nrm")), 6))
+    topK(scored, k)
   }
 
   /** ANN top-k: score only pairs sharing an LSH bucket. Recall is

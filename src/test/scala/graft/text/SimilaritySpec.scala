@@ -161,6 +161,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rs(2) > rs(0), s"4-probe must beat 1-probe: $rs")
   }
 
+  test("persisted inverted file: indexed query == in-memory ivfTopK, scan prunes to probed cells") {
+    val emb = spark.read.parquet(realEmbeddings)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeInvertedFile(emb, dir, nCells = 8)
+    // layout contract: one hive directory per non-empty cell
+    val cellDirs = new java.io.File(s"$dir/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = Similarity.ivfTopKIndexed(spark, dir, queries, k = 5, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+                 r.getAs[Double]("sim"), r.getAs[Long]("rk"))).toSet
+    val mem = Similarity.ivfTopK(emb, nQueries = 8, k = 5, nCells = 8, nProbe = 2)
+    assert(rows(got) == rows(mem),
+      "index round-trip must not change the search result")
+    // the index scan must carry a runtime pruning predicate on the
+    // partition column — the reason the index exists
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.toLowerCase.contains("dynamic"),
+      s"expected dynamic partition pruning on the index scan:\n$plan")
+  }
+
   test("embeddingComponents == driver union-find closure of the pair operator") {
     // equivalence against the ground truth the operator promises: the
     // transitive closure of exactly the edges embeddingNearDupPairs
