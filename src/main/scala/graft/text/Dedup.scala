@@ -43,13 +43,19 @@ object Dedup {
     * explicit [[releaseCaches]] remains for lifecycle-owning callers
     * and is idempotent with the listener. */
   private val scopedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, java.util.concurrent.atomic.AtomicInteger)]()
   private val listenerSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  private[text] def registerCache(df: DataFrame): DataFrame = {
+  /** @param actions how many CONSUMING actions the cache survives —
+    *        1 (default) for operators whose single output plan holds
+    *        every reference; 2 for the component operators, whose
+    *        signature table is read first by the eager edge
+    *        materialization inside `connectedComponents` and again by
+    *        the caller's action on the returned frame. */
+  private[text] def registerCache(df: DataFrame, actions: Int = 1): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scopedCaches.add(df)
+    scopedCaches.add((df, new java.util.concurrent.atomic.AtomicInteger(actions)))
     val spark = df.sparkSession
     if (listenerSessions.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
@@ -70,17 +76,19 @@ object Dedup {
   private def releaseConsumed(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
     val it = scopedCaches.iterator()
     while (it.hasNext) {
-      val df = it.next()
+      val (df, remaining) = it.next()
       val consumed =
         try qe.analyzed.exists(_.sameResult(df.queryExecution.analyzed))
         catch { case scala.util.control.NonFatal(_) => false }
-      if (consumed) { df.unpersist(blocking = false); it.remove() }
+      if (consumed && remaining.decrementAndGet() <= 0) {
+        df.unpersist(blocking = false); it.remove()
+      }
     }
   }
 
   def releaseCaches(): Unit = {
     var d = scopedCaches.poll()
-    while (d != null) { d.unpersist(blocking = false); d = scopedCaches.poll() }
+    while (d != null) { d._1.unpersist(blocking = false); d = scopedCaches.poll() }
   }
 
   /** Exact dedup via content hash: one shuffle on md5(text).
@@ -198,6 +206,11 @@ object Dedup {
   }
 
   def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    // deliberately NOT cached: the signature table carries the 16-int
+    // array + sig_key string per row, and (measured, sf0.1) the cache
+    // round-trip costs more than the recompute it saves — the same
+    // lesson as the jaccard token sets. Contrast simhashNearDupPairs,
+    // whose two-longs-per-row table caches profitably.
     val full = signatureClusters(documents)
     val members = full.select(col("doc_id"), col("sig_key"))
     val sigPairs = sigBandPairs(full, rowsPerBand)
@@ -245,6 +258,8 @@ object Dedup {
                         minAgree: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     require(minAgree >= 1 && minAgree <= MinhashFuncs,
       s"need minAgree in [1, $MinhashFuncs], got $minAgree")
+    // not cached — see minhashLshPairs: the array-bearing signature
+    // table loses the cache-vs-recompute trade (measured)
     val full = signatureClusters(documents)
     val members = full.select(col("doc_id"), col("sig_key"))
     val reps = members.groupBy(col("sig_key")).agg(min(col("doc_id")).as("rep_id"))
@@ -341,7 +356,10 @@ object Dedup {
     * nothing next to the join. */
   def simhashNearDupPairs(spark: SparkSession, documents: DataFrame,
                           maxHamming: Int = 1): DataFrame = {
-    val sh = simhash(spark, documents) // (doc_id, simhash)
+    // (doc_id, simhash): two longs per doc, three references in the
+    // output plan, and each recompute re-runs the md5-per-token fold
+    // — the narrow-expensive shape the scoped cache exists for
+    val sh = registerCache(simhash(spark, documents))
     val fpPairs = simhashFpPairs(sh, maxHamming)
     val intra = sh.as("ma").join(sh.as("mb").hint("shuffle_hash"), "simhash")
       .filter(col("ma.doc_id") < col("mb.doc_id"))
@@ -399,7 +417,10 @@ object Dedup {
     * streamed hash join. */
   def simhashComponents(spark: SparkSession, documents: DataFrame,
                         maxHamming: Int = 1): DataFrame = {
-    val sh = simhash(spark, documents) // (doc_id, simhash)
+    // actions = 2: the edge list is consumed eagerly inside
+    // connectedComponents; the member join runs under the caller's
+    // action on the returned frame
+    val sh = registerCache(simhash(spark, documents), actions = 2)
     val reps = sh.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id"))
     val repEdges = simhashFpPairs(sh, maxHamming)
       .join(reps.as("ra"), col("fp_a") === col("ra.simhash"))

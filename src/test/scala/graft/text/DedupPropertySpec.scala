@@ -299,6 +299,13 @@ class DedupPropertySpec extends SparkSpec {
     // would run; no explicit release anywhere in this test
     val bm = TextOps.bm25TopK(docs, Seq("w1", "w2"), 5).count()
     TextOps.dupSpans(docs, 4).count()
+    // signature/fingerprint caches: single-action registrations …
+    Dedup.simhashNearDupPairs(spark, docs).count()
+    Dedup.minhashLshPairs(spark, docs).count()
+    // … and the actions=2 component registrations (edge
+    // materialization inside connectedComponents + this action)
+    Dedup.simhashComponents(spark, docs).count()
+    Dedup.minhashComponents(spark, docs).count()
     assert(bm >= 0)
     // the QueryExecutionListener fires on the listener-bus thread
     // after the action returns — poll briefly instead of racing it
