@@ -35,6 +35,54 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** Morton (Z-order) interleave of two `bits`-bit ranks: bit b of
+    * `x` lands at position 2b, bit b of `y` at 2b+1. Rows close in
+    * BOTH dimensions get close z-values — the property the clustered
+    * layout below exploits. Pure bit arithmetic, codegen'd. */
+  def zValue(x: Column, y: Column, bits: Int = 12): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b))
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }
+
+  /** Z-order clustered parquet layout over two numeric dimensions:
+    * rank-normalize both columns (min-max to `bits`-bit ranks),
+    * range-partition + sort by the interleaved z-value, write. A
+    * 2-D range query then finds its rows concentrated in FEW files
+    * instead of smeared across all of them, so parquet footer
+    * min/max pruning (file- and row-group-level) skips most of the
+    * table — the data-skipping layout a 100 TB fact table wants when
+    * queries slice on two dimensions at once (a single-column sort
+    * clusters only its own dimension; the z-curve spends each bit of
+    * ordering alternately on both). Property-tested: fewer files
+    * touched than the same data in an unclustered layout, identical
+    * content.
+    *
+    * One stats pass (exact min/max, order-independent), one range
+    * shuffle — the same cost as any sorted write. `nFiles` bounds
+    * output file count (the anti-small-files knob, as in
+    * CuratedSink). */
+  def writeZOrdered(df: DataFrame, dir: String, colA: String, colB: String,
+                    nFiles: Int = 16, bits: Int = 12): Unit = {
+    require(nFiles >= 1 && bits >= 1 && bits <= 31,
+      s"need nFiles >= 1 and bits in [1, 31], got ($nFiles, $bits)")
+    val stats = df.agg(
+      min(col(colA)).cast("double").as("__amn"), max(col(colA)).cast("double").as("__amx"),
+      min(col(colB)).cast("double").as("__bmn"), max(col(colB)).cast("double").as("__bmx"))
+    val maxRank = (1L << bits) - 1
+    def rank(c: Column, mn: Column, mx: Column) =
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(maxRank), floor((c.cast("double") - mn) / (mx - mn) * maxRank).cast("long")))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zValue(rank(col(colA), col("__amn"), col("__amx")),
+                                rank(col(colB), col("__bmn"), col("__bmx")), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__amn", "__amx", "__bmn", "__bmx")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   /** Skew-salted equi-join that preserves inner-join semantics
     * exactly: the big (skewed) side gets a deterministic salt in
     * [0, n) per row; the small side is exploded n× so every

@@ -31,6 +31,33 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("zValue interleaves bits; z-ordered layout clusters 2-D range queries into few files") {
+    // closed-form interleave: x=0b11, y=0b00 -> 0b0101; x=0b00, y=0b11 -> 0b1010
+    val z = Seq((3L, 0L), (0L, 3L), (3L, 3L)).toDF("x", "y")
+      .select(Warehouse.zValue(col("x"), col("y"), 4).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(5L, 10L, 15L))
+
+    // 2-D grid: 64x64 points, one row per cell — a query box of 1/8th
+    // of each dimension selects ~1.5% of rows
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong, a * 64L + b)))
+      .toDF("a", "b", "id")
+    val dirZ = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
+    val dirL = java.nio.file.Files.createTempDirectory("graft-l").toString + "/t"
+    Warehouse.writeZOrdered(grid, dirZ, "a", "b", nFiles = 16, bits = 6)
+    grid.repartition(16).write.parquet(dirL) // unclustered baseline
+    def touched(dir: String): Long = spark.read.parquet(dir)
+      .filter(col("a").between(8, 15) && col("b").between(8, 15))
+      .select(input_file_name()).distinct().count()
+    val (zFiles, lFiles) = (touched(dirZ), touched(dirL))
+    assert(zFiles < lFiles,
+      s"z-order must concentrate the query box: $zFiles vs $lFiles files")
+    assert(zFiles <= 2, s"an aligned 8x8 box spans few z-runs, got $zFiles files")
+    // layout must not change content
+    assert(spark.read.parquet(dirZ).agg(sum("id"), count(lit(1))).collect().toSeq ==
+           grid.agg(sum("id"), count(lit(1))).collect().toSeq)
+  }
+
   test("salted join == plain join on skewed data") {
     // 90% of big-side rows hit one key — the salting target
     val big = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong % 50 else 7L, i))
