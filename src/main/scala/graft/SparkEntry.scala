@@ -103,6 +103,7 @@ object SparkEntry {
     "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.8)),
     "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.3, ngram = 2)),
     "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d), 20)),
+    "q_jaro_winkler" -> ((s, d) => Dedup.jaroWinklerPairs(Tables.documents(s, d))),
     // rep-mode output: linear (cluster_rep, member) instead of the
     // quadratic pair list a colossal duplicate cluster would emit
     "q_dedup_clusters" -> ((s, d) => Dedup.minhashClusters(s, Tables.documents(s, d))),
@@ -749,6 +750,17 @@ object SparkEntry {
         |  FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt
         |    AND substr(a.p, 1, 8) = substr(b.p, 1, 8) AND a.doc_id < b.doc_id)
         |WHERE dist <= 20""".stripMargin,
+
+    // same blocks as q_edit_distance; similarity from DuckDB's native
+    // jaro_winkler_similarity (semantics empirically pinned: floored
+    // transpositions, 0.7 gate, 4-char prefix cap, empties -> 0)
+    "q_jaro_winkler" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars // 64 AS bkt, substr(text, 1, 64) AS p
+        |           FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(jaro_winkler_similarity(a.p, b.p), 6) AS jw
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt
+        |  AND substr(a.p, 1, 8) = substr(b.p, 1, 8) AND a.doc_id < b.doc_id""".stripMargin,
 
     "q_shingle_jaccard" ->
       """WITH t AS (

@@ -596,6 +596,32 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Jaro-Winkler record-linkage pairs over the SAME blocking as
+    * [[editDistancePairs]] (lang + length bucket + shared
+    * `blockChars` prefix, scored on `prefixLen`-char prefixes),
+    * scored by the native codegen'd
+    * [[graft.functions.StringSimilarity.JaroWinklerSim]] expression.
+    * Jaro-Winkler complements Levenshtein in linkage practice: it
+    * rewards shared prefixes and tolerates transpositions, the
+    * name/title typo shape. Pair SELECTION is block-determined
+    * (integer-exact); the similarity is reported rounded to 6 —
+    * thresholding belongs to the caller, on the rounded value. */
+  def jaroWinklerPairs(documents: DataFrame, prefixLen: Int = 64,
+                       blockChars: Int = 8): DataFrame = {
+    require(prefixLen >= 1, s"need prefixLen >= 1, got $prefixLen")
+    require(blockChars >= 1 && blockChars <= prefixLen,
+      s"need 1 <= blockChars <= prefixLen, got $blockChars")
+    val t = documents.select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"),
+      substring(col("text"), 1, prefixLen).as("p"))
+      .withColumn("pfx", substring(col("p"), 1, blockChars))
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
+        col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(graft.functions.StringSimilarity.jaro_winkler(col("a.p"), col("b.p")), 6)
+          .as("jw"))
+  }
+
   /** Transitive near-dup clustering: (doc_id, component) where
     * `component` is the smallest doc_id transitively reachable
     * through the blocked-Jaccard near-dup graph — the step that turns
