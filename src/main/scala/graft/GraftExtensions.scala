@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.VectorExpressions.Norm2F].getName, "norm2_f"),
       (exprs: Seq[Expression]) =>
         graft.functions.VectorExpressions.Norm2F(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.StringSimilarity.JaroWinklerSim].getName,
+        "jaro_winkler"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.StringSimilarity.JaroWinklerSim(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.functions.VectorFoldRewrite)
   }
 }

@@ -20,5 +20,9 @@ object FunctionBridge {
     registry.createOrReplaceTempFunction("norm2_f",
       (exprs: Seq[Expression]) => graft.functions.VectorExpressions.Norm2F(exprs.head),
       "scala_udf")
+    registry.createOrReplaceTempFunction("jaro_winkler",
+      (exprs: Seq[Expression]) =>
+        graft.functions.StringSimilarity.JaroWinklerSim(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

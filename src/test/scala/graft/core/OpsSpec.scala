@@ -279,6 +279,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2 matches a driver-side reference on random streams") {
+    val rnd = new scala.util.Random(11)
+    // few distinct values → plenty of holds, changes, and recurrences
+    val rows = (1 to 3000).map { i =>
+      (rnd.nextInt(25).toLong, i.toLong,
+       math.abs(rnd.nextLong() % (86400L * 1000000L)) * 1000L,
+       (rnd.nextInt(4) + 1).toDouble)
+    }
+    val got = Ops.scd2(rows.toDF("user_id", "event_id", "ts", "value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+                 r.getAs[Long]("valid_from_us"),
+                 Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (u, evs) =>
+      val changes = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      for (e <- evs.sortBy(e => (e._3 / 1000, e._2))) {
+        val us = e._3 / 1000
+        if (changes.isEmpty || changes.last._1 != e._4) changes += ((e._4, us))
+      }
+      changes.zipWithIndex.map { case ((v, from), i) =>
+        (u, v, from,
+         if (i + 1 < changes.size) Some(changes(i + 1)._2) else None)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("sessionize matches a driver-side reference on random streams") {
     val rnd = new scala.util.Random(3)
     val gapUs = 3600L * 1000000L

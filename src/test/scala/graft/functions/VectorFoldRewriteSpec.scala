@@ -98,6 +98,9 @@ class VectorFoldRewriteSpec extends SparkSpec {
       val viaSql = s2.sql("SELECT id, dot_f(v, v) AS d, norm2_f(v) AS n FROM ext_vecs")
         .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
       assert(viaSql(1L) == ((1.0 + 4.0 + 9.0, 14.0)))
+      val jw = s2.sql("SELECT jaro_winkler('martha', 'marhta') AS jw")
+        .collect()(0).getDouble(0)
+      assert(math.abs(jw - 0.9611111111111111) < 1e-12)
       // injected optimizer rule fires without any per-session setup.
       // (Needs a non-LocalRelation source: a literal Seq plan is
       // constant-folded whole before any expression survives.)
