@@ -242,6 +242,14 @@ object SparkEntry {
       import graft.media.MediaOps
       MediaOps.imageFeatures(MediaOps.synthImageCorpus(Tables.documents(s, d))).toDF()
     }),
+    // decode -> nearest-neighbor resize -> features; wsum runs over
+    // TARGET raster positions, so a wrong source-index mapping in the
+    // resize cannot hash-match
+    "q_image_thumb" -> ((s, d) => {
+      import graft.media.MediaOps
+      MediaOps.thumbFeatures(
+        MediaOps.synthImageCorpus(Tables.documents(s, d)), 4, 4).toDF()
+    }),
     // REAL video demux: concatenated-P6 stream (ffmpeg image2pipe
     // format) → per-frame byte slices → per-frame decode + features;
     // frame pixels depend on the frame index, so a demux that drifts
@@ -1176,6 +1184,25 @@ object SparkEntry {
         |  sum(b)::DOUBLE / count(*) AS mean_b,
         |  max(r)::BIGINT AS peak_r,
         |  sum((y*w + x) * (r + 2*g + 3*b))::BIGINT AS wsum
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    // nearest-neighbor 4x4 thumbnail: source pixel (x*w//4, y*h//4),
+    // features recomputed from the synthesis formula at those coords
+    "q_image_thumb" ->
+      """WITH d AS (SELECT doc_id, 5 + doc_id % 8 AS w, 3 + doc_id % 5 AS h FROM documents),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, 4)) AS y FROM d),
+        |xs AS (SELECT doc_id, w, h, y, unnest(range(0, 4)) AS x FROM ys),
+        |px AS (SELECT doc_id, x, y,
+        |         ((x * w) // 4 * 7 + (y * h) // 4 * 11 + doc_id*3) % 256 AS r,
+        |         ((x * w) // 4 * 5 + (y * h) // 4 * 13 + doc_id*7) % 256 AS g,
+        |         ((x * w) // 4 * 3 + (y * h) // 4 * 17 + doc_id*11) % 256 AS b
+        |       FROM xs)
+        |SELECT doc_id AS media_id, 4::BIGINT AS width, 4::BIGINT AS height,
+        |  count(*)::BIGINT AS n_px,
+        |  sum(r)::DOUBLE / count(*) AS mean_r,
+        |  sum(g)::DOUBLE / count(*) AS mean_g,
+        |  sum(b)::DOUBLE / count(*) AS mean_b,
+        |  sum((y*4 + x) * (r + 2*g + 3*b))::BIGINT AS wsum
         |FROM px GROUP BY doc_id""".stripMargin,
 
     "q_video_features" ->

@@ -321,6 +321,51 @@ object MediaOps {
 
   /** Per-frame features over the REAL demux: each frame payload is
     * itself a complete P6 image, decoded independently. */
+  /** Nearest-neighbor resize: target pixel (x, y) reads source pixel
+    * (x·w ÷ tw, y·h ÷ th) — integer floor arithmetic, up- and
+    * down-scale alike, zero allocation beyond the output. The
+    * thumbnail/normalize step of an image pipeline, kept exactly
+    * oracle-mirrorable (bilinear would put float blends between the
+    * engine and the SQL twin). */
+  def resize(img: ImageCodec.Image, tw: Int, th: Int): ImageCodec.Image = {
+    require(tw >= 1 && th >= 1, s"target dims must be positive, got (${tw}x$th)")
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y * img.height / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * img.width / tw
+        val s = (sy * img.width + sx) * 3
+        val d = (y * tw + x) * 3
+        out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Image(tw, th, out)
+  }
+
+  /** Features of the RESIZED image; `wsum` runs over target-raster
+    * positions, so a wrong source-index mapping in [[resize]] cannot
+    * hash-match the oracle's closed-form recomputation. */
+  case class ThumbFeatures(media_id: Long, width: Long, height: Long, n_px: Long,
+                           mean_r: Double, mean_g: Double, mean_b: Double, wsum: Long)
+
+  /** Decode → nearest-neighbor resize → feature-extract, one narrow
+    * `mapPartitions` per row — the canonical decode-transform-extract
+    * chain with the transform now REAL on both formats. */
+  def thumbFeatures(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ThumbFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val img = resize(ImageCodec.decode(m.payload), tw, th)
+      val n = tw.toLong * th
+      val (sr, sg, sb, _, wsum) = rgbStats(img)
+      ThumbFeatures(m.media_id, tw.toLong, th.toLong, n,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, wsum)
+    })
+  }
+
   def frameFeatures(frames: Dataset[Frame]): Dataset[FrameFeatures] = {
     import frames.sparkSession.implicits._
     frames.mapPartitions(_.map { f =>

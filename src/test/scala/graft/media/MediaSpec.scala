@@ -71,6 +71,24 @@ class MediaSpec extends SparkSpec {
     assert(resized.features.size == 4)
   }
 
+  test("resize: nearest-neighbor index mapping, identity resize is a no-op") {
+    // 2x2 image with distinct pixels
+    val img = ImageCodec.Image(2, 2, Array[Byte](
+      1, 2, 3,  4, 5, 6,
+      7, 8, 9,  10, 11, 12))
+    // identity
+    assert(resize(img, 2, 2).rgb.toSeq == img.rgb.toSeq)
+    // 1x1 keeps the top-left pixel (sx = 0*2/1 = 0, sy = 0)
+    assert(resize(img, 1, 1).rgb.toSeq == Seq[Byte](1, 2, 3))
+    // 4x4 upscale: target (x,y) reads source (x*2/4, y*2/4) = (x/2, y/2)
+    val up = resize(img, 4, 4)
+    assert(up.width == 4 && up.height == 4)
+    assert(up.rgb.slice(0, 3).toSeq == Seq[Byte](1, 2, 3))       // (0,0)
+    assert(up.rgb.slice(2 * 3, 2 * 3 + 3).toSeq == Seq[Byte](4, 5, 6)) // (2,0) -> src (1,0)
+    assert(up.rgb.slice((2 * 4 + 2) * 3, (2 * 4 + 2) * 3 + 3).toSeq ==
+      Seq[Byte](10, 11, 12))                                      // (2,2) -> src (1,1)
+  }
+
   test("MediaSchema round-trips through a DataFrame") {
     val media = Seq(row(7, "image", 128, 0)).toDS().toDF()
     assert(media.schema("payload").dataType.typeName == "binary")
