@@ -81,6 +81,43 @@ class CurationSpec extends SparkSpec {
     assert(strict.map(r => (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
   }
 
+  test("vocabOov and pmiCollocations match driver-side references on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val words = (0 until 30).map(i => s"w$i")
+    val rows = (1L to 150L).map { id =>
+      val n = 2 + rnd.nextInt(15)
+      (id, "en", Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val d = docs(rows: _*)
+    val toks = rows.map { case (id, _, text) => id -> text.split("\\s+").toSeq }.toMap
+
+    // vocabOov reference
+    val counts = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
+    val oovRef = toks.map { case (id, ts) =>
+      val oov = ts.count(t => !vocab.contains(t))
+      (id, ts.size.toLong, oov.toLong,
+       BigDecimal(oov.toDouble / ts.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val oovGot = TextOps.vocabOov(d, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(oovGot == oovRef)
+
+    // pmi reference
+    val bi = toks.values.flatMap(ts => ts.zip(ts.drop(1))).toSeq
+    val biCounts = bi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val u = toks.values.map(_.size).sum.toDouble
+    val b = bi.size.toDouble
+    val pmiRef = biCounts.collect { case ((w1, w2), c12) if c12 >= 3 =>
+      val score = math.log((c12.toDouble * u / (counts(w1).toDouble * counts(w2).toDouble)) * (u / b))
+      (w1, w2, c12,
+       BigDecimal(score).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val pmiGot = TextOps.pmiCollocations(d, minCount = 3L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("c12"), r.getAs[Double]("pmi"))).toSet
+    assert(pmiGot == pmiRef)
+  }
+
   test("stripMarkup removes tags, collapses whitespace, counts what it cut") {
     val d = docs(
       (1L, "en", "<p>a  <b>bold</b> move</p>"),
