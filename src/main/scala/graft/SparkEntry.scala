@@ -67,6 +67,9 @@ object SparkEntry {
     // 30-minute inactivity gap; batch twin of StreamingOps.sessionize
     "q_sessionize" -> ((s, d) => Ops.sessionize(Tables.events(s, d), 1800L * 1000000L)),
     "q_scd2" -> ((s, d) => Ops.scd2(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) =>
+      Ops.funnel(Tables.events(s, d), "signup", "click", "purchase", 7L * 86400L * 1000000L)),
+    "q_cohort" -> ((s, d) => Ops.cohortRetention(Tables.events(s, d))),
     "q_group_baseline_diff" -> ((s, d) => Ops.baselineDiff(Tables.lineitem(s, d))),
     "q_regr_fit" -> ((s, d) => Ops.regrFit(Tables.lineitem(s, d))),
     "q_window_agg" -> ((s, d) => Ops.windowAgg(Tables.eventsWithTs(s, d))),
@@ -413,6 +416,33 @@ object SparkEntry {
         |SELECT user_id, session_seq::BIGINT AS session_seq, count(*)::BIGINT AS n_events,
         |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // 3-step funnel: earliest chain signup -> click -> purchase where
+    // each step strictly follows the previous, all within 7 days of t1
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1_us FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2_us
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1_us AND us <= t1_us + 604800000000
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3_us
+        |       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2_us AND us <= t1_us + 604800000000
+        |       GROUP BY 1)
+        |SELECT s1.user_id, t1_us, t2_us, t3_us,
+        |  (1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::BIGINT AS steps
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // cohort retention: users per (first-event week, week offset)
+    "q_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_week, e.week - f.cohort_week AS week_offset
+        |      FROM e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     // SCD2 history: change rows (value vs lag) stamped with
     // [valid_from, valid_to) ranges via lead over the change rows

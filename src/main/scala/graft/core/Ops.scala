@@ -287,6 +287,63 @@ object Ops {
       .withColumn("dur_us", col("end_us") - col("start_us"))
   }
 
+  /** Three-step funnel: for each user, the earliest completion of
+    * `s1 → s2 → s3` where each later step strictly follows the
+    * previous one and the whole chain fits in `withinUs` of the
+    * first step — the conversion query of product analytics
+    * (signup → click → purchase). Output one row per user who
+    * reached step 1: (user_id, t1_us, t2_us, t3_us, steps), later
+    * timestamps null where the funnel stalled.
+    *
+    * Scale shape: one filtered partial-aggregate per step plus one
+    * equi-join per step boundary, all keyed on the user — no
+    * self-join of the raw stream against itself (each join's right
+    * side is the per-user aggregate, one row per key). The
+    * sequential dependency (step k's window opens at step k−1's
+    * time) is inherent to funnel semantics; k stays small and each
+    * pass is a pushed-filter scan, the standard warehouse shape. */
+  def funnel(events: DataFrame, s1: String, s2: String, s3: String,
+             withinUs: Long): DataFrame = {
+    require(withinUs > 0, s"funnel window must be positive, got $withinUs")
+    val e = events.select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val t1 = e.filter(col("event_type") === s1)
+      .groupBy("user_id").agg(min(col("us")).as("t1_us"))
+    val t2 = e.filter(col("event_type") === s2).join(t1, "user_id")
+      .filter(col("us") > col("t1_us") && col("us") <= col("t1_us") + withinUs)
+      .groupBy("user_id").agg(min(col("us")).as("t2_us"))
+    val t3 = e.filter(col("event_type") === s3).join(t2, "user_id").join(t1, "user_id")
+      .filter(col("us") > col("t2_us") && col("us") <= col("t1_us") + withinUs)
+      .groupBy("user_id").agg(min(col("us")).as("t3_us"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        (lit(1L) + when(col("t2_us").isNotNull, 1L).otherwise(0L)
+                 + when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("steps"))
+  }
+
+  /** Cohort retention: users grouped by the week of their FIRST
+    * event (the cohort), counted per week offset they were active —
+    * the retention-curve query. Output (cohort_week, week_offset,
+    * n_users), weeks as epoch-week indices.
+    *
+    * Scale shape: per-user first-event aggregate (one partial-agg
+    * shuffle), join back on the user key, then a distinct count per
+    * (cohort, offset) — the (user, cohort, offset) distinct set is
+    * bounded by users × active weeks, and its aggregate
+    * partial-combines before the final tiny rollup. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = events.select(col("user_id"), expr("ts div 1000").as("us"))
+      .withColumn("week", expr(s"us div $weekUs")) // exact long division
+
+    val first = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    e.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Slowly-changing-dimension (type 2) history build: collapse each
     * key's ordered attribute stream to its CHANGE rows and stamp
     * them with `[valid_from_us, valid_to_us)` validity ranges

@@ -229,6 +229,46 @@ class OpsSpec extends SparkSpec {
     assert(total == 5L)
   }
 
+  test("funnel: strict ordering, in-window chaining, stalls reported per step") {
+    def ns(us: Long) = us * 1000L
+    val week = 7L * 86400L * 1000000L
+    val events = Seq(
+      // user 1 completes: signup@10, click@20, purchase@30
+      (1L, "signup", ns(10)), (1L, "click", ns(20)), (1L, "purchase", ns(30)),
+      // user 2 stalls at click: purchase BEFORE the click doesn't count
+      (2L, "signup", ns(10)), (2L, "purchase", ns(15)), (2L, "click", ns(20)),
+      // user 3: click before signup -> never reaches step 2
+      (3L, "click", ns(5)), (3L, "signup", ns(10)),
+      // user 4: click outside the 7-day window
+      (4L, "signup", ns(10)), (4L, "click", ns(10 + week + 1)),
+      // user 5: no signup -> absent entirely
+      (5L, "click", ns(10)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Ops.funnel(events, "signup", "click", "purchase", week).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getAs[java.lang.Long]("t2_us")).map(_.toLong),
+                                  Option(r.getAs[java.lang.Long]("t3_us")).map(_.toLong),
+                                  r.getAs[Long]("steps")))).toMap
+    assert(got(1L) == ((Some(20L), Some(30L), 3L)))
+    assert(got(2L) == ((Some(20L), None, 2L)), "pre-click purchase must not complete the funnel")
+    assert(got(3L) == ((None, None, 1L)))
+    assert(got(4L) == ((None, None, 1L)), "out-of-window click must not count")
+    assert(!got.contains(5L))
+  }
+
+  test("cohortRetention counts distinct users per (cohort week, offset)") {
+    val week = 7L * 86400L * 1000000L
+    def ns(w: Long, off: Long) = (w * week + off) * 1000L
+    val events = Seq(
+      (1L, ns(100, 5)), (1L, ns(100, 9)),   // two events same week -> one count
+      (1L, ns(102, 0)),                     // active again at offset 2
+      (2L, ns(100, 1)),                     // same cohort
+      (3L, ns(101, 0)))                     // later cohort
+      .toDF("user_id", "ts")
+    val got = Ops.cohortRetention(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((100L, 0L, 2L), (100L, 2L, 1L), (101L, 0L, 1L)))
+  }
+
   test("sampleWeighted == driver-side A-ES reference; non-positive weights excluded") {
     val rows = (1L to 500L).map(i => (i, if (i % 50 == 0) 0L else (i % 97) + 1))
     val df = rows.toDF("doc_id", "w")
