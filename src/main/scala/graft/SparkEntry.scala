@@ -70,6 +70,8 @@ object SparkEntry {
     "q_funnel" -> ((s, d) =>
       Ops.funnel(Tables.events(s, d), "signup", "click", "purchase", 7L * 86400L * 1000000L)),
     "q_cohort" -> ((s, d) => Ops.cohortRetention(Tables.events(s, d))),
+    "q_mad_outliers" -> ((s, d) => Ops.madOutliers(Tables.events(s, d))),
+    "q_time_weighted_avg" -> ((s, d) => Ops.timeWeightedAvg(Tables.events(s, d))),
     "q_group_baseline_diff" -> ((s, d) => Ops.baselineDiff(Tables.lineitem(s, d))),
     "q_regr_fit" -> ((s, d) => Ops.regrFit(Tables.lineitem(s, d))),
     "q_window_agg" -> ((s, d) => Ops.windowAgg(Tables.eventsWithTs(s, d))),
@@ -416,6 +418,34 @@ object SparkEntry {
         |SELECT user_id, session_seq::BIGINT AS session_seq, count(*)::BIGINT AS n_events,
         |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // MAD rule with round-6 median/MAD (interpolated percentiles are
+    // the cross-engine ulp risk; comparisons then run on identical
+    // doubles)
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |             FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |        FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  abs(e.value - m.med) > 3.0 * d.mad AS is_outlier
+        |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)""".stripMargin,
+
+    // exact long cents x exact long interval: integer->double is
+    // correctly rounded on every engine (the decimal->double path
+    // drifted a ulp on 31/150 rows), so the quotient is bit-identical
+    "q_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us,
+        |             (CAST(round(value, 2) AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+        |           FROM events),
+        |i AS (SELECT user_id, cents, us,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+        |      FROM e)
+        |SELECT user_id,
+        |  CAST(sum(cents * (next_us - us)) AS DOUBLE)
+        |    / CAST(sum(next_us - us) AS DOUBLE) / 100.0 AS twa,
+        |  count(*)::BIGINT AS n_intervals
+        |FROM i WHERE next_us IS NOT NULL GROUP BY 1""".stripMargin,
 
     // 3-step funnel: earliest chain signup -> click -> purchase where
     // each step strictly follows the previous, all within 7 days of t1

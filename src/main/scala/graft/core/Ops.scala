@@ -287,6 +287,61 @@ object Ops {
       .withColumn("dur_us", col("end_us") - col("start_us"))
   }
 
+  /** Robust outlier flags per group: |x − median| > k·MAD — the
+    * median-absolute-deviation rule, immune to the outliers it hunts
+    * (a z-score threshold moves when the tail does; MAD doesn't).
+    * Output one flag per event.
+    *
+    * Cross-engine determinism: the median and MAD round to 6 before
+    * use — interpolated percentiles are the one place two engines'
+    * arithmetic can drift a ulp, and an unrounded threshold would
+    * let that ulp flip a flag at the boundary. Every comparison then
+    * runs on bit-identical doubles (the A-ES ordering contract,
+    * applied to thresholds).
+    *
+    * Scale shape: two grouped exact percentiles (sort-based within
+    * group — groups here are the event-type enum, each a bounded
+    * sort) + one broadcast stats join; the event stream itself never
+    * shuffles for the flagging pass. */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val med = events.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = events.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
+      .groupBy("event_type")
+      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    events.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"),
+        (abs(col("value") - col("med")) > col("mad") * k).as("is_outlier"))
+  }
+
+  /** Time-weighted average per key: Σ vᵢ·(tᵢ₊₁−tᵢ) / Σ (tᵢ₊₁−tᵢ) —
+    * each observation weighted by how long it was current (the
+    * sensor/position/price averaging rule; a plain mean over-counts
+    * bursts). The last observation of a key carries no interval.
+    *
+    * Float parity without ordering: values round to cents and ride
+    * as exact LONGS (cents × long interval), so both quotient
+    * operands reach the division as integers — and integer→double
+    * conversion is correctly rounded on every engine, unlike the
+    * decimal→double path, whose last-ulp drift this op measured
+    * (31/150 rows) before switching. One shuffle on the key; lead +
+    * the rollup share the sort. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        // decimal only as exact staging: X.XX * 100 → exact long cents
+        (round(col("value"), 2).cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .groupBy("user_id")
+      .agg((sum(col("cents") * (col("next_us") - col("us"))).cast(DoubleType)
+            / sum(col("next_us") - col("us")).cast(DoubleType) / 100.0).as("twa"),
+           count(lit(1)).as("n_intervals"))
+  }
+
   /** Three-step funnel: for each user, the earliest completion of
     * `s1 → s2 → s3` where each later step strictly follows the
     * previous one and the whole chain fits in `withinUs` of the

@@ -229,6 +229,28 @@ class OpsSpec extends SparkSpec {
     assert(total == 5L)
   }
 
+  test("madOutliers flags only beyond k·MAD; timeWeightedAvg weights by interval length") {
+    def ns(us: Long) = us * 1000L
+    // group 'a': values 1..9 plus a wild 100 → med=5.5? (10 values:
+    // 1..9,100 → interpolated med = 5.5, MAD = median(|x−5.5|) =
+    // {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5} → 2.5+... compute:
+    // sorted devs 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5 → med 2.5
+    // threshold 7.5 → only 100 flags (|94.5| > 7.5)
+    val events = (1 to 9).map(i => (i.toLong, "a", ns(i * 10), i.toDouble)) :+
+      ((10L, "a", ns(100), 100.0))
+    val flags = Ops.madOutliers(events.toDF("event_id", "event_type", "ts", "value"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags(10L), "the wild value must flag")
+    assert((1L to 9L).forall(!flags(_)), "in-band values must not flag")
+
+    // twa: value 10 held for 3s, then 20 for 1s → (10*3 + 20*1)/4 = 12.5
+    val tw = Ops.timeWeightedAvg(Seq(
+        (1L, 100L, ns(0), 10.0), (1L, 101L, ns(3000000), 20.0), (1L, 102L, ns(4000000), 99.0))
+      .toDF("user_id", "event_id", "ts", "value")).collect()
+    assert(tw.length == 1)
+    assert(tw(0).getDouble(1) == 12.5 && tw(0).getLong(2) == 2L)
+  }
+
   test("funnel: strict ordering, in-window chaining, stalls reported per step") {
     def ns(us: Long) = us * 1000L
     val week = 7L * 86400L * 1000000L
