@@ -206,11 +206,11 @@ object Dedup {
   }
 
   def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    // deliberately NOT cached: the signature table carries the 16-int
-    // array + sig_key string per row, and (measured, sf0.1) the cache
-    // round-trip costs more than the recompute it saves — the same
-    // lesson as the jaccard token sets. Contrast simhashNearDupPairs,
-    // whose two-longs-per-row table caches profitably.
+    // NOT cached: all references live in ONE output plan, and a clean
+    // sf0.1 A/B (medians of 3) put the cached variant 19% SLOWER
+    // (1.68 s → 2.00 s) — the array-bearing cache round-trip loses to
+    // Spark's own branch sharing. Contrast minhashComponents, whose
+    // references span two actions where no plan-level sharing exists.
     val full = signatureClusters(documents)
     val members = full.select(col("doc_id"), col("sig_key"))
     val sigPairs = sigBandPairs(full, rowsPerBand)
@@ -258,9 +258,13 @@ object Dedup {
                         minAgree: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     require(minAgree >= 1 && minAgree <= MinhashFuncs,
       s"need minAgree in [1, $MinhashFuncs], got $minAgree")
-    // not cached — see minhashLshPairs: the array-bearing signature
-    // table loses the cache-vs-recompute trade (measured)
-    val full = signatureClusters(documents)
+    // cached (actions = 2: edge materialization inside
+    // connectedComponents + the caller's action): the references span
+    // two actions, which no plan-level branch sharing can bridge —
+    // without the cache every reference repeats the tokenize+16-hash
+    // corpus pass. Clean sf0.1 A/B: 2.62 s → 2.55 s locally, and at
+    // 100 TB the saved corpus passes dominate the narrow cache write.
+    val full = registerCache(signatureClusters(documents), actions = 2)
     val members = full.select(col("doc_id"), col("sig_key"))
     val reps = members.groupBy(col("sig_key")).agg(min(col("doc_id")).as("rep_id"))
     val sigs = full.select(col("sig_key"), col("mhs")).distinct()
