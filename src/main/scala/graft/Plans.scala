@@ -52,6 +52,12 @@ object Plans {
     "q_vocab_oov",        // heap top-V + broadcast vocab apply
     "q_pmi",              // min-count filter before the unigram joins
     "q_embed_scale",      // per-dim partials + broadcast stats join
+    "q_funnel",           // per-step partial-aggs, no stream self-join
+    "q_time_weighted_avg",// lead + rollup share one sort
+    "q_mad_outliers",     // broadcast stats, stream never shuffles
+    "q_jaro_winkler",     // blocked join + native codegen'd expression
+    "q_simhash_components", // scoped-cached fingerprints + rep CC
+    "q_sample_weighted",  // TakeOrderedAndProject heaps
     "q_pack_shards")      // exclusive prefix-sum shard assignment
 
   def main(args: Array[String]): Unit = {
