@@ -103,6 +103,14 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, Tables.documents(s, d))),
     "q_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, Tables.documents(s, d))),
+    // ingest-time dedup: docs with doc_id % 4 == 0 are the "new batch",
+    // the rest the standing corpus; corpus-vs-corpus never computes
+    "q_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalLshPairs(s,
+        docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0))
+    }),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDupPairs(s, Tables.documents(s, d), 1)),
     "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.8)),
@@ -619,6 +627,25 @@ object SparkEntry {
         |          FROM sig GROUP BY 1, 2)
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin,
+
+    // the full banding pair set restricted to pairs touching the
+    // fresh quarter (doc_id % 4 = 0) — the incremental screen's
+    // declared equivalence
+    "q_incremental_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 AS code
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        |        FROM documents)),
+        |p AS (SELECT range AS hid, 2*range + 1 AS a, 101*range + 7 AS b FROM range(16)),
+        |sig AS (SELECT c.doc_id, p.hid, min((c.code * p.a + p.b) % 2147483647) AS mh
+        |        FROM c CROSS JOIN p GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, hid // 4 AS band,
+        |            md5(string_agg(hid::VARCHAR || ':' || mh::VARCHAR, ',' ORDER BY hid)) AS bkey
+        |          FROM sig GROUP BY 1, 2)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |WHERE x.doc_id % 4 = 0 OR y.doc_id % 4 = 0""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH c AS (

@@ -195,14 +195,67 @@ object Dedup {
     val bandKeys = (0 until nBands).map { b =>
       xxhash64(lit(b), slice(col("mhs"), b * rowsPerBand + 1, rowsPerBand))
     }
-    val sigBands = full
-      .select(col("sig_key"), posexplode(array(bandKeys: _*)))
-      .select(col("sig_key"), col("pos").as("band"), col("col").as("bkey"))
-      .distinct()
+    val sigBands = bandedSigs(full, rowsPerBand)
     sigBands.as("x").join(sigBands.as("y"), Seq("band", "bkey"))
       .filter(col("x.sig_key") < col("y.sig_key"))
       .select(col("x.sig_key").as("sig_a"), col("y.sig_key").as("sig_b"))
       .distinct()
+  }
+
+  /** Distinct (sig_key, band, bkey) band keys of a signature frame —
+    * the probe/build primitive shared by the full self-join and the
+    * incremental (fresh-probes-corpus) banding. */
+  private def bandedSigs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val nBands = MinhashFuncs / rowsPerBand
+    val bandKeys = (0 until nBands).map { b =>
+      xxhash64(lit(b), slice(col("mhs"), b * rowsPerBand + 1, rowsPerBand))
+    }
+    sigs.select(col("sig_key"), posexplode(array(bandKeys: _*)))
+      .select(col("sig_key"), col("pos").as("band"), col("col").as("bkey"))
+      .distinct()
+  }
+
+  /** Incremental near-dup screen: LSH candidate pairs with at least
+    * one side in the `fresh` batch — the ingest-time shape of dedup.
+    * A pipeline receiving a daily batch must NOT re-band the corpus
+    * against itself (that work is done and its result immutable);
+    * only fresh-vs-corpus and fresh-vs-fresh candidates are new.
+    *
+    * Exactly the `minhashLshPairs(corpus ∪ fresh)` pair set
+    * restricted to pairs touching `fresh` (unit-tested equivalence),
+    * but the band join probes with FRESH band keys only, so
+    * corpus-vs-corpus candidates never exist in the plan: cost is
+    * O(batch × collision rate), not O(corpus²). At 100 TB the
+    * corpus-side inputs here (signatures + band keys) are exactly
+    * what a pipeline persists between batches — bucket the band
+    * store on `(band, bkey)` and the probe join is exchange-free on
+    * the corpus side, the [[graft.core.Warehouse.writeBucketed]]
+    * layout. Caller contract: the two frames' doc_ids are disjoint.
+    */
+  def incrementalLshPairs(spark: SparkSession, corpus: DataFrame, fresh: DataFrame,
+                          rowsPerBand: Int = 4): DataFrame = {
+    val cSig = signatureClusters(corpus).withColumn("is_fresh", lit(false))
+    val fSig = signatureClusters(fresh).withColumn("is_fresh", lit(true))
+    val members = cSig.unionByName(fSig).select(col("doc_id"), col("sig_key"), col("is_fresh"))
+    val freshSigs = fSig.select(col("sig_key"), col("mhs")).distinct()
+    val allSigs = cSig.unionByName(fSig).select(col("sig_key"), col("mhs")).distinct()
+    val sigPairs = bandedSigs(freshSigs, rowsPerBand).as("x")
+      .join(bandedSigs(allSigs, rowsPerBand).as("y"), Seq("band", "bkey"))
+      .filter(col("x.sig_key") =!= col("y.sig_key"))
+      .select(least(col("x.sig_key"), col("y.sig_key")).as("sig_a"),
+              greatest(col("x.sig_key"), col("y.sig_key")).as("sig_b"))
+      .distinct()
+    val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "sig_key")
+      .filter(col("ma.doc_id") < col("mb.doc_id") &&
+              (col("ma.is_fresh") || col("mb.is_fresh")))
+      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"))
+    val cross = sigPairs
+      .join(members.as("ma").hint("shuffle_hash"), col("sig_a") === col("ma.sig_key"))
+      .join(members.as("mb").hint("shuffle_hash"), col("sig_b") === col("mb.sig_key"))
+      .filter(col("ma.is_fresh") || col("mb.is_fresh"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+              greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"))
+    intra.unionByName(cross)
   }
 
   def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {

@@ -253,6 +253,22 @@ class DedupPropertySpec extends SparkSpec {
     assert(strict(1L) == 1L && strict(2L) == 2L)
   }
 
+  test("incrementalLshPairs == full banding restricted to fresh-touching pairs") {
+    for (seed <- Seq(5, 6)) {
+      val docs = corpus(seed, nDocs = 150, vocab = 12)
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+      val corp = docs.filter(col("doc_id") % 3 =!= 0)
+      val got = Dedup.incrementalLshPairs(spark, corp, fresh)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.minhashLshPairs(spark, docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+      assert(got == expected)
+      // the incremental screen must not emit corpus-corpus pairs
+      assert(got.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
+    }
+  }
+
   test("simhashComponents: exact dups + hamming-close docs merge, disjoint stay apart") {
     val base = (1 to 60).map(i => s"tok$i")
     val docs = Seq(
