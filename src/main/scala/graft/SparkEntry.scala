@@ -267,6 +267,13 @@ object SparkEntry {
     // format) → per-frame byte slices → per-frame decode + features;
     // frame pixels depend on the frame index, so a demux that drifts
     // a boundary or reorders frames cannot hash-match
+    // full video normalize chain: demux -> decode -> 4x4 resize ->
+    // features per frame
+    "q_video_thumb" -> ((s, d) => {
+      import graft.media.MediaOps
+      MediaOps.frameThumbFeatures(MediaOps.videoFrames(
+        MediaOps.synthVideoCorpus(Tables.documents(s, d))), 4, 4).toDF()
+    }),
     "q_video_features" -> ((s, d) => {
       import graft.media.MediaOps
       MediaOps.frameFeatures(MediaOps.videoFrames(
@@ -1291,6 +1298,27 @@ object SparkEntry {
         |  sum(b)::DOUBLE / count(*) AS mean_b,
         |  sum((y*4 + x) * (r + 2*g + 3*b))::BIGINT AS wsum
         |FROM px GROUP BY doc_id""".stripMargin,
+
+    // per-frame 4x4 thumbnails: source pixel (x*w//4, y*h//4) of
+    // frame t, wsum over target raster coords
+    "q_video_thumb" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS f, 5 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, f)) AS t FROM d),
+        |ys AS (SELECT doc_id, w, h, t, unnest(range(0, 4)) AS y FROM fr),
+        |xs AS (SELECT doc_id, w, h, t, y, unnest(range(0, 4)) AS x FROM ys),
+        |px AS (SELECT doc_id, t, x, y,
+        |         ((x * w) // 4 * 7 + (y * h) // 4 * 11 + t*19 + doc_id*3) % 256 AS r,
+        |         ((x * w) // 4 * 5 + (y * h) // 4 * 13 + t*23 + doc_id*7) % 256 AS g,
+        |         ((x * w) // 4 * 3 + (y * h) // 4 * 17 + t*29 + doc_id*11) % 256 AS b
+        |       FROM xs)
+        |SELECT doc_id AS media_id, t::BIGINT AS frame_idx, (t * 40)::BIGINT AS frame_ts_ms,
+        |  count(*)::BIGINT AS n_px,
+        |  sum(r)::DOUBLE / count(*) AS mean_r,
+        |  sum(g)::DOUBLE / count(*) AS mean_g,
+        |  sum(b)::DOUBLE / count(*) AS mean_b,
+        |  sum((y*4 + x) * (r + 2*g + 3*b))::BIGINT AS wsum
+        |FROM px GROUP BY doc_id, t""".stripMargin,
 
     "q_video_features" ->
       """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS f, 5 + doc_id % 8 AS w, 3 + doc_id % 5 AS h

@@ -366,6 +366,21 @@ object MediaOps {
     })
   }
 
+  /** Per-frame THUMBNAIL features: demux → decode → nearest-neighbor
+    * resize → extract, the full video normalization chain as one
+    * narrow pass (frame pixels still depend on the frame index, so a
+    * demux drift or resize-mapping bug cannot hash-match). */
+  def frameThumbFeatures(frames: Dataset[Frame], tw: Int, th: Int): Dataset[FrameFeatures] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { f =>
+      val img = resize(ImageCodec.decodePpm(f.payload), tw, th)
+      val n = tw.toLong * th
+      val (sr, sg, sb, _, wsum) = rgbStats(img)
+      FrameFeatures(f.media_id, f.frame_idx.toLong, f.frame_ts_ms, n,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, wsum)
+    })
+  }
+
   def frameFeatures(frames: Dataset[Frame]): Dataset[FrameFeatures] = {
     import frames.sparkSession.implicits._
     frames.mapPartitions(_.map { f =>
