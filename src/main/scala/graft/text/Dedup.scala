@@ -694,6 +694,11 @@ object Dedup {
     * diameter) rounds) over the rep graph only, and members join
     * their rep's component back with a streamed hash join. */
   def jaccardComponents(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
+    // NOT cached even though references span two actions: the
+    // token-set arrays are an order of magnitude wider than the
+    // minhash signature rows, and the A/B (medians of 3, sf0.1) puts
+    // the cached variant ~20% slower (q_cluster_best 2.63 -> 3.16 s)
+    // — width, not action count, decides the cache trade.
     val withKey = tokenSets(documents, ngram).withColumn("set_key", setKey)
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = members.groupBy(col("set_key")).agg(min(col("doc_id")).as("rep_id"))
