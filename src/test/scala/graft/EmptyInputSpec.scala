@@ -1,0 +1,58 @@
+package graft
+
+import graft.core.Ops
+import graft.text.{Dedup, Similarity, TextOps}
+
+/** Empty-input robustness: every operator family must return an empty
+  * frame — not throw — on an empty source. The edge matters in
+  * production exactly where it is least tested: a fresh ingest batch
+  * with zero rows, a filter that matched nothing, the first run of an
+  * incremental pipeline against an empty corpus.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs =
+    Seq.empty[(Long, String, String, Long)].toDF("doc_id", "lang", "text", "n_chars")
+  private def emptyEvents =
+    Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+  private def emptyEmb =
+    Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+
+  test("dedup/text operators are empty-safe") {
+    assert(Dedup.exactDedup(emptyDocs).count() == 0)
+    assert(Dedup.minhashLshPairs(spark, emptyDocs).count() == 0)
+    assert(Dedup.minhashComponents(spark, emptyDocs).count() == 0)
+    assert(Dedup.simhashNearDupPairs(spark, emptyDocs).count() == 0)
+    assert(Dedup.simhashComponents(spark, emptyDocs).count() == 0)
+    assert(Dedup.jaccardNearDupPairs(emptyDocs, 0.8).count() == 0)
+    assert(Dedup.jaccardComponents(emptyDocs, 0.8).count() == 0)
+    assert(Dedup.incrementalLshPairs(spark, emptyDocs, emptyDocs).count() == 0)
+    assert(TextOps.vocabOov(emptyDocs, 10).count() == 0)
+    assert(TextOps.pmiCollocations(emptyDocs).count() == 0)
+    assert(TextOps.qualityScore(emptyDocs).count() == 0)
+    assert(TextOps.ngramLmScore(emptyDocs).count() == 0)
+    Dedup.releaseCaches()
+  }
+
+  test("temporal/analytics operators are empty-safe") {
+    assert(Ops.scd2(emptyEvents).count() == 0)
+    assert(Ops.timeWeightedAvg(emptyEvents).count() == 0)
+    assert(Ops.funnel(emptyEvents, "signup", "click", "purchase", 1000L).count() == 0)
+    assert(Ops.madOutliers(emptyEvents).count() == 0)
+    assert(Ops.cohortRetention(emptyEvents).count() == 0)
+    assert(Ops.sessionize(emptyEvents.select($"user_id", $"event_id", $"ts"),
+      1000000L).count() == 0)
+    assert(Ops.sampleWeighted(emptyDocs, "doc_id", "n_chars", 5).count() == 0)
+  }
+
+  test("similarity operators are empty-safe") {
+    assert(Similarity.embeddingNearDupPairs(emptyEmb, 0.5).count() == 0)
+    assert(Similarity.embeddingComponents(emptyEmb, 0.5).count() == 0)
+    assert(Similarity.minMaxScale(emptyEmb).count() == 0)
+    assert(Similarity.cosineTopK(emptyEmb, 4, 5).count() == 0)
+    assert(Similarity.cosineTopKBucketed(emptyEmb, 4, 5, nProbes = 2).count() == 0)
+    assert(Similarity.ivfTopK(emptyEmb, 4, 5).count() == 0)
+  }
+}
