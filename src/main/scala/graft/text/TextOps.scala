@@ -19,9 +19,14 @@ object TextOps {
 
   /** Scala twin of [[tokens]] for typed-map paths — identical output
     * (Java and Spark split on the same \s+ regex; the leading empty
-    * string from leading whitespace is filtered on both sides). */
+    * string from leading whitespace is filtered on both sides).
+    * Null text tokenizes to nothing, matching the expression path
+    * (`split(null)` → null array → every `size(…) > 0` guard drops
+    * the row); without this, every typed-map operator NPE'd on a
+    * library user's nullable text column (probed, then pinned in
+    * `NullInputSpec`). */
   def tokensOf(text: String): Seq[String] =
-    text.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (text == null) Nil else text.split("\\s+").toSeq.filter(_.nonEmpty)
 
   /** Scala twin of [[shingles]] — the one word-n-gram definition every
     * typed-map path shares (n-gram top-k, Jaccard shingle sets), so
@@ -79,12 +84,17 @@ object TextOps {
 
   /** Per-document token statistics: whitespace token count, distinct
     * count, BPE-ish subword count (letter runs / digit runs / single
-    * punctuation), mean token length.
+    * punctuation), mean token length. Token-less documents (empty or
+    * null text) are excluded — their mean length is undefined, and
+    * under ANSI mode the 0/0 would abort the job rather than null
+    * out (the convention every token-bearing operator here shares).
     */
   def tokenStats(documents: DataFrame): DataFrame = {
     val toks = col("toks")
     val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
-    tokenized(documents).select(
+    tokenized(documents)
+      .filter(size(toks) > 0)
+      .select(
       col("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
       size(array_distinct(toks)).cast(LongType).as("n_uniq"),

@@ -1,0 +1,42 @@
+package graft
+
+import graft.text.{Dedup, TextOps}
+
+/** Null-text robustness: a library user's documents frame has a
+  * NULLABLE text column; every operator must treat a null text as an
+  * empty document (the expression path's `split(null)` semantics),
+  * not NPE inside a typed map. The declarative operators already
+  * behaved; the typed-map paths go through `TextOps.tokensOf`, whose
+  * null guard this spec pins.
+  */
+class NullInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "en", "hello world", 11L),
+    (2L, "en", null: String, 0L),
+    (3L, "en", "hello there", 11L))
+    .toDF("doc_id", "lang", "text", "n_chars")
+
+  test("typed-map text operators treat null text as an empty document") {
+    // token-bearing outputs exclude the null doc entirely …
+    assert(TextOps.tokenStats(docs).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(TextOps.vocabOov(docs, 5).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(TextOps.ngramLmScore(docs).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // quality is defined for token-less docs (the declared query
+    // scores every document) — the null doc scores like an empty one
+    assert(TextOps.qualityScore(docs).count() == 3)
+    // … and pair generators simply see two documents
+    assert(Dedup.jaccardNearDupPairs(docs, 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    assert(TextOps.pmiCollocations(docs, 1L).count() == 2) // hello+world, hello+there
+    Dedup.releaseCaches()
+  }
+
+  test("expression-path operators keep their null behavior") {
+    // null text is its own md5-null group — the doc is not silently dropped
+    assert(Dedup.exactDedup(docs).count() == 3)
+    // simhash's vote filter drops the token-less doc, same as typed maps
+    assert(Dedup.simhash(spark, docs).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+}
