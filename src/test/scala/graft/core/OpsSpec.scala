@@ -229,6 +229,49 @@ class OpsSpec extends SparkSpec {
     assert(total == 5L)
   }
 
+  test("funnel and cohortRetention match driver references on random streams") {
+    val rnd = new scala.util.Random(23)
+    val types = Array("signup", "click", "purchase", "view")
+    val week = 7L * 86400L * 1000000L
+    val win = 3L * 86400L * 1000000L
+    val rows = (1 to 4000).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong,
+       math.abs(rnd.nextLong() % (60L * 86400L * 1000000L)) * 1000L,
+       types(rnd.nextInt(types.length)))
+    }
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("value", lit(0.0))
+
+    // funnel reference
+    val byUser = rows.groupBy(_._1)
+    val fRef = byUser.flatMap { case (u, evs) =>
+      def firstOf(t: String, after: Long, until: Long): Option[Long] =
+        evs.filter(e => e._4 == t && e._3 / 1000 > after && e._3 / 1000 <= until)
+          .map(_._3 / 1000).sorted.headOption
+      evs.filter(_._4 == "signup").map(_._3 / 1000).sorted.headOption.map { t1 =>
+        val t2 = firstOf("click", t1, t1 + win)
+        val t3 = t2.flatMap(t => firstOf("purchase", t, t1 + win))
+        (u, t1, t2, t3, 1L + t2.size + t3.size)
+      }
+    }.toSet
+    val fGot = Ops.funnel(df, "signup", "click", "purchase", win).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("t1_us"),
+        Option(r.getAs[java.lang.Long]("t2_us")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("t3_us")).map(_.toLong),
+        r.getAs[Long]("steps"))).toSet
+    assert(fGot == fRef)
+
+    // cohort reference
+    val cRef = byUser.toSeq.flatMap { case (u, evs) =>
+      val weeks = evs.map(e => e._3 / 1000 / week).distinct
+      val cohort = weeks.min
+      weeks.map(w => (cohort, w - cohort))
+    }.groupBy(identity).map { case ((c, o), xs) => (c, o, xs.size.toLong) }.toSet
+    val cGot = Ops.cohortRetention(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cGot == cRef)
+  }
+
   test("madOutliers flags only beyond k·MAD; timeWeightedAvg weights by interval length") {
     def ns(us: Long) = us * 1000L
     // group 'a': values 1..9 plus a wild 100 → med=5.5? (10 values:
