@@ -123,6 +123,35 @@ class StreamingSpec extends SparkSpec {
     assert(closed == got)
   }
 
+  test("scd2Stream ordering contract: in-batch events sort; cross-batch late events append") {
+    val t0 = 1600000000000L
+    def ev(id: Long, user: Long, tMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(t0 + tMs), user, "upd", v)
+    // batch 1 delivers out-of-ORDER but same-batch events: the
+    // per-batch sort repairs them
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2o").toString
+    Seq(ev(2, 1, 2000, 7.0), ev(1, 1, 0, 5.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b=1")
+    // batch 2 delivers an event OLDER than applied state: documented
+    // behavior is append-as-new (last-value state cannot reorder
+    // history) — the batch rebuild is the authoritative fix
+    Seq(ev(3, 1, 1000, 9.0)).toDS().coalesce(1).write.parquet(s"$dir/b=2")
+    val q = scd2Stream(spark.readStream.schema(EventSchema).parquet(s"$dir/b=*").as[Event])
+      .writeStream.outputMode("append").format("memory").queryName("scd2_ord")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("scd2_ord").as[Scd2Closed].collect()
+      .map(c => (c.value, c.valid_from_us, c.valid_to_us)).sortBy(_._2).toSeq
+    val us = (ms: Long) => (t0 + ms) * 1000L
+    // file-source batching isn't guaranteed one-file-per-batch; both
+    // legal outcomes are pinned: (a) separate batches → late 9.0
+    // appends after 7.0; (b) one batch → full sort yields 5,9,7
+    val separateBatches = Seq((5.0, us(0), us(2000)), (7.0, us(2000), us(1000)))
+    val oneBatch = Seq((5.0, us(0), us(1000)), (9.0, us(1000), us(2000)))
+    assert(got == separateBatches || got == oneBatch,
+      s"unexpected emission sequence: $got")
+  }
+
   test("sessionize: gap-delimited sessions with event-time timeout") {
     // positive epoch base: a ts equal to the initial watermark (0)
     // is filtered as late by definition
