@@ -387,8 +387,11 @@ object Ops {
     * partial-combines before the final tiny rollup. */
   def cohortRetention(events: DataFrame): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
+    // exact long division; note `div` truncates toward zero (matching
+    // the oracle's `//` floor only for the non-negative epoch range —
+    // pre-1970 timestamps would bucket differently)
     val e = events.select(col("user_id"), expr("ts div 1000").as("us"))
-      .withColumn("week", expr(s"us div $weekUs")) // exact long division
+      .withColumn("week", expr(s"us div $weekUs"))
 
     val first = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     e.join(first, "user_id")
