@@ -82,6 +82,8 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Ops.histogram(Tables.lineitem(s, d), 5.0)),
     "q_percentile" -> ((s, d) => Ops.percentiles(Tables.lineitem(s, d))),
     // ---- §2g: set ops & dedup ----
+    "q_intersect" -> ((s, d) => Ops.intersectKeys(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_except" -> ((s, d) => Ops.exceptKeys(Tables.customer(s, d), Tables.orders(s, d))),
     "q_union" -> ((s, d) => Ops.unionEntities(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_dedup" -> ((s, d) => Ops.dedupDistinct(Tables.lineitem(s, d))),
     "q_dedup_keyed" -> ((s, d) => Ops.dedupKeyed(Tables.lineitem(s, d))),
@@ -565,6 +567,18 @@ object SparkEntry {
       """SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
         |UNION ALL
         |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+        |INTERSECT
+        |SELECT o_custkey FROM orders""".stripMargin,
+
+    // filtered difference: the raw key sets are referentially complete
+    // (empty EXCEPT = no check at all)
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000""".stripMargin,
 
     "q_dedup" ->
       "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",

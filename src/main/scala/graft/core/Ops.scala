@@ -621,6 +621,25 @@ object Ops {
         supplier.select(col("s_suppkey").as("entity_key"), col("s_name").as("name"),
                         col("s_acctbal").as("acctbal"), lit("supplier").as("src")))
 
+  /** Set intersection/difference on a common key projection — the
+    * remaining ANSI set operators beside [[unionEntities]]. Spark
+    * plans both as aggregates/joins on the full row key (one shuffle,
+    * partial-aggregable); declared over the customer∩supplier key
+    * overlap so the result is non-trivial on the testdata. */
+  def intersectKeys(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey").as("k"))
+      .intersect(orders.select(col("o_custkey").as("k")))
+
+  /** Difference against a FILTERED subset (customers with no order
+    * above the threshold) — the full key sets are referentially
+    * complete on the testdata, which would make an unfiltered EXCEPT
+    * a trivially-empty (and thus meaningless) check. */
+  def exceptKeys(customer: DataFrame, orders: DataFrame,
+                 minTotal: Double = 400000.0): DataFrame =
+    customer.select(col("c_custkey").as("k"))
+      .except(orders.filter(col("o_totalprice") > minTotal)
+        .select(col("o_custkey").as("k")))
+
   /** Exact key dedup (UNIQUE(MP_id), `dags/my_dag.py:199-201`). */
   def dedupDistinct(lineitem: DataFrame): DataFrame =
     lineitem.select("l_partkey", "l_suppkey").distinct()
