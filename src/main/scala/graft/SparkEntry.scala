@@ -82,6 +82,7 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Ops.histogram(Tables.lineitem(s, d), 5.0)),
     "q_percentile" -> ((s, d) => Ops.percentiles(Tables.lineitem(s, d))),
     // ---- §2g: set ops & dedup ----
+    "q_group_concat" -> ((s, d) => Ops.groupConcatTopN(Tables.customer(s, d), 5)),
     "q_intersect" -> ((s, d) => Ops.intersectKeys(Tables.customer(s, d), Tables.orders(s, d))),
     "q_except" -> ((s, d) => Ops.exceptKeys(Tables.customer(s, d), Tables.orders(s, d))),
     "q_union" -> ((s, d) => Ops.unionEntities(Tables.customer(s, d), Tables.supplier(s, d))),
@@ -567,6 +568,18 @@ object SparkEntry {
       """SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
         |UNION ALL
         |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier""".stripMargin,
+
+    // ordered string agg over the top-5 per nation; members sort
+    // lexicographically (collect order is shuffle-dependent on any
+    // engine — sorting the collected set is the deterministic form)
+    "q_group_concat" ->
+      """WITH t AS (
+        |  SELECT c_nationkey, c_name,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer)
+        |SELECT c_nationkey, count(*)::BIGINT AS n_members,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS members
+        |FROM t WHERE rk <= 5 GROUP BY 1""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey AS k FROM customer

@@ -621,6 +621,25 @@ object Ops {
         supplier.select(col("s_suppkey").as("entity_key"), col("s_name").as("name"),
                         col("s_acctbal").as("acctbal"), lit("supplier").as("src")))
 
+  /** Ordered string aggregation (SQL `string_agg(expr, sep ORDER BY
+    * …)`): per-group concatenation made partitioning-invariant by
+    * sorting the COLLECTED array rather than relying on input order
+    * (`collect_list` order is whatever the shuffle delivered — the
+    * classic nondeterminism trap). Bounded here to the top-n members
+    * per group so a colossal group cannot materialize an unbounded
+    * string: the heap-per-group `WindowGroupLimit` cut runs BEFORE
+    * the collect. */
+  def groupConcatTopN(customer: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("members"))
+  }
+
   /** Set intersection/difference on a common key projection — the
     * remaining ANSI set operators beside [[unionEntities]]. Spark
     * plans both as aggregates/joins on the full row key (one shuffle,
