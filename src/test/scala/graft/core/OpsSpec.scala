@@ -229,6 +229,23 @@ class OpsSpec extends SparkSpec {
     assert(total == 5L)
   }
 
+  test("groupConcatTopN bounds members per group and is partitioning-invariant") {
+    val df = (1L to 200L).map(i => (i, i % 7, (1000 - i).toDouble, s"name${"%03d".format(i)}"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_name")
+    def run(parts: Int) = Ops.groupConcatTopN(df.repartition(parts), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val a = run(1)
+    assert(a == run(13), "member strings must not depend on partitioning")
+    assert(a.forall(_._2 == 5L), "every group cuts to exactly top-5 here")
+    // top-5 by acctbal desc = the 5 SMALLEST ids of each residue class,
+    // members then sort lexicographically
+    val expected = (0L until 7L).map { k =>
+      val ids = (1L to 200L).filter(_ % 7 == k).sortBy(i => (-(1000 - i), i)).take(5)
+      (k, 5L, ids.map(i => s"name${"%03d".format(i)}").sorted.mkString(","))
+    }.toSet
+    assert(a == expected)
+  }
+
   test("funnel and cohortRetention match driver references on random streams") {
     val rnd = new scala.util.Random(23)
     val types = Array("signup", "click", "purchase", "view")
