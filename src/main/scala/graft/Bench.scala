@@ -51,6 +51,14 @@ object Bench {
     // signature tables) so timed runs don't inherit GC pressure
     spark.sqlContext.clearCache()
     System.gc()
+    // flush pending filesystem writeback before timing: a verify run
+    // immediately before this one leaves hundreds of MB of dirty
+    // parquet pages, and kernel writeback competing for IO inflated
+    // the timed loop by ~13 s (measured 57 s vs 44 s idle). `sync`
+    // returns once the dirty pages are on disk; harmless when there
+    // is nothing to flush.
+    try new ProcessBuilder("sync").start().waitFor()
+    catch { case _: Exception => () }
 
     // failure-loud: a query that throws gets a stack trace on stderr
     // and an entry in the "errors" object — never a fake timing that
