@@ -56,6 +56,18 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // layout must not change content
     assert(spark.read.parquet(dirZ).agg(sum("id"), count(lit(1))).collect().toSeq ==
            grid.agg(sum("id"), count(lit(1))).collect().toSeq)
+
+    // and on NON-grid data (random doubles incl. negatives): content
+    // conserved row-for-row, not just in aggregate
+    val rnd = new scala.util.Random(5)
+    val rand = (1 to 2000).map(i =>
+      (i.toLong, rnd.nextDouble() * 200 - 100, rnd.nextDouble() * 50 - 25))
+      .toDF("id", "a", "b")
+    val dirR = java.nio.file.Files.createTempDirectory("graft-zr").toString + "/t"
+    Warehouse.writeZOrdered(rand, dirR, "a", "b", nFiles = 8)
+    assert(spark.read.parquet(dirR).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet ==
+      rand.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet)
   }
 
   test("salted join == plain join on skewed data") {

@@ -253,6 +253,13 @@ class DedupPropertySpec extends SparkSpec {
     assert(strict(1L) == 1L && strict(2L) == 2L)
   }
 
+  test("incrementalLshPairs with an empty fresh batch is a no-op screen") {
+    val corp = corpus(seed = 9, nDocs = 60, vocab = 10)
+    val fresh = corp.filter(col("doc_id") < 0) // empty, same schema
+    assert(Dedup.incrementalLshPairs(spark, corp, fresh).count() == 0,
+      "no fresh docs -> no candidates, regardless of corpus-side duplicates")
+  }
+
   test("incrementalLshPairs == full banding restricted to fresh-touching pairs") {
     for (seed <- Seq(5, 6)) {
       val docs = corpus(seed, nDocs = 150, vocab = 12)

@@ -214,6 +214,13 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1000L) == got(0L), "bit-identical vectors must share a component")
   }
 
+  test("minMaxScale is partitioning-invariant (exact min/max aggregates)") {
+    val emb = clustered(seed = 41, nClusters = 4, perCluster = 20, dim = 8)
+    def run(parts: Int) = Similarity.minMaxScale(emb.repartition(parts)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(run(1) == run(17), "scaled values must not depend on partitioning")
+  }
+
   test("minMaxScale: closed-form per-dim scaling, constant dims map to 0") {
     val emb = Seq(
       (1L, Seq(0f, 10f)),
