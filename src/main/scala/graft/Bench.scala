@@ -94,12 +94,22 @@ object Bench {
       }
       name -> (if (times.isEmpty) 0.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val nErr = errors.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr,"sf":"$sfDir"}""")
+    // The driver archives only the TAIL of stdout: both r3 and r4 bench
+    // artifacts lost the head of the one-line contract above — the
+    // total and the first ~30 alphabetical query entries. This second,
+    // compact line repeats the totals plus the slowest-10 queries and
+    // is printed LAST so tail truncation can never drop it (~500 bytes
+    // vs the ~2 KB capture window).
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"slowest10":$slowest,"sf":"$sfDir"}""")
     if (nErr > 0) System.err.println(s"[bench] $nErr quer${if (nErr == 1) "y" else "ies"} FAILED — timings for those entries are invalid")
     spark.stop()
   }

@@ -24,22 +24,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // builders come from Registration so a wrong-arity SQL call gets
+    // the standard WRONG_NUM_ARGS analysis error, not an
+    // IndexOutOfBoundsException from exprs(1)
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[graft.functions.VectorExpressions.DotProductF].getName, "dot_f"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.VectorExpressions.DotProductF(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.dotF(exprs)))
     ext.injectFunction((
       FunctionIdentifier("norm2_f"),
       new ExpressionInfo(classOf[graft.functions.VectorExpressions.Norm2F].getName, "norm2_f"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.VectorExpressions.Norm2F(exprs.head)))
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.norm2F(exprs)))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[graft.functions.StringSimilarity.JaroWinklerSim].getName,
         "jaro_winkler"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.StringSimilarity.JaroWinklerSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.jaroWinkler(exprs)))
     ext.injectOptimizerRule(_ => graft.functions.VectorFoldRewrite)
   }
 }

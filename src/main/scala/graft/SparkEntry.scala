@@ -55,11 +55,12 @@ object SparkEntry {
     "q_fanout_explode" -> ((s, d) => Ops.fanoutExplode(Tables.part(s, d), Seq("100", "110", "111"))),
     // ---- §2f: aggregations & windows ----
     "q_count" -> ((s, d) => Ops.countByGroup(Tables.lineitem(s, d))),
-    // no oracle entry by design: HLL sketch values are engine-specific
-    // (driver records the weaker rows-only check; the error bound vs
-    // the exact count is unit-tested)
+    // sketch VALUES are engine-specific, but the error bound is a
+    // deterministic fact of the fixed dataset — the declared output is
+    // (lang, exact_nd, within_bound) so DuckDB can hash-match it
+    // (oracle: exact count + literal TRUE)
     "q_approx_distinct" -> ((s, d) =>
-      Ops.approxDistinct(Tables.documents(s, d), "lang", "text", includeExact = true)),
+      Ops.approxDistinctChecked(Tables.documents(s, d), "lang", "text")),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
@@ -392,6 +393,14 @@ object SparkEntry {
       """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
         |  count(DISTINCT l_orderkey)::BIGINT AS n_orders
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the HLL sketch value is engine-specific; what IS cross-engine
+    // checkable is the exact count and the (deterministic, fixed-data)
+    // fact that Spark's sketch lands within the 3·rsd error bound —
+    // the oracle asserts that fact as literal TRUE
+    "q_approx_distinct" ->
+      """SELECT lang, count(DISTINCT text)::BIGINT AS exact_nd, TRUE AS within_bound
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q_last_per_group" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts)::BIGINT AS ts_us
@@ -1122,8 +1131,12 @@ object SparkEntry {
         |FROM occ o LEFT JOIN v ON o.tok = v.tok
         |GROUP BY 1""".stripMargin,
 
-    // PMI over bigrams with count >= 5; row selection is integer-only,
-    // the ln value rounds to 5 (cross-libm contract)
+    // PMI over bigrams with count >= 5; row selection is integer-only.
+    // Float contract (the fix for the r4 driver-side hash FAIL): each
+    // ln takes ONE exact integer and rounds to 6, the five terms sum
+    // in exact DECIMAL arithmetic (order-independent), and the single
+    // final ::DOUBLE is correctly rounded identically on both engines
+    // — the q_ngram_lm rule. c1/c2 are emitted integer-exact.
     "q_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
@@ -1133,10 +1146,14 @@ object SparkEntry {
         |counts AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY 1, 2),
         |uni AS (SELECT x AS tok, count(*)::BIGINT AS c
         |        FROM (SELECT unnest(t) AS x FROM toks) GROUP BY 1),
-        |tot AS (SELECT (SELECT sum(c)::DOUBLE FROM uni) AS u_total,
-        |               (SELECT sum(c12)::DOUBLE FROM counts) AS b_total)
-        |SELECT k.w1, k.w2, k.c12,
-        |  round(ln((k.c12::DOUBLE * t.u_total / (a.c::DOUBLE * b.c::DOUBLE)) * (t.u_total / t.b_total)), 5) AS pmi
+        |tot AS (SELECT (SELECT sum(c)::BIGINT FROM uni) AS u_total,
+        |               (SELECT sum(c12)::BIGINT FROM counts) AS b_total)
+        |SELECT k.w1, k.w2, k.c12, a.c AS c1, b.c AS c2,
+        |  (round(ln(k.c12::DOUBLE), 6)::DECIMAL(18,6)
+        |   + round(ln(t.u_total::DOUBLE), 6)::DECIMAL(18,6) * 2
+        |   - round(ln(a.c::DOUBLE), 6)::DECIMAL(18,6)
+        |   - round(ln(b.c::DOUBLE), 6)::DECIMAL(18,6)
+        |   - round(ln(t.b_total::DOUBLE), 6)::DECIMAL(18,6))::DOUBLE AS pmi
         |FROM counts k
         |JOIN uni a ON k.w1 = a.tok
         |JOIN uni b ON k.w2 = b.tok

@@ -4,6 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph primitives for dedup-cluster construction.
   *
@@ -37,17 +38,32 @@ object Graph {
     *    RDD *action* are exactly-once per partition, and this count
     *    is read once right after the forcing `count()`.
     *
-    * On a long-lived cluster job prefer `checkpoint` with a reliable
-    * dir — localCheckpoint trades fault tolerance for speed, the
-    * right call for an iterative interactive job and the wrong one
-    * for a 12-hour pipeline stage. */
-  private def materializeCount(df: DataFrame, deltaWhen: Row => Boolean)
+    * Checkpoint mode: `reliableDir = None` uses `localCheckpoint` —
+    * fastest, but blocks die with an executor, the right trade for an
+    * iterative interactive job. A long pipeline stage (the 12-hour
+    * 100-TB case) passes a reliable directory instead: rows persist
+    * to MEMORY_AND_DISK first so the checkpoint-write job reads the
+    * cached blocks (no recompute — which would double-fire the delta
+    * accumulator), then write to fault-tolerant storage. */
+  private def materializeCount(df: DataFrame, deltaWhen: Row => Boolean,
+                               reliableDir: Option[String])
       : (DataFrame, RDD[Row], Long, Long) = {
     val spark = df.sparkSession
     val acc = spark.sparkContext.longAccumulator("graft.graph.delta")
-    val rows = df.rdd.mapPartitions { it =>
+    val mapped = df.rdd.mapPartitions { it =>
       it.map { r => if (deltaWhen(r)) acc.add(1L); r }
-    }.localCheckpoint()
+    }
+    val rows = reliableDir match {
+      case Some(dir) =>
+        // setCheckpointDir appends a unique subdir; only (re)set when
+        // the current one is not already under the requested root
+        if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
+          spark.sparkContext.setCheckpointDir(dir)
+        mapped.persist(StorageLevel.MEMORY_AND_DISK)
+        mapped.checkpoint()
+        mapped
+      case None => mapped.localCheckpoint()
+    }
     val total = rows.count() // the one forcing action: persists blocks + fills the accumulator
     (spark.createDataFrame(rows, df.schema), rows, acc.value, total)
   }
@@ -110,16 +126,23 @@ object Graph {
     *        rep-collapsed before they get here, but a 100 TB corpus
     *        can still exceed any driver — the iterative path is the
     *        scale path, the gate only short-circuits the tail. */
+  /** @param reliableCheckpointDir fault-tolerant checkpoint root for
+    *        the per-round materializations. None (default) uses
+    *        `localCheckpoint` — fastest, right for interactive jobs;
+    *        a long-lived pipeline stage passes a durable path (HDFS/
+    *        object store) so an executor loss does not restart the
+    *        whole iteration from round 1. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50,
-                          localSolveMaxEdges: Long = 1000000L): DataFrame = {
+                          localSolveMaxEdges: Long = 1000000L,
+                          reliableCheckpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
     val spark = edges.sparkSession
     val symPlan = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
       .union(edges.select(col(dstCol).cast(LongType).as("src"), col(srcCol).cast(LongType).as("dst")))
     val (sym, symRdd, badIds, symCount) =
-      materializeCount(symPlan, r => r.isNullAt(0) || r.isNullAt(1))
+      materializeCount(symPlan, r => r.isNullAt(0) || r.isNullAt(1), reliableCheckpointDir)
     if (badIds > 0) {
       symRdd.unpersist(blocking = false)
       throw new IllegalArgumentException(
@@ -187,7 +210,7 @@ object Graph {
     val lab0 = sym.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("comp"))
-    var (lab, labRdd, _, nNodes) = materializeCount(lab0, _ => false)
+    var (lab, labRdd, _, nNodes) = materializeCount(lab0, _ => false, reliableCheckpointDir)
 
     var active = lab
     var iter = 0
@@ -196,7 +219,8 @@ object Graph {
       val cur = lab.select(col("node"), col("comp").as("old"), col("comp"))
       val step = hop(cur, active)
       // delta = labels lowered this round: comp (idx 2) < old (idx 1)
-      val (m, mRdd, delta, _) = materializeCount(step, r => r.getLong(2) < r.getLong(1))
+      val (m, mRdd, delta, _) =
+        materializeCount(step, r => r.getLong(2) < r.getLong(1), reliableCheckpointDir)
       labRdd.unpersist(blocking = false) // previous round's blocks are dead now
       labRdd = mRdd
       lab = m.select("node", "comp")

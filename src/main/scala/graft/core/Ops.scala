@@ -458,6 +458,24 @@ object Ops {
       df.groupBy(col(groupCol)).agg(approx)
   }
 
+  /** Oracle-able form of [[approxDistinct]]: per-group exact distinct
+    * count plus `within_bound` = |approx − exact| / exact ≤
+    * `boundMultiple`·rsd. The sketch itself is engine-specific (HLL
+    * register values cannot cross-engine hash-match), but its ERROR
+    * BOUND is a deterministic fact the oracle CAN check: Spark's HLL
+    * is a pure function of the value set (xxhash64, order-independent
+    * register max-merge), so for a fixed dataset the boolean is fixed
+    * — the oracle emits the exact count and literal TRUE. The 3·rsd
+    * bound is the same contract the unit tests assert. */
+  def approxDistinctChecked(df: DataFrame, groupCol: String, valueCol: String,
+                            rsd: Double = 0.05, boundMultiple: Double = 3.0): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_nd"),
+           countDistinct(col(valueCol)).as("exact_nd"))
+      .select(col(groupCol), col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd")).cast(DoubleType)
+          / col("exact_nd") <= lit(boundMultiple * rsd)).as("within_bound"))
+
   val EventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
 
   /** Ordered-series pivot per group (`dags/my_dag.py:151-160` collects

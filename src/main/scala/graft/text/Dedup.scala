@@ -42,7 +42,7 @@ object Dedup {
     * rebuild the operator for repeated runs (Bench does). The
     * explicit [[releaseCaches]] remains for lifecycle-owning callers
     * and is idempotent with the listener. */
-  private val scopedCaches =
+  private[text] val scopedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, java.util.concurrent.atomic.AtomicInteger)]()
   private val listenerSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
@@ -413,6 +413,8 @@ object Dedup {
     * nothing next to the join. */
   def simhashNearDupPairs(spark: SparkSession, documents: DataFrame,
                           maxHamming: Int = 1): DataFrame = {
+    requireMaxHamming(maxHamming) // before registerCache: an invalid
+    // argument must not leave a persisted frame behind
     // (doc_id, simhash): two longs per doc, three references in the
     // output plan, and each recompute re-runs the md5-per-token fold
     // — the narrow-expensive shape the scoped cache exists for
@@ -436,9 +438,12 @@ object Dedup {
     * `bit_count(xor)` confirm, shared by the pair and component
     * views of the SimHash family. The band guarantee (a pair within
     * Hamming h agrees on ≥ 4−h of the 4 bands) holds for h ≤ 3. */
-  private def simhashFpPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+  private def requireMaxHamming(maxHamming: Int): Unit =
     require(maxHamming >= 0 && maxHamming <= 3,
       s"band recall guarantee holds for maxHamming in [0, 3], got $maxHamming")
+
+  private def simhashFpPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    requireMaxHamming(maxHamming)
     val fps = sh.select(col("simhash")).distinct()
     val banded = fps.select(col("simhash"), posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
@@ -474,6 +479,8 @@ object Dedup {
     * streamed hash join. */
   def simhashComponents(spark: SparkSession, documents: DataFrame,
                         maxHamming: Int = 1): DataFrame = {
+    requireMaxHamming(maxHamming) // before registerCache, as in
+    // simhashNearDupPairs — fail fast with nothing persisted
     // actions = 2: the edge list is consumed eagerly inside
     // connectedComponents; the member join runs under the caller's
     // action on the returned frame

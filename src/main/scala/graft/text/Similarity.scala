@@ -292,13 +292,21 @@ object Similarity {
     * written `repartition/bucketBy(cell)` so repeated query batches
     * prune partitions instead of rescanning.
     */
+  /** @param trainSampleFraction fraction of the corpus each Lloyd
+    *        round scans during quantizer training (seeds always come
+    *        from the full corpus). 1.0 trains on everything; a 100-TB
+    *        corpus passes e.g. 0.01 so training costs a sample pass,
+    *        not `lloydIters` full scans — FAISS practice, where the
+    *        quantizer is always fit on a bounded sample. Deterministic
+    *        (fixed-seed Bernoulli sample). */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 0): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 0,
+              trainSampleFraction: Double = 1.0): DataFrame = {
     require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells && k >= 1,
       s"need 1 <= nProbe <= nCells and k >= 1, got (nCells=$nCells, nProbe=$nProbe, k=$k)")
     require(lloydIters >= 0, s"need lloydIters >= 0, got $lloydIters")
     val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val cent = quantizer(e, nCells, lloydIters)
+    val cent = quantizer(e, nCells, lloydIters, trainSampleFraction)
     val assigned = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         bestCellExpr(col("embedding"), col("nrm")).as("cell"))
@@ -343,13 +351,14 @@ object Similarity {
   /** Quantizer selection shared by the in-memory and persisted IVF
     * paths: the deterministic first-`nCells` seed, optionally Lloyd-
     * trained from those same seeds. */
-  private def quantizer(e: DataFrame, nCells: Int, lloydIters: Int): DataFrame =
+  private def quantizer(e: DataFrame, nCells: Int, lloydIters: Int,
+                        trainSampleFraction: Double = 1.0): DataFrame =
     if (lloydIters == 0)
       e.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cell"), col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
         .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
     else
-      trainedQuantizer(e, nCells, lloydIters)
+      trainedQuantizer(e, nCells, lloydIters, trainSampleFraction)
 
   /** Lloyd-trained coarse quantizer: k-means rounds over the corpus,
     * seeded deterministically with the first `nCells` vectors (the
@@ -363,10 +372,15 @@ object Similarity {
     * of partition order (bit-reproducible training). The per-round
     * collect is the quantizer itself — `nCells × dim` values, driver
     * metadata by nature (FAISS trains exactly this way, in memory, on
-    * at most a corpus sample); the corpus is never collected. Train
-    * on `df.sample` upstream when even one pass per round is too much
-    * scan at full scale. */
-  private def trainedQuantizer(e: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    * at most a corpus sample); the corpus is never collected.
+    * `trainSampleFraction < 1` bounds each round's scan to a
+    * deterministic fixed-seed sample — the 100-TB path, where
+    * `iters` full corpus passes just to fit `nCells × dim` floats
+    * would dominate the whole index build. */
+  private def trainedQuantizer(e: DataFrame, nCells: Int, iters: Int,
+                               trainSampleFraction: Double = 1.0): DataFrame = {
+    require(trainSampleFraction > 0.0 && trainSampleFraction <= 1.0,
+      s"need trainSampleFraction in (0, 1], got $trainSampleFraction")
     val spark = e.sparkSession
     import spark.implicits._
     var centroids: Array[(Long, Array[Float])] =
@@ -374,9 +388,14 @@ object Similarity {
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
         .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     require(centroids.nonEmpty, s"corpus has no vectors with vec_id < $nCells to seed from")
+    // seeds come from the FULL corpus (deterministic first-nCells);
+    // only the per-round training scan is sampled
+    val trainSet =
+      if (trainSampleFraction >= 1.0) e
+      else e.sample(withReplacement = false, trainSampleFraction, seed = 27L)
     for (_ <- 1 to iters) {
       val centDf = centsRow(spark.createDataset(centroids.toIndexedSeq).toDF("cell", "c_vec"))
-      val assigned = e.crossJoin(broadcast(centDf))
+      val assigned = trainSet.crossJoin(broadcast(centDf))
         .select(col("embedding"), bestCellExpr(col("embedding"), col("nrm")).as("cell"))
       val stats = assigned.select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
@@ -408,10 +427,11 @@ object Similarity {
     * the partitioned layout (repartition on cell so each cell is a
     * contiguous file set, not `nPartitions × nCells` fragments). */
   def writeInvertedFile(embeddings: DataFrame, dir: String,
-                        nCells: Int = 16, lloydIters: Int = 0): Unit = {
+                        nCells: Int = 16, lloydIters: Int = 0,
+                        trainSampleFraction: Double = 1.0): Unit = {
     require(nCells >= 1, s"need nCells >= 1, got $nCells")
     val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val cent = quantizer(e, nCells, lloydIters)
+    val cent = quantizer(e, nCells, lloydIters, trainSampleFraction)
     // the quantizer IS part of the index: a reader must probe with
     // exactly the centroids the assignment used
     cent.select(explode(col("cents")).as("c"))

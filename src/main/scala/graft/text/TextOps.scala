@@ -393,9 +393,19 @@ object TextOps {
     * table is built and probed once (two separate joins re-execute
     * the unigram subtree — exchange reuse does not bridge them;
     * measured, not assumed). Per-key fan-out on the word join is one
-    * build row per key — no skew blow-up. The pmi double is the same
-    * IEEE expression on both engines; ln is the one cross-libm op,
-    * so the value rounds to 5 (the BM25 contract). */
+    * build row per key — no skew blow-up.
+    *
+    * Float parity: a single `round(ln(product-of-doubles), 5)` failed
+    * the cross-engine hash on the driver's box (r4) — the product
+    * accumulates several ulps before ln, and Spark's HALF_UP-on-
+    * shortest-repr round vs DuckDB's binary round then disagree at a
+    * boundary. The fixed contract decomposes
+    * pmi = ln(c12) + 2·ln(U) − ln(c1) − ln(c2) − ln(B): every ln takes
+    * ONE exact integer (correctly rounded to ≤ 1 ulp on any libm),
+    * each term rounds to 6 and is cast to DECIMAL, and the sum runs in
+    * exact decimal arithmetic — order-independent, with one final
+    * correctly-rounded cast to double (the `ngramLmScore` rule). The
+    * exact integer counts c1/c2 ride along in the output. */
   def pmiCollocations(documents: DataFrame, minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
     import documents.sparkSession.implicits._
@@ -417,8 +427,8 @@ object TextOps {
     // extra full corpus passes for two scalars
     val totals = documents
       .select(size(tokens(col("text"))).cast(LongType).as("n"))
-      .agg(sum(col("n")).cast(DoubleType).as("u_total"),
-           sum(greatest(col("n") - 1L, lit(0L))).cast(DoubleType).as("b_total"))
+      .agg(sum(col("n")).as("u_total"),
+           sum(greatest(col("n") - 1L, lit(0L))).as("b_total"))
     val melted = counts.filter(col("c12") >= minCount)
       .select(col("w1"), col("w2"), col("c12"),
         explode(array(struct(lit(1).as("side"), col("w1").as("word")),
@@ -430,11 +440,19 @@ object TextOps {
       .agg(max(when(col("side") === 1, col("c"))).as("c1"),
            max(when(col("side") === 2, col("c"))).as("c2"))
       .crossJoin(broadcast(totals))
-      .select(col("w1"), col("w2"), col("c12"),
-        round(log((col("c12").cast(DoubleType) * col("u_total")
-            / (col("c1").cast(DoubleType) * col("c2").cast(DoubleType)))
-          * (col("u_total") / col("b_total"))), 5).as("pmi"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (lnTerm6(col("c12")) + lnTerm6(col("u_total")) * 2
+          - lnTerm6(col("c1")) - lnTerm6(col("c2")) - lnTerm6(col("b_total")))
+          .cast(DoubleType).as("pmi"))
   }
+
+  /** `round(ln(n), 6)` as an exact DECIMAL term — the cross-engine
+    * float contract for log-sums: ln of a single exact integer is
+    * correctly rounded to ≤ 1 ulp on any libm, the 6-dp round pins it
+    * to a decimal both engines agree on, and downstream +/− runs in
+    * exact decimal arithmetic. */
+  private def lnTerm6(n: Column): Column =
+    round(log(n.cast(DoubleType)), 6).cast(DecimalType(18, 6))
 
   /** Data-mixture sampling by TOKEN budget: keep documents of each
     * language, in deterministic scramble order, until that language's

@@ -14,15 +14,16 @@ object FunctionBridge {
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
+    // arity-checked builders: wrong argument count → WRONG_NUM_ARGS
+    // analysis error, not an IndexOutOfBoundsException
     registry.createOrReplaceTempFunction("dot_f",
-      (exprs: Seq[Expression]) => graft.functions.VectorExpressions.DotProductF(exprs(0), exprs(1)),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.dotF(exprs),
       "scala_udf")
     registry.createOrReplaceTempFunction("norm2_f",
-      (exprs: Seq[Expression]) => graft.functions.VectorExpressions.Norm2F(exprs.head),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.norm2F(exprs),
       "scala_udf")
     registry.createOrReplaceTempFunction("jaro_winkler",
-      (exprs: Seq[Expression]) =>
-        graft.functions.StringSimilarity.JaroWinklerSim(exprs(0), exprs(1)),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.jaroWinkler(exprs),
       "scala_udf")
   }
 }

@@ -87,6 +87,22 @@ class GraphSpec extends SparkSpec {
       Graph.connectedComponents(unCastable, "a", "b").collect())
   }
 
+  test("reliableCheckpointDir: distributed loop writes durable checkpoints, same labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val ids = ((100L to 131L) :+ 1L) ++ (200L to 230L) // multi-round convergence
+    val edges = ids.zip(ids.tail).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b", localSolveMaxEdges = 0L,
+        reliableCheckpointDir = Some(dir))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(got == ids.map(_ -> 1L).toMap)
+    // the reliable path must actually have written checkpoint data
+    // (this is what survives an executor loss on a long stage)
+    def filesUnder(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) f.listFiles().iterator.flatMap(filesUnder) else Iterator(f)
+    assert(filesUnder(new java.io.File(dir)).nonEmpty,
+      s"no checkpoint files written under $dir")
+  }
+
   test("intermediate checkpoint blocks are released; only the result stays cached") {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val ids = ((100L to 131L) :+ 1L) ++ (200L to 230L) // multi-round convergence

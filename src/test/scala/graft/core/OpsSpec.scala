@@ -561,6 +561,24 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("partial_approx_count_distinct") || plan.contains("HashAggregate"), plan)
   }
 
+  test("approxDistinctChecked: oracle-able output — exact count + in-bound boolean") {
+    val df = (1 to 5000).map(i => (s"g${i % 3}", s"v${i % 1217}")).toDF("g", "v")
+    val rows = Ops.approxDistinctChecked(df, "g", "v").collect()
+    assert(rows.length == 3)
+    val exact = (1 to 5000).map(i => (s"g${i % 3}", s"v${i % 1217}"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_nd") == exact(r.getAs[String]("g")))
+      // Spark's HLL is a pure function of the value set, so for fixed
+      // data the bound either holds or it doesn't — deterministically.
+      // This is exactly what lets the DuckDB oracle assert literal TRUE.
+      assert(r.getAs[Boolean]("within_bound"),
+        s"sketch out of 3·rsd bound for group ${r.getAs[String]("g")}")
+    }
+    assert(Ops.approxDistinctChecked(df, "g", "v").collect().toSet == rows.toSet,
+      "checked output must be deterministic across runs")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // the 100 TB shape this guards: fact ⋈ selectively-filtered dim
     // where the dim is too big to broadcast — Spark injects a bloom

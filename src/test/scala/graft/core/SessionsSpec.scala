@@ -20,4 +20,16 @@ class SessionsSpec extends SparkSpec {
     Sessions.tune(spark)
     assert(spark.read.parquet("/root/testdata/sf0.001/events.parquet").count() == 1000)
   }
+
+  test("wrong arity raises WRONG_NUM_ARGS analysis error, not IndexOutOfBounds") {
+    Sessions.tune(spark)
+    for (sql <- Seq(
+        "SELECT jaro_winkler('only-one')",
+        "SELECT jaro_winkler('a', 'b', 'c')",
+        "SELECT dot_f(array(cast(1.0 as float)))",
+        "SELECT norm2_f()")) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+      assert(ex.getMessage.toUpperCase.contains("WRONG_NUM_ARGS"), s"$sql -> ${ex.getMessage}")
+    }
+  }
 }

@@ -70,12 +70,16 @@ class CurationSpec extends SparkSpec {
     // tokens x,y,x,y → U=4, x:2, y:2; bigrams (x,y)(y,x)(x,y) → B=3
     val got = TextOps.pmiCollocations(d, minCount = 1L).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getAs[Long]("c12"), r.getAs[Double]("pmi")))).toMap
-    def pmi(c12: Long, c1: Long, c2: Long, u: Double, b: Double): Double =
-      BigDecimal(math.log((c12.toDouble * u / (c1.toDouble * c2.toDouble)) * (u / b)))
-        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got(("x", "y")) == ((2L, pmi(2, 2, 2, 4, 3))))
-    assert(got(("y", "x")) == ((1L, pmi(1, 2, 2, 4, 3))))
+        ((r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+          r.getAs[Double]("pmi")))).toMap
+    // the cross-engine contract: each ln term of one exact integer
+    // rounds to 6, terms sum in exact decimal arithmetic
+    def lnT(n: Long): BigDecimal =
+      BigDecimal(math.log(n.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def pmi(c12: Long, c1: Long, c2: Long, u: Long, b: Long): Double =
+      (lnT(c12) + lnT(u) * 2 - lnT(c1) - lnT(c2) - lnT(b)).toDouble
+    assert(got(("x", "y")) == ((2L, 2L, 2L, pmi(2, 2, 2, 4, 3))))
+    assert(got(("y", "x")) == ((1L, 2L, 2L, pmi(1, 2, 2, 4, 3))))
     // minCount=2 drops the single-occurrence bigram
     val strict = TextOps.pmiCollocations(d, minCount = 2L).collect()
     assert(strict.map(r => (r.getString(0), r.getString(1))).toSet == Set(("x", "y")))
@@ -103,18 +107,22 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(oovGot == oovRef)
 
-    // pmi reference
+    // pmi reference — the per-term rounded-ln decimal-sum contract
     val bi = toks.values.flatMap(ts => ts.zip(ts.drop(1))).toSeq
     val biCounts = bi.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val u = toks.values.map(_.size).sum.toDouble
-    val b = bi.size.toDouble
+    val u = toks.values.map(_.size).sum.toLong
+    val b = bi.size.toLong
+    def lnT(n: Long): BigDecimal =
+      BigDecimal(math.log(n.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val pmiRef = biCounts.collect { case ((w1, w2), c12) if c12 >= 3 =>
-      val score = math.log((c12.toDouble * u / (counts(w1).toDouble * counts(w2).toDouble)) * (u / b))
-      (w1, w2, c12,
-       BigDecimal(score).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val c1 = counts(w1).toLong
+      val c2 = counts(w2).toLong
+      (w1, w2, c12, c1, c2,
+       (lnT(c12) + lnT(u) * 2 - lnT(c1) - lnT(c2) - lnT(b)).toDouble)
     }.toSet
     val pmiGot = TextOps.pmiCollocations(d, minCount = 3L).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("c12"), r.getAs[Double]("pmi"))).toSet
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("c12"),
+        r.getAs[Long]("c1"), r.getAs[Long]("c2"), r.getAs[Double]("pmi"))).toSet
     assert(pmiGot == pmiRef)
   }
 

@@ -304,6 +304,20 @@ class DedupPropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("invalid maxHamming fails fast with nothing left persisted") {
+    Dedup.releaseCaches()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // the require must fire BEFORE registerCache — an invalid argument
+    // must not leave a persisted frame waiting for an unrelated action
+    intercept[IllegalArgumentException](Dedup.simhashNearDupPairs(spark, docs, maxHamming = 9))
+    intercept[IllegalArgumentException](Dedup.simhashComponents(spark, docs, maxHamming = -1))
+    assert(Dedup.scopedCaches.isEmpty,
+      "failed validation must not leave an entry in the scoped-cache registry")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "failed validation must not leak persisted tables")
+  }
+
   test("near-dup operators leave no cached tables behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = corpus(seed = 21, nDocs = 80, vocab = 12)

@@ -147,6 +147,21 @@ class SimilaritySpec extends SparkSpec {
     val trained2 = recallAtK(
       Similarity.ivfTopK(vecs, 8, 5, nCells = 16, nProbe = 2, lloydIters = 5), exact)
     assert(trained == trained2, "lloyd training must be deterministic")
+
+    // sampled training (the 100-TB path: each Lloyd round scans a
+    // bounded fixed-seed sample, not the corpus) must still decisively
+    // beat the degenerate seed draw, and stay deterministic
+    val sampled = recallAtK(
+      Similarity.ivfTopK(vecs, 8, 5, nCells = 16, nProbe = 2, lloydIters = 5,
+        trainSampleFraction = 0.5), exact)
+    assert(sampled >= seeded + 0.2,
+      s"sampled training must still improve recall: seeded=$seeded sampled=$sampled")
+    val sampled2 = recallAtK(
+      Similarity.ivfTopK(vecs, 8, 5, nCells = 16, nProbe = 2, lloydIters = 5,
+        trainSampleFraction = 0.5), exact)
+    assert(sampled == sampled2, "sampled lloyd training must be deterministic")
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopK(vecs, 8, 5, lloydIters = 1, trainSampleFraction = 0.0))
   }
 
   test("recall rises with nProbes on the real embeddings table") {
