@@ -5,7 +5,8 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
@@ -69,6 +70,20 @@ object MaterialsSource {
     def matches(col: String, value: String): Boolean =
       equal.get(col).forall(_ == value) && in.get(col).forall(_.contains(value))
   }
+
+  /** One pushed aggregate function: `fn ∈ {count, min, max}`, `col`
+    * a catalog column or `"*"` (count only). The source never emits
+    * null values, so `count(col)` ≡ `count(*)` — documented, not a
+    * divergence. */
+  case class AggSpec(fn: String, col: String) {
+    def wire: String = s"$fn:$col"
+  }
+
+  /** The fully-translated pushed aggregation: GROUP BY columns, agg
+    * functions, and the scan output schema Spark expects (group
+    * columns first, then one column per aggregate — the DSv2
+    * contract). */
+  case class PushedAgg(groupBy: Seq[String], aggs: Seq[AggSpec], schema: StructType)
 }
 
 /** The pluggable fetch seam of the source — everything below the
@@ -89,6 +104,16 @@ trait MaterialsBackend extends Serializable {
             topN: Option[(String, Boolean, Int)]): Iterator[Array[String]]
   /** Server-side row count for the pushed query (drives scan stats). */
   def count(query: BackendQuery): Long
+  /** Server-side aggregation of one page's matching rows: one row per
+    * group (groupBy values first, then one value per agg, in request
+    * order — min/max echo the catalog's original text so the
+    * round-trip is lossless). With no GROUP BY the page returns
+    * exactly one row even when empty (count 0, min/max blank→null),
+    * so Spark's merge always has a row per partition — the JDBC
+    * partial-pushdown convention. */
+  def aggregate(page: Int, nPages: Int, query: BackendQuery,
+                groupBy: Seq[String],
+                aggs: Seq[MaterialsSource.AggSpec]): Iterator[Array[String]]
   /** Identifies the backend in plan/table descriptions. */
   def description: String
 }
@@ -114,6 +139,11 @@ case class LocalBackend(path: String) extends MaterialsBackend {
     }
   }
   override def count(query: BackendQuery): Long = LocalCatalogBackend.count(path, query)
+  override def aggregate(page: Int, nPages: Int, query: BackendQuery,
+                         groupBy: Seq[String],
+                         aggs: Seq[MaterialsSource.AggSpec]): Iterator[Array[String]] =
+    LocalCatalogBackend.aggregateRows(
+      LocalCatalogBackend.fetch(path, page, nPages, query), groupBy, aggs)
   override def description: String = s"path=$path"
 }
 
@@ -167,6 +197,20 @@ case class HttpCatalogBackend(url: String) extends MaterialsBackend {
       .map(_.trim.toLong)
       .getOrElse(throw new IllegalStateException(s"empty count response from $url"))
 
+  /** Aggregation rides the request as repeated `group=`/`agg=` params
+    * (`agg=<fn>:<col|*>`), so the server ships one row per group —
+    * the reference's `len(docs)` shape done on the server. */
+  override def aggregate(page: Int, nPages: Int, query: BackendQuery,
+                         groupBy: Seq[String],
+                         aggs: Seq[MaterialsSource.AggSpec]): Iterator[Array[String]] = {
+    val params =
+      Seq("page" -> page.toString, "pages" -> nPages.toString) ++
+        filterParams(query) ++
+        groupBy.map("group" -> _) ++
+        aggs.map(a => "agg" -> a.wire)
+    get(params).iterator.map(_.split("\\|", -1))
+  }
+
   override def description: String = s"url=$url"
 }
 
@@ -190,21 +234,25 @@ private[sources] class MaterialsTable(properties: Map[String, String])
 
 private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownAggregates {
   import MaterialsSource._
 
   private val Pushable = Set("material_id", "chemsys", "possible_species")
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Schema
   private var limit: Int = -1
+  private var aggPushed: Option[PushedAgg] = None
 
   /** LIMIT pushdown: each page reader stops after `n` matching rows
     * (a real paginated backend would put it on the request), so a
     * `df.limit(k)` probe of a petabyte catalog reads ≤ k·pages rows
     * instead of scanning everything. Spark still applies the global
     * limit above the scan — pushing is an optimization, never a
-    * semantics change. */
-  override def pushLimit(n: Int): Boolean = { limit = n; true }
+    * semantics change. Declined once an aggregation is pushed: the
+    * backend applies limit BEFORE aggregation, but a post-agg LIMIT
+    * means "first k groups". */
+  override def pushLimit(n: Int): Boolean =
+    if (aggPushed.isDefined) false else { limit = n; true }
 
   private var topN: Option[(String, Boolean, Int)] = None // (col, descending, n)
 
@@ -221,7 +269,8 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
     * columns are non-nullable, so null ordering cannot diverge.)
     * Anything richer is planned engine-side. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
-    orders match {
+    if (aggPushed.isDefined) false // same pre-vs-post-agg mismatch as pushLimit
+    else orders match {
       case Array(o) =>
         o.expression() match {
           case ref: NamedReference if ref.fieldNames().length == 1 &&
@@ -247,6 +296,59 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Aggregate pushdown (COUNT / MIN / MAX, optional GROUP BY) — the
+    * reference's `len(docs)` count done server-side
+    * (`dags/my_dag.py:30`). With one page the backend's answer IS the
+    * final answer (complete pushdown — Spark plans no aggregate at
+    * all); with several, each page ships its partial per-group row
+    * and Spark merges (sum of counts, min of mins, max of maxes) —
+    * the partial-aggregable shape, n·groups rows on the wire instead
+    * of the corpus. MIN/MAX accept only NUMERIC columns for the same
+    * reason as pushTopN: JVM string ordering diverges from Spark's
+    * UTF-8 binary order on supplementary-plane text. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pages == 1 && translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggPushed = some; true
+      case None => false
+    }
+
+  private def fieldOf(e: V2Expression): Option[String] = e match {
+    case ref: NamedReference if ref.fieldNames().length == 1 &&
+        Schema.fieldNames.contains(ref.fieldNames()(0)) => Some(ref.fieldNames()(0))
+    case _ => None
+  }
+
+  private def numericField(c: String): Boolean =
+    Schema.fields.exists(f => f.name == c &&
+      (f.dataType == IntegerType || f.dataType == DoubleType))
+
+  private def translateAgg(agg: Aggregation): Option[PushedAgg] = {
+    val groupBy = agg.groupByExpressions.toSeq.map(fieldOf)
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggSpec("count", "*"))
+      // the catalog never ships nulls, so count(col) == count(*)
+      case c: Count if !c.isDistinct => fieldOf(c.column).map(AggSpec("count", _))
+      case m: Min => fieldOf(m.column).filter(numericField).map(AggSpec("min", _))
+      case m: Max => fieldOf(m.column).filter(numericField).map(AggSpec("max", _))
+      case _ => None
+    }
+    if (groupBy.exists(_.isEmpty) || specs.isEmpty || specs.exists(_.isEmpty)) None
+    else {
+      val gb = groupBy.flatten
+      val aggs = specs.flatten
+      val gbFields = gb.map(c => Schema(Schema.fieldIndex(c)))
+      val aggFields = aggs.map {
+        case AggSpec("count", c) => StructField(s"count($c)", LongType, nullable = false)
+        case AggSpec(fn, c) =>
+          StructField(s"$fn($c)", Schema(Schema.fieldIndex(c)).dataType, nullable = true)
+      }
+      Some(PushedAgg(gb, aggs, StructType(gbFields ++ aggFields)))
+    }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -263,24 +365,28 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
       .groupBy(_._1)
       .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
     new MaterialsScan(backend, pages, BackendQuery(Map.empty, in), required,
-      pushed.map(_.toString), limit, topN)
+      pushed.map(_.toString), limit, topN, aggPushed)
   }
 }
 
 private[sources] class MaterialsScan(
     backend: MaterialsBackend, pages: Int, query: MaterialsSource.BackendQuery,
     required: StructType, pushedDesc: Array[String], limit: Int = -1,
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Int)] = None,
+    agg: Option[MaterialsSource.PushedAgg] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"MaterialsScan ${backend.description} PushedBackendQuery=[${pushedDesc.mkString(", ")}]" +
       (if (limit >= 0) s" PushedLimit=$limit" else "") +
       topN.map { case (c, desc, n) =>
-        s" PushedTopN=[$c ${if (desc) "DESC" else "ASC"} LIMIT $n]" }.getOrElse("")
+        s" PushedTopN=[$c ${if (desc) "DESC" else "ASC"} LIMIT $n]" }.getOrElse("") +
+      agg.map { p =>
+        s" PushedAggregates=[${p.aggs.map(_.wire).mkString(", ")}]" +
+          s" PushedGroupBy=[${p.groupBy.mkString(", ")}]" }.getOrElse("")
 
   /** Runtime filters (DSv2 dynamic filtering): when this scan sits
     * under a join, Spark hands the build side's key values here after
@@ -289,7 +395,13 @@ private[sources] class MaterialsScan(
     * dynamic partition pruning, expressed at the source seam. */
   private var runtime: MaterialsSource.BackendQuery = query
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("material_id"))
+    // after an aggregation is pushed, material_id is a valid runtime-
+    // filter target only if it is still in the output (i.e. grouped
+    // on) — filtering whole groups by key is sound, filtering by a
+    // column the output no longer carries is not plannable anyway
+    if (readSchema().fieldNames.contains("material_id"))
+      Array(Expressions.column("material_id"))
+    else Array.empty
   override def filter(filters: Array[Filter]): Unit = {
     val ins = filters.collect {
       case In(a, vs) if vs.forall(_.isInstanceOf[String]) =>
@@ -326,21 +438,27 @@ private[sources] class MaterialsScan(
     * may still re-shuffle — the report is the honest contract either
     * way). */
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(Expressions.bucket(pages, "material_id")), pages)
+    if (agg.isDefined)
+      // aggregated pages group on arbitrary columns — the bucket
+      // report would be a lie unless grouping happened to be by id
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(pages)
+    else
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(pages, "material_id")), pages)
 
   /** Paginated partition planning: page i of n — each reader fetches
     * only its own page from the backend. */
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(i =>
-      MaterialsPage(backend, i, pages, runtime, limit, topN): InputPartition).toArray
+      MaterialsPage(backend, i, pages, runtime, limit, topN, agg): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MaterialsReaderFactory(required)
 }
 
 private[sources] case class MaterialsPage(
     backend: MaterialsBackend, page: Int, nPages: Int, query: MaterialsSource.BackendQuery,
-    limit: Int = -1, topN: Option[(String, Boolean, Int)] = None)
+    limit: Int = -1, topN: Option[(String, Boolean, Int)] = None,
+    agg: Option[MaterialsSource.PushedAgg] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(page)
 }
@@ -349,8 +467,42 @@ private[sources] class MaterialsReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MaterialsPage]
-    new MaterialsPageReader(p, p.query, required)
+    p.agg match {
+      case Some(a) => new MaterialsAggPageReader(p, a)
+      case None    => new MaterialsPageReader(p, p.query, required)
+    }
   }
+}
+
+/** Reads one page of SERVER-AGGREGATED rows — the backend ships one
+  * row per group, not the underlying catalog rows. */
+private[sources] class MaterialsAggPageReader(
+    page: MaterialsPage, agg: MaterialsSource.PushedAgg)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[Array[String]] =
+    page.backend.aggregate(page.page, page.nPages, page.query, agg.groupBy, agg.aggs)
+  private var current: Array[String] = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = {
+    val values = agg.schema.fields.zipWithIndex.map { case (f, i) =>
+      val raw = current(i)
+      // blank min/max from an empty page merges as null (ignored)
+      if (raw.isEmpty && f.nullable && f.dataType != StringType) null
+      else f.dataType match {
+        case StringType  => UTF8String.fromString(raw)
+        case IntegerType => raw.toInt
+        case LongType    => raw.toLong
+        case DoubleType  => raw.toDouble
+        case dt          => throw new IllegalStateException(s"unhandled $dt")
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+  override def close(): Unit = ()
 }
 
 /** Reads one page from the catalog backend, applying the pushed
@@ -434,6 +586,37 @@ object LocalCatalogBackend {
       query.matches("chemsys", f(1)) &&
       query.matches("possible_species", f(3))
     }
+
+  /** "Server-side" aggregation of already-filtered page rows — shared
+    * by [[LocalBackend]] and the loopback HTTP test server so the
+    * wire behavior is identical across backends. Group values lead,
+    * agg values follow (request order); min/max echo the ORIGINAL
+    * field text so parse-back is lossless. No GROUP BY → exactly one
+    * row even for an empty page (count 0, min/max blank), the JDBC
+    * partial-pushdown convention Spark's merge expects. */
+  def aggregateRows(rows: Iterator[Array[String]], groupBy: Seq[String],
+                    aggs: Seq[MaterialsSource.AggSpec]): Iterator[Array[String]] = {
+    import MaterialsSource.AggSpec
+    val schema = MaterialsSource.Schema
+    val gIdx = groupBy.map(schema.fieldIndex)
+    def cell(group: Array[Array[String]], a: AggSpec): String = a.fn match {
+      // the catalog never ships nulls: count(col) == count(*)
+      case "count" => group.length.toString
+      case fn =>
+        val i = schema.fieldIndex(a.col)
+        if (group.isEmpty) ""
+        else {
+          val ord = Ordering.by[Array[String], Double](f => f(i).toDouble)
+          (if (fn == "min") group.min(ord) else group.max(ord))(i)
+        }
+    }
+    val grouped = rows.toArray.groupBy(f => gIdx.map(f).toSeq)
+    if (grouped.isEmpty && groupBy.isEmpty)
+      Iterator(aggs.map(a => cell(Array.empty, a)).toArray)
+    else grouped.iterator.map { case (key, g) =>
+      (key ++ aggs.map(a => cell(g, a))).toArray
+    }
+  }
 
   /** "Server-side" count for the pushed query — backs the scan's
     * post-pushdown statistics report. */

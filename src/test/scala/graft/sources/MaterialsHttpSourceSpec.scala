@@ -71,16 +71,30 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
         val nPages = params("pages").head.toInt
         val pageNo = params("page").head.toInt
         var page = matching.filter(f => LocalCatalogBackend.pageOf(f(0), nPages) == pageNo)
-        params.get("sort").foreach { case Seq(c) =>
-          val i = MaterialsSource.Schema.fieldIndex(c)
-          val ord = Ordering.Double.TotalOrdering
-          page = page.sortBy(f => f(i).toDouble)(
-            if (params("dir").head == "desc") ord.reverse else ord)
-            .take(params("topn").head.toInt)
+        params.get("agg") match {
+          case Some(aggParams) =>
+            // server-side aggregation: one row per group crosses the
+            // wire (the pushed-aggregate contract)
+            val aggs = aggParams.map { s =>
+              val Array(fn, c) = s.split(":", 2); MaterialsSource.AggSpec(fn, c)
+            }
+            val out = LocalCatalogBackend
+              .aggregateRows(page.iterator, params.getOrElse("group", Seq.empty), aggs)
+              .toArray
+            rowsServed.addAndGet(out.length)
+            out.map(_.mkString("|")).mkString("\n")
+          case None =>
+            params.get("sort").foreach { case Seq(c) =>
+              val i = MaterialsSource.Schema.fieldIndex(c)
+              val ord = Ordering.Double.TotalOrdering
+              page = page.sortBy(f => f(i).toDouble)(
+                if (params("dir").head == "desc") ord.reverse else ord)
+                .take(params("topn").head.toInt)
+            }
+            params.get("limit").foreach { case Seq(n) => page = page.take(n.toInt) }
+            rowsServed.addAndGet(page.length)
+            page.map(_.mkString("|")).mkString("\n")
         }
-        params.get("limit").foreach { case Seq(n) => page = page.take(n.toInt) }
-        rowsServed.addAndGet(page.length)
-        page.map(_.mkString("|")).mkString("\n")
       }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     exchange.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length.toLong)
@@ -112,13 +126,20 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
   test("pushed EqualTo becomes a query param; only matching rows cross the wire") {
     resetCounters()
     val df = loadHttp().filter(col("chemsys") === "V-O")
-    assert(df.count() == 6)
+    // collect, not count: df.count() is itself a COUNT(*) the source
+    // now pushes, shipping one partial row per page instead of data
+    assert(df.collect().length == 6)
     assert(scanDesc(df).contains("PushedBackendQuery=[EqualTo(chemsys,V-O)"))
     // the builder folds EqualTo into a singleton In before the wire
     val fetches = requests.asScala.filterNot(_.contains("count=1"))
     assert(fetches.nonEmpty && fetches.forall(_.contains("in.chemsys=V-O")),
       s"filter param missing from requests: $fetches")
     assert(rowsServed.get() == 6, s"server shipped ${rowsServed.get()} rows, expected 6")
+    // and the count itself rides the agg pushdown: ≤ 1 row per page
+    resetCounters()
+    assert(df.count() == 6)
+    assert(rowsServed.get() <= 3,
+      s"pushed COUNT shipped ${rowsServed.get()} rows, expected ≤ 1 per page")
   }
 
   test("pushed In-list becomes repeated in. params; identical PushedFilters vs local") {
@@ -178,6 +199,22 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
     assert(messages.exists(_.contains("HTTP 503")),
       s"unhelpful failure chain: $messages")
+  }
+
+  test("grouped aggregate ships one row per group per page; agg params on the wire") {
+    resetCounters()
+    val df = loadHttp().groupBy("chemsys")
+      .agg(count(lit(1)).as("n"), max(col("energy_per_atom")).as("mx"))
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set(("V-O", 6L, -7.91), ("Ti-O", 2L, -9.12), ("Fe-O", 2L, -6.66)))
+    val fetches = requests.asScala.filterNot(_.contains("count=1"))
+    assert(fetches.nonEmpty && fetches.forall(q =>
+      q.contains("group=chemsys") && q.contains("agg=count%3A*") &&
+        q.contains("agg=max%3Aenergy_per_atom")),
+      s"aggregate params missing from requests: $fetches")
+    // wire cost is rows-per-group-per-page (≤ 3 groups × 3 pages),
+    // never the 10 catalog rows
+    assert(rowsServed.get() <= 9, s"server shipped ${rowsServed.get()} rows for a grouped agg")
   }
 
   test("scan statistics come from the server-side count endpoint") {

@@ -141,6 +141,89 @@ class MaterialsSourceSpec extends SparkSpec {
     }
   }
 
+  /** Final physical plan: aggregate plans are AQE-wrapped, so run the
+    * query and unwrap the adaptive plan before searching it. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** AQE materializes exchanges as [[QueryStageExec]] LEAF nodes, so a
+    * plain `collect` never sees the scan under a shuffle — recurse
+    * through stage boundaries explicitly. */
+  private def allScans(plan: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    plan.collect {
+      case b: BatchScanExec => Seq(b)
+      case q: QueryStageExec => allScans(q.plan)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    }.flatten
+  }
+
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+    allScans(finalPlan(df)).head.scan.description()
+
+  test("grouped COUNT/MIN/MAX push to the backend; pages merge engine-side") {
+    val df = load().groupBy("chemsys").agg(
+      count(lit(1)).as("n"),
+      min(col("energy_per_atom")).as("mn"),
+      max(col("energy_per_atom")).as("mx"))
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("V-O", 6L, -8.55, -7.91), ("Ti-O", 2L, -9.77, -9.12), ("Fe-O", 2L, -6.91, -6.66)))
+    val d = scanDesc(df)
+    assert(d.contains("PushedAggregates=[count:*, min:energy_per_atom, max:energy_per_atom]"), d)
+    assert(d.contains("PushedGroupBy=[chemsys]"), d)
+    // 3 pages are independent partial answers — Spark must keep the
+    // final merge (sum of counts, min of mins, max of maxes)
+    val plan = finalPlan(df).toString
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
+  test("single-page aggregation pushes COMPLETELY: no engine-side aggregate node") {
+    val df = spark.read.format("graft.sources.MaterialsSource")
+      .option("path", catalog).option("pages", "1").load()
+      .groupBy("chemsys").agg(count(lit(1)).as("n"))
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("V-O", 6L), ("Ti-O", 2L), ("Fe-O", 2L)))
+    val plan = finalPlan(df).toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must remove the aggregate:\n$plan")
+    assert(scanDesc(df).contains("PushedAggregates=[count:*]"), scanDesc(df))
+  }
+
+  test("global aggregate composes with a pushed filter; empty match yields count 0") {
+    val df = load().filter(col("chemsys") === "V-O")
+      .agg(count(lit(1)).as("n"), max(col("nsites")).as("mx"))
+    assert(df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((6L, 22)))
+    val d = scanDesc(df)
+    assert(d.contains("EqualTo(chemsys,V-O)") && d.contains("PushedAggregates"), d)
+    // nothing matches: counts merge to 0, min merges over nulls to null
+    val none = load().filter(col("chemsys") === "Xx-O")
+      .agg(count(lit(1)).as("n"), min(col("nsites")).as("mn"))
+    val r = none.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1), r.toString)
+  }
+
+  test("MIN on a string column is declined (UTF-16 vs UTF-8 order), stays engine-side") {
+    val df = load().groupBy("chemsys").agg(min(col("formula")).as("mn"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("V-O", "V2O3"), ("Ti-O", "Ti2O3"), ("Fe-O", "Fe2O3")))
+    assert(!scanDesc(df).contains("PushedAggregates"), scanDesc(df))
+  }
+
+  test("COUNT DISTINCT is declined — distinct sets cannot merge from partial counts") {
+    val df = load().groupBy("chemsys").agg(countDistinct(col("possible_species")).as("n"))
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("V-O", 4L), ("Ti-O", 2L), ("Fe-O", 1L)))
+    assert(!scanDesc(df).contains("PushedAggregates"), scanDesc(df))
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
