@@ -178,6 +178,12 @@ object SparkEntry {
     "q_mixture_tokens" -> ((s, d) => TextOps.mixtureByTokenBudget(
       Tables.documents(s, d), Map("en" -> 5000L, "de" -> 2000L, "es" -> 1500L))),
     "q_pack_shards" -> ((s, d) => TextOps.packShards(Tables.documents(s, d), 1000L)),
+    // hash-split: pure function of doc_id — engine- and rerun-stable
+    "q_split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d), 90, 5)),
+    // per-source cap, keep the longest docs (integer priority)
+    "q_source_cap" -> ((s, d) => TextOps.sourceCap(Tables.documents(s, d), 15)),
+    // BPE merge-step pair statistics over the distinct-word vocab
+    "q_bpe_pairs" -> ((s, d) => TextOps.bpePairStats(Tables.documents(s, d), 2L)),
     // markup injected deterministically (the corpus carries none) so
     // the stripper has real tags to remove — the piiScrub pattern
     "q_strip_markup" -> ((s, d) => {
@@ -1093,6 +1099,38 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
         |      FROM documents)""".stripMargin,
+
+    // hash split: bucket = scramble(doc_id) mod 100 — the shared
+    // integer scramble, so the split is reproducible on any engine
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  ((doc_id * 9973 + 12345) % 1000003) % 100 AS bucket,
+        |  CASE WHEN ((doc_id * 9973 + 12345) % 1000003) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id * 9973 + 12345) % 1000003) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // keep the 15 longest docs per source; integer priority, id
+    // tie-break — no float ordering contract needed
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15""".stripMargin,
+
+    // adjacent char-pair counts decompose over the (word, count)
+    // vocabulary — corpus read once, pair expansion vocab-sized
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |words AS (SELECT word, count(*)::BIGINT AS c_w FROM toks GROUP BY 1),
+        |pos AS (SELECT word, c_w, unnest(range(1, length(word))) AS i
+        |        FROM words WHERE length(word) >= 2)
+        |SELECT substr(word, i::INT, 1) AS a, substr(word, i::INT + 1, 1) AS b,
+        |       sum(c_w)::BIGINT AS cnt
+        |FROM pos GROUP BY 1, 2 HAVING sum(c_w) >= 2""".stripMargin,
 
     // lp rounds to 6 before an exact DECIMAL sum (order-independent),
     // mirroring the Spark side; the zipped unnest of the two list

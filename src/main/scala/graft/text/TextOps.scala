@@ -646,4 +646,79 @@ object TextOps {
       col("doc_id"),
       aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % P).as("fp"))
   }
+
+  /** Deterministic train/val/test split assignment: bucket =
+    * scramble(doc_id) mod 100, first `trainPct` buckets → train, next
+    * `valPct` → val, rest → test. The split is a pure function of the
+    * id — any engine, any rerun, any shard order reproduces it, and a
+    * document can never migrate between splits when the corpus grows
+    * (the property a random() split lacks, and the reason eval
+    * contamination audits insist on hash splits).
+    *
+    * Scale shape: narrow per-row map, zero shuffle — at 100 TB the
+    * split column costs one integer multiply per row. */
+  def splitAssign(documents: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct >= 1 && valPct >= 0 && trainPct + valPct <= 100,
+      s"need 1 <= trainPct, 0 <= valPct, trainPct+valPct <= 100; got $trainPct/$valPct")
+    val bucket = graft.core.Ops.scrambleKey(col("doc_id")) % 100
+    documents.select(
+      col("doc_id"),
+      bucket.cast(LongType).as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-source document cap: keep at most `maxPerSource` documents
+    * per source, preferring the longest (n_chars desc, id tie-break) —
+    * the domain-cap step web-scale curation applies so no single host
+    * dominates the mixture. Integer-only priority: no float ordering
+    * contract needed.
+    *
+    * Scale shape: one shuffle on source; `row_number <= k` plans as
+    * WindowGroupLimit, so each partition keeps a k-row heap per
+    * source and a colossal domain costs O(k) memory, not O(|domain|)
+    * (the [[graft.core.Ops.sampleStratified]] shape with a quality
+    * priority instead of a scramble). Source-key skew is the
+    * documented residual: one mega-domain lands on one task, heap
+    * bound or not — pre-salt with a second-level cap if a domain
+    * exceeds a task's row-scan budget. */
+  def sourceCap(documents: DataFrame, maxPerSource: Int): DataFrame = {
+    require(maxPerSource >= 1, s"need maxPerSource >= 1, got $maxPerSource")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= maxPerSource)
+  }
+
+  /** BPE merge-step statistics: the weighted count of every adjacent
+    * character pair over the corpus — the quantity a byte-pair-
+    * encoding tokenizer trainer maximizes at each merge. The trick
+    * that makes tokenizer training feasible at corpus scale: pair
+    * counts decompose over the (word, count) VOCABULARY table, so the
+    * corpus is read once to build word counts (map-side combine
+    * absorbs the Zipf head) and the quadratic-ish pair expansion runs
+    * over distinct words only — vocab-sized, orders of magnitude
+    * smaller than the corpus. Output (a, b, cnt) is integer-exact;
+    * `minCount` keeps row selection integer-determined.
+    *
+    * One merge step is the declared, oracle-able unit; iterating
+    * merges re-runs this over a re-segmented vocab (driver loop,
+    * vocab-sized per round — never another corpus pass). */
+  def bpePairStats(documents: DataFrame, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    val words = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_w"))
+    words
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("c_w"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word").substr(col("i"), lit(1)).as("a"),
+              col("word").substr(col("i") + 1, lit(1)).as("b"),
+              col("c_w"))
+      .groupBy("a", "b").agg(sum(col("c_w")).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }

@@ -150,4 +150,54 @@ class CurationSpec extends SparkSpec {
     val shards = out.values.toSeq.distinct.sorted
     assert(shards == (0L to shards.max).toSeq)
   }
+
+  test("splitAssign: scramble-mod buckets, stable under corpus growth") {
+    val d = docs((1L to 200L).map(i => (i, "en", "w")): _*)
+    val out = TextOps.splitAssign(d, 90, 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+                 r.getAs[Long]("bucket"), r.getAs[String]("split"))).toSeq
+    out.foreach { case (id, bucket, split) =>
+      assert(bucket == ((id * 9973 + 12345) % 1000003) % 100)
+      val expect = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+      assert(split == expect, s"doc $id bucket $bucket -> $split")
+    }
+    assert(out.map(_._3).distinct.toSet == Set("train", "val", "test"))
+    // growth stability: the same doc keeps its split in a larger corpus
+    val grown = TextOps.splitAssign(docs((1L to 400L).map(i => (i, "en", "w")): _*), 90, 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    out.foreach { case (id, _, split) => assert(grown(id) == split) }
+    // invalid percentages fail fast
+    intercept[IllegalArgumentException](TextOps.splitAssign(d, 96, 5))
+    intercept[IllegalArgumentException](TextOps.splitAssign(d, 0, 5))
+  }
+
+  test("sourceCap keeps the k longest per source, ties to lowest id") {
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = TextOps.sourceCap(d, 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk"))).toMap
+    // source a: 30-ties break to id 2 then 4; source b: lone doc
+    assert(out == Map(2L -> 1L, 4L -> 2L, 5L -> 1L), out.toString)
+    intercept[IllegalArgumentException](TextOps.sourceCap(d, 0))
+  }
+
+  test("bpePairStats: weighted adjacent-pair counts over the vocab") {
+    // "ab ab cd" + "ab" -> words: ab x3, cd x1
+    val d = docs((1L, "en", "ab ab cd"), (2L, "en", "ab"))
+    val out = TextOps.bpePairStats(d, 1L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(out == Map(("a", "b") -> 3L, ("c", "d") -> 1L), out.toString)
+    // multiplicity inside one word counts every adjacent position;
+    // single-char words contribute nothing
+    val rep = docs((1L, "en", "aaa x"))
+    val got = TextOps.bpePairStats(rep, 1L).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) -> r.getAs[Long]("cnt")).toMap
+    assert(got == Map(("a", "a") -> 2L), got.toString)
+    // minCount filter is integer-exact
+    assert(TextOps.bpePairStats(d, 2L).collect().map(r =>
+      (r.getAs[String]("a"), r.getAs[String]("b"))).toSet == Set(("a", "b")))
+  }
 }
