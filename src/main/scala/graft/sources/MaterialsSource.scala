@@ -99,9 +99,13 @@ object MaterialsSource {
   * Serializable value objects (hold a path/url, not a connection). */
 trait MaterialsBackend extends Serializable {
   import MaterialsSource.BackendQuery
-  /** One page of pipe-separated catalog rows matching `query`. */
+  /** One page of pipe-separated catalog rows matching `query`.
+    * `offset` rows are skipped AFTER the (optional) top-n sort and
+    * BEFORE `limit` — SQL `ORDER BY … LIMIT l OFFSET o` semantics.
+    * The builder only pushes an offset on single-page scans, where
+    * the page answer is the global answer. */
   def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
-            topN: Option[(String, Boolean, Int)]): Iterator[Array[String]]
+            topN: Option[(String, Boolean, Int)], offset: Int): Iterator[Array[String]]
   /** Server-side row count for the pushed query (drives scan stats). */
   def count(query: BackendQuery): Long
   /** Server-side aggregation of one page's matching rows: one row per
@@ -124,7 +128,8 @@ trait MaterialsBackend extends Serializable {
 case class LocalBackend(path: String) extends MaterialsBackend {
   import MaterialsSource.BackendQuery
   override def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
-                     topN: Option[(String, Boolean, Int)]): Iterator[Array[String]] = {
+                     topN: Option[(String, Boolean, Int)],
+                     offset: Int): Iterator[Array[String]] = {
     val matching = LocalCatalogBackend.fetch(path, page, nPages, query)
     topN match {
       case Some((c, desc, n)) =>
@@ -133,9 +138,10 @@ case class LocalBackend(path: String) extends MaterialsBackend {
         val ord = Ordering.Double.TotalOrdering
         matching.toArray
           .sortBy(f => f(i).toDouble)(if (desc) ord.reverse else ord)
-          .iterator.take(n)
+          .iterator.drop(offset).take(n)
       case None =>
-        if (limit >= 0) matching.take(limit) else matching
+        val after = matching.drop(offset)
+        if (limit >= 0) after.take(limit) else after
     }
   }
   override def count(query: BackendQuery): Long = LocalCatalogBackend.count(path, query)
@@ -154,7 +160,7 @@ case class LocalBackend(path: String) extends MaterialsBackend {
   * instance; zero egress).
   *
   * Wire contract (`text/plain`, one pipe-separated row per line):
-  *   GET url?page=i&pages=n[&eq.<col>=v][&in.<col>=v]*[&limit=k]
+  *   GET url?page=i&pages=n[&eq.<col>=v][&in.<col>=v]*[&offset=o][&limit=k]
   *                 [&sort=<col>&dir=asc|desc&topn=k]
   *   GET url?count=1[&filters…]   → single line: matching row count
   * Repeated `in.<col>` params form the IN-list (values may contain
@@ -182,10 +188,12 @@ case class HttpCatalogBackend(url: String) extends MaterialsBackend {
       q.in.toSeq.sortBy(_._1).flatMap { case (c, vs) => vs.map(v => s"in.$c" -> v) }
 
   override def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
-                     topN: Option[(String, Boolean, Int)]): Iterator[Array[String]] = {
+                     topN: Option[(String, Boolean, Int)],
+                     offset: Int): Iterator[Array[String]] = {
     val params =
       Seq("page" -> page.toString, "pages" -> nPages.toString) ++
         filterParams(query) ++
+        (if (offset > 0) Seq("offset" -> offset.toString) else Nil) ++
         (if (limit >= 0) Seq("limit" -> limit.toString) else Nil) ++
         topN.toSeq.flatMap { case (c, desc, n) =>
           Seq("sort" -> c, "dir" -> (if (desc) "desc" else "asc"), "topn" -> n.toString) }
@@ -234,14 +242,28 @@ private[sources] class MaterialsTable(properties: Map[String, String])
 
 private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownAggregates
+    with SupportsPushDownOffset {
   import MaterialsSource._
 
   private val Pushable = Set("material_id", "chemsys", "possible_species")
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Schema
   private var limit: Int = -1
+  private var offset: Int = 0
   private var aggPushed: Option[PushedAgg] = None
+
+  /** OFFSET pushdown — the pagination-cursor shape (`df.offset(o)`
+    * resuming a catalog sweep). Accepted ONLY on single-page scans:
+    * pushing an offset means Spark REMOVES the Offset operator, so
+    * the scan's answer must be globally exact, and a per-page skip
+    * on a multi-page scan would drop o rows from EVERY page. Also
+    * declined after an aggregation (skip-k-groups ≠ skip-k-rows) or
+    * a top-n (the sorted-skip composition is the backend's only
+    * sound order — kept engine-side rather than trusted). */
+  override def pushOffset(n: Int): Boolean =
+    if (pages == 1 && aggPushed.isEmpty && topN.isEmpty) { offset = n; true }
+    else false
 
   /** LIMIT pushdown: each page reader stops after `n` matching rows
     * (a real paginated backend would put it on the request), so a
@@ -365,7 +387,7 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
       .groupBy(_._1)
       .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
     new MaterialsScan(backend, pages, BackendQuery(Map.empty, in), required,
-      pushed.map(_.toString), limit, topN, aggPushed)
+      pushed.map(_.toString), limit, topN, aggPushed, offset)
   }
 }
 
@@ -373,7 +395,8 @@ private[sources] class MaterialsScan(
     backend: MaterialsBackend, pages: Int, query: MaterialsSource.BackendQuery,
     required: StructType, pushedDesc: Array[String], limit: Int = -1,
     topN: Option[(String, Boolean, Int)] = None,
-    agg: Option[MaterialsSource.PushedAgg] = None)
+    agg: Option[MaterialsSource.PushedAgg] = None,
+    offset: Int = 0)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
@@ -381,6 +404,7 @@ private[sources] class MaterialsScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"MaterialsScan ${backend.description} PushedBackendQuery=[${pushedDesc.mkString(", ")}]" +
+      (if (offset > 0) s" PushedOffset=$offset" else "") +
       (if (limit >= 0) s" PushedLimit=$limit" else "") +
       topN.map { case (c, desc, n) =>
         s" PushedTopN=[$c ${if (desc) "DESC" else "ASC"} LIMIT $n]" }.getOrElse("") +
@@ -450,7 +474,7 @@ private[sources] class MaterialsScan(
     * only its own page from the backend. */
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(i =>
-      MaterialsPage(backend, i, pages, runtime, limit, topN, agg): InputPartition).toArray
+      MaterialsPage(backend, i, pages, runtime, limit, topN, agg, offset): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MaterialsReaderFactory(required)
 }
@@ -458,7 +482,7 @@ private[sources] class MaterialsScan(
 private[sources] case class MaterialsPage(
     backend: MaterialsBackend, page: Int, nPages: Int, query: MaterialsSource.BackendQuery,
     limit: Int = -1, topN: Option[(String, Boolean, Int)] = None,
-    agg: Option[MaterialsSource.PushedAgg] = None)
+    agg: Option[MaterialsSource.PushedAgg] = None, offset: Int = 0)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(page)
 }
@@ -511,10 +535,11 @@ private[sources] class MaterialsPageReader(
     page: MaterialsPage, query: MaterialsSource.BackendQuery, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  // the backend applies the whole pushed request (filters, limit,
-  // top-n) before any row reaches Spark — "server-side" execution
+  // the backend applies the whole pushed request (filters, offset,
+  // limit, top-n) before any row reaches Spark — "server-side"
+  // execution
   private val rows: Iterator[Array[String]] =
-    page.backend.fetch(page.page, page.nPages, query, page.limit, page.topN)
+    page.backend.fetch(page.page, page.nPages, query, page.limit, page.topN, page.offset)
   private var current: Array[String] = _
 
   override def next(): Boolean =

@@ -91,6 +91,7 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
                 if (params("dir").head == "desc") ord.reverse else ord)
                 .take(params("topn").head.toInt)
             }
+            params.get("offset").foreach { case Seq(o) => page = page.drop(o.toInt) }
             params.get("limit").foreach { case Seq(n) => page = page.take(n.toInt) }
             rowsServed.addAndGet(page.length)
             page.map(_.mkString("|")).mkString("\n")
@@ -215,6 +216,17 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
     // wire cost is rows-per-group-per-page (≤ 3 groups × 3 pages),
     // never the 10 catalog rows
     assert(rowsServed.get() <= 9, s"server shipped ${rowsServed.get()} rows for a grouped agg")
+  }
+
+  test("pushed OFFSET rides the request; skipped rows never cross the wire") {
+    resetCounters()
+    val single = spark.read.format("graft.sources.MaterialsSource")
+      .option("url", url).option("pages", "1").load()
+    assert(single.offset(7).collect().length == 3)
+    val fetches = requests.asScala.filterNot(_.contains("count=1"))
+    assert(fetches.nonEmpty && fetches.forall(_.contains("offset=7")),
+      s"offset param missing from requests: $fetches")
+    assert(rowsServed.get() == 3, s"server shipped ${rowsServed.get()} rows, expected 3")
   }
 
   test("scan statistics come from the server-side count endpoint") {

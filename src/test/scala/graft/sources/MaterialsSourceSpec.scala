@@ -13,6 +13,10 @@ class MaterialsSourceSpec extends SparkSpec {
     .format("graft.sources.MaterialsSource")
     .option("path", catalog).option("pages", "3").load()
 
+  private def load1() = spark.read
+    .format("graft.sources.MaterialsSource")
+    .option("path", catalog).option("pages", "1").load()
+
   test("full scan reads all rows across pages") {
     assert(load().count() == 10)
   }
@@ -215,6 +219,35 @@ class MaterialsSourceSpec extends SparkSpec {
     assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
       Set(("V-O", "V2O3"), ("Ti-O", "Ti2O3"), ("Fe-O", "Fe2O3")))
     assert(!scanDesc(df).contains("PushedAggregates"), scanDesc(df))
+  }
+
+  test("OFFSET pushes on a single-page scan and is exact") {
+    val all = load1().collect().map(_.getAs[String]("material_id")).toSeq
+    val df = load1().offset(2)
+    assert(df.collect().map(_.getAs[String]("material_id")).toSeq == all.drop(2))
+    assert(scanDesc(df).contains("PushedOffset=2"), scanDesc(df))
+    // offset composed with limit keeps SQL skip-then-take semantics
+    val ol = load1().offset(2).limit(3)
+    assert(ol.collect().map(_.getAs[String]("material_id")).toSeq == all.drop(2).take(3))
+    // offset composed with a pushed filter
+    val f = load1().filter(col("chemsys") === "V-O").offset(4)
+    assert(f.collect().length == 2, f.collect().mkString(","))
+    assert(scanDesc(f).contains("PushedOffset=4") &&
+      scanDesc(f).contains("EqualTo(chemsys,V-O)"), scanDesc(f))
+  }
+
+  test("OFFSET is declined on multi-page scans and after a top-n — results still exact") {
+    // multi-page: a per-page skip would drop rows from every page
+    val multi = load().offset(2)
+    assert(multi.collect().length == 8)
+    assert(!scanDesc(multi).contains("PushedOffset"), scanDesc(multi))
+    // after an ORDER BY ... LIMIT (pushed top-n), the sorted-skip
+    // composition stays engine-side
+    val sorted = load1().orderBy(col("energy_per_atom")).limit(5).offset(2)
+    val expect = load1().collect().map(_.getAs[Double]("energy_per_atom"))
+      .sorted.slice(2, 5).toSeq
+    assert(sorted.collect().map(_.getAs[Double]("energy_per_atom")).toSeq == expect)
+    assert(!scanDesc(sorted).contains("PushedOffset"), scanDesc(sorted))
   }
 
   test("COUNT DISTINCT is declined — distinct sets cannot merge from partial counts") {
