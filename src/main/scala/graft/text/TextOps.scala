@@ -721,4 +721,83 @@ object TextOps {
       .groupBy("a", "b").agg(sum(col("c_w")).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** One left-to-right BPE merge pass: every non-overlapping adjacent
+    * (a, b) becomes the symbol a+b, scanning left to right — so
+    * ["a","a","a"] under (a,a) yields ["aa","a"], the standard BPE
+    * rule. Shared by training (re-segmenting the vocab each round)
+    * and encoding (applying learned merges to new text). */
+  def bpeMergeOnce(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Segment one token under an ordered merge list — the encode path
+    * of a trained BPE model (merges apply in learned priority order,
+    * the reference BPE encoder semantics). */
+  def bpeSegmentOf(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): IndexedSeq[String]) {
+      case (syms, (a, b)) => bpeMergeOnce(syms, a, b)
+    }
+
+  /** BPE tokenizer training: learn `nMerges` merge rules, highest
+    * weighted pair count first (ties break lexicographically on the
+    * pair — fully deterministic). Returns (a, b, count) in merge
+    * order; stops early when no pair reaches `minPairCount`.
+    *
+    * Scale shape — the corpus is read ONCE, for the word counts;
+    * every training round after that runs on the (symbols, count)
+    * VOCABULARY dataset: pair counts are a vocab-sized partial-
+    * aggregated shuffle, the argmax ships exactly one row to the
+    * driver, and the re-segmentation is a narrow vocab map. The
+    * per-round persist breaks the iterative lineage (the
+    * [[graft.core.Graph]] loop discipline); the previous round's
+    * cache releases as soon as its successor materializes. At 100 TB
+    * the corpus pass dominates; rounds cost |vocab|, orders of
+    * magnitude smaller. */
+  def bpeTrain(documents: DataFrame, nMerges: Int,
+               minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    require(minPairCount >= 1, s"need minPairCount >= 1, got $minPairCount")
+    import documents.sparkSession.implicits._
+    var vocab = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_w"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString): IndexedSeq[String], c) }
+      .persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var exhausted = false
+    while (!exhausted && merges.length < nMerges) {
+      val best = vocab
+        .flatMap { case (syms, c) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, c) }
+        }
+        .toDF("a", "b", "c")
+        .groupBy("a", "b").agg(sum(col("c")).as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      best.headOption match {
+        case None => exhausted = true
+        case Some(r) =>
+          val (a, b, cnt) = (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt"))
+          merges += ((a, b, cnt))
+          val next = vocab.map { case (syms, c) => (bpeMergeOnce(syms, a, b), c) }.persist()
+          next.count()
+          vocab.unpersist()
+          vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
 }

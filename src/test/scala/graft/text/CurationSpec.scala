@@ -183,6 +183,68 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.sourceCap(d, 0))
   }
 
+  // driver-side BPE reference: same greedy (count desc, pair asc)
+  // rule over an in-memory vocab — the equality oracle for bpeTrain
+  private def bpeReference(words: Seq[String], nMerges: Int,
+                           minPairCount: Long): Seq[(String, String, Long)] = {
+    var vocab: Map[IndexedSeq[String], Long] = words.groupBy(identity).view
+      .map { case (w, ws) => (w.map(_.toString): IndexedSeq[String]) -> ws.length.toLong }.toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (!done && merges.length < nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      val eligible = counts.filter(_._2 >= minPairCount)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b, cnt))
+        vocab = vocab.toSeq.map { case (syms, c) => TextOps.bpeMergeOnce(syms, a, b) -> c }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    merges.toSeq
+  }
+
+  test("bpeTrain learns the classic merges and matches the reference rule") {
+    // the standard BPE walkthrough corpus: low x5, lower x2,
+    // newest x6, widest x3 — first merges are (e,s) 9 then (es,t) 9
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val d = docs((1L, "en", words.mkString(" ")))
+    val got = TextOps.bpeTrain(d, 4, 1L)
+    assert(got.take(2) == Seq(("e", "s", 9L), ("es", "t", 9L)), got.toString)
+    assert(got == bpeReference(words, 4, 1L), s"got $got")
+    // the learned merges segment an unseen word by shared subwords
+    val merges = got.map(m => (m._1, m._2))
+    assert(TextOps.bpeSegmentOf("newest", merges).contains("est"))
+    // minPairCount stops training when no pair qualifies
+    val tiny = docs((1L, "en", "ab cd"))
+    assert(TextOps.bpeTrain(tiny, 10, 2L).isEmpty)
+    assert(TextOps.bpeTrain(tiny, 10, 1L).nonEmpty)
+  }
+
+  test("bpeTrain equals the reference on random corpora") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(60)(Seq.fill(2 + rnd.nextInt(5))(
+        ('a' + rnd.nextInt(4)).toChar).mkString)
+      val d = docs((1L, "en", words.mkString(" ")))
+      assert(TextOps.bpeTrain(d, 5, 2L) == bpeReference(words, 5, 2L), s"trial $trial")
+    }
+  }
+
+  test("bpeMergeOnce is left-to-right non-overlapping") {
+    assert(TextOps.bpeMergeOnce(IndexedSeq("a", "a", "a"), "a", "a") == IndexedSeq("aa", "a"))
+    assert(TextOps.bpeMergeOnce(IndexedSeq("a", "a", "a", "a"), "a", "a") ==
+      IndexedSeq("aa", "aa"))
+    assert(TextOps.bpeMergeOnce(IndexedSeq("x"), "a", "b") == IndexedSeq("x"))
+  }
+
   test("bpePairStats: weighted adjacent-pair counts over the vocab") {
     // "ab ab cd" + "ab" -> words: ab x3, cd x1
     val d = docs((1L, "en", "ab ab cd"), (2L, "en", "ab"))
