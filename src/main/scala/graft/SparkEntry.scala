@@ -1100,15 +1100,19 @@ object SparkEntry {
         |        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
         |      FROM documents)""".stripMargin,
 
-    // hash split: bucket = scramble(doc_id) mod 100 — the shared
-    // integer scramble, so the split is reproducible on any engine
+    // hash split: bucket = pmod(scramble(doc_id), 100) — the shared
+    // integer scramble, so the split is reproducible on any engine;
+    // the +100 normalization mirrors Spark's pmod for negative ids
     "q_split_assign" ->
-      """SELECT doc_id,
-        |  ((doc_id * 9973 + 12345) % 1000003) % 100 AS bucket,
-        |  CASE WHEN ((doc_id * 9973 + 12345) % 1000003) % 100 < 90 THEN 'train'
-        |       WHEN ((doc_id * 9973 + 12345) % 1000003) % 100 < 95 THEN 'val'
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ((((doc_id * 9973 + 12345) % 1000003) % 100) + 100) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM documents""".stripMargin,
+        |FROM b""".stripMargin,
 
     // keep the 15 longest docs per source; integer priority, id
     // tie-break — no float ordering contract needed

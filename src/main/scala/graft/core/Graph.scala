@@ -56,9 +56,13 @@ object Graph {
     val rows = reliableDir match {
       case Some(dir) =>
         // setCheckpointDir appends a unique subdir; only (re)set when
-        // the current one is not already under the requested root
-        if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
-          spark.sparkContext.setCheckpointDir(dir)
+        // the current one is already under the requested root (true
+        // path-prefix — a plain startsWith would also match a SIBLING
+        // like "<dir>2" and silently keep checkpointing there)
+        val root = dir.replaceAll("/+$", "")
+        if (!spark.sparkContext.getCheckpointDir.exists(c =>
+            c == root || c.startsWith(root + "/")))
+          spark.sparkContext.setCheckpointDir(root)
         mapped.persist(StorageLevel.MEMORY_AND_DISK)
         mapped.checkpoint()
         mapped
@@ -66,6 +70,23 @@ object Graph {
     }
     val total = rows.count() // the one forcing action: persists blocks + fills the accumulator
     (spark.createDataFrame(rows, df.schema), rows, acc.value, total)
+  }
+
+  /** Release a superseded round: drop its cached blocks AND, in
+    * reliable mode, delete its durable checkpoint files — a 50-round
+    * run must not leave 50 dataset-sized copies on the checkpoint
+    * volume (Spark only cleans them with GC-driven
+    * `cleanCheckpoints`, which defaults off). Callers invoke this
+    * strictly AFTER the successor round is materialized, so nothing
+    * can recompute through the deleted files. */
+  private def release(spark: SparkSession, rdd: RDD[Row], reliable: Boolean): Unit = {
+    rdd.unpersist(blocking = false)
+    if (reliable) rdd.getCheckpointFile.foreach { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+      } catch { case _: java.io.IOException => () } // best-effort hygiene
+    }
   }
 
   /** Connected components by min-label propagation with pointer
@@ -143,8 +164,9 @@ object Graph {
       .union(edges.select(col(dstCol).cast(LongType).as("src"), col(srcCol).cast(LongType).as("dst")))
     val (sym, symRdd, badIds, symCount) =
       materializeCount(symPlan, r => r.isNullAt(0) || r.isNullAt(1), reliableCheckpointDir)
+    val reliable = reliableCheckpointDir.isDefined
     if (badIds > 0) {
-      symRdd.unpersist(blocking = false)
+      release(spark, symRdd, reliable)
       throw new IllegalArgumentException(
         s"connectedComponents: $badIds edge endpoint(s) in '$srcCol'/'$dstCol' are null " +
           "or not castable to long — fix or filter the edge input, a null id would " +
@@ -161,7 +183,7 @@ object Graph {
       // so isolated self-loop nodes still receive a label
       val pairs = sym.filter(col("src") <= col("dst"))
         .as[(Long, Long)].collect()
-      symRdd.unpersist(blocking = false)
+      release(spark, symRdd, reliable)
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -221,14 +243,14 @@ object Graph {
       // delta = labels lowered this round: comp (idx 2) < old (idx 1)
       val (m, mRdd, delta, _) =
         materializeCount(step, r => r.getLong(2) < r.getLong(1), reliableCheckpointDir)
-      labRdd.unpersist(blocking = false) // previous round's blocks are dead now
+      release(spark, labRdd, reliable) // previous round's blocks + files are dead now
       labRdd = mRdd
       lab = m.select("node", "comp")
       active = m.filter(col("comp") < col("old")).select("node", "comp")
       converged = delta == 0L
       iter += 1
     }
-    symRdd.unpersist(blocking = false) // edge blocks not referenced by the label scan
+    release(spark, symRdd, reliable) // edge blocks not referenced by the label scan
     // labels that stopped moving ARE the components; labels cut off
     // mid-flight are not transitively closed — returning them would
     // silently under-merge dedup clusters downstream

@@ -94,7 +94,15 @@ object Ops {
   /** Deterministic pseudo-random order key: mirrors the reference's
     * seeded `random.sample` (`dags/my_dag.py:55-57`) with an
     * arithmetic scrambler both engines compute identically
-    * (Python's RNG is not SQL-reproducible — SURVEY.md §7 risk). */
+    * (Python's RNG is not SQL-reproducible — SURVEY.md §7 risk).
+    *
+    * Domain contract: |key| must stay below 2^63 / 9973 ≈ 9.2e14 —
+    * above that `key * 9973` wraps, which Spark does silently while
+    * an ANSI engine (DuckDB) raises, so the "any engine reproduces
+    * it" guarantee dies. Synthetic 64-bit HASH ids exceed this:
+    * derive the key from the id's low bits first. Sign: the result
+    * keeps the key's sign (Spark `%`); consumers needing [0, m)
+    * buckets must `pmod` (see `TextOps.splitAssign`). */
   def scrambleKey(key: Column): Column = (key * 9973 + 12345) % 1000003
 
   /** Seeded sample-n (`dags/my_dag.py:55-57,109-111`). */

@@ -422,8 +422,14 @@ private[sources] class MaterialsScan(
     // after an aggregation is pushed, material_id is a valid runtime-
     // filter target only if it is still in the output (i.e. grouped
     // on) — filtering whole groups by key is sound, filtering by a
-    // column the output no longer carries is not plannable anyway
-    if (readSchema().fieldNames.contains("material_id"))
+    // column the output no longer carries is not plannable anyway.
+    // A pushed OFFSET forbids runtime filtering entirely: Spark has
+    // already deleted the Offset operator trusting "skip o rows of
+    // the scan AS PLANNED", but a late filter would change which rows
+    // the backend's skip removes (skip-of-filtered ≠ filter-of-
+    // skipped) — silently wrong results, so decline
+    if (offset > 0) Array.empty
+    else if (readSchema().fieldNames.contains("material_id"))
       Array(Expressions.column("material_id"))
     else Array.empty
   override def filter(filters: Array[Filter]): Unit = {
@@ -447,7 +453,28 @@ private[sources] class MaterialsScan(
     * the planner sizes this side correctly (broadcast vs shuffle) —
     * without this, a heavily-filtered scan is costed at table size. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = backend.count(runtime)
+    // the estimate must describe what the scan EMITS, not what the
+    // catalog matches — stats exist so the planner can e.g. broadcast
+    // a tiny aggregated side instead of shuffling it:
+    //  - global aggregate: exactly one row per page (wire contract),
+    //    and the count endpoint is never even queried;
+    //  - grouped aggregate: the matching-row count is the only
+    //    available upper bound (the wire has no group-count
+    //    endpoint); still far better than unestimated;
+    //  - plain scan: matching rows minus a pushed offset, capped by
+    //    a pushed per-page limit/top-n.
+    private lazy val matching = backend.count(runtime)
+    private val n = agg match {
+      case Some(a) => if (a.groupBy.isEmpty) pages.toLong else matching
+      case None =>
+        val afterOffset = math.max(0L, matching - offset)
+        val cap = (limit, topN) match {
+          case (l, _) if l >= 0 => pages.toLong * l
+          case (_, Some((_, _, k))) => pages.toLong * k
+          case _ => Long.MaxValue
+        }
+        math.min(afterOffset, cap)
+    }
     // ~64 bytes per catalog row (measured on the stand-in format)
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(n * 64L)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(n)

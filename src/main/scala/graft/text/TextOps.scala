@@ -660,7 +660,10 @@ object TextOps {
   def splitAssign(documents: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct >= 1 && valPct >= 0 && trainPct + valPct <= 100,
       s"need 1 <= trainPct, 0 <= valPct, trainPct+valPct <= 100; got $trainPct/$valPct")
-    val bucket = graft.core.Ops.scrambleKey(col("doc_id")) % 100
+    // pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    // doc_id would yield a negative bucket that `< trainPct` silently
+    // files under train, breaking the declared proportions
+    val bucket = pmod(graft.core.Ops.scrambleKey(col("doc_id")), lit(100))
     documents.select(
       col("doc_id"),
       bucket.cast(LongType).as("bucket"),
@@ -722,6 +725,22 @@ object TextOps {
       .filter(col("cnt") >= minCount)
   }
 
+  /** A word as codepoint symbols — the BPE base segmentation. By
+    * CODEPOINT, not UTF-16 code unit (`w.map(_.toString)` would split
+    * an emoji into two lone surrogates — invalid strings that corrupt
+    * through UTF8String — and disagree with [[bpePairStats]], whose
+    * substr/length arithmetic is codepoint-based on both engines). */
+  def bpeBaseSymbols(w: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toIndexedSeq
+  }
+
   /** One left-to-right BPE merge pass: every non-overlapping adjacent
     * (a, b) becomes the symbol a+b, scanning left to right — so
     * ["a","a","a"] under (a,a) yields ["aa","a"], the standard BPE
@@ -741,14 +760,15 @@ object TextOps {
     * of a trained BPE model (merges apply in learned priority order,
     * the reference BPE encoder semantics). */
   def bpeSegmentOf(word: String, merges: Seq[(String, String)]): Seq[String] =
-    merges.foldLeft(word.map(_.toString): IndexedSeq[String]) {
+    merges.foldLeft(bpeBaseSymbols(word)) {
       case (syms, (a, b)) => bpeMergeOnce(syms, a, b)
     }
 
   /** BPE tokenizer training: learn `nMerges` merge rules, highest
     * weighted pair count first (ties break lexicographically on the
-    * pair — fully deterministic). Returns (a, b, count) in merge
-    * order; stops early when no pair reaches `minPairCount`.
+    * pair in Spark's UTF-8 binary string order — fully deterministic
+    * for a fixed corpus). Returns (a, b, count) in merge order; stops
+    * early when no pair reaches `minPairCount`.
     *
     * Scale shape — the corpus is read ONCE, for the word counts;
     * every training round after that runs on the (symbols, count)
@@ -769,35 +789,40 @@ object TextOps {
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c_w"))
       .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString): IndexedSeq[String], c) }
+      .map { case (w, c) => (bpeBaseSymbols(w), c) }
       .persist()
-    vocab.count()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-    var exhausted = false
-    while (!exhausted && merges.length < nMerges) {
-      val best = vocab
-        .flatMap { case (syms, c) =>
-          if (syms.length < 2) Iterator.empty
-          else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, c) }
+    // the finally releases whichever round's vocab is live when a
+    // mid-training job fails — without it the persisted dataset
+    // outlives the exception for the session's lifetime
+    try {
+      vocab.count()
+      var exhausted = false
+      while (!exhausted && merges.length < nMerges) {
+        val best = vocab
+          .flatMap { case (syms, c) =>
+            if (syms.length < 2) Iterator.empty
+            else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, c) }
+          }
+          .toDF("a", "b", "c")
+          .groupBy("a", "b").agg(sum(col("c")).as("cnt"))
+          .filter(col("cnt") >= minPairCount)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        best.headOption match {
+          case None => exhausted = true
+          case Some(r) =>
+            val (a, b, cnt) = (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt"))
+            merges += ((a, b, cnt))
+            val next = vocab.map { case (syms, c) => (bpeMergeOnce(syms, a, b), c) }.persist()
+            try next.count()
+            catch { case t: Throwable => next.unpersist(blocking = false); throw t }
+            vocab.unpersist()
+            vocab = next
         }
-        .toDF("a", "b", "c")
-        .groupBy("a", "b").agg(sum(col("c")).as("cnt"))
-        .filter(col("cnt") >= minPairCount)
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
-        .collect()
-      best.headOption match {
-        case None => exhausted = true
-        case Some(r) =>
-          val (a, b, cnt) = (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt"))
-          merges += ((a, b, cnt))
-          val next = vocab.map { case (syms, c) => (bpeMergeOnce(syms, a, b), c) }.persist()
-          next.count()
-          vocab.unpersist()
-          vocab = next
       }
-    }
-    vocab.unpersist()
+    } finally vocab.unpersist(blocking = false)
     merges.toSeq
   }
 }

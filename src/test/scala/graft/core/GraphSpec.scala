@@ -101,6 +101,13 @@ class GraphSpec extends SparkSpec {
       if (f.isDirectory) f.listFiles().iterator.flatMap(filesUnder) else Iterator(f)
     assert(filesUnder(new java.io.File(dir)).nonEmpty,
       s"no checkpoint files written under $dir")
+    // superseded rounds delete their durable files as they are
+    // replaced — a 50-round run must not hoard 50 label-table copies;
+    // only the returned label table's checkpoint survives
+    def rddDirs = filesUnder(new java.io.File(dir)).map(_.getParentFile)
+      .filter(_.getName.startsWith("rdd-")).toSet
+    assert(rddDirs.size == 1,
+      s"expected only the final label checkpoint to remain, found: $rddDirs")
   }
 
   test("intermediate checkpoint blocks are released; only the result stays cached") {

@@ -84,14 +84,18 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
             rowsServed.addAndGet(out.length)
             out.map(_.mkString("|")).mkString("\n")
           case None =>
+            // contract order (MaterialsBackend.fetch): sort, THEN
+            // skip the offset, THEN cut top-n/limit — SQL
+            // `ORDER BY … LIMIT l OFFSET o` semantics, matching
+            // LocalBackend exactly
             params.get("sort").foreach { case Seq(c) =>
               val i = MaterialsSource.Schema.fieldIndex(c)
               val ord = Ordering.Double.TotalOrdering
               page = page.sortBy(f => f(i).toDouble)(
                 if (params("dir").head == "desc") ord.reverse else ord)
-                .take(params("topn").head.toInt)
             }
             params.get("offset").foreach { case Seq(o) => page = page.drop(o.toInt) }
+            params.get("topn").foreach { case Seq(n) => page = page.take(n.toInt) }
             params.get("limit").foreach { case Seq(n) => page = page.take(n.toInt) }
             rowsServed.addAndGet(page.length)
             page.map(_.mkString("|")).mkString("\n")

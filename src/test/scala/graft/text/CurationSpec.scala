@@ -184,11 +184,25 @@ class CurationSpec extends SparkSpec {
   }
 
   // driver-side BPE reference: same greedy (count desc, pair asc)
-  // rule over an in-memory vocab — the equality oracle for bpeTrain
+  // rule over an in-memory vocab — the equality oracle for bpeTrain.
+  // The tie-break compares UTF-8 bytes unsigned, matching Spark's
+  // binary string collation (Java String compare diverges on
+  // supplementary-plane vs U+E000..FFFF text)
+  private def u8(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val pairOrd: Ordering[((String, String), Long)] = new Ordering[((String, String), Long)] {
+    def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+      val byCnt = java.lang.Long.compare(y._2, x._2) // count desc
+      if (byCnt != 0) byCnt
+      else {
+        val byA = java.util.Arrays.compareUnsigned(u8(x._1._1), u8(y._1._1))
+        if (byA != 0) byA else java.util.Arrays.compareUnsigned(u8(x._1._2), u8(y._1._2))
+      }
+    }
+  }
   private def bpeReference(words: Seq[String], nMerges: Int,
                            minPairCount: Long): Seq[(String, String, Long)] = {
     var vocab: Map[IndexedSeq[String], Long] = words.groupBy(identity).view
-      .map { case (w, ws) => (w.map(_.toString): IndexedSeq[String]) -> ws.length.toLong }.toMap
+      .map { case (w, ws) => TextOps.bpeBaseSymbols(w) -> ws.length.toLong }.toMap
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var done = false
     while (!done && merges.length < nMerges) {
@@ -201,7 +215,7 @@ class CurationSpec extends SparkSpec {
       val eligible = counts.filter(_._2 >= minPairCount)
       if (eligible.isEmpty) done = true
       else {
-        val ((a, b), cnt) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        val ((a, b), cnt) = eligible.toSeq.min(pairOrd)
         merges += ((a, b, cnt))
         vocab = vocab.toSeq.map { case (syms, c) => TextOps.bpeMergeOnce(syms, a, b) -> c }
           .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
@@ -243,6 +257,37 @@ class CurationSpec extends SparkSpec {
     assert(TextOps.bpeMergeOnce(IndexedSeq("a", "a", "a", "a"), "a", "a") ==
       IndexedSeq("aa", "aa"))
     assert(TextOps.bpeMergeOnce(IndexedSeq("x"), "a", "b") == IndexedSeq("x"))
+  }
+
+  test("BPE segments by codepoint: supplementary-plane chars stay whole symbols") {
+    val gclef = new String(Character.toChars(0x1D11E)) // non-BMP, 2 UTF-16 units
+    assert(TextOps.bpeBaseSymbols(s"a${gclef}b") == IndexedSeq("a", gclef, "b"))
+    // training on emoji-bearing words produces whole-codepoint merges
+    // (a code-unit split would emit lone surrogates that corrupt
+    // through UTF8String), and agrees with the driver reference
+    val words = Seq.fill(4)(s"x$gclef") ++ Seq.fill(2)(s"y$gclef")
+    val d = docs((1L, "en", words.mkString(" ")))
+    val got = TextOps.bpeTrain(d, 2, 1L)
+    assert(got == bpeReference(words, 2, 1L), got.toString)
+    assert(got.head == (("x", gclef, 4L)), got.toString)
+    got.foreach { case (a, b, _) =>
+      val s = a + b // no lone surrogates: UTF-8 round-trip is lossless
+      assert(new String(s.getBytes("UTF-8"), "UTF-8") == s,
+        s"lone surrogate in merge ($a, $b)")
+    }
+    // segmentation of the merged vocab matches pair-stats arithmetic:
+    // both count the codepoint pair, not the code-unit pair
+    val stats = TextOps.bpePairStats(d, 1L).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) -> r.getAs[Long]("cnt")).toMap
+    assert(stats(("x", gclef)) == 4L && stats(("y", gclef)) == 2L, stats.toString)
+  }
+
+  test("splitAssign buckets negative ids into [0, 100)") {
+    val d = Seq(-10L, -1L, -999L, 5L).map(i => (i, "en", 1L, "w"))
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val out = TextOps.splitAssign(d, 90, 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    out.foreach { case (id, b) => assert(b >= 0 && b < 100, s"doc $id bucket $b") }
   }
 
   test("bpePairStats: weighted adjacent-pair counts over the vocab") {
