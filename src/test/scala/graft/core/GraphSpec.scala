@@ -148,4 +148,63 @@ class GraphSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
     pairs.foreach { case (a, b) => assert(got(a) == got(b), s"pair ($a,$b) split") }
   }
+
+  // ---- PageRank ----
+
+  /** Driver-side power iteration with the same dangling-mass rule. */
+  private def prRef(edges: Seq[(Long, Long)], iters: Int,
+                    d: Double): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      edges.foreach { case (s, t) => contrib(t) += rank(s) / out(s) }
+      rank = nodes.map(v => v -> ((1 - d) / n + d * (contrib(v) + dang / n))).toMap
+    }
+    rank
+  }
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int = 10): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+
+  test("pageRank: symmetric cycle is uniform; mass conserves to exactly 1") {
+    val got = pr(Seq((1L, 2L), (2L, 1L)))
+    assert(math.abs(got(1L) - 0.5) < 1e-12 && math.abs(got(2L) - 0.5) < 1e-12, got.toString)
+    // star with a dangling hub: mass still sums to 1 (the dangling
+    // redistribution rule — without it the hub leaks rank each round)
+    val star = pr(Seq((1L, 9L), (2L, 9L), (3L, 9L)))
+    assert(math.abs(star.values.sum - 1.0) < 1e-9, star.toString)
+    assert(star(9L) > star(1L), "sink must out-rank its pointers")
+  }
+
+  test("pageRank matches the driver reference on random digraphs") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 2) {
+      val n = 30
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = pr(edges, iters = 8)
+      val want = prRef(edges, 8, 0.85)
+      assert(got.keySet == want.keySet, s"trial $trial node sets differ")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-9, s"trial $trial node $v: $r vs ${want(v)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("pageRank: empty edges, bad ids, and checkpoint hygiene") {
+    assert(pr(Seq.empty).isEmpty)
+    intercept[IllegalArgumentException](
+      Graph.pageRank(Seq(("1", "x")).toDF("s", "t"), "s", "t"))
+    // superseded rounds release their blocks; only the RETURNED rank
+    // table may stay cached for the caller (the CC contract)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    pr(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)))
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      s"leaked persisted RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
 }
