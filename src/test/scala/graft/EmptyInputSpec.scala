@@ -33,6 +33,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.pmiCollocations(emptyDocs).count() == 0)
     assert(TextOps.qualityScore(emptyDocs).count() == 0)
     assert(TextOps.ngramLmScore(emptyDocs).count() == 0)
+    assert(TextOps.splitAssign(emptyDocs).count() == 0)
+    assert(TextOps.sourceCap(emptyDocs.withColumn("source", $"lang"), 5).count() == 0)
+    assert(TextOps.bpePairStats(emptyDocs, 1L).count() == 0)
+    assert(TextOps.bpeTrain(emptyDocs, 3, 1L).isEmpty)
     Dedup.releaseCaches()
   }
 

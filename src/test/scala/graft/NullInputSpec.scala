@@ -38,5 +38,10 @@ class NullInputSpec extends SparkSpec {
     assert(Dedup.exactDedup(docs).count() == 3)
     // simhash's vote filter drops the token-less doc, same as typed maps
     assert(Dedup.simhash(spark, docs).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // split assignment is id-only — null text must not matter
+    assert(TextOps.splitAssign(docs).count() == 3)
+    // BPE counts see the null doc as empty; the vocab is unaffected
+    assert(TextOps.bpePairStats(docs, 1L).count() > 0)
+    assert(TextOps.bpeTrain(docs, 2, 1L).nonEmpty)
   }
 }
