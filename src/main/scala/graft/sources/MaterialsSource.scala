@@ -399,7 +399,20 @@ private[sources] class MaterialsScan(
     offset: Int = 0)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportOrdering {
+
+  /** Each page returns its rows sorted by the pushed top-n column —
+    * report that PARTITION-LOCAL ordering so Spark elides redundant
+    * per-partition sorts above the scan (the global merge, if one is
+    * needed, stays engine-side as always). No top-n pushed → no
+    * ordering claimed. */
+  override def outputOrdering(): Array[SortOrder] =
+    topN match {
+      case Some((c, desc, _)) if agg.isEmpty =>
+        Array(Expressions.sort(Expressions.column(c),
+          if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =

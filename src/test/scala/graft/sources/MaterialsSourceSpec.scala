@@ -221,6 +221,21 @@ class MaterialsSourceSpec extends SparkSpec {
     assert(!scanDesc(df).contains("PushedAggregates"), scanDesc(df))
   }
 
+  test("pushed top-n reports partition-local output ordering to the planner") {
+    val df = load().orderBy(col("energy_per_atom").desc).limit(4)
+    df.collect()
+    val exec = allScans(finalPlan(df)).head
+    // the scan node advertises the backend's sort, so a parent
+    // requiring partition-local order on the column plans no Sort
+    assert(exec.outputOrdering.nonEmpty &&
+      exec.outputOrdering.head.child.toString.contains("energy_per_atom"),
+      s"ordering not reported: ${exec.outputOrdering}")
+    // no ordering claimed without a pushed top-n (rows are page-order)
+    val plain = load()
+    plain.collect()
+    assert(allScans(finalPlan(plain)).head.outputOrdering.isEmpty)
+  }
+
   test("OFFSET pushes on a single-page scan and is exact") {
     val all = load1().collect().map(_.getAs[String]("material_id")).toSeq
     val df = load1().offset(2)
