@@ -353,6 +353,32 @@ class DedupPropertySpec extends SparkSpec {
       s"caches not self-released: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("round-5 curation ops are invariant under repartitioning") {
+    val rnd = new Random(29)
+    val df = (1L to 400L).map { i =>
+      (i, s"src${rnd.nextInt(7)}", rnd.nextInt(500).toLong,
+        Seq.fill(3 + rnd.nextInt(8))(('a' + rnd.nextInt(5)).toChar).mkString + " " +
+          Seq.fill(2 + rnd.nextInt(6))(('a' + rnd.nextInt(5)).toChar).mkString)
+    }.toDF("doc_id", "source", "n_chars", "text")
+    def run[A](parts: Int, f: org.apache.spark.sql.DataFrame => Array[A]): Array[A] =
+      f(df.repartition(parts))
+    // splitAssign: pure row function — identical rows at any layout
+    def splits(p: Int) = run(p, d => TextOps.splitAssign(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1))
+    assert(splits(1).sameElements(splits(17)))
+    // sourceCap: integer priority + id tie-break pins the kept set
+    def caps(p: Int) = run(p, d => TextOps.sourceCap(d, 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1))
+    assert(caps(1).sameElements(caps(17)))
+    // bpePairStats: partial aggregation commutes with layout
+    def pairs(p: Int) = run(p, d => TextOps.bpePairStats(d, 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted)
+    assert(pairs(1).sameElements(pairs(17)))
+    // bpeTrain: integer counts + total tie-break -> identical merges
+    assert(TextOps.bpeTrain(df.repartition(1), 4, 2L) ==
+           TextOps.bpeTrain(df.repartition(17), 4, 2L))
+  }
+
   test("decimal moneySum is invariant under repartitioning") {
     val rnd = new Random(7)
     val df = (1 to 5000).map(i => (i % 13, rnd.nextDouble() * 1000)).toDF("k", "v")
