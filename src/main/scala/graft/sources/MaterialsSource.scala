@@ -100,12 +100,15 @@ object MaterialsSource {
 trait MaterialsBackend extends Serializable {
   import MaterialsSource.BackendQuery
   /** One page of pipe-separated catalog rows matching `query`.
-    * `offset` rows are skipped AFTER the (optional) top-n sort and
-    * BEFORE `limit` — SQL `ORDER BY … LIMIT l OFFSET o` semantics.
-    * The builder only pushes an offset on single-page scans, where
-    * the page answer is the global answer. */
+    * Application order: filters → `sample` (deterministic per-row
+    * keep, [[LocalCatalogBackend.sampleU]]) → top-n sort → skip
+    * `offset` rows → `limit` — SQL `… TABLESAMPLE … ORDER BY …
+    * LIMIT l OFFSET o` semantics. The builder only pushes an offset
+    * on single-page scans, where the page answer is the global
+    * answer. */
   def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
-            topN: Option[(String, Boolean, Int)], offset: Int): Iterator[Array[String]]
+            topN: Option[(String, Boolean, Int)], offset: Int,
+            sample: Option[(Double, Double, Long)]): Iterator[Array[String]]
   /** Server-side row count for the pushed query (drives scan stats). */
   def count(query: BackendQuery): Long
   /** Server-side aggregation of one page's matching rows: one row per
@@ -128,9 +131,15 @@ trait MaterialsBackend extends Serializable {
 case class LocalBackend(path: String) extends MaterialsBackend {
   import MaterialsSource.BackendQuery
   override def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
-                     topN: Option[(String, Boolean, Int)],
-                     offset: Int): Iterator[Array[String]] = {
-    val matching = LocalCatalogBackend.fetch(path, page, nPages, query)
+                     topN: Option[(String, Boolean, Int)], offset: Int,
+                     sample: Option[(Double, Double, Long)]): Iterator[Array[String]] = {
+    val matching0 = LocalCatalogBackend.fetch(path, page, nPages, query)
+    val matching = sample match {
+      case Some((lo, hi, seed)) => matching0.filter { f =>
+        val u = LocalCatalogBackend.sampleU(f(0), seed); u >= lo && u < hi
+      }
+      case None => matching0
+    }
     topN match {
       case Some((c, desc, n)) =>
         // numeric-only by the builder's acceptance rule
@@ -160,8 +169,8 @@ case class LocalBackend(path: String) extends MaterialsBackend {
   * instance; zero egress).
   *
   * Wire contract (`text/plain`, one pipe-separated row per line):
-  *   GET url?page=i&pages=n[&eq.<col>=v][&in.<col>=v]*[&offset=o][&limit=k]
-  *                 [&sort=<col>&dir=asc|desc&topn=k]
+  *   GET url?page=i&pages=n[&eq.<col>=v][&in.<col>=v]*[&sample=lo:hi:seed]
+  *                 [&offset=o][&limit=k][&sort=<col>&dir=asc|desc&topn=k]
   *   GET url?count=1[&filters…]   → single line: matching row count
   * Repeated `in.<col>` params form the IN-list (values may contain
   * any catalog character — no in-value separator to collide with). */
@@ -188,11 +197,12 @@ case class HttpCatalogBackend(url: String) extends MaterialsBackend {
       q.in.toSeq.sortBy(_._1).flatMap { case (c, vs) => vs.map(v => s"in.$c" -> v) }
 
   override def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
-                     topN: Option[(String, Boolean, Int)],
-                     offset: Int): Iterator[Array[String]] = {
+                     topN: Option[(String, Boolean, Int)], offset: Int,
+                     sample: Option[(Double, Double, Long)]): Iterator[Array[String]] = {
     val params =
       Seq("page" -> page.toString, "pages" -> nPages.toString) ++
         filterParams(query) ++
+        sample.toSeq.map { case (lo, hi, seed) => "sample" -> s"$lo:$hi:$seed" } ++
         (if (offset > 0) Seq("offset" -> offset.toString) else Nil) ++
         (if (limit >= 0) Seq("limit" -> limit.toString) else Nil) ++
         topN.toSeq.flatMap { case (c, desc, n) =>
@@ -243,7 +253,7 @@ private[sources] class MaterialsTable(properties: Map[String, String])
 private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownAggregates
-    with SupportsPushDownOffset {
+    with SupportsPushDownOffset with SupportsPushDownTableSample {
   import MaterialsSource._
 
   private val Pushable = Set("material_id", "chemsys", "possible_species")
@@ -251,7 +261,24 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
   private var required: StructType = Schema
   private var limit: Int = -1
   private var offset: Int = 0
+  private var sample: Option[(Double, Double, Long)] = None
   private var aggPushed: Option[PushedAgg] = None
+
+  /** TABLESAMPLE pushdown — the "probe 1% of a petabyte catalog"
+    * shape. The backend keeps rows whose deterministic per-id sample
+    * coordinate lands in [lower, upper), so dropped rows never cross
+    * the wire and the SAME (seed, bounds) reproduces the SAME subset
+    * on any backend or rerun (Spark deletes the Sample operator on
+    * push, making the source's — deterministic — sampling the
+    * semantics). With-replacement cannot be expressed as a per-row
+    * keep → declined, Spark samples engine-side. Declined after an
+    * aggregate (sample-of-groups ≠ groups-of-sample) or an offset
+    * (the backend applies sample before offset; a plan that pushed
+    * offset first meant offset-then-sample). */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+                               withReplacement: Boolean, seed: Long): Boolean =
+    if (withReplacement || aggPushed.isDefined || offset > 0) false
+    else { sample = Some((lowerBound, upperBound, seed)); true }
 
   /** OFFSET pushdown — the pagination-cursor shape (`df.offset(o)`
     * resuming a catalog sweep). Accepted ONLY on single-page scans:
@@ -332,7 +359,11 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
     pages == 1 && translateAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    translateAgg(agg) match {
+    // a pushed sample would have to apply BEFORE the aggregation; the
+    // aggregate wire path doesn't carry one — decline, Spark keeps
+    // the aggregate engine-side over the sampled scan
+    if (sample.isDefined) false
+    else translateAgg(agg) match {
       case some @ Some(_) => aggPushed = some; true
       case None => false
     }
@@ -387,7 +418,7 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
       .groupBy(_._1)
       .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
     new MaterialsScan(backend, pages, BackendQuery(Map.empty, in), required,
-      pushed.map(_.toString), limit, topN, aggPushed, offset)
+      pushed.map(_.toString), limit, topN, aggPushed, offset, sample)
   }
 }
 
@@ -396,7 +427,8 @@ private[sources] class MaterialsScan(
     required: StructType, pushedDesc: Array[String], limit: Int = -1,
     topN: Option[(String, Boolean, Int)] = None,
     agg: Option[MaterialsSource.PushedAgg] = None,
-    offset: Int = 0)
+    offset: Int = 0,
+    sample: Option[(Double, Double, Long)] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering {
@@ -417,6 +449,8 @@ private[sources] class MaterialsScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"MaterialsScan ${backend.description} PushedBackendQuery=[${pushedDesc.mkString(", ")}]" +
+      sample.map { case (lo, hi, seed) =>
+        s" PushedSample=[$lo, $hi, seed=$seed]" }.getOrElse("") +
       (if (offset > 0) s" PushedOffset=$offset" else "") +
       (if (limit >= 0) s" PushedLimit=$limit" else "") +
       topN.map { case (c, desc, n) =>
@@ -480,7 +514,11 @@ private[sources] class MaterialsScan(
     private val n = agg match {
       case Some(a) => if (a.groupBy.isEmpty) pages.toLong else matching
       case None =>
-        val afterOffset = math.max(0L, matching - offset)
+        val sampled = sample match {
+          case Some((lo, hi, _)) => (matching * (hi - lo)).toLong
+          case None => matching
+        }
+        val afterOffset = math.max(0L, sampled - offset)
         val cap = (limit, topN) match {
           case (l, _) if l >= 0 => pages.toLong * l
           case (_, Some((_, _, k))) => pages.toLong * k
@@ -514,7 +552,8 @@ private[sources] class MaterialsScan(
     * only its own page from the backend. */
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(i =>
-      MaterialsPage(backend, i, pages, runtime, limit, topN, agg, offset): InputPartition).toArray
+      MaterialsPage(backend, i, pages, runtime, limit, topN, agg, offset,
+        sample): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MaterialsReaderFactory(required)
 }
@@ -522,7 +561,8 @@ private[sources] class MaterialsScan(
 private[sources] case class MaterialsPage(
     backend: MaterialsBackend, page: Int, nPages: Int, query: MaterialsSource.BackendQuery,
     limit: Int = -1, topN: Option[(String, Boolean, Int)] = None,
-    agg: Option[MaterialsSource.PushedAgg] = None, offset: Int = 0)
+    agg: Option[MaterialsSource.PushedAgg] = None, offset: Int = 0,
+    sample: Option[(Double, Double, Long)] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(page)
 }
@@ -579,7 +619,8 @@ private[sources] class MaterialsPageReader(
   // limit, top-n) before any row reaches Spark — "server-side"
   // execution
   private val rows: Iterator[Array[String]] =
-    page.backend.fetch(page.page, page.nPages, query, page.limit, page.topN, page.offset)
+    page.backend.fetch(page.page, page.nPages, query, page.limit, page.topN,
+      page.offset, page.sample)
   private var current: Array[String] = _
 
   override def next(): Boolean =
@@ -651,6 +692,20 @@ object LocalCatalogBackend {
       query.matches("chemsys", f(1)) &&
       query.matches("possible_species", f(3))
     }
+
+  /** Deterministic per-row sample coordinate u(id, seed) ∈ [0, 1) —
+    * a splitmix64 finalizer over the id's (spec-fixed) string hash,
+    * so the same (id, seed) keeps or drops the row on ANY backend,
+    * JVM, or rerun. A pushed TABLESAMPLE keeps rows with
+    * lower ≤ u < upper; per-row independence means sampling commutes
+    * with filters (including runtime filters) exactly. */
+  def sampleU(id: String, seed: Long): Double = {
+    var h = seed ^ id.hashCode.toLong
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    (h >>> 11).toDouble / (1L << 53).toDouble
+  }
 
   /** "Server-side" aggregation of already-filtered page rows — shared
     * by [[LocalBackend]] and the loopback HTTP test server so the

@@ -84,10 +84,17 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
             rowsServed.addAndGet(out.length)
             out.map(_.mkString("|")).mkString("\n")
           case None =>
-            // contract order (MaterialsBackend.fetch): sort, THEN
-            // skip the offset, THEN cut top-n/limit — SQL
-            // `ORDER BY … LIMIT l OFFSET o` semantics, matching
-            // LocalBackend exactly
+            // contract order (MaterialsBackend.fetch): sample, sort,
+            // THEN skip the offset, THEN cut top-n/limit — SQL
+            // `TABLESAMPLE … ORDER BY … LIMIT l OFFSET o` semantics,
+            // matching LocalBackend exactly
+            params.get("sample").foreach { case Seq(s) =>
+              val Array(lo, hi, seed) = s.split(":")
+              page = page.filter { f =>
+                val u = LocalCatalogBackend.sampleU(f(0), seed.toLong)
+                u >= lo.toDouble && u < hi.toDouble
+              }
+            }
             params.get("sort").foreach { case Seq(c) =>
               val i = MaterialsSource.Schema.fieldIndex(c)
               val ord = Ordering.Double.TotalOrdering
@@ -231,6 +238,17 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(fetches.nonEmpty && fetches.forall(_.contains("offset=7")),
       s"offset param missing from requests: $fetches")
     assert(rowsServed.get() == 3, s"server shipped ${rowsServed.get()} rows, expected 3")
+  }
+
+  test("pushed TABLESAMPLE rides the request; dropped rows never cross the wire") {
+    resetCounters()
+    val kept = loadHttp().sample(withReplacement = false, 0.5, seed = 42L).collect()
+    assert(kept.nonEmpty && kept.length < 10, s"${kept.length} rows")
+    val fetches = requests.asScala.filterNot(_.contains("count=1"))
+    assert(fetches.nonEmpty && fetches.forall(_.contains("sample=0.0%3A0.5%3A42")),
+      s"sample param missing from requests: $fetches")
+    assert(rowsServed.get() == kept.length,
+      s"server shipped ${rowsServed.get()} rows for ${kept.length} sampled")
   }
 
   test("scan statistics come from the server-side count endpoint") {

@@ -236,6 +236,44 @@ class MaterialsSourceSpec extends SparkSpec {
     assert(allScans(finalPlan(plain)).head.outputOrdering.isEmpty)
   }
 
+  test("TABLESAMPLE pushes: deterministic per-seed subset, Sample node removed") {
+    val df = load().sample(withReplacement = false, 0.5, seed = 42L)
+    val got = df.collect().map(_.getAs[String]("material_id")).sorted.toSeq
+    // the backend's keep rule is the declared semantics
+    val expect = load().collect().map(_.getAs[String]("material_id"))
+      .filter { id => val u = LocalCatalogBackend.sampleU(id, 42L); u >= 0.0 && u < 0.5 }
+      .sorted.toSeq
+    assert(got == expect && got.nonEmpty && got.length < 10, s"got $got")
+    assert(scanDesc(df).contains("PushedSample=[0.0, 0.5, seed=42]"), scanDesc(df))
+    // pushed => Spark plans no SampleExec above the scan
+    assert(finalPlan(df).collectFirst {
+      case s: org.apache.spark.sql.execution.SampleExec => s }.isEmpty,
+      finalPlan(df).toString)
+    // same seed reproduces the subset; a different seed moves it
+    assert(df.collect().map(_.getAs[String]("material_id")).sorted.toSeq == got)
+    val other = load().sample(withReplacement = false, 0.5, seed = 43L)
+      .collect().map(_.getAs[String]("material_id")).sorted.toSeq
+    assert(other != got, "distinct seeds should select distinct subsets on 10 rows")
+    // with a filter below the Sample, Spark's rule keeps the sample
+    // engine-side (it only pushes a Sample sitting directly on the
+    // scan) — the filter still pushes; document, don't fight it
+    val f = load().filter(col("chemsys") === "V-O").sample(false, 0.5, 42L)
+    f.collect()
+    assert(!scanDesc(f).contains("PushedSample") &&
+      scanDesc(f).contains("EqualTo(chemsys,V-O)"), scanDesc(f))
+    assert(finalPlan(f).collectFirst {
+      case s: org.apache.spark.sql.execution.SampleExec => s }.nonEmpty)
+  }
+
+  test("with-replacement sampling is declined and stays engine-side") {
+    val df = load().sample(withReplacement = true, 0.5, seed = 7L)
+    df.collect()
+    assert(!scanDesc(df).contains("PushedSample"), scanDesc(df))
+    assert(finalPlan(df).collectFirst {
+      case s: org.apache.spark.sql.execution.SampleExec => s }.nonEmpty,
+      finalPlan(df).toString)
+  }
+
   test("OFFSET pushes on a single-page scan and is exact") {
     val all = load1().collect().map(_.getAs[String]("material_id")).toSeq
     val df = load1().offset(2)
