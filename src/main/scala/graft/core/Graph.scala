@@ -301,33 +301,39 @@ object Graph {
         s"pageRank: $badIds edge endpoint(s) in '$srcCol'/'$dstCol' are null or not " +
           "castable to long — fix or filter the edge input")
     }
-    // nodes = src ∪ dst; outdeg counts parallel edges (link weight)
-    val nodesPlan = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val contribEdges = e.join(outdeg, "src") // (src, dst, outdeg), materialized once below
-    val (links, linksRdd, _, _) =
-      materializeCount(
-        nodesPlan.join(contribEdges.select(col("src"), col("dst"), col("outdeg")),
-          col("node") === col("src"), "left")
-          .select(col("node"), col("dst"), col("outdeg")),
-        _ => false, reliableCheckpointDir)
-    release(spark, eRdd, reliable)
-    val nNodes = links.select(col("node")).distinct().count()
+    // nodes = src ∪ dst, materialized ONCE: its forcing count IS
+    // nNodes, and the rank init reads it directly — re-deriving the
+    // node set from the edge-sized links table (as a distinct+count
+    // and again for the init) would be two extra full shuffles at
+    // setup, duplicating the distinct already paid here
+    val (nodes, nodesRdd, _, nNodes) = materializeCount(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      _ => false, reliableCheckpointDir)
     if (nNodes == 0) {
-      release(spark, linksRdd, reliable)
+      release(spark, eRdd, reliable)
+      release(spark, nodesRdd, reliable)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("node", LongType, nullable = false),
           org.apache.spark.sql.types.StructField("rank",
             org.apache.spark.sql.types.DoubleType, nullable = false))))
     }
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val contribEdges = e.join(outdeg, "src") // (src, dst, outdeg), materialized once below
+    val (links, linksRdd, _, _) =
+      materializeCount(
+        nodes.join(contribEdges.select(col("src"), col("dst"), col("outdeg")),
+          col("node") === col("src"), "left")
+          .select(col("node"), col("dst"), col("outdeg")),
+        _ => false, reliableCheckpointDir)
+    release(spark, eRdd, reliable)
     val base = (1.0 - damping) / nNodes
 
     var (rank, rankRdd, _, _) = materializeCount(
-      links.select(col("node")).distinct()
-        .select(col("node"), lit(1.0 / nNodes).as("rank")),
+      nodes.select(col("node"), lit(1.0 / nNodes).as("rank")),
       _ => false, reliableCheckpointDir)
+    release(spark, nodesRdd, reliable)
     var iter = 0
     while (iter < iters) {
       // dangling mass: one scalar to the driver (sum over outdeg-null

@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed training primitives for curation-stage classifiers.
   *
@@ -12,7 +13,7 @@ import org.apache.spark.sql.functions._
   * regression over a handful of numeric features (the
   * `TextOps.qualityScore` blend components, readability stats,
   * language scores), with every training round ONE partial-aggregated
-  * pass that ships d+2 doubles to the driver — no parameter server,
+  * pass that ships d+1 doubles to the driver — no parameter server,
   * no MLlib dependency, nothing the engine does not already provide.
   */
 object Learn {
@@ -34,17 +35,28 @@ object Learn {
     * per-row probability p = σ(w·x̂ + b) on STANDARDIZED features
     * (x̂ = (x−μ)/σ, computed in a single prior pass — without it
     * plain GD needs a per-feature learning rate), then d+1 gradient
-    * sums (Σ(p−y)·x̂ᵢ and Σ(p−y)) plus the log-loss, all shipped to
-    * the driver as ONE row of doubles. The weight update runs on the
-    * driver; weights re-enter the next round's plan as literals, so
-    * the whole round stays inside whole-stage codegen.
+    * sums (Σ(p−y)·x̂ᵢ and Σ(p−y)) shipped to the driver as ONE row
+    * of doubles. The weight update runs on the driver; weights
+    * re-enter the next round's plan as literals, so the whole round
+    * stays inside whole-stage codegen.
     *
-    * Scale shape: `iters` corpus passes. A quality classifier trains
-    * on a LABELED set — thousands to millions of rows, not the
-    * corpus — so the passes are cheap; when training data is truly
-    * huge, sample it upstream (the quantizer-training discipline).
-    * Scoring the full corpus ([[scoreLogistic]]) is the
+    * Scale shape: the standardized (x̂, y) projection is PERSISTED
+    * once, so the `iters` rounds re-read cached narrow columns — not
+    * the caller's upstream lineage (a feature-join pipeline would
+    * otherwise re-execute per round, the exact re-run cost the graph
+    * loops' materializeCount exists to prevent). A quality classifier
+    * trains on a LABELED set — thousands to millions of rows, not the
+    * corpus — so the cached passes are cheap; when training data is
+    * truly huge, sample it upstream (the quantizer-training
+    * discipline). Scoring the full corpus ([[scoreLogistic]]) is the
     * zero-shuffle, one-pass side.
+    *
+    * Null features or labels REJECT loudly (IllegalArgumentException,
+    * the connectedComponents/pageRank contract): sum() would silently
+    * skip null rows while n counts them — every gradient divided by
+    * the wrong n, and a row with ONE null feature excluded from ALL
+    * feature gradients — a silently-wrong model, the worst failure
+    * mode a trainer can have.
     *
     * Degenerate labels (all 0 or all 1) still converge toward the
     * intercept-only solution; constant features get σ = 1 to avoid a
@@ -59,41 +71,59 @@ object Learn {
     require(l2 >= 0, s"need l2 >= 0, got $l2")
     val d = featureCols.length
 
-    // one standardization pass: means, stds, n (constant cols → σ=1)
+    // one standardization pass: means, stds, n, null count
+    // (constant cols → σ=1; ANY null feature/label → reject)
+    val anyNull = (featureCols.map(c => col(c).cast("double").isNull) :+
+      col(labelCol).cast("double").isNull).reduce(_ || _)
     val statCols = featureCols.flatMap { c =>
       Seq(avg(col(c).cast("double")).as(s"mu_$c"),
           coalesce(stddev_pop(col(c).cast("double")), lit(0.0)).as(s"sd_$c"))
-    } :+ count(lit(1)).as("n")
+    } ++ Seq(count(lit(1)).as("n"),
+             sum(when(anyNull, 1L).otherwise(0L)).as("n_bad"))
     val stats = df.agg(statCols.head, statCols.tail: _*).collect()(0)
     val n = stats.getAs[Long]("n")
     require(n > 0, "cannot train on an empty frame")
+    val nBad = stats.getAs[Long]("n_bad")
+    if (nBad > 0)
+      throw new IllegalArgumentException(
+        s"trainLogistic: $nBad row(s) have a null or non-numeric value in " +
+          s"${featureCols.mkString("[", ", ", "]")} or '$labelCol' — sum() would " +
+          "silently skip them while n counts them (a silently-wrong model); " +
+          "fix or filter the training input")
     val means = featureCols.map(c => stats.getAs[Double](s"mu_$c"))
     val stds = featureCols.map { c =>
       val s = stats.getAs[Double](s"sd_$c"); if (s == 0.0) 1.0 else s
     }
 
-    val y = col(labelCol).cast("double")
-    val xhat = featureCols.zipWithIndex.map { case (c, i) =>
-      (col(c).cast("double") - lit(means(i))) / lit(stds(i))
-    }
-
-    var w = Array.fill(d)(0.0)
-    var b = 0.0
-    var iter = 0
-    while (iter < iters) {
-      val z = xhat.zip(w).map { case (x, wi) => x * lit(wi) }
-        .foldLeft(lit(b): Column)(_ + _)
-      val p = sigmoid(z)
-      val gradCols = xhat.zipWithIndex.map { case (x, i) =>
-        sum((p - y) * x).as(s"g_$i")
-      } :+ sum(p - y).as("g_b")
-      val g = df.agg(gradCols.head, gradCols.tail: _*).collect()(0)
-      w = Array.tabulate(d)(i =>
-        w(i) - learningRate * (g.getAs[Double](s"g_$i") / n + l2 * w(i)))
-      b -= learningRate * g.getAs[Double]("g_b") / n
-      iter += 1
-    }
-    LogisticModel(featureCols, w.toSeq, b, means, stds)
+    // materialize the standardized projection ONCE: every GD round
+    // re-aggregates these d+1 narrow columns from cache instead of
+    // re-running the caller's upstream lineage per round
+    val train = df.select(
+      featureCols.zipWithIndex.map { case (c, i) =>
+        ((col(c).cast("double") - lit(means(i))) / lit(stds(i))).as(s"x_$i")
+      } :+ col(labelCol).cast("double").as("y"): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val y = col("y")
+      val xhat = (0 until d).map(i => col(s"x_$i"))
+      var w = Array.fill(d)(0.0)
+      var b = 0.0
+      var iter = 0
+      while (iter < iters) {
+        val z = xhat.zip(w).map { case (x, wi) => x * lit(wi) }
+          .foldLeft(lit(b): Column)(_ + _)
+        val p = sigmoid(z)
+        val gradCols = xhat.zipWithIndex.map { case (x, i) =>
+          sum((p - y) * x).as(s"g_$i")
+        } :+ sum(p - y).as("g_b")
+        val g = train.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+        w = Array.tabulate(d)(i =>
+          w(i) - learningRate * (g.getAs[Double](s"g_$i") / n + l2 * w(i)))
+        b -= learningRate * g.getAs[Double]("g_b") / n
+        iter += 1
+      }
+      LogisticModel(featureCols, w.toSeq, b, means, stds)
+    } finally train.unpersist(blocking = false)
   }
 
   /** Apply a trained model: adds `probCol` = σ(w·x̂ + b) — a pure

@@ -515,7 +515,9 @@ private[sources] class MaterialsScan(
       case Some(a) => if (a.groupBy.isEmpty) pages.toLong else matching
       case None =>
         val sampled = sample match {
-          case Some((lo, hi, _)) => (matching * (hi - lo)).toLong
+          // ceil, not floor: (19 rows × 0.05).toLong = 0 would cost
+          // the scan as EMPTY while it can still emit a row
+          case Some((lo, hi, _)) => math.ceil(matching * (hi - lo)).toLong
           case None => matching
         }
         val afterOffset = math.max(0L, sampled - offset)
@@ -694,16 +696,21 @@ object LocalCatalogBackend {
     }
 
   /** Deterministic per-row sample coordinate u(id, seed) ∈ [0, 1) —
-    * a splitmix64 finalizer over the id's (spec-fixed) string hash,
-    * so the same (id, seed) keeps or drops the row on ANY backend,
-    * JVM, or rerun. A pushed TABLESAMPLE keeps rows with
-    * lower ≤ u < upper; per-row independence means sampling commutes
-    * with filters (including runtime filters) exactly. */
+    * a seeded 64-bit xxhash64 over the id's bytes (Spark's own
+    * `xxhash64` function), so the same (id, seed) keeps or drops the
+    * row on ANY backend, JVM, or rerun. A pushed TABLESAMPLE keeps
+    * rows with lower ≤ u < upper; per-row independence means sampling
+    * commutes with filters (including runtime filters) exactly.
+    * NOT Java `hashCode`-based: a 32-bit prefix caps u at 2³²
+    * distinct values and hashCode-colliding ids (guaranteed in a
+    * catalog of millions) would sample identically under EVERY seed
+    * — the seed enters the hash itself here, so no two ids are
+    * correlated across seeds. */
   def sampleU(id: String, seed: Long): Double = {
-    var h = seed ^ id.hashCode.toLong
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = XxHash64Function.hash(UTF8String.fromString(id), StringType, seed)
     (h >>> 11).toDouble / (1L << 53).toDouble
   }
 

@@ -71,4 +71,21 @@ class LearnSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Learn.trainLogistic(df.limit(0), Seq("f1"), "label"))
   }
+
+  test("null features or labels reject loudly (no silently-wrong model)") {
+    // a left-joined label frame: one unlabeled row, one null feature
+    val nullLabel = Seq((1.0, 2.0, Some(1.0)), (2.0, 1.0, None))
+      .toDF("f1", "f2", "label")
+    val e1 = intercept[IllegalArgumentException](
+      Learn.trainLogistic(nullLabel, Seq("f1", "f2"), "label"))
+    assert(e1.getMessage.contains("1 row(s)"), e1.getMessage)
+    val nullFeature = Seq((Some(1.0), 2.0, 1.0), (None, 1.0, 0.0))
+      .toDF("f1", "f2", "label")
+    intercept[IllegalArgumentException](
+      Learn.trainLogistic(nullFeature, Seq("f1", "f2"), "label"))
+    // non-numeric strings cast to null -> same rejection
+    val nonNumeric = Seq(("1.0", 1.0), ("oops", 0.0)).toDF("f1", "label")
+    intercept[IllegalArgumentException](
+      Learn.trainLogistic(nonNumeric, Seq("f1"), "label"))
+  }
 }

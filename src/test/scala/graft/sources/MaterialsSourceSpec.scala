@@ -265,6 +265,22 @@ class MaterialsSourceSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.SampleExec => s }.nonEmpty)
   }
 
+  test("sampleU: hashCode-colliding ids stay independent across seeds") {
+    // "FB" and "Ea" share a Java String.hashCode — a 32-bit-prefix
+    // sampler would keep or drop them together under EVERY seed
+    assert("FB".hashCode == "Ea".hashCode)
+    val seeds = Seq(1L, 42L, 43L, 1234567L)
+    assert(seeds.exists(s =>
+      LocalCatalogBackend.sampleU("FB", s) != LocalCatalogBackend.sampleU("Ea", s)),
+      "colliding ids sample identically under all probed seeds")
+    // u is a coordinate in [0, 1) and is seed-sensitive per id
+    seeds.foreach { s =>
+      val u = LocalCatalogBackend.sampleU("mp-1", s)
+      assert(u >= 0.0 && u < 1.0)
+    }
+    assert(seeds.map(LocalCatalogBackend.sampleU("mp-1", _)).distinct.size == seeds.size)
+  }
+
   test("with-replacement sampling is declined and stays engine-side") {
     val df = load().sample(withReplacement = true, 0.5, seed = 7L)
     df.collect()
