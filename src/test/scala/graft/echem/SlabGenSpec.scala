@@ -132,4 +132,57 @@ class SlabGenSpec extends SparkSpec {
       assert(sym.isEmpty, s"$id: unexpectedly symmetric terminations")
     }
   }
+
+  test("golden: symmetrize repair reproduces the reference slab counts AND composition") {
+    // reference: `get_slabs(symmetrize=True)` produced 7 slab files
+    // for mp-755394-111 and 3 for mp-1393040-111, and the checked-in
+    // repaired slab mp-755394-111-3.poscar is NONSTOICHIOMETRIC —
+    // V10 O20 (30 atoms) eroded from a V12 O24 stack (its own POSCAR
+    // header). The repair must land on both observables.
+    val counts = Map("mp-755394" -> 7, "mp-1393040" -> 3)
+    counts.foreach { case (id, expected) =>
+      val slabs = SlabGen.cutSymmetrized(readSlab(s"$id.poscar"), "111")
+      assert(slabs.length == expected,
+        s"$id-111: got ${slabs.length} symmetrized slabs, reference produced $expected")
+      assert(slabs.map(_.mpKey) == (0 until expected).map(i => s"$id-111-$i"))
+    }
+    // the reference header repeats species groups (V O V O V O /
+    // 2 4 4 8 4 8) — sum per species: V -> 10, O -> 20
+    val ref = readSlab("mp-755394-111-3.poscar")
+    val refComp = ref.species.zip(ref.counts)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val got = SlabGen.cutSymmetrized(readSlab("mp-755394.poscar"), "111")
+    assert(got.exists(s => s.species.zip(s.counts).toMap == refComp),
+      s"no repaired slab matches the reference composition $refComp: " +
+        got.map(s => s.species.zip(s.counts).toMap).mkString(", "))
+  }
+
+  test("symmetrized slabs are two-faced symmetric and keep atom bookkeeping") {
+    for (id <- Seq("mp-755394", "mp-1393040")) {
+      val slabs = SlabGen.cutSymmetrized(readSlab(s"$id.poscar"), "111")
+      slabs.foreach { s =>
+        assert(SlabGen.isSymmetricSlab(s.positions), s"${s.mpKey} not symmetric")
+        assert(s.positions.length == s.counts.sum)
+        assert(s.counts.forall(_ > 0), s"zero-count species in ${s.mpKey} header")
+        val grouped = s.species.lazyZip(s.counts).flatMap((sp, n) => Seq.fill(n)(sp))
+        assert(s.positions.map(_.element) == grouped,
+          s"${s.mpKey}: positions not grouped by species header order")
+      }
+      // repairs are genuinely distinct surfaces (the dedup relation)
+      for (i <- slabs.indices; j <- slabs.indices if i < j)
+        assert(!SlabGen.equivalentSlabs(slabs(i).positions, slabs(j).positions),
+          s"${slabs(i).mpKey} and ${slabs(j).mpKey} are duplicates")
+    }
+  }
+
+  test("symmetrize repair erodes polar stacks nonstoichiometrically, never grows them") {
+    val bulk = readSlab("mp-755394.poscar")
+    val raw = SlabGen.cutTerminations(bulk, "111")
+    val stackAtoms = raw.head.positions.length // 36: every raw stack equal
+    val slabs = SlabGen.cutSymmetrized(bulk, "111")
+    assert(slabs.forall(_.positions.length <= stackAtoms))
+    // the polar V-O fixture NEEDS repair: at least one slab lost atoms
+    assert(slabs.exists(_.positions.length < stackAtoms),
+      "no slab was eroded — repair did nothing on a polar surface")
+  }
 }
