@@ -23,7 +23,7 @@ import graft.sink.JdbcUpsert
   */
 object Pipeline {
 
-  /** Deterministic stand-in for `random.seed(n); random.sample(...)`
+  /** Engine-scale stand-in for `random.seed(n); random.sample(...)`
     * (`dags/my_dag.py:55-57`): order by a seeded hash of the key.
     * Distributed TABLESAMPLE-style pushdown is impossible for exact-n
     * seeded samples; a global sort-limit of keys is the scalable
@@ -31,6 +31,29 @@ object Pipeline {
   def seededSample(slabs: Dataset[Slab], n: Int, seed: Int): Dataset[Slab] = {
     import slabs.sparkSession.implicits._
     slabs.orderBy(xxhash64(lit(seed), col("mpKey"))).limit(n).as[Slab]
+  }
+
+  /** CPython-BIT-EXACT `random.seed(seed); random.sample(ids, n)`
+    * over the dataset's SORTED key list ([[graft.core.PyRandom]]) —
+    * the reference's own selection semantics (`dags/my_dag.py:55-57,
+    * 109-111`; its population order is the upstream API/glob order,
+    * which the engine pins to sorted keys). Collects ONE id column to
+    * the driver — exactly what the reference holds in a Python list —
+    * behind the same catalog-size gate discipline as the graph
+    * union-find fallback; [[seededSample]] remains the engine-scale
+    * path for corpus-sized inputs. The returned dataset filters to
+    * the drawn ids (set semantics — row order is not part of the
+    * reference contract downstream of the draw). */
+  def seededSamplePy(slabs: Dataset[Slab], n: Int, seed: Long,
+                     maxDriverIds: Int = 1000000): Dataset[Slab] = {
+    import slabs.sparkSession.implicits._
+    val ids = slabs.select(col("mpKey")).as[String].collect().sorted.toIndexedSeq
+    require(ids.length <= maxDriverIds,
+      s"seededSamplePy collects ids driver-side (CPython-parity semantics); " +
+        s"${ids.length} keys exceed the $maxDriverIds gate — use seededSample " +
+        "for engine-scale inputs")
+    val picked = new graft.core.PyRandom(seed).sample(ids, math.min(n, ids.length))
+    slabs.filter(col("mpKey").isin(picked: _*))
   }
 
   /** EP2 — analysis tail over golden fixture dirs. */
@@ -64,11 +87,13 @@ object Pipeline {
     import spark.implicits._
 
     // extract + sample before the expensive fan-out (§4: manual
-    // plan ordering across the UDF barrier)
-    val bulks = seededSample(PoscarCodec.read(spark, bulkPoscarDir), nBulkSample, seed = 27)
+    // plan ordering across the UDF barrier). CPython-bit-exact draws
+    // — the reference's own seed/sample pairs (27 → bulk subset,
+    // 20 → pick-1), dags/my_dag.py:55-57,109-111
+    val bulks = seededSamplePy(PoscarCodec.read(spark, bulkPoscarDir), nBulkSample, seed = 27L)
     val slabs = SlabGen.generate(bulks, facets, nShifts)
     // reference picks one slab per run (`dags/my_dag.py:109-111`)
-    val picked = seededSample(slabs, 1, seed = 20)
+    val picked = seededSamplePy(slabs, 1, seed = 20L)
 
     val runs: Dataset[Run] = picked.flatMap { s =>
       charges.map(c => Run(s"${s.mpKey}_$c", JdftxDeck.render(s, c)))

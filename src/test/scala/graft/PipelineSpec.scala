@@ -38,7 +38,10 @@ class PipelineSpec extends SparkSpec {
     val rows = res.collect()
     assert(rows.length == 1) // one slab picked (`dags/my_dag.py:109-111`)
     val r = rows.head
-    assert(r.getAs[String]("mp_id").startsWith("mp-755394-111-3-111-"))
+    // CPython-bit-exact pick: random.seed(20); random.sample(keys, 1)
+    // over the 5 sorted slab keys selects index 1 (verified against
+    // the stdlib)
+    assert(r.getAs[String]("mp_id").startsWith("mp-755394-111-3-111-1"))
     assert(!r.getAs[Double]("pzc").isNaN)
     assert(!r.getAs[Double]("capacitance").isNaN)
   }
