@@ -129,4 +129,40 @@ object Pipeline {
     header + rows.map(r => f"| ${r.getString(0)} | ${r.getDouble(1)}%.5f | ${r.getDouble(2)}%.5f |")
       .mkString("\n")
   }
+
+  /** Full report artifact with figures (`write_report` +
+    * `analyze_electrochem`'s plot, `dags/my_dag.py:165-183,213-243`):
+    * one σₑ-vs-φ SVG per material under `outDir/visualize/`, a
+    * `report.md` embedding each (the reference's
+    * `![](visualize/{filename}.png)` shape, `dags/my_dag.py:241`),
+    * the result table appended. Both frames are terminal
+    * already-aggregated artifacts — driver-side collect and file IO
+    * are the point here, not an anti-pattern.
+    *
+    * @param results (mp_id, pzc, capacitance) — [[echem.Analysis.electrochem]]
+    * @param series  (mp_id, charge, pot, rhoe) — [[echem.Analysis.electrochemSeries]]
+    * @return the report markdown (also written to `outDir/report.md`)
+    */
+  def writeReport(results: DataFrame, series: DataFrame, outDir: String): String = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val fits = results.select("mp_id", "pzc", "capacitance").orderBy("mp_id").collect()
+    val pts = series.select("mp_id", "pot", "rhoe").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getDouble(1), r.getDouble(2))).toSeq).toMap
+    val vizDir = Paths.get(outDir, "visualize")
+    Files.createDirectories(vizDir)
+    val images = fits.flatMap { r =>
+      val id = r.getString(0)
+      pts.get(id).map { p =>
+        val svg = Figure.echemSvg(id, p, r.getDouble(1), r.getDouble(2))
+        Files.write(vizDir.resolve(s"${id}_echem.svg"),
+          svg.getBytes(StandardCharsets.UTF_8))
+        s"\n\n![](visualize/${id}_echem.svg)"
+      }
+    }
+    val md = reportMarkdown(results) + images.mkString + "\n"
+    Files.write(Paths.get(outDir, "report.md"), md.getBytes(StandardCharsets.UTF_8))
+    md
+  }
 }

@@ -26,11 +26,9 @@ import Schemas._
   */
 object Analysis {
 
-  /** @param metrics (mp_key, charge, mu, nelectrons) — JdftxOutParser.metrics
-    * @param geometry (mp_key, cell00, cell11) — slab cell diagonals, Å
-    * @return one row per material: (mp_id, pzc, capacitance)
-    */
-  def electrochem(metrics: DataFrame, geometry: DataFrame): DataFrame = {
+  /** Shared per-run projection: joined metrics + geometry with the
+    * derived `pot` and `rhoe` columns. */
+  private def withPotRhoe(metrics: DataFrame, geometry: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("mp_key"))
     val pot = col("mu") * lit(-HaToEv) - lit(SheOffsetV)
     val ne0 = max(when(col("charge") === 0.0, col("nelectrons"))).over(w)
@@ -40,9 +38,23 @@ object Analysis {
       .withColumn("pot", pot)
       .withColumn("rhoe",
         -(col("nelectrons") - ne0) / area * lit(ElectronC) * lit(1e6) / lit(2.0))
+  }
+
+  /** @param metrics (mp_key, charge, mu, nelectrons) — JdftxOutParser.metrics
+    * @param geometry (mp_key, cell00, cell11) — slab cell diagonals, Å
+    * @return one row per material: (mp_id, pzc, capacitance)
+    */
+  def electrochem(metrics: DataFrame, geometry: DataFrame): DataFrame =
+    withPotRhoe(metrics, geometry)
       .groupBy(col("mp_key").as("mp_id"))
       .agg(
         max(when(col("charge") === 0.0, col("pot"))).as("pzc"),
         regr_slope(col("rhoe"), col("pot")).as("capacitance"))
-  }
+
+  /** The per-run (pot, rhoe) series behind the aggregate — the data
+    * of the reference's σₑ-vs-φ figure (`plt.plot(pots, rhoes, 'o')`,
+    * `dags/my_dag.py:172-183`). One row per (material, charge). */
+  def electrochemSeries(metrics: DataFrame, geometry: DataFrame): DataFrame =
+    withPotRhoe(metrics, geometry)
+      .select(col("mp_key").as("mp_id"), col("charge"), col("pot"), col("rhoe"))
 }

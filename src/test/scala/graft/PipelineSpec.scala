@@ -106,4 +106,26 @@ class PipelineSpec extends SparkSpec {
     assert(md.contains("mp-755394-111-3"))
     assert(md.contains("0.46601"))
   }
+
+  test("EP2 report with figures: SVG per material + embedding markdown") {
+    val metrics = graft.echem.JdftxOutParser.metrics(spark, fixturePath("gc_dft"))
+    val geometry = Pipeline.slabGeometry(
+      graft.echem.PoscarCodec.read(spark, fixturePath("slab_poscars")))
+    val results = graft.echem.Analysis.electrochem(metrics, geometry)
+    val series = graft.echem.Analysis.electrochemSeries(metrics, geometry)
+    val outDir = Files.createTempDirectory("graft-report").toString
+    val md = Pipeline.writeReport(results, series, outDir)
+    // the reference's report shape: table + ![](visualize/{id}...) embed
+    assert(md.contains("| MP id |"))
+    assert(md.contains("![](visualize/mp-755394-111-3_echem.svg)"), md)
+    val svgPath = Paths.get(outDir, "visualize", "mp-755394-111-3_echem.svg")
+    assert(Files.exists(svgPath))
+    val svg = new String(Files.readAllBytes(svgPath), StandardCharsets.UTF_8)
+    // 3 charge points, the fitted line, and the fit annotations
+    assert("<circle ".r.findAllIn(svg).length == 3)
+    assert(svg.contains("stroke-dasharray"))
+    assert(svg.contains("PZC: "), svg)
+    assert(new String(Files.readAllBytes(Paths.get(outDir, "report.md")),
+      StandardCharsets.UTF_8) == md)
+  }
 }
