@@ -201,6 +201,7 @@ object SparkEntry {
         "md5(clean_text) as clean_hash", "cast(length(clean_text) as bigint) as clean_len")
     }),
     "q_dup_spans" -> ((s, d) => TextOps.dupSpans(Tables.documents(s, d), 16)),
+    "q_span_clusters" -> ((s, d) => TextOps.spanClusters(Tables.documents(s, d), 5, 2)),
     // probe set = doc_id < 5 as the benchmark stand-in
     "q_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1237,6 +1238,19 @@ object SparkEntry {
         |  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
         |  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_ratio
         |FROM s JOIN c USING (h) GROUP BY doc_id""".stripMargin,
+
+    // word 5-grams carried by >= 2 distinct docs (per-doc distinct
+    // first, so count(*) counts documents) — boilerplate spans
+    "q_span_clusters" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS span
+        |  FROM t)
+        |SELECT span, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+        |FROM s GROUP BY span HAVING count(*) >= 2""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (

@@ -590,6 +590,40 @@ object TextOps {
         col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
   }
 
+  /** Cross-document shared spans: every word `k`-gram occurring in at
+    * least `minDocs` DISTINCT documents, with how many and the
+    * smallest carrier id — the "this exact phrase is boilerplate"
+    * signal (license headers, navigation chrome, templated
+    * disclaimers) that exact-substring train-data dedup removes and
+    * that per-document near-dup scoring cannot see (a 40-token
+    * header inside otherwise-distinct pages leaves Jaccard near 0).
+    *
+    * Scale shape: one narrow explode of per-doc DISTINCT spans, one
+    * partial-aggregated shuffle on the span, LINEAR output — never
+    * doc×doc pairs. The hot-boilerplate case (one span in 100k docs)
+    * is exactly why: emitting carrier PAIRS would be C(100k,2); the
+    * cluster row (span, n_docs, first_doc) is one row, and a caller
+    * who wants the carriers joins this small result back by span
+    * (broadcast). At 100 TB, group on `xxhash64(span)` instead of
+    * the text and keep `min(span)` as the exemplar — same plan, 8-
+    * byte keys; the declared query groups on the text so the result
+    * is directly DuckDB-checkable. */
+  def spanClusters(documents: DataFrame, k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        shinglesOf(tokensOf(text), k).distinct.map(s => (id, s))
+      }
+      .toDF("doc_id", "span")
+      .groupBy(col("span"))
+      // spans are distinct per doc, so count(*) IS the distinct-doc
+      // count — no count_distinct state
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Repetition score: fraction of duplicated word n-grams per
     * document (1 − distinct/total) — the standard repetitious-text
     * filter of dataset-curation pipelines. Shuffle-free column

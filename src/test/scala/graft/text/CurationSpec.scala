@@ -126,6 +126,35 @@ class CurationSpec extends SparkSpec {
     assert(pmiGot == pmiRef)
   }
 
+  test("spanClusters finds cross-doc boilerplate spans, linear output") {
+    val header = "this content is provided under license terms apply"
+    val d = docs(
+      (1L, "en", s"$header alpha beta gamma delta epsilon"),
+      (2L, "en", s"$header totally different body about boats"),
+      (3L, "en", s"$header $header"), // repeats IN-doc: counts once
+      (4L, "en", "no shared phrasing here at all whatsoever today"))
+    val out = TextOps.spanClusters(d, k = 5, minDocs = 2).collect()
+    // the 8-token header yields 4 distinct 5-gram spans, each carried
+    // by docs {1,2,3} -> n_docs = 3 (doc 3's repetition NOT double-
+    // counted), first carrier = 1
+    val headerSpans = TextOps.shinglesOf(TextOps.tokensOf(header), 5)
+    assert(headerSpans.length == 4)
+    headerSpans.foreach { sp =>
+      val row = out.find(_.getAs[String]("span") == sp)
+      assert(row.isDefined, s"span '$sp' not clustered")
+      assert(row.get.getAs[Long]("n_docs") == 3L, s"'$sp': ${row.get}")
+      assert(row.get.getAs[Long]("first_doc") == 1L)
+    }
+    // nothing from the singleton doc; no span below minDocs
+    assert(out.forall(_.getAs[Long]("n_docs") >= 2L))
+    assert(!out.exists(_.getAs[String]("span").contains("whatsoever")))
+    // doc 3's wrap-around spans (…apply this…) exist only in doc 3
+    // -> filtered; output is exactly the 4 header spans
+    assert(out.length == headerSpans.length, out.mkString("; "))
+    intercept[IllegalArgumentException](TextOps.spanClusters(d, k = 0))
+    intercept[IllegalArgumentException](TextOps.spanClusters(d, minDocs = 1))
+  }
+
   test("stripMarkup removes tags, collapses whitespace, counts what it cut") {
     val d = docs(
       (1L, "en", "<p>a  <b>bold</b> move</p>"),
