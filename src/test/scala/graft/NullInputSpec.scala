@@ -30,6 +30,9 @@ class NullInputSpec extends SparkSpec {
     assert(Dedup.jaccardNearDupPairs(docs, 0.1).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
     assert(TextOps.pmiCollocations(docs, 1L).count() == 2) // hello+world, hello+there
+    // span clustering sees the null doc as span-less (k=2: "hello
+    // world" / "hello there" are singleton spans -> no cluster)
+    assert(TextOps.spanClusters(docs, k = 2).count() == 0)
     Dedup.releaseCaches()
   }
 
