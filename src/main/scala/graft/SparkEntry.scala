@@ -202,6 +202,7 @@ object SparkEntry {
     }),
     "q_dup_spans" -> ((s, d) => TextOps.dupSpans(Tables.documents(s, d), 16)),
     "q_span_clusters" -> ((s, d) => TextOps.spanClusters(Tables.documents(s, d), 5, 2)),
+    "q_strip_boilerplate" -> ((s, d) => TextOps.stripBoilerplate(Tables.documents(s, d), 5, 3)),
     // probe set = doc_id < 5 as the benchmark stand-in
     "q_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1251,6 +1252,39 @@ object SparkEntry {
         |  FROM t)
         |SELECT span, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
         |FROM s GROUP BY span HAVING count(*) >= 2""".stripMargin,
+
+    // remove every token covered by a >= 3-carrier 5-gram; overlap
+    // unions position-wise. Join-based cover construction (gram join
+    // + per-doc start collection), then positional rebuild
+    "q_strip_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS span
+        |  FROM t),
+        |bl AS (SELECT span FROM s GROUP BY span HAVING count(*) >= 3),
+        |g AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i, toks
+        |  FROM t WHERE len(toks) >= 5),
+        |hit AS (
+        |  SELECT g.doc_id, g.i FROM g
+        |  JOIN bl ON g.toks[g.i] || ' ' || g.toks[g.i+1] || ' ' || g.toks[g.i+2] || ' ' || g.toks[g.i+3] || ' ' || g.toks[g.i+4] = bl.span),
+        |cov AS (
+        |  SELECT doc_id, list_distinct(flatten(list(range(i, i + 5)))) AS covered
+        |  FROM hit GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  len(t.toks)::BIGINT AS n_tokens,
+        |  coalesce(len(cov.covered), 0)::BIGINT AS n_removed,
+        |  -- array_to_string of an EMPTY list is NULL in DuckDB; the
+        |  -- engine emits '' for fully-covered and token-less docs
+        |  coalesce(CASE WHEN cov.doc_id IS NULL THEN array_to_string(t.toks, ' ')
+        |       ELSE array_to_string(list_transform(
+        |              list_filter(range(1, len(t.toks) + 1), p -> NOT list_contains(cov.covered, p)),
+        |              p -> t.toks[p]), ' ')
+        |  END, '') AS clean_text
+        |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (

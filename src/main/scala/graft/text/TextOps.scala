@@ -624,6 +624,49 @@ object TextOps {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Boilerplate REMOVAL — the rewrite side of [[spanClusters]]:
+    * every token covered by any ≥`minDocs`-carrier `k`-gram is
+    * dropped and the document reassembled (the exact-substring
+    * train-data dedup transform: shared license headers / nav chrome
+    * vanish, the distinct body stays). Overlapping matches union
+    * their cover — removal is position-wise, not per-match.
+    *
+    * Scale shape, fully distributed: the narrow (doc, start, gram)
+    * explode BROADCAST-joins the small cluster set (boilerplate is
+    * by construction far smaller than the corpus; hint shuffle_hash
+    * upstream if a pathological set outgrows broadcast), covered
+    * starts partial-aggregate per doc, and ONE doc-keyed shuffle
+    * joins them back for the narrow rebuild — the corpus text moves
+    * through exactly one exchange, no driver collection. */
+  def stripBoilerplate(documents: DataFrame, k: Int = 5, minDocs: Int = 3): DataFrame = {
+    import documents.sparkSession.implicits._
+    val spans = spanClusters(documents, k, minDocs).select(col("span"))
+    val starts = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = tokensOf(text)
+        if (toks.length < k) Iterator.empty
+        else (0 to toks.length - k).iterator.map(i =>
+          (id, i, toks.slice(i, i + k).mkString(" ")))
+      }
+      .toDF("doc_id", "start", "gram")
+    val covered = starts.join(broadcast(spans), col("gram") === col("span"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("start")).as("starts"))
+    documents.select(col("doc_id"), col("text"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .as[(Long, String, Seq[Int])]
+      .map { case (id, text, st) =>
+        val toks = tokensOf(text)
+        val cov = new Array[Boolean](toks.length)
+        st.foreach(s => (s until math.min(s + k, toks.length)).foreach(cov(_) = true))
+        val kept = toks.iterator.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+        (id, toks.length.toLong, cov.count(identity).toLong, kept.mkString(" "))
+      }
+      .toDF("doc_id", "n_tokens", "n_removed", "clean_text")
+  }
+
   /** Repetition score: fraction of duplicated word n-grams per
     * document (1 − distinct/total) — the standard repetitious-text
     * filter of dataset-curation pipelines. Shuffle-free column

@@ -155,6 +155,32 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.spanClusters(d, minDocs = 1))
   }
 
+  test("stripBoilerplate removes covered tokens position-wise, keeps the body") {
+    val header = "this content is provided under license terms apply" // 8 toks
+    val d = docs(
+      (1L, "en", s"$header alpha beta gamma delta epsilon"),
+      (2L, "en", s"boats sail far $header"),
+      (3L, "en", s"$header"),
+      (4L, "en", "no shared phrasing here at all whatsoever today"))
+    val out = TextOps.stripBoilerplate(d, k = 5, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+         r.getAs[String]("clean_text"))).toMap
+    // the header's 4 overlapping 5-grams cover all 8 header tokens —
+    // union of covers, not per-match deletion
+    assert(out(1L) == (13L, 8L, "alpha beta gamma delta epsilon"), out(1L).toString)
+    assert(out(2L) == (11L, 8L, "boats sail far"), out(2L).toString)
+    assert(out(3L) == (8L, 8L, ""), out(3L).toString)
+    // untouched doc passes through token-reassembled, nothing removed
+    assert(out(4L) == (8L, 0L, "no shared phrasing here at all whatsoever today"))
+    // idempotence: stripping the stripped corpus removes nothing more
+    val again = TextOps.stripBoilerplate(
+      TextOps.stripBoilerplate(d, 5, 3)
+        .select(col("doc_id"), col("clean_text").as("text")), 5, 3)
+      .collect()
+    assert(again.forall(_.getAs[Long]("n_removed") == 0L))
+  }
+
   test("stripMarkup removes tags, collapses whitespace, counts what it cut") {
     val d = docs(
       (1L, "en", "<p>a  <b>bold</b> move</p>"),
