@@ -89,9 +89,17 @@ object Pipeline {
     // extract + sample before the expensive fan-out (§4: manual
     // plan ordering across the UDF barrier). CPython-bit-exact draws
     // — the reference's own seed/sample pairs (27 → bulk subset,
-    // 20 → pick-1), dags/my_dag.py:55-57,109-111
-    val bulks = seededSamplePy(PoscarCodec.read(spark, bulkPoscarDir), nBulkSample, seed = 27L)
+    // 20 → pick-1), dags/my_dag.py:55-57,109-111.
+    // Each sampled stage is scope-CACHED for exactly 2 actions: the
+    // draw's key collect and the one downstream consumer — without
+    // it the POSCAR parse and the whole SlabGen fan-out would
+    // re-execute once per stage (the key collect is an action the
+    // old lazy single-plan sampler didn't have)
+    val bulkAll = PoscarCodec.read(spark, bulkPoscarDir)
+    graft.text.Dedup.registerCache(bulkAll.toDF(), actions = 2)
+    val bulks = seededSamplePy(bulkAll, nBulkSample, seed = 27L)
     val slabs = SlabGen.generate(bulks, facets, nShifts)
+    graft.text.Dedup.registerCache(slabs.toDF(), actions = 2)
     // reference picks one slab per run (`dags/my_dag.py:109-111`)
     val picked = seededSamplePy(slabs, 1, seed = 20L)
 
@@ -125,8 +133,13 @@ object Pipeline {
   def reportMarkdown(results: DataFrame): String = {
     val rows = results.select("mp_id", "pzc", "capacitance")
       .orderBy("mp_id").collect()
+    // a material without a charge==0 run has NULL pzc; a single-point
+    // series has NULL capacitance (regr_slope) — render "NA" instead
+    // of throwing away the whole report
+    def cell(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "NA" else f"${r.getDouble(i)}%.5f"
     val header = "| MP id | PZC (V vs SHE) | Capacitance (µF/cm²) |\n|---|---|---|\n"
-    header + rows.map(r => f"| ${r.getString(0)} | ${r.getDouble(1)}%.5f | ${r.getDouble(2)}%.5f |")
+    header + rows.map(r => s"| ${r.getString(0)} | ${cell(r, 1)} | ${cell(r, 2)} |")
       .mkString("\n")
   }
 
@@ -154,7 +167,10 @@ object Pipeline {
     Files.createDirectories(vizDir)
     val images = fits.flatMap { r =>
       val id = r.getString(0)
-      pts.get(id).map { p =>
+      // no figure for a material with NULL pzc/capacitance (missing
+      // 0-charge run / single-point fit) — its table row says "NA"
+      if (r.isNullAt(1) || r.isNullAt(2)) None
+      else pts.get(id).map { p =>
         val svg = Figure.echemSvg(id, p, r.getDouble(1), r.getDouble(2))
         Files.write(vizDir.resolve(s"${id}_echem.svg"),
           svg.getBytes(StandardCharsets.UTF_8))

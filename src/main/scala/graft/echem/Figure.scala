@@ -30,6 +30,11 @@ object Figure {
   private def fmt(v: Double, digits: Int): String =
     String.format(Locale.ROOT, s"%.${digits}f", Double.box(v))
 
+  /** XML-escape free text (the material title comes from a filename
+    * that may carry '&'/'<' — unescaped it breaks the whole SVG). */
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   /** σₑ-vs-φ figure for one material.
     *
     * @param title       material key (the reference's filename title)
@@ -67,9 +72,14 @@ object Figure {
       val first = math.ceil(lo / step) * step
       Iterator.iterate(first)(_ + step).takeWhile(_ <= hi + 1e-12).toSeq
     }
+    // smallest decimal count that round-trips every tick (a 2.5-step
+    // family needs one MORE digit than its magnitude suggests: %.0f
+    // would label the 2.5 tick "3")
     def tickDigits(ts: Seq[Double]): Int =
-      if (ts.length < 2) 2
-      else math.max(0, -math.floor(math.log10(ts(1) - ts(0))).toInt)
+      if (ts.isEmpty) 2
+      else (0 to 6).find { d =>
+        ts.forall(t => math.abs(fmt(t, d).toDouble - t) < 1e-9 * math.max(1.0, math.abs(t)))
+      }.getOrElse(6)
 
     val xT = ticks(xLo, xHi)
     val yT = ticks(yLo, yHi)
@@ -95,7 +105,7 @@ object Figure {
     // axis labels (fontsize 14) + title (13), the reference's text
     sb ++= s"""<text x="${fmt((X0 + X1) / 2, 1)}" y="${fmt(H - 6, 1)}" font-size="14" text-anchor="middle">&#x3C6; (V vs. SHE)</text>\n"""
     sb ++= s"""<text x="14" y="${fmt((Y0 + Y1) / 2, 1)}" font-size="14" text-anchor="middle" transform="rotate(-90 14 ${fmt((Y0 + Y1) / 2, 1)})">&#x3C3;&#x2091; (&#xB5;C/cm&#xB2;)</text>\n"""
-    sb ++= s"""<text x="${fmt((X0 + X1) / 2, 1)}" y="${fmt(Y0 - 10, 1)}" font-size="13" text-anchor="middle">$title</text>\n"""
+    sb ++= s"""<text x="${fmt((X0 + X1) / 2, 1)}" y="${fmt(Y0 - 10, 1)}" font-size="13" text-anchor="middle">${esc(title)}</text>\n"""
     // red dotted fit line (':' c='r')
     sb ++= s"""<line x1="${fmt(sx(xLo), 1)}" y1="${fmt(sy(capacitance * xLo + b), 1)}" x2="${fmt(sx(xHi), 1)}" y2="${fmt(sy(capacitance * xHi + b), 1)}" stroke="red" stroke-width="1.5" stroke-dasharray="2,4"/>\n"""
     // black circles ('o' c='k'), sorted for determinism

@@ -386,27 +386,63 @@ object SlabGen {
   // polar slab until both faces read the same, accepting a
   // nonstoichiometric result, discarding slabs that crumble first) ----
 
-  /** Default matching tolerance, FRACTIONAL in-plane/z — the analogue
-    * of pymatgen's `symprec=0.1 Å` (≈ 0.01–0.02 fractional for the
-    * 5–10 Å cells slabs live in). Symmetry-RELATED atoms come from
-    * DIFFERENT bulk input atoms whose relaxed coordinates carry
-    * independent noise, so exact-grid equality (the termination-dedup
-    * trick, where compared atoms share one arithmetic path) cannot
-    * see a physically symmetric slab — a tolerance matcher is
-    * structural here, not a convenience. */
-  val SymTol = 0.01
+  /** Matching tolerances are expressed in ÅNGSTRÖM (the analogue of
+    * pymatgen's `symprec`) and converted per-axis to fractional —
+    * fractional z of the vacuum-padded cell is ~4× compressed vs the
+    * in-plane axes, so ONE fractional tolerance would silently be 4×
+    * looser in z. Symmetry-RELATED atoms come from DIFFERENT bulk
+    * input atoms whose relaxed coordinates carry independent noise,
+    * so exact-grid equality (the termination-dedup trick, where
+    * compared atoms share one arithmetic path) cannot see a
+    * physically symmetric slab — a tolerance matcher is structural
+    * here, not a convenience. Default 0.3 Å: the fixture bulks'
+    * relaxed coordinates place symmetry partners up to ~0.2 Å apart
+    * (measured), and interatomic distances (≥ ~1.5 Å) still dwarf
+    * the tolerance, so matches stay unambiguous. */
+  val SymTolAngstrom = 0.3
 
   /** In-plane integer 2×2 maps probed by the matcher: identity,
     * inversion, axis mirrors, diagonal swaps, and the hexagonal
     * shear family — the lattice-to-itself candidates for the
     * square / rectangular / hexagonal cells surfaces live in.
-    * Probing a map that does NOT preserve the actual cell metric is
-    * harmless: wrapped fractional equality simply fails. */
+    * [[metricTransforms]] filters them against the ACTUAL cell. */
   private val InPlaneTransforms: Seq[(Int, Int, Int, Int)] = Seq(
     (1, 0, 0, 1), (-1, 0, 0, -1), (0, 1, 1, 0), (0, -1, -1, 0),
     (1, 0, 0, -1), (-1, 0, 0, 1), (0, 1, -1, 0), (0, -1, 1, 0),
     (-1, 0, 1, 1), (1, 0, -1, -1), (1, 1, 0, -1), (-1, -1, 0, 1),
     (-1, -1, 1, 0), (1, 1, -1, 0), (0, 1, -1, -1), (0, -1, 1, 1))
+
+  /** Geometry of one slab lattice for the matcher: the in-plane maps
+    * that PRESERVE THE CELL METRIC (TᵀGT = G for the in-plane Gram
+    * matrix — an x↔y swap on a rectangular cell or a hex shear on a
+    * square cell is NOT an isometry even though it permutes
+    * fractional coordinates, and probing it could report two
+    * physically different faces as "the same") plus the per-axis
+    * fractional tolerances for `tolAngstrom`. */
+  private[echem] final case class SlabFrame(
+      transforms: Seq[(Int, Int, Int, Int)],
+      tx: Double, ty: Double, tz: Double)
+
+  private[echem] def slabFrame(lattice: Seq[Seq[Double]], scale: Double,
+                               tolAngstrom: Double = SymTolAngstrom): SlabFrame = {
+    val a = lattice(0).map(_ * scale)
+    val b = lattice(1).map(_ * scale)
+    val gaa = dot3(a, a); val gab = dot3(a, b); val gbb = dot3(b, b)
+    val eps = 1e-6 * math.max(gaa, gbb)
+    val ok = InPlaneTransforms.filter { case (t1, t2, t3, t4) =>
+      // images of a, b in the map x' = t1·x + t2·y, y' = t3·x + t4·y
+      // are a' = t1·a + t3·b and b' = t2·a + t4·b
+      val gaa2 = t1 * t1 * gaa + 2.0 * t1 * t3 * gab + t3 * t3 * gbb
+      val gbb2 = t2 * t2 * gaa + 2.0 * t2 * t4 * gab + t4 * t4 * gbb
+      val gab2 = t1 * t2 * gaa + (t1 * t4 + t2 * t3) * gab + t3 * t4 * gbb
+      math.abs(gaa2 - gaa) < eps && math.abs(gbb2 - gbb) < eps &&
+        math.abs(gab2 - gab) < eps
+    }
+    SlabFrame(ok,
+      tx = tolAngstrom / norm3(a),
+      ty = tolAngstrom / norm3(b),
+      tz = tolAngstrom / (lattice(2)(2) * scale))
+  }
 
   private def wrapHalf(v: Double): Double = {
     val m = v % 1.0
@@ -415,17 +451,18 @@ object SlabGen {
   }
 
   /** Does `from`, transformed in-plane by `t` (optionally z-flipped
-    * through its own center), land on `onto` within `tol` under SOME
-    * in-plane translation? Candidate translations anchor the first
-    * rarest-species atom of the transformed set onto each same-
-    * species, same-height atom of the target — a StructureMatcher-
-    * lite: per-atom nearest lookup rather than a full bijection,
-    * sound because interatomic distances dwarf `tol`. Cost is
-    * O(|anchors|·n²) per transform with n in the dozens —
-    * executor-local arithmetic, invisible next to any shuffle. */
+    * through its own center), land on `onto` within the frame's
+    * per-axis tolerances under SOME in-plane translation? Candidate
+    * translations anchor the first rarest-species atom of the
+    * transformed set onto each same-species, same-height atom of the
+    * target — a StructureMatcher-lite: per-atom nearest lookup rather
+    * than a full bijection, sound because interatomic distances dwarf
+    * the tolerance. Cost is O(|anchors|·n²) per transform with n in
+    * the dozens — executor-local arithmetic, invisible next to any
+    * shuffle. */
   private def matchesUnder(from: Seq[Atom], onto: Seq[Atom],
                            t: (Int, Int, Int, Int), flip: Boolean,
-                           tol: Double): Boolean = {
+                           f: SlabFrame): Boolean = {
     if (from.length != onto.length) return false
     if (from.isEmpty) return true
     val fzlo = from.map(_.z).min
@@ -440,14 +477,14 @@ object SlabGen {
     if (mapped.groupBy(_._1).view.mapValues(_.size).toMap != counts) return false
     val sp = counts.keys.minBy(k => (counts(k), k))
     val m0 = mapped.find(_._1 == sp).get
-    val cands = orig.filter(o => o._1 == sp && math.abs(o._4 - m0._4) < tol)
+    val cands = orig.filter(o => o._1 == sp && math.abs(o._4 - m0._4) < f.tz)
       .map(o => (o._2 - m0._2, o._3 - m0._3))
     cands.exists { case (dx, dy) =>
       mapped.forall { case (e, x, y, z) =>
         orig.exists { case (e2, x2, y2, z2) =>
-          e2 == e && math.abs(z2 - z) < tol &&
-            math.abs(wrapHalf(x + dx - x2)) < tol &&
-            math.abs(wrapHalf(y + dy - y2)) < tol
+          e2 == e && math.abs(z2 - z) < f.tz &&
+            math.abs(wrapHalf(x + dx - x2)) < f.tx &&
+            math.abs(wrapHalf(y + dy - y2)) < f.ty
         }
       }
     }
@@ -455,18 +492,18 @@ object SlabGen {
 
   /** Both faces of a finite slab read the same: the atom set maps
     * onto itself under the z-flip through its center composed with
-    * some in-plane lattice map + translation (the z-projected Laue
-    * `is_symmetric` check, tolerance-matched). */
-  private[echem] def isSymmetricSlab(atoms: Seq[Atom], tol: Double = SymTol): Boolean =
-    InPlaneTransforms.exists(t => matchesUnder(atoms, atoms, t, flip = true, tol))
+    * some metric-preserving in-plane map + translation (the
+    * z-projected Laue `is_symmetric` check, tolerance-matched). */
+  private[echem] def isSymmetricSlab(atoms: Seq[Atom], f: SlabFrame): Boolean =
+    f.transforms.exists(t => matchesUnder(atoms, atoms, t, flip = true, f))
 
-  /** Same physical slab under in-plane lattice map + translation,
-    * with or without the upside-down flip — the repaired-slab dedup
-    * relation (pymatgen's final StructureMatcher pass). */
-  private[echem] def equivalentSlabs(a: Seq[Atom], b: Seq[Atom],
-                                     tol: Double = SymTol): Boolean =
-    Seq(false, true).exists(f =>
-      InPlaneTransforms.exists(t => matchesUnder(a, b, t, f, tol)))
+  /** Same physical slab under metric-preserving in-plane map +
+    * translation, with or without the upside-down flip — the
+    * repaired-slab dedup relation (pymatgen's final StructureMatcher
+    * pass). */
+  private[echem] def equivalentSlabs(a: Seq[Atom], b: Seq[Atom], f: SlabFrame): Boolean =
+    Seq(false, true).exists(fl =>
+      f.transforms.exists(t => matchesUnder(a, b, t, fl, f)))
 
   /** Peel z-layers (clusters within `zTol`, fractional) off ONE face
     * until the slab is two-faced symmetric. `fromTop` selects which
@@ -476,10 +513,10 @@ object SlabGen {
     * unit has crumbled, not symmetrized. */
   private[echem] def symmetrizeAtoms(atoms0: Seq[Atom], zTol: Double,
                                      fromTop: Boolean, minAtoms: Int,
-                                     tol: Double = SymTol): Option[Seq[Atom]] = {
+                                     f: SlabFrame): Option[Seq[Atom]] = {
     var atoms = atoms0
     while (atoms.length >= math.max(1, minAtoms)) {
-      if (isSymmetricSlab(atoms, tol)) return Some(atoms)
+      if (isSymmetricSlab(atoms, f)) return Some(atoms)
       atoms =
         if (fromTop) { val m = atoms.map(_.z).max; atoms.filterNot(_.z >= m - zTol) }
         else { val m = atoms.map(_.z).min; atoms.filterNot(_.z <= m + zTol) }
@@ -501,27 +538,39 @@ object SlabGen {
     * from a 36-atom stack — the fixture slab file's own header). */
   def cutSymmetrized(bulk: Slab, facet: String, tolAngstrom: Double = 0.1,
                      layers: Int = DefaultLayers,
-                     vacuumFrac: Double = DefaultVacuumFrac): Seq[Slab] = {
+                     vacuumFrac: Double = DefaultVacuumFrac,
+                     symTolAngstrom: Double = SymTolAngstrom): Seq[Slab] = {
     val raw = cutTerminations(bulk, facet, symmetricOnly = false,
       tolAngstrom, layers, vacuumFrac)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(Slab, Seq[Atom])]
     for (s <- raw; top <- Seq(true, false)) {
-      // full-cell height in Å = (c·ẑ)·scale — lattice(2) already
+      val frame = slabFrame(s.lattice, s.scale, symTolAngstrom)
+      // erosion layer-cluster width stays at the enumeration ftol —
+      // full-cell height in Å = (c·ẑ)·scale; lattice(2) already
       // carries the vacuum scaling from cutTerminations
       val zTol = tolAngstrom / (s.lattice(2)(2) * s.scale)
       val minAtoms = s.positions.length / layers // one repeat unit
-      symmetrizeAtoms(s.positions, zTol, top, minAtoms).foreach { atoms =>
-        if (!kept.exists { case (_, k) => equivalentSlabs(k, atoms) })
+      symmetrizeAtoms(s.positions, zTol, top, minAtoms, frame).foreach { atoms =>
+        if (!kept.exists { case (_, k) => equivalentSlabs(k, atoms, frame) })
           kept += ((s, atoms))
       }
     }
     kept.toSeq.zipWithIndex.map { case ((s, atoms), i) =>
-      val species = s.species.filter(sp => atoms.exists(_.element == sp))
+      // rebuild the species header as the RUN-LENGTH encoding of the
+      // (order-preserved) remaining atoms: repeated header groups
+      // ("V O V O") survive erosion correctly, where a
+      // filter-and-count-all rebuild would count every V in every V
+      // group; zero-length groups vanish naturally
+      val runs = atoms.foldLeft(Vector.empty[(String, Int)]) { (acc, a) =>
+        if (acc.nonEmpty && acc.last._1 == a.element)
+          acc.init :+ ((a.element, acc.last._2 + 1))
+        else acc :+ ((a.element, 1))
+      }
       s.copy(
         mpKey = s"${bulk.mpKey}-$facet-$i",
         positions = atoms,
-        species = species,
-        counts = species.map(sp => atoms.count(_.element == sp)))
+        species = runs.map(_._1),
+        counts = runs.map(_._2))
     }
   }
 

@@ -53,7 +53,7 @@ object Dedup {
     *        signature table is read first by the eager edge
     *        materialization inside `connectedComponents` and again by
     *        the caller's action on the returned frame. */
-  private[text] def registerCache(df: DataFrame, actions: Int = 1): DataFrame = {
+  private[graft] def registerCache(df: DataFrame, actions: Int = 1): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scopedCaches.add((df, new java.util.concurrent.atomic.AtomicInteger(actions)))
     val spark = df.sparkSession

@@ -641,12 +641,12 @@ object TextOps {
   def stripBoilerplate(documents: DataFrame, k: Int = 5, minDocs: Int = 3): DataFrame = {
     import documents.sparkSession.implicits._
     val spans = spanClusters(documents, k, minDocs).select(col("span"))
+    // grams built by the SAME shinglesOf as spanClusters — the
+    // gram==span equi-join below depends on one shared definition
     val starts = documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = tokensOf(text)
-        if (toks.length < k) Iterator.empty
-        else (0 to toks.length - k).iterator.map(i =>
-          (id, i, toks.slice(i, i + k).mkString(" ")))
+        shinglesOf(tokensOf(text), k).iterator.zipWithIndex
+          .map { case (g, i) => (id, i, g) }
       }
       .toDF("doc_id", "start", "gram")
     val covered = starts.join(broadcast(spans), col("gram") === col("span"))

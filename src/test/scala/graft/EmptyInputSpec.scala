@@ -32,6 +32,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.vocabOov(emptyDocs, 10).count() == 0)
     assert(TextOps.pmiCollocations(emptyDocs).count() == 0)
     assert(TextOps.spanClusters(emptyDocs).count() == 0)
+    assert(TextOps.stripBoilerplate(emptyDocs).count() == 0)
     assert(TextOps.qualityScore(emptyDocs).count() == 0)
     assert(TextOps.ngramLmScore(emptyDocs).count() == 0)
     assert(TextOps.splitAssign(emptyDocs).count() == 0)

@@ -33,6 +33,12 @@ class NullInputSpec extends SparkSpec {
     // span clustering sees the null doc as span-less (k=2: "hello
     // world" / "hello there" are singleton spans -> no cluster)
     assert(TextOps.spanClusters(docs, k = 2).count() == 0)
+    // the rewrite emits every doc; the null doc passes through empty
+    val stripped = TextOps.stripBoilerplate(docs, k = 2, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("clean_text"))).toMap
+    assert(stripped.keySet == Set(1L, 2L, 3L))
+    assert(stripped(2L) == (0L, ""))
     Dedup.releaseCaches()
   }
 

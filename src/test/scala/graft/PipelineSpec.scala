@@ -107,6 +107,24 @@ class PipelineSpec extends SparkSpec {
     assert(md.contains("0.46601"))
   }
 
+  test("report renders NA for null pzc/capacitance instead of throwing") {
+    val results = Seq(
+      ("m-ok", Some(0.5), Some(2.0)),
+      ("m-no-zero-charge", None: Option[Double], Some(3.0)),
+      ("m-one-point", Some(0.1), None: Option[Double]))
+      .toDF("mp_id", "pzc", "capacitance")
+    val md = Pipeline.reportMarkdown(results)
+    assert(md.contains("| m-no-zero-charge | NA | 3.00000 |"), md)
+    assert(md.contains("| m-one-point | 0.10000 | NA |"), md)
+    // writeReport skips figures for the NA rows but keeps their table rows
+    val series = Seq(("m-ok", 0.0, 0.0, 0.0)).toDF("mp_id", "charge", "pot", "rhoe")
+    val outDir = Files.createTempDirectory("graft-report-na").toString
+    val full = Pipeline.writeReport(results, series, outDir)
+    assert(full.contains("m-no-zero-charge"))
+    assert(!full.contains("![](visualize/m-no-zero-charge"), full)
+    assert(full.contains("![](visualize/m-ok_echem.svg)"))
+  }
+
   test("EP2 report with figures: SVG per material + embedding markdown") {
     val metrics = graft.echem.JdftxOutParser.metrics(spark, fixturePath("gc_dft"))
     val geometry = Pipeline.slabGeometry(

@@ -37,6 +37,20 @@ class FigureSpec extends AnyFunSuite {
     } finally java.util.Locale.setDefault(prev)
   }
 
+  test("2.5-step tick family labels carry the needed decimal digit") {
+    // y data 0..7 with padding selects the 2.5 step; %.0f would
+    // mislabel the 2.5 tick as "3"
+    val svg = Figure.echemSvg("m", Seq((0.0, 0.0), (0.5, 3.5), (1.0, 7.0)), 0.0, 7.0)
+    assert(svg.contains(">2.5<"), svg)
+    assert(!svg.contains(">3<"), svg)
+  }
+
+  test("title is XML-escaped") {
+    val svg = Figure.echemSvg("a&b<c", pts, 0.1, 2.0)
+    assert(svg.contains("a&amp;b&lt;c"))
+    assert(!svg.contains("a&b<c"))
+  }
+
   test("all marks land inside the plot box") {
     val svg = Figure.echemSvg("m", pts, 0.1, 6.0)
     val circles = """cx="([0-9.]+)" cy="([0-9.]+)"""".r

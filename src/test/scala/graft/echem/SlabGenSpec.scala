@@ -161,7 +161,8 @@ class SlabGenSpec extends SparkSpec {
     for (id <- Seq("mp-755394", "mp-1393040")) {
       val slabs = SlabGen.cutSymmetrized(readSlab(s"$id.poscar"), "111")
       slabs.foreach { s =>
-        assert(SlabGen.isSymmetricSlab(s.positions), s"${s.mpKey} not symmetric")
+        val f = SlabGen.slabFrame(s.lattice, s.scale)
+        assert(SlabGen.isSymmetricSlab(s.positions, f), s"${s.mpKey} not symmetric")
         assert(s.positions.length == s.counts.sum)
         assert(s.counts.forall(_ > 0), s"zero-count species in ${s.mpKey} header")
         val grouped = s.species.lazyZip(s.counts).flatMap((sp, n) => Seq.fill(n)(sp))
@@ -169,10 +170,37 @@ class SlabGenSpec extends SparkSpec {
           s"${s.mpKey}: positions not grouped by species header order")
       }
       // repairs are genuinely distinct surfaces (the dedup relation)
-      for (i <- slabs.indices; j <- slabs.indices if i < j)
-        assert(!SlabGen.equivalentSlabs(slabs(i).positions, slabs(j).positions),
+      for (i <- slabs.indices; j <- slabs.indices if i < j) {
+        val f = SlabGen.slabFrame(slabs(i).lattice, slabs(i).scale)
+        assert(!SlabGen.equivalentSlabs(slabs(i).positions, slabs(j).positions, f),
           s"${slabs(i).mpKey} and ${slabs(j).mpKey} are duplicates")
+      }
     }
+  }
+
+  test("symmetry matcher only probes metric-preserving in-plane maps") {
+    // rectangular cell |a| = 3, |b| = 5: x<->y swap permutes fractional
+    // coords but is NOT an isometry — it must not be probed, so a pair
+    // related only by swap+flip stays ASYMMETRIC
+    val rect = Seq(Seq(3.0, 0.0, 0.0), Seq(0.0, 5.0, 0.0), Seq(0.0, 0.0, 40.0))
+    val fRect = SlabGen.slabFrame(rect, 1.0)
+    assert(!fRect.transforms.contains((0, 1, 1, 0)),
+      s"swap admitted on a rectangular cell: ${fRect.transforms}")
+    assert(fRect.transforms.contains((1, 0, 0, 1)) &&
+      fRect.transforms.contains((-1, 0, 0, -1)))
+    // four atoms symmetric ONLY under swap+flip (any 2-point set is
+    // centrosymmetric, and inversion is an isometry on EVERY lattice
+    // — the probe set must break it)
+    val quad = Seq(
+      Schemas.Atom(0.1, 0.3, 0.1, "V"), Schemas.Atom(0.3, 0.1, 0.9, "V"),
+      Schemas.Atom(0.2, 0.6, 0.3, "V"), Schemas.Atom(0.6, 0.2, 0.7, "V"))
+    assert(!SlabGen.isSymmetricSlab(quad, fRect),
+      "swap-related faces on a rectangular cell reported symmetric")
+    // on a SQUARE cell the same set genuinely is swap+flip symmetric
+    val square = Seq(Seq(4.0, 0.0, 0.0), Seq(0.0, 4.0, 0.0), Seq(0.0, 0.0, 40.0))
+    val fSquare = SlabGen.slabFrame(square, 1.0)
+    assert(fSquare.transforms.contains((0, 1, 1, 0)))
+    assert(SlabGen.isSymmetricSlab(quad, fSquare))
   }
 
   test("symmetrize repair erodes polar stacks nonstoichiometrically, never grows them") {
