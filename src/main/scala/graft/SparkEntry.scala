@@ -161,6 +161,19 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "q_quality_ntile" -> ((s, d) => TextOps.qualityNtile(Tables.documents(s, d), 10)),
+    // scoring side of the quality classifier with LITERAL weights:
+    // the affine z is bit-deterministic cross-engine (fixed-order
+    // IEEE mult/add/div, no libm), keep = z > 0 ⇔ σ(z) > 0.5
+    "q_classifier_score" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val model = graft.core.Learn.LogisticModel(
+        Seq("nc", "nt"), Seq(0.7, -0.3), 0.1, Seq(100.0, 20.0), Seq(50.0, 10.0))
+      val z = graft.core.Learn.linearScore(model)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("double").as("nc"),
+          size(TextOps.tokens(col("text"))).cast("double").as("nt"))
+        .select(col("doc_id"), z.as("z"), (z > 0.0).as("keep"))
+    }),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "q_ngram_topk" -> ((s, d) => TextOps.ngramTopK(Tables.documents(s, d), 2, 20)),
     "q_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d), 32, 8)),
@@ -968,6 +981,19 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang,
         |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |        FROM documents))""".stripMargin,
+
+    // affine classifier score: fixed left-to-right IEEE arithmetic —
+    // every op correctly rounded, no libm, so z hash-matches bitwise;
+    // ::DOUBLE on each literal (bare 0.1 is DECIMAL in DuckDB)
+    "q_classifier_score" ->
+      """SELECT doc_id,
+        |  0.1::DOUBLE
+        |    + (n_chars::DOUBLE - 100.0::DOUBLE) / 50.0::DOUBLE * 0.7::DOUBLE
+        |    + (len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::DOUBLE - 20.0::DOUBLE) / 10.0::DOUBLE * (-0.3)::DOUBLE AS z,
+        |  (0.1::DOUBLE
+        |    + (n_chars::DOUBLE - 100.0::DOUBLE) / 50.0::DOUBLE * 0.7::DOUBLE
+        |    + (len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::DOUBLE - 20.0::DOUBLE) / 10.0::DOUBLE * (-0.3)::DOUBLE) > 0.0 AS keep
+        |FROM documents""".stripMargin,
 
     // size 32, overlap 8 → starts every 24 tokens; DuckDB list slices
     // clamp at len, matching the Scala slice

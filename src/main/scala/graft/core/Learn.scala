@@ -126,16 +126,23 @@ object Learn {
     } finally train.unpersist(blocking = false)
   }
 
+  /** The model's affine score z = Σ wᵢ·(xᵢ−μᵢ)/σᵢ + b as a Column —
+    * a pure per-row projection. Every operation is an IEEE
+    * correctly-rounded mult/add/div applied in one FIXED left-to-
+    * right order, so z is BIT-deterministic across engines (unlike
+    * σ(z), whose exp goes through libm) — the property the
+    * driver-checked scoring query relies on. */
+  def linearScore(model: LogisticModel): Column =
+    model.features.zipWithIndex.map { case (c, i) =>
+      ((col(c).cast("double") - lit(model.means(i))) / lit(model.stds(i))) *
+        lit(model.weights(i))
+    }.foldLeft(lit(model.bias): Column)(_ + _)
+
   /** Apply a trained model: adds `probCol` = σ(w·x̂ + b) — a pure
     * per-row projection, zero shuffle, the corpus-scoring pass of the
     * quality-filter recipe (follow with a threshold filter or
     * `TextOps.qualityNtile`-style slicing). */
   def scoreLogistic(df: DataFrame, model: LogisticModel,
-                    probCol: String = "prob"): DataFrame = {
-    val z = model.features.zipWithIndex.map { case (c, i) =>
-      ((col(c).cast("double") - lit(model.means(i))) / lit(model.stds(i))) *
-        lit(model.weights(i))
-    }.foldLeft(lit(model.bias): Column)(_ + _)
-    df.withColumn(probCol, sigmoid(z))
-  }
+                    probCol: String = "prob"): DataFrame =
+    df.withColumn(probCol, sigmoid(linearScore(model)))
 }

@@ -72,6 +72,19 @@ class LearnSpec extends SparkSpec {
       Learn.trainLogistic(df.limit(0), Seq("f1"), "label"))
   }
 
+  test("linearScore is the log-odds of scoreLogistic") {
+    val df = Seq((10.0, 1.0), (100.0, 0.0), (55.0, 1.0)).toDF("f1", "label")
+    val m = Learn.LogisticModel(Seq("f1"), Seq(0.7), 0.1, Seq(50.0), Seq(25.0))
+    val rows = Learn.scoreLogistic(df, m)
+      .withColumn("z", Learn.linearScore(m)).collect()
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      val p = r.getAs[Double]("prob")
+      assert(math.abs(p - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+      assert((p > 0.5) == (z > 0.0)) // the driver-checked keep contract
+    }
+  }
+
   test("null features or labels reject loudly (no silently-wrong model)") {
     // a left-joined label frame: one unlabeled row, one null feature
     val nullLabel = Seq((1.0, 2.0, Some(1.0)), (2.0, 1.0, None))
