@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.StringSimilarity.JaroWinklerSim].getName,
         "jaro_winkler"),
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.jaroWinkler(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.TextNormalize.NfcNormalize].getName,
+        "nfc_normalize"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.nfcNormalize(exprs)))
     ext.injectOptimizerRule(_ => graft.functions.VectorFoldRewrite)
   }
 }

@@ -197,6 +197,16 @@ object SparkEntry {
     "q_source_cap" -> ((s, d) => TextOps.sourceCap(Tables.documents(s, d), 15)),
     // BPE merge-step pair statistics over the distinct-word vocab
     "q_bpe_pairs" -> ((s, d) => TextOps.bpePairStats(Tables.documents(s, d), 2L)),
+    // Unicode mess injected deterministically (the corpus is clean
+    // ASCII) so the normalizer has real work: a combining acute that
+    // NFC must compose, tab/CRLF/NBSP/EM-space runs to collapse, and
+    // a control byte to delete — the strip_markup injection pattern
+    "q_normalize_text" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val messy = concat(lit("Cafe\u0301\ta\r\nb "), col("text"),
+        lit(" \u00A0x\u0001y \u2003"))
+      TextOps.normalizeText(Tables.documents(s, d).withColumn("text", messy))
+    }),
     // markup injected deterministically (the corpus carries none) so
     // the stripper has real tags to remove — the piiScrub pattern
     "q_strip_markup" -> ((s, d) => {
@@ -1109,6 +1119,19 @@ object SparkEntry {
         |          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
         |        FROM documents))
         |WHERE cum_before < budget""".stripMargin,
+
+    // same injected mess, built from chr() so the SQL stays ASCII;
+    // nfc_normalize is utf8proc's NFC — composes chr(769) onto the
+    // 'e' exactly as java.text.Normalizer does. The control/space
+    // classes are spelled out (not '\s') so Java regex and RE2 agree.
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize('Cafe' || chr(769) || chr(9) || 'a' || chr(13) || chr(10) || 'b ' ||
+        |                  text || ' ' || chr(160) || 'x' || chr(1) || 'y ' || chr(8195)),
+        |    '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[\t\n\r \x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin,
 
     "q_strip_markup" ->
       """WITH x AS (

@@ -512,6 +512,47 @@ object TextOps {
         (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens).cast(LongType))
   }
 
+  /** Control characters to delete in [[normalizeText]]: C0 controls
+    * except the whitespace ones handled by [[WsRunRe]] (TAB LF CR —
+    * and FF/VT, which are IN this class so the two regex engines
+    * never disagree on whether `\s` covers them), plus DEL. NUL is
+    * deliberately excluded: DuckDB cannot build it via `chr(0)`, so
+    * keeping it out of the contract keeps the oracle expressible. */
+  val CtrlRe = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Whitespace runs to collapse in [[normalizeText]] — explicit
+    * enumeration (ASCII whitespace + the Unicode space separators)
+    * instead of `\s`, because Java regex and RE2 draw the `\s` class
+    * differently; a spelled-out class is identical in both. Same
+    * portability contract as the PII patterns. */
+  val WsRunRe = "[\\t\\n\\r \\x{00A0}\\x{1680}\\x{2000}-\\x{200A}" +
+    "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+
+  /** The cleaning column of [[normalizeText]], exposed for reuse:
+    * NFC-compose (native [[graft.functions.TextNormalize]] codegen'd
+    * expression), delete stray control characters, collapse every
+    * whitespace run (including NBSP and the Unicode space block) to
+    * one space, trim. */
+  def normalizeClean(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.TextNormalize.nfc_normalize(text), CtrlRe, ""),
+      WsRunRe, " "))
+
+  /** Unicode text normalization: the ftfy/CCNet-style cleaning stage
+    * a web corpus runs before ANY dedup or quality operator — NFC so
+    * precomposed and decomposed spellings of the same text become the
+    * same bytes, control-character deletion, and whitespace-run
+    * collapse. Without it, exact dedup, shingles, and fingerprints
+    * all silently treat `e`+COMBINING ACUTE and `é` as different
+    * documents.
+    *
+    * Shuffle-free codegen'd column pass ([[piiScrub]] scale shape):
+    * the NFC kernel is a native expression with an already-normalized
+    * quick-check fast path, so the dominant ASCII case allocates
+    * nothing. Returns (doc_id, clean). */
+  def normalizeText(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), normalizeClean(col("text")).as("clean"))
+
   /** Markup pattern for [[stripMarkup]] — same portability contract
     * as the PII patterns: no backreferences or lookaround, identical
     * semantics in Java regex and RE2. */

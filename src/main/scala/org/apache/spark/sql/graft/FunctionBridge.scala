@@ -25,5 +25,8 @@ object FunctionBridge {
     registry.createOrReplaceTempFunction("jaro_winkler",
       (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.jaroWinkler(exprs),
       "scala_udf")
+    registry.createOrReplaceTempFunction("nfc_normalize",
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.Registration.nfcNormalize(exprs),
+      "scala_udf")
   }
 }

@@ -34,4 +34,9 @@ object Registration {
     val e = checked("jaro_winkler", 2)(exprs)
     graft.functions.StringSimilarity.JaroWinklerSim(e(0), e(1))
   }
+
+  def nfcNormalize(exprs: Seq[Expression]): Expression = {
+    val e = checked("nfc_normalize", 1)(exprs)
+    graft.functions.TextNormalize.NfcNormalize(e.head)
+  }
 }
