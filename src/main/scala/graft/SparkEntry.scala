@@ -245,6 +245,9 @@ object SparkEntry {
     "q_embed_components" -> ((s, d) => Similarity.embeddingComponents(Tables.embeddings(s, d), 0.3)),
     "q_embed_scale" -> ((s, d) => Similarity.minMaxScale(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 5)),
+    // PQ-compressed ANN: codes from the deterministic first-8 codebook,
+    // ADC ranking on the unrounded squared-L2 (no libm in the path)
+    "q_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d), 5, 5)),
     // random-signs (JL) projection to 8 dims, long format
     "q_embed_project" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round, size}
@@ -1636,6 +1639,38 @@ object SparkEntry {
 
     // IVF: centroids = vec_id < 16, assignment = argmax cosine
     // (ties -> lower cell), queries probe their 2 nearest cells
+    // PQ/ADC mirror: codebook = subvectors of the first 8 vectors,
+    // per-(vector, subspace) argmin by squared L2 (ties -> lowest cid),
+    // reconstruction = chosen centroids concatenated in subspace order,
+    // adist = ONE ordered fold over all 64 dims — float->double casts
+    // are exact and every double op is correctly rounded, so the
+    // unrounded adist is bit-identical cross-engine (no sqrt anywhere)
+    "q_pq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+        |books AS (SELECT vec_id AS cid, embedding AS c_vec FROM e WHERE vec_id < 8),
+        |sd AS (
+        |  SELECT e.vec_id, j.j, b.cid,
+        |    (SELECT sum((a - c) * (a - c)) FROM (
+        |       SELECT unnest(e.embedding[j.j*16+1 : j.j*16+16])::DOUBLE AS a,
+        |              unnest(b.c_vec[j.j*16+1 : j.j*16+16])::DOUBLE AS c)) AS d
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS j) j CROSS JOIN books b),
+        |codes AS (
+        |  SELECT vec_id, j, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn FROM sd)
+        |  WHERE rn = 1),
+        |recon AS (
+        |  SELECT c.vec_id, flatten(list(b.c_vec[c.j*16+1 : c.j*16+16] ORDER BY c.j)) AS rv
+        |  FROM codes c JOIN books b USING (cid) GROUP BY c.vec_id),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, r.vec_id,
+        |    (SELECT sum((a - b) * (a - b)) FROM (
+        |       SELECT unnest(q.q_vec)::DOUBLE AS a, unnest(r.rv)::DOUBLE AS b)) AS adist
+        |  FROM q CROSS JOIN recon r WHERE r.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, adist, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+
     "q_ivf_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -492,4 +492,192 @@ object Similarity {
       .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
     topK(scored, k)
   }
+
+  // ---- product quantization (the FAISS IVF-PQ compression half) ----
+
+  /** Squared L2 between subspace `j` of `vec` and the same subspace
+    * of `cvec`: an ordered left-to-right fold of correctly-rounded
+    * double ops (float→double casts are exact) — bit-deterministic
+    * cross-engine, NO sqrt/libm anywhere in the PQ path, which is why
+    * the declared query can rank on the UNROUNDED distance. */
+  private def pqSubDist2(vec: Column, cvec: Column, j: Column, sub: Int): Column =
+    aggregate(
+      zip_with(slice(vec, j * sub + 1, lit(sub)), slice(cvec, j * sub + 1, lit(sub)),
+        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Argmin centroid id for subspace `j` over the broadcast `books`
+    * array: strict < keeps the lowest cid on exact ties (matches the
+    * oracle's `ORDER BY d, cid` ranking) — [[bestCellExpr]] pattern. */
+  private def pqBestCode(vec: Column, j: Column, sub: Int): Column =
+    aggregate(
+      col("books"),
+      struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
+      (acc, b) => {
+        val d = pqSubDist2(vec, b.getField("c_vec"), j, sub)
+        when(d < acc.getField("best"), struct(d.as("best"), b.getField("cid").as("cid")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+
+  /** Product-quantization codes: split each `dim`-vector into `m`
+    * subspaces and store, per subspace, the id of the nearest
+    * codebook centroid — `m` small ints instead of `dim` floats, the
+    * FAISS-PQ compression that makes a 100-TB embedding corpus fit
+    * an ANN index (64×4 B → `m` bytes/vector at nBooks ≤ 256).
+    *
+    * Codebook = subvectors of the deterministic first-`nBooks` seed
+    * vectors (the [[ivfTopK]] `quantizer` convention — engine-
+    * reproducible, so the declared query has a DuckDB oracle; Lloyd
+    * refinement composes upstream exactly as [[trainedQuantizer]]
+    * trains cells). Codes are a zero-shuffle map over the corpus: the
+    * one-row codebook frame broadcasts, every vector encodes in a
+    * single codegen'd projection. Returns (vec_id, codes: array<m>). */
+  /** One-row PQ codebook frame (the broadcast side of encoding):
+    * the deterministic first-`nBooks` seed convention. */
+  private def pqBooksFrame(e: DataFrame, nBooks: Int): DataFrame =
+    e.filter(col("vec_id") < nBooks)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("c_vec")))).as("books"))
+
+  /** The `m` per-subspace code columns as one array expression
+    * (requires a `books` column in scope). */
+  private def pqCodesExpr(vec: Column, m: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j => pqBestCode(vec, j, sub))
+
+  /** ADC reconstruction from a `codes` array and an in-scope `books`
+    * column: the chosen centroids' subvectors concatenated in
+    * subspace order. */
+  private def pqReconExpr(codes: Column, sub: Int): Column =
+    flatten(transform(codes, (code, j) =>
+      slice(element_at(filter(col("books"), b => b.getField("cid") === code), 1)
+        .getField("c_vec"), j * sub + 1, lit(sub))))
+
+  /** Fixed-order squared-L2 fold between two vectors — the ADC
+    * distance; exact-cast floats, correctly-rounded double ops, no
+    * libm. */
+  private def pqAdist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+        (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  def pqEncode(embeddings: DataFrame, m: Int = 4, nBooks: Int = 8,
+               dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m, got (dim=$dim, m=$m)")
+    require(nBooks >= 1, s"need nBooks >= 1, got $nBooks")
+    val sub = dim / m
+    val e = embeddings.filter(size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"))
+    e.crossJoin(broadcast(pqBooksFrame(e, nBooks)))
+      .select(col("vec_id"), col("embedding"),
+        pqCodesExpr(col("embedding"), m, sub).as("codes"),
+        col("books"))
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): rank the corpus for each
+    * query by the squared L2 distance between the query and each
+    * vector's QUANTIZED RECONSTRUCTION (the concatenation of its
+    * chosen centroids). Algebraically identical to the classic
+    * per-subspace lookup-table sum — reconstructing makes the
+    * distance ONE fixed-order 64-term fold, so it is bit-identical
+    * in any engine and needs no rounding contract before ranking.
+    *
+    * Scale shape: the persisted artifact is (vec_id, codes) — the
+    * 32×-compressed scan side; `recon` is a transient projection
+    * inside the scoring pass, never stored. Queries broadcast
+    * (nQueries rows), the corpus never shuffles for the expansion,
+    * and the final per-query rank is the [[topK]] window. Returns
+    * (q_id, vec_id, adist, rk), self-pairs excluded. */
+  def pqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+             m: Int = 4, nBooks: Int = 8, dim: Int = 64): DataFrame = {
+    require(nQueries >= 1 && k >= 1, s"need nQueries, k >= 1, got ($nQueries, $k)")
+    val sub = dim / m
+    val coded = pqEncode(embeddings, m, nBooks, dim)
+    val q = embeddings.filter(size(col("embedding")) === dim)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = coded
+      .select(col("vec_id"), pqReconExpr(col("codes"), sub).as("recon"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", pqAdist(col("q_vec"), col("recon")))
+    pqRank(scored, k)
+  }
+
+  /** Ascending-distance twin of [[topK]]: rank per query by
+    * (adist asc, vec_id) and keep the first `k`. */
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select("q_id", "vec_id", "adist", "rk")
+  }
+
+  /** Persist an IVF-PQ index: the [[writeInvertedFile]] cell layout
+    * (hive `cell=` partitions → dynamic partition pruning at query
+    * time) with PQ CODES as the payload instead of raw vectors — the
+    * full FAISS IVF-PQ composition. The stored index row is
+    * (vec_id, codes): `m` small ints instead of `dim` floats, so the
+    * per-cell scan a probe touches is ~32× smaller than the
+    * inverted-file one. Both quantizers ship with the index (a
+    * reader must probe with the centroids the assignment used, and
+    * decode with the codebook the encoding used). */
+  def writePqIndex(embeddings: DataFrame, dir: String, nCells: Int = 16,
+                   m: Int = 4, nBooks: Int = 8, dim: Int = 64,
+                   lloydIters: Int = 0, trainSampleFraction: Double = 1.0): Unit = {
+    require(nCells >= 1, s"need nCells >= 1, got $nCells")
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m, got (dim=$dim, m=$m)")
+    val sub = dim / m
+    val e = embeddings.filter(size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cent = quantizer(e, nCells, lloydIters, trainSampleFraction)
+    cent.select(explode(col("cents")).as("c"))
+      .select(col("c.cell").as("cell"), col("c.c_vec").as("c_vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val books = pqBooksFrame(e, nBooks)
+    books.select(explode(col("books")).as("b"))
+      .select(col("b.cid").as("cid"), col("b.c_vec").as("c_vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    e.crossJoin(broadcast(cent)).crossJoin(broadcast(books))
+      .select(col("vec_id"),
+        pqCodesExpr(col("embedding"), m, sub).as("codes"),
+        bestCellExpr(col("embedding"), col("nrm")).as("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/index")
+  }
+
+  /** Query a persisted IVF-PQ index: rank the stored cells per query
+    * ([[ivfTopKIndexed]] probe pattern — dynamic partition pruning
+    * cuts the scan to the probed `cell=` directories), then ADC-rank
+    * the probed cells' CODES against the query. The corpus-sized
+    * side of the plan is a scan of `m`-int code rows — never the raw
+    * vectors, never a shuffle. Same output contract as [[pqTopK]]
+    * ((q_id, vec_id, adist, rk), self-pairs excluded). */
+  def ivfPqTopKIndexed(spark: SparkSession, dir: String, queries: DataFrame,
+                       k: Int, nProbe: Int = 2, m: Int = 4, dim: Int = 64): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"need k >= 1 and nProbe >= 1, got ($k, $nProbe)")
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m, got (dim=$dim, m=$m)")
+    val sub = dim / m
+    val cent = centsRow(spark.read.parquet(s"$dir/centroids"))
+    val booksRow = spark.read.parquet(s"$dir/books")
+      .agg(array_sort(collect_list(struct(col("cid"), col("c_vec")))).as("books"))
+    val qProbed = queries.filter(size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("cents")).as("c"))
+      .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
+        / sqrt(col("nrm") * col("c.c_nrm")), 6))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("c.cell").as("cell"))
+    val index = spark.read.parquet(s"$dir/index")
+    val scored = index.join(broadcast(qProbed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .crossJoin(broadcast(booksRow))
+      .withColumn("adist", pqAdist(col("q_vec"), pqReconExpr(col("codes"), sub)))
+    pqRank(scored, k)
+  }
 }

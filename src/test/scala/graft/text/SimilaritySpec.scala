@@ -266,4 +266,140 @@ class SimilaritySpec extends SparkSpec {
       assert(projs.distinct.size > 1)
     }
   }
+
+  /** Driver-side PQ reference: encode + ADC on plain arrays, same
+    * tie rules (argmin strict <, lowest cid; rank by (adist, vec_id)). */
+  private def pqReference(vecs: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
+                          m: Int, nBooks: Int, dim: Int): Seq[(Long, Long, Double, Long)] = {
+    val sub = dim / m
+    val books = vecs.filter(_._1 < nBooks).sortBy(_._1)
+    def subDist2(a: Array[Float], b: Array[Float], j: Int): Double = {
+      var s = 0.0; var i = j * sub
+      while (i < (j + 1) * sub) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val recon = vecs.map { case (id, v) =>
+      val r = new Array[Float](dim)
+      for (j <- 0 until m) {
+        var best = Double.MaxValue; var cid = -1L
+        for ((bid, bv) <- books) {
+          val d = subDist2(v, bv, j)
+          if (d < best) { best = d; cid = bid }
+        }
+        System.arraycopy(books.find(_._1 == cid).get._2, j * sub, r, j * sub, sub)
+      }
+      (id, r)
+    }
+    vecs.filter(_._1 < nQueries).flatMap { case (qid, qv) =>
+      recon.filter(_._1 != qid)
+        .map { case (vid, rv) =>
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = qv(i).toDouble - rv(i).toDouble; s += d * d; i += 1 }
+          (vid, s)
+        }
+        .sortBy { case (vid, d) => (d, vid) }
+        .take(k).zipWithIndex
+        .map { case ((vid, d), r) => (qid, vid, d, (r + 1).toLong) }
+    }
+  }
+
+  test("pqTopK equals the driver-side PQ/ADC reference bit-for-bit") {
+    val rnd = new Random(99)
+    val dim = 8
+    val vecs = (0L until 20L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, nQueries = 3, k = 4, m = 2, nBooks = 4, dim = dim)
+      .orderBy("q_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val want = pqReference(vecs, nQueries = 3, k = 4, m = 2, nBooks = 4, dim = dim)
+    assert(got == want) // == on the doubles: the path has no libm, order is fixed
+  }
+
+  test("pqEncode: codebook vectors encode to their own id, codes within range") {
+    val rnd = new Random(7)
+    val dim = 8
+    val df = (0L until 16L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(df, m = 2, nBooks = 4, dim = dim)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("codes")).toMap
+    assert(codes.size == 16)
+    codes.foreach { case (_, cs) =>
+      assert(cs.length == 2)
+      assert(cs.forall(c => c >= 0 && c < 4))
+    }
+    // a seed vector's own subvector is at distance 0: random gaussians
+    // don't tie, so each book vector encodes to itself
+    (0L until 4L).foreach(i => assert(codes(i) == Seq(i, i)))
+  }
+
+  test("pqTopK: quantization error vanishes when every vector is a codebook seed") {
+    val rnd = new Random(13)
+    val dim = 8
+    val df = (0L until 6L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // nBooks = corpus size: recon == vector, ADC == exact squared L2
+    val adc = Similarity.pqTopK(df, nQueries = 2, k = 5, m = 2, nBooks = 6, dim = dim)
+      .select("q_id", "vec_id", "adist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = df.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    adc.foreach { case ((q, v), d) =>
+      val exact = vecs(q).zip(vecs(v)).map { case (a, b) =>
+        val x = a.toDouble - b.toDouble; x * x }.sum
+      assert(d == exact, s"($q,$v): adc $d != exact $exact")
+    }
+  }
+
+  test("pqTopK neighbors stay in the query's cluster (codes preserve geometry)") {
+    // recall vs an exact ranker is the WRONG yardstick for PQ: same-
+    // cluster vectors quantize to identical codes, so ADC ties break
+    // by vec_id, not true distance. The meaningful claim is cluster
+    // purity: every returned neighbor is from the query's cluster
+    // (point i belongs to cluster i % 4).
+    val df = clustered(seed = 31, nClusters = 4, perCluster = 25, dim = 16)
+    val approx = Similarity.pqTopK(df, nQueries = 4, k = 5, m = 4, nBooks = 8, dim = 16)
+      .select("q_id", "vec_id").collect()
+    assert(approx.length == 4 * 5)
+    approx.foreach { r =>
+      assert(r.getLong(1) % 4 == r.getLong(0) % 4,
+        s"neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s cluster")
+    }
+  }
+
+  test("persisted IVF-PQ: all-cells probe == in-memory pqTopK, codes prune + compress") {
+    val emb = spark.read.parquet(realEmbeddings)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.writePqIndex(emb, dir, nCells = 8, m = 4, nBooks = 8, dim = 64)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+                 r.getAs[Double]("adist"), r.getAs[Long]("rk"))).toSet
+    // probing every cell makes the indexed search the full-corpus ADC
+    val all = Similarity.ivfPqTopKIndexed(spark, dir, queries, k = 5, nProbe = 8)
+    val mem = Similarity.pqTopK(emb, nQueries = 5, k = 5)
+    assert(rows(all) == rows(mem),
+      "all-cells IVF-PQ must equal the in-memory PQ search")
+    // narrow probe still prunes: runtime predicate on the partition col
+    val probed = Similarity.ivfPqTopKIndexed(spark, dir, queries, k = 5, nProbe = 2)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.toLowerCase.contains("dynamic"),
+      s"expected dynamic partition pruning on the code scan:\n$plan")
+    // the compression claim: stored code rows are far smaller than raw vectors
+    def bytes(d: java.io.File): Long =
+      if (d.isFile) d.length else Option(d.listFiles).map(_.map(bytes).sum).getOrElse(0L)
+    val idxBytes = bytes(new java.io.File(s"$dir/index"))
+    val rawBytes = bytes(new java.io.File(realEmbeddings.stripSuffix("/")))
+    assert(idxBytes < rawBytes / 2,
+      s"codes index ($idxBytes B) should be far smaller than raw embeddings ($rawBytes B)")
+  }
+
+  test("pqEncode rejects a dim not divisible by m; drops wrong-width vectors") {
+    val df = Seq((0L, Seq.fill(8)(0.1f)), (1L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(df, m = 3, nBooks = 2, dim = 8)
+    }
+    val coded = Similarity.pqEncode(df, m = 2, nBooks = 1, dim = 8)
+    assert(coded.count() == 1) // the empty vector never encodes
+  }
 }
