@@ -58,7 +58,10 @@ object Plans {
     "q_jaro_winkler",     // blocked join + native codegen'd expression
     "q_simhash_components", // scoped-cached fingerprints + rep CC
     "q_sample_weighted",  // TakeOrderedAndProject heaps
-    "q_pack_shards")      // exclusive prefix-sum shard assignment
+    "q_pack_shards",      // exclusive prefix-sum shard assignment
+    "q_normalize_text",   // single codegen'd Project, zero shuffle
+    "q_pq_topk",          // broadcast-only joins + WindowGroupLimit rank
+    "q_ivfpq_topk")       // one corpus read: cell-assign + encode in one projection
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

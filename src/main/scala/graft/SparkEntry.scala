@@ -248,6 +248,8 @@ object SparkEntry {
     // PQ-compressed ANN: codes from the deterministic first-8 codebook,
     // ADC ranking on the unrounded squared-L2 (no libm in the path)
     "q_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d), 5, 5)),
+    // the full FAISS composition: probe 2 of 16 cells, ADC over codes
+    "q_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), 5, 5)),
     // random-signs (JL) projection to 8 dims, long format
     "q_embed_project" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round, size}
@@ -1667,6 +1669,54 @@ object SparkEntry {
         |    (SELECT sum((a - b) * (a - b)) FROM (
         |       SELECT unnest(q.q_vec)::DOUBLE AS a, unnest(r.rv)::DOUBLE AS b)) AS adist
         |  FROM q CROSS JOIN recon r WHERE r.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, adist, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
+
+    // IVF-PQ: the q_ivf_topk cell/probe CTEs (rounded-cosine, rn
+    // ranking) composed with the q_pq_topk code/recon/adist CTEs —
+    // every vector sits in exactly one cell, so the probe join never
+    // duplicates a (query, vector) pair
+    "q_ivfpq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(x*x) FROM (SELECT unnest(embedding)::DOUBLE AS x)) AS nrm
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |cent AS (SELECT vec_id AS cell, embedding AS c_vec, nrm AS c_nrm FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round((SELECT sum(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a, unnest(c.c_vec)::DOUBLE AS b))
+        |              / sqrt(e.nrm * c.c_nrm), 6) DESC, c.cell) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |books AS (SELECT vec_id AS cid, embedding AS c_vec FROM e WHERE vec_id < 8),
+        |sd AS (
+        |  SELECT e.vec_id, j.j, b.cid,
+        |    (SELECT sum((a - c) * (a - c)) FROM (
+        |       SELECT unnest(e.embedding[j.j*16+1 : j.j*16+16])::DOUBLE AS a,
+        |              unnest(b.c_vec[j.j*16+1 : j.j*16+16])::DOUBLE AS c)) AS d
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS j) j CROSS JOIN books b),
+        |codes AS (
+        |  SELECT vec_id, j, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn FROM sd)
+        |  WHERE rn = 1),
+        |recon AS (
+        |  SELECT c.vec_id, flatten(list(b.c_vec[c.j*16+1 : c.j*16+16] ORDER BY c.j)) AS rv
+        |  FROM codes c JOIN books b USING (cid) GROUP BY c.vec_id),
+        |qp AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round((SELECT sum(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a, unnest(c.c_vec)::DOUBLE AS b))
+        |              / sqrt(e.nrm * c.c_nrm), 6) DESC, c.cell) AS rn
+        |    FROM e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT qp.q_id, asg.vec_id,
+        |    (SELECT sum((a - b) * (a - b)) FROM (
+        |       SELECT unnest(qp.q_vec)::DOUBLE AS a, unnest(r.rv)::DOUBLE AS b)) AS adist
+        |  FROM qp JOIN asg ON asg.cell = qp.cell JOIN recon r ON r.vec_id = asg.vec_id
+        |  WHERE asg.vec_id <> qp.q_id)
         |SELECT q_id, vec_id, adist, rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk FROM scored)
         |WHERE rk <= 5""".stripMargin,

@@ -563,14 +563,72 @@ object Similarity {
         (x.cast(DoubleType) - y.cast(DoubleType))),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Lloyd-refined PQ codebook: per-(subspace, centroid) k-means
+    * rounds over the assignment the current books produce — the
+    * [[trainedQuantizer]] recipe applied jointly to ALL `m`
+    * subspaces in ONE partial-aggregated pass per round (keys are
+    * (j, cid, pos): at most m·nBooks·sub cells of driver metadata,
+    * FAISS-style). Sums are DECIMAL so rounds are bit-reproducible
+    * in any partition order; empty (j, cid) cells keep their
+    * subvector; seeds are the deterministic first-`nBooks` vectors
+    * and only the training scan is sampled. Returns the one-row
+    * books frame [[pqEncode]] consumes. */
+  def pqTrainBooks(embeddings: DataFrame, m: Int = 4, nBooks: Int = 8,
+                   dim: Int = 64, iters: Int = 1,
+                   trainSampleFraction: Double = 1.0): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m, got (dim=$dim, m=$m)")
+    require(iters >= 0, s"need iters >= 0, got $iters")
+    require(trainSampleFraction > 0.0 && trainSampleFraction <= 1.0,
+      s"need trainSampleFraction in (0, 1], got $trainSampleFraction")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val e = embeddings.filter(size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"))
+    var books: Array[(Long, Array[Float])] =
+      e.filter(col("vec_id") < nBooks).orderBy(col("vec_id"))
+        .as[(Long, Array[Float])].collect()
+        .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    require(books.nonEmpty, s"corpus has no vectors with vec_id < $nBooks to seed from")
+    val trainSet =
+      if (trainSampleFraction >= 1.0) e
+      else e.sample(withReplacement = false, trainSampleFraction, seed = 27L)
+    def booksRow(bs: Array[(Long, Array[Float])]): DataFrame =
+      spark.createDataset(bs.toIndexedSeq).toDF("cid", "c_vec")
+        .agg(array_sort(collect_list(struct(col("cid"), col("c_vec")))).as("books"))
+    for (_ <- 1 to iters) {
+      val stats = trainSet.crossJoin(broadcast(booksRow(books)))
+        .select(col("embedding"),
+          posexplode(pqCodesExpr(col("embedding"), m, sub)).as(Seq("j", "cid")))
+        .select(col("j"), col("cid"),
+          posexplode(slice(col("embedding"), col("j") * sub + 1, lit(sub))).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("cid"), col("pos"))
+        .agg(sum(col("x").cast(DecimalType(30, 10))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = stats.groupBy(r => (r.getInt(0), r.getLong(1)))
+      books = books.map { case (cid, old) =>
+        val v = old.clone()
+        for (j <- 0 until m) byKey.get((j, cid)).foreach(_.foreach { r =>
+          v(j * sub + r.getInt(2)) = (r.getDecimal(3).doubleValue() / r.getLong(4)).toFloat
+        })
+        (cid, v)
+      }
+    }
+    booksRow(books)
+  }
+
   def pqEncode(embeddings: DataFrame, m: Int = 4, nBooks: Int = 8,
-               dim: Int = 64): DataFrame = {
+               dim: Int = 64, lloydIters: Int = 0,
+               trainSampleFraction: Double = 1.0): DataFrame = {
     require(m >= 1 && dim % m == 0, s"need dim divisible by m, got (dim=$dim, m=$m)")
     require(nBooks >= 1, s"need nBooks >= 1, got $nBooks")
     val sub = dim / m
     val e = embeddings.filter(size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding"))
-    e.crossJoin(broadcast(pqBooksFrame(e, nBooks)))
+    val books =
+      if (lloydIters == 0) pqBooksFrame(e, nBooks)
+      else pqTrainBooks(embeddings, m, nBooks, dim, lloydIters, trainSampleFraction)
+    e.crossJoin(broadcast(books))
       .select(col("vec_id"), col("embedding"),
         pqCodesExpr(col("embedding"), m, sub).as("codes"),
         col("books"))
@@ -591,10 +649,11 @@ object Similarity {
     * and the final per-query rank is the [[topK]] window. Returns
     * (q_id, vec_id, adist, rk), self-pairs excluded. */
   def pqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-             m: Int = 4, nBooks: Int = 8, dim: Int = 64): DataFrame = {
+             m: Int = 4, nBooks: Int = 8, dim: Int = 64,
+             lloydIters: Int = 0, trainSampleFraction: Double = 1.0): DataFrame = {
     require(nQueries >= 1 && k >= 1, s"need nQueries, k >= 1, got ($nQueries, $k)")
     val sub = dim / m
-    val coded = pqEncode(embeddings, m, nBooks, dim)
+    val coded = pqEncode(embeddings, m, nBooks, dim, lloydIters, trainSampleFraction)
     val q = embeddings.filter(size(col("embedding")) === dim)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -613,6 +672,44 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select("q_id", "vec_id", "adist", "rk")
+  }
+
+  /** In-memory IVF-PQ search — the composition [[writePqIndex]] /
+    * [[ivfPqTopKIndexed]] persist, as one lazy plan: coarse-assign
+    * every vector to its best cell AND PQ-encode it in a single
+    * broadcast projection (corpus reads once, never shuffles), probe
+    * the `nProbe` best cells per query, ADC-rank the probed cells'
+    * reconstructions. Declared-query twin with a full DuckDB oracle:
+    * the cell stage reuses the [[ivfTopK]] rounded-cosine contract,
+    * the distance stage the [[pqTopK]] no-libm exact-fold contract. */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                nCells: Int = 16, nProbe: Int = 2, m: Int = 4,
+                nBooks: Int = 8, dim: Int = 64): DataFrame = {
+    require(nQueries >= 1 && k >= 1, s"need nQueries, k >= 1, got ($nQueries, $k)")
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got (nCells=$nCells, nProbe=$nProbe)")
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m, got (dim=$dim, m=$m)")
+    val sub = dim / m
+    val e = embeddings.filter(size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cent = quantizer(e, nCells, lloydIters = 0)
+    val books = pqBooksFrame(e.select(col("vec_id"), col("embedding")), nBooks)
+    val corpus = e.crossJoin(broadcast(cent)).crossJoin(broadcast(books))
+      .select(col("vec_id"),
+        bestCellExpr(col("embedding"), col("nrm")).as("cell"),
+        pqReconExpr(pqCodesExpr(col("embedding"), m, sub), sub).as("recon"))
+    val qProbed = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("cents")).as("c"))
+      .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
+        / sqrt(col("nrm") * col("c.c_nrm")), 6))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("c.cell").as("cell"))
+    val scored = corpus.join(broadcast(qProbed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", pqAdist(col("q_vec"), col("recon")))
+    pqRank(scored, k)
   }
 
   /** Persist an IVF-PQ index: the [[writeInvertedFile]] cell layout
@@ -636,7 +733,9 @@ object Similarity {
     cent.select(explode(col("cents")).as("c"))
       .select(col("c.cell").as("cell"), col("c.c_vec").as("c_vec"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    val books = pqBooksFrame(e, nBooks)
+    val books =
+      if (lloydIters == 0) pqBooksFrame(e, nBooks)
+      else pqTrainBooks(embeddings, m, nBooks, dim, lloydIters, trainSampleFraction)
     books.select(explode(col("books")).as("b"))
       .select(col("b.cid").as("cid"), col("b.c_vec").as("c_vec"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")

@@ -367,6 +367,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK with all cells probed == full-corpus pqTopK") {
+    val emb = spark.read.parquet(realEmbeddings)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+                 r.getAs[Double]("adist"), r.getAs[Long]("rk"))).toSet
+    val all = Similarity.ivfPqTopK(emb, nQueries = 5, k = 5, nCells = 8, nProbe = 8)
+    val full = Similarity.pqTopK(emb, nQueries = 5, k = 5)
+    assert(rows(all) == rows(full))
+    // narrow probe returns a subset of candidates but the same shape
+    val narrow = Similarity.ivfPqTopK(emb, nQueries = 5, k = 5, nCells = 8, nProbe = 2)
+    assert(narrow.count() <= 25 && narrow.count() > 0)
+  }
+
   test("persisted IVF-PQ: all-cells probe == in-memory pqTopK, codes prune + compress") {
     val emb = spark.read.parquet(realEmbeddings)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
@@ -392,6 +405,47 @@ class SimilaritySpec extends SparkSpec {
     val rawBytes = bytes(new java.io.File(realEmbeddings.stripSuffix("/")))
     assert(idxBytes < rawBytes / 2,
       s"codes index ($idxBytes B) should be far smaller than raw embeddings ($rawBytes B)")
+  }
+
+  /** Mean squared quantization error of the corpus under the given
+    * PQ parameters — the Lloyd objective. */
+  private def pqDistortion(df: DataFrame, m: Int, nBooks: Int, dim: Int,
+                           iters: Int): Double = {
+    // every vector queried against only itself is awkward; measure the
+    // reconstruction error directly from the coded frame instead
+    val coded = Similarity.pqEncode(df, m, nBooks, dim, iters)
+    val n = coded.count().toDouble
+    val errs = coded.select(col("vec_id"), col("embedding"), col("codes"), col("books"))
+      .collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val codes = r.getAs[scala.collection.Seq[Long]]("codes")
+      val books = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("books")
+        .map(b => b.getLong(0) -> b.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+      val sub = dim / m
+      codes.zipWithIndex.map { case (cid, j) =>
+        (j * sub until (j + 1) * sub).map { i =>
+          val d = v(i).toDouble - books(cid)(i).toDouble; d * d
+        }.sum
+      }.sum
+    }
+    errs.sum / n
+  }
+
+  test("pqTrainBooks: Lloyd rounds cut quantization error; deterministic") {
+    val df = clustered(seed = 47, nClusters = 4, perCluster = 20, dim = 16)
+    val seedErr = pqDistortion(df, m = 4, nBooks = 8, dim = 16, iters = 0)
+    val trainedErr = pqDistortion(df, m = 4, nBooks = 8, dim = 16, iters = 2)
+    assert(trainedErr <= seedErr,
+      s"training must not increase distortion: seed $seedErr -> trained $trainedErr")
+    assert(trainedErr < seedErr * 0.9,
+      s"on clustered data 2 Lloyd rounds should cut distortion: $seedErr -> $trainedErr")
+    // bit-reproducible rounds (DECIMAL sums): identical books twice
+    def booksOf(): Seq[(Long, Seq[Float])] =
+      Similarity.pqTrainBooks(df, m = 4, nBooks = 8, dim = 16, iters = 2)
+        .select(explode(col("books")).as("b"))
+        .select(col("b.cid"), col("b.c_vec")).collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq)).toSeq
+    assert(booksOf() == booksOf())
   }
 
   test("pqEncode rejects a dim not divisible by m; drops wrong-width vectors") {
