@@ -35,9 +35,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextNormalize {
 
   /** NFC-normalize one value. Static so generated code can call it.
-    * ASCII (and any already-NFC string) short-circuits via the
-    * normalizer's quick-check without allocating. */
+    * Pure-ASCII input short-circuits on a raw byte scan (ASCII is
+    * always NFC) — no decode, no allocation, the dominant-corpus
+    * case. Non-ASCII input pays one decode for the normalizer's
+    * quick-check, and only actually-unnormalized strings allocate a
+    * normalized copy. */
   def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

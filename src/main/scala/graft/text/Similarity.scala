@@ -311,16 +311,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         bestCellExpr(col("embedding"), col("nrm")).as("cell"))
     // query side is tiny (nQueries × nCells rows): expand and rank
-    val qCells = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(col("cents")).as("c"))
-      .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
-        / sqrt(col("nrm") * col("c.c_nrm")), 6))
-      .withColumn("c_rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
-      .filter(col("c_rk") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("nrm").as("q_nrm"), col("c.cell").as("cell"))
+    val qCells = probeCells(e.filter(col("vec_id") < nQueries), cent, nProbe)
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
@@ -347,6 +338,32 @@ object Similarity {
   private def centsRow(cellVec: DataFrame): DataFrame =
     cellVec.select(col("cell"), col("c_vec"), norm2(col("c_vec")).as("c_nrm"))
       .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
+
+  /** The query-side probe shared by every IVF search path: rank the
+    * broadcast centroids per query by ROUNDED cosine (round-6 before
+    * ordering — the cross-libm contract the DuckDB oracles mirror;
+    * ties → lowest cell) and keep the `nProbe` best cells. Input
+    * needs (vec_id, embedding, nrm); output is
+    * (q_id, q_vec, q_nrm, cell), one row per probed cell. ONE
+    * definition so a change to the probe contract cannot drift
+    * between the in-memory/indexed, flat/PQ variants. */
+  private def probeCells(q: DataFrame, cent: DataFrame, nProbe: Int): DataFrame =
+    q.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("cents")).as("c"))
+      .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
+        / sqrt(col("nrm") * col("c.c_nrm")), 6))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"), col("c.cell").as("cell"))
+
+  /** Store a quantizer next to its index — the reader must probe
+    * with exactly the centroids the assignment used. */
+  private def writeCentroids(cent: DataFrame, dir: String): Unit =
+    cent.select(explode(col("cents")).as("c"))
+      .select(col("c.cell").as("cell"), col("c.c_vec").as("c_vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
 
   /** Quantizer selection shared by the in-memory and persisted IVF
     * paths: the deterministic first-`nCells` seed, optionally Lloyd-
@@ -432,11 +449,7 @@ object Similarity {
     require(nCells >= 1, s"need nCells >= 1, got $nCells")
     val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     val cent = quantizer(e, nCells, lloydIters, trainSampleFraction)
-    // the quantizer IS part of the index: a reader must probe with
-    // exactly the centroids the assignment used
-    cent.select(explode(col("cents")).as("c"))
-      .select(col("c.cell").as("cell"), col("c.c_vec").as("c_vec"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeCentroids(cent, dir)
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         bestCellExpr(col("embedding"), col("nrm")).as("cell"))
@@ -455,17 +468,9 @@ object Similarity {
                      k: Int, nProbe: Int = 2): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"need k >= 1 and nProbe >= 1, got ($k, $nProbe)")
     val cent = centsRow(spark.read.parquet(s"$dir/centroids"))
-    val q = queries
-      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("cents")).as("c"))
-      .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
-        / sqrt(col("nrm") * col("c.c_nrm")), 6))
-      .withColumn("c_rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
-      .filter(col("c_rk") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("nrm").as("q_nrm"), col("c.cell").as("cell"))
+    val q = probeCells(
+      queries.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm")),
+      cent, nProbe)
     val index = spark.read.parquet(s"$dir/index")
     val scored = index.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -496,49 +501,36 @@ object Similarity {
   // ---- product quantization (the FAISS IVF-PQ compression half) ----
 
   /** Squared L2 between subspace `j` of `vec` and the same subspace
-    * of `cvec`: an ordered left-to-right fold of correctly-rounded
-    * double ops (float→double casts are exact) — bit-deterministic
-    * cross-engine, NO sqrt/libm anywhere in the PQ path, which is why
-    * the declared query can rank on the UNROUNDED distance. */
+    * of `cvec` — [[pqAdist]] over the two slices. */
   private def pqSubDist2(vec: Column, cvec: Column, j: Column, sub: Int): Column =
-    aggregate(
-      zip_with(slice(vec, j * sub + 1, lit(sub)), slice(cvec, j * sub + 1, lit(sub)),
-        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
-          (x.cast(DoubleType) - y.cast(DoubleType))),
-      lit(0.0), (acc, v) => acc + v)
+    pqAdist(slice(vec, j * sub + 1, lit(sub)), slice(cvec, j * sub + 1, lit(sub)))
 
   /** Argmin centroid id for subspace `j` over the broadcast `books`
-    * array: strict < keeps the lowest cid on exact ties (matches the
-    * oracle's `ORDER BY d, cid` ranking) — [[bestCellExpr]] pattern. */
+    * array: `array_min` over (d, cid) structs — struct ordering is
+    * lexicographic, so ties on d resolve to the lowest cid (matches
+    * the oracle's `ORDER BY d, cid` ranking), and each candidate's
+    * distance fold is evaluated exactly once (an `aggregate` with a
+    * `when(d < best)` guard would evaluate it twice — HOF lambdas get
+    * no common-subexpression elimination). */
   private def pqBestCode(vec: Column, j: Column, sub: Int): Column =
-    aggregate(
-      col("books"),
-      struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
-      (acc, b) => {
-        val d = pqSubDist2(vec, b.getField("c_vec"), j, sub)
-        when(d < acc.getField("best"), struct(d.as("best"), b.getField("cid").as("cid")))
-          .otherwise(acc)
-      },
-      acc => acc.getField("cid"))
+    array_min(transform(col("books"), b =>
+      struct(pqSubDist2(vec, b.getField("c_vec"), j, sub).as("d"),
+        b.getField("cid").as("cid")))).getField("cid")
 
-  /** Product-quantization codes: split each `dim`-vector into `m`
-    * subspaces and store, per subspace, the id of the nearest
-    * codebook centroid — `m` small ints instead of `dim` floats, the
-    * FAISS-PQ compression that makes a 100-TB embedding corpus fit
-    * an ANN index (64×4 B → `m` bytes/vector at nBooks ≤ 256).
-    *
-    * Codebook = subvectors of the deterministic first-`nBooks` seed
-    * vectors (the [[ivfTopK]] `quantizer` convention — engine-
-    * reproducible, so the declared query has a DuckDB oracle; Lloyd
-    * refinement composes upstream exactly as [[trainedQuantizer]]
-    * trains cells). Codes are a zero-shuffle map over the corpus: the
-    * one-row codebook frame broadcasts, every vector encodes in a
-    * single codegen'd projection. Returns (vec_id, codes: array<m>). */
   /** One-row PQ codebook frame (the broadcast side of encoding):
-    * the deterministic first-`nBooks` seed convention. */
+    * the deterministic first-`nBooks` seed vectors, with cids
+    * RENUMBERED DENSELY 0..n-1 in vec_id order. Dense labels are the
+    * invariant both downstream paths rely on: [[pqReconExpr]] does an
+    * O(1) positional `element_at`, and [[pqTrainBooks]] (which
+    * renumbers the same way) stays label-compatible, so codes written
+    * with one `lloydIters` setting decode under another. On the
+    * test corpora vec_id 0..nBooks-1 all exist, so dense cid ==
+    * vec_id and the DuckDB oracles may use vec_id directly. */
   private def pqBooksFrame(e: DataFrame, nBooks: Int): DataFrame =
     e.filter(col("vec_id") < nBooks)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("vec_id"))).cast(LongType) - 1)
+      .select(col("cid"), col("embedding").as("c_vec"))
       .agg(array_sort(collect_list(struct(col("cid"), col("c_vec")))).as("books"))
 
   /** The `m` per-subspace code columns as one array expression
@@ -548,10 +540,12 @@ object Similarity {
 
   /** ADC reconstruction from a `codes` array and an in-scope `books`
     * column: the chosen centroids' subvectors concatenated in
-    * subspace order. */
+    * subspace order. O(1) positional lookup per code — cids are
+    * dense 0..n-1 and `books` is sorted by cid ([[pqBooksFrame]]
+    * invariant), so code k sits at array position k+1. */
   private def pqReconExpr(codes: Column, sub: Int): Column =
     flatten(transform(codes, (code, j) =>
-      slice(element_at(filter(col("books"), b => b.getField("cid") === code), 1)
+      slice(element_at(col("books"), (code + 1).cast(IntegerType))
         .getField("c_vec"), j * sub + 1, lit(sub))))
 
   /** Fixed-order squared-L2 fold between two vectors — the ADC
@@ -617,6 +611,28 @@ object Similarity {
     booksRow(books)
   }
 
+  /** Codebook for the requested training setting: the deterministic
+    * seed frame, or the Lloyd-refined one — the single switch every
+    * PQ entry point shares (both produce the same dense-cid labels,
+    * so codes from one setting decode under the other). */
+  private def pqBooksFor(embeddings: DataFrame, e: DataFrame, m: Int, nBooks: Int,
+                         dim: Int, lloydIters: Int, trainSampleFraction: Double): DataFrame =
+    if (lloydIters == 0) pqBooksFrame(e, nBooks)
+    else pqTrainBooks(embeddings, m, nBooks, dim, lloydIters, trainSampleFraction)
+
+  /** Product-quantization codes: split each `dim`-vector into `m`
+    * subspaces and store, per subspace, the dense id of the nearest
+    * codebook centroid — `m` small ints instead of `dim` floats, the
+    * FAISS-PQ compression that makes a 100-TB embedding corpus fit
+    * an ANN index (64×4 B → `m` bytes/vector at nBooks ≤ 256).
+    *
+    * Codes are a zero-shuffle map over the corpus: the one-row
+    * codebook frame broadcasts, every vector encodes in a single
+    * codegen'd projection. Returns (vec_id, embedding, codes, books)
+    * — embedding and the broadcast books ride along for in-plan
+    * composition ([[pqTopK]]'s reconstruction, training rounds);
+    * the PERSISTED artifact is `select("vec_id", "codes")` only
+    * (what [[writePqIndex]] stores — never the codebook per row). */
   def pqEncode(embeddings: DataFrame, m: Int = 4, nBooks: Int = 8,
                dim: Int = 64, lloydIters: Int = 0,
                trainSampleFraction: Double = 1.0): DataFrame = {
@@ -625,9 +641,7 @@ object Similarity {
     val sub = dim / m
     val e = embeddings.filter(size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding"))
-    val books =
-      if (lloydIters == 0) pqBooksFrame(e, nBooks)
-      else pqTrainBooks(embeddings, m, nBooks, dim, lloydIters, trainSampleFraction)
+    val books = pqBooksFor(embeddings, e, m, nBooks, dim, lloydIters, trainSampleFraction)
     e.crossJoin(broadcast(books))
       .select(col("vec_id"), col("embedding"),
         pqCodesExpr(col("embedding"), m, sub).as("codes"),
@@ -689,6 +703,7 @@ object Similarity {
     require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
       s"need 1 <= nProbe <= nCells, got (nCells=$nCells, nProbe=$nProbe)")
     require(m >= 1 && dim % m == 0, s"need dim divisible by m, got (dim=$dim, m=$m)")
+    require(nBooks >= 1, s"need nBooks >= 1, got $nBooks")
     val sub = dim / m
     val e = embeddings.filter(size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
@@ -698,14 +713,8 @@ object Similarity {
       .select(col("vec_id"),
         bestCellExpr(col("embedding"), col("nrm")).as("cell"),
         pqReconExpr(pqCodesExpr(col("embedding"), m, sub), sub).as("recon"))
-    val qProbed = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("cents")).as("c"))
-      .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
-        / sqrt(col("nrm") * col("c.c_nrm")), 6))
-      .withColumn("c_rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
-      .filter(col("c_rk") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("c.cell").as("cell"))
+    val qProbed = probeCells(e.filter(col("vec_id") < nQueries), cent, nProbe)
+      .drop("q_nrm")
     val scored = corpus.join(broadcast(qProbed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adist", pqAdist(col("q_vec"), col("recon")))
@@ -730,12 +739,8 @@ object Similarity {
     val e = embeddings.filter(size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     val cent = quantizer(e, nCells, lloydIters, trainSampleFraction)
-    cent.select(explode(col("cents")).as("c"))
-      .select(col("c.cell").as("cell"), col("c.c_vec").as("c_vec"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    val books =
-      if (lloydIters == 0) pqBooksFrame(e, nBooks)
-      else pqTrainBooks(embeddings, m, nBooks, dim, lloydIters, trainSampleFraction)
+    writeCentroids(cent, dir)
+    val books = pqBooksFor(embeddings, e, m, nBooks, dim, lloydIters, trainSampleFraction)
     books.select(explode(col("books")).as("b"))
       .select(col("b.cid").as("cid"), col("b.c_vec").as("c_vec"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
@@ -762,16 +767,10 @@ object Similarity {
     val cent = centsRow(spark.read.parquet(s"$dir/centroids"))
     val booksRow = spark.read.parquet(s"$dir/books")
       .agg(array_sort(collect_list(struct(col("cid"), col("c_vec")))).as("books"))
-    val qProbed = queries.filter(size(col("embedding")) === dim)
-      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("cents")).as("c"))
-      .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
-        / sqrt(col("nrm") * col("c.c_nrm")), 6))
-      .withColumn("c_rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
-      .filter(col("c_rk") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("c.cell").as("cell"))
+    val qProbed = probeCells(
+      queries.filter(size(col("embedding")) === dim)
+        .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm")),
+      cent, nProbe).drop("q_nrm")
     val index = spark.read.parquet(s"$dir/index")
     val scored = index.join(broadcast(qProbed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
