@@ -191,6 +191,7 @@ object SparkEntry {
     "q_mixture_tokens" -> ((s, d) => TextOps.mixtureByTokenBudget(
       Tables.documents(s, d), Map("en" -> 5000L, "de" -> 2000L, "es" -> 1500L))),
     "q_pack_shards" -> ((s, d) => TextOps.packShards(Tables.documents(s, d), 1000L)),
+    "q_pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d), 512)),
     // hash-split: pure function of doc_id — engine- and rerun-stable
     "q_split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d), 90, 5)),
     // per-source cap, keep the longest docs (integer priority)
@@ -1155,6 +1156,21 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
         |      FROM documents)""".stripMargin,
+
+    // all-integer span arithmetic: the empty-doc filter runs BEFORE
+    // the prefix sum so offsets describe the packed stream
+    "q_pack_sequences" ->
+      """SELECT doc_id, lang, n_tokens, tok_start,
+        |  (tok_start // 512)::BIGINT AS seq_first,
+        |  ((tok_start + n_tokens - 1) // 512)::BIGINT AS seq_last
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+        |  FROM (SELECT doc_id, lang,
+        |          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+        |        FROM documents)
+        |  WHERE n_tokens > 0)""".stripMargin,
 
     // hash split: bucket = pmod(scramble(doc_id), 100) — the shared
     // integer scramble, so the split is reproducible on any engine;

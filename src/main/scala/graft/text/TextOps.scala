@@ -512,6 +512,37 @@ object TextOps {
         (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens).cast(LongType))
   }
 
+  /** Fixed-length training-sequence packing — the step AFTER
+    * [[packShards]] in a pretraining pipeline: lay each language's
+    * documents end-to-end in doc_id order and cut the concatenated
+    * token stream into `seqLen`-token sequences. Unlike shard
+    * assignment (whole docs), sequences SPLIT documents: a doc whose
+    * span crosses a boundary occupies seq_first..seq_last, which is
+    * exactly what a loader needs to build attention-mask / position
+    * bookkeeping. Returns per non-empty doc:
+    * (doc_id, lang, n_tokens, tok_start, seq_first, seq_last), all
+    * integer-exact (oracle-able with no float contract at all).
+    *
+    * Scale shape: identical to [[packShards]] — one shuffle per
+    * language partition for the exclusive prefix sum; the divisions
+    * are per-row projections. The same colossal-language caveat
+    * applies (a single lang is one window partition; at 100 TB you'd
+    * sub-bucket by shard first and offset per bucket). */
+  def packSequences(documents: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"need seqLen >= 1, got $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", (col("tok_start") / seqLen).cast(LongType))
+      .withColumn("seq_last",
+        ((col("tok_start") + col("n_tokens") - 1) / seqLen).cast(LongType))
+  }
+
   /** Control characters to delete in [[normalizeText]]: C0 controls
     * except the whitespace ones handled by [[WsRunRe]] (TAB LF CR —
     * and FF/VT, which are IN this class so the two regex engines

@@ -206,6 +206,24 @@ class CurationSpec extends SparkSpec {
     assert(shards == (0L to shards.max).toSeq)
   }
 
+  test("packSequences: doc spans cover the token stream, split at seqLen boundaries") {
+    // 10 docs x 30 tokens, seqLen 64: doc i starts at (i-1)*30
+    val d = docs((1L to 10L).map(i =>
+      (i, "en", Seq.fill(30)("w").mkString(" "))) :+ (11L, "en", ""): _*)
+    val rows = TextOps.packSequences(d, 64).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("tok_start"), r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last"))))
+      .toMap
+    assert(!rows.contains(11L)) // empty docs never enter the stream
+    (1L to 10L).foreach { i =>
+      val start = (i - 1) * 30
+      assert(rows(i) == ((start, start / 64, (start + 29) / 64)), s"doc $i: ${rows(i)}")
+    }
+    // spans tile the stream: consecutive docs abut (start + 30 = next start)
+    // and a doc crossing a 64-boundary spans two sequences (doc 3: 60..89)
+    assert(rows(3L) == ((60L, 0L, 1L)))
+  }
+
   test("splitAssign: scramble-mod buckets, stable under corpus growth") {
     val d = docs((1L to 200L).map(i => (i, "en", "w")): _*)
     val out = TextOps.splitAssign(d, 90, 5).collect()
