@@ -28,9 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `java.text.Normalizer` and utf8proc — both implement Unicode NFC;
   * divergence is only possible for characters newer than the older
   * of the two Unicode tables, which deterministic test data cannot
-  * produce. The ASCII fast path (`isNormalized` quick-check) returns
-  * the input `UTF8String` untouched — zero allocation on the common
-  * case.
+  * produce. Pure-ASCII input (the dominant case) short-circuits on a
+  * raw byte scan — no decode, no allocation; only non-ASCII input
+  * reaches the normalizer's quick-check.
   */
 object TextNormalize {
 

@@ -765,7 +765,16 @@ object Similarity {
     require(m >= 1 && dim % m == 0, s"need dim divisible by m, got (dim=$dim, m=$m)")
     val sub = dim / m
     val cent = centsRow(spark.read.parquet(s"$dir/centroids"))
-    val booksRow = spark.read.parquet(s"$dir/books")
+    val storedBooks = spark.read.parquet(s"$dir/books")
+    // positional decode ([[pqReconExpr]]) requires the dense 0..n-1
+    // labels writePqIndex stores; a stale index written under a
+    // different labeling would silently mis-decode — fail loudly
+    // instead (the books table is nBooks rows, the check is free)
+    val cids = storedBooks.select(col("cid")).collect().map(_.getLong(0)).sorted
+    require(cids.sameElements(cids.indices.map(_.toLong)),
+      s"stored PQ codebook at $dir/books must have dense cids 0..n-1, " +
+        s"got [${cids.mkString(",")}] — rebuild the index with writePqIndex")
+    val booksRow = storedBooks
       .agg(array_sort(collect_list(struct(col("cid"), col("c_vec")))).as("books"))
     val qProbed = probeCells(
       queries.filter(size(col("embedding")) === dim)

@@ -508,8 +508,10 @@ object TextOps {
     documents
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens"))
-      .withColumn("shard",
-        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens).cast(LongType))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer `div`, not `/`: same 2^52 contract as packSequences
+      .withColumn("shard", expr(s"cum div $budgetTokens"))
+      .drop("cum")
   }
 
   /** Fixed-length training-sequence packing — the step AFTER
@@ -538,9 +540,10 @@ object TextOps {
         size(tokens(col("text"))).cast(LongType).as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("seq_first", (col("tok_start") / seqLen).cast(LongType))
-      .withColumn("seq_last",
-        ((col("tok_start") + col("n_tokens") - 1) / seqLen).cast(LongType))
+      // SQL `div` is true integer division — Spark's `/` on longs is
+      // DOUBLE division, which drifts from DuckDB's `//` past 2^52
+      .withColumn("seq_first", expr(s"tok_start div $seqLen"))
+      .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $seqLen"))
   }
 
   /** Control characters to delete in [[normalizeText]]: C0 controls
