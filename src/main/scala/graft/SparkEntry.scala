@@ -192,6 +192,13 @@ object SparkEntry {
       Tables.documents(s, d), Map("en" -> 5000L, "de" -> 2000L, "es" -> 1500L))),
     "q_pack_shards" -> ((s, d) => TextOps.packShards(Tables.documents(s, d), 1000L)),
     "q_pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d), 512)),
+    // duplicate lines injected deterministically (the one-line corpus
+    // has none) so the dedup has real repeats — the strip_markup pattern
+    "q_dedup_lines" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextOps.dedupLines(Tables.documents(s, d).withColumn("text", concat_ws("\n",
+        col("text"), lit("-- footer --"), col("text"), lit("-- footer --"), lit("-- footer --"))))
+    }),
     // hash-split: pure function of doc_id — engine- and rerun-stable
     "q_split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d), 90, 5)),
     // per-source cap, keep the longest docs (integer priority)
@@ -1156,6 +1163,22 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
         |      FROM documents)""".stripMargin,
+
+    // same injected duplicate lines; DuckDB list_filter's lambda index
+    // is 1-based where Spark's is 0-based, and list_position (like
+    // Spark's array_position) returns the FIRST occurrence, 1-based
+    "q_dedup_lines" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || '-- footer --' || chr(10) || text || chr(10) || '-- footer --' || chr(10) || '-- footer --' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(str_split(text, chr(10)))::BIGINT AS n_lines,
+        |  len(list_filter(str_split(text, chr(10)),
+        |      (l, i) -> list_position(str_split(text, chr(10)), l) = i))::BIGINT AS n_kept,
+        |  array_to_string(list_filter(str_split(text, chr(10)),
+        |      (l, i) -> list_position(str_split(text, chr(10)), l) = i), chr(10)) AS clean
+        |FROM x""".stripMargin,
 
     // all-integer span arithmetic: the empty-doc filter runs BEFORE
     // the prefix sum so offsets describe the packed stream

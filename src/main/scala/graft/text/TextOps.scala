@@ -546,6 +546,30 @@ object TextOps {
       .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $seqLen"))
   }
 
+  /** Intra-document line dedup — the CCNet-style "drop repeated
+    * lines within a page" pass (nav bars, cookie banners, and footers
+    * repeat INSIDE a page long before they repeat across pages): keep
+    * the FIRST occurrence of each line, preserve order, report what
+    * was cut. Complements [[dupSpans]]/[[spanClusters]] (cross-doc
+    * spans) at the line granularity where web boilerplate actually
+    * repeats.
+    *
+    * Shuffle-free codegen'd column pass: split on newline, keep line
+    * i iff its first occurrence index is i (`array_position` is
+    * 1-based, the filter lambda's index 0-based), rejoin. Quadratic
+    * only in a DOCUMENT's line count — never touches other rows.
+    * Returns (doc_id, n_lines, n_kept, clean). */
+  def dedupLines(documents: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n", -1)
+    val kept = filter(lines, (l, i) =>
+      array_position(lines, l) === (i + 1).cast(LongType))
+    documents.select(
+      col("doc_id"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_kept"),
+      array_join(kept, "\n").as("clean"))
+  }
+
   /** Control characters to delete in [[normalizeText]]: C0 controls
     * except the whitespace ones handled by [[WsRunRe]] (TAB LF CR —
     * and FF/VT, which are IN this class so the two regex engines

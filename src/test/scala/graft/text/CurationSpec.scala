@@ -224,6 +224,20 @@ class CurationSpec extends SparkSpec {
     assert(rows(3L) == ((60L, 0L, 1L)))
   }
 
+  test("dedupLines keeps first occurrences in order, counts the cut") {
+    val d = docs(
+      (1L, "en", "nav\nbody one\nnav\nbody two\nnav"),   // repeated nav bar
+      (2L, "en", "only line"),                            // nothing to cut
+      (3L, "en", "a\n\nb\n\na"),                          // repeated EMPTY line too
+      (4L, "en", ""))                                     // empty doc: 1 empty line
+    val out = TextOps.dedupLines(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 5L, 3L, "nav\nbody one\nbody two")))
+    assert(out(1) == ((2L, 1L, 1L, "only line")))
+    assert(out(2) == ((3L, 5L, 3L, "a\n\nb")))
+    assert(out(3) == ((4L, 1L, 1L, "")))
+  }
+
   test("splitAssign: scramble-mod buckets, stable under corpus growth") {
     val d = docs((1L to 200L).map(i => (i, "en", "w")): _*)
     val out = TextOps.splitAssign(d, 90, 5).collect()
