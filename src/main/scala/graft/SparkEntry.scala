@@ -199,6 +199,23 @@ object SparkEntry {
       TextOps.dedupLines(Tables.documents(s, d).withColumn("text", concat_ws("\n",
         col("text"), lit("-- footer --"), col("text"), lit("-- footer --"), lit("-- footer --"))))
     }),
+    // C4 line/page rules over deterministically injected lines (the
+    // one-line corpus has no line structure of its own): a keeping
+    // base line, a short no-punct line, a javascript line, a keeping
+    // fox line, and per-doc_id-modulus extras that vary n_kept and
+    // the lorem-ipsum / curly-brace page flags
+    "q_c4_clean" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextOps.c4Clean(Tables.documents(s, d).withColumn("text", concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("Read more"),
+        lit("Please enable javascript to view this site."),
+        lit("The quick brown fox jumps over the lazy dog."),
+        when(col("doc_id") % 3 === 0, lit("It works well enough to keep.")),
+        when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet")),
+        when(col("doc_id") % 11 === 0, lit("some { braces } here")))),
+        minWords = 3, minKeptLines = 3)
+    }),
     // hash-split: pure function of doc_id — engine- and rerun-stable
     "q_split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d), 90, 5)),
     // per-source cap, keep the longest docs (integer priority)
@@ -1179,6 +1196,35 @@ object SparkEntry {
         |  array_to_string(list_filter(str_split(text, chr(10)),
         |      (l, i) -> list_position(str_split(text, chr(10)), l) = i), chr(10)) AS clean
         |FROM x""".stripMargin,
+
+    // same injected lines; DuckDB concat_ws skips NULL args exactly
+    // like Spark's, so the modulus-conditional lines line up
+    "q_c4_clean" ->
+      """WITH x AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    text || '.',
+        |    'Read more',
+        |    'Please enable javascript to view this site.',
+        |    'The quick brown fox jumps over the lazy dog.',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'It works well enough to keep.' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'some { braces } here' END) AS text
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, text,
+        |    str_split(text, chr(10)) AS lines,
+        |    list_filter(str_split(text, chr(10)), l ->
+        |      right(l, 1) IN ('.', '!', '?', '"')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'), t -> t <> '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM x)
+        |SELECT doc_id,
+        |  len(lines)::BIGINT AS n_lines,
+        |  len(kept)::BIGINT AS n_kept,
+        |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')) AS keep_doc,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean
+        |FROM y""".stripMargin,
 
     // all-integer span arithmetic: the empty-doc filter runs BEFORE
     // the prefix sum so offsets describe the packed stream

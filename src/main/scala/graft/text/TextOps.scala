@@ -570,6 +570,41 @@ object TextOps {
       array_join(kept, "\n").as("clean"))
   }
 
+  /** C4-style line-and-page cleaning (Raffel et al. 2020 §2.2, the
+    * rules that produced the C4 corpus): keep a line only if it ends
+    * in terminal punctuation (`.` `!` `?` `"`), has at least
+    * `minWords` whitespace words, and does not mention "javascript"
+    * (case-insensitive); keep the PAGE only if at least
+    * `minKeptLines` lines survive and the page contains neither the
+    * phrase "lorem ipsum" nor a curly brace. Paper defaults are
+    * minWords=3, minKeptLines=5.
+    *
+    * Scale shape: identical to [[dedupLines]] — a shuffle-free
+    * codegen'd column pass; the word-count test is a nested lambda
+    * over each line's own tokens, so cost is linear in document
+    * length and never touches other rows. Returns
+    * (doc_id, n_lines, n_kept, keep_doc, clean). */
+  def c4Clean(documents: DataFrame, minWords: Int = 3,
+              minKeptLines: Int = 5): DataFrame = {
+    require(minWords >= 1, s"need minWords >= 1, got $minWords")
+    require(minKeptLines >= 0, s"need minKeptLines >= 0, got $minKeptLines")
+    val lines = split(col("text"), "\n", -1)
+    // substring(l,-1,1) = DuckDB right(l,1): '' on an empty line,
+    // so the isin test is false on both engines
+    val kept = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(tokens(l)) >= minWords &&
+        !contains(lower(l), lit("javascript")))
+    documents.select(
+      col("doc_id"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_kept"),
+      (size(kept) >= minKeptLines &&
+        !contains(lower(col("text")), lit("lorem ipsum")) &&
+        !contains(col("text"), lit("{"))).as("keep_doc"),
+      array_join(kept, "\n").as("clean"))
+  }
+
   /** Control characters to delete in [[normalizeText]]: C0 controls
     * except the whitespace ones handled by [[WsRunRe]] (TAB LF CR —
     * and FF/VT, which are IN this class so the two regex engines

@@ -238,6 +238,28 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == ((4L, 1L, 1L, "")))
   }
 
+  test("c4Clean applies the line and page rules") {
+    val d = docs(
+      // keeps: fox line + ok line; drops: short, no-punct, javascript
+      (1L, "en", "The quick brown fox jumps over the lazy dog.\nBuy now\n" +
+        "this line has many words but no terminal punctuation\n" +
+        "Please enable javascript to continue browsing.\nAnother fine sentence stays here."),
+      (2L, "en", "One good sentence that would pass the rules.\nlorem ipsum dolor"), // page flag
+      (3L, "en", "A config snippet { like json } kills the page entirely.\nGood line again."), // brace
+      (4L, "en", "Too short.\n\"A quoted sentence also counts as terminal.\""))
+    val out = TextOps.c4Clean(d, minWords = 3, minKeptLines = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))
+    assert(out(0) == ((1L, 5L, 2L, true,
+      "The quick brown fox jumps over the lazy dog.\nAnother fine sentence stays here.")))
+    // lorem-ipsum page: the good line survives LINE rules but the PAGE is dropped
+    assert(out(1) == ((2L, 2L, 1L, false, "One good sentence that would pass the rules.")))
+    // curly brace anywhere kills the page even though both lines pass
+    assert(out(2)._4 == false && out(2)._3 == 2L)
+    // "Too short." fails minWords=3; the quoted line's closing " is terminal
+    assert(out(3) == ((4L, 2L, 1L, false, "\"A quoted sentence also counts as terminal.\"")))
+  }
+
   test("splitAssign: scramble-mod buckets, stable under corpus growth") {
     val d = docs((1L to 200L).map(i => (i, "en", "w")): _*)
     val out = TextOps.splitAssign(d, 90, 5).collect()
