@@ -216,6 +216,15 @@ object SparkEntry {
         when(col("doc_id") % 11 === 0, lit("some { braces } here")))),
         minWords = 3, minKeptLines = 3)
     }),
+    // Gopher rules over the raw corpus plus modulus-conditional
+    // suffixes that exercise the symbol-ratio ('##', '...') and
+    // stopword ('to be') rules the word-salad corpus never trips
+    "q_gopher_rules" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextOps.gopherRules(Tables.documents(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" ## off-topic")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" to be continued...")).otherwise(lit("")))))
+    }),
     // hash-split: pure function of doc_id — engine- and rerun-stable
     "q_split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d), 90, 5)),
     // per-source cap, keep the longest docs (integer priority)
@@ -1225,6 +1234,41 @@ object SparkEntry {
         |    AND NOT contains(text, '{')) AS keep_doc,
         |  coalesce(array_to_string(kept, chr(10)), '') AS clean
         |FROM y""".stripMargin,
+
+    // same injected suffixes; every threshold is integer cross-
+    // multiplied so no float contract is needed anywhere
+    "q_gopher_rules" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 4 = 0 THEN ' ## off-topic' ELSE '' END
+        |         || CASE WHEN doc_id % 6 = 0 THEN ' to be continued...' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+        |  FROM x),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(words)::BIGINT AS n_words,
+        |    coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT AS sum_word_len,
+        |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    ((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_symbols,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(list_transform(words, w -> lower(w)), s)))::BIGINT AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbols, n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+        |  (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words AND n_words > 0) AS ok_mean_len,
+        |  (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+        |  (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_ratio,
+        |  (n_stopwords >= 2) AS ok_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words AND n_words > 0
+        |    AND 10 * n_symbols <= n_words
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND n_stopwords >= 2) AS gopher_keep
+        |FROM c""".stripMargin,
 
     // all-integer span arithmetic: the empty-doc filter runs BEFORE
     // the prefix sum so offsets describe the packed stream

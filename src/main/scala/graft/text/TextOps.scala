@@ -605,6 +605,64 @@ object TextOps {
       array_join(kept, "\n").as("clean"))
   }
 
+  /** Stopwords for the Gopher "contains at least two stopwords"
+    * test (Rae et al. 2021, appendix A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1):
+    * word count within [minWords, maxWords], mean word length within
+    * [3, 10], symbol-to-word ratio (`#` and ASCII `...`) at most
+    * 1/10, at least 80% of words containing an ASCII letter, and at
+    * least two distinct stopwords present. Paper bounds are 50 to
+    * 100k words.
+    *
+    * Every ratio threshold is evaluated by INTEGER cross-
+    * multiplication (e.g. `5·n_alpha >= 4·n_words`, `3·n <=
+    * sum_len <= 10·n`), so the operator carries no float contract —
+    * the counts and flags hash-match any engine bit-for-bit, and an
+    * empty document can't hit a 0/0 (it just fails the word-count
+    * rule). Shuffle-free codegen'd column pass. Returns (doc_id,
+    * n_words, sum_word_len, n_alpha_words, n_symbols, n_stopwords,
+    * five ok_* flags, gopher_keep). */
+  def gopherRules(documents: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got $minWords..$maxWords")
+    val words = tokens(col("text"))
+    val nWords = size(words).cast(LongType)
+    val sumLen = aggregate(transform(words, w => length(w).cast(LongType)),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast(LongType)
+    // occurrence counts by delete-and-measure; '...' deletes 3 chars
+    // per occurrence so the difference is an exact multiple of 3
+    val nSymbols = (length(col("text")) - length(translate(col("text"), "#", ""))).cast(LongType) +
+      ((length(col("text")) - length(replace(col("text"), lit("...")))) / 3).cast(LongType)
+    // distinct-stopwords-present via a single bitmask fold (bit i =
+    // stopword i seen) — one pass over the token list instead of one
+    // array_contains scan per stopword; OR is order-independent so
+    // any engine's fold order produces the same mask
+    val stopBit = (w: Column) => GopherStopwords.zipWithIndex
+      .map { case (s, i) => when(lower(w) === s, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val nStop = bit_count(aggregate(words, lit(0L),
+      (a, w) => a.bitwiseOR(stopBit(w)))).cast(LongType)
+    documents
+      .select(col("doc_id"), nWords.as("n_words"), sumLen.as("sum_word_len"),
+        nAlpha.as("n_alpha_words"), nSymbols.as("n_symbols"), nStop.as("n_stopwords"))
+      .withColumn("ok_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("sum_word_len") >= lit(3L) * col("n_words") &&
+          col("sum_word_len") <= lit(10L) * col("n_words") && col("n_words") > 0)
+      .withColumn("ok_symbol_ratio", lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_alpha_ratio", lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("ok_stopwords", col("n_stopwords") >= 2L)
+      .withColumn("gopher_keep",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbol_ratio") &&
+          col("ok_alpha_ratio") && col("ok_stopwords"))
+  }
+
   /** Control characters to delete in [[normalizeText]]: C0 controls
     * except the whitespace ones handled by [[WsRunRe]] (TAB LF CR —
     * and FF/VT, which are IN this class so the two regex engines

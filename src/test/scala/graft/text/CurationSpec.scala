@@ -260,6 +260,28 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == ((4L, 2L, 1L, false, "\"A quoted sentence also counts as terminal.\"")))
   }
 
+  test("gopherRules evaluates each rule with integer arithmetic") {
+    // 61 words (8x7 + 5), all eight stopwords, mean word length 3.3
+    val good = ("the cat sat to be of and mattress " * 7).trim + " that dogs have with him"
+    val d = docs(
+      (1L, "en", good),
+      (2L, "en", "short text"),                             // fails word count + stopwords
+      (3L, "en", good + " ##### ##### ..."),                // 11 symbols vs 64 words -> symbol ratio fails
+      (4L, "en", good + " " + ("42 7 9 13 " * 6).trim),     // 24 digit words in 85 -> alpha ratio fails
+      (5L, "en", ""))                                       // empty: n_words 0
+    val out = TextOps.gopherRules(d, minWords = 50).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_symbols"), r.getAs[Long]("n_stopwords"),
+         r.getAs[Boolean]("ok_symbol_ratio"), r.getAs[Boolean]("ok_alpha_ratio"),
+         r.getAs[Boolean]("gopher_keep"))).toMap
+    assert(out(1L)._6, s"doc 1 should pass all rules: ${out(1L)}")
+    assert(out(1L)._3 == 8L) // all eight stopwords present, counted once each
+    assert(out(2L) == ((2L, 0L, 0L, true, true, false)))
+    assert(out(3L)._2 == 11L && !out(3L)._4 && !out(3L)._6)
+    assert(!out(4L)._5 && !out(4L)._6)
+    assert(out(5L) == ((0L, 0L, 0L, true, true, false))) // 0 words: mean-len + count fail, no 0/0
+  }
+
   test("splitAssign: scramble-mod buckets, stable under corpus growth") {
     val d = docs((1L to 200L).map(i => (i, "en", "w")): _*)
     val out = TextOps.splitAssign(d, 90, 5).collect()
