@@ -277,6 +277,8 @@ object SparkEntry {
     // semantic dedup: transitive closure of the exact-cosine-confirmed
     // near-dup graph, identical vectors rep-collapsed first
     "q_embed_components" -> ((s, d) => Similarity.embeddingComponents(Tables.embeddings(s, d), 0.3)),
+    // SemDeDup: centroid-cell blocking, keep-first within a cell
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.3)),
     "q_embed_scale" -> ((s, d) => Similarity.minMaxScale(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 5)),
     // PQ-compressed ANN: codes from the deterministic first-8 codebook,
@@ -1767,6 +1769,40 @@ object SparkEntry {
         |rc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
         |SELECT cl.vec_id, coalesce(rc.comp, cl.rep_id)::BIGINT AS component
         |FROM cl LEFT JOIN rc ON cl.rep_id = rc.node""".stripMargin,
+
+    // SemDeDup: identical vectors collapse to min-id reps; reps are
+    // assigned to the q_ivf_topk seeded-quantizer cells (argmax
+    // rounded cosine, ties -> lower cell); a rep is dropped when an
+    // earlier same-cell rep agrees at >= 0.3; non-rep members are
+    // dropped by construction
+    "q_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(x*x) FROM (SELECT unnest(embedding)::DOUBLE AS x)) AS nrm
+        |  FROM embeddings),
+        |reps AS (SELECT embedding, min(vec_id) AS rep_id FROM e GROUP BY embedding),
+        |re AS (SELECT e.vec_id, e.embedding, e.nrm FROM e JOIN reps r ON e.vec_id = r.rep_id),
+        |cent AS (SELECT vec_id AS cell, embedding AS c_vec, nrm AS c_nrm FROM e WHERE vec_id < 16),
+        |cs AS (
+        |  SELECT re.vec_id, re.embedding, re.nrm, c.cell,
+        |    round((SELECT sum(a*b) FROM (SELECT unnest(re.embedding)::DOUBLE AS a, unnest(c.c_vec)::DOUBLE AS b))
+        |          / sqrt(re.nrm * c.c_nrm), 6) AS c_sim
+        |  FROM re CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, nrm, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS rn FROM cs)
+        |  WHERE rn = 1),
+        |dup AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  WHERE round((SELECT sum(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y))
+        |        / sqrt(a.nrm * b.nrm), 6) >= 0.3)
+        |SELECT m.vec_id, a.cell,
+        |  (m.vec_id <> r.rep_id OR d.vec_id IS NOT NULL) AS dropped
+        |FROM e m
+        |JOIN reps r ON m.embedding = r.embedding
+        |JOIN assigned a ON a.vec_id = r.rep_id
+        |LEFT JOIN dup d ON d.vec_id = r.rep_id""".stripMargin,
 
     // IVF: centroids = vec_id < 16, assignment = argmax cosine
     // (ties -> lower cell), queries probe their 2 nearest cells

@@ -182,6 +182,60 @@ object Similarity {
     * linear-ish in corpus size by construction (few true near-dups),
     * so the distinct is cheap even at 100 TB.
     */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    * coarse-cluster the corpus, then within each cluster drop every
+    * vector that has an EARLIER (lower vec_id) cluster-mate with
+    * cosine ≥ `threshold` — keep-first, the paper's keep-one-per-
+    * duplicate-group policy made deterministic. Complements
+    * [[embeddingNearDupPairs]]: centroid-cell blocking instead of
+    * LSH bands, and a per-vector keep/drop verdict instead of a pair
+    * list. Clusters are the same deterministic seeded quantizer the
+    * IVF path declares (first `nCells` corpus vectors, argmax
+    * rounded cosine, ties to the lower cell).
+    *
+    * Scale shape (the dedup-family contract): identical vectors
+    * collapse to their min-id rep BEFORE the pair search — checking
+    * reps only is exact for "exists an earlier duplicate", because a
+    * group's rep is its minimum member and cosine is constant across
+    * identical vectors; the within-cell join therefore expands on
+    * distinct vectors only, pinned shuffle_hash so a hot cell
+    * streams. Assignment itself is the zero-shuffle broadcast argmax
+    * fold. Returns (vec_id, cell, dropped). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+                    nCells: Int = 16): DataFrame = {
+    require(nCells >= 1, s"need nCells >= 1, got $nCells")
+    val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    // r_emb alias keeps the rep table's lineage distinct from e's so
+    // the member rejoin below isn't an ambiguous self-join
+    val reps = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id"))
+      .select(col("embedding").as("r_emb"), col("rep_id"))
+    val re = e.join(reps.hint("shuffle_hash"), col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val cent = quantizer(e, nCells, 0)
+    val assigned = re.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        bestCellExpr(col("embedding"), col("nrm")).as("cell"))
+    val earlier = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
+    val dupReps = assigned.join(earlier.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("id_b") < col("vec_id"))
+      .filter(round(dot(col("embedding"), col("vec_b"))
+        / sqrt(col("nrm") * col("nrm_b")), 6) >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("rep_dropped", lit(true))
+    // members rejoin through their rep: a non-rep member is dropped
+    // by construction (its rep is an identical earlier duplicate)
+    val repVerdict = assigned.select(col("vec_id").as("rep_id"), col("cell"))
+      .join(dupReps.withColumnRenamed("vec_id", "rep_id").hint("shuffle_hash"),
+        Seq("rep_id"), "left")
+    e.select(col("vec_id"), col("embedding"))
+      .join(reps.hint("shuffle_hash"), col("embedding") === col("r_emb"))
+      .join(repVerdict.hint("shuffle_hash"), "rep_id")
+      .select(col("vec_id"), col("cell"),
+        (col("vec_id") =!= col("rep_id") ||
+          coalesce(col("rep_dropped"), lit(false))).as("dropped"))
+  }
+
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
                             nPlanes: Int = 4, nBands: Int = 4): DataFrame = {
     require(nBands >= 1, s"nBands must be >= 1 (0 bands silently emits no pairs), got $nBands")

@@ -229,6 +229,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1000L) == got(0L), "bit-identical vectors must share a component")
   }
 
+  test("semanticDedup: keep-first within cells, identical members always dropped") {
+    // tight clusters -> within-cluster cosine ~1; vec 6 duplicates
+    // vec 1 exactly (a non-rep member)
+    val base = clustered(7, 3, 2, 16, noise = 0.01f) // vec_ids 0..5, cluster = id % 3
+    val dupRow = base.filter(col("vec_id") === 1).select(lit(6L).as("vec_id"), col("embedding"))
+    val d = base.union(dupRow)
+    val out = Similarity.semanticDedup(d, threshold = 0.95, nCells = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 7)
+    // ids 0,1,2 seed the quantizer and are each their cluster's earliest: kept
+    for (i <- 0L to 2L) assert(!out(i)._2, s"vec $i should be kept: $out")
+    // 3,4,5 land in the cell of their near-identical earlier clustermate: dropped
+    for (i <- 3L to 5L) assert(out(i)._2, s"vec $i should be dropped: $out")
+    // 6 is an exact copy of 1 -> non-rep member, dropped, same cell as 1
+    assert(out(6L) == ((out(1L)._1, true)))
+    // exactly one keeper per cell
+    assert(out.filterNot(_._2._2).values.map(_._1).toSeq.distinct.size == 3)
+  }
+
   test("minMaxScale is partitioning-invariant (exact min/max aggregates)") {
     val emb = clustered(seed = 41, nClusters = 4, perCluster = 20, dim = 8)
     def run(parts: Int) = Similarity.minMaxScale(emb.repartition(parts)).collect()
