@@ -187,6 +187,9 @@ object SparkEntry {
     // q_connected_components: keep the best-written copy, not min-id
     "q_cluster_best" -> ((s, d) =>
       Dedup.keepBestPerCluster(Tables.documents(s, d), 0.8)),
+    // DSIR: importance weight of every doc against the en-language
+    // target distribution over 256 hashed-bigram buckets
+    "q_dsir_weight" -> ((s, d) => TextOps.dsirWeight(Tables.documents(s, d), "en", 256)),
     // token-budget mixture: fr/zh deliberately unbudgeted (dropped)
     "q_mixture_tokens" -> ((s, d) => TextOps.mixtureByTokenBudget(
       Tables.documents(s, d), Map("en" -> 5000L, "de" -> 2000L, "es" -> 1500L))),
@@ -1388,6 +1391,33 @@ object SparkEntry {
         |JOIN uni b ON k.w2 = b.tok
         |CROSS JOIN tot t
         |WHERE k.c12 >= 5""".stripMargin,
+
+    // DSIR: every ln argument is an exact integer (add-one smoothed
+    // counts, totals + bucket count), so the per-term round-6 DECIMAL
+    // contract from q_pmi/q_ngram_lm carries the whole weight
+    "q_dsir_weight" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |        ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 256 AS bucket
+        |      FROM (SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |            FROM toks WHERE len(t) >= 2)),
+        |raw AS (SELECT bucket, count(*)::BIGINT AS r_f FROM f GROUP BY 1),
+        |tgt AS (SELECT bucket, count(*)::BIGINT AS t_f FROM f WHERE lang = 'en' GROUP BY 1),
+        |stats AS (SELECT raw.bucket, r_f, coalesce(t_f, 0)::BIGINT AS t_f
+        |          FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket),
+        |tot AS (SELECT sum(greatest(len(t) - 1, 0))::BIGINT AS r_total,
+        |               sum(CASE WHEN lang = 'en' THEN greatest(len(t) - 1, 0) ELSE 0 END)::BIGINT AS t_total
+        |        FROM toks),
+        |db AS (SELECT doc_id, bucket, count(*)::BIGINT AS gamma FROM f GROUP BY 1, 2)
+        |SELECT doc_id, sum(gamma)::BIGINT AS n_feats,
+        |  (sum(gamma * (round(ln((t_f + 1)::DOUBLE), 6)::DECIMAL(18,6)
+        |              - round(ln((r_f + 1)::DOUBLE), 6)::DECIMAL(18,6)))
+        |   + sum(gamma * (round(ln((r_total + 256)::DOUBLE), 6)::DECIMAL(18,6)
+        |                - round(ln((t_total + 256)::DOUBLE), 6)::DECIMAL(18,6))))::DOUBLE AS logw
+        |FROM db JOIN stats USING (bucket) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     // injection mirrored verbatim; 'g' flag: DuckDB regexp_replace is
     // first-match-only by default while Spark replaces all

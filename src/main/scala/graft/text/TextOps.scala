@@ -454,6 +454,68 @@ object TextOps {
   private def lnTerm6(n: Column): Column =
     round(log(n.cast(DoubleType)), 6).cast(DecimalType(18, 6))
 
+  /** DSIR importance weights (Xie et al. 2023, Data Selection via
+    * Importance Resampling): hash each document's bigrams into
+    * `nBuckets` buckets, fit a raw (whole-corpus) and a target
+    * (here: `targetLang` documents) bucket distribution with add-one
+    * smoothing, and score every document by the log-likelihood ratio
+    *   log w = Σ_f γ_f·(ln p_target[f] − ln p_raw[f]),
+    * γ_f = the doc's count in bucket f. High-weight documents "look
+    * like" the target distribution and survive the downstream
+    * weighted resample ([[sampleWeighted]] is the companion step).
+    *
+    * Float parity: with p = (c_f+1)/(total+B), every ln argument is
+    * an exact integer, so the sum decomposes into per-term
+    * [[lnTerm6]] DECIMAL terms (the q_pmi/q_ngram_lm contract) —
+    * γ_f·(ln6(t_f+1) − ln6(r_f+1)) summed in exact decimal, plus
+    * n_feats·(ln6(R+B) − ln6(T+B)) from the denominators, one
+    * correctly-rounded final cast to double.
+    *
+    * Scale shape: two partial-aggregated feature passes (raw + target
+    * bucket counts — build-then-apply, the [[vocabOov]] contract) and
+    * ONE narrow totals pass over documents (the [[pmiCollocations]]
+    * rule: a scalar aggregate over the feature subtree would
+    * re-execute the corpus flatMap per reference). The bucket stats
+    * table is `nBuckets` rows by construction and broadcasts; the
+    * per-doc rollup is one partial-aggregable groupBy on doc_id.
+    * Returns (doc_id, n_feats, logw) for docs with ≥ 1 bigram. */
+  def dsirWeight(documents: DataFrame, targetLang: String = "en",
+                 nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    import documents.sparkSession.implicits._
+    def feats = documents.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        val t = tokensOf(text)
+        if (t.length < 2) Iterator.empty
+        else t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (id, lang, a + " " + b) }
+      }
+      .toDF("doc_id", "lang", "feat")
+      .withColumn("bucket", pmod(tokenCode(col("feat")), lit(nBuckets.toLong)))
+    val raw = feats.groupBy("bucket").agg(count(lit(1)).as("r_f"))
+    val tgt = feats.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("t_f"))
+    val stats = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), col("r_f"), coalesce(col("t_f"), lit(0L)).as("t_f"))
+    val totals = documents
+      .select(col("lang"), size(tokens(col("text"))).cast(LongType).as("n"))
+      .agg(sum(greatest(col("n") - 1L, lit(0L))).as("r_total"),
+           sum(when(col("lang") === targetLang, greatest(col("n") - 1L, lit(0L)))
+             .otherwise(0L)).as("t_total"))
+    feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("gamma"))
+      .join(broadcast(stats), "bucket")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(sum(col("gamma")).as("n_feats"),
+        sum(col("gamma") * (lnTerm6(col("t_f") + 1L) - lnTerm6(col("r_f") + 1L))).as("s_f"),
+        // denominator terms are per-row constants; fold them into the
+        // same decimal sum via the row's feature count
+        sum(col("gamma") * (lnTerm6(col("r_total") + nBuckets.toLong)
+          - lnTerm6(col("t_total") + nBuckets.toLong))).as("s_d"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("s_f") + col("s_d")).cast(DoubleType).as("logw"))
+  }
+
   /** Data-mixture sampling by TOKEN budget: keep documents of each
     * language, in deterministic scramble order, until that language's
     * token budget is spent — the mixture-weights step of training-data

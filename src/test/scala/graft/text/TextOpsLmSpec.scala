@@ -47,4 +47,29 @@ class TextOpsLmSpec extends SparkSpec {
     val many = TextOps.ngramLmScore(docs.repartition(13)).orderBy("doc_id").collect().toSeq
     assert(one == many)
   }
+
+  test("dsirWeight favors documents that look like the target distribution") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the mat"),
+      (3L, "de", "der hund sitzt auf der matte"),
+      (4L, "de", "the cat sat on the mat"),   // de-labeled but en-looking
+      (5L, "de", "einzelwort"),               // no bigrams: excluded
+      (6L, "en", "zz1 zz2")                   // en-labeled hapax bigram
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.dsirWeight(docs, "en", 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(5L) && out.size == 5)
+    assert(out(1L)._1 == 5L) // 5 bigrams
+    // the weight is a function of TEXT, not of the doc's own label
+    assert(out(1L)._2 == out(4L)._2)
+    // en-shaped text outscores de-shaped text wherever it appears
+    assert(out(4L)._2 > out(3L)._2,
+      s"en-looking doc must outweigh de-looking doc: ${out(4L)} vs ${out(3L)}")
+    // decimal-summed terms: invariant under repartitioning
+    val many = TextOps.dsirWeight(
+      docs.repartition(11), "en", 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(many == out)
+  }
 }
