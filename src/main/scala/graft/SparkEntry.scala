@@ -190,6 +190,8 @@ object SparkEntry {
     // DSIR: importance weight of every doc against the en-language
     // target distribution over 256 hashed-bigram buckets
     "q_dsir_weight" -> ((s, d) => TextOps.dsirWeight(Tables.documents(s, d), "en", 256)),
+    // per-doc char-distribution entropy (nats)
+    "q_char_entropy" -> ((s, d) => TextOps.charEntropy(Tables.documents(s, d))),
     // token-budget mixture: fr/zh deliberately unbudgeted (dropped)
     "q_mixture_tokens" -> ((s, d) => TextOps.mixtureByTokenBudget(
       Tables.documents(s, d), Map("en" -> 5000L, "de" -> 2000L, "es" -> 1500L))),
@@ -1418,6 +1420,17 @@ object SparkEntry {
         |                - round(ln((t_total + 256)::DOUBLE), 6)::DECIMAL(18,6))))::DOUBLE AS logw
         |FROM db JOIN stats USING (bucket) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // entropy via integer-argument lnTerm6 terms; regexp_extract_all
+    // '.'-chars yields [] on empty text in both engines
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_chars, count(*)::BIGINT AS n_distinct,
+        |  (round(ln(sum(c)::DOUBLE), 6)::DECIMAL(18,6)::DOUBLE
+        |   - (sum(c * round(ln(c::DOUBLE), 6)::DECIMAL(18,6))::DOUBLE / sum(c)::BIGINT)) AS entropy
+        |FROM cc GROUP BY doc_id""".stripMargin,
 
     // injection mirrored verbatim; 'g' flag: DuckDB regexp_replace is
     // first-match-only by default while Spark replaces all

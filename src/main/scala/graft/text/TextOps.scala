@@ -516,6 +516,36 @@ object TextOps {
         (col("s_f") + col("s_d")).cast(DoubleType).as("logw"))
   }
 
+  /** Character-distribution Shannon entropy per document — the
+    * gibberish/keysmash/binary-paste filter: natural text sits
+    * around 4 bits (≈2.8 nats) of char entropy, "aaaa…" at 0, and
+    * base64/hex blobs near the alphabet ceiling. Decomposed as
+    *   H = ln N − (Σ_c count_c·ln count_c)/N
+    * so every ln argument is an exact integer: each term is a
+    * [[lnTerm6]] DECIMAL, the weighted sum is exact decimal
+    * arithmetic, and the final subtract/divide are correctly-rounded
+    * double ops on bit-identical inputs (the q_pmi contract; the
+    * entropy column hashes unrounded). Chars are `.`-matches —
+    * [[regexp_extract_all]] yields [] on empty text in both engines,
+    * so char-less documents are excluded like every token operator.
+    *
+    * Scale shape: one (doc_id, char) partial-aggregated shuffle —
+    * map-side combine collapses each document to ≤ |alphabet| rows
+    * before anything moves — then a tiny per-doc rollup. Returns
+    * (doc_id, n_chars, n_distinct, entropy) in nats. */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val ch = documents.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+    ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars"),
+           count(lit(1)).as("n_distinct"),
+           sum(col("c") * lnTerm6(col("c"))).as("s"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        (lnTerm6(col("n_chars")).cast(DoubleType)
+          - col("s").cast(DoubleType) / col("n_chars")).as("entropy"))
+  }
+
   /** Data-mixture sampling by TOKEN budget: keep documents of each
     * language, in deterministic scramble order, until that language's
     * token budget is spent — the mixture-weights step of training-data

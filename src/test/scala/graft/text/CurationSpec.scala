@@ -282,6 +282,25 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, 0L, true, true, false))) // 0 words: mean-len + count fail, no 0/0
   }
 
+  test("charEntropy: closed form on uniform and constant strings") {
+    val d = docs(
+      (1L, "en", "aaaa"),   // constant: exactly 0 nats
+      (2L, "en", "aabb"),   // uniform over 2 chars: ln 2
+      (3L, "en", "abcd"),   // uniform over 4: ln 4
+      (4L, "en", ""))       // char-less: excluded
+    def ln6(x: Double) =
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextOps.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 3 && !out.contains(4L))
+    assert(out(1L) == ((4L, 1L, 0.0))) // N*ln6(N)/N cancels exactly (division by 4 is exact)
+    assert(out(2L)._1 == 4L && out(2L)._2 == 2L)
+    assert(math.abs(out(2L)._3 - ln6(2.0)) < 1e-9, s"H(aabb): ${out(2L)}")
+    assert(math.abs(out(3L)._3 - ln6(4.0)) < 1e-9, s"H(abcd): ${out(3L)}")
+    // ordering: more uniform = higher entropy
+    assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3)
+  }
+
   test("splitAssign: scramble-mod buckets, stable under corpus growth") {
     val d = docs((1L to 200L).map(i => (i, "en", "w")): _*)
     val out = TextOps.splitAssign(d, 90, 5).collect()
