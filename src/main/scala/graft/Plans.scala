@@ -61,7 +61,10 @@ object Plans {
     "q_pack_shards",      // exclusive prefix-sum shard assignment
     "q_normalize_text",   // single codegen'd Project, zero shuffle
     "q_pq_topk",          // broadcast-only joins + WindowGroupLimit rank
-    "q_ivfpq_topk")       // one corpus read: cell-assign + encode in one projection
+    "q_ivfpq_topk",       // one corpus read: cell-assign + encode in one projection
+    "q_gopher_rules",     // single codegen'd Project, zero shuffle
+    "q_semantic_dedup",   // broadcast argmax assign + shuffle_hash cell join
+    "q_dsir_weight")      // two feature passes + broadcast 256-row stats
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
