@@ -1421,11 +1421,12 @@ object SparkEntry {
         |FROM db JOIN stats USING (bucket) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
 
-    // entropy via integer-argument lnTerm6 terms; regexp_extract_all
-    // '.'-chars yields [] on empty text in both engines
+    // entropy via integer-argument lnTerm6 terms; [\s\S] (not '.',
+    // whose exclusions differ between Java regex and RE2) is every
+    // char in both engines, and [] on empty text in both
     "q_char_entropy" ->
       """WITH ch AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents),
         |cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2)
         |SELECT doc_id, sum(c)::BIGINT AS n_chars, count(*)::BIGINT AS n_distinct,
         |  (round(ln(sum(c)::DOUBLE), 6)::DECIMAL(18,6)::DOUBLE

@@ -209,8 +209,12 @@ object Similarity {
     // the member rejoin below isn't an ambiguous self-join
     val reps = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id"))
       .select(col("embedding").as("r_emb"), col("rep_id"))
-    val re = e.join(reps.hint("shuffle_hash"), col("vec_id") === col("rep_id"))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
+    // reps already carries the rep's embedding (it IS the group key),
+    // so the rep frame needs no join back to the corpus — norm2 is a
+    // cheap native expression, recomputing it beats a full-corpus
+    // exchange
+    val re = reps.select(col("rep_id").as("vec_id"),
+      col("r_emb").as("embedding"), norm2(col("r_emb")).as("nrm"))
     val cent = quantizer(e, nCells, 0)
     val assigned = re.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"),

@@ -471,13 +471,14 @@ object TextOps {
     * n_feats·(ln6(R+B) − ln6(T+B)) from the denominators, one
     * correctly-rounded final cast to double.
     *
-    * Scale shape: two partial-aggregated feature passes (raw + target
-    * bucket counts — build-then-apply, the [[vocabOov]] contract) and
-    * ONE narrow totals pass over documents (the [[pmiCollocations]]
-    * rule: a scalar aggregate over the feature subtree would
-    * re-execute the corpus flatMap per reference). The bucket stats
-    * table is `nBuckets` rows by construction and broadcasts; the
-    * per-doc rollup is one partial-aggregable groupBy on doc_id.
+    * Scale shape: two partial-aggregated feature passes — ONE
+    * conditional aggregation builds raw and target bucket counts
+    * together (build), one per-doc rollup applies them (apply, the
+    * [[vocabOov]] contract) — plus ONE narrow totals pass over
+    * documents (the [[pmiCollocations]] rule: a scalar aggregate
+    * over the feature subtree would re-execute the corpus flatMap
+    * per reference). The bucket stats table is `nBuckets` rows by
+    * construction and broadcasts.
     * Returns (doc_id, n_feats, logw) for docs with ≥ 1 bigram. */
   def dsirWeight(documents: DataFrame, targetLang: String = "en",
                  nBuckets: Int = 256): DataFrame = {
@@ -492,11 +493,14 @@ object TextOps {
       }
       .toDF("doc_id", "lang", "feat")
       .withColumn("bucket", pmod(tokenCode(col("feat")), lit(nBuckets.toLong)))
-    val raw = feats.groupBy("bucket").agg(count(lit(1)).as("r_f"))
-    val tgt = feats.filter(col("lang") === targetLang)
-      .groupBy("bucket").agg(count(lit(1)).as("t_f"))
-    val stats = raw.join(tgt, Seq("bucket"), "left")
-      .select(col("bucket"), col("r_f"), coalesce(col("t_f"), lit(0L)).as("t_f"))
+    // raw and target counts in ONE conditional aggregation — separate
+    // raw/tgt subtrees would re-run the md5-per-bigram flatMap twice
+    // just to build this 256-row table (ReuseExchange cannot bridge
+    // differing aggregates); count(when) counts non-nulls, matching
+    // the left-join + coalesce(0) formulation
+    val stats = feats.groupBy("bucket")
+      .agg(count(lit(1)).as("r_f"),
+           count(when(col("lang") === targetLang, lit(1))).as("t_f"))
     val totals = documents
       .select(col("lang"), size(tokens(col("text"))).cast(LongType).as("n"))
       .agg(sum(greatest(col("n") - 1L, lit(0L))).as("r_total"),
@@ -525,9 +529,13 @@ object TextOps {
     * [[lnTerm6]] DECIMAL, the weighted sum is exact decimal
     * arithmetic, and the final subtract/divide are correctly-rounded
     * double ops on bit-identical inputs (the q_pmi contract; the
-    * entropy column hashes unrounded). Chars are `.`-matches —
-    * [[regexp_extract_all]] yields [] on empty text in both engines,
-    * so char-less documents are excluded like every token operator.
+    * entropy column hashes unrounded). Chars are `[\s\S]` matches,
+    * NOT `.`: Java's dot excludes \r and the Unicode line
+    * separators while RE2's excludes only \n, but the union class
+    * is every character in both engines (the spelled-out-class rule
+    * the PII/whitespace patterns follow). regexp_extract_all yields
+    * [] on empty text in both engines, so char-less documents are
+    * excluded like every token operator.
     *
     * Scale shape: one (doc_id, char) partial-aggregated shuffle —
     * map-side combine collapses each document to ≤ |alphabet| rows
@@ -535,7 +543,7 @@ object TextOps {
     * (doc_id, n_chars, n_distinct, entropy) in nats. */
   def charEntropy(documents: DataFrame): DataFrame = {
     val ch = documents.select(col("doc_id"),
-      explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+      explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
     ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_chars"),
@@ -646,20 +654,27 @@ object TextOps {
     * spans) at the line granularity where web boilerplate actually
     * repeats.
     *
-    * Shuffle-free codegen'd column pass: split on newline, keep line
-    * i iff its first occurrence index is i (`array_position` is
-    * 1-based, the filter lambda's index 0-based), rejoin. Quadratic
-    * only in a DOCUMENT's line count — never touches other rows.
+    * Shuffle-free typed-map pass: split on newline, keep each line's
+    * first occurrence via a per-row seen-set (linear in a DOCUMENT's
+    * line count), rejoin — never touches other rows.
     * Returns (doc_id, n_lines, n_kept, clean). */
   def dedupLines(documents: DataFrame): DataFrame = {
-    val lines = split(col("text"), "\n", -1)
-    val kept = filter(lines, (l, i) =>
-      array_position(lines, l) === (i + 1).cast(LongType))
-    documents.select(
-      col("doc_id"),
-      size(lines).cast(LongType).as("n_lines"),
-      size(kept).cast(LongType).as("n_kept"),
-      array_join(kept, "\n").as("clean"))
+    import documents.sparkSession.implicits._
+    // typed map, not expression columns: lines is referenced by all
+    // four outputs, and as a derived expression each reference would
+    // re-split the document per row (the [[tokenized]] pitfall); the
+    // per-row set also makes first-occurrence linear instead of the
+    // array_position quadratic. Null text = empty document (one
+    // empty line), the NullInputSpec contract.
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val text = if (textOrNull == null) "" else textOrNull
+        val lines = text.split("\n", -1)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val kept = lines.filter(seen.add)
+        (id, lines.length.toLong, kept.length.toLong, kept.mkString("\n"))
+      }
+      .toDF("doc_id", "n_lines", "n_kept", "clean")
   }
 
   /** C4-style line-and-page cleaning (Raffel et al. 2020 §2.2, the
@@ -672,29 +687,36 @@ object TextOps {
     * minWords=3, minKeptLines=5.
     *
     * Scale shape: identical to [[dedupLines]] — a shuffle-free
-    * codegen'd column pass; the word-count test is a nested lambda
-    * over each line's own tokens, so cost is linear in document
-    * length and never touches other rows. Returns
+    * typed-map pass, one split and one keep-predicate evaluation per
+    * document; cost is linear in document length and never touches
+    * other rows. Returns
     * (doc_id, n_lines, n_kept, keep_doc, clean). */
   def c4Clean(documents: DataFrame, minWords: Int = 3,
               minKeptLines: Int = 5): DataFrame = {
     require(minWords >= 1, s"need minWords >= 1, got $minWords")
     require(minKeptLines >= 0, s"need minKeptLines >= 0, got $minKeptLines")
-    val lines = split(col("text"), "\n", -1)
-    // substring(l,-1,1) = DuckDB right(l,1): '' on an empty line,
-    // so the isin test is false on both engines
-    val kept = filter(lines, l =>
-      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
-        size(tokens(l)) >= minWords &&
-        !contains(lower(l), lit("javascript")))
-    documents.select(
-      col("doc_id"),
-      size(lines).cast(LongType).as("n_lines"),
-      size(kept).cast(LongType).as("n_kept"),
-      (size(kept) >= minKeptLines &&
-        !contains(lower(col("text")), lit("lorem ipsum")) &&
-        !contains(col("text"), lit("{"))).as("keep_doc"),
-      array_join(kept, "\n").as("clean"))
+    import documents.sparkSession.implicits._
+    val terminal = Set('.', '!', '?', '"')
+    // typed map (the [[dedupLines]]/[[tokenized]] rationale): one
+    // split and one keep-predicate pass per row instead of one per
+    // referencing output column. Case folds are ASCII
+    // (Locale.ROOT = SQL lower() = the oracle's lower() on this
+    // contract). Null text = empty document per NullInputSpec.
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val text = if (textOrNull == null) "" else textOrNull
+        val lines = text.split("\n", -1)
+        val kept = lines.filter { l =>
+          l.nonEmpty && terminal.contains(l.charAt(l.length - 1)) &&
+            tokensOf(l).length >= minWords &&
+            !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+        }
+        val keepDoc = kept.length >= minKeptLines &&
+          !text.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum") &&
+          !text.contains("{")
+        (id, lines.length.toLong, kept.length.toLong, keepDoc, kept.mkString("\n"))
+      }
+      .toDF("doc_id", "n_lines", "n_kept", "keep_doc", "clean")
   }
 
   /** Stopwords for the Gopher "contains at least two stopwords"
@@ -721,7 +743,11 @@ object TextOps {
                   maxWords: Int = 100000): DataFrame = {
     require(minWords >= 1 && maxWords >= minWords,
       s"need 1 <= minWords <= maxWords, got $minWords..$maxWords")
-    val words = tokens(col("text"))
+    // toks as a MATERIALIZED attribute ([[tokenized]]): the five
+    // aggregates below reference the token list once each — as a
+    // derived expression column every reference would re-run split()
+    // per row (the SCALING.md optimizer pitfall tokenStats documents)
+    val words = col("toks")
     val nWords = size(words).cast(LongType)
     val sumLen = aggregate(transform(words, w => length(w).cast(LongType)),
       lit(0L), (a, x) => a + x)
@@ -739,7 +765,7 @@ object TextOps {
       .reduce(_ + _)
     val nStop = bit_count(aggregate(words, lit(0L),
       (a, w) => a.bitwiseOR(stopBit(w)))).cast(LongType)
-    documents
+    tokenized(documents)
       .select(col("doc_id"), nWords.as("n_words"), sumLen.as("sum_word_len"),
         nAlpha.as("n_alpha_words"), nSymbols.as("n_symbols"), nStop.as("n_stopwords"))
       .withColumn("ok_word_count",

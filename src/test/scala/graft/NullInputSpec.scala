@@ -33,6 +33,13 @@ class NullInputSpec extends SparkSpec {
     // span clustering sees the null doc as span-less (k=2: "hello
     // world" / "hello there" are singleton spans -> no cluster)
     assert(TextOps.spanClusters(docs, k = 2).count() == 0)
+    // line-level typed maps: the null doc is one empty line
+    val lined = TextOps.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(lined(2L) == ((1L, 1L, "")))
+    val c4 = TextOps.c4Clean(docs, minWords = 1, minKeptLines = 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(c4(2L) == ((1L, 0L, true))) // empty line fails line rules; page rule vacuous at 0
     // the rewrite emits every doc; the null doc passes through empty
     val stripped = TextOps.stripBoilerplate(docs, k = 2, minDocs = 2)
       .collect().map(r => r.getAs[Long]("doc_id") ->
