@@ -234,6 +234,8 @@ object SparkEntry {
     "q_split_assign" -> ((s, d) => TextOps.splitAssign(Tables.documents(s, d), 90, 5)),
     // per-source cap, keep the longest docs (integer priority)
     "q_source_cap" -> ((s, d) => TextOps.sourceCap(Tables.documents(s, d), 15)),
+    // α = 0.3, the XLM-R low-resource up-sampling temperature
+    "q_mixture_temperature" -> ((s, d) => TextOps.mixtureTemperature(Tables.documents(s, d), 0.3)),
     // BPE merge-step pair statistics over the distinct-word vocab
     "q_bpe_pairs" -> ((s, d) => TextOps.bpePairStats(Tables.documents(s, d), 2L)),
     // Unicode mess injected deterministically (the corpus is clean
@@ -271,6 +273,16 @@ object SparkEntry {
       Dedup.contamination(
         docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 5),
         docs.filter(org.apache.spark.sql.functions.col("doc_id") < 5), 3)
+    }),
+    "q_cross_dup_fraction" -> ((s, d) => Dedup.crossDupFraction(Tables.documents(s, d), 3)),
+    // bloom prefilter + exact confirm — result bit-identical to
+    // q_contamination (same oracle shape); sketch sized for 64k grams
+    "q_bloom_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomContamination(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 5),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 5), 3,
+        expectedProbeGrams = 1L << 16)
     }),
     // ---- training-data extension: similarity search ----
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), 8, 5)),
@@ -1166,6 +1178,18 @@ object SparkEntry {
         |        FROM documents))
         |WHERE cum_before < budget""".stripMargin,
 
+    // log-space weight: round(ln(int), 6) pins the libm value; the
+    // DECIMAL(18,6) hop + ::DOUBLE mirrors Spark's lnTerm6 cast
+    // exactly (the q_pmi contract), then ×0.3 is one IEEE multiply
+    // on bit-identical operands
+    "q_mixture_temperature" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+        |  (round(ln(sum(n)::DOUBLE), 6)::DECIMAL(18,6))::DOUBLE * 0.3 AS log_weight
+        |FROM (SELECT lang,
+        |        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n
+        |      FROM documents)
+        |GROUP BY lang HAVING sum(n) > 0""".stripMargin,
+
     // same injected mess, built from chr() so the SQL stays ASCII;
     // nfc_normalize is utf8proc's NFC — composes chr(769) onto the
     // 'e' exactly as java.text.Normalizer does. The control/space
@@ -1526,6 +1550,37 @@ object SparkEntry {
         |p AS (SELECT doc_id AS probe_id, unnest(grams) AS gram FROM t WHERE doc_id < 5)
         |SELECT d.doc_id, p.probe_id, count(*)::BIGINT AS n_shared
         |FROM d JOIN p USING (gram) GROUP BY 1, 2""".stripMargin,
+
+    // the bloom stage is a prefilter only — the exact confirm join
+    // makes the output identical to the exact screen's oracle
+    "q_bloom_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |d AS (SELECT doc_id, unnest(grams) AS gram FROM t WHERE doc_id >= 5),
+        |p AS (SELECT doc_id AS probe_id, unnest(grams) AS gram FROM t WHERE doc_id < 5)
+        |SELECT d.doc_id, p.probe_id, count(*)::BIGINT AS n_shared
+        |FROM d JOIN p USING (gram) GROUP BY 1, 2""".stripMargin,
+
+    // df = count over per-doc DISTINCT grams = document frequency;
+    // unrounded division: single fixed-order IEEE op on integer-exact
+    // operands, bit-identical cross-engine
+    "q_cross_dup_fraction" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+        |f AS (SELECT gram, count(*)::BIGINT AS df FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+        |  sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_fraction
+        |FROM g JOIN f USING (gram) GROUP BY g.doc_id""".stripMargin,
 
     // unrounded division: single fixed-order IEEE op, bit-identical
     "q_repetition" ->

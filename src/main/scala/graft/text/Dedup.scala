@@ -364,6 +364,94 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-prefiltered contamination screen — [[contamination]] for
+    * probe sets too big to broadcast as a hash relation. The exact
+    * screen broadcasts the probe grams; once the benchmark suite
+    * reaches tens of millions of grams that broadcast stops fitting,
+    * but its BLOOM FILTER still does (~1.2 bytes/gram at 1% fpp vs
+    * tens of bytes per gram entry). Three stages:
+    *
+    *  1. build: `BloomFilterAggregate` folds xxhash64(gram) over the
+    *     probe side — partial-aggregable (sketch merge is bit-OR), so
+    *     only numBits-sized sketches cross the wire;
+    *  2. prefilter: corpus grams probe the sketch inside whole-stage
+    *     codegen; no false negatives, so nothing real is lost — at
+    *     1% fpp, 99% of clean corpus grams drop BEFORE any shuffle;
+    *  3. confirm: survivors join the probe grams exactly (shuffle-
+    *     hash on gram — the big-probe path does NOT broadcast), so
+    *     bloom false positives die here and the output is
+    *     BIT-IDENTICAL to [[contamination]]: (doc_id, probe_id,
+    *     n_shared).
+    *
+    * `expectedProbeGrams`/`fpp` size the sketch
+    * (`BloomFilter.optimalNumOfBits`); undersizing degrades fpp —
+    * more confirm-join traffic — never correctness. */
+  def bloomContamination(documents: DataFrame, probes: DataFrame, ngram: Int = 3,
+                         expectedProbeGrams: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    require(expectedProbeGrams > 0, s"need expectedProbeGrams > 0, got $expectedProbeGrams")
+    require(fpp > 0.0 && fpp < 1.0, s"need fpp in (0, 1), got $fpp")
+    import documents.sparkSession.implicits._
+    def grams(df: DataFrame, idCol: String) =
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct.map(g => (id, g))
+        }
+        .toDF(idCol, "gram")
+    // the probe-gram table feeds two actions: the sketch build
+    // (collects one numBits-sized row) and the confirm join
+    val probeGrams = registerCache(grams(probes, "probe_id"), actions = 2)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedProbeGrams, fpp)
+    import org.apache.spark.sql.graft.BloomBridge
+    val bits = probeGrams
+      .select(BloomBridge.bloomAgg(xxhash64(col("gram")), expectedProbeGrams, numBits)
+        .as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    grams(documents, "doc_id")
+      .filter(BloomBridge.mightContain(bits, xxhash64(col("gram"))))
+      .join(probeGrams.hint("shuffle_hash"), "gram")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Cross-document duplicate-text fraction: for each document, the
+    * share of its DISTINCT word n-grams that also occur in at least
+    * one other document — the corpus-level repeated-substring signal
+    * (Lee et al. 2022: data repeated across documents is what exact
+    * substring dedup removes; this is its cheap n-gram estimator,
+    * complementing [[graft.text.TextOps.dupSpans]] which is
+    * intra-document only). Returns (doc_id, n_grams, n_shared,
+    * dup_fraction) for documents with ≥ 1 n-gram.
+    *
+    * Scale shape: the per-doc-distinct gram table shuffles once on
+    * gram for the document-frequency aggregation (partial-aggregable
+    * — map-side combine collapses before the wire), then the SAME
+    * persisted table probes the df side with a shuffle-hash join on
+    * gram — never a collect_list of doc-ids per gram, which buffers
+    * a stopword-gram's entire posting list in one row at corpus
+    * scale; the join streams it. The per-doc rollup is the second
+    * and last shuffle. */
+  def crossDupFraction(documents: DataFrame, ngram: Int = 3): DataFrame = {
+    import documents.sparkSession.implicits._
+    val grams = registerCache(
+      documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct.map(g => (id, g))
+        }
+        .toDF("doc_id", "gram"))
+    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(docFreq.hint("shuffle_hash"), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("df") > 1L, 1L).otherwise(0L)).as("n_shared"))
+      // unrounded division: single fixed-order IEEE op on integer-
+      // exact operands, bit-identical cross-engine
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("dup_fraction"))
+  }
+
   /** 32-bit SimHash fingerprint: per distinct token take bit b of the
     * portable token hash, sum ±1 votes per bit, set bit where the
     * vote is positive.

@@ -572,6 +572,32 @@ object TextOps {
     * (running sum) per language partition — the same accepted-skew
     * contract as [[qualityNtile]]: a colossal language is one sort
     * partition; pre-shard it if that bites. */
+  /** Temperature-scaled language sampling weights (the multilingual
+    * mixture rule of XLM-R / mT5): p_l ∝ (n_l)^α with α ∈ (0, 1]
+    * flattening the head so low-resource languages are up-sampled.
+    * Emitted in LOG space — log_weight = α·ln(n_tokens) — because the
+    * normalizer Σ_l n_l^α needs exp, which is libm-divergent; the
+    * unnormalized log-weight ranks identically and a consumer
+    * softmaxes engine-side. Float parity: ln of an exact integer via
+    * [[lnTerm6]], cast once to double, one IEEE multiply by the α
+    * literal — bit-identical cross-engine (the q_pmi contract).
+    *
+    * Scale shape: one partial-aggregable groupBy(lang) — token counts
+    * combine map-side, |langs| rows ever cross the wire. Returns
+    * (lang, n_docs, n_tokens, log_weight), token-bearing langs only.
+    * Feeds [[mixtureByTokenBudget]]: exp(log_weight) ratios set the
+    * per-language budgets. */
+  def mixtureTemperature(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"need alpha in (0, 1], got $alpha")
+    documents
+      .select(col("lang"), size(tokens(col("text"))).cast(LongType).as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (lnTerm6(col("n_tokens")).cast(DoubleType) * lit(alpha)).as("log_weight"))
+  }
+
   def mixtureByTokenBudget(documents: DataFrame,
                            budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty, "need at least one language budget")

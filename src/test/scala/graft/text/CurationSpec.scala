@@ -50,6 +50,27 @@ class CurationSpec extends SparkSpec {
     assert(again == rows.map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  test("mixtureTemperature: α·ln(tokens) log-weights, empty langs dropped") {
+    val d = docs(
+      (1L, "en", "a b c d e f g h"),   // 8 tokens
+      (2L, "en", "i j k l m n o p"),   // 8 tokens -> en 16
+      (3L, "de", "x y"),               // de 2
+      (4L, "fr", ""))                  // 0 tokens -> dropped
+    val got = TextOps.mixtureTemperature(d, 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    def lw(n: Long, a: Double) =
+      BigDecimal(math.log(n.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * a
+    assert(got == Seq(("de", 1L, 2L, lw(2, 0.5)), ("en", 2L, 16L, lw(16, 0.5))))
+    // α flattens: the en/de log-weight GAP halves from α=1 to α=0.5
+    val flat = TextOps.mixtureTemperature(d, 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val gapFull = flat("en") - flat("de")
+    val gapHalf = got.find(_._1 == "en").get._4 - got.find(_._1 == "de").get._4
+    assert(math.abs(gapHalf - gapFull / 2) < 1e-9)
+    intercept[IllegalArgumentException](TextOps.mixtureTemperature(d, 0.0))
+  }
+
   test("vocabOov: top-V by (count desc, token), per-doc OOV closed form") {
     val d = docs(
       (1L, "en", "a a a b b c"),   // a:3 b:2 c:1

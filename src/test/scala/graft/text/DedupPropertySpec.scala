@@ -173,6 +173,54 @@ class DedupPropertySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L, 3L), (3L, 100L, 1L)))
   }
 
+  test("bloomContamination equals the exact screen (no false negatives survive confirm)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val probes = docs.filter(col("doc_id") < 5)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val exact = Dedup.contamination(corpus, probes, 3).collect().map(key).sorted.toSeq
+    assert(exact.nonEmpty, "fixture should have contaminated docs")
+    // generous sketch: zero-ish fpp — prefilter passes exactly the real hits
+    val viaBloom = Dedup.bloomContamination(corpus, probes, 3, 1L << 16)
+      .collect().map(key).sorted.toSeq
+    assert(viaBloom == exact)
+    // deliberately UNDERSIZED sketch (est 2 items for ~hundreds of
+    // grams → fpp ≈ 1): correctness must hold — the confirm join
+    // kills every false positive
+    val saturated = Dedup.bloomContamination(corpus, probes, 3, 2L)
+      .collect().map(key).sorted.toSeq
+    assert(saturated == exact)
+    // empty probe set → empty result, not a crash (null sketch path)
+    assert(Dedup.bloomContamination(corpus, probes.filter(col("doc_id") < 0), 3, 16L)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException](Dedup.bloomContamination(corpus, probes, 3, 0L))
+    Dedup.releaseCaches()
+  }
+
+  test("crossDupFraction: shared trigrams counted once per doc, short docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps"),       // grams: tqb,qbf,bfj — shares tqb with doc 2
+      (2L, "en", "the quick brown dog barks loudly"),// shares tqb only
+      (3L, "en", "completely different text entirely here"), // shares none
+      (4L, "en", "too few")                          // < 3 tokens → dropped
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.crossDupFraction(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0) == ((1L, 3L, 1L, 1.0 / 3.0)))
+    assert(got(1) == ((2L, 4L, 1L, 0.25)))
+    assert(got(2) == ((3L, 3L, 0L, 0.0)))
+    // a doc repeating its own gram does NOT count as shared (per-doc distinct)
+    val solo = Seq((9L, "en", "x y z x y z")).toDF("doc_id", "lang", "text")
+    val s = Dedup.crossDupFraction(solo, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // distinct grams of "x y z x y z": xyz, yzx, zxy — none shared with another doc
+    assert(s.toSeq == Seq((9L, 3L, 0L, 0.0)))
+    Dedup.releaseCaches()
+  }
+
   test("repetitionScore: known ratios on crafted docs, short docs dropped") {
     import spark.implicits._
     val docs = Seq(
