@@ -50,6 +50,16 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), Ops.moneySum(col("l_quantity"), 2).as("qty"))
     }),
+    // zone-map manifest write + manifest-pruned range read; pruning is
+    // a file-set optimization, so the result equals plain filter
+    "q_zonemap_prune" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_zonemap").getPath
+      graft.core.Warehouse.writeZoneMapped(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("l_returnflag")), dir, "l_orderkey", 16)
+      graft.core.Warehouse.readZoneMapPruned(s, dir, "l_orderkey", 1000L, 2000L)
+    }),
     "q_running_sum" -> ((s, d) => Ops.runningTotals(Tables.events(s, d))),
     // ---- §2e: fan-out / generators ----
     "q_fanout_explode" -> ((s, d) => Ops.fanoutExplode(Tables.part(s, d), Seq("100", "110", "111"))),
@@ -464,6 +474,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+
+    // pruning is file-set-only: the result is the plain range filter
+    "q_zonemap_prune" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
 
     "q_running_sum" ->
       """SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us, value,

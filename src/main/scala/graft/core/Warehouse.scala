@@ -83,6 +83,54 @@ object Warehouse {
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
+  /** Range-clustered parquet layout + a zone-map MANIFEST (the
+    * Iceberg/Delta data-skipping pattern, one level above parquet's
+    * own footer pruning): rows are range-partitioned and sorted on
+    * `statCol` into ≤ `nFiles` files under `dir/data`, and a tiny
+    * parquet manifest of per-file (min, max, rows) is written to
+    * `dir/_zonemap`. [[readZoneMapPruned]] consults the manifest
+    * BEFORE the scan is planned, so a selective range predicate
+    * never even lists the non-matching files — at 100 TB the win
+    * over footer pruning is that skipping needs no file OPEN at all
+    * (footer pruning still opens every footer; a manifest is one
+    * driver-side read of nFiles rows).
+    *
+    * The stats pass here re-scans the written column once (local
+    * demo); a cluster writer collects the same per-file min/max from
+    * the write tasks' commit messages instead — the manifest FORMAT
+    * and the prune path are what this models. */
+  def writeZoneMapped(df: DataFrame, dir: String, statCol: String, nFiles: Int = 16): Unit = {
+    require(nFiles >= 1, s"need nFiles >= 1, got $nFiles")
+    df.repartitionByRange(nFiles, col(statCol))
+      .sortWithinPartitions(col(statCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    df.sparkSession.read.parquet(s"$dir/data")
+      .select(input_file_name().as("file"), col(statCol))
+      .groupBy("file")
+      .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
+           count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zonemap")
+  }
+
+  /** Range scan over a [[writeZoneMapped]] table: the manifest (nFiles
+    * rows, driver-side) selects only files whose [min, max] intersects
+    * [lo, hi]; the residual filter on the survivors keeps the result
+    * EXACTLY equal to a full scan + filter (zone pruning is a file-set
+    * optimization, never a semantics change — the same contract as the
+    * DSv2 pushdowns). Empty survivor set → empty result with the
+    * table's schema, no job. */
+  def readZoneMapPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        statCol: String, lo: Any, hi: Any): DataFrame = {
+    val kept = spark.read.parquet(s"$dir/_zonemap")
+      .filter(col("mx") >= lit(lo) && col("mn") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    val data =
+      if (kept.isEmpty) spark.read.parquet(s"$dir/data").filter(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    data.filter(col(statCol) >= lit(lo) && col(statCol) <= lit(hi))
+  }
+
   /** Skew-salted equi-join that preserves inner-join semantics
     * exactly: the big (skewed) side gets a deterministic salt in
     * [0, n) per row; the small side is exploded n× so every

@@ -70,6 +70,24 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       rand.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet)
   }
 
+  test("zone-map manifest prunes the file set; result equals full filter") {
+    val rows = (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString + "/t"
+    Warehouse.writeZoneMapped(rows, dir, "k", nFiles = 16)
+    // manifest: 16 files, disjoint sorted ranges covering 0..3999
+    val manifest = spark.read.parquet(s"$dir/_zonemap")
+      .collect().map(r => (r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n_rows")))
+    assert(manifest.length == 16 && manifest.map(_._3).sum == 4000L)
+    // a narrow range must touch few files and return exactly the filter
+    val pruned = Warehouse.readZoneMapPruned(spark, dir, "k", 1000L, 1099L)
+    val touched = pruned.select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"100-row range over 16 sorted files, got $touched files")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == (1000L to 1099L))
+    // out-of-range probe: no surviving files, empty result, schema kept
+    val empty = Warehouse.readZoneMapPruned(spark, dir, "k", 100000L, 200000L)
+    assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0L)
+  }
+
   test("salted join == plain join on skewed data") {
     // 90% of big-side rows hit one key — the salting target
     val big = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong % 50 else 7L, i))
