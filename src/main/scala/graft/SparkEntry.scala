@@ -307,6 +307,8 @@ object SparkEntry {
     // SemDeDup: centroid-cell blocking, keep-first within a cell
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.3)),
     "q_embed_scale" -> ((s, d) => Similarity.minMaxScale(Tables.embeddings(s, d))),
+    // corpus second-moment matrix in integer micro²-units
+    "q_embed_gram" -> ((s, d) => Similarity.gramMatrix(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 5)),
     // PQ-compressed ANN: codes from the deterministic first-8 codebook,
     // ADC ranking on the unrounded squared-L2 (no libm in the path)
@@ -1846,6 +1848,18 @@ object SparkEntry {
         |  CASE WHEN s.mx = s.mn THEN 0.0
         |       ELSE round((c.x - s.mn) / (s.mx - s.mn), 6) END AS x_scaled
         |FROM c JOIN s USING (dim)""".stripMargin,
+
+    // integer-exact: micro-unit quantization (round(x·1e6) of the
+    // bit-identical double) makes product and sum pure int64 ops
+    "q_embed_gram" ->
+      """WITH c AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1000000.0, 0) AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT a.i::BIGINT AS i, b.i::BIGINT AS j, count(*)::BIGINT AS n_rows,
+        |  sum(a.q * b.q)::BIGINT AS gram_u2
+        |FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
 
     // embedding components: identical vectors collapse to min-id reps,
     // banded sign-LSH pairs over the reps (same construction as

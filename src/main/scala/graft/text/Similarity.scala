@@ -274,6 +274,91 @@ object Similarity {
     * partials — `nDims × nPartitions` rows regardless of corpus
     * size — and the application side joins one BROADCAST stats row
     * per dimension, so the corpus itself never shuffles. */
+  /** Uncentered second-moment (Gram) matrix of the embedding corpus:
+    * G[i][j] = Σ_rows v[i]·v[j], upper triangle (i ≤ j) only. THE
+    * "reduce a petabyte of vectors to a d×d driver matrix" primitive
+    * — covariance/whitening, common-component removal
+    * ([[removeTopPC]]), and linear-probe statistics all start here.
+    *
+    * Scale shape: one narrow flatMap emitting d(d+1)/2 cells per row,
+    * one partial-aggregable shuffle over the d(d+1)/2 cell keys —
+    * map-side combine collapses each partition to ≤ 2080 rows (d=64)
+    * before anything crosses the wire; no self-join of the exploded
+    * table. Float parity: components are quantized to exact
+    * micro-unit INTEGERS (round(x·10⁶) of the bit-identical double —
+    * integer rounding of a shared double is boundary-safe, unlike
+    * fractional-dp rounding), so product and sum are exact int64
+    * arithmetic and `gram_u2` hashes identically on any engine;
+    * divide by 10¹² for the real-valued Gram. Headroom: |x| ≤ 10⁴
+    * and ~10⁹ rows stay under int64. */
+  def gramMatrix(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (_, v) =>
+        val q = v.map(f => BigDecimal(f.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        for (i <- q.indices; j <- i until q.length) yield (i.toLong, j.toLong, q(i) * q(j))
+      }
+      .toDF("i", "j", "p")
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("gram_u2"))
+  }
+
+  /** Dominant eigenvector of the corpus Gram matrix by power
+    * iteration — ON THE DRIVER, over the d×d matrix [[gramMatrix]]
+    * already reduced (the IVF-quantizer pattern: corpus-sized work
+    * stays distributed, d²-sized math is driver metadata). Fixed
+    * deterministic init (uniform 1/√d — never orthogonal to the top
+    * component of a PSD Gram unless the matrix is degenerate), fixed
+    * iteration count, sign pinned so the largest-|component| entry is
+    * positive: reproducible on any engine or rerun. */
+  def topPrincipalComponent(embeddings: DataFrame, iters: Int = 30): Array[Double] = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val cells = gramMatrix(embeddings).select("i", "j", "gram_u2").collect()
+    require(cells.nonEmpty, "empty embedding corpus has no principal component")
+    val d = cells.iterator.map(_.getLong(1)).max.toInt + 1
+    val g = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      // micro²-units: a constant scale never moves an eigenvector
+      val (i, j, x) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toDouble)
+      g(i)(j) = x; g(j)(i) = x
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      // a zero Gram (all-zero vectors) keeps the init direction
+      if (n > 0) v = w.map(_ / n)
+    }
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v.map(-_) else v
+  }
+
+  /** Common-component removal (Arora et al. 2017, "A Simple but
+    * Tough-to-Beat Baseline"): subtract each vector's projection on
+    * the corpus' top principal direction — the post-processing step
+    * that strips the shared "frequency" direction before cosine
+    * similarity or semantic dedup. The direction comes from
+    * [[topPrincipalComponent]] (driver metadata, broadcast with the
+    * plan); the subtraction is a pure per-row map — zero shuffle.
+    * Returns (vec_id, dim, x_resid) exploded rows, x_resid rounded
+    * to 6 dp (the minMaxScale output contract). */
+  def removeTopPC(embeddings: DataFrame, iters: Int = 30): DataFrame = {
+    val v = topPrincipalComponent(embeddings, iters)
+    val vCol = array(v.map(lit).toIndexedSeq: _*)
+    val proj = aggregate(
+      zip_with(col("embedding"), vCol, (a, b) => a.cast(DoubleType) * b),
+      lit(0.0), (acc, x) => acc + x)
+    embeddings
+      .withColumn("__proj", proj)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")),
+              col("__proj"))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+        round(col("xf").cast(DoubleType)
+          - col("__proj") * element_at(vCol, (col("dim") + 1).cast(IntegerType)), 6)
+          .as("x_resid"))
+  }
+
   def minMaxScale(embeddings: DataFrame): DataFrame = {
     val ex = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))

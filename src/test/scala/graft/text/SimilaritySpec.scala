@@ -37,6 +37,43 @@ class SimilaritySpec extends SparkSpec {
     pairs(approx).intersect(e).size.toDouble / e.size
   }
 
+  test("gramMatrix: integer micro²-units closed form, upper triangle only") {
+    val e = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(0.5f, -1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.gramMatrix(e).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // q: (1e6, 2e6), (5e5, -1e6)
+    assert(got((0L, 0L)) == (2L, 1000000L * 1000000L + 500000L * 500000L))
+    assert(got((0L, 1L)) == (2L, 1000000L * 2000000L + 500000L * -1000000L))
+    assert(got((1L, 1L)) == (2L, 2000000L * 2000000L + 1000000L * 1000000L))
+    assert(got.size == 3, s"upper triangle of d=2 has 3 cells: ${got.keySet}")
+  }
+
+  test("topPrincipalComponent finds the dominant direction; removeTopPC orthogonalizes") {
+    // corpus stretched along (3,4)/5: top PC must align with it
+    val dir = Array(0.6, 0.8)
+    val rnd = new Random(11)
+    val e = (1 to 200).map { i =>
+      val t = rnd.nextGaussian() * 10 // dominant axis
+      val n = rnd.nextGaussian() * 0.1 // off-axis noise
+      (i.toLong, Seq((t * dir(0) - n * dir(1)).toFloat, (t * dir(1) + n * dir(0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val v = Similarity.topPrincipalComponent(e)
+    assert(math.abs(math.abs(v(0) * dir(0) + v(1) * dir(1)) - 1.0) < 1e-3,
+      s"PC ${v.toSeq} should align with ${dir.toSeq}")
+    // sign pinned: largest-|component| entry positive
+    assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0)
+    // residuals are orthogonal to the removed direction (up to the
+    // 6-dp output rounding)
+    val resid = Similarity.removeTopPC(e).collect()
+      .groupBy(_.getLong(0)).values.map { rows =>
+        rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+          .zip(v).map { case (x, vi) => x * vi }.sum
+      }
+    assert(resid.forall(r => math.abs(r) < 1e-4), s"max ${resid.map(math.abs).max}")
+  }
+
   test("lshBucket disperses the real embeddings across ~2^h buckets") {
     val emb = spark.read.parquet(realEmbeddings)
     val counts = emb.select(Similarity.lshBucket(col("embedding"), 4).as("bkt"))
