@@ -173,6 +173,35 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Ingest-time decontamination screen — the streaming member of the
+    * contamination family (`Dedup.contamination` / `bloomContamination`
+    * are the batch audits): keep documents whose word `ngram`-grams
+    * hit the probe-set bloom sketch at most `maxHits` times, tagging
+    * every row with its hit count. The sketch comes from
+    * `Dedup.probeSketch` — kilobytes of driver metadata riding the
+    * plan as a literal, so the screen is a STATELESS narrow map:
+    * no watermark, no state store, identical semantics over a
+    * stream or a batch frame (twin-tested). Bloom false positives
+    * can only OVER-count hits (conservative screen, tuned by the
+    * sketch's fpp); false negatives cannot happen, so maxHits = 0
+    * provably passes no document sharing a probe n-gram. A null
+    * sketch (empty probe set) keeps everything with zero hits. */
+  def bloomScreen(documents: DataFrame, sketch: Array[Byte], ngram: Int = 3,
+                  maxHits: Int = 0): DataFrame = {
+    require(ngram >= 1, s"need ngram >= 1, got $ngram")
+    require(maxHits >= 0, s"need maxHits >= 0, got $maxHits")
+    import graft.text.TextOps
+    val hits =
+      if (sketch == null) lit(0L)
+      else size(filter(
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), ngram)),
+        g => org.apache.spark.sql.graft.BloomBridge.mightContain(sketch, xxhash64(g))))
+        .cast(LongType)
+    documents
+      .withColumn("n_bloom_hits", hits)
+      .filter(col("n_bloom_hits") <= maxHits)
+  }
+
   /** Watermarked stream-stream interval join: for every left event,
     * the right-stream events of the SAME user within
     * `[left.ts, left.ts + withinMinutes]` — the stream correlation

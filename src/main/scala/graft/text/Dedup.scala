@@ -401,18 +401,44 @@ object Dedup {
     // the probe-gram table feeds two actions: the sketch build
     // (collects one numBits-sized row) and the confirm join
     val probeGrams = registerCache(grams(probes, "probe_id"), actions = 2)
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedProbeGrams, fpp)
-    import org.apache.spark.sql.graft.BloomBridge
-    val bits = probeGrams
-      .select(BloomBridge.bloomAgg(xxhash64(col("gram")), expectedProbeGrams, numBits)
-        .as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+    val bits = sketchOf(probeGrams, expectedProbeGrams, fpp)
     grams(documents, "doc_id")
-      .filter(BloomBridge.mightContain(bits, xxhash64(col("gram"))))
+      .filter(org.apache.spark.sql.graft.BloomBridge
+        .mightContain(bits, xxhash64(col("gram"))))
       .join(probeGrams.hint("shuffle_hash"), "gram")
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Build the serialized probe-set bloom sketch over word n-grams —
+    * the reusable artifact of the decontamination family: feed it to
+    * [[bloomContamination]]'s prefilter shape, or to
+    * [[graft.streaming.StreamingOps.bloomScreen]] to screen documents
+    * AT INGEST, long after the probe corpus itself is gone (ship the
+    * kilobytes of sketch, not the benchmark). Distributed build —
+    * sketch merge is bit-OR, so only numBits-sized sketches cross the
+    * wire. Null (no grams) means "empty probe set". */
+  def probeSketch(probes: DataFrame, ngram: Int = 3,
+                  expectedProbeGrams: Long = 1L << 20,
+                  fpp: Double = 0.01): Array[Byte] = {
+    require(expectedProbeGrams > 0, s"need expectedProbeGrams > 0, got $expectedProbeGrams")
+    require(fpp > 0.0 && fpp < 1.0, s"need fpp in (0, 1), got $fpp")
+    import probes.sparkSession.implicits._
+    val grams = probes.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct
+      }
+      .toDF("gram")
+    sketchOf(grams, expectedProbeGrams, fpp)
+  }
+
+  private def sketchOf(grams: DataFrame, expectedItems: Long, fpp: Double): Array[Byte] = {
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    grams
+      .select(org.apache.spark.sql.graft.BloomBridge
+        .bloomAgg(xxhash64(col("gram")), expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
   }
 
   /** Cross-document duplicate-text fraction: for each document, the

@@ -63,6 +63,42 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("aaa", "bbb", "ccc"), s"got $out")
   }
 
+  test("bloomScreen drops contaminated stream docs; batch twin identical; conservative") {
+    import graft.text.Dedup
+    val probes = Seq((100L, "en", "the quick brown fox jumps"))
+      .toDF("doc_id", "lang", "text")
+    val sketch = Dedup.probeSketch(probes, 3, 1L << 12)
+    val docs = Seq(
+      (1L, "prefix the quick brown fox jumps suffix"), // 3 probe trigrams -> dropped
+      (2L, "quick brown cat sleeps all day"),          // clean -> kept
+      (3L, "the quick brown dog barks"))               // 1 probe trigram -> dropped at maxHits=0
+    val dir = java.nio.file.Files.createTempDirectory("graft-bscreen").toString
+    docs.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingOps.bloomScreen(stream, sketch).writeStream
+      .outputMode("append").format("memory").queryName("bscreen_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("bscreen_out").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L), s"got $kept")
+    // batch twin on the same frame: identical keep set and hit counts
+    val batch = StreamingOps.bloomScreen(docs.toDF("doc_id", "text"), sketch)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_bloom_hits"))).toSeq
+    assert(batch == Seq((2L, 0L)))
+    // maxHits=1 readmits the single-hit doc but never the verbatim one
+    val loose = StreamingOps.bloomScreen(docs.toDF("doc_id", "text"), sketch, maxHits = 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(loose == Seq(2L, 3L))
+    // null sketch (empty probe corpus) keeps everything, hits = 0
+    val empty = Dedup.probeSketch(probes.filter(col("doc_id") < 0L), 3, 16L)
+    val all = StreamingOps.bloomScreen(docs.toDF("doc_id", "text"), empty)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_bloom_hits"))).sorted.toSeq
+    assert(all == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
   test("stream-stream interval join == batch twin; runs in true streaming mode") {
     // left = error events, right = click events of the same user
     // within 10 minutes after the error
