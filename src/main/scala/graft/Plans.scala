@@ -64,7 +64,11 @@ object Plans {
     "q_ivfpq_topk",       // one corpus read: cell-assign + encode in one projection
     "q_gopher_rules",     // single codegen'd Project, zero shuffle
     "q_semantic_dedup",   // broadcast argmax assign + shuffle_hash cell join
-    "q_dsir_weight")      // two feature passes + broadcast 256-row stats
+    "q_dsir_weight",      // two feature passes + broadcast 256-row stats
+    "q_bloom_contamination", // codegen'd bloom prefilter + shuffle_hash confirm
+    "q_cross_dup_fraction",  // scoped gram cache + shuffle_hash df join
+    "q_embed_gram",       // d²/2-key partial agg, map-side combine
+    "q_zonemap_prune")    // manifest-pruned file list before the scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

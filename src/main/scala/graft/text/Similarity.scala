@@ -260,20 +260,6 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Per-dimension min-max standardization of the embedding column:
-    * x → (x − min_d)/(max_d − min_d), the feature-scaling step before
-    * distance-based ops (ANN, clustering) when dimensions are on
-    * different scales. Constant dimensions map to 0. Output is long
-    * form (vec_id, dim, x_scaled).
-    *
-    * Min/max — not mean/std — on purpose: they are exact,
-    * order-independent aggregates, so the scaled values are
-    * bit-deterministic under ANY partitioning (a mean of floats is a
-    * summation-order lottery; making it deterministic costs a
-    * DECIMAL detour). The statistics shuffle is per-dimension
-    * partials — `nDims × nPartitions` rows regardless of corpus
-    * size — and the application side joins one BROADCAST stats row
-    * per dimension, so the corpus itself never shuffles. */
   /** Uncentered second-moment (Gram) matrix of the embedding corpus:
     * G[i][j] = Σ_rows v[i]·v[j], upper triangle (i ≤ j) only. THE
     * "reduce a petabyte of vectors to a d×d driver matrix" primitive
@@ -359,6 +345,20 @@ object Similarity {
           .as("x_resid"))
   }
 
+  /** Per-dimension min-max standardization of the embedding column:
+    * x → (x − min_d)/(max_d − min_d), the feature-scaling step before
+    * distance-based ops (ANN, clustering) when dimensions are on
+    * different scales. Constant dimensions map to 0. Output is long
+    * form (vec_id, dim, x_scaled).
+    *
+    * Min/max — not mean/std — on purpose: they are exact,
+    * order-independent aggregates, so the scaled values are
+    * bit-deterministic under ANY partitioning (a mean of floats is a
+    * summation-order lottery; making it deterministic costs a
+    * DECIMAL detour). The statistics shuffle is per-dimension
+    * partials — `nDims × nPartitions` rows regardless of corpus
+    * size — and the application side joins one BROADCAST stats row
+    * per dimension, so the corpus itself never shuffles. */
   def minMaxScale(embeddings: DataFrame): DataFrame = {
     val ex = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
