@@ -71,6 +71,23 @@ object SparkEntry {
     // (oracle: exact count + literal TRUE)
     "q_approx_distinct" -> ((s, d) =>
       Ops.approxDistinctChecked(Tables.documents(s, d), "lang", "text")),
+    // ---- data-quality admission gates ----
+    "q_data_profile" -> ((s, d) =>
+      graft.core.Validate.dataProfile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))),
+    "q_k_anon" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, floor}
+      import org.apache.spark.sql.types.LongType
+      val quasi = Tables.customer(s, d).withColumn(
+        "acct_band", floor(col("c_acctbal") / 1000.0).cast(LongType))
+      graft.core.Validate.kAnonymity(quasi, Seq("c_nationkey", "c_mktsegment", "acct_band"), 10L)
+    }),
+    "q_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      graft.core.Validate.heavyHitters(toks, "tok", 0.004)
+    }),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
@@ -507,6 +524,48 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT lang, count(DISTINCT text)::BIGINT AS exact_nd, TRUE AS within_bound
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_data_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+           |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', count(*)::BIGINT,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           |  count(DISTINCT $c)::BIGINT,
+           |  NULL::DOUBLE, NULL::DOUBLE, min($c), max($c) FROM lineitem""".stripMargin
+      def other(c: String) =
+        s"""SELECT '$c', count(*)::BIGINT,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           |  count(DISTINCT $c)::BIGINT,
+           |  NULL::DOUBLE, NULL::DOUBLE, NULL::VARCHAR, NULL::VARCHAR FROM lineitem""".stripMargin
+      Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+        str("l_returnflag"), other("l_shipdate")).mkString("\nUNION ALL\n")
+    },
+
+    "q_k_anon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  floor(c_acctbal / 1000.0)::BIGINT AS acct_band,
+        |  count(*)::BIGINT AS group_size
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) < 10""".stripMargin,
+
+    // exact two-pass heavy hitters equal plain group-count-having;
+    // ceil(0.004·N) is the same IEEE double on both engines, so the
+    // threshold comparison cannot straddle a boundary
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS value
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT value, count(*)::BIGINT AS cnt
+        |FROM toks, tot
+        |GROUP BY value, tot.n
+        |HAVING count(*) >= ceil(0.004 * tot.n)""".stripMargin,
 
     "q_last_per_group" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts)::BIGINT AS ts_us

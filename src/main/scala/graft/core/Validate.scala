@@ -1,0 +1,152 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+/** Data-quality validation over raw tables — the admission gate a
+  * pipeline runs BEFORE spending compute on curation: profile every
+  * column's null/distinct/range shape, audit re-identification risk
+  * on quasi-identifier tuples, and surface the heavy-hitter keys
+  * that dominate a column. All three are single-purpose DataFrame
+  * transforms with deterministic, engine-portable outputs, so they
+  * hash-match a SQL oracle and can gate a DAG run.
+  */
+object Validate {
+
+  /** Per-column profile in ONE job: row count, null count, exact (or
+    * sketched) distinct count, and min/max — numeric columns report
+    * `min_num`/`max_num` (double), string columns `min_str`/`max_str`
+    * (binary collation on both engines), other types (timestamps,
+    * arrays) report counts only. One row out per profiled column.
+    *
+    * Shape: a single global aggregate computes every stat as a
+    * partial-aggregable expression, then ONE literal-array explode
+    * pivots the 1-row result to per-column rows — no per-column jobs,
+    * no driver loop over the data (the Deequ-style profile shape).
+    *
+    * Scale: with `approx = false` (the oracle-able default) the
+    * multi-column exact `countDistinct` plans through Catalyst's
+    * Expand — an ncols× row multiplication before the partial
+    * aggregate. That is the price of exactness and it is fine up to
+    * a handful of columns; a 100-TB sweep over wide tables should
+    * pass `approx = true`, which swaps in `approx_count_distinct`
+    * (HLL++): one pass, no Expand, fixed memory per column — the
+    * [[Ops.approxDistinct]] trade documented there. */
+  def dataProfile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val schema = df.schema
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"column '$c' not in ${schema.fieldNames.toSeq}")
+    }
+    def nd(c: String): Column =
+      if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
+    val isNum: String => Boolean = c => schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    val isStr: String => Boolean = c => schema(c).dataType == StringType
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        nd(c).as(s"__nd_$c")) ++
+        (if (isNum(c))
+          Seq(min(col(c)).cast(DoubleType).as(s"__min_$c"),
+              max(col(c)).cast(DoubleType).as(s"__max_$c"))
+        else if (isStr(c))
+          Seq(min(col(c)).as(s"__smin_$c"), max(col(c)).as(s"__smax_$c"))
+        else Nil)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__nd_$c").cast(LongType).as("n_distinct"),
+        (if (isNum(c)) col(s"__min_$c") else lit(null).cast(DoubleType)).as("min_num"),
+        (if (isNum(c)) col(s"__max_$c") else lit(null).cast(DoubleType)).as("max_num"),
+        (if (isStr(c)) col(s"__smin_$c") else lit(null).cast(StringType)).as("min_str"),
+        (if (isStr(c)) col(s"__smax_$c") else lit(null).cast(StringType)).as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** k-anonymity audit: every quasi-identifier combination whose
+    * group is smaller than `k` — the rows an adversary could
+    * re-identify by joining the quasi columns against an external
+    * table (Sweeney's k-anonymity, the standard release-readiness
+    * check run alongside PII scrubbing). Returns the violating
+    * combinations with their group sizes; an empty result certifies
+    * the projection k-anonymous.
+    *
+    * Scale: one partial-aggregated groupBy on the quasi tuple — the
+    * count collapses map-side, so the shuffle carries one row per
+    * combination, not per input row; the `< k` filter then prunes to
+    * the (rare) violating groups. No window, no self-join. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k-anonymity below 2 is vacuous, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
+  /** Exact φ-heavy hitters in two bounded passes — every value whose
+    * frequency is ≥ ⌈φ·N⌉, without ever shuffling the full key
+    * space. Pass 1 runs Misra–Gries with ⌈1/φ⌉ counters inside each
+    * partition (shuffle-free, fixed memory) and unions the surviving
+    * keys: by the MG guarantee any value with global count ≥ φ·N
+    * survives in at least one partition (if it were evicted
+    * everywhere, its total would be < Σ N_p/(⌈1/φ⌉+1) < φ·N —
+    * pigeonhole). Pass 2 exact-counts ONLY the candidate set via a
+    * broadcast semi-join and keeps counts ≥ ⌈φ·N⌉.
+    *
+    * The candidate set is ≤ partitions × ⌈1/φ⌉ keys — bounded
+    * metadata, not data — so collecting it to the driver for the
+    * broadcast is the same discipline as Lloyd centroids. The final
+    * counts are exact, so the result equals a plain
+    * groupBy-count-having — which is exactly what the oracle runs.
+    * At 100 TB this is the difference between shuffling a 10-billion
+    *-key token space and shuffling a few thousand candidates.
+    *
+    * Three source scans, all cheap: the MG candidate pass (fixed
+    * memory, shuffle-free), the candidate-filtered exact count, and
+    * a NARROW total-count scan whose 1-row result broadcasts into
+    * the threshold filter — the plan is fully lazy, no driver
+    * action decides the threshold. */
+  def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
+    require(phi > 0.0 && phi <= 0.5, s"need phi in (0, 0.5], got $phi")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast(StringType).as("v")).as[String]
+    val totals = vals.toDF("v").agg(count(lit(1)).as("n_total"))
+    val capacity = math.ceil(1.0 / phi).toInt
+    val candidates = vals.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        if (v != null) {
+          if (counters.contains(v)) counters(v) += 1L
+          else if (counters.size < capacity) counters(v) = 1L
+          else {
+            // decrement-all step; drop zeroed counters
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.keysIterator.foreach { k =>
+              val nv = counters(k) - 1L
+              if (nv == 0L) dead += k else counters(k) = nv
+            }
+            dead.foreach(counters.remove)
+          }
+        }
+      }
+      counters.keysIterator
+    }.distinct().toDF("value")
+    vals.toDF("value")
+      .join(broadcast(candidates), "value")
+      .groupBy("value")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") >= ceil(lit(phi) * col("n_total")).cast(LongType))
+      .select(col("value"), col("cnt"))
+  }
+}

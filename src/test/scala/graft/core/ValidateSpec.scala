@@ -1,0 +1,113 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Admission-gate checks: the profile must count exactly, the
+  * k-anonymity audit must surface precisely the under-k groups, and
+  * two-pass heavy hitters must equal the plain groupBy-count-having
+  * it replaces — on adversarial distributions, not just friendly
+  * ones (Misra–Gries eviction is where the bugs live).
+  */
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dataProfile: exact counts, nulls, distincts, min/max per column kind") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "b", 2.5), (2L, "a", null), (2L, null, -1.0), (null, "c", 2.5))
+      .toDF("id", "s", "x")
+    val p = Validate.dataProfile(df, Seq("id", "s", "x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "s", "x"))
+    val id = p("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 1L && id.getLong(3) == 2L)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 2.0)
+    assert(id.isNullAt(6) && id.isNullAt(7))
+    val s = p("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 3L)
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert(s.getString(6) == "a" && s.getString(7) == "c")
+    val x = p("x")
+    assert(x.getLong(2) == 1L && x.getLong(3) == 2L)
+    assert(x.getDouble(4) == -1.0 && x.getDouble(5) == 2.5)
+  }
+
+  test("dataProfile: approx path keeps the same shape with sketched distincts") {
+    val df = (1 to 1000).map(i => (i.toLong, s"v${i % 37}")).toDF("id", "s")
+    val p = Validate.dataProfile(df, Seq("id", "s"), approx = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // HLL++ at default rsd must land within 5% of truth
+    assert(math.abs(p("id").getLong(3) - 1000L) <= 50L)
+    assert(math.abs(p("s").getLong(3) - 37L) <= 3L)
+    assert(p("id").getDouble(4) == 1.0 && p("id").getDouble(5) == 1000.0)
+  }
+
+  test("dataProfile: rejects unknown columns and empty column list") {
+    val df = Seq((1, "a")).toDF("id", "s")
+    intercept[IllegalArgumentException](Validate.dataProfile(df, Seq("nope")))
+    intercept[IllegalArgumentException](Validate.dataProfile(df, Nil))
+  }
+
+  test("kAnonymity: surfaces exactly the under-k groups") {
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq.fill(1)(("DE", "A"))).toDF("country", "seg")
+    val viol = Validate.kAnonymity(df, Seq("country", "seg"), 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(viol == Set(("US", "B", 2L), ("DE", "A", 1L)))
+    assert(Validate.kAnonymity(df, Seq("country", "seg"), 2L).count() == 1L)
+    intercept[IllegalArgumentException](Validate.kAnonymity(df, Seq("country"), 1L))
+    intercept[IllegalArgumentException](Validate.kAnonymity(df, Nil, 3L))
+  }
+
+  private def exactHitters(vals: Seq[String], phi: Double): Set[(String, Long)] = {
+    val n = vals.size
+    val thr = math.ceil(phi * n).toLong
+    vals.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+      .filter(_._2 >= thr).toSet
+  }
+
+  test("heavyHitters equals exact groupBy-having on a Zipf-ish stream") {
+    val vals = (1 to 2000).flatMap(i => Seq.fill(2000 / i / 10 + 1)(s"w$i"))
+    val df = spark.sparkContext.parallelize(vals, 7).toDF("v")
+    val got = Validate.heavyHitters(df, "v", 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exactHitters(vals, 0.02))
+    assert(got.nonEmpty)
+  }
+
+  test("heavyHitters: adversarial all-distinct tail cannot evict the true hitter") {
+    // one value at exactly the threshold + a sea of singletons that
+    // forces constant Misra-Gries decrements
+    val n = 10000
+    val phi = 0.01
+    val hot = Seq.fill(math.ceil(phi * n).toInt)("hot")
+    val tail = (1 to (n - hot.size)).map(i => s"t$i")
+    // interleave so the hot value never gets a quiet partition
+    val vals = (hot ++ tail).zipWithIndex.sortBy(_._2 % 97).map(_._1)
+    val df = spark.sparkContext.parallelize(vals, 13).toDF("v")
+    val got = Validate.heavyHitters(df, "v", phi)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exactHitters(vals, phi))
+    assert(got.contains(("hot", hot.size.toLong)))
+  }
+
+  test("heavyHitters: seeded random streams match exact on every phi") {
+    val rnd = new scala.util.Random(41)
+    val vals = Seq.fill(5000)(s"k${math.abs(rnd.nextGaussian() * 30).toInt}")
+    val df = spark.sparkContext.parallelize(vals, 5).toDF("v")
+    for (phi <- Seq(0.005, 0.02, 0.1)) {
+      val got = Validate.heavyHitters(df, "v", phi)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == exactHitters(vals, phi), s"phi=$phi")
+    }
+  }
+
+  test("heavyHitters: empty input and phi validation") {
+    val df = Seq.empty[String].toDF("v")
+    assert(Validate.heavyHitters(df, "v", 0.1).count() == 0L)
+    intercept[IllegalArgumentException](
+      Validate.heavyHitters(df, "v", 0.0))
+    intercept[IllegalArgumentException](
+      Validate.heavyHitters(df, "v", 0.6))
+  }
+}
