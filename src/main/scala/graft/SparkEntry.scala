@@ -88,6 +88,30 @@ object SparkEntry {
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
       graft.core.Validate.heavyHitters(toks, "tok", 0.004)
     }),
+    // ---- interchange formats: parquet -> JSONL/CSV -> pinned-schema
+    // read-back -> aggregate; the round-trip is bit-exact, so the
+    // oracle aggregates the original parquet directly ----
+    "q_jsonl_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_jsonl_events").getPath
+      graft.sources.TextFormats.writeJsonl(ev, dir)
+      graft.sources.TextFormats.readJsonl(s, dir, ev.schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          Ops.moneySum(col("value"), 2).as("value_sum"))
+    }),
+    "q_csv_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, max, min}
+      val cust = Tables.customer(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_csv_customer").getPath
+      graft.sources.TextFormats.writeCsv(cust, dir)
+      graft.sources.TextFormats.readCsv(s, dir, cust.schema)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"), Ops.moneySum(col("c_acctbal"), 2).as("bal_sum"))
+    }),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
@@ -553,6 +577,18 @@ object SparkEntry {
         |FROM customer
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 10""".stripMargin,
+
+    "q_jsonl_ingest" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_csv_ingest" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n,
+        |  min(c_custkey)::BIGINT AS min_key, max(c_custkey)::BIGINT AS max_key,
+        |  CAST(SUM(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM customer GROUP BY 1""".stripMargin,
 
     // exact two-pass heavy hitters equal plain group-count-having;
     // ceil(0.004·N) is the same IEEE double on both engines, so the
