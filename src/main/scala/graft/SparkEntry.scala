@@ -88,6 +88,13 @@ object SparkEntry {
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
       graft.core.Validate.heavyHitters(toks, "tok", 0.004)
     }),
+    // flagship composition: Gopher gate -> exact dedup -> langid ->
+    // per-(language, source) corpus accounting, all-integer output
+    // stopword floor 0: the synthetic corpus is word-salad with no
+    // English function words, so the (English) stopword rule would
+    // void the run; the word-count gate still drops ~45% of docs
+    "q_curation_pipeline" -> ((s, d) =>
+      graft.text.Curate.curationPipeline(Tables.documents(s, d), minStopwords = 0)),
     // ---- interchange formats: parquet -> JSONL/CSV -> pinned-schema
     // read-back -> aggregate; the round-trip is bit-exact, so the
     // oracle aggregates the original parquet directly ----
@@ -577,6 +584,48 @@ object SparkEntry {
         |FROM customer
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 10""".stripMargin,
+
+    // the composed stages are the q_gopher_rules / q_dedup_exact /
+    // q_lang_id oracles chained; every emitted value is an integer
+    "q_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, source, n_chars,
+        |    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(words)::BIGINT AS n_words,
+        |    coalesce(list_sum(list_transform(words, w -> length(w))), 0)::BIGINT AS sum_word_len,
+        |    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    ((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_symbols,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(list_transform(words, w -> lower(w)), s)))::BIGINT AS n_stopwords
+        |  FROM t),
+        |keep AS (
+        |  SELECT t.doc_id, t.text, t.source, t.n_chars, t.words, c.n_words
+        |  FROM t JOIN c USING (doc_id)
+        |  WHERE c.n_words >= 50 AND c.n_words <= 100000
+        |    AND c.sum_word_len >= 3 * c.n_words AND c.sum_word_len <= 10 * c.n_words
+        |    AND 10 * c.n_symbols <= c.n_words
+        |    AND 5 * c.n_alpha_words >= 4 * c.n_words
+        |    AND c.n_stopwords >= 0),
+        |u AS (
+        |  SELECT k.* FROM keep k
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)) r USING (doc_id)),
+        |l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |         WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_pred
+        |  FROM (SELECT doc_id,
+        |      len(list_filter(words, x -> list_contains(['the','a','of','and'], x)))::BIGINT AS s_en,
+        |      len(list_filter(words, x -> list_contains(['el','la','de','y'], x)))::BIGINT AS s_es,
+        |      len(list_filter(words, x -> list_contains(['der','die','das','und'], x)))::BIGINT AS s_de
+        |    FROM u))
+        |SELECT l.lang_pred, u.source, count(*)::BIGINT AS n_docs,
+        |  sum(u.n_words)::BIGINT AS n_tokens, sum(u.n_chars)::BIGINT AS n_chars
+        |FROM u JOIN l USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_jsonl_ingest" ->
       """SELECT event_type, count(*)::BIGINT AS n,
