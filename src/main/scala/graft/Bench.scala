@@ -19,6 +19,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // size-based AQE coalescing (default parallelismFirst=true
+      // keeps ~2×cores post-shuffle partitions for "parallelism",
+      // which at bench scale means 32-64 near-empty tasks per
+      // exchange — pure scheduling floor). Size-targeted coalescing
+      // is also the right cluster setting: partitions sized by
+      // advisoryPartitionSizeInBytes, not by a core-count heuristic.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -119,6 +119,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
           max(col("c_custkey")).as("max_key"), Ops.moneySum(col("c_acctbal"), 2).as("bal_sum"))
     }),
+    // copy-on-write MERGE into a zone-mapped table: replace the %97
+    // key band (+1000 on the price), insert shifted new keys, then
+    // aggregate the post-merge table; the oracle recomputes the same
+    // anti-join ∪ updates content directly from the parquet original
+    "q_merge_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val ord = Tables.orders(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_merge_orders").getPath
+      graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)
+      val updates = ord.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(ord.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.core.Warehouse.mergeZoneMapped(s, dir, "o_orderkey", updates)
+      s.read.parquet(s"$dir/data")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Ops.moneySum(col("o_totalprice"), 2).as("price_sum"))
+    }),
+    // ORC round-trip with a filtered aggregate, so the re-read scan
+    // exercises stripe-stat pushdown on the way back in
+    "q_orc_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val ord = Tables.orders(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_orc_orders").getPath
+      graft.sources.ColumnarFormats.writeOrc(ord, dir)
+      graft.sources.ColumnarFormats.readOrc(s, dir)
+        .filter(col("o_totalprice") > 150000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Ops.moneySum(col("o_totalprice"), 2).as("price_sum"))
+    }),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
@@ -399,6 +429,13 @@ object SparkEntry {
       import graft.media.MediaOps
       MediaOps.audioFeatures(MediaOps.synthWavCorpus(Tables.documents(s, d))).toDF()
     }),
+    // energy-gated VAD segmentation over the same real-WAV corpus;
+    // the oracle recomputes frames/gate/islands from the synthesis
+    // formula, so a framing or gating bug cannot hash-match
+    "q_audio_segments" -> ((s, d) => {
+      import graft.media.MediaOps
+      MediaOps.audioSegments(MediaOps.synthWavCorpus(Tables.documents(s, d))).toDF()
+    }),
     // REAL image decode: synthesized pixels → actual BMP (even ids) /
     // PPM (odd ids) bytes → magic-sniffed byte-walk parse → features.
     // wsum is raster-position × channel-mix weighted, so a decoder
@@ -638,6 +675,28 @@ object SparkEntry {
         |  min(c_custkey)::BIGINT AS min_key, max(c_custkey)::BIGINT AS max_key,
         |  CAST(SUM(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT * FROM upd)
+        |SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM merged GROUP BY 1""".stripMargin,
+
+    "q_orc_ingest" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1""".stripMargin,
 
     // exact two-pass heavy hitters equal plain group-count-having;
     // ceil(0.004·N) is the same IEEE double on both engines, so the
@@ -1837,6 +1896,27 @@ object SparkEntry {
         |  max(abs(amp))::BIGINT AS peak,
         |  sum(CASE WHEN i > 0 AND ((amp >= 0) != (prev_amp >= 0)) THEN 1 ELSE 0 END)::BIGINT AS n_zero_cross
         |FROM a GROUP BY doc_id""".stripMargin,
+
+    // frames, the integer activity gate (nf·e ≥ etot), and the
+    // gaps-and-islands collapse, recomputed from the synthesis formula
+    "q_audio_segments" ->
+      """WITH d AS (SELECT doc_id, 256 + doc_id % 128 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |fr AS (SELECT doc_id, i // 64 AS f, (i * (doc_id + 7)) % 2048 - 1024 AS amp FROM s),
+        |e AS (SELECT doc_id, f, sum(amp * amp)::BIGINT AS e FROM fr GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS nf, sum(e)::BIGINT AS etot FROM e GROUP BY 1),
+        |act AS (SELECT e.doc_id, e.f, e.e FROM e JOIN tot USING (doc_id)
+        |        WHERE tot.nf * e.e >= tot.etot),
+        |grp AS (SELECT doc_id, f, e,
+        |          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+        |        FROM act),
+        |seg AS (SELECT doc_id, g, min(f) AS f_start, max(f) AS f_end,
+        |          count(*)::BIGINT AS n_frames, sum(e)::BIGINT AS energy
+        |        FROM grp GROUP BY 1, 2)
+        |SELECT doc_id AS media_id,
+        |  (row_number() OVER (PARTITION BY doc_id ORDER BY f_start) - 1)::BIGINT AS seg_id,
+        |  f_start::BIGINT AS f_start, f_end::BIGINT AS f_end, n_frames, energy
+        |FROM seg""".stripMargin,
 
     // closed-form twin of the synthesized pixels; integer sums + one
     // division per mean are bit-identical, no rounding needed

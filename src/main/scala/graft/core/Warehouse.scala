@@ -131,6 +131,75 @@ object Warehouse {
     data.filter(col(statCol) >= lit(lo) && col(statCol) <= lit(hi))
   }
 
+  /** Copy-on-write MERGE (upsert) into a [[writeZoneMapped]] table:
+    * rows in `updates` REPLACE stored rows with the same `statCol`
+    * key; unmatched update keys INSERT. Only the files whose zone
+    * [mn, mx] intersects an update key are rewritten — the manifest
+    * decides the touched set with a broadcast range join against the
+    * DISTINCT update keys, so at 100 TB a point-heavy merge rewrites
+    * a handful of files while the untouched thousands keep their
+    * bytes AND their manifest rows. The stats pass for the manifest
+    * delta scans ONLY the newly written files (merge-sized, not
+    * table-sized).
+    *
+    * Returns (filesRewritten, filesTotalBefore). The swap itself
+    * (delete old files + write manifest) is NOT atomic here — a real
+    * table format (Iceberg/Delta) commits the same file-set delta
+    * through an atomic metadata pointer; this models the COW
+    * mechanics and the pruning contract, and the spec asserts both
+    * the semantics (equals anti-join ∪ updates) and the bound
+    * (narrow merges touch few files). Update keys must be non-null:
+    * a null key matches no zone and would silently become a
+    * permanent insert-only row; fail instead. */
+  def mergeZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      statCol: String, updates: DataFrame): (Int, Int) = {
+    val firstRow = updates.agg(count(lit(1)).as("n"),
+      sum(when(col(statCol).isNull, 1L).otherwise(0L)).as("n_null")).collect()(0)
+    val (nUpd, nNull) = (firstRow.getLong(0), if (firstRow.isNullAt(1)) 0L else firstRow.getLong(1))
+    require(nNull == 0L, s"mergeZoneMapped: $nNull update row(s) carry a null '$statCol' key")
+    val man = spark.read.parquet(s"$dir/_zonemap")
+    val before = man.select("file").collect().map(_.getString(0)).toSet
+    if (nUpd == 0L) return (0, before.size)
+    val touched = updates.select(col(statCol).as("k")).distinct()
+      .join(broadcast(man), col("k") >= col("mn") && col("k") <= col("mx"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val keep =
+      if (touched.isEmpty) updates.limit(0)
+      else spark.read.parquet(touched.toSeq: _*)
+        .join(updates.select(col(statCol)).distinct(), Seq(statCol), "left_anti")
+    keep.unionByName(updates)
+      .repartitionByRange(math.max(1, touched.size), col(statCol))
+      .sortWithinPartitions(col(statCol))
+      .write.mode(SaveMode.Append).parquet(s"$dir/data")
+    // manifest delta: stats from the NEW files only (merge-sized scan)
+    val after = spark.read.parquet(s"$dir/data")
+      .select(input_file_name().as("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val fresh = (after -- before).toSeq
+    val freshStats = spark.read.parquet(fresh: _*)
+      .select(input_file_name().as("file"), col(statCol))
+      .groupBy("file")
+      .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
+           count(lit(1)).as("n_rows"))
+    man.filter(!col("file").isin(touched.toSeq: _*))
+      .unionByName(freshStats)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zonemap_next")
+    // swap: old touched data files + old manifest die AFTER the new
+    // manifest is durable (crash between the two leaves a readable
+    // table through _zonemap_next; the atomicity caveat above)
+    touched.foreach { f =>
+      val p = new java.io.File(new java.net.URI(f))
+      if (p.exists) p.delete()
+    }
+    val mdir = new java.io.File(dir, "_zonemap")
+    Option(mdir.listFiles).foreach(_.foreach(_.delete()))
+    mdir.delete()
+    val ok = new java.io.File(dir, "_zonemap_next").renameTo(mdir)
+    require(ok, s"mergeZoneMapped: manifest swap rename failed under $dir")
+    (touched.size, before.size)
+  }
+
   /** Skew-salted equi-join that preserves inner-join semantics
     * exactly: the big (skewed) side gets a deterministic salt in
     * [0, n) per row; the small side is exploded n× so every

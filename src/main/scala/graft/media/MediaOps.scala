@@ -175,6 +175,65 @@ object MediaOps {
     })
   }
 
+  /** One energy-gated activity segment of a decoded audio row —
+    * frame indices are inclusive, `energy` is the exact integer
+    * Σ amp² over the segment's frames. */
+  case class AudioSegment(media_id: Long, seg_id: Long, f_start: Long,
+                          f_end: Long, n_frames: Long, energy: Long)
+
+  /** Energy-based activity segmentation (the VAD shape): split the
+    * PCM stream into `frameLen`-sample frames (last frame partial),
+    * gate each frame on its energy, and collapse consecutive active
+    * frames into segments. The gate is ALL-INTEGER — frame f is
+    * active iff `nFrames · energy(f) ≥ energyTotal` (i.e. energy ≥
+    * the mean frame energy, cross-multiplied so no float contract is
+    * needed) — which keeps the whole output hashable cross-engine.
+    *
+    * Same scale shape as [[audioFeatures]]: per-row decode + one
+    * imperative pass over the samples inside `mapPartitions`,
+    * payloads never shuffle, output is the narrow segment list
+    * (≤ nFrames rows per media row). */
+  def audioSegments(media: Dataset[MediaRow], frameLen: Int = 64): Dataset[AudioSegment] = {
+    require(frameLen >= 1, s"need frameLen >= 1, got $frameLen")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val s = WavCodec.decode(m.payload).samples
+      val n = s.length
+      val nf = (n + frameLen - 1) / frameLen
+      if (nf == 0) Iterator.empty
+      else {
+        val energy = new Array[Long](nf)
+        var i = 0
+        while (i < n) {
+          val v = s(i).toLong
+          energy(i / frameLen) += v * v
+          i += 1
+        }
+        val total = energy.sum
+        val segs = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+        var f = 0
+        var start = -1
+        var segEnergy = 0L
+        while (f < nf) {
+          val active = nf * energy(f) >= total
+          if (active) {
+            if (start < 0) { start = f; segEnergy = 0L }
+            segEnergy += energy(f)
+          } else if (start >= 0) {
+            segs += AudioSegment(m.media_id, segs.length.toLong, start.toLong,
+              (f - 1).toLong, (f - start).toLong, segEnergy)
+            start = -1
+          }
+          f += 1
+        }
+        if (start >= 0)
+          segs += AudioSegment(m.media_id, segs.length.toLong, start.toLong,
+            (nf - 1).toLong, (nf - start).toLong, segEnergy)
+        segs.iterator
+      }
+    })
+  }
+
   /** REAL video demux: 1 row → N frame rows, each payload the
     * complete byte slice of one P6 frame out of a concatenated-PPM
     * stream (the ffmpeg `image2pipe -vcodec ppm` container). Frame

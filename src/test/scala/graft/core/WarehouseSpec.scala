@@ -88,6 +88,39 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0L)
   }
 
+  test("COW merge: upsert semantics, bounded rewrite, manifest stays prune-consistent") {
+    val rows = (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg").toString + "/t"
+    Warehouse.writeZoneMapped(rows, dir, "k", nFiles = 16)
+    // updates: replace a narrow key band + insert beyond the table's range
+    val updates = ((1000 until 1100).map(i => (i.toLong, s"NEW$i")) ++
+      (9000 until 9010).map(i => (i.toLong, s"INS$i"))).toDF("k", "v")
+    val (rewritten, total) = Warehouse.mergeZoneMapped(spark, dir, "k", updates)
+    assert(total == 16)
+    assert(rewritten <= 2, s"narrow band over 16 sorted files rewrote $rewritten")
+    // post-merge content == anti-join ∪ updates, row for row
+    val got = spark.read.parquet(s"$dir/data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = (0 until 4000).filterNot(i => i >= 1000 && i < 1100)
+      .map(i => (i.toLong, s"v$i")).toSet ++
+      (1000 until 1100).map(i => (i.toLong, s"NEW$i")) ++
+      (9000 until 9010).map(i => (i.toLong, s"INS$i"))
+    assert(got == expect)
+    // the rebuilt manifest still prunes exactly
+    val pruned = Warehouse.readZoneMapPruned(spark, dir, "k", 1050L, 1059L)
+    assert(pruned.collect().map(_.getString(1)).sorted.toSeq ==
+      (1050 to 1059).map(i => s"NEW$i"))
+    val ins = Warehouse.readZoneMapPruned(spark, dir, "k", 9000L, 9999L)
+    assert(ins.count() == 10L)
+    // empty updates: no-op, nothing rewritten
+    assert(Warehouse.mergeZoneMapped(spark, dir, "k", updates.limit(0))._1 == 0)
+    // null keys refuse loudly
+    val badUpd = Seq((null.asInstanceOf[java.lang.Long], "x")).toDF("k", "v")
+      .select(col("k").cast("long").as("k"), col("v"))
+    intercept[IllegalArgumentException](
+      Warehouse.mergeZoneMapped(spark, dir, "k", badUpd))
+  }
+
   test("salted join == plain join on skewed data") {
     // 90% of big-side rows hit one key — the salting target
     val big = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong % 50 else 7L, i))

@@ -65,6 +65,38 @@ class WavCodecSpec extends SparkSpec {
     assert(ex2.getMessage.contains("second data chunk"))
   }
 
+  test("audioSegments: integer activity gate + island collapse match a driver reference") {
+    val docs = Seq((3L, "x"), (10L, "y"), (131L, "z"), (77L, "w")).toDF("doc_id", "text")
+    val got = MediaOps.audioSegments(MediaOps.synthWavCorpus(docs), frameLen = 64)
+      .collect().groupBy(_.media_id)
+    Seq(3L, 10L, 77L, 131L).foreach { id =>
+      val n = 256 + (id % 128).toInt
+      val amps = (0 until n).map(i => (i.toLong * (id + 7)) % 2048 - 1024)
+      val energies = amps.grouped(64).map(_.map(a => a * a).sum).toVector
+      val nf = energies.size
+      val total = energies.sum
+      // driver-side reference: gate then collapse runs of active frames
+      val active = energies.zipWithIndex.filter { case (e, _) => nf * e >= total }.map(_._2)
+      val runs = active.foldLeft(Vector.empty[Vector[Int]]) {
+        case (acc, f) if acc.nonEmpty && acc.last.last == f - 1 => acc.init :+ (acc.last :+ f)
+        case (acc, f) => acc :+ Vector(f)
+      }
+      val expect = runs.zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.head.toLong, r.last.toLong, r.size.toLong, r.map(energies(_)).sum)
+      }
+      val have = got.getOrElse(id, Array.empty).sortBy(_.seg_id)
+        .map(s => (s.seg_id, s.f_start, s.f_end, s.n_frames, s.energy)).toSeq
+      assert(have == expect, s"id=$id energies=$energies")
+      assert(have.nonEmpty, s"id=$id produced no segments")
+    }
+  }
+
+  test("audioSegments rejects a non-positive frame length") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      MediaOps.audioSegments(MediaOps.synthWavCorpus(docs), frameLen = 0))
+  }
+
   test("audioFeatures over real WAV bytes match the synthesis formula") {
     val docs = Seq((3L, "x"), (10L, "y"), (131L, "z")).toDF("doc_id", "text")
     val got = MediaOps.audioFeatures(MediaOps.synthWavCorpus(docs)).collect()
