@@ -61,6 +61,9 @@ object SparkEntry {
       graft.core.Warehouse.readZoneMapPruned(s, dir, "l_orderkey", 1000L, 2000L)
     }),
     "q_running_sum" -> ((s, d) => Ops.runningTotals(Tables.events(s, d))),
+    // odd window + full-windows-only => every median is a picked
+    // element, no interpolation arithmetic to diverge cross-engine
+    "q_rolling_median" -> ((s, d) => Ops.rollingMedian(Tables.events(s, d), 5)),
     // ---- §2e: fan-out / generators ----
     "q_fanout_explode" -> ((s, d) => Ops.fanoutExplode(Tables.part(s, d), Seq("100", "110", "111"))),
     // ---- §2f: aggregations & windows ----
@@ -574,6 +577,18 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT AS rn
         |FROM events""".stripMargin,
+
+    // 5-element odd window, full windows only: DuckDB's median over
+    // an odd count is the exact middle element (no interpolation), so
+    // both engines emit a PICKED double bit-for-bit
+    "q_rolling_median" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us, value,
+        |    median(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, us, value, med FROM w WHERE rn >= 5""".stripMargin,
 
     "q_fanout_explode" ->
       """SELECT p_partkey, f.facet_idx::BIGINT AS facet_idx, f.facet,

@@ -603,6 +603,34 @@ object Ops {
         Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))).cast(LongType))
   }
 
+  /** Exact rolling median of `value` over the last `nWindow` events
+    * per user — the robust smoother (a rolling MEAN chases every
+    * spike; the median ignores them). Spark has no median window
+    * function; this composes `collect_list` over a row frame +
+    * `sort_array` + middle element. `nWindow` must be ODD and only
+    * full windows emit: every median is then a PICKED element, never
+    * an interpolation — zero float arithmetic, so the output hashes
+    * identically on any engine (an even window would average two
+    * middles, and interpolation formulas differ across engines ulp-
+    * wise).
+    *
+    * One shuffle on user_id; both window frames share the same
+    * (ts, id) sort. Per-row state is the nWindow-element array — the
+    * frame bound, not the partition, so a hot user costs O(nWindow)
+    * per row, not O(history). */
+  def rollingMedian(events: DataFrame, nWindow: Int = 5): DataFrame = {
+    require(nWindow >= 1 && nWindow % 2 == 1, s"need odd nWindow >= 1, got $nWindow")
+    val order = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val frame = order.rowsBetween(-(nWindow - 1), Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"), col("value"))
+      .withColumn("arr", sort_array(collect_list(col("value")).over(frame)))
+      .withColumn("rn", row_number().over(order))
+      .filter(col("rn") >= nWindow)
+      .select(col("user_id"), col("event_id"), col("us"), col("value"),
+        element_at(col("arr"), (nWindow + 1) / 2).as("med"))
+  }
+
   /** Windowed dedup: keep the FIRST event per (user, type) within
     * each tumbling window — the batch twin (and backstop) of
     * `StreamingOps.dedupStream`'s watermark-scoped key state. One

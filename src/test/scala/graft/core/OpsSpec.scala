@@ -488,6 +488,20 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == ((1L, 0L, "odd domain <EMAIL> here")))
   }
 
+  test("rollingMedian picks the exact middle of each full 5-window, in event order") {
+    // user 1: values 10,1,8,3,6,100,2 → full windows start at rn 5:
+    //   rn5 {10,1,8,3,6}→6, rn6 {1,8,3,6,100}→6, rn7 {8,3,6,100,2}→6
+    // the 100-spike never surfaces — the point of a median smoother
+    val rows = Seq(10.0, 1.0, 8.0, 3.0, 6.0, 100.0, 2.0).zipWithIndex.map {
+      case (v, i) => (1L, (i + 1).toLong, i.toLong * 1000000L, v)
+    } ++ Seq((2L, 100L, 0L, 42.0)) // user 2: only 1 event, no full window
+    val got = Ops.rollingMedian(rows.toDF("user_id", "event_id", "ts", "value"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.toSet == Set((1L, 5L, 6.0), (1L, 6L, 6.0), (1L, 7L, 6.0)))
+    intercept[IllegalArgumentException](
+      Ops.rollingMedian(rows.toDF("user_id", "event_id", "ts", "value"), 4))
+  }
+
   test("windowDedup floors negative timestamps into the window below zero") {
     val w = 1000000L // 1s windows
     val events = Seq(
