@@ -64,6 +64,15 @@ object SparkEntry {
     // odd window + full-windows-only => every median is a picked
     // element, no interpolation arithmetic to diverge cross-engine
     "q_rolling_median" -> ((s, d) => Ops.rollingMedian(Tables.events(s, d), 5)),
+    // sketch checked against the exact discrete quantile; the
+    // declared output is (group, exact_q, within_bound) — the GK
+    // sketch value itself never hashes (merge-order-sensitive)
+    "q_approx_percentile" -> ((s, d) =>
+      Ops.approxPercentileChecked(Tables.events(s, d), "event_type", "value", 0.5, 0.01)),
+    // exact-integer-moment Pearson correlation (order-independent,
+    // hash-stable float via the integer→double contract)
+    "q_correlation" -> ((s, d) =>
+      Ops.centsCorrelation(Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_discount")),
     // ---- §2e: fan-out / generators ----
     "q_fanout_explode" -> ((s, d) => Ops.fanoutExplode(Tables.part(s, d), Seq("100", "110", "111"))),
     // ---- §2f: aggregations & windows ----
@@ -577,6 +586,39 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT AS rn
         |FROM events""".stripMargin,
+
+    // moments in exact BIGINT cents, correlation in the mirrored
+    // fixed-order double expression — operand casts and parentheses
+    // match the Spark side token for token
+    "q_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sx,
+        |    sum(round(l_discount * 100)::BIGINT)::BIGINT AS sy,
+        |    sum(round(l_quantity * 100)::BIGINT * round(l_discount * 100)::BIGINT)::BIGINT AS sxy,
+        |    sum(round(l_quantity * 100)::BIGINT * round(l_quantity * 100)::BIGINT)::BIGINT AS sxx,
+        |    sum(round(l_discount * 100)::BIGINT * round(l_discount * 100)::BIGINT)::BIGINT AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sx, sy,
+        |  CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+        |        AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+        |    THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |         / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |            * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |  END AS corr
+        |FROM m""".stripMargin,
+
+    // the exact side re-derives the SAME rank convention (rk =
+    // ceil(p·n) over the value order) instead of quantile_disc,
+    // whose index formula differs off p=0.5; the bound fact is TRUE
+    "q_approx_percentile" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, value AS exact_q, TRUE AS within_bound
+        |FROM r WHERE rk = ceil(0.5 * n)""".stripMargin,
 
     // 5-element odd window, full windows only: DuckDB's median over
     // an odd count is the exact middle element (no interpolation), so

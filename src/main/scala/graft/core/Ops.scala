@@ -484,6 +484,89 @@ object Ops {
         (abs(col("approx_nd") - col("exact_nd")).cast(DoubleType)
           / col("exact_nd") <= lit(boundMultiple * rsd)).as("within_bound"))
 
+  /** Oracle-able sketched percentile, the [[approxDistinctChecked]]
+    * pattern applied to quantiles: per group, the EXACT discrete
+    * p-quantile (the picked element at rank ⌈p·n⌉ — no
+    * interpolation, so it hashes cross-engine) plus `within_bound` =
+    * the deterministic fact that Spark's `percentile_approx`
+    * (Greenwald–Khanna) lands within its rank-error guarantee. The
+    * production sweep at 100 TB runs the sketch alone: fixed memory
+    * per group, partial-aggregable, no per-group value sort; the
+    * exact side here is the verification harness. The exact pick
+    * uses two window passes over ONE (group, value) sort — rank and
+    * count share the shuffle — not a per-group `collect_list` (which
+    * would buffer a whole group in one row at scale).
+    *
+    * GK's guarantee is on RANK (± accuracyFraction·n), not value;
+    * the bound check therefore compares ranks: the sketch's answer
+    * must be an element whose rank is within the tolerance of
+    * ⌈p·n⌉. */
+  def approxPercentileChecked(df: DataFrame, groupCol: String, valueCol: String,
+                              p: Double = 0.5, accuracyFraction: Double = 0.01): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"need p in (0,1), got $p")
+    require(accuracyFraction > 0.0 && accuracyFraction < 0.5,
+      s"need accuracyFraction in (0,0.5), got $accuracyFraction")
+    val order = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val whole = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .withColumn("rk", row_number().over(order))
+      .withColumn("n", count(lit(1)).over(whole))
+    val exact = ranked
+      .filter(col("rk") === ceil(lit(p) * col("n")).cast(LongType))
+      .select(col(groupCol), col(valueCol).as("exact_q"), col("n"))
+    val approx = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), lit(p),
+        lit(math.max(1, math.ceil(1.0 / accuracyFraction).toInt))).as("approx_q"))
+    // rank of the sketch's answer = how many values are <= it; the GK
+    // bound allows ±accuracy·n around the target rank
+    val approxRank = df.select(col(groupCol), col(valueCol))
+      .join(approx, Seq(groupCol))
+      .groupBy(col(groupCol), col("approx_q"))
+      .agg(sum(when(col(valueCol) <= col("approx_q"), 1L).otherwise(0L)).as("approx_rank"))
+    exact.join(approxRank, Seq(groupCol))
+      .select(col(groupCol), col("exact_q"),
+        (abs(col("approx_rank") - ceil(lit(p) * col("n")).cast(LongType))
+          <= ceil(lit(accuracyFraction) * col("n")).cast(LongType) + lit(1L)).as("within_bound"))
+  }
+
+  /** Grouped Pearson correlation over MONEY columns with the exact-
+    * integer contract: each value becomes its cents (`round(x·100)`,
+    * a long — 2-dp doubles land within an ulp of the integer, never
+    * at a .5 boundary), so all five moment sums are exact integer
+    * aggregates: order-independent under any partitioning, immune to
+    * the float-running-sum drift AND to the decimal→double cast
+    * hazard. The final correlation computes in ONE fixed-order
+    * double expression from those exact integers (integer→double is
+    * correctly rounded everywhere), so even the float result hashes
+    * cross-engine. Built-in `corr` is the contrast: a float
+    * accumulator whose value depends on row order — fine for
+    * analytics, unusable for a reproducibility contract.
+    *
+    * One partial-aggregated groupBy — moments collapse map-side,
+    * the shuffle carries 6 longs per group. Caller owns ranges:
+    * the long accumulators hold Σxy exactly while
+    * n·max(|x_cents|)·max(|y_cents|) stays under 2⁶³ (true for the
+    * declared quantity×discount query by ~8 orders of magnitude);
+    * wider ranges move the moments to DECIMAL(38,0) and lose the
+    * cast-free guarantee. Zero-variance groups emit null, not a
+    * division blow-up. */
+  def centsCorrelation(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val xc = round(col(xCol) * 100).cast(LongType)
+    val yc = round(col(yCol) * 100).cast(LongType)
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"), sum(xc).as("sx"), sum(yc).as("sy"),
+      sum(xc * yc).as("sxy"), sum(xc * xc).as("sxx"), sum(yc * yc).as("syy"))
+    val nD = col("n").cast(DoubleType)
+    val sxD = col("sx").cast(DoubleType); val syD = col("sy").cast(DoubleType)
+    val varX = nD * col("sxx").cast(DoubleType) - sxD * sxD
+    val varY = nD * col("syy").cast(DoubleType) - syD * syD
+    agg.select(col(groupCol), col("n"), col("sx"), col("sy"),
+      when(varX > 0.0 && varY > 0.0,
+        (nD * col("sxy").cast(DoubleType) - sxD * syD) / (sqrt(varX) * sqrt(varY)))
+        .as("corr"))
+  }
+
   val EventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
 
   /** Ordered-series pivot per group (`dags/my_dag.py:151-160` collects

@@ -502,6 +502,32 @@ class OpsSpec extends SparkSpec {
       Ops.rollingMedian(rows.toDF("user_id", "event_id", "ts", "value"), 4))
   }
 
+  test("centsCorrelation: exact moments give ±1 on linear data, null on zero variance") {
+    val df = Seq(
+      ("up", 1.0, 0.01), ("up", 2.0, 0.02), ("up", 3.0, 0.03),
+      ("dn", 1.0, 0.03), ("dn", 2.0, 0.02), ("dn", 3.0, 0.01),
+      ("fl", 1.0, 0.02), ("fl", 2.0, 0.02), ("fl", 3.0, 0.02))
+      .toDF("g", "x", "y")
+    val got = Ops.centsCorrelation(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got("up") == ((3L, 600L, 6L, Some(1.0))))
+    assert(got("dn")._4 == Some(-1.0))
+    assert(got("fl")._4 == None) // zero y-variance: null, not NaN
+  }
+
+  test("approxPercentileChecked: exact discrete quantile + GK bound holds") {
+    val rows = (1 to 101).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", math.pow(2.0, i))) // skewed group
+    val df = rows.toDF("g", "v")
+    val got = Ops.approxPercentileChecked(df, "g", "v", 0.5, 0.01)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got("a") == ((51.0, true)))   // rank ceil(0.5*101) = 51
+    assert(got("b") == ((32.0, true)))   // rank ceil(0.5*10) = 5 -> 2^5
+    intercept[IllegalArgumentException](
+      Ops.approxPercentileChecked(df, "g", "v", 1.5))
+  }
+
   test("windowDedup floors negative timestamps into the window below zero") {
     val w = 1000000L // 1s windows
     val events = Seq(
