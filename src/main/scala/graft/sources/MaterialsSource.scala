@@ -84,6 +84,22 @@ object MaterialsSource {
     * columns first, then one column per aggregate — the DSv2
     * contract). */
   case class PushedAgg(groupBy: Seq[String], aggs: Seq[AggSpec], schema: StructType)
+
+  /** A fully-translated pushed join: the other (right) side's backend
+    * query, both sides' (catalogColumn → outputName) projections in
+    * Spark's requested order, the equi-key pair, and the joined
+    * output schema. Output names carry Spark's de-duplicating
+    * aliases, so a self-join's twin columns stay distinct. */
+  case class PushedJoin(rightQuery: BackendQuery,
+                        leftCols: Seq[(String, String)],
+                        rightCols: Seq[(String, String)],
+                        leftKey: String, rightKey: String) {
+    def schema: StructType = StructType(
+      leftCols.map { case (c, out) =>
+        val f = Schema(Schema.fieldIndex(c)); StructField(out, f.dataType, f.nullable) } ++
+      rightCols.map { case (c, out) =>
+        val f = Schema(Schema.fieldIndex(c)); StructField(out, f.dataType, f.nullable) })
+  }
 }
 
 /** The pluggable fetch seam of the source — everything below the
@@ -250,10 +266,11 @@ private[sources] class MaterialsTable(properties: Map[String, String])
   }
 }
 
-private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: Int)
+private[sources] class MaterialsScanBuilder(val backend: MaterialsBackend, pages: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownAggregates
-    with SupportsPushDownOffset with SupportsPushDownTableSample {
+    with SupportsPushDownOffset with SupportsPushDownTableSample
+    with SupportsPushDownJoin {
   import MaterialsSource._
 
   private val Pushable = Set("material_id", "chemsys", "possible_species")
@@ -263,6 +280,83 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
   private var offset: Int = 0
   private var sample: Option[(Double, Double, Long)] = None
   private var aggPushed: Option[PushedAgg] = None
+  private var joinPushed: Option[PushedJoin] = None
+
+  /** No pushed operator that would have to compose with a later
+    * join: filters are fine (they stay per-side), everything
+    * order-sensitive (limit/top-n/offset/sample/agg/another join)
+    * declines the composition. */
+  private[sources] def joinPristine: Boolean =
+    aggPushed.isEmpty && joinPushed.isEmpty && limit < 0 && topN.isEmpty &&
+      offset == 0 && sample.isEmpty
+
+  private[sources] def inQuery: BackendQuery = {
+    val in = pushed.collect {
+        case EqualTo(a, v: String) => a -> Seq(v)
+        case In(a, vs) => a -> vs.map(_.asInstanceOf[String]).toSeq
+      }
+      .groupBy(_._1)
+      .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
+    BackendQuery(Map.empty, in)
+  }
+
+  /** JOIN pushdown (DSv2, Spark 4.1): both sides of an INNER equi-
+    * join against the SAME catalog backend collapse into one scan
+    * that the backend answers — the "join runs on the server" shape
+    * a federated REST/JDBC source wants (for this catalog: the
+    * self-join enriching one projection of a material with another).
+    * Compatibility = same backend value; each side may carry pushed
+    * FILTERS (they become the per-side backend queries), anything
+    * order-sensitive declines. Only a single `=` on one column per
+    * side is accepted — the backend wire has no composite-key
+    * endpoint, and a declined push is just Spark's own join. */
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other match {
+      case o: MaterialsScanBuilder => o.backend == backend && o.joinPristine && joinPristine
+      case _ => false
+    }
+
+  override def pushDownJoin(other: SupportsPushDownJoin,
+                            joinType: org.apache.spark.sql.connector.join.JoinType,
+                            leftRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
+                            rightRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
+                            condition: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN ||
+        condition == null || !isOtherSideCompatibleForJoin(other)) return false
+    val o = other.asInstanceOf[MaterialsScanBuilder]
+    def outName(c: SupportsPushDownJoin.ColumnWithAlias): String =
+      Option(c.alias).getOrElse(c.colName)
+    val leftCols = leftRequired.toSeq.map(c => c.colName -> outName(c))
+    val rightCols = rightRequired.toSeq.map(c => c.colName -> outName(c))
+    if (leftCols.exists(c => !Schema.fieldNames.contains(c._1)) ||
+        rightCols.exists(c => !Schema.fieldNames.contains(c._1))) return false
+    // single equi-condition over one output column per side
+    val refs = condition match {
+      case p if p.name() == "=" && p.children().length == 2 =>
+        p.children().toSeq.map {
+          case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+          case _ => None
+        }
+      case _ => Seq(None, None)
+    }
+    if (refs.exists(_.isEmpty)) return false
+    val names = refs.map(_.get)
+    val leftByOut = leftCols.map(_.swap).toMap
+    val rightByOut = rightCols.map(_.swap).toMap
+    (names.map(leftByOut.get), names.map(rightByOut.get)) match {
+      case (Seq(Some(lk), None), Seq(None, Some(rk))) => accept(o, leftCols, rightCols, lk, rk)
+      case (Seq(None, Some(lk)), Seq(Some(rk), None)) => accept(o, leftCols, rightCols, lk, rk)
+      case _ => false
+    }
+  }
+
+  private def accept(o: MaterialsScanBuilder, leftCols: Seq[(String, String)],
+                     rightCols: Seq[(String, String)], lk: String, rk: String): Boolean = {
+    val pj = PushedJoin(o.inQuery, leftCols, rightCols, lk, rk)
+    joinPushed = Some(pj)
+    required = pj.schema
+    true
+  }
 
   /** TABLESAMPLE pushdown — the "probe 1% of a petabyte catalog"
     * shape. The backend keeps rows whose deterministic per-id sample
@@ -277,7 +371,7 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
     * offset first meant offset-then-sample). */
   override def pushTableSample(lowerBound: Double, upperBound: Double,
                                withReplacement: Boolean, seed: Long): Boolean =
-    if (withReplacement || aggPushed.isDefined || offset > 0) false
+    if (withReplacement || aggPushed.isDefined || offset > 0 || joinPushed.isDefined) false
     else { sample = Some((lowerBound, upperBound, seed)); true }
 
   /** OFFSET pushdown — the pagination-cursor shape (`df.offset(o)`
@@ -289,7 +383,7 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
     * a top-n (the sorted-skip composition is the backend's only
     * sound order — kept engine-side rather than trusted). */
   override def pushOffset(n: Int): Boolean =
-    if (pages == 1 && aggPushed.isEmpty && topN.isEmpty) { offset = n; true }
+    if (pages == 1 && aggPushed.isEmpty && topN.isEmpty && joinPushed.isEmpty) { offset = n; true }
     else false
 
   /** LIMIT pushdown: each page reader stops after `n` matching rows
@@ -301,7 +395,7 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
     * backend applies limit BEFORE aggregation, but a post-agg LIMIT
     * means "first k groups". */
   override def pushLimit(n: Int): Boolean =
-    if (aggPushed.isDefined) false else { limit = n; true }
+    if (aggPushed.isDefined || joinPushed.isDefined) false else { limit = n; true }
 
   private var topN: Option[(String, Boolean, Int)] = None // (col, descending, n)
 
@@ -318,7 +412,7 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
     * columns are non-nullable, so null ordering cannot diverge.)
     * Anything richer is planned engine-side. */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
-    if (aggPushed.isDefined) false // same pre-vs-post-agg mismatch as pushLimit
+    if (aggPushed.isDefined || joinPushed.isDefined) false // same pre-vs-post mismatch as pushLimit
     else orders match {
       case Array(o) =>
         o.expression() match {
@@ -335,6 +429,10 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
   override def isPartiallyPushed: Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // post-join filters reference the JOINED (possibly aliased)
+    // schema — the per-side backend queries are already sealed, so
+    // everything stays engine-side
+    if (joinPushed.isDefined) return filters
     val (accepted, rejected) = filters.partition {
       case EqualTo(a, _: String) => Pushable(a)
       case In(a, vs) if vs.forall(_.isInstanceOf[String]) => Pushable(a)
@@ -356,13 +454,14 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
     * reason as pushTopN: JVM string ordering diverges from Spark's
     * UTF-8 binary order on supplementary-plane text. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    pages == 1 && translateAgg(agg).isDefined
+    pages == 1 && joinPushed.isEmpty && translateAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
     // a pushed sample would have to apply BEFORE the aggregation; the
     // aggregate wire path doesn't carry one — decline, Spark keeps
-    // the aggregate engine-side over the sampled scan
-    if (sample.isDefined) false
+    // the aggregate engine-side over the sampled scan (same for a
+    // pushed join: no post-join aggregation endpoint on the wire)
+    if (sample.isDefined || joinPushed.isDefined) false
     else translateAgg(agg) match {
       case some @ Some(_) => aggPushed = some; true
       case None => false
@@ -405,21 +504,14 @@ private[sources] class MaterialsScanBuilder(backend: MaterialsBackend, pages: In
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
+  override def build(): Scan =
     // multiple accepted conjuncts can hit the SAME column (e.g. two
     // isin() filters); since pushFilters returned no residual for
-    // them, Spark never re-applies them — a last-wins .toMap here
-    // would silently widen the result. Intersect value sets instead;
-    // EqualTo folds in as a singleton In.
-    val in = pushed.collect {
-        case EqualTo(a, v: String) => a -> Seq(v)
-        case In(a, vs) => a -> vs.map(_.asInstanceOf[String]).toSeq
-      }
-      .groupBy(_._1)
-      .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
-    new MaterialsScan(backend, pages, BackendQuery(Map.empty, in), required,
-      pushed.map(_.toString), limit, topN, aggPushed, offset, sample)
-  }
+    // them, Spark never re-applies them — a last-wins .toMap would
+    // silently widen the result, so inQuery intersects value sets
+    // (EqualTo folds in as a singleton In)
+    new MaterialsScan(backend, pages, inQuery, required,
+      pushed.map(_.toString), limit, topN, aggPushed, offset, sample, joinPushed)
 }
 
 private[sources] class MaterialsScan(
@@ -428,7 +520,8 @@ private[sources] class MaterialsScan(
     topN: Option[(String, Boolean, Int)] = None,
     agg: Option[MaterialsSource.PushedAgg] = None,
     offset: Int = 0,
-    sample: Option[(Double, Double, Long)] = None)
+    sample: Option[(Double, Double, Long)] = None,
+    join: Option[MaterialsSource.PushedJoin] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering {
@@ -449,6 +542,10 @@ private[sources] class MaterialsScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"MaterialsScan ${backend.description} PushedBackendQuery=[${pushedDesc.mkString(", ")}]" +
+      join.map { j =>
+        s" PushedJoin=[${j.leftKey} = ${j.rightKey}," +
+          s" right=[${j.rightQuery.in.map { case (k, v) => s"$k IN ${v.mkString("(", ",", ")")}" }.mkString(", ")}]]"
+      }.getOrElse("") +
       sample.map { case (lo, hi, seed) =>
         s" PushedSample=[$lo, $hi, seed=$seed]" }.getOrElse("") +
       (if (offset > 0) s" PushedOffset=$offset" else "") +
@@ -466,6 +563,11 @@ private[sources] class MaterialsScan(
     * dynamic partition pruning, expressed at the source seam. */
   private var runtime: MaterialsSource.BackendQuery = query
   override def filterAttributes(): Array[NamedReference] =
+    // a pushed JOIN seals both per-side queries; a late runtime
+    // filter on the joined output cannot be routed to one side
+    // soundly (which side owns the key after aliasing?) — decline
+    if (join.isDefined) Array.empty
+    else
     // after an aggregation is pushed, material_id is a valid runtime-
     // filter target only if it is still in the output (i.e. grouped
     // on) — filtering whole groups by key is sound, filtering by a
@@ -542,9 +644,10 @@ private[sources] class MaterialsScan(
     * may still re-shuffle — the report is the honest contract either
     * way). */
   override def outputPartitioning(): Partitioning =
-    if (agg.isDefined)
-      // aggregated pages group on arbitrary columns — the bucket
-      // report would be a lie unless grouping happened to be by id
+    if (agg.isDefined || join.isDefined)
+      // aggregated pages group on arbitrary columns, and joined
+      // output columns are aliased — either way the bucket report
+      // would be a lie
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(pages)
     else
       new KeyGroupedPartitioning(
@@ -555,7 +658,7 @@ private[sources] class MaterialsScan(
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(i =>
       MaterialsPage(backend, i, pages, runtime, limit, topN, agg, offset,
-        sample): InputPartition).toArray
+        sample, join): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MaterialsReaderFactory(required)
 }
@@ -564,7 +667,8 @@ private[sources] case class MaterialsPage(
     backend: MaterialsBackend, page: Int, nPages: Int, query: MaterialsSource.BackendQuery,
     limit: Int = -1, topN: Option[(String, Boolean, Int)] = None,
     agg: Option[MaterialsSource.PushedAgg] = None, offset: Int = 0,
-    sample: Option[(Double, Double, Long)] = None)
+    sample: Option[(Double, Double, Long)] = None,
+    join: Option[MaterialsSource.PushedJoin] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(page)
 }
@@ -573,11 +677,65 @@ private[sources] class MaterialsReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MaterialsPage]
-    p.agg match {
-      case Some(a) => new MaterialsAggPageReader(p, a)
-      case None    => new MaterialsPageReader(p, p.query, required)
+    (p.agg, p.join) match {
+      case (Some(a), _) => new MaterialsAggPageReader(p, a)
+      case (_, Some(j)) => new MaterialsJoinPageReader(p, j, required)
+      case _            => new MaterialsPageReader(p, p.query, required)
     }
   }
+}
+
+/** Reads one LEFT page of a pushed join: the backend answers the
+  * left page and the (filtered) right side, the reader hash-joins
+  * them "server-side" — Spark receives finished join rows and plans
+  * no Join node at all. The right side builds once per page as an
+  * in-memory multimap keyed by the join column: the dimension-sized
+  * assumption of a source-side join (a fact×fact backend join would
+  * decline at the builder instead). Key equality compares the
+  * catalog's canonical text, which both sides share by construction
+  * (same backend). */
+private[sources] class MaterialsJoinPageReader(
+    page: MaterialsPage, join: MaterialsSource.PushedJoin, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import MaterialsSource.Schema
+
+  private val lk = Schema.fieldIndex(join.leftKey)
+  private val rk = Schema.fieldIndex(join.rightKey)
+  private val rightRows: Map[String, Seq[Array[String]]] =
+    page.backend.fetch(0, 1, join.rightQuery, -1, None, 0, None)
+      .toSeq.groupBy(_(rk))
+  private val leftRows: Iterator[Array[String]] =
+    page.backend.fetch(page.page, page.nPages, page.query, -1, None, 0, None)
+  // required ⊆ joined schema (Spark may prune after the push); each
+  // output field resolves to (fromLeft, catalog column index)
+  private val outIdx: Array[(Boolean, Int)] = required.fields.map { f =>
+    join.leftCols.find(_._2 == f.name)
+      .map(c => (true, Schema.fieldIndex(c._1)))
+      .orElse(join.rightCols.find(_._2 == f.name)
+        .map(c => (false, Schema.fieldIndex(c._1))))
+      .getOrElse(throw new IllegalStateException(
+        s"required column '${f.name}' not in the pushed join projection"))
+  }
+  private val joined: Iterator[(Array[String], Array[String])] =
+    leftRows.flatMap(l => rightRows.getOrElse(l(lk), Nil).map(r => (l, r)))
+  private var current: (Array[String], Array[String]) = _
+
+  override def next(): Boolean =
+    if (joined.hasNext) { current = joined.next(); true } else false
+
+  override def get(): InternalRow = {
+    val values = outIdx.map { case (fromLeft, i) =>
+      val raw = if (fromLeft) current._1(i) else current._2(i)
+      Schema.fields(i).dataType match {
+        case StringType  => UTF8String.fromString(raw)
+        case IntegerType => raw.toInt
+        case DoubleType  => raw.toDouble
+        case dt          => throw new IllegalStateException(s"unhandled $dt")
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+  override def close(): Unit = ()
 }
 
 /** Reads one page of SERVER-AGGREGATED rows — the backend ships one

@@ -326,6 +326,117 @@ class MaterialsSourceSpec extends SparkSpec {
     assert(!scanDesc(df).contains("PushedAggregates"), scanDesc(df))
   }
 
+  // ---- DSv2 JOIN pushdown (Spark 4.1 SupportsPushDownJoin) ----
+
+  private val JoinConf = "spark.sql.optimizer.datasourceV2JoinPushdown"
+
+  private def selfJoin() = {
+    val l = load().select(col("material_id"), col("formula"))
+    val r = load().filter(col("chemsys") === "V-O")
+      .select(col("material_id"), col("energy_per_atom"))
+    l.join(r, "material_id")
+  }
+
+  test("INNER equi self-join collapses into ONE backend scan with no Join node") {
+    withSQLConf(JoinConf -> "true") {
+      val j = selfJoin()
+      val plan = j.queryExecution.executedPlan
+      val scans = plan.collect { case b: BatchScanExec => b }
+      assert(scans.length == 1, s"expected one scan, got ${scans.length}:\n$plan")
+      assert(scans.head.scan.description().contains("PushedJoin=[material_id = material_id"),
+        scans.head.scan.description())
+      assert(scans.head.scan.description().contains("chemsys IN (V-O)"))
+      val joins = plan.collect {
+        case jn: org.apache.spark.sql.execution.joins.BaseJoinExec => jn
+      }
+      assert(joins.isEmpty, s"engine Join survived:\n$plan")
+    }
+  }
+
+  test("pushed join result equals the engine join bit for bit") {
+    val engine = withSQLConfValue(JoinConf, "false")(selfJoin().collect().toSet)
+    val pushed = withSQLConfValue(JoinConf, "true")(selfJoin().collect().toSet)
+    assert(pushed == engine)
+    assert(pushed.nonEmpty)
+  }
+
+  test("pushed join carries BOTH sides' filters as per-side backend queries") {
+    // both filters must push with NO residual (a residual Filter —
+    // e.g. the IsNotNull conjunct a nullable column's EqualTo
+    // carries — keeps a node between holder and join, and the
+    // engine correctly declines the collapse)
+    withSQLConf(JoinConf -> "true") {
+      def sides() = {
+        val l = load().filter(col("chemsys").isin("V-O", "Ti-O"))
+          .select(col("material_id"), col("formula"))
+        val r = load().filter(col("chemsys") === "V-O")
+          .select(col("material_id"), col("energy_per_atom"))
+        l.join(r, "material_id")
+      }
+      val j = sides()
+      val desc = scanDesc(j)
+      assert(desc.contains("PushedJoin"), desc)
+      assert(desc.contains("In(chemsys"), desc)         // left query
+      assert(desc.contains("chemsys IN (V-O)"), desc)   // right query
+      val engine = withSQLConfValue(JoinConf, "false")(sides().collect().toSet)
+      assert(j.collect().toSet == engine)
+      assert(engine.nonEmpty)
+    }
+  }
+
+  test("a residual-bearing side (nullable-column filter) declines the join, results intact") {
+    withSQLConf(JoinConf -> "true") {
+      val l = load().filter(col("possible_species") === "V4+")
+        .select(col("material_id"), col("formula"))
+      val r = load().filter(col("chemsys") === "V-O")
+        .select(col("material_id"), col("energy_per_atom"))
+      val j = l.join(r, "material_id")
+      assert(!scanDesc(j).contains("PushedJoin"), scanDesc(j))
+      val engine = withSQLConfValue(JoinConf, "false")(
+        l.join(r, "material_id").collect().toSet)
+      assert(j.collect().toSet == engine && engine.nonEmpty)
+    }
+  }
+
+  test("non-inner and non-equi joins decline and stay engine-side, results intact") {
+    withSQLConf(JoinConf -> "true") {
+      val l = load().select(col("material_id"), col("formula"), col("nsites"))
+      val r = load().filter(col("chemsys") === "V-O")
+        .select(col("material_id").as("rid"), col("energy_per_atom"))
+      val outer = l.join(r, l("material_id") === r("rid"), "left_outer")
+      assert(!scanDesc(outer).contains("PushedJoin"), scanDesc(outer))
+      assert(outer.count() == 10L) // all left rows survive
+      val theta = l.join(r, l("nsites") > length(r("rid")), "inner")
+      assert(!scanDesc(theta).contains("PushedJoin"))
+      assert(theta.count() ==
+        withSQLConfValue(JoinConf, "false")(
+          l.join(r, l("nsites") > length(r("rid")), "inner").count()))
+    }
+  }
+
+  test("order-sensitive pushdowns and joins refuse to compose") {
+    withSQLConf(JoinConf -> "true") {
+      // limit under a join: the builder is not join-pristine → decline
+      val limited = load().select(col("material_id"), col("formula")).limit(3)
+      val j = limited.join(
+        load().select(col("material_id"), col("energy_per_atom")), "material_id")
+      assert(!scanDesc(j).contains("PushedJoin"), scanDesc(j))
+      assert(j.count() == 3L)
+      // aggregation ON TOP of a pushed join stays engine-side
+      val agg = selfJoin().groupBy().count()
+      assert(agg.collect().head.getLong(0) == selfJoin().count())
+    }
+  }
+
+  private def withSQLConfValue[T](k: String, v: String)(f: => T): T = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
