@@ -28,16 +28,29 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects by default ([PARQUET_TYPE_ILLEGAL]).
-    * Read nanos as a plain long (`ts`: ns since epoch) and let
-    * callers derive a microsecond TimestampType column when they
-    * need calendar semantics. Runtime conf — safe to set on a
-    * session we did not build.
+  /** `events.parquet` has shipped with two physical `ts` encodings
+    * across driver testdata generations: INT64 TIMESTAMP(NANOS)
+    * (which Spark's parquet reader rejects by default,
+    * [PARQUET_TYPE_ILLEGAL]) and INT64 TIMESTAMP(MICROS). Normalize
+    * both to the engine contract — `ts`: LONG ns since epoch — so
+    * every downstream `ts div 1000` sees the exact integer the
+    * DuckDB oracle's `epoch_us(ts)` sees:
+    *  - NANOS: `nanosAsLong` reads the raw int64 ns directly.
+    *  - MICROS: read as TIMESTAMP (NTZ inference off, so the stored
+    *    int64 µs IS the unix_micros value — no session-timezone
+    *    reinterpretation), then widen µs→ns in long arithmetic.
+    * Runtime confs — safe to set on a session we did not build.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => // TIMESTAMP (µs precision) under either tz flavor
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
   }
 
   /** Events with `ts` converted to a proper microsecond timestamp
