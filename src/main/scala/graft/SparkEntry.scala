@@ -161,6 +161,49 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Ops.moneySum(col("o_totalprice"), 2).as("price_sum"))
     }),
+    // snapshot diff (CDC change feed): the new version is derived
+    // deterministically from orders (drop %89 keys, bump price on
+    // %97 keys, insert shifted copies of %101 keys) so the oracle
+    // can rebuild the exact same pair of versions in SQL
+    "q_snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val next = base.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + lit(1000.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      graft.core.Warehouse.snapshotDiff(base, next, Seq("o_orderkey"))
+    }),
+    // incremental view maintenance: partial (count, decimal-sum)
+    // states over two disjoint slices merge into the state of the
+    // whole table — the oracle recomputes from scratch
+    "q_incr_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val delta = ev.filter(col("event_id") % 10 >= 8)
+      graft.core.Warehouse.mergeAggStates(Seq(
+        graft.core.Warehouse.aggState(base, Seq("event_type"), "value"),
+        graft.core.Warehouse.aggState(delta, Seq("event_type"), "value")),
+        Seq("event_type"))
+    }),
+    // small-file compaction: 64-way fragmented write, OPTIMIZE into
+    // ~20k-row files, aggregate the compacted table; compaction is
+    // content-preserving so the oracle aggregates the original
+    "q_compact_files" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_events").getPath
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      ev.repartition(64).write.mode("overwrite").parquet(dir)
+      graft.core.Warehouse.compactFiles(s, dir, 20000L)
+      s.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Ops.moneySum(col("value"), 2).as("value_sum"))
+    }),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
@@ -754,6 +797,37 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*)::BIGINT AS n,
         |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |next AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 101 = 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |            WHEN n.o_orderkey IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change_type
+        |FROM base o FULL OUTER JOIN next n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice""".stripMargin,
+
+    "q_incr_agg" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_compact_files" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
 
     // exact two-pass heavy hitters equal plain group-count-having;
     // ceil(0.004·N) is the same IEEE double on both engines, so the

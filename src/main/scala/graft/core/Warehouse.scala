@@ -200,6 +200,101 @@ object Warehouse {
     (touched.size, before.size)
   }
 
+  /** Snapshot diff (table-version compare): classify every key as
+    * `added` / `removed` / `changed` between two versions of a table
+    * with identical schemas, dropping unchanged keys. The CDC
+    * primitive for lakehouse table maintenance — the output IS the
+    * change feed an incremental consumer replays.
+    *
+    * Plan shape: ONE full-outer sort-merge join on the key columns —
+    * each side shuffles once on the key (zero exchanges if both
+    * snapshots were written bucketed on it, [[writeBucketed]]) — and
+    * the value comparison is a null-safe column-wise predicate, no
+    * row hashing, no second pass. At 100 TB this is the minimum
+    * possible data movement for an unordered diff; the `unchanged`
+    * drop happens before anything is materialized.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    keys.foreach(k => require(oldDf.columns.contains(k), s"missing key column '$k'"))
+    val valCols = oldDf.columns.filterNot(keys.contains).toIndexedSeq
+    val o = oldDf.select(keys.map(col) ++ valCols.map(c => col(c).as(s"__o_$c"))
+      :+ lit(true).as("__in_old"): _*)
+    val n = newDf.select(keys.map(col) ++ valCols.map(c => col(c).as(s"__n_$c"))
+      :+ lit(true).as("__in_new"): _*)
+    val changed = valCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys.toIndexedSeq, "full_outer")
+      .select(keys.map(col) :+ when(col("__in_old").isNull, lit("added"))
+        .when(col("__in_new").isNull, lit("removed"))
+        .when(changed, lit("changed"))
+        .otherwise(lit("unchanged")).as("change_type"): _*)
+      .filter(col("change_type") =!= "unchanged")
+  }
+
+  /** Partial-aggregate STATE for (count, exact decimal sum) per
+    * group — the algebraic building block of incremental view
+    * maintenance: states from disjoint slices of a table merge by
+    * addition into the state of their union, so a materialized
+    * aggregate absorbs a delta batch by merging delta state instead
+    * of recomputing over the full history. Decimal accumulation
+    * keeps the merged sum bit-identical to the full recompute (and
+    * order/partitioning-independent — the moneySum contract). */
+  def aggState(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+           sum(round(col(valueCol), scale).cast(DecimalType(18, scale))).as("val_dec"))
+  }
+
+  /** Merge [[aggState]] frames (base ∪ deltas) into the state of the
+    * combined data: one small shuffle over GROUPS (not rows). The
+    * declared output casts the exact decimal back to double. */
+  def mergeAggStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("val_dec")).as("val_dec"))
+      .withColumn("value_sum", col("val_dec").cast("double"))
+      .drop("val_dec")
+  }
+
+  /** Small-file compaction (OPTIMIZE): rewrite a parquet directory
+    * into ⌈rows / targetFileRows⌉ files, content-preserved. The
+    * anti-small-files pass every streaming/merge-heavy 100 TB table
+    * needs — thousands of KB-sized files turn scans into metadata
+    * storms (one open + footer read each) and kill split planning.
+    * Round-robin repartition (not coalesce) so output files are
+    * even-sized regardless of input skew; write-to-sibling then swap
+    * so a reader never sees a half-compacted directory (the atomic-
+    * pointer caveat of [[mergeZoneMapped]] applies).
+    * Returns (filesBefore, filesAfter). */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   targetFileRows: Long): (Int, Int) = {
+    require(targetFileRows >= 1, s"need targetFileRows >= 1, got $targetFileRows")
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val dirFile = new java.io.File(dir)
+    val before = parquetFiles(dirFile)
+    val df = spark.read.parquet(dir)
+    val nRows = df.count()
+    val nOut = math.max(1L, (nRows + targetFileRows - 1) / targetFileRows).toInt
+    val tmp = new java.io.File(dirFile.getParentFile, dirFile.getName + "__compacting")
+    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    // swap: new files in, old files out (names are unique per write job)
+    val fresh = parquetFiles(tmp)
+    fresh.foreach(f => require(f.renameTo(new java.io.File(dirFile, f.getName)),
+      s"compactFiles: move failed for ${f.getName}"))
+    before.foreach(_.delete())
+    Option(tmp.listFiles).foreach(_.foreach(_.delete()))
+    tmp.delete()
+    (before.length, fresh.length)
+  }
+
   /** Skew-salted equi-join that preserves inner-join semantics
     * exactly: the big (skewed) side gets a deterministic salt in
     * [0, n) per row; the small side is exploded n× so every

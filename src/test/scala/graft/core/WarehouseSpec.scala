@@ -121,6 +121,52 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Warehouse.mergeZoneMapped(spark, dir, "k", badUpd))
   }
 
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val nxt = Seq((1L, "a", 10.0),            // unchanged -> dropped
+                  (2L, "b", 99.0),            // changed (value)
+                  (3L, "X", 30.0),            // changed (string)
+                  (5L, "e", 50.0))            // added; 4 removed
+      .toDF("k", "s", "v")
+    val got = Warehouse.snapshotDiff(old, nxt, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"))
+    // null-safe compare: null == null is unchanged, null vs value is changed
+    val o2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "s")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("k", "s")
+    val got2 = Warehouse.snapshotDiff(o2, n2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(2L -> "changed"))
+    // schema mismatch refuses loudly
+    intercept[IllegalArgumentException](
+      Warehouse.snapshotDiff(old, old.drop("v"), Seq("k")))
+  }
+
+  test("aggState slices merge into the full-recompute state (any slicing)") {
+    val df = (1 to 1000).map(i => (s"g${i % 3}", i * 0.37)).toDF("g", "v")
+    val full = Warehouse.mergeAggStates(
+      Seq(Warehouse.aggState(df, Seq("g"), "v")), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // 3-way disjoint slicing by a different predicate than the group
+    val slices = (0 to 2).map(m => Warehouse.aggState(
+      df.filter(abs(hash(col("v"))) % 3 === m), Seq("g"), "v"))
+    val merged = Warehouse.mergeAggStates(slices, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(merged == full) // decimal partials: bit-identical, not approx
+  }
+
+  test("compactFiles shrinks the file count, preserves content exactly") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_spec").getPath
+    val df = (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(32).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    val (nBefore, nAfter) = Warehouse.compactFiles(spark, dir, 2500L)
+    assert(nBefore == 32 && nAfter == 2, s"got ($nBefore, $nAfter)")
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+  }
+
   test("salted join == plain join on skewed data") {
     // 90% of big-side rows hit one key — the salting target
     val big = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong % 50 else 7L, i))
