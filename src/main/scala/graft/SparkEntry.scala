@@ -100,6 +100,23 @@ object SparkEntry {
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
       graft.core.Validate.heavyHitters(toks, "tok", 0.004)
     }),
+    // PSI drift gate between the first and second half of the event
+    // stream's time range; declared rows are the exact per-bin psi
+    // pieces (integer diff/den + per-term-rounded ln), psi = Σ d·l/den
+    "q_psi_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      graft.core.Validate.psiDrift(
+        Tables.events(s, d).withColumn("us", expr("ts div 1000")),
+        "event_type", "value", "us", 10)
+    }),
+    // 2-D skyline on parts: maximize size, minimize retail price;
+    // runs on the |distinct sizes| frame, never a dominance self-join
+    "q_pareto_front" -> ((s, d) =>
+      Ops.paretoFront(Tables.part(s, d), "p_partkey", "p_size", "p_retailprice")),
+    // token -> (df, head of sorted posting list), stopword-safe via
+    // the pre-collect row_number cap
+    "q_inverted_index" -> ((s, d) =>
+      TextOps.invertedIndex(Tables.documents(s, d), 10L, 50)),
     // flagship composition: Gopher gate -> exact dedup -> langid ->
     // per-(language, source) corpus accounting, all-integer output
     // stopword floor 0: the synthetic corpus is word-salad with no
@@ -828,6 +845,59 @@ object SparkEntry {
       """SELECT event_type, count(*)::BIGINT AS n,
         |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events),
+        |s AS (SELECT ((min(us) + max(us)) // 2) AS mid,
+        |             min(value) AS vmn, max(value) AS vmx FROM e),
+        |binned AS (
+        |  SELECT event_type AS grp,
+        |    CASE WHEN s.vmx = s.vmn THEN 0::BIGINT
+        |         ELSE least(9::BIGINT, floor((value - s.vmn) * 10 / (s.vmx - s.vmn))::BIGINT)
+        |    END AS bin,
+        |    (us <= s.mid) AS is_first
+        |  FROM e, s),
+        |counts AS (
+        |  SELECT grp, bin,
+        |    sum(CASE WHEN is_first THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN NOT is_first THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT grp, sum(a)::BIGINT AS n_first, sum(b)::BIGINT AS m_second
+        |        FROM counts GROUP BY 1),
+        |dense AS (
+        |  SELECT t.grp, gs.bin, coalesce(c.a, 0)::BIGINT AS a,
+        |         coalesce(c.b, 0)::BIGINT AS b, t.n_first, t.m_second
+        |  FROM tot t
+        |  CROSS JOIN (SELECT unnest(range(0, 10))::BIGINT AS bin) gs
+        |  LEFT JOIN counts c ON c.grp = t.grp AND c.bin = gs.bin)
+        |SELECT grp AS event_type, bin, a, b,
+        |  ((a + 1) * (m_second + 10) - (b + 1) * (n_first + 10))::BIGINT AS diff_num,
+        |  ((n_first + 10) * (m_second + 10))::BIGINT AS den,
+        |  (round(ln((a + 1)::DOUBLE), 6)::DECIMAL(18,6)
+        |   + round(ln((m_second + 10)::DOUBLE), 6)::DECIMAL(18,6)
+        |   - round(ln((b + 1)::DOUBLE), 6)::DECIMAL(18,6)
+        |   - round(ln((n_first + 10)::DOUBLE), 6)::DECIMAL(18,6))::DOUBLE AS ln_term
+        |FROM dense""".stripMargin,
+
+    "q_pareto_front" ->
+      """WITH m AS (SELECT p_size, min(p_retailprice) AS mp FROM part GROUP BY 1),
+        |r AS (SELECT p_size, mp,
+        |        min(mp) OVER (ORDER BY p_size DESC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmin
+        |      FROM m)
+        |SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p JOIN r ON p.p_size = r.p_size AND p.p_retailprice = r.mp
+        |WHERE r.runmin IS NULL OR r.mp < r.runmin""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, count(*)::BIGINT AS df,
+        |  array_to_string(list_transform(
+        |    list_slice(list(doc_id ORDER BY doc_id), 1, 50), x -> x::VARCHAR), ',') AS postings_head
+        |FROM pairs GROUP BY token HAVING count(*) >= 10""".stripMargin,
 
     // exact two-pass heavy hitters equal plain group-count-having;
     // ceil(0.004·N) is the same IEEE double on both engines, so the

@@ -838,6 +838,37 @@ object Ops {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
               col("event_type"), col("n"), col("sum_value"))
 
+  /** 2-D Pareto frontier (skyline): rows not dominated by any other
+    * row — maximize `maxCol`, minimize `minCol`; a row loses iff
+    * some other row is ≥ on maxCol AND ≤ on minCol with at least
+    * one strict. Equal (maxCol, minCol) pairs dominate nobody, so
+    * co-optimal duplicates all surface.
+    *
+    * Scale shape: NOT the O(n²) dominance join. One partial-agg
+    * shuffle reduces the table to |distinct maxCol| rows (per-value
+    * min of minCol), a window running-min over that TINY frame finds
+    * the strictly-better-above threshold, and a broadcast-sized join
+    * back tags the frontier rows — the full table is scanned once
+    * and never self-joined. At 100 TB with a bounded dimension
+    * domain (sizes, dates, ratings) the window frame is thousands of
+    * rows regardless of table size.
+    */
+  def paretoFront(df: DataFrame, keyCol: String, maxCol: String,
+                  minCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.groupBy(col(maxCol))
+      .agg(min(col(minCol)).as("__mp"))
+    val thresholds = perValue.withColumn("__runmin",
+      min(col("__mp")).over(Window.orderBy(col(maxCol).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val frontier = thresholds
+      .filter(col("__runmin").isNull || col("__mp") < col("__runmin"))
+      .select(col(maxCol).as("__fmax"), col("__mp"))
+    df.join(broadcast(frontier),
+        col(maxCol) === col("__fmax") && col(minCol) === col("__mp"))
+      .select(col(keyCol), col(maxCol), col(minCol))
+  }
+
   /** Top-k per group (rank window) — generalization of the
     * pick-one-per-group sampling (`dags/my_dag.py:109-111`). */
   def topKPerGroup(orders: DataFrame, k: Int): DataFrame = {

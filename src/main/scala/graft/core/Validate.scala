@@ -149,4 +149,66 @@ object Validate {
       .filter(col("cnt") >= ceil(lit(phi) * col("n_total")).cast(LongType))
       .select(col("value"), col("cnt"))
   }
+
+  /** Population-stability-index (PSI) drift audit between the first
+    * and second half of a table's time range, per group: bin the
+    * value into `nBins` fixed-width bins over the GLOBAL [min, max],
+    * count each (group, bin) on both sides of the temporal midpoint,
+    * and emit the per-bin PSI pieces with add-one smoothing. The
+    * standard model-monitoring drift gate (PSI > 0.2 ⇒ retrain),
+    * here as a data-admission check between corpus snapshots.
+    *
+    * The declared output is EXACT per bin — `diff_num` =
+    * a′·M′ − b′·N′ (long), `den` = N′·M′ (long), `ln_term` =
+    * ln6(a′) + ln6(M′) − ln6(b′) − ln6(N′) (per-integer-argument
+    * round-6 DECIMAL sums, the q_pmi contract; ≤ ±30 at scale 6 so
+    * the final double is exact) — psi = Σ_bins diff_num·ln_term/den.
+    * Keeping the division OUT of the declared row is what makes the
+    * result bit-identical across engines: every emitted number is
+    * either an exact integer or an exact small decimal.
+    *
+    * Scale shape: one narrow pass for the 4 global scalars (time
+    * midpoint, value min/max — broadcast back), one partial-agg
+    * shuffle on (group, bin), and a dense (group × bin) scaffold
+    * from the group totals so empty bins exist for smoothing. No
+    * windows, no self-joins; the post-shuffle frame is
+    * |groups|·nBins rows regardless of table size.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               tsUsCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    import org.apache.spark.sql.types.DecimalType
+    def ln6(c: Column): Column =
+      round(log(c.cast(DoubleType)), 6).cast(DecimalType(18, 6))
+    val scalars = df.agg(
+      ((min(col(tsUsCol)) + max(col(tsUsCol))) / 2).cast(LongType).as("__mid"),
+      min(col(valueCol)).cast(DoubleType).as("__vmn"),
+      max(col(valueCol)).cast(DoubleType).as("__vmx"))
+    // identical expression shape on both engines: (v−mn)·nBins/(mx−mn),
+    // floor, clamp — sub/mul/div/floor are correctly rounded IEEE ops
+    val binned = df.crossJoin(broadcast(scalars))
+      .select(col(groupCol).as("grp"),
+        when(col("__vmx") === col("__vmn"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col(valueCol).cast(DoubleType) - col("__vmn")) * nBins
+              / (col("__vmx") - col("__vmn"))).cast(LongType))).as("bin"),
+        (col(tsUsCol) <= col("__mid")).as("is_first"))
+    val counts = binned.groupBy("grp", "bin")
+      .agg(sum(when(col("is_first"), 1L).otherwise(0L)).as("a"),
+           sum(when(!col("is_first"), 1L).otherwise(0L)).as("b"))
+    val totals = counts.groupBy("grp")
+      .agg(sum(col("a")).as("n_first"), sum(col("b")).as("m_second"))
+    val dense = totals
+      .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
+      .join(counts, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("a", "b"))
+    dense.select(col("grp").as(groupCol), col("bin"), col("a"), col("b"),
+        (col("a") + 1L).as("a1"), (col("b") + 1L).as("b1"),
+        (col("n_first") + nBins).as("n1"), (col("m_second") + nBins).as("m1"))
+      .select(col(groupCol), col("bin"), col("a"), col("b"),
+        (col("a1") * col("m1") - col("b1") * col("n1")).as("diff_num"),
+        (col("n1") * col("m1")).as("den"),
+        (ln6(col("a1")) + ln6(col("m1")) - ln6(col("b1")) - ln6(col("n1")))
+          .cast(DoubleType).as("ln_term"))
+  }
 }

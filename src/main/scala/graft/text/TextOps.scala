@@ -1108,6 +1108,41 @@ object TextOps {
       .filter(col("rk") <= maxPerSource)
   }
 
+  /** Inverted index build: token → (document frequency, head of the
+    * posting list). The IR primitive behind BM25/TF-IDF serving and
+    * the exact-match side of retrieval-augmented dedup.
+    *
+    * Scale shape: (token, doc_id) pairs are distinct-per-doc before
+    * any aggregation, df is a partial-aggregable count, and the
+    * posting list is CAPPED at `headLen` doc_ids per token BEFORE
+    * collect_list ever runs — the cap is enforced by a row_number
+    * window on the same token shuffle, so a stopword token holds
+    * ≤ headLen rows in memory, never its full (possibly billion-row)
+    * posting. A production index stores the full posting as sorted
+    * blocks; the head + df here are the block-0 + skip-metadata
+    * shape of that layout. Both window and groupBy hash on `token`,
+    * so the planner reuses one exchange.
+    */
+  def invertedIndex(documents: DataFrame, minDf: Long = 10L,
+                    headLen: Int = 50): DataFrame = {
+    require(minDf >= 1 && headLen >= 1,
+      s"need minDf >= 1 and headLen >= 1, got ($minDf, $headLen)")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+    val dfCounts = pairs.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val heads = pairs
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("token").orderBy("doc_id")))
+      .filter(col("rn") <= headLen)
+      .groupBy("token")
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        _.cast(StringType)), ",").as("postings_head"))
+    dfCounts.join(heads, "token")
+  }
+
   /** BPE merge-step statistics: the weighted count of every adjacent
     * character pair over the corpus — the quantity a byte-pair-
     * encoding tokenizer trainer maximizes at each merge. The trick

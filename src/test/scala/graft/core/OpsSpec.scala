@@ -654,4 +654,18 @@ class OpsSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("paretoFront == brute-force dominance filter (random points, dup-safe)") {
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 200L).map(k => (k, rnd.nextInt(8).toLong, (rnd.nextInt(12) * 0.5)))
+    val df = pts.toDF("k", "sz", "pr")
+    val got = Ops.paretoFront(df, "k", "sz", "pr")
+      .collect().map(_.getLong(0)).toSet
+    val expect = pts.filter { case (k, s, p) =>
+      !pts.exists { case (k2, s2, p2) =>
+        k2 != k && s2 >= s && p2 <= p && (s2 > s || p2 < p) }
+    }.map(_._1).toSet
+    assert(got == expect, s"frontier mismatch: got $got expected $expect")
+    assert(expect.nonEmpty) // co-optimal duplicates exist at this density
+  }
 }

@@ -110,4 +110,33 @@ class ValidateSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Validate.heavyHitters(df, "v", 0.6))
   }
+
+  test("psiDrift: dense bins, zero-sum diff invariant, psi == 0 iff no drift") {
+    // identical value distribution on both halves of the time range
+    val stable = (0 until 40).map { i =>
+      val us = if (i < 20) i.toLong else 1000L + i  // mid splits 20/20
+      ("g", (i % 4).toDouble, us)
+    }.toDF("grp", "value", "us")
+    val s = Validate.psiDrift(stable, "grp", "value", "us", 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(s.length == 10, "bins must be dense: one row per bin")
+    assert(s.map(_._4).sum == 0L, "sum of diff_num over bins is identically 0")
+    // a == b in every bin and N == M -> every psi piece vanishes
+    assert(s.forall { case (_, a, b, diff, _, lnT) =>
+      a == b && diff == 0L && lnT == 0.0 })
+
+    // drifted: second half concentrates in the top bin -> psi > 0
+    val drifted = (0 until 40).map { i =>
+      val us = if (i < 20) i.toLong else 1000L + i
+      val v = if (i < 20) (i % 4).toDouble else 3.0
+      ("g", v, us)
+    }.toDF("grp", "value", "us")
+    val d = Validate.psiDrift(drifted, "grp", "value", "us", 10)
+      .collect().map(r => (r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val psi = d.map { case (diff, den, lnT) => diff.toDouble * lnT / den }.sum
+    assert(psi > 0.1, s"concentration drift must give a large PSI, got $psi")
+    assert(Validate.psiDrift(drifted, "grp", "value", "us", 10)
+      .collect().map(_.getLong(4)).sum == 0L)
+  }
 }

@@ -72,4 +72,16 @@ class TextOpsLmSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(many == out)
   }
+
+  test("invertedIndex: per-doc-distinct df, minDf filter, capped sorted postings head") {
+    val docs = Seq((3L, "a b c b"), (1L, "b c"), (2L, "b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(docs, minDf = 2L, headLen = 2)
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // 'a' (df 1) filtered; 'b' appears twice in doc 3 but counts once;
+    // heads are the 2 SMALLEST doc_ids, ascending
+    assert(got == Seq(("b", 3L, "1,2"), ("c", 2L, "1,3")))
+    intercept[IllegalArgumentException](TextOps.invertedIndex(docs, 0L, 5))
+  }
 }
