@@ -83,6 +83,29 @@ object SparkEntry {
     // (oracle: exact count + literal TRUE)
     "q_approx_distinct" -> ((s, d) =>
       Ops.approxDistinctChecked(Tables.documents(s, d), "lang", "text")),
+    // daily HLL sketches union into weekly estimates with NO second
+    // pass over rows — the re-aggregation property exact distinct
+    // lacks; declared via the same exact+bound contract
+    "q_hll_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      Ops.hllMergeRollup(
+        Tables.events(s, d).withColumn("us", expr("ts div 1000")),
+        "event_type", "user_id", "us")
+    }),
+    // both sides bucketed on the join key: the fact-fact join plans
+    // with zero shuffle exchanges (plan-asserted in WarehouseSpec);
+    // the oracle is the plain join — layout never changes semantics
+    "q_bucket_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.core.Warehouse.writeBucketed(li, "q_li_bucketed", "l_orderkey", 8)
+      graft.core.Warehouse.writeBucketed(ord, "q_ord_bucketed", "l_orderkey", 8)
+      s.table("q_li_bucketed").join(s.table("q_ord_bucketed"), "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Ops.moneySum(col("l_quantity"), 2).as("qty"))
+    }),
     // ---- data-quality admission gates ----
     "q_data_profile" -> ((s, d) =>
       graft.core.Validate.dataProfile(Tables.lineitem(s, d),
@@ -845,6 +868,21 @@ object SparkEntry {
       """SELECT event_type, count(*)::BIGINT AS n,
         |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    // sketch estimates are engine-specific; the exact count and the
+    // error-bound FACT are not (the q_approx_distinct contract)
+    "q_hll_merge" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |  (epoch_us(ts)::BIGINT // 604800000000) AS week FROM events)
+        |SELECT event_type, week, count(DISTINCT user_id)::BIGINT AS exact_nd,
+        |  TRUE AS within_bound
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q_psi_drift" ->
       """WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events),

@@ -484,6 +484,39 @@ object Ops {
         (abs(col("approx_nd") - col("exact_nd")).cast(DoubleType)
           / col("exact_nd") <= lit(boundMultiple * rsd)).as("within_bound"))
 
+  /** Sketch RE-AGGREGATION rollup — the property that makes sketches
+    * the 100-TB answer to distinct counting: per-(group, day) HLL
+    * sketches (DataSketches binary state, partial-aggregable) UNION
+    * into per-(group, week) sketches without touching rows again. A
+    * nightly job materializes daily sketches once; every coarser
+    * rollup (week/month/ad-hoc cohort) merges kilobyte states — the
+    * raw 10-billion-row stream is never re-scanned. `countDistinct`
+    * cannot do this: exact partials are the value sets themselves.
+    *
+    * Declared output follows the [[approxDistinctChecked]] contract
+    * (sketch bytes and estimates are engine-specific, the bound is a
+    * fact of the fixed dataset): per (group, week) the EXACT distinct
+    * plus `within_bound` = |merged-sketch estimate − exact| / exact
+    * ≤ bound. The exact side is the verification harness, not the
+    * production path. */
+  def hllMergeRollup(df: DataFrame, groupCol: String, valueCol: String,
+                     tsUsCol: String, bound: Double = 0.05): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val withDay = df.select(col(groupCol), col(valueCol),
+      expr(s"$tsUsCol div $dayUs").as("day"),
+      expr(s"$tsUsCol div ${7L * dayUs}").as("week"))
+    val daily = withDay.groupBy(col(groupCol), col("week"), col("day"))
+      .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+    val weeklyApprox = daily.groupBy(col(groupCol), col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_nd"))
+    val weeklyExact = withDay.groupBy(col(groupCol), col("week"))
+      .agg(countDistinct(col(valueCol)).as("exact_nd"))
+    weeklyExact.join(weeklyApprox, Seq(groupCol, "week"))
+      .select(col(groupCol), col("week"), col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd")).cast(DoubleType)
+          / col("exact_nd") <= lit(bound)).as("within_bound"))
+  }
+
   /** Oracle-able sketched percentile, the [[approxDistinctChecked]]
     * pattern applied to quantiles: per group, the EXACT discrete
     * p-quantile (the picked element at rank ⌈p·n⌉ — no

@@ -655,6 +655,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hllMergeRollup: daily-sketch union == direct weekly sketch; bound holds") {
+    val rnd = new scala.util.Random(7)
+    val dayUs = 86400L * 1000000L
+    val rows = (1 to 5000).map { _ =>
+      val day = rnd.nextInt(21) // 3 weeks
+      ("g" + rnd.nextInt(2), rnd.nextInt(400).toLong,
+        day * dayUs + rnd.nextInt(1000000))
+    }
+    val df = rows.toDF("grp", "uid", "us")
+    val got = Ops.hllMergeRollup(df, "grp", "uid", "us")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getBoolean(3)))).toMap
+    // exact side matches a literal recompute; bound holds everywhere
+    val exact = rows.groupBy(r => (r._1, r._3 / (7L * dayUs)))
+      .map { case (k, v) => k -> v.map(_._2).distinct.size.toLong }
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (k, (nd, ok)) =>
+      assert(nd == exact(k), s"exact mismatch at $k")
+      assert(ok, s"merged sketch estimate out of bound at $k")
+    }
+    // union-of-daily == direct weekly sketch state (re-aggregation
+    // property): estimates agree exactly, not just within the bound
+    val direct = df.select(col("grp"), col("uid"), expr(s"us div ${7L * dayUs}").as("week"))
+      .groupBy("grp", "week")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("uid"))).as("est"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val merged = df.select(col("grp"), col("uid"),
+        expr(s"us div $dayUs").as("day"), expr(s"us div ${7L * dayUs}").as("week"))
+      .groupBy("grp", "week", "day").agg(hll_sketch_agg(col("uid")).as("sk"))
+      .groupBy("grp", "week")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(merged == direct)
+  }
+
   test("paretoFront == brute-force dominance filter (random points, dup-safe)") {
     val rnd = new scala.util.Random(42)
     val pts = (1L to 200L).map(k => (k, rnd.nextInt(8).toLong, (rnd.nextInt(12) * 0.5)))
