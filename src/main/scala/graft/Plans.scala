@@ -68,7 +68,13 @@ object Plans {
     "q_bloom_contamination", // codegen'd bloom prefilter + shuffle_hash confirm
     "q_cross_dup_fraction",  // scoped gram cache + shuffle_hash df join
     "q_embed_gram",       // d²/2-key partial agg, map-side combine
-    "q_zonemap_prune")    // manifest-pruned file list before the scan
+    "q_zonemap_prune",    // manifest-pruned file list before the scan
+    "q_snapshot_diff",    // ONE full-outer SMJ, null-safe compares, no row hash
+    "q_pareto_front",     // distinct-dim frame window + broadcast frontier join
+    "q_psi_drift",        // broadcast scalars + one (group, bin) partial agg
+    "q_inverted_index",   // token-shuffle reuse: window cap + df agg
+    "q_hll_merge",        // partial sketch aggs, union rollup never re-reads rows
+    "q_incr_agg")         // algebraic partial-state merge (IVM shape)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -244,6 +244,14 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Ops.moneySum(col("value"), 2).as("value_sum"))
     }),
+    // daily-grid resample with forward fill: the gap-filling step
+    // before fixed-step modeling on irregular event streams
+    "q_resample_ffill" -> ((s, d) => Ops.resampleFfill(Tables.events(s, d))),
+    // exact equal-count buckets with exact value bounds (the ANALYZE
+    // statistic); sketched quantiles are the 100-TB path, this is
+    // their verification harness
+    "q_equidepth_hist" -> ((s, d) =>
+      Ops.equiDepthHistogram(Tables.events(s, d), "value", "event_id", 10)),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
@@ -949,6 +957,30 @@ object SparkEntry {
         |FROM toks, tot
         |GROUP BY value, tot.n
         |HAVING count(*) >= ceil(0.004 * tot.n)""".stripMargin,
+
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us, value FROM events),
+        |s AS (SELECT user_id, (us // 86400000000) AS slot, us, event_id, value FROM e),
+        |lastps AS (
+        |  SELECT user_id, slot, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, slot
+        |                                 ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM s) WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM s GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM bounds),
+        |j AS (SELECT g.user_id, g.slot, l.value
+        |      FROM grid g LEFT JOIN lastps l ON g.user_id = l.user_id AND g.slot = l.slot)
+        |SELECT user_id, slot,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM j""".stripMargin,
+
+    "q_equidepth_hist" ->
+      """SELECT bucket, min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n
+        |FROM (SELECT value,
+        |        ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        |      FROM events)
+        |GROUP BY bucket""".stripMargin,
 
     "q_last_per_group" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts)::BIGINT AS ts_us

@@ -871,6 +871,60 @@ object Ops {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
               col("event_type"), col("n"), col("sum_value"))
 
+  /** Time-series resample + forward fill: project each user's event
+    * stream onto a regular `gridUs`-spaced grid (their own [first,
+    * last] slot range) carrying the latest value at-or-before each
+    * grid point — the gap-filling step before any fixed-step
+    * modeling (rates, EWMA, training windows) on irregular events.
+    *
+    * Scale shape: last-event-per-(user, slot) collapses the stream
+    * FIRST (row_number heap on one (user, slot) shuffle), the grid
+    * explodes from per-user bounds (|users| rows in, Σ slots out —
+    * never events × slots), and the fill is one running `last(…,
+    * ignoreNulls)` window sharing the user partitioning. A user's
+    * first slot always holds an event, so no null survives the fill.
+    */
+  def resampleFfill(events: DataFrame, gridUs: Long = 86400000000L): DataFrame = {
+    require(gridUs >= 1, s"need gridUs >= 1, got $gridUs")
+    val e = events.select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("value"))
+      .withColumn("slot", expr(s"us div $gridUs"))
+    val lastPerSlot = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "slot")
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("slot"), col("value"))
+    val grid = e.groupBy("user_id")
+      .agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+    grid.join(lastPerSlot, Seq("user_id", "slot"), "left")
+      .select(col("user_id"), col("slot"),
+        last(col("value"), ignoreNulls = true).over(
+          Window.partitionBy("user_id").orderBy("slot")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("value_ffill"))
+  }
+
+  /** Exact equi-depth histogram: `nBuckets` buckets of (near-)equal
+    * row count with exact [lo, hi] value bounds per bucket — the
+    * ANALYZE-style statistic a cost-based optimizer feeds on, and
+    * the verification harness for sketched quantiles
+    * ([[approxPercentileChecked]] is the production path at 100 TB;
+    * an exact global ntile needs a total sort). The (value, id)
+    * order makes bucket assignment a total order, so ties split
+    * identically on any engine. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, idCol: String,
+                         nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    df.select(col(valueCol), col(idCol))
+      .withColumn("bucket", ntile(nBuckets).over(
+        Window.orderBy(col(valueCol), col(idCol))).cast(LongType))
+      .groupBy("bucket")
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
+           count(lit(1)).as("n"))
+  }
+
   /** 2-D Pareto frontier (skyline): rows not dominated by any other
     * row — maximize `maxCol`, minimize `minCol`; a row loses iff
     * some other row is ≥ on maxCol AND ≤ on minCol with at least

@@ -655,6 +655,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("resampleFfill: per-slot last wins, gaps fill forward, per-user bounds") {
+    // ts is ns (the Tables.events contract); gridUs=10 -> slot = us/10
+    val ev = Seq(
+      (1L, 5000L, 1L, 1.0),   // user 1, us 5,  slot 0
+      (2L, 7000L, 1L, 2.0),   // user 1, us 7,  slot 0 (later -> wins)
+      (3L, 35000L, 1L, 9.0),  // user 1, us 35, slot 3
+      (4L, 12000L, 2L, 5.0)   // user 2, us 12, slot 1 (single-slot range)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = Ops.resampleFfill(ev, gridUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, 0L, 2.0), (1L, 1L, 2.0), (1L, 2L, 2.0), (1L, 3L, 9.0),
+      (2L, 1L, 5.0)))
+  }
+
+  test("equiDepthHistogram: near-equal bucket sizes with exact bounds") {
+    val df = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("value", "event_id")
+    val got = Ops.equiDepthHistogram(df, "value", "event_id", 3)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    // SQL ntile: remainder rows go to the FIRST buckets: 4, 3, 3
+    assert(got == Seq((1L, 1.0, 4.0, 4L), (2L, 5.0, 7.0, 3L), (3L, 8.0, 10.0, 3L)))
+  }
+
   test("hllMergeRollup: daily-sketch union == direct weekly sketch; bound holds") {
     val rnd = new scala.util.Random(7)
     val dayUs = 86400L * 1000000L
