@@ -189,6 +189,22 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Ops.moneySum(col("o_totalprice"), 2).as("price_sum"))
     }),
+    // time travel: write v1, merge with retention (v2), read the
+    // table AS OF v1 — the v1 manifest pins the original file set,
+    // so the oracle aggregates the unmodified orders table
+    "q_time_travel" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val ord = Tables.orders(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_timetravel_orders").getPath
+      graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)
+      val updates = ord.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      graft.core.Warehouse.mergeZoneMapped(s, dir, "o_orderkey", updates,
+        retainForTimeTravel = true)
+      graft.core.Warehouse.readZoneMapVersion(s, dir, 1)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Ops.moneySum(col("o_totalprice"), 2).as("price_sum"))
+    }),
     // ORC round-trip with a filtered aggregate, so the re-read scan
     // exercises stripe-stat pushdown on the way back in
     "q_orc_ingest" -> ((s, d) => {
@@ -845,6 +861,12 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*)::BIGINT AS n,
         |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1""".stripMargin,
+
+    // the AS-OF-v1 read must see the pre-merge table exactly
+    "q_time_travel" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH base AS (

@@ -111,6 +111,69 @@ object Warehouse {
            count(lit(1)).as("n_rows"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zonemap")
+    // version history restarts with the table: v1 = this write
+    val hist = new java.io.File(dir, "_zonemap_history")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (hist.exists()) rm(hist)
+    df.sparkSession.read.parquet(s"$dir/_zonemap")
+      .coalesce(1).write.parquet(s"$dir/_zonemap_history/v1")
+  }
+
+  /** Manifest versions present under a [[writeZoneMapped]] table, in
+    * ascending order — v1 is the initial write, each retained merge
+    * appends one. */
+  def zoneMapVersions(dir: String): Seq[Int] = {
+    val hist = new java.io.File(dir, "_zonemap_history")
+    Option(hist.listFiles).getOrElse(Array.empty)
+      .flatMap(f => f.getName.stripPrefix("v").toIntOption)
+      .sorted.toIndexedSeq
+  }
+
+  /** Time-travel read: the table EXACTLY as of manifest `version`.
+    * The manifest IS the snapshot — a version pins its file set, so
+    * reading an old version is just scanning the files its manifest
+    * names (the Iceberg/Delta snapshot-isolation model: data files
+    * are immutable, versions differ only in which files are
+    * members). Requires the merges since then to have run with
+    * `retainForTimeTravel = true`; [[vacuumZoneMapped]] reclaims. */
+  def readZoneMapVersion(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         version: Int): DataFrame = {
+    val man = new java.io.File(dir, s"_zonemap_history/v$version")
+    require(man.exists(), s"no manifest version v$version under $dir " +
+      s"(have: ${zoneMapVersions(dir).mkString(", ")})")
+    val files = spark.read.parquet(man.getPath)
+      .select("file").collect().map(_.getString(0))
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Reclaim time-travel storage: drop manifest versions older than
+    * `keepFrom` and delete data files referenced ONLY by them. The
+    * standard VACUUM trade — storage back, history gone. Returns
+    * (manifestsDropped, dataFilesDeleted). */
+  def vacuumZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       keepFrom: Int): (Int, Int) = {
+    val versions = zoneMapVersions(dir)
+    val (drop, keep) = versions.partition(_ < keepFrom)
+    if (drop.isEmpty) return (0, 0)
+    require(keep.nonEmpty, s"vacuum would drop every version under $dir")
+    def filesOf(vs: Seq[Int]): Set[String] =
+      if (vs.isEmpty) Set.empty
+      else spark.read.parquet(vs.map(v => s"$dir/_zonemap_history/v$v"): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+    val dead = filesOf(drop) -- filesOf(keep)
+    dead.foreach { f =>
+      val p = new java.io.File(new java.net.URI(f))
+      if (p.exists) p.delete()
+    }
+    drop.foreach { v =>
+      val d = new java.io.File(dir, s"_zonemap_history/v$v")
+      Option(d.listFiles).foreach(_.foreach(_.delete()))
+      d.delete()
+    }
+    (drop.size, dead.size)
   }
 
   /** Range scan over a [[writeZoneMapped]] table: the manifest (nFiles
@@ -152,7 +215,8 @@ object Warehouse {
     * a null key matches no zone and would silently become a
     * permanent insert-only row; fail instead. */
   def mergeZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      statCol: String, updates: DataFrame): (Int, Int) = {
+                      statCol: String, updates: DataFrame,
+                      retainForTimeTravel: Boolean = false): (Int, Int) = {
     val firstRow = updates.agg(count(lit(1)).as("n"),
       sum(when(col(statCol).isNull, 1L).otherwise(0L)).as("n_null")).collect()(0)
     val (nUpd, nNull) = (firstRow.getLong(0), if (firstRow.isNullAt(1)) 0L else firstRow.getLong(1))
@@ -167,15 +231,22 @@ object Warehouse {
       if (touched.isEmpty) updates.limit(0)
       else spark.read.parquet(touched.toSeq: _*)
         .join(updates.select(col(statCol)).distinct(), Seq(statCol), "left_anti")
+    // fresh = files this APPEND creates, diffed on the actual disk
+    // listing — NOT against the manifest: with time-travel retention
+    // the data dir also holds files superseded by EARLIER merges
+    // (absent from the current manifest), and a manifest diff would
+    // resurrect their stale rows into the new manifest
+    def diskFiles(): Set[String] =
+      Option(new java.io.File(dir, "data").listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    val diskBefore = diskFiles()
     keep.unionByName(updates)
       .repartitionByRange(math.max(1, touched.size), col(statCol))
       .sortWithinPartitions(col(statCol))
       .write.mode(SaveMode.Append).parquet(s"$dir/data")
     // manifest delta: stats from the NEW files only (merge-sized scan)
-    val after = spark.read.parquet(s"$dir/data")
-      .select(input_file_name().as("file")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val fresh = (after -- before).toSeq
+    val fresh = (diskFiles() -- diskBefore).toSeq
     val freshStats = spark.read.parquet(fresh: _*)
       .select(input_file_name().as("file"), col(statCol))
       .groupBy("file")
@@ -187,8 +258,11 @@ object Warehouse {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zonemap_next")
     // swap: old touched data files + old manifest die AFTER the new
     // manifest is durable (crash between the two leaves a readable
-    // table through _zonemap_next; the atomicity caveat above)
-    touched.foreach { f =>
+    // table through _zonemap_next; the atomicity caveat above).
+    // With retainForTimeTravel the superseded files SURVIVE — prior
+    // manifest versions still reference them ([[readZoneMapVersion]]
+    // snapshots; [[vacuumZoneMapped]] reclaims later)
+    if (!retainForTimeTravel) touched.foreach { f =>
       val p = new java.io.File(new java.net.URI(f))
       if (p.exists) p.delete()
     }
@@ -197,6 +271,11 @@ object Warehouse {
     mdir.delete()
     val ok = new java.io.File(dir, "_zonemap_next").renameTo(mdir)
     require(ok, s"mergeZoneMapped: manifest swap rename failed under $dir")
+    if (retainForTimeTravel) {
+      val next = zoneMapVersions(dir).lastOption.getOrElse(0) + 1
+      spark.read.parquet(s"$dir/_zonemap")
+        .coalesce(1).write.parquet(s"$dir/_zonemap_history/v$next")
+    }
     (touched.size, before.size)
   }
 

@@ -121,6 +121,41 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Warehouse.mergeZoneMapped(spark, dir, "k", badUpd))
   }
 
+  test("time travel: retained merges version the manifest; vacuum reclaims") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_tt_spec").getPath
+    val base = (1L to 2000L).map(k => (k, s"V$k")).toDF("k", "v")
+    Warehouse.writeZoneMapped(base, dir, "k", 8)
+    assert(Warehouse.zoneMapVersions(dir) == Seq(1))
+    val upd1 = base.filter(col("k") % 100 === 0).withColumn("v", lit("UPD1"))
+    Warehouse.mergeZoneMapped(spark, dir, "k", upd1, retainForTimeTravel = true)
+    val upd2 = base.filter(col("k") % 101 === 0).withColumn("v", lit("UPD2"))
+    Warehouse.mergeZoneMapped(spark, dir, "k", upd2, retainForTimeTravel = true)
+    assert(Warehouse.zoneMapVersions(dir) == Seq(1, 2, 3))
+    // v1 is the untouched original; v3 (current) carries both merges
+    val v1 = Warehouse.readZoneMapVersion(spark, dir, 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1.size == 2000 && v1(100L) == "V100" && v1(101L) == "V101")
+    val v3 = Warehouse.readZoneMapVersion(spark, dir, 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v3(100L) == "UPD1" && v3(202L) == "UPD2" && v3(1L) == "V1")
+    // v2 sees merge 1 but not merge 2
+    val v2 = Warehouse.readZoneMapVersion(spark, dir, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2(100L) == "UPD1" && v2(202L) == "V202")
+    // vacuum to v2: v1 gone, current + v2 reads intact
+    val (dropped, deleted) = Warehouse.vacuumZoneMapped(spark, dir, keepFrom = 2)
+    assert(dropped == 1 && deleted > 0)
+    assert(Warehouse.zoneMapVersions(dir) == Seq(2, 3))
+    intercept[IllegalArgumentException](Warehouse.readZoneMapVersion(spark, dir, 1))
+    assert(Warehouse.readZoneMapVersion(spark, dir, 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == v3)
+    assert(Warehouse.readZoneMapVersion(spark, dir, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == v2)
+    // vacuum must refuse to drop everything
+    intercept[IllegalArgumentException](
+      Warehouse.vacuumZoneMapped(spark, dir, keepFrom = 99))
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
       .toDF("k", "s", "v")
