@@ -263,6 +263,12 @@ object SparkEntry {
     // daily-grid resample with forward fill: the gap-filling step
     // before fixed-step modeling on irregular event streams
     "q_resample_ffill" -> ((s, d) => Ops.resampleFfill(Tables.events(s, d))),
+    // next-event transition counts; probability = cnt/from_total
+    // stays rational (exact) in the declared row
+    "q_markov_transitions" -> ((s, d) => Ops.markovTransitions(Tables.events(s, d))),
+    // recency/frequency/monetary lifecycle segmentation, exact
+    // ntiles with (metric, user_id) tie-breaks
+    "q_rfm_segments" -> ((s, d) => Ops.rfmSegments(Tables.events(s, d))),
     // exact equal-count buckets with exact value bounds (the ANALYZE
     // statistic); sketched quantiles are the 100-TB path, this is
     // their verification harness
@@ -1003,6 +1009,31 @@ object SparkEntry {
         |        ntile(10) OVER (ORDER BY value, event_id) AS bucket
         |      FROM events)
         |GROUP BY bucket""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |                  epoch_us(ts)::BIGINT AS us FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY us, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS cnt
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  sum(cnt) OVER (PARTITION BY from_type)::BIGINT AS from_total
+        |FROM c""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_us(ts)::BIGINT) AS recency_us,
+        |    count(*)::BIGINT AS frequency,
+        |    CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, recency_us, frequency, monetary,
+        |  ntile(5) OVER (ORDER BY recency_us, user_id)::BIGINT AS r_seg,
+        |  ntile(5) OVER (ORDER BY frequency, user_id)::BIGINT AS f_seg,
+        |  ntile(5) OVER (ORDER BY monetary, user_id)::BIGINT AS m_seg
+        |FROM u""".stripMargin,
 
     "q_last_per_group" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts)::BIGINT AS ts_us

@@ -871,6 +871,53 @@ object Ops {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
               col("event_type"), col("n"), col("sum_value"))
 
+  /** First-order Markov transition counts over per-user event
+    * sequences: (from, to, cnt, from_total) for every consecutive
+    * event-type pair in (time, id) order — the behavioral-model /
+    * next-event-prediction statistic. Probabilities are the exact
+    * rational cnt/from_total; the division stays OUT of the declared
+    * row (the psiDrift discipline).
+    *
+    * Scale shape: ONE shuffle on user_id for the lead window (the
+    * per-user sort is the stream's natural clustering), a partial-agg
+    * shuffle on the (from, to) pairs — |types|² rows out — and the
+    * row-total window runs on that tiny frame. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("from_total",
+        sum(col("cnt")).over(Window.partitionBy("from_type")).cast(LongType))
+  }
+
+  /** RFM (recency / frequency / monetary) segmentation: per-user
+    * last-activity time, event count, and exact decimal-summed value,
+    * each scored 1–5 by an exact ntile over a (metric, user_id)
+    * total order — the classic lifecycle-marketing segmentation,
+    * with engine-portable tie-breaks. At 100 TB the per-user rollup
+    * is one partial-agg shuffle; the three global ntile windows sort
+    * |users| rows — swap in approx-quantile cut points when even
+    * that is too hot (the [[equiDepthHistogram]] trade, noted
+    * there). */
+  def rfmSegments(events: DataFrame, nSegments: Int = 5): DataFrame = {
+    require(nSegments >= 2, s"need nSegments >= 2, got $nSegments")
+    val perUser = events.select(col("user_id"), col("value"),
+        expr("ts div 1000").as("us"))
+      .groupBy("user_id")
+      .agg(max(col("us")).as("recency_us"),
+           count(lit(1)).as("frequency"),
+           moneySum(col("value"), 2).as("monetary"))
+    def seg(c: String) = ntile(nSegments)
+      .over(Window.orderBy(col(c), col("user_id"))).cast(LongType)
+    perUser.select(col("user_id"), col("recency_us"), col("frequency"),
+      col("monetary"), seg("recency_us").as("r_seg"),
+      seg("frequency").as("f_seg"), seg("monetary").as("m_seg"))
+  }
+
   /** Time-series resample + forward fill: project each user's event
     * stream onto a regular `gridUs`-spaced grid (their own [first,
     * last] slot range) carrying the latest value at-or-before each

@@ -670,6 +670,29 @@ class OpsSpec extends SparkSpec {
       (2L, 1L, 5.0)))
   }
 
+  test("markovTransitions: consecutive-pair counts with per-from totals") {
+    val ev = Seq(
+      (1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"), (3L, 3000L, 1L, "A"),
+      (4L, 1000L, 2L, "A"), (5L, 2000L, 2L, "A")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Ops.markovTransitions(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("A", "B") -> (1L, 2L), ("A", "A") -> (1L, 2L), ("B", "A") -> (1L, 1L)))
+  }
+
+  test("rfmSegments: monotone metrics map to monotone segment scores") {
+    // 5 users, strictly increasing on every metric -> segments 1..5
+    val ev = (1L to 5L).flatMap { u =>
+      (0L until u).map(i => (u * 100 + i, (u * 1000 + i) * 1000L, u, i * 2.0))
+    }.toDF("event_id", "ts", "user_id", "value")
+    val got = Ops.rfmSegments(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    (1L to 5L).foreach { u =>
+      assert(got(u) == (u, u, u), s"user $u got ${got(u)}")
+    }
+  }
+
   test("equiDepthHistogram: near-equal bucket sizes with exact bounds") {
     val df = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("value", "event_id")
     val got = Ops.equiDepthHistogram(df, "value", "event_id", 3)
