@@ -53,6 +53,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ops.sampleWeighted(emptyDocs, "doc_id", "n_chars", 5).count() == 0)
   }
 
+  test("round-5 analytics/warehouse operators are empty-safe") {
+    assert(Ops.resampleFfill(emptyEvents).count() == 0)
+    assert(Ops.markovTransitions(emptyEvents).count() == 0)
+    assert(Ops.rfmSegments(emptyEvents).count() == 0)
+    assert(Ops.equiDepthHistogram(emptyEvents, "value", "event_id").count() == 0)
+    assert(Ops.paretoFront(emptyEvents, "event_id", "user_id", "value").count() == 0)
+    assert(Ops.hllMergeRollup(
+      emptyEvents.withColumn("us", $"ts"), "event_type", "user_id", "us").count() == 0)
+    assert(TextOps.invertedIndex(emptyDocs).count() == 0)
+    assert(graft.core.Validate.psiDrift(
+      emptyEvents.withColumn("us", $"ts"), "event_type", "value", "us").count() == 0)
+    assert(graft.core.Warehouse.snapshotDiff(
+      emptyEvents, emptyEvents, Seq("event_id")).count() == 0)
+    assert(graft.core.Warehouse.mergeAggStates(
+      Seq(graft.core.Warehouse.aggState(emptyEvents, Seq("event_type"), "value")),
+      Seq("event_type")).count() == 0)
+  }
+
   test("similarity operators are empty-safe") {
     assert(Similarity.embeddingNearDupPairs(emptyEmb, 0.5).count() == 0)
     assert(Similarity.embeddingComponents(emptyEmb, 0.5).count() == 0)
