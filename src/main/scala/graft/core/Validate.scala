@@ -180,8 +180,12 @@ object Validate {
     import org.apache.spark.sql.types.DecimalType
     def ln6(c: Column): Column =
       round(log(c.cast(DoubleType)), 6).cast(DecimalType(18, 6))
+    // midpoint in LONG arithmetic: a double (min+max)/2 loses
+    // exactness past 2^53 (ns-scale timestamps sum to ~3.4e18) and
+    // truncates instead of flooring for negative sums; arithmetic
+    // shift-right IS floor-division by 2, matching the oracle's `//`
     val scalars = df.agg(
-      ((min(col(tsUsCol)) + max(col(tsUsCol))) / 2).cast(LongType).as("__mid"),
+      shiftright(min(col(tsUsCol)) + max(col(tsUsCol)), 1).as("__mid"),
       min(col(valueCol)).cast(DoubleType).as("__vmn"),
       max(col(valueCol)).cast(DoubleType).as("__vmx"))
     // identical expression shape on both engines: (v−mn)·nBins/(mx−mn),

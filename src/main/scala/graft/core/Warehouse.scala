@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Persist a table bucketed + sorted by the join key. Two tables
     * bucketed the same way join with NO shuffle exchange on either
     * side — at 100 TB this converts the nightly fact-fact join from
@@ -23,13 +28,7 @@ object Warehouse {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    if (loc.exists()) deleteRecursively(loc)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
@@ -113,11 +112,7 @@ object Warehouse {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zonemap")
     // version history restarts with the table: v1 = this write
     val hist = new java.io.File(dir, "_zonemap_history")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    if (hist.exists()) rm(hist)
+    if (hist.exists()) deleteRecursively(hist)
     df.sparkSession.read.parquet(s"$dir/_zonemap")
       .coalesce(1).write.parquet(s"$dir/_zonemap_history/v1")
   }
@@ -168,11 +163,7 @@ object Warehouse {
       val p = new java.io.File(new java.net.URI(f))
       if (p.exists) p.delete()
     }
-    drop.foreach { v =>
-      val d = new java.io.File(dir, s"_zonemap_history/v$v")
-      Option(d.listFiles).foreach(_.foreach(_.delete()))
-      d.delete()
-    }
+    drop.foreach(v => deleteRecursively(new java.io.File(dir, s"_zonemap_history/v$v")))
     (drop.size, dead.size)
   }
 
@@ -261,10 +252,18 @@ object Warehouse {
     // table through _zonemap_next; the atomicity caveat above).
     // With retainForTimeTravel the superseded files SURVIVE — prior
     // manifest versions still reference them ([[readZoneMapVersion]]
-    // snapshots; [[vacuumZoneMapped]] reclaims later)
-    if (!retainForTimeTravel) touched.foreach { f =>
-      val p = new java.io.File(new java.net.URI(f))
-      if (p.exists) p.delete()
+    // snapshots; [[vacuumZoneMapped]] reclaims later). A NON-retained
+    // merge deletes files prior manifests may reference, so it also
+    // DROPS the history — otherwise [[zoneMapVersions]] would
+    // advertise snapshots whose files are gone (found in review:
+    // readZoneMapVersion passed its require then failed at scan)
+    if (!retainForTimeTravel) {
+      touched.foreach { f =>
+        val p = new java.io.File(new java.net.URI(f))
+        if (p.exists) p.delete()
+      }
+      val hist = new java.io.File(dir, "_zonemap_history")
+      if (hist.exists()) deleteRecursively(hist)
     }
     val mdir = new java.io.File(dir, "_zonemap")
     Option(mdir.listFiles).foreach(_.foreach(_.delete()))
@@ -347,9 +346,17 @@ object Warehouse {
     * needs — thousands of KB-sized files turn scans into metadata
     * storms (one open + footer read each) and kill split planning.
     * Round-robin repartition (not coalesce) so output files are
-    * even-sized regardless of input skew; write-to-sibling then swap
-    * so a reader never sees a half-compacted directory (the atomic-
-    * pointer caveat of [[mergeZoneMapped]] applies).
+    * even-sized regardless of input skew.
+    *
+    * One data pass, not two: the row count that sizes the output
+    * comes from the parquet FOOTERS (driver-side metadata reads —
+    * the same information a manifest system carries), so the data is
+    * read exactly once, by the rewrite itself. The swap is two
+    * directory renames (old aside → new in → delete old): a reader
+    * in the window between them fails fast on a missing directory
+    * rather than silently seeing both copies at once (fail-closed;
+    * a real table format replaces the window with an atomic metadata
+    * pointer — same caveat as [[mergeZoneMapped]]).
     * Returns (filesBefore, filesAfter). */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
                    targetFileRows: Long): (Int, Int) = {
@@ -359,19 +366,24 @@ object Warehouse {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val dirFile = new java.io.File(dir)
     val before = parquetFiles(dirFile)
-    val df = spark.read.parquet(dir)
-    val nRows = df.count()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val nRows = before.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), hconf))
+      try r.getRecordCount finally r.close()
+    }.sum
     val nOut = math.max(1L, (nRows + targetFileRows - 1) / targetFileRows).toInt
     val tmp = new java.io.File(dirFile.getParentFile, dirFile.getName + "__compacting")
-    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-    // swap: new files in, old files out (names are unique per write job)
-    val fresh = parquetFiles(tmp)
-    fresh.foreach(f => require(f.renameTo(new java.io.File(dirFile, f.getName)),
-      s"compactFiles: move failed for ${f.getName}"))
-    before.foreach(_.delete())
-    Option(tmp.listFiles).foreach(_.foreach(_.delete()))
-    tmp.delete()
-    (before.length, fresh.length)
+    spark.read.parquet(dir)
+      .repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    val nAfter = parquetFiles(tmp).length
+    val old = new java.io.File(dirFile.getParentFile, dirFile.getName + "__old")
+    if (old.exists()) deleteRecursively(old)
+    require(dirFile.renameTo(old), s"compactFiles: could not move $dir aside")
+    require(tmp.renameTo(dirFile), s"compactFiles: could not move compacted dir into $dir")
+    deleteRecursively(old)
+    (before.length, nAfter)
   }
 
   /** Skew-salted equi-join that preserves inner-join semantics

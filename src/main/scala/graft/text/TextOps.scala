@@ -1112,35 +1112,36 @@ object TextOps {
     * posting list). The IR primitive behind BM25/TF-IDF serving and
     * the exact-match side of retrieval-augmented dedup.
     *
-    * Scale shape: (token, doc_id) pairs are distinct-per-doc before
-    * any aggregation, df is a partial-aggregable count, and the
-    * posting list is CAPPED at `headLen` doc_ids per token BEFORE
-    * collect_list ever runs — the cap is enforced by a row_number
-    * window on the same token shuffle, so a stopword token holds
+    * Scale shape: ONE corpus scan, ONE token shuffle. (token,
+    * doc_id) pairs are distinct-per-doc at explode time; df and the
+    * head cap are BOTH window functions over the same token
+    * partitioning (the unordered full-frame count and the ordered
+    * row_number share one sort — a separate groupBy-count branch
+    * was measured to re-scan and re-shuffle the corpus: exchange
+    * reuse does not bridge a partial-agg branch and a window
+    * branch). The posting list is capped at `headLen` doc_ids per
+    * token BEFORE collect_list ever runs, so a stopword token holds
     * ≤ headLen rows in memory, never its full (possibly billion-row)
-    * posting. A production index stores the full posting as sorted
-    * blocks; the head + df here are the block-0 + skip-metadata
-    * shape of that layout. Both window and groupBy hash on `token`,
-    * so the planner reuses one exchange.
+    * posting; the final per-token aggregate groups on the SAME key
+    * the window partitioned on, so no further exchange. A production
+    * index stores the full posting as sorted blocks; the head + df
+    * here are the block-0 + skip-metadata shape of that layout.
     */
   def invertedIndex(documents: DataFrame, minDf: Long = 10L,
                     headLen: Int = 50): DataFrame = {
     require(minDf >= 1 && headLen >= 1,
       s"need minDf >= 1 and headLen >= 1, got ($minDf, $headLen)")
     import org.apache.spark.sql.expressions.Window
-    val pairs = documents
+    val byToken = Window.partitionBy("token")
+    documents
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
-    val dfCounts = pairs.groupBy("token")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-    val heads = pairs
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("token").orderBy("doc_id")))
-      .filter(col("rn") <= headLen)
-      .groupBy("token")
+      .withColumn("df", count(lit(1)).over(byToken))
+      .withColumn("rn", row_number().over(byToken.orderBy("doc_id")))
+      .filter(col("df") >= minDf && col("rn") <= headLen)
+      .groupBy("token", "df")
       .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
         _.cast(StringType)), ",").as("postings_head"))
-    dfCounts.join(heads, "token")
+      .select(col("token"), col("df"), col("postings_head"))
   }
 
   /** BPE merge-step statistics: the weighted count of every adjacent

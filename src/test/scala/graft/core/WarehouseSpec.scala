@@ -156,6 +156,22 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Warehouse.vacuumZoneMapped(spark, dir, keepFrom = 99))
   }
 
+  test("non-retained merge drops history instead of advertising dead snapshots") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_tt_drop_spec").getPath
+    val base = (1L to 500L).map(k => (k, s"V$k")).toDF("k", "v")
+    Warehouse.writeZoneMapped(base, dir, "k", 4)
+    assert(Warehouse.zoneMapVersions(dir) == Seq(1))
+    val upd = base.filter(col("k") % 50 === 0).withColumn("v", lit("UPD"))
+    Warehouse.mergeZoneMapped(spark, dir, "k", upd) // default: no retention
+    // v1's files are gone, so the history must be gone too
+    assert(Warehouse.zoneMapVersions(dir).isEmpty)
+    intercept[IllegalArgumentException](Warehouse.readZoneMapVersion(spark, dir, 1))
+    // the live table is intact
+    val cur = spark.read.parquet(s"$dir/data")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur.size == 500 && cur(50L) == "UPD" && cur(1L) == "V1")
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
       .toDF("k", "s", "v")
