@@ -110,6 +110,41 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("start_t"), col("w.end").as("end_t"),
               col("n_events"))
 
+  case class MarkovState(lastType: String, lastUs: Long)
+  case class Transition(user_id: Long, from_type: String, to_type: String, us: Long)
+
+  /** Streaming twin of `Ops.markovTransitions`: per-user next-event
+    * transitions emitted AS THEY ARRIVE — the state is one (type,
+    * time) tuple per user (O(active users), not O(history)), and a
+    * transition that spans a micro-batch boundary is emitted exactly
+    * once because the boundary event lives in state. Downstream a
+    * windowed count over (from, to) gives the live transition
+    * matrix; the batch operator is the authoritative rebuild
+    * (equivalence pinned in the spec at millisecond-aligned
+    * event times — `ts_t.getTime` drops sub-ms, the [[sessionize]]
+    * convention). No timeout: a user's single tuple is the floor of
+    * meaningful state; wire ProcessingTimeTimeout upstream if even
+    * that must expire. */
+  def markovStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[MarkovState]): Iterator[Transition] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_t.getTime, e.event_id))
+      var out = List.empty[Transition]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts_t.getTime * 1000L
+        cur.foreach(s => out ::= Transition(userId, s.lastType, e.event_type, t))
+        cur = Some(MarkovState(e.event_type, t))
+      }
+      cur.foreach(state.update)
+      out.reverseIterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class Scd2State(value: Double, from_us: Long)
   case class Scd2Closed(user_id: Long, value: Double,
                         valid_from_us: Long, valid_to_us: Long)

@@ -49,6 +49,12 @@ class NullInputSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("invertedIndex treats null text as an empty document") {
+    val got = TextOps.invertedIndex(docs, minDf = 2L, headLen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(("hello", 2L, "1,3")))
+  }
+
   test("expression-path operators keep their null behavior") {
     // null text is its own md5-null group — the doc is not silently dropped
     assert(Dedup.exactDedup(docs).count() == 3)

@@ -63,6 +63,39 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("aaa", "bbb", "ccc"), s"got $out")
   }
 
+  test("markovStream == batch markovTransitions; boundary transition emits once") {
+    val t0 = 1600000000000L
+    def ev(id: Long, tMs: Long, u: Long, typ: String) =
+      (id, new java.sql.Timestamp(t0 + tMs), u, typ, 1.0)
+    // user 1's A->B crosses the micro-batch boundary (B arrives in
+    // batch 2 while A lives only in state); user 2 stays in batch 1
+    val b1 = Seq(ev(1, 0, 1L, "A"), ev(2, 1000, 2L, "X"), ev(3, 2000, 2L, "Y"))
+    val b2 = Seq(ev(4, 60000, 1L, "B"), ev(5, 61000, 1L, "A"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-markov").toString
+    b1.toDF("event_id", "ts_t", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/in")
+    b2.toDF("event_id", "ts_t", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(EventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = StreamingOps.markovStream(stream.as[StreamingOps.Event]).writeStream
+      .outputMode("append").format("memory").queryName("markov_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("markov_out")
+      .groupBy("from_type", "to_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch twin on the same rows (ts in ns for Tables-contract events)
+    val batchEv = (b1 ++ b2).map(e => (e._1, e._2.getTime * 1000000L, e._3, e._4))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val batch = Ops.markovTransitions(batchEv).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch, s"streaming $got vs batch $batch")
+    assert(got == Map(("A", "B") -> 1L, ("B", "A") -> 1L, ("X", "Y") -> 1L))
+  }
+
   test("bloomScreen drops contaminated stream docs; batch twin identical; conservative") {
     import graft.text.Dedup
     val probes = Seq((100L, "en", "the quick brown fox jumps"))
