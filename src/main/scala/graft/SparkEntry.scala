@@ -330,6 +330,15 @@ object SparkEntry {
     }),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDupPairs(s, Tables.documents(s, d), 1)),
+    // degree histogram of the simhash near-dup graph incl. isolated
+    // docs — the hub-document diagnostic behind confirm thresholds
+    "q_degree_hist" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      graft.core.Graph.degreeHistogram(
+        Dedup.simhashNearDupPairs(s, docs, 1), "doc_a", "doc_b",
+        docs.select(col("doc_id")), "doc_id")
+    }),
     "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.8)),
     "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.3, ngram = 2)),
     "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d), 20)),
@@ -1494,6 +1503,40 @@ object SparkEntry {
         |crossp AS (SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b, k.hamming
         |           FROM fp_ok k JOIN sh a ON k.fa = a.simhash JOIN sh b ON k.fb = b.simhash)
         |SELECT * FROM intra UNION ALL SELECT * FROM crossp""".stripMargin,
+
+    // same pair pipeline as q_simhash_neardup, rolled into a degree
+    // histogram over ALL documents (degree-0 rows included)
+    "q_degree_hist" ->
+      """WITH c AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS code
+        |  FROM (SELECT doc_id,
+        |          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        |        FROM documents)),
+        |bts AS (SELECT range AS bit, (1::BIGINT << range) AS w FROM range(32)),
+        |s AS (SELECT doc_id, bit, w, sum(2 * ((code >> bit) & 1) - 1) AS sgn
+        |      FROM c CROSS JOIN bts GROUP BY 1, 2, 3),
+        |sh AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN w ELSE 0 END)::BIGINT AS simhash
+        |       FROM s GROUP BY 1),
+        |fps AS (SELECT DISTINCT simhash FROM sh),
+        |bands AS (SELECT simhash, range AS band, (simhash >> (range::INT * 8)) & 255 AS bkey
+        |          FROM fps CROSS JOIN range(4)),
+        |fp_ok AS (
+        |  SELECT fa, fb FROM (
+        |    SELECT DISTINCT x.simhash AS fa, y.simhash AS fb
+        |    FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.simhash < y.simhash)
+        |  WHERE bit_count(xor(fa, fb)) <= 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        |  FROM fp_ok k JOIN sh a ON k.fa = a.simhash JOIN sh b ON k.fb = b.simhash),
+        |deg AS (SELECT doc_id, count(*)::BIGINT AS degree FROM (
+        |          SELECT doc_a AS doc_id FROM pairs
+        |          UNION ALL SELECT doc_b FROM pairs) GROUP BY 1),
+        |alld AS (SELECT d.doc_id, coalesce(g.degree, 0)::BIGINT AS degree
+        |         FROM documents d LEFT JOIN deg g USING (doc_id))
+        |SELECT degree, count(*)::BIGINT AS n_nodes FROM alld GROUP BY 1""".stripMargin,
 
     "q_jaccard_neardup" ->
       """WITH t AS (

@@ -261,6 +261,25 @@ object Graph {
     lab
   }
 
+  /** Degree distribution of an undirected edge list over a node
+    * universe: (degree, n_nodes), INCLUDING degree-0 nodes — the
+    * first diagnostic on any near-dup graph (a heavy high-degree
+    * tail means hub documents chaining clusters together; the
+    * degree histogram is how you pick the confirm threshold that
+    * prevents it). Two partial-agg shuffles, both tiny after
+    * map-side combine: per-node degree (|nodes| rows), then the
+    * histogram (|distinct degrees| rows). */
+  def degreeHistogram(edges: DataFrame, srcCol: String, dstCol: String,
+                      nodes: DataFrame, nodeCol: String): DataFrame = {
+    val deg = edges.select(col(srcCol).as("__n"))
+      .unionAll(edges.select(col(dstCol).as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("degree"))
+    nodes.select(col(nodeCol).as("__n"))
+      .join(deg, Seq("__n"), "left")
+      .na.fill(0L, Seq("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** PageRank by power iteration over a DIRECTED edge list — the
     * link-graph quality signal web-corpus curation weighs domains by
     * (a crawl's "is this host worth keeping" prior). Fixed `iters`

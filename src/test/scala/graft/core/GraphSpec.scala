@@ -196,6 +196,16 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("degreeHistogram: counts incident edges, includes isolated nodes") {
+    // triangle 1-2-3 plus pendant 3-4; nodes 5, 6 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val nodes = (1L to 6L).toDF("node")
+    val got = Graph.degreeHistogram(edges, "a", "b", nodes, "node")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // degrees: 1->2, 2->2, 3->3, 4->1, 5/6->0
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("pageRank: empty edges, bad ids, and checkpoint hygiene") {
     assert(pr(Seq.empty).isEmpty)
     intercept[IllegalArgumentException](
