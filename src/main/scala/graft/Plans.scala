@@ -74,7 +74,10 @@ object Plans {
     "q_psi_drift",        // broadcast scalars + one (group, bin) partial agg
     "q_inverted_index",   // token-shuffle reuse: window cap + df agg
     "q_hll_merge",        // partial sketch aggs, union rollup never re-reads rows
-    "q_incr_agg")         // algebraic partial-state merge (IVM shape)
+    "q_incr_agg",         // algebraic partial-state merge (IVM shape)
+    "q_resample_ffill",   // last-per-slot heap + grid explode + one fill window
+    "q_markov_transitions", // lead window + |types|^2 partial agg
+    "q_degree_hist")      // two tiny partial-agg shuffles over the pair pipeline
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
