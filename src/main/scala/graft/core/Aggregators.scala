@@ -42,9 +42,14 @@ object Aggregators {
     override def zero: RegrBuf = RegrBuf(0L, Zero, Zero, Zero, Zero)
 
     override def reduce(b: RegrBuf, a: (Double, Double)): RegrBuf = {
-      val (x, y) = (d(a._1), d(a._2))
-      RegrBuf(b.n + 1L, b.sx.add(x), b.sy.add(y),
-        b.sxx.add(x.multiply(x)), b.sxy.add(x.multiply(y)))
+      // non-finite pairs are IGNORED (the null-pair convention of the
+      // SQL regr_* family) — new BigDecimal(NaN/Inf) would throw and
+      // kill the job, which is strictly worse than skipping the row
+      if (java.lang.Double.isFinite(a._1) && java.lang.Double.isFinite(a._2)) {
+        val (x, y) = (d(a._1), d(a._2))
+        RegrBuf(b.n + 1L, b.sx.add(x), b.sy.add(y),
+          b.sxx.add(x.multiply(x)), b.sxy.add(x.multiply(y)))
+      } else b
     }
 
     override def merge(a: RegrBuf, b: RegrBuf): RegrBuf =
@@ -65,7 +70,14 @@ object Aggregators {
       RegrFit(slope.doubleValue(), icept.doubleValue(), r.n)
     }
 
-    override def bufferEncoder: Encoder[RegrBuf] = Encoders.product[RegrBuf]
+    // kryo, NOT Encoders.product: the product encoder maps
+    // java.math.BigDecimal to Spark's Decimal(38,18) (20 integer
+    // digits), which a single |x| ≥ ~1e10 overflows through sxx =
+    // x² — the buffer would throw on serialization between partial
+    // and final aggregation. Kryo round-trips arbitrary-precision
+    // BigDecimal losslessly, which is the whole point of the exact
+    // fallback.
+    override def bufferEncoder: Encoder[RegrBuf] = Encoders.kryo[RegrBuf]
     override def outputEncoder: Encoder[RegrFit] = Encoders.product[RegrFit]
   }
 

@@ -266,13 +266,16 @@ object Graph {
     * first diagnostic on any near-dup graph (a heavy high-degree
     * tail means hub documents chaining clusters together; the
     * degree histogram is how you pick the confirm threshold that
-    * prevents it). Two partial-agg shuffles, both tiny after
-    * map-side combine: per-node degree (|nodes| rows), then the
-    * histogram (|distinct degrees| rows). */
+    * prevents it). The edge list is read ONCE — endpoints unpivot
+    * via explode, not a self-union (a union of two projections plans
+    * the upstream pair pipeline as two independent subtrees and
+    * executes it twice; found in review). Then two partial-agg
+    * shuffles, both tiny after map-side combine: per-node degree
+    * (|nodes| rows), then the histogram (|distinct degrees| rows). */
   def degreeHistogram(edges: DataFrame, srcCol: String, dstCol: String,
                       nodes: DataFrame, nodeCol: String): DataFrame = {
-    val deg = edges.select(col(srcCol).as("__n"))
-      .unionAll(edges.select(col(dstCol).as("__n")))
+    val deg = edges
+      .select(explode(array(col(srcCol), col(dstCol))).as("__n"))
       .groupBy("__n").agg(count(lit(1)).as("degree"))
     nodes.select(col(nodeCol).as("__n"))
       .join(deg, Seq("__n"), "left")

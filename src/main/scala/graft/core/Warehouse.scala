@@ -262,8 +262,13 @@ object Warehouse {
         val p = new java.io.File(new java.net.URI(f))
         if (p.exists) p.delete()
       }
-      val hist = new java.io.File(dir, "_zonemap_history")
-      if (hist.exists()) deleteRecursively(hist)
+      // only an actually-destructive merge invalidates history: an
+      // insert-only merge (touched empty) deletes nothing, so prior
+      // snapshots remain fully readable and must survive
+      if (touched.nonEmpty) {
+        val hist = new java.io.File(dir, "_zonemap_history")
+        if (hist.exists()) deleteRecursively(hist)
+      }
     }
     val mdir = new java.io.File(dir, "_zonemap")
     Option(mdir.listFiles).foreach(_.foreach(_.delete()))
@@ -365,6 +370,22 @@ object Warehouse {
       Option(d.listFiles).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val dirFile = new java.io.File(dir)
+    val old = new java.io.File(dirFile.getParentFile, dirFile.getName + "__old")
+    // crash recovery: a previous run that died between the two swap
+    // renames left the data at __old and no live dir — restore it
+    // before doing anything else (see swap comment below)
+    if (!dirFile.exists() && old.exists())
+      require(old.renameTo(dirFile), s"compactFiles: crash recovery rename failed for $dir")
+    // the whole-directory swap REPLACES dir: refuse if it holds
+    // anything beyond parquet + write-marker files (e.g. a zone-map
+    // manifest subdir) — a caller compacting a table ROOT would
+    // silently lose that content otherwise
+    val foreign = Option(dirFile.listFiles).getOrElse(Array.empty).filterNot(f =>
+      (f.isFile && (f.getName.endsWith(".parquet") || f.getName.startsWith("_")
+        || f.getName.startsWith("."))))
+    require(foreign.isEmpty,
+      s"compactFiles compacts plain parquet directories only; $dir contains " +
+        s"${foreign.map(_.getName).mkString(", ")} — compact the data subdir instead")
     val before = parquetFiles(dirFile)
     val hconf = spark.sparkContext.hadoopConfiguration
     val nRows = before.map { f =>
@@ -378,7 +399,10 @@ object Warehouse {
     spark.read.parquet(dir)
       .repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
     val nAfter = parquetFiles(tmp).length
-    val old = new java.io.File(dirFile.getParentFile, dirFile.getName + "__old")
+    // swap: dir aside, compacted in, old deleted. A crash between the
+    // renames leaves no live dir — the recovery block above restores
+    // __old on the next invocation (and a reader meanwhile fails fast
+    // on a missing path rather than silently double-reading)
     if (old.exists()) deleteRecursively(old)
     require(dirFile.renameTo(old), s"compactFiles: could not move $dir aside")
     require(tmp.renameTo(dirFile), s"compactFiles: could not move compacted dir into $dir")

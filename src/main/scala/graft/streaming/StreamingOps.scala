@@ -110,21 +110,27 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("start_t"), col("w.end").as("end_t"),
               col("n_events"))
 
-  case class MarkovState(lastType: String, lastUs: Long)
+  case class MarkovState(lastType: String, lastUs: Long, lastId: Long)
   case class Transition(user_id: Long, from_type: String, to_type: String, us: Long)
 
   /** Streaming twin of `Ops.markovTransitions`: per-user next-event
     * transitions emitted AS THEY ARRIVE — the state is one (type,
-    * time) tuple per user (O(active users), not O(history)), and a
-    * transition that spans a micro-batch boundary is emitted exactly
-    * once because the boundary event lives in state. Downstream a
-    * windowed count over (from, to) gives the live transition
-    * matrix; the batch operator is the authoritative rebuild
-    * (equivalence pinned in the spec at millisecond-aligned
-    * event times — `ts_t.getTime` drops sub-ms, the [[sessionize]]
-    * convention). No timeout: a user's single tuple is the floor of
-    * meaningful state; wire ProcessingTimeTimeout upstream if even
-    * that must expire. */
+    * time, id) tuple per user (O(active users), not O(history)), and
+    * a transition that spans a micro-batch boundary is emitted
+    * exactly once because the boundary event lives in state.
+    *
+    * Late data: an event ordering (time, id) BEFORE the saved state
+    * is DROPPED — emitting it would produce a time-reversed
+    * transition and regress the state, which the batch operator (a
+    * global (us, event_id) sort) can never produce. So the live
+    * matrix equals the batch twin on in-order streams exactly, and
+    * under lateness it under-counts rather than invents transitions;
+    * the batch operator is the authoritative rebuild (equivalence
+    * pinned in the spec at millisecond-aligned event times —
+    * `ts_t.getTime` drops sub-ms, the [[sessionize]] convention).
+    * No timeout: a user's single tuple is the floor of meaningful
+    * state; wire ProcessingTimeTimeout upstream if even that must
+    * expire. */
   def markovStream(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     def update(userId: Long, rows: Iterator[Event],
@@ -134,8 +140,12 @@ object StreamingOps {
       var cur = state.getOption
       sorted.foreach { e =>
         val t = e.ts_t.getTime * 1000L
-        cur.foreach(s => out ::= Transition(userId, s.lastType, e.event_type, t))
-        cur = Some(MarkovState(e.event_type, t))
+        val inOrder = cur.forall(s =>
+          t > s.lastUs || (t == s.lastUs && e.event_id > s.lastId))
+        if (inOrder) {
+          cur.foreach(s => out ::= Transition(userId, s.lastType, e.event_type, t))
+          cur = Some(MarkovState(e.event_type, t, e.event_id))
+        } // else: late event, dropped (see scaladoc)
       }
       cur.foreach(state.update)
       out.reverseIterator

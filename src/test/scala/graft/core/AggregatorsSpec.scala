@@ -45,6 +45,20 @@ class AggregatorsSpec extends SparkSpec {
     assert(math.abs(one.intercept - builtin.getDouble(1)) < 1e-6)
   }
 
+  test("regrFitExact: survives large magnitudes and non-finite rows") {
+    // |x| ~ 1e10: sxx ~ 1e20 — overflows a Decimal(38,18) product
+    // encoder (the bug the kryo buffer fixes); exact y = 2x + 5
+    val big = Seq((1.0e10, 2.0e10 + 5), (2.0e10, 4.0e10 + 5), (3.0e10, 6.0e10 + 5))
+    val r = big.toDS().repartition(3).select(Aggregators.regrFitExactCol).head()
+    assert(r.slope == 2.0 && r.intercept == 5.0 && r.n == 3L)
+    // non-finite pairs are skipped (the SQL null-pair convention),
+    // never a job-killing NumberFormatException
+    val dirty = Seq((1.0, 2.0), (Double.NaN, 9.0), (3.0, Double.PositiveInfinity),
+      (2.0, 4.0), (3.0, 6.0))
+    val d = dirty.toDS().select(Aggregators.regrFitExactCol).head()
+    assert(d.slope == 2.0 && d.intercept == 0.0 && d.n == 3L)
+  }
+
   test("regrFitExact: grouped usage and degenerate groups") {
     val ds = Seq(
       ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0), // exact y = 2x

@@ -161,6 +161,12 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val base = (1L to 500L).map(k => (k, s"V$k")).toDF("k", "v")
     Warehouse.writeZoneMapped(base, dir, "k", 4)
     assert(Warehouse.zoneMapVersions(dir) == Seq(1))
+    // insert-only merge (keys beyond every zone): deletes no file, so
+    // history SURVIVES — only a destructive merge invalidates it
+    val ins = Seq((10001L, "NEW")).toDF("k", "v")
+    Warehouse.mergeZoneMapped(spark, dir, "k", ins)
+    assert(Warehouse.zoneMapVersions(dir) == Seq(1))
+    assert(Warehouse.readZoneMapVersion(spark, dir, 1).count() == 500)
     val upd = base.filter(col("k") % 50 === 0).withColumn("v", lit("UPD"))
     Warehouse.mergeZoneMapped(spark, dir, "k", upd) // default: no retention
     // v1's files are gone, so the history must be gone too
@@ -169,7 +175,17 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the live table is intact
     val cur = spark.read.parquet(s"$dir/data")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(cur.size == 500 && cur(50L) == "UPD" && cur(1L) == "V1")
+    assert(cur.size == 501 && cur(50L) == "UPD" && cur(1L) == "V1" && cur(10001L) == "NEW")
+  }
+
+  test("compactFiles refuses directories holding non-parquet content") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_guard")
+    val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    df.write.mode("overwrite").parquet(dir.getPath)
+    new java.io.File(dir, "manifest").mkdir() // a subdir that must not be destroyed
+    intercept[IllegalArgumentException](
+      Warehouse.compactFiles(spark, dir.getPath, 50L))
+    assert(new java.io.File(dir, "manifest").exists(), "foreign content must survive")
   }
 
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
