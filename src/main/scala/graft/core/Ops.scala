@@ -896,26 +896,45 @@ object Ops {
 
   /** RFM (recency / frequency / monetary) segmentation: per-user
     * last-activity time, event count, and exact decimal-summed value,
-    * each scored 1–5 by an exact ntile over a (metric, user_id)
-    * total order — the classic lifecycle-marketing segmentation,
-    * with engine-portable tie-breaks. At 100 TB the per-user rollup
-    * is one partial-agg shuffle; the three global ntile windows sort
-    * |users| rows — swap in approx-quantile cut points when even
-    * that is too hot (the [[equiDepthHistogram]] trade, noted
-    * there). */
-  def rfmSegments(events: DataFrame, nSegments: Int = 5): DataFrame = {
+    * each scored 1–`nSegments` — the classic lifecycle-marketing
+    * segmentation. The per-user rollup is one partial-agg shuffle at
+    * any scale; what varies is the scoring:
+    *
+    * `relErr = 0` (oracle default): exact ntile over a (metric,
+    * user_id) total order — engine-portable tie-breaks, but all
+    * |users| rows sort through one task per metric, so it is the
+    * test-scale harness. `relErr > 0`: all three metrics' cut arrays
+    * come from ONE `percentile_approx` aggregate pass over the
+    * rollup (3·(n−1) values), broadcast back, segments assigned by
+    * comparison ([[bucketByCuts]]) — no global window, the 100-TB
+    * path. Ties share a segment there instead of splitting. */
+  def rfmSegments(events: DataFrame, nSegments: Int = 5, relErr: Double = 0.0): DataFrame = {
     require(nSegments >= 2, s"need nSegments >= 2, got $nSegments")
+    require(relErr >= 0.0 && relErr < 0.5, s"need relErr in [0, 0.5), got $relErr")
     val perUser = events.select(col("user_id"), col("value"),
         expr("ts div 1000").as("us"))
       .groupBy("user_id")
       .agg(max(col("us")).as("recency_us"),
            count(lit(1)).as("frequency"),
            moneySum(col("value"), 2).as("monetary"))
-    def seg(c: String) = ntile(nSegments)
-      .over(Window.orderBy(col(c), col("user_id"))).cast(LongType)
-    perUser.select(col("user_id"), col("recency_us"), col("frequency"),
-      col("monetary"), seg("recency_us").as("r_seg"),
-      seg("frequency").as("f_seg"), seg("monetary").as("m_seg"))
+    if (relErr == 0.0) {
+      def seg(c: String) = ntile(nSegments)
+        .over(Window.orderBy(col(c), col("user_id"))).cast(LongType)
+      perUser.select(col("user_id"), col("recency_us"), col("frequency"),
+        col("monetary"), seg("recency_us").as("r_seg"),
+        seg("frequency").as("f_seg"), seg("monetary").as("m_seg"))
+    } else {
+      val cuts = perUser.agg(
+        approxCutsAgg(col("recency_us"), nSegments, relErr).as("r_cuts"),
+        approxCutsAgg(col("frequency"), nSegments, relErr).as("f_cuts"),
+        approxCutsAgg(col("monetary"), nSegments, relErr).as("m_cuts"))
+      perUser.crossJoin(broadcast(cuts))
+        .select(col("user_id"), col("recency_us"), col("frequency"),
+          col("monetary"),
+          bucketByCuts(col("recency_us"), col("r_cuts")).as("r_seg"),
+          bucketByCuts(col("frequency"), col("f_cuts")).as("f_seg"),
+          bucketByCuts(col("monetary"), col("m_cuts")).as("m_seg"))
+    }
   }
 
   /** Time-series resample + forward fill: project each user's event
@@ -953,21 +972,62 @@ object Ops {
           .as("value_ffill"))
   }
 
-  /** Exact equi-depth histogram: `nBuckets` buckets of (near-)equal
-    * row count with exact [lo, hi] value bounds per bucket — the
-    * ANALYZE-style statistic a cost-based optimizer feeds on, and
-    * the verification harness for sketched quantiles
-    * ([[approxPercentileChecked]] is the production path at 100 TB;
-    * an exact global ntile needs a total sort). The (value, id)
-    * order makes bucket assignment a total order, so ties split
-    * identically on any engine. */
+  /** Interior cut points at p = 1/n … (n−1)/n as ONE partial-
+    * aggregable `percentile_approx` array aggregate. This is the
+    * bounded metadata (n−1 values, kilobytes) that replaces a global
+    * single-partition sort when bucketing at 100 TB: each partition
+    * ships a fixed-size Greenwald–Khanna sketch, the merged cut
+    * array broadcasts back, and assignment is a per-row comparison.
+    * Stays inside the plan (no driver action), so callers compose
+    * it with `crossJoin(broadcast(…))` into one job. */
+  private[graft] def approxCutsAgg(value: Column, n: Int, relErr: Double): Column = {
+    val accuracy = math.min(1000000L, math.max(100L, math.ceil(1.0 / relErr).toLong)).toInt
+    percentile_approx(value,
+      array((1 until n).map(i => lit(i.toDouble / n)): _*), lit(accuracy))
+  }
+
+  /** Ascending bucket index 1..n from a cut array: 1 + the number of
+    * cuts strictly below the value. All rows sharing a value share a
+    * bucket — the one documented divergence from exact `ntile`,
+    * which splits ties across buckets via its id tie-break to
+    * balance counts exactly. Duplicate cut values (heavy skew on one
+    * value) leave the buckets between them empty rather than
+    * misassigning rows. */
+  private[graft] def bucketByCuts(v: Column, cuts: Column): Column =
+    (lit(1) + aggregate(cuts, lit(0),
+      (acc, c) => acc + when(v > c, 1).otherwise(0))).cast(LongType)
+
+  /** Equi-depth histogram: `nBuckets` buckets of (near-)equal row
+    * count with exact [lo, hi] value bounds per bucket — the
+    * ANALYZE-style statistic a cost-based optimizer feeds on.
+    *
+    * `relErr = 0` (the oracle default) is the EXACT path: a global
+    * `ntile` whose (value, id) order makes bucket assignment a total
+    * order, so ties split identically on any engine — but it funnels
+    * every row through one task, so it is a test-scale verification
+    * harness, not the production path. `relErr > 0` is the 100-TB
+    * path: `percentile_approx`-derived cut points (one partial-agg
+    * pass, n−1 values) broadcast back and assigned by comparison —
+    * no global sort, no single hot partition. Bucket counts are then
+    * equal within the sketch's rank error (relErr·N per boundary);
+    * ties share a bucket instead of splitting. */
   def equiDepthHistogram(df: DataFrame, valueCol: String, idCol: String,
-                         nBuckets: Int = 10): DataFrame = {
+                         nBuckets: Int = 10, relErr: Double = 0.0): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
-    df.select(col(valueCol), col(idCol))
-      .withColumn("bucket", ntile(nBuckets).over(
-        Window.orderBy(col(valueCol), col(idCol))).cast(LongType))
-      .groupBy("bucket")
+    require(relErr >= 0.0 && relErr < 0.5, s"need relErr in [0, 0.5), got $relErr")
+    val base = df.select(col(valueCol), col(idCol))
+    val bucketed =
+      if (relErr == 0.0)
+        base.withColumn("bucket", ntile(nBuckets).over(
+          Window.orderBy(col(valueCol), col(idCol))).cast(LongType))
+      else if (nBuckets == 1) base.withColumn("bucket", lit(1L))
+      else {
+        val cuts = base.agg(approxCutsAgg(col(valueCol), nBuckets, relErr).as("cuts"))
+        base.crossJoin(broadcast(cuts))
+          .withColumn("bucket", bucketByCuts(col(valueCol), col("cuts")))
+          .drop("cuts")
+      }
+    bucketed.groupBy("bucket")
       .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
            count(lit(1)).as("n"))
   }

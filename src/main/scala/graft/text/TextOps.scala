@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.core.Ops
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, language-ID, quality scoring, token counting,
   * document fingerprinting. All pure column expressions (whole-stage
@@ -160,25 +162,42 @@ object TextOps {
       qualityExpr(toks).as("quality"))
   }
 
-  /** Per-language quality percentile buckets: `ntile(n)` over the
-    * quality blend — the "keep the top 20% of each language" filter
-    * of a curation pipeline, as a reusable column rather than a
-    * corpus-wide sort-and-cut.
+  /** Per-language quality percentile buckets — the "keep the top 20%
+    * of each language" filter of a curation pipeline, as a reusable
+    * column rather than a corpus-wide sort-and-cut. `tile` 1 is the
+    * BEST quality in its language.
     *
-    * Scale shape: one shuffle on the language key, one ordered pass
-    * per partition (ntile is a running counter once the partition is
-    * sorted). A colossal language is one partition here — when a
-    * single language dominates the corpus, pre-bucket it (e.g. tile
-    * within (lang, shard) then combine) or accept the skew and let
-    * AQE split the sort; noted because ntile, unlike rank, needs the
-    * partition row count and cannot heap-limit. */
-  def qualityNtile(documents: DataFrame, n: Int = 10): DataFrame = {
+    * `relErr = 0` (oracle default): exact per-language `ntile(n)` —
+    * one shuffle on the language key, one ordered pass per
+    * partition. A colossal language is one partition there, which on
+    * an English-dominant corpus is the same single-hot-task problem
+    * as a global sort — so it is the test-scale harness. `relErr >
+    * 0`: per-language cut points from one `percentile_approx`
+    * partial-agg pass (|langs| rows of n−1 values, a broadcast
+    * join), tiles assigned by comparison — no ordered window at all,
+    * every language scales. Ties share a tile there instead of
+    * splitting on the doc_id tie-break. */
+  def qualityNtile(documents: DataFrame, n: Int = 10, relErr: Double = 0.0): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
-    tokenized(documents)
+    require(relErr >= 0.0 && relErr < 0.5, s"need relErr in [0, 0.5), got $relErr")
+    val scored = tokenized(documents)
       .select(col("doc_id"), col("lang"), qualityExpr(col("toks")).as("quality"))
-      .withColumn("tile", ntile(n).over(w).cast(LongType))
+    if (relErr == 0.0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("tile", ntile(n).over(w).cast(LongType))
+    } else if (n == 1) scored.withColumn("tile", lit(1L))
+    else {
+      // Ascending bucket b over the quality cuts maps to descending
+      // tile n+1−b (tile 1 = top of the distribution).
+      val cuts = scored.groupBy("lang")
+        .agg(Ops.approxCutsAgg(col("quality"), n, relErr).as("cuts"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("tile",
+          (lit(n + 1) - Ops.bucketByCuts(col("quality"), col("cuts"))).cast(LongType))
+        .drop("cuts")
+        .select(col("doc_id"), col("lang"), col("quality"), col("tile"))
+    }
   }
 
   /** Corpus-level n-gram frequency top-k: the vocabulary-statistics
