@@ -82,17 +82,56 @@ object Warehouse {
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
+  /** Test-only failpoint for crash-injection specs: invoked with a
+    * step name at the named points of the zone-map commit protocol;
+    * a spec installs a throwing hook to simulate a crash between
+    * steps. No-op in production. */
+  private[graft] var crashHook: String => Unit = _ => ()
+
+  /** The committed manifest version of a zone-mapped table: the
+    * content of the `_current` pointer file. Every reader resolves
+    * through this ONE file, and every writer publishes by atomically
+    * renaming a fresh pointer over it — the Iceberg/Delta commit
+    * model, where a version either is or is not visible and no
+    * reader ever observes a half-swapped manifest. */
+  def zoneMapCurrentVersion(dir: String): Int = {
+    val ptr = new java.io.File(dir, "_current")
+    require(ptr.exists(), s"no committed zone-map table under $dir (missing _current)")
+    val s = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+    s.stripPrefix("v").toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"corrupt _current pointer under $dir: '$s'"))
+  }
+
+  /** Publish `version` as the live one: write the pointer content to
+    * a temp file, then ATOMIC_MOVE it over `_current`. The rename is
+    * the commit — everything before it (data files, manifest dir) is
+    * invisible staging; a crash anywhere before the rename leaves
+    * the previous version fully intact and readable. */
+  private def commitZoneMapVersion(dir: String, version: Int): Unit = {
+    val tmp = new java.io.File(dir, s"_current.tmp$version")
+    java.nio.file.Files.write(tmp.toPath, s"v$version".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, "_current").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The live manifest: per-file (file, mn, mx, n_rows), resolved
+    * through the `_current` pointer. */
+  def zoneMapManifest(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/_zonemap_history/v${zoneMapCurrentVersion(dir)}")
+
   /** Range-clustered parquet layout + a zone-map MANIFEST (the
     * Iceberg/Delta data-skipping pattern, one level above parquet's
     * own footer pruning): rows are range-partitioned and sorted on
     * `statCol` into ≤ `nFiles` files under `dir/data`, and a tiny
     * parquet manifest of per-file (min, max, rows) is written to
-    * `dir/_zonemap`. [[readZoneMapPruned]] consults the manifest
-    * BEFORE the scan is planned, so a selective range predicate
-    * never even lists the non-matching files — at 100 TB the win
-    * over footer pruning is that skipping needs no file OPEN at all
-    * (footer pruning still opens every footer; a manifest is one
-    * driver-side read of nFiles rows).
+    * `dir/_zonemap_history/v1`, published via the atomic `_current`
+    * pointer ([[commitZoneMapVersion]]). [[readZoneMapPruned]]
+    * consults the manifest BEFORE the scan is planned, so a
+    * selective range predicate never even lists the non-matching
+    * files — at 100 TB the win over footer pruning is that skipping
+    * needs no file OPEN at all (footer pruning still opens every
+    * footer; a manifest is one driver-side read of nFiles rows).
     *
     * The stats pass here re-scans the written column once (local
     * demo); a cluster writer collects the same per-file min/max from
@@ -100,6 +139,11 @@ object Warehouse {
     * and the prune path are what this models. */
   def writeZoneMapped(df: DataFrame, dir: String, statCol: String, nFiles: Int = 16): Unit = {
     require(nFiles >= 1, s"need nFiles >= 1, got $nFiles")
+    // CREATE OR REPLACE: any previous incarnation's metadata restarts
+    val hist = new java.io.File(dir, "_zonemap_history")
+    if (hist.exists()) deleteRecursively(hist)
+    val ptr = new java.io.File(dir, "_current")
+    if (ptr.exists()) ptr.delete()
     df.repartitionByRange(nFiles, col(statCol))
       .sortWithinPartitions(col(statCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
@@ -109,21 +153,23 @@ object Warehouse {
       .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
            count(lit(1)).as("n_rows"))
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zonemap")
-    // version history restarts with the table: v1 = this write
-    val hist = new java.io.File(dir, "_zonemap_history")
-    if (hist.exists()) deleteRecursively(hist)
-    df.sparkSession.read.parquet(s"$dir/_zonemap")
-      .coalesce(1).write.parquet(s"$dir/_zonemap_history/v1")
+      .write.parquet(s"$dir/_zonemap_history/v1")
+    commitZoneMapVersion(dir, 1)
   }
 
-  /** Manifest versions present under a [[writeZoneMapped]] table, in
+  /** Committed manifest versions of a [[writeZoneMapped]] table, in
     * ascending order — v1 is the initial write, each retained merge
-    * appends one. */
+    * appends one, a non-retained merge leaves only the live version.
+    * Staged-but-uncommitted manifest dirs (a writer crashed before
+    * its pointer rename) are invisible here: only versions ≤ the
+    * `_current` pointer are real. */
   def zoneMapVersions(dir: String): Seq[Int] = {
+    if (!new java.io.File(dir, "_current").exists()) return Seq.empty
+    val cur = zoneMapCurrentVersion(dir)
     val hist = new java.io.File(dir, "_zonemap_history")
     Option(hist.listFiles).getOrElse(Array.empty)
       .flatMap(f => f.getName.stripPrefix("v").toIntOption)
+      .filter(_ <= cur)
       .sorted.toIndexedSeq
   }
 
@@ -137,34 +183,56 @@ object Warehouse {
   def readZoneMapVersion(spark: org.apache.spark.sql.SparkSession, dir: String,
                          version: Int): DataFrame = {
     val man = new java.io.File(dir, s"_zonemap_history/v$version")
-    require(man.exists(), s"no manifest version v$version under $dir " +
+    require(man.exists() && version <= zoneMapCurrentVersion(dir),
+      s"no committed manifest version v$version under $dir " +
       s"(have: ${zoneMapVersions(dir).mkString(", ")})")
     val files = spark.read.parquet(man.getPath)
       .select("file").collect().map(_.getString(0))
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
-  /** Reclaim time-travel storage: drop manifest versions older than
-    * `keepFrom` and delete data files referenced ONLY by them. The
-    * standard VACUUM trade — storage back, history gone. Returns
-    * (manifestsDropped, dataFilesDeleted). */
+  /** Reclaim storage: drop manifest versions older than `keepFrom`,
+    * delete data files referenced ONLY by them, and sweep ORPHANS —
+    * data files no committed version references (the staging debris
+    * of crashed writers, which the atomic commit makes harmless but
+    * not free). The standard VACUUM trade — storage back, history
+    * gone. Returns (manifestsDropped, dataFilesDeleted). Single-
+    * writer model: with concurrent writers the orphan sweep would
+    * need an age threshold so it cannot eat another writer's
+    * in-flight staging (Iceberg's remove-orphan-files caveat).
+    *
+    * Crash ordering: the dropped manifest DIRS go first, the dead
+    * data files second — a vacuum that dies mid-way then leaves
+    * orphan data files (harmless, re-vacuumable) instead of
+    * committed versions advertising files that are gone. */
   def vacuumZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
                        keepFrom: Int): (Int, Int) = {
+    val cur = zoneMapCurrentVersion(dir)
+    require(keepFrom <= cur, s"vacuum keepFrom=v$keepFrom would drop the live v$cur")
     val versions = zoneMapVersions(dir)
     val (drop, keep) = versions.partition(_ < keepFrom)
-    if (drop.isEmpty) return (0, 0)
     require(keep.nonEmpty, s"vacuum would drop every version under $dir")
     def filesOf(vs: Seq[Int]): Set[String] =
       if (vs.isEmpty) Set.empty
       else spark.read.parquet(vs.map(v => s"$dir/_zonemap_history/v$v"): _*)
         .select("file").distinct().collect().map(_.getString(0)).toSet
-    val dead = filesOf(drop) -- filesOf(keep)
-    dead.foreach { f =>
-      val p = new java.io.File(new java.net.URI(f))
-      if (p.exists) p.delete()
-    }
+    // compare on FILESYSTEM paths, not URI strings — input_file_name's
+    // scheme spelling (file:/ vs file:///) must not desync the sets
+    def pathOf(u: String): String = new java.net.URI(u).getPath
+    val keptPaths = filesOf(keep).map(pathOf)
+    val dropPaths = filesOf(drop).map(pathOf)
+    val dead = dropPaths -- keptPaths
+    val onDisk = Option(new java.io.File(dir, "data").listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSet
+    val orphans = onDisk -- keptPaths -- dropPaths
     drop.foreach(v => deleteRecursively(new java.io.File(dir, s"_zonemap_history/v$v")))
-    (drop.size, dead.size)
+    crashHook("vacuum:post-manifest-drop")
+    (dead ++ orphans).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists) f.delete()
+    }
+    (drop.size, dead.size + orphans.size)
   }
 
   /** Range scan over a [[writeZoneMapped]] table: the manifest (nFiles
@@ -176,7 +244,7 @@ object Warehouse {
     * table's schema, no job. */
   def readZoneMapPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
                         statCol: String, lo: Any, hi: Any): DataFrame = {
-    val kept = spark.read.parquet(s"$dir/_zonemap")
+    val kept = zoneMapManifest(spark, dir)
       .filter(col("mx") >= lit(lo) && col("mn") <= lit(hi))
       .select("file").collect().map(_.getString(0))
     val data =
@@ -196,15 +264,27 @@ object Warehouse {
     * delta scans ONLY the newly written files (merge-sized, not
     * table-sized).
     *
-    * Returns (filesRewritten, filesTotalBefore). The swap itself
-    * (delete old files + write manifest) is NOT atomic here — a real
-    * table format (Iceberg/Delta) commits the same file-set delta
-    * through an atomic metadata pointer; this models the COW
-    * mechanics and the pruning contract, and the spec asserts both
-    * the semantics (equals anti-join ∪ updates) and the bound
-    * (narrow merges touch few files). Update keys must be non-null:
-    * a null key matches no zone and would silently become a
-    * permanent insert-only row; fail instead. */
+    * Returns (filesRewritten, filesTotalBefore).
+    *
+    * COMMIT PROTOCOL (the Iceberg/Delta model, now actually atomic):
+    *   1. stage — append the rewritten+inserted data files (invisible:
+    *      readers resolve file sets through manifests, never by
+    *      listing `data/`), then write the new manifest to
+    *      `_zonemap_history/v{N+1}`;
+    *   2. commit — one atomic `_current` pointer rename
+    *      ([[commitZoneMapVersion]]). A crash anywhere before this
+    *      leaves v{N} live and every byte it references intact (the
+    *      staged files are orphans a vacuum can reclaim);
+    *   3. clean — only AFTER the commit, and only when
+    *      `retainForTimeTravel = false`: superseded manifest dirs go
+    *      first, then the superseded data files, so a crash mid-clean
+    *      leaves orphan files, never a committed version with missing
+    *      files. With retention both survive for
+    *      [[readZoneMapVersion]]; [[vacuumZoneMapped]] reclaims.
+    *
+    * Update keys must be non-null: a null key matches no zone and
+    * would silently become a permanent insert-only row; fail
+    * instead. */
   def mergeZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
                       statCol: String, updates: DataFrame,
                       retainForTimeTravel: Boolean = false): (Int, Int) = {
@@ -212,7 +292,8 @@ object Warehouse {
       sum(when(col(statCol).isNull, 1L).otherwise(0L)).as("n_null")).collect()(0)
     val (nUpd, nNull) = (firstRow.getLong(0), if (firstRow.isNullAt(1)) 0L else firstRow.getLong(1))
     require(nNull == 0L, s"mergeZoneMapped: $nNull update row(s) carry a null '$statCol' key")
-    val man = spark.read.parquet(s"$dir/_zonemap")
+    val curVersion = zoneMapCurrentVersion(dir)
+    val man = zoneMapManifest(spark, dir)
     val before = man.select("file").collect().map(_.getString(0)).toSet
     if (nUpd == 0L) return (0, before.size)
     val touched = updates.select(col(statCol).as("k")).distinct()
@@ -223,10 +304,10 @@ object Warehouse {
       else spark.read.parquet(touched.toSeq: _*)
         .join(updates.select(col(statCol)).distinct(), Seq(statCol), "left_anti")
     // fresh = files this APPEND creates, diffed on the actual disk
-    // listing — NOT against the manifest: with time-travel retention
-    // the data dir also holds files superseded by EARLIER merges
-    // (absent from the current manifest), and a manifest diff would
-    // resurrect their stale rows into the new manifest
+    // listing — NOT against the manifest: the data dir also holds
+    // files superseded by EARLIER merges (absent from the current
+    // manifest), and a manifest diff would resurrect their stale
+    // rows into the new manifest
     def diskFiles(): Set[String] =
       Option(new java.io.File(dir, "data").listFiles).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -243,42 +324,32 @@ object Warehouse {
       .groupBy("file")
       .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
            count(lit(1)).as("n_rows"))
+    val next = curVersion + 1
+    // Overwrite: a staged v$next left by a CRASHED attempt is
+    // uncommitted (pointer never moved), so replacing it is safe —
+    // and makes the merge retryable after any crash
     man.filter(!col("file").isin(touched.toSeq: _*))
       .unionByName(freshStats)
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zonemap_next")
-    // swap: old touched data files + old manifest die AFTER the new
-    // manifest is durable (crash between the two leaves a readable
-    // table through _zonemap_next; the atomicity caveat above).
-    // With retainForTimeTravel the superseded files SURVIVE — prior
-    // manifest versions still reference them ([[readZoneMapVersion]]
-    // snapshots; [[vacuumZoneMapped]] reclaims later). A NON-retained
-    // merge deletes files prior manifests may reference, so it also
-    // DROPS the history — otherwise [[zoneMapVersions]] would
-    // advertise snapshots whose files are gone (found in review:
-    // readZoneMapVersion passed its require then failed at scan)
-    if (!retainForTimeTravel) {
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zonemap_history/v$next")
+    crashHook("merge:pre-commit")
+    commitZoneMapVersion(dir, next)
+    crashHook("merge:post-commit")
+    // clean: only after the commit, only when nothing else references
+    // the superseded bytes. An insert-only merge (touched empty)
+    // deletes no file, so prior snapshots stay valid and SURVIVE even
+    // without retention; a destructive one drops manifest dirs first,
+    // data files second (see protocol).
+    if (!retainForTimeTravel && touched.nonEmpty) {
+      (1 until next).foreach { v =>
+        val d = new java.io.File(dir, s"_zonemap_history/v$v")
+        if (d.exists()) deleteRecursively(d)
+      }
+      crashHook("merge:post-history-drop")
       touched.foreach { f =>
         val p = new java.io.File(new java.net.URI(f))
         if (p.exists) p.delete()
       }
-      // only an actually-destructive merge invalidates history: an
-      // insert-only merge (touched empty) deletes nothing, so prior
-      // snapshots remain fully readable and must survive
-      if (touched.nonEmpty) {
-        val hist = new java.io.File(dir, "_zonemap_history")
-        if (hist.exists()) deleteRecursively(hist)
-      }
-    }
-    val mdir = new java.io.File(dir, "_zonemap")
-    Option(mdir.listFiles).foreach(_.foreach(_.delete()))
-    mdir.delete()
-    val ok = new java.io.File(dir, "_zonemap_next").renameTo(mdir)
-    require(ok, s"mergeZoneMapped: manifest swap rename failed under $dir")
-    if (retainForTimeTravel) {
-      val next = zoneMapVersions(dir).lastOption.getOrElse(0) + 1
-      spark.read.parquet(s"$dir/_zonemap")
-        .coalesce(1).write.parquet(s"$dir/_zonemap_history/v$next")
     }
     (touched.size, before.size)
   }
@@ -359,9 +430,11 @@ object Warehouse {
     * read exactly once, by the rewrite itself. The swap is two
     * directory renames (old aside → new in → delete old): a reader
     * in the window between them fails fast on a missing directory
-    * rather than silently seeing both copies at once (fail-closed;
-    * a real table format replaces the window with an atomic metadata
-    * pointer — same caveat as [[mergeZoneMapped]]).
+    * rather than silently seeing both copies at once (fail-closed; a
+    * manifest-committed table closes even that window with the
+    * atomic `_current` pointer — see [[mergeZoneMapped]]'s commit
+    * protocol — but a plain parquet directory has no manifest to
+    * point at).
     * Returns (filesBefore, filesAfter). */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
                    targetFileRows: Long): (Int, Int) = {

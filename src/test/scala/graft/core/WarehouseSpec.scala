@@ -75,7 +75,7 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString + "/t"
     Warehouse.writeZoneMapped(rows, dir, "k", nFiles = 16)
     // manifest: 16 files, disjoint sorted ranges covering 0..3999
-    val manifest = spark.read.parquet(s"$dir/_zonemap")
+    val manifest = Warehouse.zoneMapManifest(spark, dir)
       .collect().map(r => (r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n_rows")))
     assert(manifest.length == 16 && manifest.map(_._3).sum == 4000L)
     // a narrow range must touch few files and return exactly the filter
@@ -162,20 +162,78 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     Warehouse.writeZoneMapped(base, dir, "k", 4)
     assert(Warehouse.zoneMapVersions(dir) == Seq(1))
     // insert-only merge (keys beyond every zone): deletes no file, so
-    // history SURVIVES — only a destructive merge invalidates it
+    // prior snapshots SURVIVE — only a destructive merge invalidates
     val ins = Seq((10001L, "NEW")).toDF("k", "v")
     Warehouse.mergeZoneMapped(spark, dir, "k", ins)
-    assert(Warehouse.zoneMapVersions(dir) == Seq(1))
+    assert(Warehouse.zoneMapVersions(dir) == Seq(1, 2))
     assert(Warehouse.readZoneMapVersion(spark, dir, 1).count() == 500)
     val upd = base.filter(col("k") % 50 === 0).withColumn("v", lit("UPD"))
     Warehouse.mergeZoneMapped(spark, dir, "k", upd) // default: no retention
-    // v1's files are gone, so the history must be gone too
-    assert(Warehouse.zoneMapVersions(dir).isEmpty)
+    // v1/v2's files are gone, so only the live version remains listed
+    assert(Warehouse.zoneMapVersions(dir) == Seq(3))
     intercept[IllegalArgumentException](Warehouse.readZoneMapVersion(spark, dir, 1))
     // the live table is intact
-    val cur = spark.read.parquet(s"$dir/data")
+    val cur = Warehouse.readZoneMapVersion(spark, dir, 3)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(cur.size == 501 && cur(50L) == "UPD" && cur(1L) == "V1" && cur(10001L) == "NEW")
+  }
+
+  test("crash injection: a merge that dies before the pointer rename leaves the old version intact") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_crash_spec").getPath
+    val base = (1L to 2000L).map(k => (k, s"V$k")).toDF("k", "v")
+    Warehouse.writeZoneMapped(base, dir, "k", 8)
+    val upd = base.filter(col("k") % 100 === 0).withColumn("v", lit("UPD"))
+    // crash AFTER data append + manifest staging, BEFORE the commit rename
+    Warehouse.crashHook = step => if (step == "merge:pre-commit") sys.error("injected crash")
+    try intercept[RuntimeException](Warehouse.mergeZoneMapped(spark, dir, "k", upd))
+    finally Warehouse.crashHook = _ => ()
+    // the reader's world is untouched: v1 live, content exactly the base,
+    // the staged-but-uncommitted v2 invisible
+    assert(Warehouse.zoneMapCurrentVersion(dir) == 1)
+    assert(Warehouse.zoneMapVersions(dir) == Seq(1))
+    val seen = Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 2000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(seen.size == 2000 && seen(100L) == "V100")
+    // retry succeeds: the staged manifest is overwritten, the commit lands
+    val (rewritten, _) = Warehouse.mergeZoneMapped(spark, dir, "k", upd)
+    assert(rewritten > 0)
+    assert(Warehouse.zoneMapCurrentVersion(dir) == 2)
+    val after = Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 2000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(100L) == "UPD" && after(1L) == "V1" && after.size == 2000)
+    // vacuum sweeps the crashed attempt's orphaned data files
+    val (_, deleted) = Warehouse.vacuumZoneMapped(spark, dir, keepFrom = 2)
+    assert(deleted > 0, "expected the crashed attempt's staged files to be reclaimed")
+    assert(Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 2000L).count() == 2000L)
+  }
+
+  test("crash injection: a merge that dies after the commit is already visible; cleanup debris is safe") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_crash2_spec").getPath
+    val base = (1L to 1000L).map(k => (k, s"V$k")).toDF("k", "v")
+    Warehouse.writeZoneMapped(base, dir, "k", 4)
+    val upd = base.filter(col("k") % 100 === 0).withColumn("v", lit("UPD"))
+    // crash AFTER the pointer rename, BEFORE any cleanup: the merge IS
+    // committed — and the superseded v1 snapshot still reads (its
+    // files die only in the cleanup that never ran)
+    Warehouse.crashHook = step => if (step == "merge:post-commit") sys.error("injected crash")
+    try intercept[RuntimeException](Warehouse.mergeZoneMapped(spark, dir, "k", upd))
+    finally Warehouse.crashHook = _ => ()
+    assert(Warehouse.zoneMapCurrentVersion(dir) == 2)
+    val after = Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 1000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(100L) == "UPD" && after.size == 1000)
+    assert(Warehouse.readZoneMapVersion(spark, dir, 1).count() == 1000L)
+    // a crash between history-drop and file-delete leaves orphans,
+    // never a committed version with missing files
+    val upd2 = base.filter(col("k") % 101 === 0).withColumn("v", lit("UPD2"))
+    Warehouse.crashHook = step => if (step == "merge:post-history-drop") sys.error("injected crash")
+    try intercept[RuntimeException](Warehouse.mergeZoneMapped(spark, dir, "k", upd2))
+    finally Warehouse.crashHook = _ => ()
+    assert(Warehouse.zoneMapVersions(dir) == Seq(3))
+    assert(Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 1000L).count() == 1000L)
+    val (_, deleted) = Warehouse.vacuumZoneMapped(spark, dir, keepFrom = 3)
+    assert(deleted > 0, "expected the un-deleted superseded files to be reclaimed as orphans")
+    assert(Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 1000L).count() == 1000L)
   }
 
   test("compactFiles refuses directories holding non-parquet content") {
