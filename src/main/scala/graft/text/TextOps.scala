@@ -1232,6 +1232,111 @@ object TextOps {
       case (syms, (a, b)) => bpeMergeOnce(syms, a, b)
     }
 
+  /** Apply a set of pairwise SYMBOL-DISJOINT merge pairs in one
+    * left-to-right scan. Disjointness (no symbol appears in two
+    * pairs) makes the merges non-interacting: at any position at most
+    * one pair can match, no merge can create or destroy another
+    * pair's occurrences, so one scan equals folding [[bpeMergeOnce]]
+    * over the pairs in ANY order (property-tested). This is what
+    * makes batched training sound — and why the batch selector below
+    * refuses overlapping pairs. */
+  def bpeMergeBatch(syms: IndexedSeq[String],
+                    pairs: Seq[(String, String)]): IndexedSeq[String] = {
+    if (pairs.isEmpty) return syms
+    val symbols = pairs.flatMap { case (a, b) => if (a == b) Seq(a) else Seq(a, b) }
+    require(symbols.distinct.length == symbols.length,
+      s"bpeMergeBatch needs pairwise symbol-disjoint pairs, got $pairs")
+    val right = pairs.toMap // disjointness ⇒ each left symbol maps to one right
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && right.get(syms(i)).contains(syms(i + 1))) {
+        out += (syms(i) + syms(i + 1)); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Batched BPE training: like [[bpeTrain]] but each counting round
+    * commits up to `batchK` merges — the top pairs in (count desc,
+    * pair) order, taken as the maximal GREEDY PREFIX that stays
+    * pairwise symbol-disjoint (selection stops at the first candidate
+    * sharing a symbol with one already taken, because such a pair's
+    * count — and therefore its rank — would change under the earlier
+    * merge). Disjoint merges cannot interact, so the batch applies in
+    * one vocab map and each member's recorded count is exactly what
+    * sequential training would have seen when reaching it. Returns
+    * (merges in priority order, counting rounds executed).
+    *
+    * `batchK = 1` is bit-identical to [[bpeTrain]]. For larger k the
+    * ONE divergence from sequential greedy is emergent pairs: a pair
+    * involving a symbol minted earlier in the same batch only enters
+    * the candidate list next round, so it can be committed up to one
+    * round later than pure greedy would — the standard trade every
+    * batched tokenizer trainer makes, bought at ~k× fewer counting
+    * rounds (each round is a full vocab-sized aggregate + one driver
+    * round-trip, THE scale cost at corpus size: real tokenizer
+    * training wants thousands of merges, and round count — not row
+    * count — is what batching divides). */
+  def bpeTrainBatched(documents: DataFrame, nMerges: Int, minPairCount: Long = 2L,
+                      batchK: Int = 16): (Seq[(String, String, Long)], Int) = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    require(minPairCount >= 1, s"need minPairCount >= 1, got $minPairCount")
+    require(batchK >= 1, s"need batchK >= 1, got $batchK")
+    import documents.sparkSession.implicits._
+    var vocab = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_w"))
+      .as[(String, Long)]
+      .map { case (w, c) => (bpeBaseSymbols(w), c) }
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var rounds = 0
+    try {
+      vocab.count()
+      var exhausted = false
+      while (!exhausted && merges.length < nMerges) {
+        val want = math.min(batchK, nMerges - merges.length)
+        // want+1 candidates suffice: selection stops at the first
+        // conflict, so nothing past it can be used this round
+        val cands = vocab
+          .flatMap { case (syms, c) =>
+            if (syms.length < 2) Iterator.empty
+            else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, c) }
+          }
+          .toDF("a", "b", "c")
+          .groupBy("a", "b").agg(sum(col("c")).as("cnt"))
+          .filter(col("cnt") >= minPairCount)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(want + 1)
+          .collect()
+        rounds += 1
+        if (cands.isEmpty) exhausted = true
+        else {
+          val batch = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+          val used = scala.collection.mutable.Set[String]()
+          var stop = false
+          var idx = 0
+          while (!stop && batch.length < want && idx < cands.length) {
+            val r = cands(idx)
+            val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+            if (used.contains(a) || used.contains(b)) stop = true
+            else { batch += ((a, b, r.getAs[Long]("cnt"))); used += a; used += b }
+            idx += 1
+          }
+          merges ++= batch
+          val pairs = batch.map { case (a, b, _) => (a, b) }.toSeq
+          val next = vocab.map { case (syms, c) => (bpeMergeBatch(syms, pairs), c) }.persist()
+          try next.count()
+          catch { case t: Throwable => next.unpersist(blocking = false); throw t }
+          vocab.unpersist()
+          vocab = next
+        }
+      }
+    } finally vocab.unpersist(blocking = false)
+    (merges.toSeq, rounds)
+  }
+
   /** BPE tokenizer training: learn `nMerges` merge rules, highest
     * weighted pair count first (ties break lexicographically on the
     * pair in Spark's UTF-8 binary string order — fully deterministic

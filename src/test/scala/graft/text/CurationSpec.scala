@@ -423,6 +423,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bpeMergeBatch equals folding bpeMergeOnce in any order for disjoint pairs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 20) {
+      // random symbol stream over a..h, random disjoint pair set over
+      // the same alphabet (including possible self-pairs like (c,c))
+      val syms = IndexedSeq.fill(3 + rnd.nextInt(20))(('a' + rnd.nextInt(8)).toChar.toString)
+      val letters = rnd.shuffle(('a' to 'h').map(_.toString).toVector)
+      val pairs = letters.grouped(2).take(1 + rnd.nextInt(3)).map {
+        case Vector(a, b) => if (rnd.nextBoolean()) (a, b) else (a, a)
+        case v            => (v.head, v.head)
+      }.toSeq
+      val batch = TextOps.bpeMergeBatch(syms, pairs)
+      for (perm <- pairs.permutations.take(6)) {
+        val folded = perm.foldLeft(syms) { case (s, (a, b)) => TextOps.bpeMergeOnce(s, a, b) }
+        assert(batch == folded, s"trial $trial syms=$syms pairs=$pairs perm=$perm")
+      }
+    }
+    // overlapping pairs refuse loudly
+    intercept[IllegalArgumentException](
+      TextOps.bpeMergeBatch(IndexedSeq("a", "b", "c"), Seq(("a", "b"), ("b", "c"))))
+  }
+
+  test("bpeTrainBatched: k=1 is bit-identical to bpeTrain; k>1 matches on disjoint corpora in ~k× fewer rounds") {
+    // batchK = 1 must reproduce sequential training exactly, rounds = merges+final probe
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val d = docs((1L, "en", words.mkString(" ")))
+    val seq4 = TextOps.bpeTrain(d, 4, 1L)
+    val (bat1, rounds1) = TextOps.bpeTrainBatched(d, 4, 1L, batchK = 1)
+    assert(bat1 == seq4)
+    assert(rounds1 == 4)
+    // a corpus whose top pairs are symbol-disjoint: batched == sequential
+    // while counting rounds drop ~k×. Word frequencies order the pairs
+    // (ab 9, cd 7, ef 5, gh 3), all disjoint.
+    val dw = docs((1L, "en", (Seq.fill(9)("ab") ++ Seq.fill(7)("cd") ++
+      Seq.fill(5)("ef") ++ Seq.fill(3)("gh")).mkString(" ")))
+    val seqM = TextOps.bpeTrain(dw, 4, 1L)
+    val (batM, roundsM) = TextOps.bpeTrainBatched(dw, 4, 1L, batchK = 4)
+    assert(batM == seqM, s"batched $batM vs sequential $seqM")
+    assert(roundsM == 1, s"4 disjoint merges should need 1 counting round, took $roundsM")
+    // conflict stops the batch: with every candidate chained (a,b),(ab,c)…
+    // each round commits exactly one merge, like sequential
+    val chain = docs((1L, "en", Seq.fill(6)("aaaa").mkString(" ")))
+    val (batC, _) = TextOps.bpeTrainBatched(chain, 3, 1L, batchK = 8)
+    assert(batC == TextOps.bpeTrain(chain, 3, 1L))
+  }
+
   test("bpeMergeOnce is left-to-right non-overlapping") {
     assert(TextOps.bpeMergeOnce(IndexedSeq("a", "a", "a"), "a", "a") == IndexedSeq("aa", "a"))
     assert(TextOps.bpeMergeOnce(IndexedSeq("a", "a", "a", "a"), "a", "a") ==
