@@ -46,10 +46,78 @@ object Tables {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
+      case org.apache.spark.sql.types.LongType => eventsFromLongTs(spark, dir, raw)
       case _ => // TIMESTAMP (µs precision) under either tz flavor
         raw.withColumn("ts",
           unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
+  }
+
+  /** A LongType `ts` is EITHER INT64 TIMESTAMP(NANOS) surfaced by
+    * `nanosAsLong` OR a plain unannotated INT64 whose unit nobody
+    * declared — and the driver has already changed the physical
+    * encoding once between testdata generations, so "assume ns"
+    * would turn a future plain-µs file into a silent 1000× time
+    * error in every `ts div 1000` downstream. Decide from the
+    * parquet metadata instead (one driver-side footer read, the
+    * manifest-style cost model): trust the logical-type annotation
+    * when present; for an unannotated column fall back to the
+    * row-group max statistic, whose magnitude separates ns from µs
+    * epochs by three orders (ns dates land above 1e17 ≈ 1973; µs
+    * dates land in (1e14, 1e17) ≈ 1973–5138). Anything else —
+    * millis, seconds, empty stats — fails loudly rather than guess. */
+  private def eventsFromLongTs(spark: SparkSession, dir: String, raw: DataFrame): DataFrame = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val path = new java.io.File(dir, "events.parquet")
+    val file =
+      if (path.isFile) path
+      else Option(path.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sorted.headOption
+        .getOrElse(throw new IllegalArgumentException(s"no parquet data under $path"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getPath),
+        spark.sparkContext.hadoopConfiguration))
+    val unit: Option[TimeUnit] =
+      try {
+        reader.getFooter.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+          .asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(t.getUnit)
+          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => None // plain width tag
+          case null => None
+          case other =>
+            throw new IllegalArgumentException(
+              s"events.ts carries unexpected logical type $other in $file")
+        }
+      } finally reader.close()
+    unit match {
+      case Some(TimeUnit.NANOS)  => raw
+      case Some(TimeUnit.MICROS) => raw.withColumn("ts", col("ts") * lit(1000L))
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"events.ts is INT64 TIMESTAMP($other); only NANOS/MICROS are known in $file")
+      case None =>
+        // unannotated INT64: magnitude decides, from footer stats only
+        val reader2 = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(file.getPath),
+            spark.sparkContext.hadoopConfiguration))
+        val maxTs =
+          try {
+            import scala.jdk.CollectionConverters._
+            val stats = reader2.getFooter.getBlocks.asScala.flatMap(
+              _.getColumns.asScala.find(_.getPath.toDotString == "ts")).map(_.getStatistics)
+            require(stats.nonEmpty && stats.forall(s => s != null && s.hasNonNullValue),
+              s"events.ts is unannotated INT64 and $file has no column statistics to infer its unit")
+            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max
+          } finally reader2.close()
+        if (maxTs > 100000000000000000L) raw // > 1e17: ns epoch band
+        else if (maxTs > 100000000000000L)  // (1e14, 1e17]: µs epoch band
+          raw.withColumn("ts", col("ts") * lit(1000L))
+        else throw new IllegalArgumentException(
+          s"events.ts is unannotated INT64 with max=$maxTs — neither the ns nor µs " +
+          s"epoch band; refusing to guess the unit for $file")
     }
   }
 

@@ -128,13 +128,22 @@ object StreamingOps {
     * the batch operator is the authoritative rebuild (equivalence
     * pinned in the spec at millisecond-aligned event times —
     * `ts_t.getTime` drops sub-ms, the [[sessionize]] convention).
-    * No timeout: a user's single tuple is the floor of meaningful
-    * state; wire ProcessingTimeTimeout upstream if even that must
-    * expire. */
-  def markovStream(events: Dataset[Event]): Dataset[Transition] = {
+    * State lifetime: by default one MarkovState per ever-seen user,
+    * forever — a user's single tuple is the floor of meaningful
+    * state, but on an unbounded user universe the store still grows
+    * without bound. `stateTtlMs` bounds it: each update re-arms a
+    * ProcessingTimeTimeout, and a user idle past the TTL has their
+    * tuple dropped (their NEXT event then starts a fresh chain
+    * instead of emitting a transition — the same under-count-never-
+    * invent bias as the late-data rule; pick a TTL longer than any
+    * gap worth bridging). */
+  def markovStream(events: Dataset[Event],
+                   stateTtlMs: Option[Long] = None): Dataset[Transition] = {
     import events.sparkSession.implicits._
+    stateTtlMs.foreach(ms => require(ms > 0L, s"need stateTtlMs > 0, got $ms"))
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[MarkovState]): Iterator[Transition] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val sorted = rows.toSeq.sortBy(e => (e.ts_t.getTime, e.event_id))
       var out = List.empty[Transition]
       var cur = state.getOption
@@ -148,11 +157,15 @@ object StreamingOps {
         } // else: late event, dropped (see scaladoc)
       }
       cur.foreach(state.update)
+      stateTtlMs.foreach(ms => state.setTimeoutDuration(ms))
       out.reverseIterator
     }
+    val timeout =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 
   case class Scd2State(value: Double, from_us: Long)

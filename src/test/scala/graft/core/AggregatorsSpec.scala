@@ -12,8 +12,14 @@ class AggregatorsSpec extends SparkSpec {
   import spark.implicits._
 
   private def fit(pts: Seq[(Double, Double)]): (Double, Double) = {
-    // closed form on scaled decimals — the aggregator's contract
-    def d(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // closed form on scaled decimals — the aggregator's contract.
+    // new java.math.BigDecimal (exact binary expansion), NOT scala's
+    // BigDecimal(v) (valueOf/shortest-repr): the production path
+    // rounds the exact expansion, and on a .5-boundary double the two
+    // representations can round HALF_UP differently — the oracle must
+    // share the aggregator's rounding path, not approximate it
+    def d(v: Double) = BigDecimal(new java.math.BigDecimal(v))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val n = BigDecimal(pts.size)
     val (sx, sy) = (pts.map(p => d(p._1)).sum, pts.map(p => d(p._2)).sum)
     val sxx = pts.map(p => d(p._1) * d(p._1)).sum

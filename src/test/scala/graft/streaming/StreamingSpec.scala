@@ -96,6 +96,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(("A", "B") -> 1L, ("B", "A") -> 1L, ("X", "Y") -> 1L))
   }
 
+  test("markovStream with a state TTL matches the default within the TTL window") {
+    val t0 = 1600000000000L
+    def ev(id: Long, tMs: Long, u: Long, typ: String) =
+      (id, new java.sql.Timestamp(t0 + tMs), u, typ, 1.0)
+    val rows = Seq(ev(1, 0, 1L, "A"), ev(2, 1000, 1L, "B"), ev(3, 2000, 2L, "X"),
+      ev(4, 3000, 2L, "Y"), ev(5, 4000, 1L, "A"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-markov-ttl").toString
+    rows.toDF("event_id", "ts_t", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(EventSchema).parquet(s"$dir/in")
+    // one-hour TTL cannot fire inside the test: output must equal the
+    // untimed operator's exactly (the TTL only bounds IDLE state)
+    val q = StreamingOps.markovStream(stream.as[StreamingOps.Event],
+        stateTtlMs = Some(3600L * 1000L)).writeStream
+      .outputMode("append").format("memory").queryName("markov_ttl_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("markov_ttl_out")
+      .groupBy("from_type", "to_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 1L, ("B", "A") -> 1L, ("X", "Y") -> 1L))
+    intercept[IllegalArgumentException](
+      StreamingOps.markovStream(stream.as[StreamingOps.Event], stateTtlMs = Some(0L)))
+  }
+
   test("bloomScreen drops contaminated stream docs; batch twin identical; conservative") {
     import graft.text.Dedup
     val probes = Seq((100L, "en", "the quick brown fox jumps"))
