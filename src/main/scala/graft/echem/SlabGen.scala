@@ -29,12 +29,14 @@ import Schemas.{Atom, Slab}
   * golden-tested). [[cutSymmetrized]] adds the atom-removal REPAIR
   * step of `symmetrize=True` (erode a polar slab's face until both
   * faces read the same, tolerance-matched; golden-tested against the
-  * repaired reference slab's own V10 O20 composition). Kept out of
-  * scope (documented divergence): pymatgen's primitive reduction
-  * (spglib) — for the reference fixtures the oriented in-plane cell
-  * is already primitive, so the generated lattice matches the
-  * reference slab's in-plane geometry exactly (golden-tested on
-  * |a|, |b|, γ).
+  * repaired reference slab's own V10 O20 composition).
+  * [[primitiveReduce]] covers the `primitive=True` flag
+  * (`dags/my_dag.py:90`): translation-search cell reduction
+  * (pymatgen `Structure.get_primitive_structure` re-derived — no
+  * spglib), applied to the bulk before cutting; the reference
+  * fixtures are already primitive, so it is an identity there
+  * (golden-tested both ways — identity on the fixtures, k-fold
+  * collapse on synthetic supercells).
   *
   * Runs as `Dataset.flatMap` — the fan-out executes inside
   * executors, so a million bulks × facets never touches the driver.
@@ -189,8 +191,10 @@ object SlabGen {
     * slab centered in the cell (`center_slab=True` in the reference),
     * terminations enumerated as fractional shifts. Key contract
     * `{id}-{facet}-{i}` (`dags/my_dag.py:93-95`). */
-  def cut(bulk: Slab, facet: String, nShifts: Int,
-          layers: Int = DefaultLayers, vacuumFrac: Double = DefaultVacuumFrac): Seq[Slab] = {
+  def cut(bulk0: Slab, facet: String, nShifts: Int,
+          layers: Int = DefaultLayers, vacuumFrac: Double = DefaultVacuumFrac,
+          primitive: Boolean = true): Seq[Slab] = {
+    val bulk = if (primitive) primitiveReduce(bulk0) else bulk0
     val miller = facet.map(_.asDigit)
     val (cell, cellAtoms) = orientedCell(bulk, miller)
     val cScale = layers * (1.0 + vacuumFrac)
@@ -317,9 +321,11 @@ object SlabGen {
     * slabs. Same `{id}-{facet}-{i}` key contract as [[cut]]; `i` is
     * the ordinal over surviving shifts ascending (the reference's
     * `enumerate(slabs)`, `dags/my_dag.py:93`). */
-  def cutTerminations(bulk: Slab, facet: String, symmetricOnly: Boolean = false,
+  def cutTerminations(bulk0: Slab, facet: String, symmetricOnly: Boolean = false,
                       tolAngstrom: Double = 0.1, layers: Int = DefaultLayers,
-                      vacuumFrac: Double = DefaultVacuumFrac): Seq[Slab] = {
+                      vacuumFrac: Double = DefaultVacuumFrac,
+                      primitive: Boolean = true): Seq[Slab] = {
+    val bulk = if (primitive) primitiveReduce(bulk0) else bulk0
     val miller = facet.map(_.asDigit)
     val (cell, cellAtoms) = orientedCell(bulk, miller)
     val cScale = layers * (1.0 + vacuumFrac)
@@ -539,9 +545,10 @@ object SlabGen {
   def cutSymmetrized(bulk: Slab, facet: String, tolAngstrom: Double = 0.1,
                      layers: Int = DefaultLayers,
                      vacuumFrac: Double = DefaultVacuumFrac,
-                     symTolAngstrom: Double = SymTolAngstrom): Seq[Slab] = {
+                     symTolAngstrom: Double = SymTolAngstrom,
+                     primitive: Boolean = true): Seq[Slab] = {
     val raw = cutTerminations(bulk, facet, symmetricOnly = false,
-      tolAngstrom, layers, vacuumFrac)
+      tolAngstrom, layers, vacuumFrac, primitive)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(Slab, Seq[Atom])]
     for (s <- raw; top <- Seq(true, false)) {
       val frame = slabFrame(s.lattice, s.scale, symTolAngstrom)
@@ -579,5 +586,141 @@ object SlabGen {
   def generateSymmetrized(bulks: Dataset[Slab], facets: Seq[String]): Dataset[Slab] = {
     import bulks.sparkSession.implicits._
     bulks.flatMap(b => facets.flatMap(f => cutSymmetrized(b, f)))
+  }
+
+  // ---- primitive-cell reduction (the `primitive=True` dimension of
+  // the reference's SlabGenerator, `dags/my_dag.py:90` — pymatgen
+  // `Structure.get_primitive_structure` re-derived, no spglib:
+  // translation search over same-species site differences + integer
+  // lattice reduction) ----
+
+  private def wrapFrac(v: Double): Double = { val m = v % 1.0; if (m < 0) m + 1.0 else m }
+  private def periDist1(d: Double): Double = math.abs(d - math.rint(d))
+
+  /** Does translating EVERY atom by `t` (fractional) map the
+    * structure onto itself? Per atom: some same-species atom sits at
+    * its translated image within `tol` per coordinate (periodic). */
+  private def isPureTranslation(atoms: Seq[Atom], t: Seq[Double], tol: Double): Boolean =
+    atoms.forall { p =>
+      atoms.exists(q => q.element == p.element &&
+        periDist1(p.x + t(0) - q.x) < tol &&
+        periDist1(p.y + t(1) - q.y) < tol &&
+        periDist1(p.z + t(2) - q.z) < tol)
+    }
+
+  /** Hermite-style basis of the integer row lattice spanned by
+    * `rows` (each length 3): standard column-by-column gcd
+    * elimination; returns 3 independent rows, upper-triangular with
+    * positive diagonal. The input always contains k·I, so the span
+    * has full rank. */
+  private[echem] def intLatticeBasis(rows0: Seq[Array[Long]]): Array[Array[Long]] = {
+    val rows = rows0.map(_.clone).toArray
+    var level = 0
+    for (c <- 0 until 3) {
+      // gcd-eliminate column c below `level` until one nonzero remains
+      var live = true
+      while (live) {
+        val nz = (level until rows.length).filter(r => rows(r)(c) != 0)
+        if (nz.isEmpty) live = false
+        else if (nz.length == 1) {
+          val r = nz.head
+          val tmp = rows(level); rows(level) = rows(r); rows(r) = tmp
+          live = false
+        } else {
+          val pivot = nz.minBy(r => math.abs(rows(r)(c)))
+          for (r <- nz if r != pivot) {
+            val q = rows(r)(c) / rows(pivot)(c)
+            for (d <- 0 until 3) rows(r)(d) -= q * rows(pivot)(d)
+          }
+        }
+      }
+      if (rows(level)(c) != 0) {
+        if (rows(level)(c) < 0) for (d <- 0 until 3) rows(level)(d) = -rows(level)(d)
+        level += 1
+      }
+    }
+    require(level == 3, s"integer lattice rank $level < 3")
+    rows.take(3)
+  }
+
+  /** Reduce a bulk cell to its primitive cell: search pure
+    * translations among same-species site differences (candidates
+    * from the least-abundant species — any valid translation must
+    * map its sites among themselves), and while one exists, rebuild
+    * the cell on the lattice generated by the old cell vectors plus
+    * the translation. The new basis comes from integer reduction in
+    * units of 1/k (k = the translation's denominator), atoms
+    * re-wrap and collapse k-fold, and the loop repeats until no
+    * translation survives — each pass shrinks the cell by an integer
+    * factor, so it terminates. Already-primitive input returns
+    * unchanged (the reference fixtures' case, which is why this was
+    * a declared no-op divergence until now; a user feeding a
+    * conventional/supercell setting is who notices).
+    *
+    * `tolFrac` is the per-coordinate periodic match tolerance in
+    * fractional units (pymatgen's default site tolerance is loose
+    * Ångströms; exact synthetic supercells match at 1e-4). */
+  def primitiveReduce(bulk: Slab, tolFrac: Double = 1e-4): Slab = {
+    val atoms0 = bulk.positions
+    if (atoms0.size <= 1) return bulk
+    var cur = bulk
+    var reduced = true
+    while (reduced) {
+      reduced = false
+      val atoms = cur.positions
+      val byElem = atoms.groupBy(_.element)
+      val ref = byElem.minBy { case (e, as) => (as.size, e) }._2
+      val a0 = ref.head
+      // deterministic candidate order: shortest periodic image first
+      val cands = ref.tail.map { a =>
+        Seq(wrapFrac(a.x - a0.x), wrapFrac(a.y - a0.y), wrapFrac(a.z - a0.z))
+      }.filter(t => t.exists(v => periDist1(v) > tolFrac))
+        .sortBy(t => (t.map(v => { val d = periDist1(v); d * d }).sum, t(0), t(1), t(2)))
+      cands.find(isPureTranslation(atoms, _, tolFrac)).foreach { t =>
+        // smallest k with k·t integral (k ≤ number of atoms of the
+        // reference species; a valid translation permutes its sites)
+        val k = (2 to ref.size).find(k =>
+          t.forall(v => periDist1(v * k) < tolFrac * k)).getOrElse(
+          throw new IllegalStateException(s"translation $t has no small order"))
+        val p = t.map(v => math.round(v * k))
+        val rows = Seq(
+          Array(k.toLong, 0L, 0L), Array(0L, k.toLong, 0L), Array(0L, 0L, k.toLong),
+          Array(p(0), p(1), p(2)))
+        val h = intLatticeBasis(rows)
+        // fractional basis of the primitive cell in OLD-cell coords
+        val pFrac: M3 = h.map(_.map(_.toDouble / k).toSeq).toSeq
+        val volRatio = math.abs(det3(pFrac)) // = 1/collapse factor
+        val collapse = math.round(1.0 / volRatio).toInt
+        require(collapse >= 2 && atoms.size % collapse == 0,
+          s"primitive reduction collapse $collapse does not divide ${atoms.size}")
+        val pInv = inv3(pFrac)
+        val newLat: M3 = pFrac.map(row => rowTimes(row, cur.lattice))
+        // re-express, wrap, dedupe (collapse identical images)
+        val moved = atoms.map { a =>
+          val f = rowTimes(Seq(a.x, a.y, a.z), pInv)
+          Atom(wrapFrac(f(0)), wrapFrac(f(1)), wrapFrac(f(2)), a.element)
+        }
+        val kept = scala.collection.mutable.ArrayBuffer[Atom]()
+        moved.foreach { a =>
+          val dup = kept.exists(b => b.element == a.element &&
+            periDist1(a.x - b.x) < tolFrac * 10 &&
+            periDist1(a.y - b.y) < tolFrac * 10 &&
+            periDist1(a.z - b.z) < tolFrac * 10)
+          if (!dup) kept += a
+        }
+        require(kept.size * collapse == atoms.size,
+          s"primitive reduction kept ${kept.size} of ${atoms.size} atoms, " +
+            s"expected ${atoms.size / collapse} (collapse $collapse, key=${cur.mpKey})")
+        val spIdx = cur.species.zipWithIndex.toMap
+        val sorted = kept.sortBy(a => spIdx(a.element)).toIndexedSeq
+        val newCounts = cur.species.map(s => sorted.count(_.element == s))
+        require(newCounts.zip(cur.counts).forall { case (n, o) => n * collapse == o },
+          s"species counts ${newCounts.mkString(",")} not a $collapse-fold " +
+            s"reduction of ${cur.counts.mkString(",")} (key=${cur.mpKey})")
+        cur = cur.copy(lattice = newLat, counts = newCounts, positions = sorted)
+        reduced = true
+      }
+    }
+    cur
   }
 }

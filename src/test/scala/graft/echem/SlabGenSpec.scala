@@ -213,4 +213,73 @@ class SlabGenSpec extends SparkSpec {
     assert(slabs.exists(_.positions.length < stackAtoms),
       "no slab was eroded — repair did nothing on a polar surface")
   }
+
+  // ---- primitiveReduce (the reference's primitive=True flag) ----
+
+  test("primitiveReduce is an identity on the already-primitive reference fixtures") {
+    for (f <- Seq("mp-755394.poscar", "mp-1393040.poscar")) {
+      val bulk = readSlab(f)
+      val red = SlabGen.primitiveReduce(bulk)
+      assert(red.positions.size == bulk.positions.size, s"$f collapsed")
+      assert(red.counts == bulk.counts && red.lattice == bulk.lattice)
+    }
+  }
+
+  test("primitiveReduce collapses a 2x1x1 supercell back to one atom") {
+    val sup = Schemas.Slab("sup", "t", 1.0,
+      Seq(Seq(2.0, 0, 0), Seq(0, 1.0, 0), Seq(0, 0, 1.0)),
+      Seq("Cu"), Seq(2),
+      Seq(Schemas.Atom(0, 0, 0, "Cu"), Schemas.Atom(0.5, 0, 0, "Cu")), Seq.empty)
+    val red = SlabGen.primitiveReduce(sup)
+    assert(red.positions.size == 1 && red.counts == Seq(1))
+    // volume halves: |det| of the scaled lattice
+    def vol(l: Seq[Seq[Double]]) = math.abs(
+      l(0)(0) * (l(1)(1) * l(2)(2) - l(1)(2) * l(2)(1)) -
+      l(0)(1) * (l(1)(0) * l(2)(2) - l(1)(2) * l(2)(0)) +
+      l(0)(2) * (l(1)(0) * l(2)(1) - l(1)(1) * l(2)(0)))
+    assert(math.abs(vol(red.lattice) - 1.0) < 1e-9, s"volume ${vol(red.lattice)}")
+  }
+
+  test("primitiveReduce finds the bcc primitive cell from the conventional one") {
+    val bcc = Schemas.Slab("bcc", "t", 1.0,
+      Seq(Seq(1.0, 0, 0), Seq(0, 1.0, 0), Seq(0, 0, 1.0)),
+      Seq("Fe"), Seq(2),
+      Seq(Schemas.Atom(0, 0, 0, "Fe"), Schemas.Atom(0.5, 0.5, 0.5, "Fe")), Seq.empty)
+    val red = SlabGen.primitiveReduce(bcc)
+    assert(red.positions.size == 1 && red.counts == Seq(1))
+  }
+
+  test("primitiveReduce collapses a 2x2x1 two-species supercell, keeping stoichiometry") {
+    // rock-salt-ish 2-atom basis, replicated 2x2 in-plane: 8 atoms -> 2
+    val atoms = for {
+      i <- Seq(0, 1); j <- Seq(0, 1)
+      a <- Seq(Schemas.Atom((i + 0.0) / 2, (j + 0.0) / 2, 0.0, "Na"),
+               Schemas.Atom((i + 0.5) / 2, (j + 0.5) / 2, 0.5, "Cl"))
+    } yield a
+    val sup = Schemas.Slab("nacl", "t", 1.0,
+      Seq(Seq(2.0, 0, 0), Seq(0, 2.0, 0), Seq(0, 0, 1.0)),
+      Seq("Na", "Cl"), Seq(4, 4),
+      atoms.sortBy(_.element).reverse, Seq.empty)
+    val red = SlabGen.primitiveReduce(sup)
+    assert(red.positions.size == 2, s"got ${red.positions.size} atoms")
+    assert(red.counts == Seq(1, 1), s"counts ${red.counts}")
+    // species header order preserved
+    assert(red.species == Seq("Na", "Cl"))
+  }
+
+  test("primitiveReduce feeds cut: supercell and primitive bulk yield the same slab composition per cell") {
+    val prim = Schemas.Slab("p", "t", 1.0,
+      Seq(Seq(1.0, 0, 0), Seq(0, 1.0, 0), Seq(0, 0, 1.0)),
+      Seq("Cu"), Seq(1), Seq(Schemas.Atom(0, 0, 0, "Cu")), Seq.empty)
+    val sup = Schemas.Slab("s", "t", 1.0,
+      Seq(Seq(3.0, 0, 0), Seq(0, 1.0, 0), Seq(0, 0, 1.0)),
+      Seq("Cu"), Seq(3),
+      Seq(Schemas.Atom(0, 0, 0, "Cu"), Schemas.Atom(1.0 / 3, 0, 0, "Cu"),
+          Schemas.Atom(2.0 / 3, 0, 0, "Cu")), Seq.empty)
+    val a = SlabGen.cut(prim, "100", nShifts = 1).head
+    val b = SlabGen.cut(sup, "100", nShifts = 1).head   // primitive=true default
+    val c = SlabGen.cut(sup, "100", nShifts = 1, primitive = false).head
+    assert(a.positions.size == b.positions.size, "reduced supercell must equal primitive")
+    assert(c.positions.size == 3 * a.positions.size, "unreduced supercell keeps 3 cells")
+  }
 }

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Generate documents/embeddings corpora at several multiples of the
+sf0.1 shape, for empirical scaling-exponent measurement (SCALING.md).
+
+Mirrors the driver testdata's observed structure (driver tooling only
+— the engine never depends on this script):
+  documents: word-salad text over a small vocab; langs en-heavy
+    (~41% en, rest ~15% each), 20 uniform sources, ~5% of docs are
+    word-perturbed near-copies of a base doc, ~0.2% exact dups.
+  embeddings: 64-dim unit vectors around 10 cluster centers.
+
+Usage: gen_scale_corpus.py OUTDIR MULTIPLE [SEED]
+Writes OUTDIR/documents.parquet and OUTDIR/embeddings.parquet.
+"""
+import sys, random, math
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = ("batch part spark line column order small sort fast value scan hash "
+         "slow group agg filter query big key window merge stream row data "
+         "vector join table disk page cache node task stage plan scan shuffle "
+         "broadcast skew salt bucket codec footer stat prune read write").split()
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
+
+def gen(outdir, mult, seed=42):
+    rnd = random.Random(seed)
+    n_docs = int(5000 * mult)
+    n_emb = int(2000 * mult)
+
+    doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
+    base_texts = []
+    for i in range(n_docs):
+        if base_texts and rnd.random() < 0.05:
+            # near-dup: perturb ~10% of a base doc's words
+            words = rnd.choice(base_texts)[:]
+            for j in range(len(words)):
+                if rnd.random() < 0.10:
+                    words[j] = rnd.choice(VOCAB)
+        elif texts and rnd.random() < 0.002:
+            words = None  # exact dup
+            t = rnd.choice(texts)
+        else:
+            nw = rnd.randint(8, 110)
+            words = [rnd.choice(VOCAB) for _ in range(nw)]
+            if rnd.random() < 0.10 and len(base_texts) < n_docs // 20:
+                base_texts.append(words)
+        if words is not None:
+            t = " ".join(words)
+        doc_ids.append(i + 1)
+        texts.append(t)
+        langs.append(rnd.choices(LANGS, weights=LANG_W)[0])
+        sources.append(f"src{rnd.randrange(20)}")
+        n_chars.append(len(t))
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+    }), f"{outdir}/documents.parquet")
+
+    centers = []
+    for c in range(10):
+        v = [rnd.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        centers.append([x / n for x in v])
+    vec_ids, embs, labels = [], [], []
+    for i in range(n_emb):
+        lab = rnd.randrange(10)
+        v = [c + rnd.gauss(0, 0.25) for c in centers[lab]]
+        n = math.sqrt(sum(x * x for x in v))
+        vec_ids.append(i + 1)
+        embs.append([x / n for x in v])
+        labels.append(lab)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(vec_ids, pa.int64()),
+        "embedding": pa.array(embs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), f"{outdir}/embeddings.parquet")
+    print(f"wrote {outdir}: {n_docs} docs, {n_emb} embeddings")
+
+if __name__ == "__main__":
+    import os
+    outdir, mult = sys.argv[1], float(sys.argv[2])
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    os.makedirs(outdir, exist_ok=True)
+    gen(outdir, mult, seed)
