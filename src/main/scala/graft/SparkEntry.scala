@@ -274,6 +274,25 @@ object SparkEntry {
     // their verification harness
     "q_equidepth_hist" -> ((s, d) =>
       Ops.equiDepthHistogram(Tables.events(s, d), "value", "event_id", 10)),
+    // the SCALE-SAFE path of the same histogram (approx cut points, no
+    // global sort window), declared via the approxDistinctChecked
+    // contract: the sketch's cut values are engine-specific, but these
+    // facts of the fixed dataset are not — bucket count bounded by n,
+    // rows conserved, exact global bounds, counts within the
+    // comparison-bucketing balance band (all deterministic for fixed
+    // data + fixed accuracy, so the oracle emits exact values + TRUE)
+    "q_equidepth_hist_approx" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Ops.equiDepthHistogram(Tables.events(s, d), "value", "event_id", 10, relErr = 0.001)
+        .agg(
+          (count(lit(1)) <= lit(10L)).as("buckets_ok"),
+          sum(col("n")).cast(org.apache.spark.sql.types.LongType).as("total_n"),
+          min(col("lo")).as("min_v"),
+          max(col("hi")).as("max_v"),
+          (max(col("n")).cast(org.apache.spark.sql.types.DoubleType)
+            <= sum(col("n")).cast(org.apache.spark.sql.types.DoubleType) * 0.15)
+            .as("balance_ok"))
+    }),
     "q_last_per_group" -> ((s, d) => Ops.lastPerGroup(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Ops.asofJoin(Tables.events(s, d), "purchase", "click")),
     "q_range_join" -> ((s, d) => Ops.rangeJoinCount(Tables.events(s, d), "error", "click", 300000000L)),
@@ -1018,6 +1037,11 @@ object SparkEntry {
         |        ntile(10) OVER (ORDER BY value, event_id) AS bucket
         |      FROM events)
         |GROUP BY bucket""".stripMargin,
+
+    "q_equidepth_hist_approx" ->
+      """SELECT true AS buckets_ok, count(*)::BIGINT AS total_n,
+        |  min(value) AS min_v, max(value) AS max_v, true AS balance_ok
+        |FROM events""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
