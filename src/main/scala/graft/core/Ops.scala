@@ -1038,23 +1038,42 @@ object Ops {
     * one strict. Equal (maxCol, minCol) pairs dominate nobody, so
     * co-optimal duplicates all surface.
     *
-    * Scale shape: NOT the O(n²) dominance join. One partial-agg
-    * shuffle reduces the table to |distinct maxCol| rows (per-value
-    * min of minCol), a window running-min over that TINY frame finds
-    * the strictly-better-above threshold, and a broadcast-sized join
-    * back tags the frontier rows — the full table is scanned once
-    * and never self-joined. At 100 TB with a bounded dimension
-    * domain (sizes, dates, ratings) the window frame is thousands of
-    * rows regardless of table size.
+    * Scale shape: NOT the O(n²) dominance join, and NOT a global
+    * sort either. One partial-agg shuffle reduces the table to
+    * |distinct maxCol| rows (per-value min of minCol); the
+    * strictly-better-above running-min over that frame — which for a
+    * CONTINUOUS dimension can approach |rows|, so a partition-less
+    * window would be the single-hot-task shape — runs as the classic
+    * distributed prefix scan: range-partition by maxCol desc, local
+    * running-min window per partition, per-partition minima
+    * (≤ `nScanParts` rows) prefix-combined through a broadcast
+    * self-join, `least` of the two. Exact and partitioning-invariant
+    * (property-tested); a broadcast-sized join back tags the
+    * frontier rows — the full table is scanned once and never
+    * self-joined.
     */
   def paretoFront(df: DataFrame, keyCol: String, maxCol: String,
-                  minCol: String): DataFrame = {
+                  minCol: String, nScanParts: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nScanParts >= 1, s"need nScanParts >= 1, got $nScanParts")
     val perValue = df.groupBy(col(maxCol))
       .agg(min(col(minCol)).as("__mp"))
-    val thresholds = perValue.withColumn("__runmin",
-      min(col("__mp")).over(Window.orderBy(col(maxCol).desc)
-        .rowsBetween(Window.unboundedPreceding, -1)))
+    val parts = perValue
+      .repartitionByRange(nScanParts, col(maxCol).desc)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(col("__pid")).orderBy(col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = parts.withColumn("__lrunmin", min(col("__mp")).over(localW))
+    val partMins = parts.groupBy(col("__pid")).agg(min(col("__mp")).as("__pmin"))
+    // prefix of EARLIER partitions (range partitions are ordered by
+    // maxCol desc, AQE coalescing merges adjacent ones so pid order
+    // survives): tiny self-join over ≤nScanParts rows, window-free
+    val prefix = partMins.as("a")
+      .join(broadcast(partMins.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(min(col("b.__pmin")).as("__prefix"))
+    val thresholds = withLocal.join(broadcast(prefix), Seq("__pid"))
+      .withColumn("__runmin", least(col("__lrunmin"), col("__prefix")))
     val frontier = thresholds
       .filter(col("__runmin").isNull || col("__mp") < col("__runmin"))
       .select(col(maxCol).as("__fmax"), col("__mp"))

@@ -670,11 +670,15 @@ object Similarity {
     * test corpora vec_id 0..nBooks-1 all exist, so dense cid ==
     * vec_id and the DuckDB oracles may use vec_id directly. */
   private def pqBooksFrame(e: DataFrame, nBooks: Int): DataFrame =
+    // dense renumbering WITHOUT a partition-less row_number window
+    // (even bounded to nBooks rows it planned a global sort): sort the
+    // collected seed structs by vec_id, then the array POSITION is the
+    // cid — same dense 0..n-1 labels in vec_id order, window-free
     e.filter(col("vec_id") < nBooks)
-      .withColumn("cid",
-        row_number().over(Window.orderBy(col("vec_id"))).cast(LongType) - 1)
-      .select(col("cid"), col("embedding").as("c_vec"))
-      .agg(array_sort(collect_list(struct(col("cid"), col("c_vec")))).as("books"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding").as("c_vec"))))
+        .as("seeds"))
+      .select(transform(col("seeds"), (s, i) =>
+        struct(i.cast(LongType).as("cid"), s.getField("c_vec").as("c_vec"))).as("books"))
 
   /** The `m` per-subspace code columns as one array expression
     * (requires a `books` column in scope). */
