@@ -269,6 +269,25 @@ object SparkEntry {
     // recency/frequency/monetary lifecycle segmentation, exact
     // ntiles with (metric, user_id) tie-breaks
     "q_rfm_segments" -> ((s, d) => Ops.rfmSegments(Tables.events(s, d))),
+    // scale-safe RFM (approx cut points, zero windows), declared via
+    // the same fact contract as q_equidepth_hist_approx: user count
+    // conserved, every segment in [1, 5], monetary segments balanced
+    // (monetary is a decimal-summed double — tie-free in practice, so
+    // cut-point bucketing stays near 20% per segment)
+    "q_rfm_segments_approx" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val seg = Ops.rfmSegments(Tables.events(s, d), 5, relErr = 0.001)
+      val ranges = seg.agg(
+        (min(least(col("r_seg"), col("f_seg"), col("m_seg"))) >= 1L &&
+          max(greatest(col("r_seg"), col("f_seg"), col("m_seg"))) <= 5L)
+          .as("segs_in_range"),
+        count(lit(1)).cast(LongType).as("n_users"))
+      val balance = seg.groupBy(col("m_seg")).agg(count(lit(1)).as("__n"))
+        .agg((max(col("__n")).cast(DoubleType)
+          <= sum(col("__n")).cast(DoubleType) * 0.3).as("m_balance_ok"))
+      ranges.crossJoin(broadcast(balance))
+    }),
     // exact equal-count buckets with exact value bounds (the ANALYZE
     // statistic); sketched quantiles are the 100-TB path, this is
     // their verification harness
@@ -1042,6 +1061,11 @@ object SparkEntry {
       """SELECT true AS buckets_ok, count(*)::BIGINT AS total_n,
         |  min(value) AS min_v, max(value) AS max_v, true AS balance_ok
         |FROM events""".stripMargin,
+
+    "q_rfm_segments_approx" ->
+      """SELECT true AS segs_in_range, count(*)::BIGINT AS n_users,
+        |  true AS m_balance_ok
+        |FROM (SELECT user_id FROM events GROUP BY 1)""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
