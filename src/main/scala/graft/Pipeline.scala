@@ -174,6 +174,10 @@ object Pipeline {
         val svg = Figure.echemSvg(id, p, r.getDouble(1), r.getDouble(2))
         Files.write(vizDir.resolve(s"${id}_echem.svg"),
           svg.getBytes(StandardCharsets.UTF_8))
+        // raster twin — the reference's own artifact format
+        // (`{filename}_echem.png`, dags/my_dag.py:183)
+        Files.write(vizDir.resolve(s"${id}_echem.png"),
+          Figure.echemPng(id, p, r.getDouble(1), r.getDouble(2)))
         s"\n\n![](visualize/${id}_echem.svg)"
       }
     }

@@ -5,15 +5,21 @@ import java.util.Locale
 /** The reference's electrochemistry figure
   * (`dags/my_dag.py:172-183`: matplotlib scatter of (φ, σₑ), red
   * dotted deg-1 fit, capacitance/PZC annotations, material title)
-  * re-expressed as a DEPENDENCY-FREE deterministic SVG string.
+  * re-expressed DEPENDENCY-FREE in both of the reference's artifact
+  * forms:
   *
-  * Declared divergence, vector for raster: the engine has no
-  * matplotlib and must not take on native imaging dependencies, so
-  * the artifact is an SVG with the same curves, labels, and
-  * annotation text — byte-deterministic for a given input (every
-  * number formats through Locale.ROOT), which makes the figure
-  * GOLDEN-testable where a PNG raster would be toolkit-dependent.
-  * Rendering is pure string assembly on the driver over the final,
+  *  - [[echemSvg]] — a deterministic SVG string (every number
+  *    formats through Locale.ROOT), byte-GOLDEN-testable;
+  *  - [[echemPng]] — the RASTER twin (the reference's actual
+  *    `plt.savefig` output format), drawn through JDK-only headless
+  *    AWT onto the SAME layout (shared scale/tick math, so the two
+  *    artifacts cannot drift) and encoded with `javax.imageio`.
+  *    Pixel placement is deterministic (antialiasing off, integer
+  *    geometry); the spec pins structural pixel facts and
+  *    byte-determinism within a JVM rather than cross-toolkit byte
+  *    goldens — the same stance matplotlib PNGs require.
+  *
+  * Rendering is pure driver-side assembly over the final,
   * already-aggregated handful of points — the terminal human-facing
   * artifact, same as the reference's `plt.savefig`.
   */
@@ -43,9 +49,17 @@ object Figure {
     * @param capacitance annotated + drawn fit slope, µF/cm²
     * @return complete standalone SVG document
     */
-  def echemSvg(title: String, points: Seq[(Double, Double)],
-               pzc: Double, capacitance: Double): String = {
-    require(points.nonEmpty, "echemSvg needs at least one point")
+  /** Shared scale/tick layout — ONE source of geometry for the SVG
+    * and PNG twins. */
+  private final case class Layout(xLo: Double, xHi: Double, yLo: Double, yHi: Double,
+                                  b: Double, xT: Seq[Double], yT: Seq[Double],
+                                  xd: Int, yd: Int) {
+    def sx(x: Double): Double = X0 + (x - xLo) / (xHi - xLo) * (X1 - X0)
+    def sy(y: Double): Double = Y1 - (y - yLo) / (yHi - yLo) * (Y1 - Y0)
+  }
+
+  private def layoutOf(points: Seq[(Double, Double)], capacitance: Double): Layout = {
+    require(points.nonEmpty, "echem figure needs at least one point")
     val xs = points.map(_._1)
     val ys = points.map(_._2)
     // fit intercept from the drawn slope: b = ȳ − m·x̄ (the same
@@ -61,9 +75,6 @@ object Figure {
     val (xLo, xHi) = padRange(xs.min, xs.max)
     val fitYs = Seq(capacitance * xLo + b, capacitance * xHi + b)
     val (yLo, yHi) = padRange(math.min(ys.min, fitYs.min), math.max(ys.max, fitYs.max))
-
-    def sx(x: Double): Double = X0 + (x - xLo) / (xHi - xLo) * (X1 - X0)
-    def sy(y: Double): Double = Y1 - (y - yLo) / (yHi - yLo) * (Y1 - Y0)
 
     def ticks(lo: Double, hi: Double): Seq[Double] = {
       val rawStep = (hi - lo) / 4.0
@@ -83,8 +94,14 @@ object Figure {
 
     val xT = ticks(xLo, xHi)
     val yT = ticks(yLo, yHi)
-    val xd = tickDigits(xT)
-    val yd = tickDigits(yT)
+    Layout(xLo, xHi, yLo, yHi, b, xT, yT, tickDigits(xT), tickDigits(yT))
+  }
+
+  def echemSvg(title: String, points: Seq[(Double, Double)],
+               pzc: Double, capacitance: Double): String = {
+    val l = layoutOf(points, capacitance)
+    import l.{sx, sy}
+    val Layout(xLo, xHi, _, _, b, xT, yT, xd, yd) = l
 
     val sb = new StringBuilder
     sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 ${W.toInt} ${H.toInt}" font-family="sans-serif">\n"""
@@ -121,5 +138,84 @@ object Figure {
     sb ++= s"""<text x="${fmt(ax2, 1)}" y="${fmt(ay2, 1)}" font-size="12" fill="red">PZC: ${fmt(pzc, 3)} V vs. SHE</text>\n"""
     sb ++= "</svg>\n"
     sb.toString
+  }
+
+  /** Raster twin of [[echemSvg]] — the reference's actual artifact
+    * format (`plt.savefig` PNG, `dags/my_dag.py:183`). Identical
+    * geometry (shared [[layoutOf]]), JDK-only headless AWT drawing
+    * with antialiasing OFF so pixel placement is integer-exact, PNG
+    * encoding via `javax.imageio`. The subscript glyphs use plain
+    * ASCII fallbacks ("sigma_e") because physical-font coverage of
+    * U+2091 is not guaranteed in a headless container — the
+    * annotation TEXT (values, units) is identical. */
+  def echemPng(title: String, points: Seq[(Double, Double)],
+               pzc: Double, capacitance: Double): Array[Byte] = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    val l = layoutOf(points, capacitance)
+    import java.awt.{BasicStroke, Color, Font}
+    import java.awt.geom.AffineTransform
+    val img = new java.awt.image.BufferedImage(
+      W.toInt, H.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(Color.WHITE)
+      g.fillRect(0, 0, W.toInt, H.toInt)
+      g.setColor(Color.BLACK)
+      g.drawRect(X0.toInt, Y0.toInt, (X1 - X0).toInt, (Y1 - Y0).toInt)
+      val tickFont = new Font(Font.SANS_SERIF, Font.PLAIN, 13)
+      val labelFont = new Font(Font.SANS_SERIF, Font.PLAIN, 14)
+      val annFont = new Font(Font.SANS_SERIF, Font.PLAIN, 12)
+      g.setFont(tickFont)
+      val fm = g.getFontMetrics
+      l.xT.foreach { t =>
+        val x = l.sx(t).toInt
+        g.drawLine(x, Y1.toInt, x, (Y1 + 5).toInt)
+        val s = fmt(t, l.xd)
+        g.drawString(s, x - fm.stringWidth(s) / 2, (Y1 + 18).toInt)
+      }
+      l.yT.foreach { t =>
+        val y = l.sy(t).toInt
+        g.drawLine((X0 - 5).toInt, y, X0.toInt, y)
+        val s = fmt(t, l.yd)
+        g.drawString(s, (X0 - 8).toInt - fm.stringWidth(s), y + fm.getAscent / 2 - 1)
+      }
+      g.setFont(labelFont)
+      val fml = g.getFontMetrics
+      val xLabel = "phi (V vs. SHE)"
+      g.drawString(xLabel, ((X0 + X1) / 2).toInt - fml.stringWidth(xLabel) / 2, (H - 6).toInt)
+      val yLabel = "sigma_e (uC/cm2)"
+      val saved = g.getTransform
+      g.setTransform(AffineTransform.getRotateInstance(
+        -math.Pi / 2, 14.0, (Y0 + Y1) / 2))
+      g.drawString(yLabel, 14 - fml.stringWidth(yLabel) / 2, ((Y0 + Y1) / 2).toInt)
+      g.setTransform(saved)
+      g.setFont(tickFont)
+      g.drawString(title, ((X0 + X1) / 2).toInt - fm.stringWidth(title) / 2, (Y0 - 10).toInt)
+      // red dotted fit line (':' c='r')
+      g.setColor(Color.RED)
+      g.setStroke(new BasicStroke(1.5f, BasicStroke.CAP_BUTT, BasicStroke.JOIN_MITER,
+        10f, Array(2f, 4f), 0f))
+      g.drawLine(l.sx(l.xLo).toInt, l.sy(capacitance * l.xLo + l.b).toInt,
+                 l.sx(l.xHi).toInt, l.sy(capacitance * l.xHi + l.b).toInt)
+      g.setStroke(new BasicStroke(1f))
+      // black circles ('o' c='k')
+      g.setColor(Color.BLACK)
+      points.sortBy(p => (p._1, p._2)).foreach { case (x, y) =>
+        g.fillOval(l.sx(x).toInt - 4, l.sy(y).toInt - 4, 8, 8)
+      }
+      // annotations at axes-fraction (0.1, 0.9) and (0.1, 0.8), red 12pt
+      g.setColor(Color.RED)
+      g.setFont(annFont)
+      def axesFrac(fx: Double, fy: Double): (Int, Int) =
+        ((X0 + fx * (X1 - X0)).toInt, (Y1 - fy * (Y1 - Y0)).toInt)
+      val (ax1, ay1) = axesFrac(0.1, 0.9)
+      val (ax2, ay2) = axesFrac(0.1, 0.8)
+      g.drawString(s"Capacitance: ${fmt(capacitance, 2)} uF/cm2", ax1, ay1)
+      g.drawString(s"PZC: ${fmt(pzc, 3)} V vs. SHE", ax2, ay2)
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 }

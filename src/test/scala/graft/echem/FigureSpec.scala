@@ -62,4 +62,42 @@ class FigureSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException](Figure.echemSvg("m", Seq.empty, 0, 0))
   }
+
+  test("echemPng: decodable raster twin with the figure's structural pixels") {
+    val pts = Seq((0.0, 1.0), (0.5, 4.0), (1.0, 7.0))
+    val png = Figure.echemPng("mp-1-111-0", pts, pzc = 0.123, capacitance = 6.0)
+    // PNG magic + ImageIO roundtrip at the declared canvas size
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 500 && img.getHeight == 300)
+    def rgb(x: Int, y: Int) = img.getRGB(x, y) & 0xFFFFFF
+    assert(rgb(2, 2) == 0xFFFFFF, "background is white")
+    // the axes box is black at its top-left corner (X0=72, Y0=34)
+    assert(rgb(72, 34) == 0x000000, "axes box corner")
+    // red pixels exist (fit line + annotations), black point disks exist
+    val colors = (0 until 500).flatMap(x => (0 until 300).map(y => rgb(x, y)))
+    assert(colors.count(_ == 0xFF0000) > 50, "red fit line / annotations")
+    assert(colors.count(_ == 0x000000) > 100, "points + axes + text")
+    // byte-deterministic within this JVM
+    assert(Figure.echemPng("mp-1-111-0", pts, 0.123, 6.0).toSeq == png.toSeq)
+  }
+
+  test("echemPng and echemSvg share geometry: the fit line endpoints agree") {
+    // a steep fit pushes the y-range: both artifacts must place the
+    // line at the same canvas rows (SVG coords vs raster red pixels)
+    val pts = Seq((0.0, 0.0), (1.0, 10.0))
+    val svg = Figure.echemSvg("m", pts, 0.5, 10.0)
+    val png = Figure.echemPng("m", pts, 0.5, 10.0)
+    val line = svg.linesIterator.find(l => l.contains("stroke=\"red\"") && l.contains("<line")).get
+    val x1 = "x1=\"([0-9.]+)\"".r.findFirstMatchIn(line).get.group(1).toDouble
+    val y1 = "y1=\"([0-9.]+)\"".r.findFirstMatchIn(line).get.group(1).toDouble
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // a red pixel sits within the dash pattern's reach of the SVG endpoint
+    val found = (-6 to 6).exists(dx => (-6 to 6).exists(dy => {
+      val (px, py) = (x1.toInt + dx, y1.toInt + dy)
+      px >= 0 && px < 500 && py >= 0 && py < 300 &&
+        (img.getRGB(px, py) & 0xFFFFFF) == 0xFF0000
+    }))
+    assert(found, s"no red pixel near SVG fit-line start ($x1, $y1)")
+  }
 }
