@@ -156,7 +156,8 @@ object Pipeline {
     * @param series  (mp_id, charge, pot, rhoe) — [[echem.Analysis.electrochemSeries]]
     * @return the report markdown (also written to `outDir/report.md`)
     */
-  def writeReport(results: DataFrame, series: DataFrame, outDir: String): String = {
+  def writeReport(results: DataFrame, series: DataFrame, outDir: String,
+                  poscarDir: Option[String] = None): String = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
     val fits = results.select("mp_id", "pzc", "capacitance").orderBy("mp_id").collect()
@@ -176,8 +177,22 @@ object Pipeline {
           svg.getBytes(StandardCharsets.UTF_8))
         // raster twin — the reference's own artifact format
         // (`{filename}_echem.png`, dags/my_dag.py:183)
-        Files.write(vizDir.resolve(s"${id}_echem.png"),
-          Figure.echemPng(id, p, r.getDouble(1), r.getDouble(2)))
+        val echemPng = Figure.echemPng(id, p, r.getDouble(1), r.getDouble(2))
+        Files.write(vizDir.resolve(s"${id}_echem.png"), echemPng)
+        // the reference's visualize task (`dags/my_dag.py:222-237`):
+        // side-view structure render + echem/struct composite, when
+        // the material's slab POSCAR is available
+        poscarDir.foreach { pd =>
+          val pf = Paths.get(pd, s"$id.poscar")
+          if (Files.exists(pf)) {
+            val slab = graft.echem.PoscarCodec.parse(id,
+              new String(Files.readAllBytes(pf), StandardCharsets.UTF_8))
+            val structPng = Figure.structPng(slab)
+            Files.write(vizDir.resolve(s"${id}_struct.png"), structPng)
+            Files.write(vizDir.resolve(s"$id.png"),
+              Figure.combinedPng(echemPng, structPng))
+          }
+        }
         s"\n\n![](visualize/${id}_echem.svg)"
       }
     }

@@ -218,4 +218,117 @@ object Figure {
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
   }
+
+  // ---- atomic-structure rendering (the reference's `ase.write(…,
+  // rotation='90x')` side view + the echem/struct composite figure,
+  // `dags/my_dag.py:222-237`) ----
+
+  /** Jmol/CPK element colors (public palette) for the elements the
+    * pipeline meets; unknown elements get a deterministic muted
+    * fallback derived from the symbol. */
+  private val ElementColor: Map[String, Int] = Map(
+    "H" -> 0xFFFFFF, "C" -> 0x909090, "N" -> 0x3050F8, "O" -> 0xFF0D0D,
+    "F" -> 0x90E050, "Na" -> 0xAB5CF2, "Mg" -> 0x8AFF00, "Al" -> 0xBFA6A6,
+    "Si" -> 0xF0C8A0, "P" -> 0xFF8000, "S" -> 0xFFFF30, "Cl" -> 0x1FF01F,
+    "K" -> 0x8F40D4, "Ca" -> 0x3DFF00, "Ti" -> 0xBFC2C7, "V" -> 0xA6A6AB,
+    "Cr" -> 0x8A99C7, "Mn" -> 0x9C7AC7, "Fe" -> 0xE06633, "Co" -> 0xF090A0,
+    "Ni" -> 0x50D050, "Cu" -> 0xC88033, "Zn" -> 0x7D80B0, "Pt" -> 0xD0D0E0,
+    "Au" -> 0xFFD123)
+  private def elementColor(e: String): Int =
+    ElementColor.getOrElse(e, 0x404040 | (e.hashCode & 0x3F3F3F))
+
+  /** Covalent radii, Å (Cordero 2008, public data); unknowns 1.2 Å. */
+  private val CovalentRadius: Map[String, Double] = Map(
+    "H" -> 0.31, "C" -> 0.76, "N" -> 0.71, "O" -> 0.66, "F" -> 0.57,
+    "Na" -> 1.66, "Mg" -> 1.41, "Al" -> 1.21, "Si" -> 1.11, "P" -> 1.07,
+    "S" -> 1.05, "Cl" -> 1.02, "K" -> 2.03, "Ca" -> 1.76, "Ti" -> 1.60,
+    "V" -> 1.53, "Cr" -> 1.39, "Mn" -> 1.39, "Fe" -> 1.32, "Co" -> 1.26,
+    "Ni" -> 1.24, "Cu" -> 1.32, "Zn" -> 1.22, "Pt" -> 1.36, "Au" -> 1.36)
+  private def covalentRadius(e: String): Double = CovalentRadius.getOrElse(e, 1.2)
+
+  /** Side view of a structure — the reference's
+    * `ase.write(png, atoms, rotation='90x')` (`dags/my_dag.py:227`):
+    * rotate 90° about x so the stacking axis lies in the image
+    * plane (slab layers read as horizontal bands), orthographic
+    * projection, CPK-colored circles at covalent radii with painter
+    * ordering back-to-front. Deterministic: fixed palette, integer
+    * geometry, depth/position/element tie-break in the draw order. */
+  def structPng(slab: Schemas.Slab, canvas: Int = 300): Array[Byte] = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    require(slab.positions.nonEmpty, "structPng needs at least one atom")
+    val bm = slab.lattice.map(_.map(_ * slab.scale))
+    def cart(a: Schemas.Atom): (Double, Double, Double) = (
+      a.x * bm(0)(0) + a.y * bm(1)(0) + a.z * bm(2)(0),
+      a.x * bm(0)(1) + a.y * bm(1)(1) + a.z * bm(2)(1),
+      a.x * bm(0)(2) + a.y * bm(1)(2) + a.z * bm(2)(2))
+    // rotation '90x': (x, y, z) → (x, z, −y); screen u = x, v = z
+    // (flipped to raster rows), depth = −y (larger = closer)
+    val projected = slab.positions.map { a =>
+      val (cx, cy, cz) = cart(a)
+      (cx, cz, -cy, a.element)
+    }
+    val rs = projected.map(p => covalentRadius(p._4))
+    val uLo = projected.zip(rs).map { case (p, r) => p._1 - r }.min
+    val uHi = projected.zip(rs).map { case (p, r) => p._1 + r }.max
+    val vLo = projected.zip(rs).map { case (p, r) => p._2 - r }.min
+    val vHi = projected.zip(rs).map { case (p, r) => p._2 + r }.max
+    val margin = 10.0
+    val scale = (canvas - 2 * margin) / math.max(math.max(uHi - uLo, vHi - vLo), 1e-9)
+    def px(u: Double): Int = (margin + (u - uLo) * scale).round.toInt
+    def pyr(v: Double): Int = (canvas - margin - (v - vLo) * scale).round.toInt
+    val img = new java.awt.image.BufferedImage(
+      canvas, canvas, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, canvas, canvas)
+      projected.sortBy { case (u, v, d, e) => (d, u, v, e) }.foreach { case (u, v, _, e) =>
+        val r = math.max(2, (covalentRadius(e) * scale).round.toInt)
+        val (cx, cy) = (px(u), pyr(v))
+        g.setColor(new java.awt.Color(elementColor(e)))
+        g.fillOval(cx - r, cy - r, 2 * r, 2 * r)
+        g.setColor(java.awt.Color.BLACK)
+        g.drawOval(cx - r, cy - r, 2 * r, 2 * r)
+      }
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** The reference's COMBINED figure (`dags/my_dag.py:229-237`):
+    * echem plot as the base image, structure inset at matplotlib
+    * axes-fraction [0.55, 0.3, 0.4, 0.4] (left, bottom, width,
+    * height — bottom-origin), both `imshow`-fitted (aspect
+    * preserved, centered) onto a 600×400 canvas. */
+  def combinedPng(echem: Array[Byte], struct: Array[Byte],
+                  w: Int = 600, h: Int = 400): Array[Byte] = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    def read(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val base = read(echem)
+    val inset = read(struct)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, w, h)
+      def fit(im: java.awt.image.BufferedImage,
+              rx: Int, ry: Int, rw: Int, rh: Int): Unit = {
+        val s = math.min(rw.toDouble / im.getWidth, rh.toDouble / im.getHeight)
+        val (dw, dh) = ((im.getWidth * s).toInt, (im.getHeight * s).toInt)
+        g.drawImage(im, rx + (rw - dw) / 2, ry + (rh - dh) / 2, dw, dh, null)
+      }
+      fit(base, 0, 0, w, h)
+      val (iw, ih) = ((0.4 * w).toInt, (0.4 * h).toInt)
+      val (ix, iy) = ((0.55 * w).toInt, h - (0.3 * h).toInt - ih)
+      fit(inset, ix, iy, iw, ih)
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
 }

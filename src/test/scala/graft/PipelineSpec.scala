@@ -132,12 +132,18 @@ class PipelineSpec extends SparkSpec {
     val results = graft.echem.Analysis.electrochem(metrics, geometry)
     val series = graft.echem.Analysis.electrochemSeries(metrics, geometry)
     val outDir = Files.createTempDirectory("graft-report").toString
-    val md = Pipeline.writeReport(results, series, outDir)
+    val md = Pipeline.writeReport(results, series, outDir,
+      poscarDir = Some(fixturePath("slab_poscars")))
     // the reference's report shape: table + ![](visualize/{id}...) embed
     assert(md.contains("| MP id |"))
     assert(md.contains("![](visualize/mp-755394-111-3_echem.svg)"), md)
     val svgPath = Paths.get(outDir, "visualize", "mp-755394-111-3_echem.svg")
     assert(Files.exists(svgPath))
+    // the raster artifact set of the reference's visualize task:
+    // echem PNG twin + structure side view + composite
+    for (n <- Seq("mp-755394-111-3_echem.png", "mp-755394-111-3_struct.png",
+                  "mp-755394-111-3.png"))
+      assert(Files.exists(Paths.get(outDir, "visualize", n)), n)
     val svg = new String(Files.readAllBytes(svgPath), StandardCharsets.UTF_8)
     // 3 charge points, the fitted line, and the fit annotations
     assert("<circle ".r.findAllIn(svg).length == 3)

@@ -100,4 +100,40 @@ class FigureSpec extends AnyFunSuite {
     }))
     assert(found, s"no red pixel near SVG fit-line start ($x1, $y1)")
   }
+
+  test("structPng: side-view CPK render with element colors and painter order") {
+    val slab = Schemas.Slab("t", "t", 1.0,
+      Seq(Seq(4.0, 0, 0), Seq(0, 4.0, 0), Seq(0, 0, 8.0)),
+      Seq("V", "O"), Seq(1, 2),
+      Seq(Schemas.Atom(0.5, 0.5, 0.25, "V"),
+          Schemas.Atom(0.25, 0.5, 0.5, "O"), Schemas.Atom(0.75, 0.5, 0.75, "O")),
+      Seq.empty)
+    val png = Figure.structPng(slab)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 300 && img.getHeight == 300)
+    val colors = (0 until 300).flatMap(x => (0 until 300).map(y => img.getRGB(x, y) & 0xFFFFFF))
+    assert(colors.count(_ == 0xFF0D0D) > 50, "O atoms render in CPK red")
+    assert(colors.count(_ == 0xA6A6AB) > 50, "V atom renders in CPK silver")
+    assert(Figure.structPng(slab).toSeq == png.toSeq, "byte-deterministic")
+    intercept[IllegalArgumentException](Figure.structPng(slab.copy(positions = Seq.empty)))
+  }
+
+  test("combinedPng: echem base + structure inset at the reference's axes fractions") {
+    val pts = Seq((0.0, 1.0), (0.5, 4.0), (1.0, 7.0))
+    val echem = Figure.echemPng("m", pts, 0.1, 6.0)
+    val slab = Schemas.Slab("t", "t", 1.0,
+      Seq(Seq(4.0, 0, 0), Seq(0, 4.0, 0), Seq(0, 0, 8.0)),
+      Seq("O"), Seq(1), Seq(Schemas.Atom(0.5, 0.5, 0.5, "O")), Seq.empty)
+    val struct = Figure.structPng(slab)
+    val png = Figure.combinedPng(echem, struct)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 600 && img.getHeight == 400)
+    // the inset rect [0.55, 0.3, 0.4, 0.4] (bottom-origin) holds the O atom's red
+    val insetColors = (330 until 570).flatMap(x => (120 until 280).map(y => img.getRGB(x, y) & 0xFFFFFF))
+    assert(insetColors.count(_ == 0xFF0D0D) > 20, "structure inset visible in its rect")
+    // the base echem image contributes pixels outside the inset (left half)
+    val leftNonWhite = (0 until 300).flatMap(x => (0 until 400).map(y => img.getRGB(x, y) & 0xFFFFFF))
+      .count(_ != 0xFFFFFF)
+    assert(leftNonWhite > 100, "echem base visible")
+  }
 }
