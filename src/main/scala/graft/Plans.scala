@@ -77,7 +77,9 @@ object Plans {
     "q_incr_agg",         // algebraic partial-state merge (IVM shape)
     "q_resample_ffill",   // last-per-slot heap + grid explode + one fill window
     "q_markov_transitions", // lead window + |types|^2 partial agg
-    "q_degree_hist")      // two tiny partial-agg shuffles over the pair pipeline
+    "q_degree_hist",      // two tiny partial-agg shuffles over the pair pipeline
+    "q_ks_drift",         // PSI-shared binning + window over <=nBins metadata rows
+    "q_bpe_encode")       // broadcast merges, zero-shuffle memoized mapPartitions
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -21,6 +21,50 @@ object SparkEntry {
     Ops.equiJoinAgg(Tables.orders(spark, d), Tables.customer(spark, d), Tables.nation(spark, d))
   }
 
+  /** Frozen BPE model for `q_bpe_encode` — the single source of
+    * truth for BOTH the Spark encode and its generated DuckDB
+    * oracle. Training-ordered (every merged symbol is produced
+    * before it appears as a later merge's input), so the fold-in-
+    * order encoder equals the classical greedy-by-rank one; the
+    * list deliberately exercises chained merges (t+a, ta+b), an
+    * equal-symbol pair (g+g), and multi-merge words. */
+  private[graft] val bpeModel: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "l" -> "e", "r" -> "o", "ro" -> "w",
+    "g" -> "g", "s" -> "c", "sc" -> "a", "h" -> "a", "ha" -> "s",
+    "e" -> "r", "o" -> "r")
+
+  /** DuckDB twin of [[graft.text.TextOps.bpeEncode]] under
+    * [[bpeModel]], generated from the same Seq so the two engines
+    * can never drift on the merge list. Encoding trick: a symbol
+    * sequence is rendered as chr(1)-FLANKED symbols
+    * (`␁s₁␁␁s₂␁…␁sₙ␁`) — a ␁ followed by a non-␁ occurs ONLY at a
+    * symbol start, so the literal pattern `␁a␁␁b␁` matches exactly
+    * the adjacent symbol pairs (a,b), never a symbol-internal
+    * substring (the `a`-suffix/`b`-prefix traps of naive
+    * space-joined replace); left-to-right non-overlapping
+    * `replace()` on it IS `bpeMergeOnce`'s scan (property-tested in
+    * BpeEncodeSpec), and subword count recovers as sentinel-count/2.
+    */
+  private def bpeEncodeOracle: String = {
+    val base = """regexp_replace(word, '(.)', chr(1) || '\1' || chr(1), 'g')"""
+    val enc = bpeModel.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc,\n      chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |enc AS (SELECT doc_id,
+       |    $enc AS s
+       |  FROM toks),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+       |        sum((length(s) - length(replace(s, chr(1), ''))) // 2)::BIGINT AS n_subwords
+       |        FROM enc GROUP BY 1)
+       |SELECT d.doc_id, coalesce(p.n_words, 0)::BIGINT AS n_words,
+       |       coalesce(p.n_subwords, 0)::BIGINT AS n_subwords
+       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2b/§2a: scans, projection, filters, scalar expressions ----
@@ -131,6 +175,15 @@ object SparkEntry {
       graft.core.Validate.psiDrift(
         Tables.events(s, d).withColumn("us", expr("ts div 1000")),
         "event_type", "value", "us", 10)
+    }),
+    // binned two-sample KS drift over the same half-split: declared
+    // row is integer-exact (d_num = max|cumA·M − cumB·N|); the
+    // classical D = d_num/(N·M) is the caller's one division
+    "q_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.expr
+      graft.core.Validate.ksDrift(
+        Tables.events(s, d).withColumn("us", expr("ts div 1000")),
+        "event_type", "value", "us", 64)
     }),
     // 2-D skyline on parts: maximize size, minimize retail price;
     // runs on the |distinct sizes| frame, never a dominance self-join
@@ -498,6 +551,10 @@ object SparkEntry {
     "q_mixture_temperature" -> ((s, d) => TextOps.mixtureTemperature(Tables.documents(s, d), 0.3)),
     // BPE merge-step pair statistics over the distinct-word vocab
     "q_bpe_pairs" -> ((s, d) => TextOps.bpePairStats(Tables.documents(s, d), 2L)),
+    // ENCODE path of a trained BPE model: per-doc tokenizer-token
+    // accounting under the frozen `bpeModel` merge list (the budget
+    // number mixture caps / packing actually count)
+    "q_bpe_encode" -> ((s, d) => TextOps.bpeEncode(Tables.documents(s, d), bpeModel)),
     // Unicode mess injected deterministically (the corpus is clean
     // ASCII) so the normalizer has real work: a combining acute that
     // NFC must compose, tab/CRLF/NBSP/EM-space runs to collapse, and
@@ -999,6 +1056,43 @@ object SparkEntry {
         |   - round(ln((b + 1)::DOUBLE), 6)::DECIMAL(18,6)
         |   - round(ln((n_first + 10)::DOUBLE), 6)::DECIMAL(18,6))::DOUBLE AS ln_term
         |FROM dense""".stripMargin,
+
+    // binned KS over the same half-split/equi-width binning as PSI
+    // (64 bins); d_num = max cumulative |cumA·M − cumB·N| stays
+    // integer-exact, D = d_num/(N·M) is the caller's division
+    "q_ks_drift" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events),
+        |s AS (SELECT ((min(us) + max(us)) // 2) AS mid,
+        |             min(value) AS vmn, max(value) AS vmx FROM e),
+        |binned AS (
+        |  SELECT event_type AS grp,
+        |    CASE WHEN s.vmx = s.vmn THEN 0::BIGINT
+        |         ELSE least(63::BIGINT, floor((value - s.vmn) * 64 / (s.vmx - s.vmn))::BIGINT)
+        |    END AS bin,
+        |    (us <= s.mid) AS is_first
+        |  FROM e, s),
+        |counts AS (
+        |  SELECT grp, bin,
+        |    sum(CASE WHEN is_first THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN NOT is_first THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT grp, sum(a)::BIGINT AS n_first, sum(b)::BIGINT AS m_second
+        |        FROM counts GROUP BY 1),
+        |dense AS (
+        |  SELECT t.grp, gs.bin, coalesce(c.a, 0)::BIGINT AS a,
+        |         coalesce(c.b, 0)::BIGINT AS b, t.n_first, t.m_second
+        |  FROM tot t
+        |  CROSS JOIN (SELECT unnest(range(0, 64))::BIGINT AS bin) gs
+        |  LEFT JOIN counts c ON c.grp = t.grp AND c.bin = gs.bin),
+        |cum AS (
+        |  SELECT grp, n_first, m_second,
+        |    abs(sum(a) OVER (PARTITION BY grp ORDER BY bin
+        |                     ROWS UNBOUNDED PRECEDING) * m_second
+        |      - sum(b) OVER (PARTITION BY grp ORDER BY bin
+        |                     ROWS UNBOUNDED PRECEDING) * n_first) AS gap
+        |  FROM dense)
+        |SELECT grp AS event_type, n_first, m_second, max(gap)::BIGINT AS d_num
+        |FROM cum GROUP BY 1, 2, 3""".stripMargin,
 
     "q_pareto_front" ->
       """WITH m AS (SELECT p_size, min(p_retailprice) AS mp FROM part GROUP BY 1),
@@ -1986,6 +2080,10 @@ object SparkEntry {
         |SELECT substr(word, i::INT, 1) AS a, substr(word, i::INT + 1, 1) AS b,
         |       sum(c_w)::BIGINT AS cnt
         |FROM pos GROUP BY 1, 2 HAVING sum(c_w) >= 2""".stripMargin,
+
+    // generated from the SAME bpeModel Seq as the Spark encode; see
+    // bpeEncodeOracle's doc for the sentinel-flank replace() twin
+    "q_bpe_encode" -> bpeEncodeOracle,
 
     // lp rounds to 6 before an exact DECIMAL sum (order-independent),
     // mirroring the Spark side; the zipped unnest of the two list

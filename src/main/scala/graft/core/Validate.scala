@@ -180,6 +180,84 @@ object Validate {
     import org.apache.spark.sql.types.DecimalType
     def ln6(c: Column): Column =
       round(log(c.cast(DoubleType)), 6).cast(DecimalType(18, 6))
+    val dense = halfSplitBinCounts(df, groupCol, valueCol, tsUsCol, nBins)
+    dense.select(col("grp").as(groupCol), col("bin"), col("a"), col("b"),
+        (col("a") + 1L).as("a1"), (col("b") + 1L).as("b1"),
+        (col("n_first") + nBins).as("n1"), (col("m_second") + nBins).as("m1"))
+      .select(col(groupCol), col("bin"), col("a"), col("b"),
+        (col("a1") * col("m1") - col("b1") * col("n1")).as("diff_num"),
+        (col("n1") * col("m1")).as("den"),
+        (ln6(col("a1")) + ln6(col("m1")) - ln6(col("b1")) - ln6(col("n1")))
+          .cast(DoubleType).as("ln_term"))
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov drift between the first
+    * and second time-half of each group's value population — the
+    * distribution-shift gate that complements [[psiDrift]]: PSI
+    * weights per-bin log-ratios (sensitive to tail re-allocation),
+    * KS is the worst-case CDF gap (sensitive to location shift),
+    * and a monitoring gate typically alarms on either.
+    *
+    * Output: one row per group — (groupCol, n_first, m_second,
+    * d_num), with the declared statistic kept INTEGER-exact:
+    * d_num = max over bins of |cumA·M − cumB·N| where cumA/cumB are
+    * cumulative first/second-half bin counts and N/M the half
+    * totals. The classical D = d_num / (N·M) is one division the
+    * caller performs; keeping it out of the declared row is the
+    * same cross-engine contract as psiDrift's diff_num/den split
+    * (every emitted value is an exact integer, so the row hashes
+    * identically on any engine/libm).
+    *
+    * Binned, not exact-rank, BY DESIGN: the exact KS needs a total
+    * order over every distinct value — a global (or per-group) sort
+    * whose hot group funnels through one task, the same scale
+    * killer the equi-depth family documents. Binning to `nBins`
+    * fixed-width buckets makes the heavy pass ONE partial-agg
+    * shuffle on (group, bin); the cumulative window then runs over
+    * ≤ nBins metadata rows per group (partitionBy group — never a
+    * partition-less window), which is the production drift-monitor
+    * shape (bounded sketch, exact arithmetic over it). The binned D
+    * converges to the exact D as nBins grows; at the default 64 the
+    * discretization error is below any actionable alarm threshold.
+    *
+    * Range note: the LONG gap arithmetic is exact while N·M < 2⁶³,
+    * i.e. up to ~3·10⁹ rows per half PER GROUP; beyond that, cast
+    * the cumulative sums to DECIMAL(38,0) — a metadata-frame cost
+    * (|groups|·nBins rows), not a data-pass cost.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              tsUsCol: String, nBins: Int = 64): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val dense = halfSplitBinCounts(df, groupCol, valueCol, tsUsCol, nBins)
+    val w = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .select(col("grp"), col("n_first"), col("m_second"),
+        abs(sum(col("a")).over(w) * col("m_second")
+          - sum(col("b")).over(w) * col("n_first")).as("gap"))
+      .groupBy(col("grp"), col("n_first"), col("m_second"))
+      .agg(max(col("gap")).as("d_num"))
+      .select(col("grp").as(groupCol), col("n_first"), col("m_second"),
+        col("d_num"))
+  }
+
+  /** Shared first-half/second-half equi-width binning behind
+    * [[psiDrift]] and [[ksDrift]]: split rows at the LONG-exact
+    * midpoint of the timestamp range, bin values into `nBins`
+    * fixed-width buckets over the global value range, and return
+    * the DENSE (group × bin) count scaffold — (grp, bin, a, b,
+    * n_first, m_second) with every bin present (empty bins matter:
+    * PSI smooths them, KS's cumulative gap must step past them).
+    *
+    * Scale shape: one narrow pass for the 3 global scalars
+    * (broadcast back), one partial-agg shuffle on (group, bin), and
+    * a |groups|·nBins scaffold from the group totals — no windows
+    * over data rows, no self-joins, post-shuffle size independent
+    * of table size. */
+  private def halfSplitBinCounts(df: DataFrame, groupCol: String,
+                                 valueCol: String, tsUsCol: String,
+                                 nBins: Int): DataFrame = {
     // midpoint in LONG arithmetic: a double (min+max)/2 loses
     // exactness past 2^53 (ns-scale timestamps sum to ~3.4e18) and
     // truncates instead of flooring for negative sums; arithmetic
@@ -202,17 +280,9 @@ object Validate {
            sum(when(!col("is_first"), 1L).otherwise(0L)).as("b"))
     val totals = counts.groupBy("grp")
       .agg(sum(col("a")).as("n_first"), sum(col("b")).as("m_second"))
-    val dense = totals
+    totals
       .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
       .join(counts, Seq("grp", "bin"), "left")
       .na.fill(0L, Seq("a", "b"))
-    dense.select(col("grp").as(groupCol), col("bin"), col("a"), col("b"),
-        (col("a") + 1L).as("a1"), (col("b") + 1L).as("b1"),
-        (col("n_first") + nBins).as("n1"), (col("m_second") + nBins).as("m1"))
-      .select(col(groupCol), col("bin"), col("a"), col("b"),
-        (col("a1") * col("m1") - col("b1") * col("n1")).as("diff_num"),
-        (col("n1") * col("m1")).as("den"),
-        (ln6(col("a1")) + ln6(col("m1")) - ln6(col("b1")) - ln6(col("n1")))
-          .cast(DoubleType).as("ln_term"))
   }
 }

@@ -1232,6 +1232,66 @@ object TextOps {
       case (syms, (a, b)) => bpeMergeOnce(syms, a, b)
     }
 
+  /** ENCODE path of a trained BPE model over the corpus: apply the
+    * ordered merge list to every token of every document and report
+    * per-doc token accounting — (doc_id, n_words, n_subwords). This
+    * is the number a data pipeline actually budgets on (mixture
+    * caps, sequence packing, cost estimates count TOKENIZER tokens,
+    * not whitespace words); n_subwords / n_words is the tokenizer's
+    * fertility on that document.
+    *
+    * Merge-list semantics are [[bpeSegmentOf]]'s: merges fold in
+    * learned priority order, each pass left-to-right non-overlapping
+    * — for a consistent (training-ordered) merge list this equals
+    * the classical lowest-rank-first greedy encoder, because a merge
+    * whose inputs are produced by a later merge cannot be learned.
+    *
+    * Scale shape: NO shuffle — the merge list broadcasts and every
+    * partition segments its own rows (embarrassingly parallel, the
+    * one-pass map a 100-TB tokenization job wants). A per-partition
+    * memo caches segment LENGTH per distinct word, so the Zipf head
+    * ("the", "of", …) is segmented once per partition instead of
+    * once per occurrence — the vocabulary-decomposition trick of
+    * [[bpePairStats]] without its corpus-wide explode+join; the memo
+    * is size-capped so an adversarial all-unique corpus degrades to
+    * flat per-word cost, never to memory pressure. For production
+    * merge lists (tens of thousands of rules) the per-word fold
+    * would be replaced by the rank-map greedy scan (cost ∝ word
+    * length, not merge count) — same output by the consistency
+    * argument above; at the declared-model sizes the fold is
+    * simpler and equally exact. */
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)],
+                memoCap: Int = 1 << 20): DataFrame = {
+    require(memoCap >= 0, s"need memoCap >= 0, got $memoCap")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    documents
+      .select(col("doc_id").cast(LongType), col("text").cast(StringType))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val ms = bc.value
+        val memo = new java.util.HashMap[String, Integer]()
+        def nSyms(w: String): Int = {
+          val hit = memo.get(w)
+          if (hit != null) hit.intValue()
+          else {
+            val n = bpeSegmentOf(w, ms).length
+            if (memo.size < memoCap) memo.put(w, Integer.valueOf(n))
+            n
+          }
+        }
+        rows.map { case (id, text) =>
+          val ws = tokensOf(text)
+          var sub = 0L
+          val it = ws.iterator
+          while (it.hasNext) sub += nSyms(it.next())
+          (id, ws.length.toLong, sub)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_subwords")
+  }
+
   /** Apply a set of pairwise SYMBOL-DISJOINT merge pairs in one
     * left-to-right scan. Disjointness (no symbol appears in two
     * pairs) makes the merges non-interacting: at any position at most

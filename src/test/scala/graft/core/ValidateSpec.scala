@@ -139,4 +139,59 @@ class ValidateSpec extends SparkSpec {
     assert(Validate.psiDrift(drifted, "grp", "value", "us", 10)
       .collect().map(_.getLong(4)).sum == 0L)
   }
+
+  test("ksDrift: closed-form D for disjoint and identical half-splits") {
+    // group a: halves fully disjoint in value -> d_num = N*M (max gap)
+    // group b: halves identically distributed -> d_num = 0
+    val rows = Seq(
+      ("a", 0.0, 0L), ("a", 0.0, 1L), ("a", 10.0, 1000L), ("a", 10.0, 1001L),
+      ("b", 0.0, 2L), ("b", 10.0, 3L), ("b", 0.0, 1002L), ("b", 10.0, 1003L))
+      .toDF("grp", "value", "us")
+    val out = Validate.ksDrift(rows, "grp", "value", "us", 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("a") == (2L, 2L, 4L), "disjoint halves reach the full N*M gap")
+    assert(out("b") == (2L, 2L, 0L), "identical halves have zero KS gap")
+  }
+
+  test("ksDrift: equals a brute-force cumulative-gap computation") {
+    val rnd = new scala.util.Random(7)
+    val nBins = 8
+    val data = (0 until 240).map { i =>
+      val g = s"g${i % 3}"
+      // g2 drifts: its second-half values shift up by 40
+      val base = rnd.nextInt(100).toDouble
+      val v = if (g == "g2" && i >= 120) base + 40.0 else base
+      (g, v, i.toLong * 10L)
+    }
+    val df = data.toDF("grp", "value", "us")
+    val out = Validate.ksDrift(df, "grp", "value", "us", nBins)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute force with the same binning contract
+    val usMid = (data.map(_._3).min + data.map(_._3).max) >> 1
+    val vmn = data.map(_._2).min
+    val vmx = data.map(_._2).max
+    def bin(v: Double): Long =
+      if (vmx == vmn) 0L
+      else math.min(nBins - 1L, math.floor((v - vmn) * nBins / (vmx - vmn)).toLong)
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val first = rows.filter(_._3 <= usMid)
+      val second = rows.filter(_._3 > usMid)
+      val n = first.size.toLong
+      val m = second.size.toLong
+      var cumA = 0L; var cumB = 0L; var best = 0L
+      (0L until nBins).foreach { b =>
+        cumA += first.count(r => bin(r._2) == b)
+        cumB += second.count(r => bin(r._2) == b)
+        best = math.max(best, math.abs(cumA * m - cumB * n))
+      }
+      assert(out(g) == (n, m, best), s"group $g diverged from brute force")
+      assert(best <= n * m, "gap can never exceed N*M")
+    }
+    // the injected shift must register as the largest normalized D
+    val d = out.map { case (g, (n, m, num)) => g -> num.toDouble / (n * m) }
+    assert(d("g2") > d("g0") && d("g2") > d("g1"),
+      s"drifted group must dominate: $d")
+  }
 }
