@@ -79,7 +79,8 @@ object Plans {
     "q_markov_transitions", // lead window + |types|^2 partial agg
     "q_degree_hist",      // two tiny partial-agg shuffles over the pair pipeline
     "q_ks_drift",         // PSI-shared binning + window over <=nBins metadata rows
-    "q_bpe_encode")       // broadcast merges, zero-shuffle memoized mapPartitions
+    "q_bpe_encode",       // broadcast merges, zero-shuffle memoized mapPartitions
+    "q_drift_by_day")     // frozen-reference monitor: literal binning + metadata finisher
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

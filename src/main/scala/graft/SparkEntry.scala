@@ -185,6 +185,25 @@ object SparkEntry {
         Tables.events(s, d).withColumn("us", expr("ts div 1000")),
         "event_type", "value", "us", 64)
     }),
+    // batch twin of the streaming drift monitor: per-day windows of
+    // each type's value distribution vs the frozen whole-table
+    // reference, finished by the SAME ksAgainstReference the
+    // streaming side uses in foreachBatch
+    "q_drift_by_day" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val nBins = 16
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          expr("ts div 1000").as("us"))
+      val (vmn, vmx, ref) =
+        graft.core.Validate.driftReference(ev, "event_type", "value", nBins)
+      val counts = ev.groupBy(
+          date_format(timestamp_micros(col("us")), "yyyy-MM-dd").as("bucket"),
+          col("event_type").as("grp"),
+          graft.core.Validate.binColumn(col("value"), vmn, vmx, nBins).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.core.Validate.ksAgainstReference(counts, ref, nBins)
+    }),
     // 2-D skyline on parts: maximize size, minimize retail price;
     // runs on the |distinct sizes| frame, never a dominance self-join
     "q_pareto_front" -> ((s, d) =>
@@ -1093,6 +1112,47 @@ object SparkEntry {
         |  FROM dense)
         |SELECT grp AS event_type, n_first, m_second, max(gap)::BIGINT AS d_num
         |FROM cum GROUP BY 1, 2, 3""".stripMargin,
+
+    // per-day KS vs the frozen whole-table reference (16 bins); the
+    // clamped CASE is binColumn's out-of-range contract, vacuous here
+    // since the reference range IS the table range
+    "q_drift_by_day" ->
+      """WITH e AS (SELECT event_type AS grp, value, epoch_us(ts)::BIGINT AS us FROM events),
+        |s AS (SELECT min(value) AS vmn, max(value) AS vmx FROM e),
+        |b AS (SELECT grp, strftime(make_timestamp(us), '%Y-%m-%d') AS bucket,
+        |        CASE WHEN s.vmx = s.vmn THEN 0::BIGINT
+        |             ELSE least(15::BIGINT, greatest(0::BIGINT,
+        |                    floor((value - s.vmn) * 16 / (s.vmx - s.vmn))::BIGINT))
+        |        END AS bin
+        |      FROM e, s),
+        |ref AS (SELECT grp, bin, count(*)::BIGINT AS ref_cnt FROM b GROUP BY 1, 2),
+        |reftot AS (SELECT grp, sum(ref_cnt)::BIGINT AS n_ref FROM ref GROUP BY 1),
+        |refdense AS (
+        |  SELECT t.grp, gs.bin, coalesce(r.ref_cnt, 0)::BIGINT AS ref_cnt, t.n_ref
+        |  FROM reftot t
+        |  CROSS JOIN (SELECT unnest(range(0, 16))::BIGINT AS bin) gs
+        |  LEFT JOIN ref r ON r.grp = t.grp AND r.bin = gs.bin),
+        |wc AS (SELECT bucket, grp, bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2, 3),
+        |scaffold AS (
+        |  SELECT w.bucket, d.grp, d.bin, d.ref_cnt, d.n_ref
+        |  FROM (SELECT DISTINCT bucket, grp FROM wc) w
+        |  JOIN refdense d ON d.grp = w.grp),
+        |j AS (
+        |  SELECT sc.bucket, sc.grp, sc.bin, sc.ref_cnt, sc.n_ref,
+        |         coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM scaffold sc
+        |  LEFT JOIN wc c ON c.bucket = sc.bucket AND c.grp = sc.grp AND c.bin = sc.bin),
+        |cum AS (
+        |  SELECT bucket, grp, n_ref,
+        |    sum(cnt) OVER (PARTITION BY bucket, grp) AS n_win,
+        |    abs(sum(cnt) OVER (PARTITION BY bucket, grp ORDER BY bin
+        |                       ROWS UNBOUNDED PRECEDING) * n_ref
+        |      - sum(ref_cnt) OVER (PARTITION BY bucket, grp ORDER BY bin
+        |                           ROWS UNBOUNDED PRECEDING)
+        |        * sum(cnt) OVER (PARTITION BY bucket, grp)) AS gap
+        |  FROM j)
+        |SELECT bucket, grp, n_win::BIGINT AS n_win, n_ref, max(gap)::BIGINT AS d_num
+        |FROM cum GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q_pareto_front" ->
       """WITH m AS (SELECT p_size, min(p_retailprice) AS mp FROM part GROUP BY 1),

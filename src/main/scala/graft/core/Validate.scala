@@ -242,6 +242,95 @@ object Validate {
         col("d_num"))
   }
 
+  /** Equi-width bin of `value` against FROZEN [vmn, vmx] cut params
+    * — a pure LITERAL expression: no scan, no aggregation, no state,
+    * so it is legal (and cheap) in a streaming plan. Serving rows
+    * may fall outside the training range, so the bin clamps BOTH
+    * ends (below-range → bin 0, above-range → bin nBins−1) — the
+    * standard out-of-range convention for a frozen reference
+    * binning. Shares the (v−mn)·nBins/(mx−mn) floor form with
+    * [[psiDrift]]/[[ksDrift]]'s self-referenced binning. */
+  def binColumn(value: Column, vmn: Double, vmx: Double, nBins: Int): Column =
+    if (vmx == vmn) lit(0L)
+    else least(lit(nBins - 1L), greatest(lit(0L),
+      floor((value.cast(DoubleType) - lit(vmn)) * nBins / lit(vmx - vmn))
+        .cast(LongType)))
+
+  /** Frozen drift REFERENCE: learn equi-width cut params on a
+    * training snapshot and return (vmn, vmx, dense per-(group, bin)
+    * reference counts with per-group totals) — the artifact a
+    * monitoring deployment computes ONCE, then compares every
+    * serving window against (see
+    * [[graft.streaming.StreamingOps.driftBinStream]] +
+    * [[ksAgainstReference]]). Dense scaffold for the same reason as
+    * [[halfSplitBinCounts]]: the cumulative gap must step past
+    * empty bins. Scale shape: one narrow pass for 2 scalars, one
+    * partial-agg shuffle on (group, bin), |groups|·nBins rows out. */
+  def driftReference(df: DataFrame, groupCol: String, valueCol: String,
+                     nBins: Int): (Double, Double, DataFrame) = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val row = df.agg(min(col(valueCol)).cast(DoubleType),
+                     max(col(valueCol)).cast(DoubleType)).head()
+    val (vmn, vmx) = (row.getDouble(0), row.getDouble(1))
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        binColumn(col(valueCol), vmn, vmx, nBins).as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("ref_cnt"))
+    val dense = counts.groupBy("grp").agg(sum(col("ref_cnt")).as("n_ref"))
+      .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
+      .join(counts, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("ref_cnt"))
+      .select(col("grp"), col("bin"), col("ref_cnt"), col("n_ref"))
+    (vmn, vmx, dense)
+  }
+
+  /** Per-(bucket, group) integer-exact KS gap of windowed bin counts
+    * against a frozen reference — the FINISHER shared by the batch
+    * and streaming drift monitors (the streaming side runs it per
+    * micro-batch in `foreachBatch`; using one finisher is what makes
+    * the batch twin an exact twin). Input `binCounts` is
+    * (bucket, grp, bin, cnt) — sparse is fine, the reference's dense
+    * scaffold supplies missing bins; groups absent from the
+    * reference are dropped (no denominator to compare against).
+    * Output: (bucket, grp, n_win, n_ref, d_num) with
+    * d_num = max over bins of |cumWin·n_ref − cumRef·n_win| — the
+    * same LONG-exact contract as [[ksDrift]]; D = d_num/(n_win·n_ref).
+    *
+    * Scale shape: the per-(bucket, grp) scaffold join and cumulative
+    * windows all run over ≤ nBins metadata rows per key (partitioned
+    * windows, one sort shared by the running and total sums). */
+  def ksAgainstReference(binCounts: DataFrame, refDense: DataFrame,
+                         nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    // the scaffold derives from binCounts and then left-joins it
+    // again — RENAME the probe side's key columns (fresh attribute
+    // ids) so the self-referencing lineage cannot produce ambiguous
+    // or deduplicated attributes
+    val scaffold = binCounts.select(col("bucket"), col("grp")).distinct()
+      .join(refDense, Seq("grp"))
+    val probe = binCounts.select(col("bucket").as("c_bucket"),
+      col("grp").as("c_grp"), col("bin").as("c_bin"), col("cnt"))
+    val joined = scaffold
+      .join(probe,
+        col("bucket") === col("c_bucket") && col("grp") === col("c_grp") &&
+          col("bin") === col("c_bin"), "left")
+      .select(col("bucket"), col("grp"), col("bin"), col("ref_cnt"),
+        col("n_ref"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wCum = Window.partitionBy(col("bucket"), col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("bucket"), col("grp"))
+      .orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .select(col("bucket"), col("grp"), col("n_ref"),
+        sum(col("cnt")).over(wAll).as("n_win"),
+        abs(sum(col("cnt")).over(wCum) * col("n_ref")
+          - sum(col("ref_cnt")).over(wCum) * sum(col("cnt")).over(wAll)).as("gap"))
+      .groupBy(col("bucket"), col("grp"), col("n_win"), col("n_ref"))
+      .agg(max(col("gap")).as("d_num"))
+  }
+
   /** Shared first-half/second-half equi-width binning behind
     * [[psiDrift]] and [[ksDrift]]: split rows at the LONG-exact
     * midpoint of the timestamp range, bin values into `nBins`

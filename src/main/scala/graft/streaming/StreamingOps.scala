@@ -231,6 +231,41 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming half of the drift monitor — the production shape of
+    * the [[graft.core.Validate.ksDrift]]/`psiDrift` family: a frozen
+    * reference binning (cut params learned once on a training
+    * snapshot via [[graft.core.Validate.driftReference]]) is applied
+    * STATELESSLY to every event, and a watermarked tumbling window
+    * aggregates (group, bin) counts per window. The result feeds the
+    * SAME finisher the batch twin uses —
+    * [[graft.core.Validate.ksAgainstReference]], run per micro-batch
+    * in `foreachBatch` — so the streamed statistic cannot disagree
+    * with a batch recomputation over the same rows (asserted in
+    * StreamingSpec).
+    *
+    * Output rows: (bucket, grp, bin, cnt).
+    *
+    * Scale/state shape: the binning adds no state (pure literal
+    * expression); the windowed agg's state is one counter per live
+    * (window, group, bin) — ≤ \|groups\|·nBins per window, dropped
+    * as the watermark passes. Contrast with the batch family, which
+    * must scan twice (scalars, then counts): a stream cannot learn
+    * its own cut points, which is WHY the reference is frozen — also
+    * the statistically right monitor (drift is measured against the
+    * training distribution, not against the drifting stream itself).
+    */
+  def driftBinStream(events: DataFrame, vmn: Double, vmx: Double, nBins: Int,
+                     windowDur: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), windowDur).as("w"),
+        col("event_type").as("grp"),
+        graft.core.Validate.binColumn(col("value"), vmn, vmx, nBins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+        col("grp"), col("bin"), col("cnt"))
+
   /** Ingest-time decontamination screen — the streaming member of the
     * contamination family (`Dedup.contamination` / `bloomContamination`
     * are the batch audits): keep documents whose word `ngram`-grams

@@ -314,4 +314,73 @@ class StreamingSpec extends SparkSpec {
       .sortBy(s => (s._1, s._2)).toSeq
     assert(streamed == batch.map(s => (s._1, s._2, s._4)))
   }
+
+  test("driftBinStream + shared finisher == batch twin; closed-form KS endpoints") {
+    import graft.core.Validate
+    val nBins = 4
+    // reference snapshot: uniform over 4 bins for type "a", skewed for "b"
+    val ref = Seq(
+      ("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 0.0), ("b", 0.5), ("b", 0.75), ("b", 3.0))
+      .toDF("event_type", "value")
+    val (vmn, vmx, refDense) = Validate.driftReference(ref, "event_type", "value", nBins)
+    assert(vmn == 0.0 && vmx == 3.0)
+    val denseRows = refDense.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(denseRows.size == 2 * nBins, "scaffold must be dense per group")
+    assert(denseRows(("a", 0L)) == (1L, 4L) && denseRows(("a", 3L)) == (1L, 4L))
+    // 0.75*4/3 = 1.0 exactly, so b@0.75 lands in bin 1
+    assert(denseRows(("b", 0L)) == (2L, 4L) && denseRows(("b", 1L)) == (1L, 4L))
+
+    // serving stream: window 1 matches "a"'s reference exactly (D = 0);
+    // window 2 for "a" sits entirely in the top bin (max drift); "b"
+    // appears in window 1 only; out-of-range values must clamp
+    val t0 = 1600000000000L
+    val h = 3600000L
+    def ev(id: Long, tMs: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(t0 + tMs), id, typ, v)
+    val serving = Seq(
+      ev(1, 0, "a", 0.0), ev(2, 1000, "a", 1.0),
+      ev(3, 2000, "a", 2.0), ev(4, 3000, "a", 3.0),
+      ev(5, 4000, "b", -5.0), ev(6, 5000, "b", 99.0), // clamp to bins 0 and 3
+      ev(7, h, "a", 3.0), ev(8, h + 1000, "a", 99.0))
+      .toDF("event_id", "ts_t", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    serving.write.mode("overwrite").parquet(dir)
+
+    val q = driftBinStream(
+        spark.readStream.schema(EventSchema).parquet(dir), vmn, vmx, nBins, "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("drift_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamedCounts = spark.table("drift_out")
+
+    // batch twin: same binning expression, plain groupBy
+    val batchCounts = serving
+      .groupBy(date_format(window(col("ts_t"), "1 hour").getField("start"),
+          "yyyy-MM-dd HH:mm").as("bucket"),
+        col("event_type").as("grp"),
+        Validate.binColumn(col("value"), vmn, vmx, nBins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    def finish(counts: org.apache.spark.sql.DataFrame) =
+      Validate.ksAgainstReference(counts, refDense, nBins).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val streamed = finish(streamedCounts)
+    val batch = finish(batchCounts)
+    assert(streamed == batch, "stream and batch twins must agree exactly")
+
+    // closed-form endpoints through the shared finisher
+    val buckets = streamed.keys.map(_._1).toSeq.distinct.sorted
+    assert(buckets.size == 2)
+    assert(streamed((buckets.head, "a")) == (4L, 4L, 0L),
+      "window matching the reference has zero KS gap")
+    assert(streamed((buckets.last, "a")) == (2L, 4L, 6L),
+      "all-top-bin window reaches cum gap |0*4 - 3*2| = 6")
+    // b's clamped rows land in bins 0 and 3 (win [1,0,0,1] vs ref
+    // [2,1,0,1]): cum gaps |4-4|=0, |4-6|=2, |4-6|=2, |8-8|=0 -> 2
+    assert(streamed((buckets.head, "b")) == (2L, 4L, 2L),
+      "out-of-range values clamp to the edge bins")
+    assert(!streamed.contains((buckets.last, "b")), "no b rows in window 2")
+  }
 }
