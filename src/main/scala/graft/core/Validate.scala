@@ -271,7 +271,12 @@ object Validate {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
     val row = df.agg(min(col(valueCol)).cast(DoubleType),
                      max(col(valueCol)).cast(DoubleType)).head()
-    val (vmn, vmx) = (row.getDouble(0), row.getDouble(1))
+    // empty (or all-null) training frame: degenerate single-bin
+    // reference with an empty count scaffold, not an NPE — the
+    // empty-input contract every operator family honors
+    val (vmn, vmx) =
+      if (row.isNullAt(0) || row.isNullAt(1)) (0.0, 0.0)
+      else (row.getDouble(0), row.getDouble(1))
     val counts = df
       .select(col(groupCol).as("grp"),
         binColumn(col(valueCol), vmn, vmx, nBins).as("bin"))

@@ -79,4 +79,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.cosineTopKBucketed(emptyEmb, 4, 5, nProbes = 2).count() == 0)
     assert(Similarity.ivfTopK(emptyEmb, 4, 5).count() == 0)
   }
+
+  test("round-6 drift/encode operators are empty-safe") {
+    import graft.core.Validate
+    assert(Validate.ksDrift(
+      emptyEvents.withColumn("us", $"ts"), "event_type", "value", "us").count() == 0)
+    val (vmn, vmx, ref) = Validate.driftReference(emptyEvents, "event_type", "value", 8)
+    assert(vmn == 0.0 && vmx == 0.0 && ref.count() == 0)
+    val emptyCounts = Seq.empty[(String, String, Long, Long)]
+      .toDF("bucket", "grp", "bin", "cnt")
+    assert(Validate.ksAgainstReference(emptyCounts, ref, 8).count() == 0)
+    assert(TextOps.bpeEncode(emptyDocs, graft.SparkEntry.bpeModel).count() == 0)
+  }
 }
