@@ -186,23 +186,17 @@ object SparkEntry {
         "event_type", "value", "us", 64)
     }),
     // batch twin of the streaming drift monitor: per-day windows of
-    // each type's value distribution vs the frozen whole-table
-    // reference, finished by the SAME ksAgainstReference the
-    // streaming side uses in foreachBatch
+    // each type's value distribution vs the whole-table reference,
+    // finished by the SAME ksAgainstReference the streaming side
+    // uses in foreachBatch. driftByDay is the fully-LAZY one-plan
+    // form (in-plan broadcast scalars), so the benchmark times both
+    // linear scans; the eager driftReference stays the train-once
+    // deployment path
     "q_drift_by_day" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val nBins = 16
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("value"),
-          expr("ts div 1000").as("us"))
-      val (vmn, vmx, ref) =
-        graft.core.Validate.driftReference(ev, "event_type", "value", nBins)
-      val counts = ev.groupBy(
-          date_format(timestamp_micros(col("us")), "yyyy-MM-dd").as("bucket"),
-          col("event_type").as("grp"),
-          graft.core.Validate.binColumn(col("value"), vmn, vmx, nBins).as("bin"))
-        .agg(count(lit(1)).as("cnt"))
-      graft.core.Validate.ksAgainstReference(counts, ref, nBins)
+      import org.apache.spark.sql.functions.expr
+      graft.core.Validate.driftByDay(
+        Tables.events(s, d).withColumn("us", expr("ts div 1000")),
+        "event_type", "value", "us", 16)
     }),
     // 2-D skyline on parts: maximize size, minimize retail price;
     // runs on the |distinct sizes| frame, never a dominance self-join
@@ -1044,7 +1038,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q_psi_drift" ->
-      """WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events),
+      """WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events
+        |          WHERE value IS NOT NULL),
         |s AS (SELECT ((min(us) + max(us)) // 2) AS mid,
         |             min(value) AS vmn, max(value) AS vmx FROM e),
         |binned AS (
@@ -1080,7 +1075,8 @@ object SparkEntry {
     // (64 bins); d_num = max cumulative |cumA·M − cumB·N| stays
     // integer-exact, D = d_num/(N·M) is the caller's division
     "q_ks_drift" ->
-      """WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events),
+      """WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events
+        |          WHERE value IS NOT NULL),
         |s AS (SELECT ((min(us) + max(us)) // 2) AS mid,
         |             min(value) AS vmn, max(value) AS vmx FROM e),
         |binned AS (
@@ -1117,7 +1113,8 @@ object SparkEntry {
     // clamped CASE is binColumn's out-of-range contract, vacuous here
     // since the reference range IS the table range
     "q_drift_by_day" ->
-      """WITH e AS (SELECT event_type AS grp, value, epoch_us(ts)::BIGINT AS us FROM events),
+      """WITH e AS (SELECT event_type AS grp, value, epoch_us(ts)::BIGINT AS us FROM events
+        |          WHERE value IS NOT NULL),
         |s AS (SELECT min(value) AS vmn, max(value) AS vmx FROM e),
         |b AS (SELECT grp, strftime(make_timestamp(us), '%Y-%m-%d') AS bucket,
         |        CASE WHEN s.vmx = s.vmn THEN 0::BIGINT

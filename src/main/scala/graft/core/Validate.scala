@@ -266,9 +266,13 @@ object Validate {
     * [[halfSplitBinCounts]]: the cumulative gap must step past
     * empty bins. Scale shape: one narrow pass for 2 scalars, one
     * partial-agg shuffle on (group, bin), |groups|·nBins rows out. */
-  def driftReference(df: DataFrame, groupCol: String, valueCol: String,
+  def driftReference(df0: DataFrame, groupCol: String, valueCol: String,
                      nBins: Int): (Double, Double, DataFrame) = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    // same null contract as halfSplitBinCounts: null values are not
+    // samples — excluded from BOTH the counts and n_ref, so the
+    // cumulative reference CDF actually reaches n_ref
+    val df = df0.filter(col(valueCol).isNotNull)
     val row = df.agg(min(col(valueCol)).cast(DoubleType),
                      max(col(valueCol)).cast(DoubleType)).head()
     // empty (or all-null) training frame: degenerate single-bin
@@ -308,12 +312,15 @@ object Validate {
                          nBins: Int): DataFrame = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
     import org.apache.spark.sql.expressions.Window
-    // the scaffold derives from binCounts and then left-joins it
-    // again — RENAME the probe side's key columns (fresh attribute
-    // ids) so the self-referencing lineage cannot produce ambiguous
-    // or deduplicated attributes
+    // both inputs may share one lineage (binCounts feeds the
+    // scaffold AND the probe; refDense may derive from the same
+    // scan as binCounts, as in driftByDay) — RENAME each joined
+    // side's columns (fresh attribute ids) so the self-referencing
+    // plan cannot produce ambiguous or deduplicated attributes
+    val refR = refDense.select(col("grp").as("r_grp"), col("bin").as("bin"),
+      col("ref_cnt").as("ref_cnt"), col("n_ref").as("n_ref"))
     val scaffold = binCounts.select(col("bucket"), col("grp")).distinct()
-      .join(refDense, Seq("grp"))
+      .join(refR, col("grp") === col("r_grp")).drop("r_grp")
     val probe = binCounts.select(col("bucket").as("c_bucket"),
       col("grp").as("c_grp"), col("bin").as("c_bin"), col("cnt"))
     val joined = scaffold
@@ -336,6 +343,45 @@ object Validate {
       .agg(max(col("gap")).as("d_num"))
   }
 
+  /** Self-contained batch drift audit: per-day windows of each
+    * group's value distribution vs the WHOLE-TABLE reference, as ONE
+    * lazy plan — the declared-query form of the monitor family.
+    * Unlike [[driftReference]] (which is EAGER by design: a real
+    * deployment trains the reference once and freezes it), this
+    * computes the min/max scalars inside the plan
+    * (crossJoin(broadcast(…)), the [[halfSplitBinCounts]] pattern),
+    * so nothing executes until an action runs and a benchmark times
+    * the whole computation — including both documented linear scans
+    * (reference learn + window counts; the narrow scan subtree is
+    * evaluated once per groupBy exchange). Output and arithmetic are
+    * [[ksAgainstReference]]'s: (bucket, grp, n_win, n_ref, d_num),
+    * integer-exact. Null values are excluded per the family's null
+    * contract. */
+  def driftByDay(df0: DataFrame, groupCol: String, valueCol: String,
+                 tsUsCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val df = df0.filter(col(valueCol).isNotNull)
+    val scalars = df.agg(
+      min(col(valueCol)).cast(DoubleType).as("__vmn"),
+      max(col(valueCol)).cast(DoubleType).as("__vmx"))
+    val binned = df.crossJoin(broadcast(scalars))
+      .select(col(groupCol).as("grp"),
+        date_format(timestamp_micros(col(tsUsCol)), "yyyy-MM-dd").as("bucket"),
+        when(col("__vmx") === col("__vmn"), lit(0L))
+          .otherwise(least(lit(nBins - 1L), greatest(lit(0L),
+            floor((col(valueCol).cast(DoubleType) - col("__vmn")) * nBins
+              / (col("__vmx") - col("__vmn"))).cast(LongType)))).as("bin"))
+    val ref = binned.groupBy("grp", "bin").agg(count(lit(1)).as("ref_cnt"))
+    val refDense = ref.groupBy("grp").agg(sum(col("ref_cnt")).as("n_ref"))
+      .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
+      .join(ref, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("ref_cnt"))
+      .select(col("grp"), col("bin"), col("ref_cnt"), col("n_ref"))
+    val winCounts = binned.groupBy("bucket", "grp", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    ksAgainstReference(winCounts, refDense, nBins)
+  }
+
   /** Shared first-half/second-half equi-width binning behind
     * [[psiDrift]] and [[ksDrift]]: split rows at the LONG-exact
     * midpoint of the timestamp range, bin values into `nBins`
@@ -349,9 +395,17 @@ object Validate {
     * a |groups|·nBins scaffold from the group totals — no windows
     * over data rows, no self-joins, post-shuffle size independent
     * of table size. */
-  private def halfSplitBinCounts(df: DataFrame, groupCol: String,
+  private def halfSplitBinCounts(df0: DataFrame, groupCol: String,
                                  valueCol: String, tsUsCol: String,
                                  nBins: Int): DataFrame = {
+    // NULL values are NOT samples of the distribution: without this
+    // filter they would inflate the group totals (n_first/m_second
+    // sum every count row) while the dense 0..nBins−1 scaffold drops
+    // their NULL bin — an asymmetry that manufactures a nonzero
+    // drift floor for identically-distributed halves. Null RATE is a
+    // separate monitor (dataProfile reports it); the distribution
+    // statistics compare non-null populations.
+    val df = df0.filter(col(valueCol).isNotNull)
     // midpoint in LONG arithmetic: a double (min+max)/2 loses
     // exactness past 2^53 (ns-scale timestamps sum to ~3.4e18) and
     // truncates instead of flooring for negative sums; arithmetic

@@ -258,12 +258,16 @@ object StreamingOps {
                      windowDur: String = "1 hour",
                      watermark: String = "10 minutes"): DataFrame =
     events
+      // the family's null contract: null values are not samples
+      .filter(col("value").isNotNull)
       .withWatermark("ts_t", watermark)
       .groupBy(window(col("ts_t"), windowDur).as("w"),
         col("event_type").as("grp"),
         graft.core.Validate.binColumn(col("value"), vmn, vmx, nBins).as("bin"))
       .agg(count(lit(1)).as("cnt"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+      // bucket label keeps SECONDS: a minute-precision label would
+      // silently merge distinct windows whenever windowDur < 1 min
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("grp"), col("bin"), col("cnt"))
 
   /** Ingest-time decontamination screen — the streaming member of the

@@ -194,4 +194,51 @@ class ValidateSpec extends SparkSpec {
     assert(d("g2") > d("g0") && d("g2") > d("g1"),
       s"drifted group must dominate: $d")
   }
+
+  test("drift family null contract: null values are not samples") {
+    // identical halves plus nulls sprinkled asymmetrically — without
+    // the filter, the null counts inflate the totals but not the
+    // bins, manufacturing a spurious nonzero KS gap
+    val rows = Seq[(String, java.lang.Double, Long)](
+      ("a", 0.0, 0L), ("a", 10.0, 1L), ("a", null, 2L),
+      ("a", 0.0, 1000L), ("a", 10.0, 1001L), ("a", null, 1002L), ("a", null, 1003L))
+      .toDF("grp", "value", "us")
+    val ks = Validate.ksDrift(rows, "grp", "value", "us", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(ks == (2L, 2L, 0L),
+      "identical non-null halves must have zero gap and null-free totals")
+    val psi = Validate.psiDrift(rows, "grp", "value", "us", 2).collect()
+    assert(psi.forall(r => r.getLong(4) == 0L),
+      "identical non-null halves must have zero psi diff pieces")
+    // reference: n_ref equals the sum of dense ref_cnt (CDF reaches 1)
+    val (vmn, vmx, ref) = Validate.driftReference(rows, "grp", "value", 2)
+    assert(vmn == 0.0 && vmx == 10.0)
+    val rs = ref.collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(rs.map(_._1).sum == rs.head._2, "sum(ref_cnt) == n_ref")
+  }
+
+  test("driftByDay (lazy one-plan) == eager reference + finisher composition") {
+    val rnd = new scala.util.Random(11)
+    val dayUs = 86400000000L
+    val data = (0 until 300).map { i =>
+      (s"t${i % 3}", rnd.nextInt(50).toDouble + (i % 4) * 10.0,
+        (i % 5) * dayUs + i.toLong * 1000000L)
+    }
+    val df = data.toDF("event_type", "value", "us")
+    val nBins = 8
+    val lazyOut = Validate.driftByDay(df, "event_type", "value", "us", nBins)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (vmn, vmx, ref) = Validate.driftReference(df, "event_type", "value", nBins)
+    val counts = df.groupBy(
+        date_format(timestamp_micros(col("us")), "yyyy-MM-dd").as("bucket"),
+        col("event_type").as("grp"),
+        Validate.binColumn(col("value"), vmn, vmx, nBins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val eagerOut = Validate.ksAgainstReference(counts, ref, nBins)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(lazyOut == eagerOut, "one-plan and train-once forms must agree")
+    assert(lazyOut.nonEmpty && lazyOut.keys.map(_._1).toSet.size == 5)
+  }
 }

@@ -358,7 +358,7 @@ class StreamingSpec extends SparkSpec {
     // batch twin: same binning expression, plain groupBy
     val batchCounts = serving
       .groupBy(date_format(window(col("ts_t"), "1 hour").getField("start"),
-          "yyyy-MM-dd HH:mm").as("bucket"),
+          "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type").as("grp"),
         Validate.binColumn(col("value"), vmn, vmx, nBins).as("bin"))
       .agg(count(lit(1)).as("cnt"))
@@ -382,5 +382,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed((buckets.head, "b")) == (2L, 4L, 2L),
       "out-of-range values clamp to the edge bins")
     assert(!streamed.contains((buckets.last, "b")), "no b rows in window 2")
+
+    // sub-minute windows must stay DISTINCT buckets (regression: a
+    // minute-precision label silently merged two 30 s windows that
+    // start within the same minute, summing their populations)
+    val serving30 = Seq(
+      ev(20, 0, "a", 0.0), ev(21, 35000, "a", 1.0), ev(22, 55000, "a", 2.0))
+      .toDF("event_id", "ts_t", "user_id", "event_type", "value")
+    val dir30 = java.nio.file.Files.createTempDirectory("graft-drift30").toString
+    serving30.write.mode("overwrite").parquet(dir30)
+    val q30 = driftBinStream(
+        spark.readStream.schema(EventSchema).parquet(dir30), vmn, vmx, nBins,
+        windowDur = "30 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("drift30_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q30.awaitTermination(120000)
+    val buckets30 = spark.table("drift30_out")
+      .select("bucket").distinct().collect().map(_.getString(0)).sorted
+    // +0 s, +35 s, +55 s land in three consecutive 30 s windows, the
+    // last two of which START in the same minute — three distinct
+    // second-precision labels, where a minute label would emit two
+    assert(buckets30.length == 3 && buckets30.forall(_.length == 19),
+      s"expected three second-precision buckets, got ${buckets30.toSeq}")
   }
 }
