@@ -79,7 +79,36 @@ def gen(outdir, mult, seed=42):
         "embedding": pa.array(embs, pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int32()),
     }), f"{outdir}/embeddings.parquet")
-    print(f"wrote {outdir}: {n_docs} docs, {n_emb} embeddings")
+
+    # events: mirrors the sf0.1 shape (100k rows at 1x) — 5 types,
+    # lognormal-ish positive values with a per-type scale, timestamps
+    # spread over 5 days so per-day drift windows exist; the "error"
+    # type drifts upward over time (a real signal for the monitors)
+    n_ev = int(100000 * mult)
+    types = ["view", "click", "purchase", "error", "signup"]
+    t0_us = 1600000000000000
+    ev_ids, tss, uids, etypes, vals, props = [], [], [], [], [], []
+    for i in range(n_ev):
+        et = types[rnd.randrange(5)]
+        ts = t0_us + rnd.randrange(5 * 86400) * 1000000
+        v = abs(rnd.gauss(50, 30)) * (1.0 + types.index(et) * 0.2)
+        if et == "error":
+            v *= 1.0 + (ts - t0_us) / (5 * 86400 * 1000000) * 0.5
+        ev_ids.append(i + 1)
+        tss.append(ts)
+        uids.append(rnd.randrange(max(1, n_ev // 20)) + 1)
+        etypes.append(et)
+        vals.append(round(v, 2))
+        props.append('{"k":%d}' % rnd.randrange(10))
+    pq.write_table(pa.table({
+        "event_id": pa.array(ev_ids, pa.int64()),
+        "ts": pa.array(tss, pa.timestamp("us")),
+        "user_id": pa.array(uids, pa.int64()),
+        "event_type": pa.array(etypes, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(props, pa.string()),
+    }), f"{outdir}/events.parquet")
+    print(f"wrote {outdir}: {n_docs} docs, {n_emb} embeddings, {n_ev} events")
 
 if __name__ == "__main__":
     import os
