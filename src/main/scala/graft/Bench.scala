@@ -107,7 +107,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val nErr = errors.size
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr,"sf":"$sfDir"}""")
+    // ONE contract line, used verbatim for both stdout and the
+    // committed artifact — two copies of the template could drift
+    val contractLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr,"sf":"$sfDir"}"""
+    println(contractLine)
     // The driver archives only the TAIL of stdout: both r3 and r4 bench
     // artifacts lost the head of the one-line contract above — the
     // total and the first ~30 alphabetical query entries. This second,
@@ -123,7 +127,7 @@ object Bench {
     // artifact is what lets a judge diff all queries round-over-round.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
+      (contractLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
     if (nErr > 0) System.err.println(s"[bench] $nErr quer${if (nErr == 1) "y" else "ies"} FAILED — timings for those entries are invalid")
     spark.stop()

@@ -1058,9 +1058,20 @@ object Ops {
     require(nScanParts >= 1, s"need nScanParts >= 1, got $nScanParts")
     val perValue = df.groupBy(col(maxCol))
       .agg(min(col(minCol)).as("__mp"))
+    // MATERIALIZE the pid-labeled frame (lazy local checkpoint):
+    // `parts` feeds two plan branches (the local-running-min window
+    // and the per-partition minima), and RangePartitioner samples
+    // its boundaries with an rdd.id-derived seed — if the branches
+    // ever executed the exchange separately (exchange reuse off, or
+    // pruning making the subtrees non-canonical), their __pid labels
+    // could disagree and silently corrupt the prefix combine. The
+    // frame is |distinct maxCol| rows (already reduced), so the
+    // checkpoint is metadata-sized; lineage truncation makes the pid
+    // assignment a fact, not a reuse accident.
     val parts = perValue
       .repartitionByRange(nScanParts, col(maxCol).desc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val localW = Window.partitionBy(col("__pid")).orderBy(col(maxCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = parts.withColumn("__lrunmin", min(col("__mp")).over(localW))

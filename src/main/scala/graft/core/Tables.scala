@@ -70,48 +70,58 @@ object Tables {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     val path = new java.io.File(dir, "events.parquet")
-    val file =
-      if (path.isFile) path
+    val files: Seq[java.io.File] =
+      if (path.isFile) Seq(path)
       else Option(path.listFiles).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sorted.headOption
-        .getOrElse(throw new IllegalArgumentException(s"no parquet data under $path"))
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file.getPath),
-        spark.sparkContext.hadoopConfiguration))
-    val unit: Option[TimeUnit] =
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sorted.toSeq
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"no parquet data under $path")
+    // ONE footer read per file: either the logical-type annotation
+    // decides (Left), or the row-group max statistic does (Right); a
+    // file with NEITHER — e.g. an empty part file with zero row
+    // groups, which Spark writes after a filter+repartition — gives
+    // no signal and the NEXT part file is consulted instead of
+    // aborting the whole load.
+    def inspect(file: java.io.File): Option[Either[TimeUnit, Long]] = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getPath),
+          spark.sparkContext.hadoopConfiguration))
       try {
-        reader.getFooter.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+        val footer = reader.getFooter
+        footer.getFileMetaData.getSchema.getType(Seq("ts"): _*)
           .asPrimitiveType().getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(t.getUnit)
-          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => None // plain width tag
-          case null => None
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            Some(Left(t.getUnit))
+          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation | null =>
+            // plain width tag or unannotated: fall back to statistics
+            import scala.jdk.CollectionConverters._
+            val stats = footer.getBlocks.asScala.flatMap(
+              _.getColumns.asScala.find(_.getPath.toDotString == "ts"))
+              .map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+            if (stats.isEmpty) None
+            else Some(Right(
+              stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
           case other =>
             throw new IllegalArgumentException(
               s"events.ts carries unexpected logical type $other in $file")
         }
       } finally reader.close()
-    unit match {
-      case Some(TimeUnit.NANOS)  => raw
-      case Some(TimeUnit.MICROS) => raw.withColumn("ts", col("ts") * lit(1000L))
-      case Some(other) =>
+    }
+    val (file, decision) = files.iterator
+      .flatMap(f => inspect(f).map(d => (f, d))).nextOption()
+      .getOrElse(throw new IllegalArgumentException(
+        s"events.ts is INT64 with no timestamp annotation and no column " +
+        s"statistics in any part file under $path; refusing to guess its unit"))
+    decision match {
+      case Left(TimeUnit.NANOS)  => raw
+      case Left(TimeUnit.MICROS) => raw.withColumn("ts", col("ts") * lit(1000L))
+      case Left(other) =>
         throw new IllegalArgumentException(
           s"events.ts is INT64 TIMESTAMP($other); only NANOS/MICROS are known in $file")
-      case None =>
+      case Right(maxTs) =>
         // unannotated INT64: magnitude decides, from footer stats only
-        val reader2 = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(file.getPath),
-            spark.sparkContext.hadoopConfiguration))
-        val maxTs =
-          try {
-            import scala.jdk.CollectionConverters._
-            val stats = reader2.getFooter.getBlocks.asScala.flatMap(
-              _.getColumns.asScala.find(_.getPath.toDotString == "ts")).map(_.getStatistics)
-            require(stats.nonEmpty && stats.forall(s => s != null && s.hasNonNullValue),
-              s"events.ts is unannotated INT64 and $file has no column statistics to infer its unit")
-            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max
-          } finally reader2.close()
         if (maxTs > 100000000000000000L) raw // > 1e17: ns epoch band
         else if (maxTs > 100000000000000L)  // (1e14, 1e17]: µs epoch band
           raw.withColumn("ts", col("ts") * lit(1000L))

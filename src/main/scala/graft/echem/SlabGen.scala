@@ -700,12 +700,20 @@ object SlabGen {
           val f = rowTimes(Seq(a.x, a.y, a.z), pInv)
           Atom(wrapFrac(f(0)), wrapFrac(f(1)), wrapFrac(f(2)), a.element)
         }
+        // dedup tolerance SCALES with the collapse factor: the
+        // re-expression through pInv (entries O(k)) amplifies any
+        // old-frame coordinate noise by up to ~collapse, so a fixed
+        // 10x margin would reject legitimately reducible
+        // high-multiplicity supercells with near-tolerance noise.
+        // Safe to loosen: distinct primitive-cell sites sit O(1)
+        // apart in the new fractional frame, orders above this.
+        val dupTol = tolFrac * math.max(10, 4 * collapse)
         val kept = scala.collection.mutable.ArrayBuffer[Atom]()
         moved.foreach { a =>
           val dup = kept.exists(b => b.element == a.element &&
-            periDist1(a.x - b.x) < tolFrac * 10 &&
-            periDist1(a.y - b.y) < tolFrac * 10 &&
-            periDist1(a.z - b.z) < tolFrac * 10)
+            periDist1(a.x - b.x) < dupTol &&
+            periDist1(a.y - b.y) < dupTol &&
+            periDist1(a.z - b.z) < dupTol)
           if (!dup) kept += a
         }
         require(kept.size * collapse == atoms.size,

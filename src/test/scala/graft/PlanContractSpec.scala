@@ -19,6 +19,12 @@ class PlanContractSpec extends SparkSpec {
 
   test("no query plans a partition-less window outside the declared exact-oracle paths") {
     val d = "/root/testdata/sf0.001"
+    // Known cost, accepted: a few builders (the q_zonemap/q_merge/
+    // q_compact warehouse family) EXECUTE small write jobs at
+    // construction time, so this plan-shape sweep also runs them at
+    // sf0.001. Excluding them would blind the contract to exactly
+    // the queries whose read-back plans it must check; the writes
+    // are tmp-dir, tiny, and idempotent.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, d)
       val n = df.queryExecution.optimizedPlan.collect {
