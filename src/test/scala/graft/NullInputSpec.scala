@@ -65,5 +65,10 @@ class NullInputSpec extends SparkSpec {
     // BPE counts see the null doc as empty; the vocab is unaffected
     assert(TextOps.bpePairStats(docs, 1L).count() > 0)
     assert(TextOps.bpeTrain(docs, 2, 1L).nonEmpty)
+    // the BPE encoder reports the null doc as zero words/subwords —
+    // the row survives (token accounting covers every document)
+    val enc = TextOps.bpeEncode(docs, SparkEntry.bpeModel).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(2L) == ((0L, 0L)) && enc.size == 3)
   }
 }
