@@ -58,10 +58,20 @@ object Graph {
         // setCheckpointDir appends a unique subdir; only (re)set when
         // the current one is already under the requested root (true
         // path-prefix — a plain startsWith would also match a SIBLING
-        // like "<dir>2" and silently keep checkpointing there)
+        // like "<dir>2" and silently keep checkpointing there).
+        // Compare FS-QUALIFIED forms: getCheckpointDir returns a
+        // fully-qualified URI ("file:/data/ckpt/<uuid>"), which a raw
+        // "/data/ckpt" never prefixes — an unqualified compare made
+        // every materialization mint a fresh abandoned UUID dir.
         val root = dir.replaceAll("/+$", "")
+        val qualified = {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(p).toString
+        }
         if (!spark.sparkContext.getCheckpointDir.exists(c =>
-            c == root || c.startsWith(root + "/")))
+            c == root || c.startsWith(root + "/") ||
+            c == qualified || c.startsWith(qualified + "/")))
           spark.sparkContext.setCheckpointDir(root)
         mapped.persist(StorageLevel.MEMORY_AND_DISK)
         mapped.checkpoint()

@@ -116,8 +116,13 @@ object MediaOps {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
       val f = decoder.features(m.meta, m.payload, dim)
-      val mean = if (m.payload.isEmpty) 0.0
-                 else m.payload.map(b => (b & 0xff).toDouble).sum / m.payload.length
+      // while-loop Long accumulator: `payload.map(_.toDouble).sum`
+      // would materialize an 8x transient Double array per row just
+      // to sum it — real allocation pressure on multi-MB payloads
+      var s = 0L
+      var i = 0
+      while (i < m.payload.length) { s += (m.payload(i) & 0xff); i += 1 }
+      val mean = if (m.payload.isEmpty) 0.0 else s.toDouble / m.payload.length
       MediaFeatures(m.media_id, m.meta.kind, m.payload.length.toLong, mean, f)
     })
   }
@@ -244,7 +249,12 @@ object MediaOps {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val slices = ImageCodec.decodePpmStream(m.payload)
-      val interval = if (slices.isEmpty) 0L else m.meta.durationMs / slices.length
+      // clamp to >= 1 ms exactly like sampleFrames, so the two demux
+      // paths emit the SAME timeline even for the degenerate
+      // durationMs < nFrames row (0 would collapse every frame to
+      // timestamp 0 here while sampleFrames spreads them)
+      val interval = if (slices.isEmpty) 1L
+                     else math.max(1L, m.meta.durationMs / slices.length)
       slices.iterator.zipWithIndex.map { case (bytes, i) =>
         Frame(m.media_id, i, i * interval, bytes)
       }
@@ -261,7 +271,11 @@ object MediaOps {
       val slices = ImageCodec.decodePpmStream(m.payload)
       val interval = if (slices.isEmpty) 1L
                      else math.max(1L, m.meta.durationMs / slices.length)
-      val k = math.max(1L, strideMs / interval).toInt
+      // clamp BEFORE narrowing: a Long ratio past 2^31 would wrap
+      // .toInt to 0 (ArithmeticException on i % k) or negative
+      // (silently keeping only frame 0); capping at Int.MaxValue
+      // keeps the "at most one frame" semantics for huge strides
+      val k = math.min(math.max(1L, strideMs / interval), Int.MaxValue.toLong).toInt
       slices.iterator.zipWithIndex.collect { case (bytes, i) if i % k == 0 =>
         Frame(m.media_id, i / k, i * interval, bytes)
       }

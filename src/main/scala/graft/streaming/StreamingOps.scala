@@ -37,7 +37,9 @@ object StreamingOps {
       .withWatermark("ts_t", watermark)
       .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(round(col("value"), 2).cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+           // the SAME shared decimal-exact sum the batch twin uses —
+           // an inline copy could silently diverge from it
+           graft.core.Ops.moneySum(col("value"), 2).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
               col("event_type"), col("n"), col("sum_value"))
 
@@ -67,7 +69,14 @@ object StreamingOps {
           val t = e.ts_t.getTime * 1000L
           cur match {
             case Some(s) if t - s.last <= gapUs =>
-              cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+              // a cross-batch LATE event (inside the watermark) can
+              // carry t < s.last or even t < s.start — the session's
+              // bounds must only ever widen, or the emitted end_us
+              // regresses below contained events (and the event-time
+              // timeout re-arms too early), diverging from the batch
+              // twin's min(us)/max(us)
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                s.n + 1, s.total + e.value))
             case Some(s) =>
               closed ::= Session(userId, s.start, s.last, s.n, s.total)
               cur = Some(SessionState(t, t, 1, e.value))
@@ -196,8 +205,14 @@ object StreamingOps {
       var cur = state.getOption
       sorted.foreach { e =>
         val t = e.ts_t.getTime * 1000L
+        // "unchanged" must use Spark SQL's double equality (the batch
+        // twin's =!=): NaN equals NaN there, while Scala == has
+        // NaN != NaN — without the extra clause a run of NaN values
+        // would churn one spurious closed row per event
+        def same(a: Double, b: Double): Boolean =
+          a == b || (a.isNaN && b.isNaN)
         cur match {
-          case Some(s) if s.value == e.value => () // no change: range extends
+          case Some(s) if same(s.value, e.value) => () // no change: range extends
           case Some(s) =>
             closed ::= Scd2Closed(userId, s.value, s.from_us, t)
             cur = Some(Scd2State(e.value, t))
@@ -256,7 +271,11 @@ object StreamingOps {
     */
   def driftBinStream(events: DataFrame, vmn: Double, vmx: Double, nBins: Int,
                      windowDur: String = "1 hour",
-                     watermark: String = "10 minutes"): DataFrame =
+                     watermark: String = "10 minutes"): DataFrame = {
+    // same bound the rest of the family enforces — nBins = 0 would
+    // silently bin every row to -1 and only fail much later in the
+    // foreachBatch finisher
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
     events
       // the family's null contract: null values are not samples
       .filter(col("value").isNotNull)
@@ -269,6 +288,7 @@ object StreamingOps {
       // silently merge distinct windows whenever windowDur < 1 min
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("grp"), col("bin"), col("cnt"))
+  }
 
   /** Ingest-time decontamination screen — the streaming member of the
     * contamination family (`Dedup.contamination` / `bloomContamination`
@@ -288,12 +308,16 @@ object StreamingOps {
     require(ngram >= 1, s"need ngram >= 1, got $ngram")
     require(maxHits >= 0, s"need maxHits >= 0, got $maxHits")
     import graft.text.TextOps
+    // null-text guard: the shingle array is null for a null text,
+    // and size(null) is -1 under the legacy default / null under
+    // ANSI — either way NOT the 0 hits a token-less document has
+    // (and the 0 the null-sketch branch already reports for it)
     val hits =
       if (sketch == null) lit(0L)
-      else size(filter(
+      else when(col("text").isNull, lit(0L)).otherwise(size(filter(
         array_distinct(TextOps.shingles(TextOps.tokens(col("text")), ngram)),
         g => org.apache.spark.sql.graft.BloomBridge.mightContain(sketch, xxhash64(g))))
-        .cast(LongType)
+        .cast(LongType))
     documents
       .withColumn("n_bloom_hits", hits)
       .filter(col("n_bloom_hits") <= maxHits)
@@ -320,6 +344,9 @@ object StreamingOps {
     * equivalence unit-tested, read ↔ readStream symmetry). */
   def intervalJoin(left: DataFrame, right: DataFrame, withinMinutes: Int = 10,
                    watermark: String = "30 minutes"): DataFrame = {
+    // fail fast: a negative range builds r.ts >= l.ts && r.ts <= l.ts - n,
+    // an unsatisfiable predicate that would stream forever emitting nothing
+    require(withinMinutes >= 0, s"need withinMinutes >= 0, got $withinMinutes")
     val l = left.withWatermark("ts_t", watermark).alias("l")
     val r = right.withWatermark("ts_t", watermark).alias("r")
     l.join(r,

@@ -108,6 +108,14 @@ class GraphSpec extends SparkSpec {
       .filter(_.getName.startsWith("rdd-")).toSet
     assert(rddDirs.size == 1,
       s"expected only the final label checkpoint to remain, found: $rddDirs")
+    // the dir-reuse guard must recognize the already-qualified
+    // current checkpoint dir (getCheckpointDir returns a URI):
+    // re-setting per materialization would mint one abandoned UUID
+    // subdirectory per call — a multi-round run must leave exactly one
+    val uuidDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    assert(uuidDirs.length == 1,
+      s"expected one checkpoint UUID dir under $dir, found ${uuidDirs.map(_.getName).toSeq}")
   }
 
   test("intermediate checkpoint blocks are released; only the result stays cached") {

@@ -63,6 +63,12 @@ class MediaSpec extends SparkSpec {
     assert(all.length == 3 && sampled.length == 2) // keeps source frames 0 and 2
     assert(sampled.map(_.frame_ts_ms).toSeq == Seq(0L, 80L))
     assert(sampled.head.payload.sameElements(all.sortBy(_.frame_idx).head.payload))
+    // a stride past 2^31 ms must keep exactly frame 0 — the Long
+    // ratio narrowed to Int without a clamp wrapped to 0 (i % 0
+    // threw) or negative (regression pin)
+    val huge = sampleFrames(synthVideoCorpus(docs), strideMs = 3L * Int.MaxValue)
+      .collect()
+    assert(huge.length == 1 && huge.head.frame_idx == 0L)
   }
 
   test("resizeFeatures reshapes to the requested dimension") {

@@ -405,4 +405,64 @@ class StreamingSpec extends SparkSpec {
     assert(buckets30.length == 3 && buckets30.forall(_.length == 19),
       s"expected three second-precision buckets, got ${buckets30.toSeq}")
   }
+
+  test("sessionize: a cross-batch late event widens the session, never regresses it") {
+    val t0 = 1600000000000L
+    def ev(id: Long, user: Long, tMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(t0 + tMs), user, "click", v)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-late").toString
+    // batch 1: events at +0 and +20 min; watermark after it sits at
+    // +20min - 30min (before t0), so the +5 min late event in batch 2
+    // is admitted — it must NOT pull the session's end back to +5 min
+    Seq(ev(1, 1, 0, 1.0), ev(2, 1, 20 * 60000L, 2.0)).toDS()
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq(ev(3, 1, 5 * 60000L, 4.0),
+        ev(99, 9, 100 * 3600000L, 0.0)).toDS() // sentinel advances watermark
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = sessionize(
+        spark.readStream.schema(EventSchema).parquet(dir).as[Event], 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_late_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sess = spark.table("sess_late_out").as[Session].collect()
+      .filter(_.user_id == 1L)
+    assert(sess.length == 1)
+    assert(sess.head.start_us == t0 * 1000L &&
+      sess.head.end_us == (t0 + 20 * 60000L) * 1000L &&
+      sess.head.n_events == 3 && sess.head.total_value == 7.0,
+      s"late in-gap event must fold into the session without regressing " +
+        s"its bounds, got ${sess.head}")
+  }
+
+  test("scd2Stream: NaN runs extend one range (Spark-equality NaN semantics)") {
+    val t0 = 1600000000000L
+    def ev(id: Long, tMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(t0 + tMs), 1L, "set", v)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-nan").toString
+    Seq(ev(1, 0, Double.NaN), ev(2, 1000, Double.NaN), ev(3, 2000, 1.0)).toDS()
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = scd2Stream(spark.readStream.schema(EventSchema).parquet(dir).as[Event])
+      .writeStream.outputMode("append").format("memory").queryName("scd2_nan_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val closed = spark.table("scd2_nan_out").as[Scd2Closed].collect()
+      .sortBy(_.valid_from_us)
+    // batch semantics (=!=): NaN equals NaN, so the two NaN events are
+    // ONE range closed when the value changes to 1.0 — not one
+    // spurious closed row per NaN event
+    assert(closed.length == 1, s"expected one closed NaN range, got ${closed.toSeq}")
+    assert(closed.head.value.isNaN &&
+      closed.head.valid_from_us == t0 * 1000L &&
+      closed.head.valid_to_us == (t0 + 2000L) * 1000L)
+  }
+
+  test("streaming parameter validation fails fast") {
+    val e = Seq.empty[Event].toDS()
+    intercept[IllegalArgumentException] {
+      StreamingOps.intervalJoin(e.toDF(), e.toDF(), withinMinutes = -5)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.driftBinStream(e.toDF(), 0.0, 1.0, nBins = 0)
+    }
+  }
 }
