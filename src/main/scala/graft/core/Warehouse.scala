@@ -492,6 +492,10 @@ object Warehouse {
     * you know about (LSH buckets, null-ish defaults, celebrity
     * users). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, nSalts: Int): DataFrame = {
+    // fail fast: nSalts = 0 makes pmod(h, 0) null on the big side
+    // (null never equi-joins) and sequence(0, -1) on the small side
+    // — a silently EMPTY join instead of an error
+    require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(nSalts)).cast("int"))
     val replicated = small.withColumn("__salt",

@@ -54,7 +54,14 @@ object VectorExpressions {
         val n = x.numElements()
         var s = 0.0
         var i = 0
-        while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+        while (i < n) {
+          // a null ELEMENT nulls the whole sum — the fold's
+          // semantics; silently reading it as 0.0f would let the
+          // two advertised-equivalent paths disagree
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
+          s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+          i += 1
+        }
         s
       }
     }
@@ -64,16 +71,19 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
+        val bad = ctx.freshName("hasNullElem")
         s"""
            |if ($a.numElements() != $b.numElements()) {
            |  ${ev.isNull} = true;
            |} else {
            |  int $n = $a.numElements();
            |  double $s = 0.0;
+           |  boolean $bad = false;
            |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
            |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
            |  }
-           |  ${ev.value} = $s;
+           |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
            |}
          """.stripMargin
       })
@@ -82,9 +92,11 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
-  /** Σ a(i)² in double — the squared L2 norm. */
+  /** Σ a(i)² in double — the squared L2 norm. NULL if any element is
+    * null (fold semantics, same contract as [[DotProductF]]). */
   case class Norm2F(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       checkFloatArray(child.dataType, "input")
 
@@ -93,6 +105,7 @@ object VectorExpressions {
       var s = 0.0
       var i = 0
       while (i < x.numElements()) {
+        if (x.isNullAt(i)) return null
         val v = x.getFloat(i).toDouble
         s += v * v
         i += 1
@@ -105,13 +118,16 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         val v = ctx.freshName("v")
+        val bad = ctx.freshName("hasNullElem")
         s"""
            |double $s = 0.0;
+           |boolean $bad = false;
            |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  if ($a.isNullAt($i)) { $bad = true; break; }
            |  double $v = (double) $a.getFloat($i);
            |  $s += $v * $v;
            |}
-           |${ev.value} = $s;
+           |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
          """.stripMargin
       })
 

@@ -22,11 +22,23 @@ object JdbcUpsert {
 
   /** Pure plan: the rows of `incoming` that survive dedup + anti-join
     * against `existing`. Exposed separately so tests (and non-JDBC
-    * sinks) exercise the semantics without a database. */
-  def newRows(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
+    * sinks) exercise the semantics without a database.
+    *
+    * The anti-join is NULL-SAFE (`<=>`): with plain equality a
+    * null-key row never matches its already-loaded copy, so every
+    * rerun would re-append it — silently breaking the
+    * "re-run is a no-op" crash-recovery contract for exactly the
+    * malformed rows most likely to appear in a retried batch.
+    * (`dropDuplicates` already treats nulls as equal, so the two
+    * steps now agree.) */
+  def newRows(incoming: DataFrame, existing: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     incoming
       .dropDuplicates(key)
-      .join(existing.select(key), Seq(key), "left_anti")
+      .as("i")
+      .join(existing.select(col(key).as("__ek")),
+        col(s"i.$key") <=> col("__ek"), "left_anti")
+  }
 
   def upsertAppend(spark: SparkSession, incoming: DataFrame, key: String,
                    url: String, table: String, props: Properties): Unit = {

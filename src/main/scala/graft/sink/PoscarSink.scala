@@ -23,9 +23,28 @@ object PoscarSink {
     Files.createDirectories(Paths.get(dir))
     slabs.foreachPartition { (it: Iterator[Slab]) =>
       it.foreach { s =>
-        Files.write(
-          Paths.get(dir, s"${s.mpKey}.poscar"),
-          PoscarCodec.render(s).getBytes(StandardCharsets.UTF_8))
+        // write-to-temp + atomic rename: a task retry or speculative
+        // twin writing the same mpKey must never interleave bytes in
+        // the visible file — readers see either the old complete
+        // content or the new complete content (last rename wins).
+        // The temp name carries a UUID so two concurrent writers
+        // cannot collide on the staging file either.
+        val target = Paths.get(dir, s"${s.mpKey}.poscar")
+        val tmp = Paths.get(dir,
+          s".${s.mpKey}.poscar.${java.util.UUID.randomUUID()}.tmp")
+        Files.write(tmp, PoscarCodec.render(s).getBytes(StandardCharsets.UTF_8))
+        try
+          Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            // object-store FUSE mounts may lack atomic rename; a
+            // plain replace is still torn-write-safe vs CREATE+
+            // TRUNCATE because the content was staged fully first
+            Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     }
   }

@@ -262,7 +262,11 @@ private[sources] class MaterialsTable(properties: Map[String, String])
       case "" => LocalBackend(opt("path", ""))
       case u  => HttpCatalogBackend(u)
     }
-    new MaterialsScanBuilder(backend, opt("pages", "4").toInt)
+    val pages = opt("pages", "4").toInt
+    // fail fast: pages <= 0 would plan ZERO input partitions and
+    // every query over the source would silently return empty
+    require(pages >= 1, s"option 'pages' must be >= 1, got $pages")
+    new MaterialsScanBuilder(backend, pages)
   }
 }
 
@@ -653,12 +657,17 @@ private[sources] class MaterialsScan(
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(pages, "material_id")), pages)
 
+  // one id per planned scan: all pages of THIS scan share it, so a
+  // per-executor right-side cache is exact within the scan and
+  // naturally invalidated by the next one (new Scan => new id)
+  private val scanId = java.util.UUID.randomUUID().toString
+
   /** Paginated partition planning: page i of n — each reader fetches
     * only its own page from the backend. */
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(i =>
       MaterialsPage(backend, i, pages, runtime, limit, topN, agg, offset,
-        sample, join): InputPartition).toArray
+        sample, join, scanId): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new MaterialsReaderFactory(required)
 }
@@ -668,7 +677,8 @@ private[sources] case class MaterialsPage(
     limit: Int = -1, topN: Option[(String, Boolean, Int)] = None,
     agg: Option[MaterialsSource.PushedAgg] = None, offset: Int = 0,
     sample: Option[(Double, Double, Long)] = None,
-    join: Option[MaterialsSource.PushedJoin] = None)
+    join: Option[MaterialsSource.PushedJoin] = None,
+    scanId: String = "")
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(page)
 }
@@ -683,6 +693,27 @@ private[sources] class MaterialsReaderFactory(required: StructType)
       case _            => new MaterialsPageReader(p, p.query, required)
     }
   }
+}
+
+private[sources] object MaterialsJoinPageReader {
+  // per-executor-JVM, scan-scoped, LRU-bounded: at most 4 scans'
+  // dimension-sized right sides live at once; a re-planned query
+  // gets a fresh scanId and therefore a fresh fetch (no staleness)
+  private val cache =
+    new java.util.LinkedHashMap[String, Map[String, Seq[Array[String]]]](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Seq[Array[String]]]]): Boolean =
+        size() > 4
+    }
+  def rightSide(scanId: String,
+                build: => Map[String, Seq[Array[String]]]): Map[String, Seq[Array[String]]] =
+    if (scanId.isEmpty) build
+    else cache.synchronized {
+      val hit = cache.get(scanId)
+      if (hit != null) hit
+      else { val v = build; cache.put(scanId, v); v }
+    }
 }
 
 /** Reads one LEFT page of a pushed join: the backend answers the
@@ -701,9 +732,14 @@ private[sources] class MaterialsJoinPageReader(
 
   private val lk = Schema.fieldIndex(join.leftKey)
   private val rk = Schema.fieldIndex(join.rightKey)
+  // the right side is identical for EVERY left page of one scan —
+  // without the scan-scoped cache each of the N page readers
+  // re-fetched it (N full HTTP downloads for HttpCatalogBackend)
   private val rightRows: Map[String, Seq[Array[String]]] =
-    page.backend.fetch(0, 1, join.rightQuery, -1, None, 0, None)
-      .toSeq.groupBy(_(rk))
+    MaterialsJoinPageReader.rightSide(page.scanId, {
+      page.backend.fetch(0, 1, join.rightQuery, -1, None, 0, None)
+        .toSeq.groupBy(_(rk))
+    })
   private val leftRows: Iterator[Array[String]] =
     page.backend.fetch(page.page, page.nPages, page.query, -1, None, 0, None)
   // required ⊆ joined schema (Spark may prune after the push); each

@@ -306,5 +306,10 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val b = salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
     assert(salted.columns.toSet == plain.columns.toSet) // no salt leakage
+    // nSalts = 0 would make pmod(h, 0) null-join to nothing — must
+    // fail fast like every other validated knob in this file
+    intercept[IllegalArgumentException] {
+      Warehouse.saltedJoin(big, small, "k", nSalts = 0)
+    }
   }
 }

@@ -43,4 +43,21 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(after2.select("mp_id").as[String].collect().sorted.toSeq ==
       Seq("mp-1", "mp-2", "mp-3"))
   }
+
+  test("newRows is idempotent for NULL keys (null-safe anti-join)") {
+    // a null-key row already in the sink must not be re-appended on
+    // rerun: plain equality never matches null = null, so every
+    // retry would duplicate exactly the malformed rows
+    val incoming = Seq((null.asInstanceOf[String], 1.0), ("k1", 2.0), (null.asInstanceOf[String], 3.0))
+      .toDF("mp_id", "pzc")
+    val existing = Seq((null.asInstanceOf[String], 9.0)).toDF("mp_id", "pzc")
+    val out = JdbcUpsert.newRows(incoming, existing, "mp_id").collect()
+    // dropDuplicates keeps ONE null row; the null-safe anti-join then
+    // removes it (already loaded) — only k1 is new
+    assert(out.map(_.getString(0)).toSeq == Seq("k1"))
+    // and with an empty sink, the single deduped null row DOES load
+    val empty = Seq.empty[(String, Double)].toDF("mp_id", "pzc")
+    val first = JdbcUpsert.newRows(incoming, empty, "mp_id").collect()
+    assert(first.length == 2 && first.count(_.isNullAt(0)) == 1)
+  }
 }

@@ -21,6 +21,14 @@ class MaterialsSourceSpec extends SparkSpec {
     assert(load().count() == 10)
   }
 
+  test("pages <= 0 fails fast instead of planning an empty scan") {
+    val bad = spark.read.format("graft.sources.MaterialsSource")
+      .option("path", catalog).option("pages", "0").load()
+    val e = intercept[Exception] { bad.count() }
+    assert(e.getMessage != null && e.getMessage.contains("pages"),
+      s"expected a pages validation error, got: ${e.getMessage}")
+  }
+
   test("EqualTo filter on chemsys is pushed into the backend scan") {
     val df = load().filter(col("chemsys") === "V-O")
     assert(df.count() == 6)
