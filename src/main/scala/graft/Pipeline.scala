@@ -47,11 +47,15 @@ object Pipeline {
   def seededSamplePy(slabs: Dataset[Slab], n: Int, seed: Long,
                      maxDriverIds: Int = 1000000): Dataset[Slab] = {
     import slabs.sparkSession.implicits._
-    val ids = slabs.select(col("mpKey")).as[String].collect().sorted.toIndexedSeq
-    require(ids.length <= maxDriverIds,
+    // gate BEFORE collecting: counting first costs one cheap job and
+    // means the guard actually prevents the driver OOM it exists for
+    // (the graph union-find fallback's count-then-collect discipline)
+    val nIds = slabs.count()
+    require(nIds <= maxDriverIds,
       s"seededSamplePy collects ids driver-side (CPython-parity semantics); " +
-        s"${ids.length} keys exceed the $maxDriverIds gate — use seededSample " +
+        s"$nIds keys exceed the $maxDriverIds gate — use seededSample " +
         "for engine-scale inputs")
+    val ids = slabs.select(col("mpKey")).as[String].collect().sorted.toIndexedSeq
     val picked = new graft.core.PyRandom(seed).sample(ids, math.min(n, ids.length))
     slabs.filter(col("mpKey").isin(picked: _*))
   }
@@ -104,7 +108,14 @@ object Pipeline {
     val picked = seededSamplePy(slabs, 1, seed = 20L)
 
     val runs: Dataset[Run] = picked.flatMap { s =>
-      charges.map(c => Run(s"${s.mpKey}_$c", JdftxDeck.render(s, c)))
+      // plain decimal rendering: Double.toString emits scientific
+      // notation for |c| < 1e-3 or >= 1e7, which the key-parsing
+      // regex (JdftxOutParser.KeyRe, [0-9.]+) cannot match — every
+      // metrics row would silently drop in the geometry join
+      charges.map { c =>
+        val cs = java.math.BigDecimal.valueOf(c).toPlainString
+        Run(s"${s.mpKey}_$cs", JdftxDeck.render(s, c))
+      }
     }
     val outputs = ProcessRunner.run(runs, exec)
 
@@ -161,7 +172,12 @@ object Pipeline {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
     val fits = results.select("mp_id", "pzc", "capacitance").orderBy("mp_id").collect()
+    // drop rows with NULL pot/rhoe (a material missing its 0-charge
+    // run emits null rhoe for EVERY row; a failed mu parse nulls
+    // pot) — getDouble on a null would NPE and kill the whole
+    // report, exactly the case the table renders as "NA"
     val pts = series.select("mp_id", "pot", "rhoe").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
       .groupBy(_.getString(0))
       .view.mapValues(_.map(r => (r.getDouble(1), r.getDouble(2))).toSeq).toMap
     val vizDir = Paths.get(outDir, "visualize")

@@ -763,7 +763,7 @@ object SparkEntry {
     "q_sample_weighted" ->
       """SELECT doc_id, n_chars, es_key FROM (
         |  SELECT doc_id, n_chars,
-        |    round(-ln(((doc_id * 9973 + 12345) % 1000003 + 1)::DOUBLE / 1000004.0)
+        |    round(-ln((((doc_id * 9973 + 12345) % 1000003 + 1000003) % 1000003 + 1)::DOUBLE / 1000004.0)
         |          / n_chars::DOUBLE, 6) AS es_key
         |  FROM documents WHERE n_chars > 0)
         |ORDER BY es_key, doc_id LIMIT 150""".stripMargin,
@@ -1469,8 +1469,8 @@ object SparkEntry {
 
     "q_dedup_keyed" ->
       """SELECT l_partkey,
-        |  min_by(l_extendedprice, l_orderkey * 10 + l_linenumber) AS first_price,
-        |  min(l_orderkey * 10 + l_linenumber)::BIGINT AS first_ord
+        |  min_by(l_extendedprice, l_orderkey * 1048576 + l_linenumber) AS first_price,
+        |  min(l_orderkey * 1048576 + l_linenumber)::BIGINT AS first_ord
         |FROM lineitem GROUP BY l_partkey""".stripMargin,
 
     "q_render_text" ->

@@ -72,9 +72,17 @@ object Learn {
     val d = featureCols.length
 
     // one standardization pass: means, stds, n, null count
-    // (constant cols → σ=1; ANY null feature/label → reject)
-    val anyNull = (featureCols.map(c => col(c).cast("double").isNull) :+
-      col(labelCol).cast("double").isNull).reduce(_ || _)
+    // (constant cols → σ=1; ANY null/NaN/Inf feature/label → reject:
+    // NaN is NOT null, so an isNull-only gate would let a single 0/0
+    // ratio feature poison every mean/gradient into NaN and return
+    // the silently-wrong all-NaN model this gate exists to prevent)
+    def bad(c: Column): Column = {
+      val x = c.cast("double")
+      x.isNull || isnan(x) || x === Double.PositiveInfinity ||
+        x === Double.NegativeInfinity
+    }
+    val anyNull = (featureCols.map(c => bad(col(c))) :+
+      bad(col(labelCol))).reduce(_ || _)
     val statCols = featureCols.flatMap { c =>
       Seq(avg(col(c).cast("double")).as(s"mu_$c"),
           coalesce(stddev_pop(col(c).cast("double")), lit(0.0)).as(s"sd_$c"))

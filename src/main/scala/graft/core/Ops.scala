@@ -146,7 +146,11 @@ object Ops {
     * per-partition top-n heaps + one n-row merge, no global sort. */
   def sampleWeighted(df: DataFrame, keyCol: String, weightCol: String, n: Int): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
-    val u = (scrambleKey(col(keyCol)) + 1).cast(DoubleType) / 1000004.0d
+    // pmod, not %: scrambleKey keeps the key's sign, and a NEGATIVE
+    // key would give u <= 0 -> log(u) null -> null es_key sorting
+    // FIRST, deterministically winning the sample regardless of
+    // weight. pmod pins u into (0, 1) for every key sign.
+    val u = (pmod(scrambleKey(col(keyCol)), lit(1000003L)) + 1).cast(DoubleType) / 1000004.0d
     df.filter(col(weightCol) > 0)
       .withColumn("es_key", round(-log(u) / col(weightCol).cast(DoubleType), 6))
       .orderBy(col("es_key"), col(keyCol))
@@ -335,7 +339,14 @@ object Ops {
     * conversion is correctly rounded on every engine, unlike the
     * decimal→double path, whose last-ulp drift this op measured
     * (31/150 rows) before switching. One shuffle on the key; lead +
-    * the rollup share the sort. */
+    * the rollup share the sort.
+    *
+    * Range contract (the [[centsCorrelation]] convention): each
+    * long product |cents·Δus| — and their per-key SUM — must stay
+    * under 2⁶³ ≈ 9.2·10¹⁸. E.g. a $1M value (10⁸ cents) held for a
+    * day (8.6·10¹⁰ µs) is 8.6·10¹⁸: at the edge. Feeds beyond it
+    * should pre-scale the value or coarsen the time unit; Spark's
+    * non-ANSI long arithmetic wraps SILENTLY past the bound. */
   def timeWeightedAvg(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     events
@@ -838,7 +849,12 @@ object Ops {
     * (`dags/my_dag.py:201`) made order-stable. `min_by` is a single
     * partial-aggregable pass (no window sort). */
   def dedupKeyed(lineitem: DataFrame): DataFrame = {
-    val ord = col("l_orderkey") * 10 + col("l_linenumber")
+    // 2^20 multiplier: *10 collided once line numbers reach 10
+    // (ord(1,15) > ord(2,2) wrongly prefers order 2), making
+    // "first" order-dependent on general data; 2^20 keeps the pair
+    // ordering exact for line numbers < 1,048,576 and order keys
+    // up to 2^43 — both documented bounds, far past any real feed
+    val ord = col("l_orderkey") * 1048576L + col("l_linenumber")
     lineitem.groupBy("l_partkey")
       .agg(min_by(col("l_extendedprice"), ord).as("first_price"),
            min(ord).as("first_ord"))

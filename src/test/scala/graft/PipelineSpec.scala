@@ -116,13 +116,36 @@ class PipelineSpec extends SparkSpec {
     val md = Pipeline.reportMarkdown(results)
     assert(md.contains("| m-no-zero-charge | NA | 3.00000 |"), md)
     assert(md.contains("| m-one-point | 0.10000 | NA |"), md)
-    // writeReport skips figures for the NA rows but keeps their table rows
-    val series = Seq(("m-ok", 0.0, 0.0, 0.0)).toDF("mp_id", "charge", "pot", "rhoe")
+    // writeReport skips figures for the NA rows but keeps their table
+    // rows — INCLUDING when the NA material's series rows carry the
+    // null pot/rhoe electrochemSeries actually emits for it (getDouble
+    // on those NPE'd before the null filter)
+    val series = Seq(
+      ("m-ok", 0.0, Some(0.0), Some(0.0)),
+      ("m-no-zero-charge", 0.0, Some(1.0), None: Option[Double]),
+      ("m-no-zero-charge", 1.0, None: Option[Double], None: Option[Double]))
+      .toDF("mp_id", "charge", "pot", "rhoe")
     val outDir = Files.createTempDirectory("graft-report-na").toString
     val full = Pipeline.writeReport(results, series, outDir)
     assert(full.contains("m-no-zero-charge"))
     assert(!full.contains("![](visualize/m-no-zero-charge"), full)
     assert(full.contains("![](visualize/m-ok_echem.svg)"))
+  }
+
+  test("run keys round-trip tiny charges (plain decimal, never scientific)") {
+    // Double.toString(1.0E-4) cannot be parsed back by KeyRe; the
+    // plain-decimal rendering must round-trip through the regex
+    val c = 1.0e-4
+    val key = s"mp-1-111-1_${java.math.BigDecimal.valueOf(c).toPlainString}"
+    val parsed = Seq((key, "x")).toDF("key", "output")
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(
+          $"key", graft.echem.JdftxOutParser.KeyRe, 1).as("mp_key"),
+        org.apache.spark.sql.functions.regexp_extract(
+          $"key", graft.echem.JdftxOutParser.KeyRe, 2).cast("double").as("charge"))
+      .collect().head
+    assert(parsed.getString(0) == "mp-1-111-1" && parsed.getDouble(1) == c,
+      s"key '$key' must parse back to the exact charge, got $parsed")
   }
 
   test("EP2 report with figures: SVG per material + embedding markdown") {

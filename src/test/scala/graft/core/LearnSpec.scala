@@ -100,5 +100,18 @@ class LearnSpec extends SparkSpec {
     val nonNumeric = Seq(("1.0", 1.0), ("oops", 0.0)).toDF("f1", "label")
     intercept[IllegalArgumentException](
       Learn.trainLogistic(nonNumeric, Seq("f1"), "label"))
+    // NaN/Inf are NOT null — without their own gate a single 0/0
+    // ratio feature poisons every mean/gradient into an all-NaN
+    // model with no error (the silent failure the gate promises to
+    // prevent)
+    val nanFeature = Seq((Double.NaN, 1.0), (1.0, 0.0)).toDF("f1", "label")
+    intercept[IllegalArgumentException](
+      Learn.trainLogistic(nanFeature, Seq("f1"), "label"))
+    val infFeature = Seq((Double.PositiveInfinity, 1.0), (1.0, 0.0)).toDF("f1", "label")
+    intercept[IllegalArgumentException](
+      Learn.trainLogistic(infFeature, Seq("f1"), "label"))
+    val nanLabel = Seq((1.0, Double.NaN), (2.0, 0.0)).toDF("f1", "label")
+    intercept[IllegalArgumentException](
+      Learn.trainLogistic(nanLabel, Seq("f1"), "label"))
   }
 }

@@ -371,6 +371,38 @@ class OpsSpec extends SparkSpec {
     assert(meanSel > meanAll, s"weighted sample should skew heavy: $meanSel vs $meanAll")
   }
 
+  test("sampleWeighted: negative ids get valid (0,1) priorities, never null-wins") {
+    // scrambleKey keeps the sign; without the pmod fix a negative id
+    // gave u <= 0 -> log null -> es_key null sorting FIRST and
+    // deterministically winning regardless of weight
+    val rows = Seq(-5L, -4L, -3L, -2L, -1L, 1L, 2L, 3L).map(id => (id, 10L))
+    val df = rows.toDF("doc_id", "w")
+    val got = Ops.sampleWeighted(df, "doc_id", "w", 8).collect()
+    assert(got.length == 8 && got.forall(!_.isNullAt(2)),
+      "every priority must be a defined double")
+    def key(id: Long): Double = {
+      val m = ((id * 9973 + 12345) % 1000003 + 1000003) % 1000003
+      BigDecimal(-math.log((m + 1).toDouble / 1000004.0) / 10.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.map { case (id, w) => (id, w, key(id)) }
+      .sortBy { case (id, _, k) => (k, id) }
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == expected)
+  }
+
+  test("dedupKeyed: first-by-(orderkey, linenumber) even past 9 lines per order") {
+    // with the old *10 ordering, ord(1,15)=25 > ord(2,2)=22 wrongly
+    // preferred order 2's row as "first"
+    val li = Seq(
+      (100L, 1L, 15L, 100.0),
+      (100L, 2L, 2L, 200.0))
+      .toDF("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val out = Ops.dedupKeyed(li).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(1) == 100.0,
+      s"order 1 line 15 precedes order 2 line 2, got ${out.head}")
+  }
+
   test("scd2: change rows get validity ranges, recurring value reopens, one current per key") {
     def ns(us: Long) = us * 1000L
     // user 1: 5.0, 5.0 (no change), 7.0, 5.0 (recurs after a change)
