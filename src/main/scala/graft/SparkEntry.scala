@@ -2039,7 +2039,8 @@ object SparkEntry {
         |y AS (
         |  SELECT doc_id, text,
         |    str_split(text, chr(10)) AS lines,
-        |    list_filter(str_split(text, chr(10)), l ->
+        |    list_filter(list_transform(str_split(text, chr(10)),
+        |        l -> CASE WHEN l LIKE '%' || chr(13) THEN left(l, len(l) - 1) ELSE l END), l ->
         |      right(l, 1) IN ('.', '!', '?', '"')
         |      AND len(list_filter(regexp_split_to_array(l, '\s+'), t -> t <> '')) >= 3
         |      AND NOT contains(lower(l), 'javascript')) AS kept

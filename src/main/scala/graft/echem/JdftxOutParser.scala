@@ -28,9 +28,15 @@ object JdftxOutParser {
     * disk between stages — the reference re-parses files per task,
     * we keep it one plan). */
   def metricsFromText(logs: DataFrame, textCol: String): DataFrame = {
-    val lastMatch = (group: Int) =>
-      element_at(regexp_extract_all(col(textCol), lit(MetricRe), lit(group)), -1)
-        .cast(DoubleType)
+    // guard the no-match case: element_at(empty, -1) ABORTS the job
+    // under Spark 4's default ANSI mode, so one crashed/timed-out
+    // run (empty or truncated log) would kill the whole metrics
+    // stage; the reference's loop semantics simply leave the metric
+    // unset -> NULL here
+    val lastMatch = (group: Int) => {
+      val all = regexp_extract_all(col(textCol), lit(MetricRe), lit(group))
+      when(size(all) > 0, element_at(all, -1)).cast(DoubleType)
+    }
     logs.withColumn("mu", lastMatch(1))
       .withColumn("nelectrons", lastMatch(2))
       .withColumn("n_updates",
@@ -45,10 +51,16 @@ object JdftxOutParser {
       spark.read.option("wholetext", "true").text(dir)
         .select(input_file_name().as("file"), col("value"))
         .filter(col("file").endsWith(".out"))
+        // nullif before the cast: a .out file whose name does not
+        // match {mp_key}_{charge}.out extracts "", and CAST('' AS
+        // DOUBLE) throws under default ANSI — such files carry a
+        // null charge/empty key and are dropped, not job-fatal
         .select(
           regexp_extract(col("file"), FileRe, 1).as("mp_key"),
-          regexp_extract(col("file"), FileRe, 2).cast(DoubleType).as("charge"),
-          col("value")),
+          nullif(regexp_extract(col("file"), FileRe, 2), lit(""))
+            .cast(DoubleType).as("charge"),
+          col("value"))
+        .filter(col("mp_key") =!= "" && col("charge").isNotNull),
       "value")
 
   /** Run-key form for in-flight outputs keyed `{mp_key}_{charge}`. */
@@ -57,7 +69,8 @@ object JdftxOutParser {
     metricsFromText(
       runs.select(
         regexp_extract(col("key"), KeyRe, 1).as("mp_key"),
-        regexp_extract(col("key"), KeyRe, 2).cast(DoubleType).as("charge"),
+        nullif(regexp_extract(col("key"), KeyRe, 2), lit(""))
+          .cast(DoubleType).as("charge"),
         col("output")),
       "output")
 }

@@ -66,6 +66,10 @@ object PoscarCodec {
   def read(spark: SparkSession, dir: String): Dataset[Slab] = {
     import spark.implicits._
     spark.read.option("wholetext", "true").text(dir)
+      // extension filter (the JdftxOutParser.metrics convention): a
+      // stray README/temp file in the directory must be skipped, not
+      // NumberFormatException-kill the whole scan inside parse()
+      .filter(input_file_name().endsWith(".poscar"))
       .select(
         regexp_extract(input_file_name(), "([^/]+)\\.poscar$", 1).as("mp_key"),
         col("value"))

@@ -191,10 +191,6 @@ object Dedup {
     * identical-signature docs collapse per band — in one
     * hash-aggregable shuffle of narrow rows. */
   private def sigBandPairs(full: DataFrame, rowsPerBand: Int): DataFrame = {
-    val nBands = MinhashFuncs / rowsPerBand
-    val bandKeys = (0 until nBands).map { b =>
-      xxhash64(lit(b), slice(col("mhs"), b * rowsPerBand + 1, rowsPerBand))
-    }
     val sigBands = bandedSigs(full, rowsPerBand)
     sigBands.as("x").join(sigBands.as("y"), Seq("band", "bkey"))
       .filter(col("x.sig_key") < col("y.sig_key"))
@@ -206,6 +202,14 @@ object Dedup {
     * the probe/build primitive shared by the full self-join and the
     * incremental (fresh-probes-corpus) banding. */
   private def bandedSigs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    // central banding guard (every LSH path routes through here):
+    // a non-divisor would silently band only part of the signature
+    // (changing the documented per-band collision probability), and
+    // rowsPerBand > MinhashFuncs would make nBands = 0 — zero band
+    // rows, a silent recall collapse with no error
+    require(rowsPerBand >= 1 && rowsPerBand <= MinhashFuncs &&
+        MinhashFuncs % rowsPerBand == 0,
+      s"rowsPerBand must divide MinhashFuncs=$MinhashFuncs, got $rowsPerBand")
     val nBands = MinhashFuncs / rowsPerBand
     val bandKeys = (0 until nBands).map { b =>
       xxhash64(lit(b), slice(col("mhs"), b * rowsPerBand + 1, rowsPerBand))

@@ -20,6 +20,13 @@ import org.apache.spark.sql.types._
   * ordered `aggregate` fold) — no UDFs, no driver collect.
   */
 object Similarity {
+  // Every cosine division guards its denominator with nullif: a
+  // zero-norm vector (a common embedder failure/padding output)
+  // would otherwise DIVIDE_BY_ZERO-abort the whole job under
+  // Spark 4's default ANSI mode. NULL sim propagates instead —
+  // which is also what DuckDB's x/0 yields, so the oracle agrees —
+  // and every downstream threshold/top-k predicate drops it.
+
 
   /** Dot product of two float-array columns accumulated in double.
     * Backed by the native codegen'd Catalyst expression
@@ -51,7 +58,11 @@ object Similarity {
     * for the exact, IVF, and ANN paths. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
+    // a NULL sim (zero-norm side, see the nullif guards) is
+    // undefined, not "worst": excluded from the ranking entirely so
+    // it can never fill a top-k slot when candidates are scarce
+    scored.filter(col("sim").isNotNull)
+      .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select("q_id", "vec_id", "sim", "rk")
   }
@@ -65,7 +76,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
+      .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / nullif(sqrt(col("nrm") * col("q_nrm")), lit(0.0)), 6))
     topK(scored, k)
   }
 
@@ -224,7 +235,7 @@ object Similarity {
     val dupReps = assigned.join(earlier.hint("shuffle_hash"), Seq("cell"))
       .filter(col("id_b") < col("vec_id"))
       .filter(round(dot(col("embedding"), col("vec_b"))
-        / sqrt(col("nrm") * col("nrm_b")), 6) >= threshold)
+        / nullif(sqrt(col("nrm") * col("nrm_b")), lit(0.0)), 6) >= threshold)
       .select(col("vec_id")).distinct()
       .withColumn("rep_dropped", lit(true))
     // members rejoin through their rep: a non-rep member is dropped
@@ -254,7 +265,7 @@ object Similarity {
     val b = e.select(col("band"), col("bkt"), col("vec_id").as("id_b"),
       col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("band", "bkt")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(dot(col("vec_a"), col("vec_b")) / sqrt(col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("sim", round(dot(col("vec_a"), col("vec_b")) / nullif(sqrt(col("nrm_a") * col("nrm_b")), lit(0.0)), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
       .dropDuplicates("id_a", "id_b")
@@ -275,8 +286,17 @@ object Similarity {
     * integer rounding of a shared double is boundary-safe, unlike
     * fractional-dp rounding), so product and sum are exact int64
     * arithmetic and `gram_u2` hashes identically on any engine;
-    * divide by 10¹² for the real-valued Gram. Headroom: |x| ≤ 10⁴
-    * and ~10⁹ rows stay under int64. */
+    * divide by 10¹² for the real-valued Gram.
+    *
+    * Range contract, stated honestly: each PRODUCT q_i·q_j must fit
+    * int64, i.e. |x| ≤ ~3·10³ (q ≤ 3·10⁹); the per-cell SUM then
+    * accumulates in DECIMAL(38,0) — exact to 10³⁸, mirroring the
+    * oracle's 128-bit HUGEINT sum — and only the final declared
+    * cast back to long can overflow, LOUDLY under ANSI (for
+    * unit-scale embeddings that cast holds to ~9·10⁶·d rows per
+    * diagonal cell; beyond it, read the decimal sum directly —
+    * drop the one final cast). A raw long sum would instead wrap
+    * SILENTLY in the typed flatMap path. */
   def gramMatrix(embeddings: DataFrame): DataFrame = {
     import embeddings.sparkSession.implicits._
     embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
@@ -287,7 +307,9 @@ object Similarity {
       }
       .toDF("i", "j", "p")
       .groupBy("i", "j")
-      .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("gram_u2"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast(org.apache.spark.sql.types.LongType).as("gram_u2"))
   }
 
   /** Dominant eigenvector of the corpus Gram matrix by power
@@ -457,7 +479,7 @@ object Similarity {
     val qCells = probeCells(e.filter(col("vec_id") < nQueries), cent, nProbe)
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
+      .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / nullif(sqrt(col("nrm") * col("q_nrm")), lit(0.0)), 6))
     topK(scored, k)
   }
 
@@ -469,7 +491,7 @@ object Similarity {
       col("cents"),
       struct(lit(-2.0).as("best_sim"), lit(-1L).as("cell")),
       (acc, c) => {
-        val sim = round(dot(vec, c.getField("c_vec")) / sqrt(nrm * c.getField("c_nrm")), 6)
+        val sim = round(dot(vec, c.getField("c_vec")) / nullif(sqrt(nrm * c.getField("c_nrm")), lit(0.0)), 6)
         when(sim > acc.getField("best_sim"),
           struct(sim.as("best_sim"), c.getField("cell").as("cell")))
           .otherwise(acc)
@@ -494,7 +516,7 @@ object Similarity {
     q.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("cents")).as("c"))
       .withColumn("c_sim", round(dot(col("embedding"), col("c.c_vec"))
-        / sqrt(col("nrm") * col("c.c_nrm")), 6))
+        / nullif(sqrt(col("nrm") * col("c.c_nrm")), lit(0.0)), 6))
       .withColumn("c_rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c.cell"))))
       .filter(col("c_rk") <= nProbe)
@@ -618,7 +640,7 @@ object Similarity {
     val scored = index.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(dot(col("embedding"), col("q_vec"))
-        / sqrt(col("nrm") * col("q_nrm")), 6))
+        / nullif(sqrt(col("nrm") * col("q_nrm")), lit(0.0)), 6))
     topK(scored, k)
   }
 
@@ -637,7 +659,7 @@ object Similarity {
               norm2(col("embedding")).as("q_nrm"),
               explode(probeBuckets(col("embedding"), nPlanes, nProbes)).as("q_bkt"))
     val scored = e.join(broadcast(q), col("bkt") === col("q_bkt") && col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / sqrt(col("nrm") * col("q_nrm")), 6))
+      .withColumn("sim", round(dot(col("embedding"), col("q_vec")) / nullif(sqrt(col("nrm") * col("q_nrm")), lit(0.0)), 6))
     topK(scored, k)
   }
 

@@ -139,9 +139,17 @@ object TextOps {
     * at sf0.1). */
   private def qualityExpr(toks: Column): Column = {
     val nTok = size(toks).cast(DoubleType)
+    // nullif guard: a token-less document would divide by zero —
+    // a WHOLE-JOB abort under Spark 4's default ANSI mode. Dividing
+    // by NULL instead propagates NULL quality, which is ALSO what
+    // DuckDB's x/0 yields, so both engines agree without oracle
+    // edits. Token-less docs therefore carry NULL quality/ratios;
+    // gate them out upstream before feeding ranked cuts (ntile
+    // null-ordering differs across engines).
+    val nTokSafe = nullif(nTok, lit(0.0))
     val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
-    val meanTok = sumLen.cast(DoubleType) / nTok
-    val stopRatio = markerCount(toks, EnMarkers).cast(DoubleType) / nTok
+    val meanTok = sumLen.cast(DoubleType) / nTokSafe
+    val stopRatio = markerCount(toks, EnMarkers).cast(DoubleType) / nTokSafe
     lit(0.4) * least(nTok / 100.0, lit(1.0)) +
       lit(0.4) * stopRatio +
       lit(0.2) * least(meanTok / 10.0, lit(1.0))
@@ -154,7 +162,9 @@ object TextOps {
   def qualityScore(documents: DataFrame): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast(DoubleType)
-    val stopRatio = markerCount(toks, EnMarkers).cast(DoubleType) / nTok
+    // same nullif contract as qualityExpr: token-less -> NULL ratio
+    val stopRatio =
+      markerCount(toks, EnMarkers).cast(DoubleType) / nullif(nTok, lit(0.0))
     tokenized(documents).select(
       col("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
@@ -750,7 +760,11 @@ object TextOps {
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, textOrNull) =>
         val text = if (textOrNull == null) "" else textOrNull
-        val lines = text.split("\n", -1)
+        // CRLF normalization: splitting on \n leaves a trailing \r
+        // on every Windows-line-ending line, which would fail the
+        // terminal-punctuation test and silently drop entire CRLF
+        // pages — strip it before the checks and from the output
+        val lines = text.split("\n", -1).map(_.stripSuffix("\r"))
         val kept = lines.filter { l =>
           l.nonEmpty && terminal.contains(l.charAt(l.length - 1)) &&
             tokensOf(l).length >= minWords &&

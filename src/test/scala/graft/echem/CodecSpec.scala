@@ -55,4 +55,34 @@ class CodecSpec extends SparkSpec {
     assert(d.endsWith("elec-initial-charge -0.1"))
     assert(JdftxDeck.render(goldenSlab, 0.1).endsWith("elec-initial-charge 0.1"))
   }
+
+  test("directory scans skip stray files instead of aborting the job") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets
+    // copy a valid POSCAR next to a README; the scan must parse one
+    // row and ignore the other (previously: NumberFormatException
+    // killed the whole scan)
+    val dir = Files.createTempDirectory("graft-stray").toString
+    val src = Paths.get(fixturePath("slab_poscars"))
+    val first = Files.list(src).filter(_.toString.endsWith(".poscar")).findFirst().get()
+    Files.copy(first, Paths.get(dir, first.getFileName.toString))
+    Files.write(Paths.get(dir, "README.txt"),
+      "not a poscar\nat all".getBytes(StandardCharsets.UTF_8))
+    assert(PoscarCodec.read(spark, dir).collect().length == 1)
+
+    // a .out file with a non-conforming name and an EMPTY log: the
+    // name is dropped (null charge) and an empty log yields null
+    // metrics — neither aborts under ANSI
+    val logDir = Files.createTempDirectory("graft-straylogs").toString
+    Files.write(Paths.get(logDir, "weird.out"),
+      "no metrics here".getBytes(StandardCharsets.UTF_8))
+    // (a fully EMPTY file yields no wholetext row at all — use a
+    // crashed-early log with content but zero FillingsUpdate lines)
+    Files.write(Paths.get(logDir, "mp-1-111-1_0.0.out"),
+      "crashed before any FillingsUpdate\n".getBytes(StandardCharsets.UTF_8))
+    val m = JdftxOutParser.metrics(spark, logDir).collect()
+    assert(m.length == 1, s"only the conforming filename survives, got ${m.toSeq}")
+    assert(m.head.isNullAt(m.head.fieldIndex("mu")),
+      "a metric-less log yields null mu, not an element_at abort")
+  }
 }

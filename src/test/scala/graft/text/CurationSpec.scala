@@ -525,4 +525,42 @@ class CurationSpec extends SparkSpec {
     assert(TextOps.bpePairStats(d, 2L).collect().map(r =>
       (r.getAs[String]("a"), r.getAs[String]("b"))).toSet == Set(("a", "b")))
   }
+
+  test("qualityScore: token-less docs carry NULL quality, never a div-by-zero abort") {
+    // Spark 4 default ANSI mode turns x/0 into a whole-job abort —
+    // the nullif guard must propagate NULL instead (DuckDB's x/0
+    // semantics, so the oracle agrees)
+    val docs = Seq(
+      (1L, "en", "hello world the and", 19L),
+      (2L, "en", "", 0L),
+      (3L, "en", "   ", 3L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val out = TextOps.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) > 0.0)
+    assert(out(2L).isNullAt(2) && out(2L).isNullAt(3),
+      "empty doc: NULL stop_ratio and quality")
+    assert(out(3L).isNullAt(3), "whitespace-only doc: NULL quality")
+  }
+
+  test("c4Clean keeps CRLF pages (trailing \\r stripped before the line rules)") {
+    val crlf = Seq((1L, "This is a good long sentence.\r\nAnother good long sentence.\r\n",
+        "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = TextOps.c4Clean(crlf, minWords = 3, minKeptLines = 1).collect().head
+    assert(row.getLong(2) == 2L, s"both CRLF lines must pass, got $row")
+    assert(row.getBoolean(3), "CRLF page must be keepable")
+    assert(!row.getString(4).contains("\r"), "clean output sheds the CRs")
+  }
+
+  test("LSH banding rejects a rowsPerBand that does not divide the signature") {
+    val docs = Seq((1L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(spark, docs, rowsPerBand = 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(spark, docs, rowsPerBand = 32).collect()
+    }
+  }
 }

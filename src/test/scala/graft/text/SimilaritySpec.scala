@@ -512,4 +512,22 @@ class SimilaritySpec extends SparkSpec {
     val coded = Similarity.pqEncode(df, m = 2, nBooks = 1, dim = 8)
     assert(coded.count() == 1) // the empty vector never encodes
   }
+
+  test("zero-norm vectors yield NULL sims (excluded), never an ANSI div-by-zero abort") {
+    // a zero vector is a common embedder failure/padding output; the
+    // nullif denominator guard must drop it from every result rather
+    // than DIVIDE_BY_ZERO-kill the job under Spark 4's default ANSI
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero norm
+      (2L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.0f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val hits = Similarity.cosineTopK(df, nQueries = 2, k = 3).collect()
+    assert(hits.nonEmpty)
+    assert(!hits.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L),
+      s"zero vector must appear in no pair, got ${hits.toSeq}")
+    val pairs = Similarity.embeddingNearDupPairs(df, 0.1).collect()
+    assert(!pairs.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+  }
 }
