@@ -30,6 +30,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.tune(spark) // shared confs + SQL function registration
 
     // warm-up (untimed): codegen, shuffle machinery, parquet footers.
     // Each query runs once against the smallest SF so its generated
@@ -85,7 +86,12 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: $e")
               e.printStackTrace()
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+                // strip EVERY control char plus quote/backslash (the
+                // Verify.q escaping class): one raw \u0000 from a
+                // parser echoing bytes would break the driver's
+                // json.load of the whole contract line
+                .map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c)
+                .take(200)
               false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
@@ -99,8 +105,11 @@ object Bench {
         System.gc()
         if (ok) Some(elapsed) else None
       }
-      name -> (if (times.isEmpty) 0.0 else times.min)
-    }
+      // a query that failed EVERY rep gets NO timing entry at all —
+      // a 0.0 here would make "crashed instantly" read as "fastest
+      // query in the suite" in every round-over-round artifact diff
+      times.reduceOption(_ min _).map(name -> _)
+    }.flatten
     def fmt(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -187,7 +187,11 @@ object Pipeline {
       // no figure for a material with NULL pzc/capacitance (missing
       // 0-charge run / single-point fit) — its table row says "NA"
       if (r.isNullAt(1) || r.isNullAt(2)) None
-      else pts.get(id).map { p =>
+      // skip (not crash) a material whose series carries a
+      // non-finite point — Figure requires finite inputs, and one
+      // bad material must not abort every other material's figure
+      else pts.get(id).filter(_.forall(q =>
+          java.lang.Double.isFinite(q._1) && java.lang.Double.isFinite(q._2))).map { p =>
         val svg = Figure.echemSvg(id, p, r.getDouble(1), r.getDouble(2))
         Files.write(vizDir.resolve(s"${id}_echem.svg"),
           svg.getBytes(StandardCharsets.UTF_8))

@@ -93,6 +93,7 @@ object Plans {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.core.Sessions.tune(spark) // shared confs + SQL function registration
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated — do not edit)\n\n")

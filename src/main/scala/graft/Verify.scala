@@ -14,18 +14,29 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    graft.core.Sessions.tune(spark) // shared confs + SQL function registration
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
-    // (the driver never sets it, so its runs stay complete)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // (the driver never sets it, so its runs stay complete; trimmed
+    // like Bench so the same env value selects the same subset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // delete any PREVIOUS run's dump for this query FIRST: if the
+      // builder or write throws, a stale directory would otherwise
+      // survive and the downstream DuckDB compare would silently
+      // validate last round's rows as this round's result
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rm(new java.io.File(outDir, name)) // no partial dump either
       }
       // release library-persisted tables (jaccard set-key) per query
       graft.text.Dedup.releaseCaches()

@@ -47,9 +47,18 @@ object Tables {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => eventsFromLongTs(spark, dir, raw)
-      case _ => // TIMESTAMP (µs precision) under either tz flavor
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP (µs precision) under either tz flavor
         raw.withColumn("ts",
           unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+      case other =>
+        // the Long path's whole design is "fail loudly rather than
+        // guess" — a DOUBLE-seconds or STRING ts would cast to a
+        // silently wrong (or null) timestamp here
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other under $dir; " +
+          "expected INT64 (ns/us) or TIMESTAMP")
     }
   }
 
@@ -69,24 +78,41 @@ object Tables {
   private def eventsFromLongTs(spark: SparkSession, dir: String, raw: DataFrame): DataFrame = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-    val path = new java.io.File(dir, "events.parquet")
-    val files: Seq[java.io.File] =
-      if (path.isFile) Seq(path)
-      else Option(path.listFiles).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sorted.toSeq
+    // Hadoop FS listing, not java.io.File: the same code must find
+    // part files on s3a://, hdfs://, and nested/partitioned layouts
+    // (listFiles(recursive) walks date=... subdirs) — the footer
+    // reads below already go through HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), "events.parquet")
+    val fs = base.getFileSystem(conf)
+    val files: Seq[org.apache.hadoop.fs.Path] = {
+      if (!fs.exists(base))
+        throw new IllegalArgumentException(s"no parquet data under $base")
+      val st = fs.getFileStatus(base)
+      if (st.isFile) Seq(base)
+      else {
+        val it = fs.listFiles(base, true)
+        val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+        }
+        buf.sortBy(_.toString).toSeq
+      }
+    }
     if (files.isEmpty)
-      throw new IllegalArgumentException(s"no parquet data under $path")
+      throw new IllegalArgumentException(s"no parquet data under $base")
     // ONE footer read per file: either the logical-type annotation
     // decides (Left), or the row-group max statistic does (Right); a
     // file with NEITHER — e.g. an empty part file with zero row
     // groups, which Spark writes after a filter+repartition — gives
     // no signal and the NEXT part file is consulted instead of
     // aborting the whole load.
-    def inspect(file: java.io.File): Option[Either[TimeUnit, Long]] = {
+    def inspect(file: org.apache.hadoop.fs.Path): Option[Either[TimeUnit, Long]] = {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file.getPath),
-          spark.sparkContext.hadoopConfiguration))
+          file, spark.sparkContext.hadoopConfiguration))
       try {
         val footer = reader.getFooter
         footer.getFileMetaData.getSchema.getType(Seq("ts"): _*)
@@ -113,7 +139,7 @@ object Tables {
       .flatMap(f => inspect(f).map(d => (f, d))).nextOption()
       .getOrElse(throw new IllegalArgumentException(
         s"events.ts is INT64 with no timestamp annotation and no column " +
-        s"statistics in any part file under $path; refusing to guess its unit"))
+        s"statistics in any part file under $base; refusing to guess its unit"))
     decision match {
       case Left(TimeUnit.NANOS)  => raw
       case Left(TimeUnit.MICROS) => raw.withColumn("ts", col("ts") * lit(1000L))

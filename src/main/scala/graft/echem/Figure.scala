@@ -68,6 +68,10 @@ object Figure {
     val ybar = ys.sum / ys.length
     val b = ybar - capacitance * xbar
 
+    require(points.forall(p => java.lang.Double.isFinite(p._1) &&
+        java.lang.Double.isFinite(p._2)),
+      s"figure points must be finite, got ${points.filterNot(p =>
+        java.lang.Double.isFinite(p._1) && java.lang.Double.isFinite(p._2))}")
     def padRange(lo: Double, hi: Double): (Double, Double) = {
       val span = if (hi - lo > 0) hi - lo else math.max(math.abs(hi), 1.0)
       (lo - 0.08 * span, hi + 0.08 * span)
@@ -81,7 +85,15 @@ object Figure {
       val mag = math.pow(10, math.floor(math.log10(rawStep)))
       val step = Seq(1.0, 2.0, 2.5, 5.0, 10.0).map(_ * mag).find(_ >= rawStep).get
       val first = math.ceil(lo / step) * step
-      Iterator.iterate(first)(_ + step).takeWhile(_ <= hi + 1e-12).toSeq
+      // COUNT-based, not Iterator.iterate: when step is below the
+      // ulp of `first` (points one ulp apart), first + step rounds
+      // back to first and the iterate/takeWhile form never
+      // terminates; i*step + first both terminates and avoids FP
+      // accumulation. step >= rawStep bounds the count at 5; the
+      // min(8) is a belt against any further FP surprise.
+      val n = math.max(1,
+        math.min(8, math.floor((hi + 1e-12 - first) / step).toInt + 1))
+      (0 until n).map(i => first + i * step)
     }
     // smallest decimal count that round-trips every tick (a 2.5-step
     // family needs one MORE digit than its magnitude suggests: %.0f

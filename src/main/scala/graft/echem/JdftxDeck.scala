@@ -20,8 +20,24 @@ object JdftxDeck {
 
   /** Python `f"{charge}"` repr for the simple floats used here
     * (`dags/utils.py:47`): -0.1 → "-0.1", 0.0 → "0.0". */
+  /** Python `f"{charge}"` parity: -0.0 keeps its sign, and values
+    * where Java switches to scientific notation but Python stays
+    * plain (1e-4 ≤ |c| < 1e-3, and non-integral |c| ≥ 1e7) render
+    * via BigDecimal's plain form of the SAME shortest digits.
+    * Declared divergence: below 1e-4 both engines go scientific but
+    * with different spellings ("5.0E-5" vs "5e-05") — outside any
+    * physical charge range this deck renders. */
   private def chargeRepr(c: Double): String =
-    if (c == c.toLong.toDouble) s"${c.toLong}.0" else c.toString
+    if (c == 0.0 && 1.0 / c < 0) "-0.0"
+    else if (c == c.toLong.toDouble && math.abs(c) < 1e16) s"${c.toLong}.0"
+    else {
+      val s = c.toString
+      if (!s.contains("E") || math.abs(c) < 1e-4) s
+      else {
+        val plain = new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+        if (plain.contains(".")) plain else plain + ".0"
+      }
+    }
 
   val DftSettings: Seq[String] = Seq(
     "#DFT settings",

@@ -54,6 +54,13 @@ class CodecSpec extends SparkSpec {
     val d = JdftxDeck.render(goldenSlab, -0.1)
     assert(d.endsWith("elec-initial-charge -0.1"))
     assert(JdftxDeck.render(goldenSlab, 0.1).endsWith("elec-initial-charge 0.1"))
+    // the Java-scientific / Python-plain overlap: f"{0.0005}" is
+    // '0.0005' in Python while Double.toString says "5.0E-4"
+    assert(JdftxDeck.render(goldenSlab, 0.0005).endsWith("elec-initial-charge 0.0005"))
+    assert(JdftxDeck.render(goldenSlab, -0.0005).endsWith("elec-initial-charge -0.0005"))
+    // f"{-0.0}" keeps the sign
+    assert(JdftxDeck.render(goldenSlab, -0.0).endsWith("elec-initial-charge -0.0"))
+    assert(JdftxDeck.render(goldenSlab, 0.0).endsWith("elec-initial-charge 0.0"))
   }
 
   test("directory scans skip stray files instead of aborting the job") {

@@ -136,4 +136,17 @@ class FigureSpec extends AnyFunSuite {
       .count(_ != 0xFFFFFF)
     assert(leftNonWhite > 100, "echem base visible")
   }
+
+  test("degenerate spans terminate: ulp-apart points and NaN rejection") {
+    // two potentials one ulp apart once hung tick generation forever
+    // (first + step rounded back to first); the count-based form
+    // must terminate and still emit at least one tick
+    val tiny = Seq((1.0, 2.0), (1.0000000000000002, 3.0))
+    val svg = Figure.echemSvg("m", tiny, 0.5, 1.0)
+    assert(svg.contains("<svg"))
+    // a NaN point is rejected loudly (writeReport pre-filters it)
+    intercept[IllegalArgumentException] {
+      Figure.echemSvg("m", Seq((0.1, Double.NaN), (0.2, 3.0)), 0.5, 1.0)
+    }
+  }
 }
