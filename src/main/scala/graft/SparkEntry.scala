@@ -487,6 +487,27 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "q_quality_ntile" -> ((s, d) => TextOps.qualityNtile(Tables.documents(s, d), 10)),
+    // the SCALE-SAFE path of the same tiling (per-lang approx cut
+    // points, zero windows — PlanContractSpec enforces it), declared
+    // via the family's fact contract: doc count conserved, every
+    // tile in [1, 10], and each language's largest tile bounded at
+    // 2.5× the ideal 10% share (quality ties share a tile under
+    // comparison-bucketing; the band absorbs the observed tie mass)
+    "q_quality_ntile_approx" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val t = TextOps.qualityNtile(Tables.documents(s, d), 10, relErr = 0.001)
+      val ranges = t.agg(
+        (min(col("tile")) >= 1L && max(col("tile")) <= 10L).as("tiles_in_range"),
+        count(lit(1)).cast(LongType).as("n_docs"))
+      val balance = t.groupBy(col("lang"), col("tile"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("lang"))
+        .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__tot"))
+        .agg(bool_and(col("__mx").cast(DoubleType)
+          <= col("__tot").cast(DoubleType) * 0.25).as("balance_ok"))
+      ranges.crossJoin(broadcast(balance))
+    }),
     // scoring side of the quality classifier with LITERAL weights:
     // the affine z is bit-deterministic cross-engine (fixed-order
     // IEEE mult/add/div, no libm), keep = z > 0 ⇔ σ(z) > 0.5
@@ -1039,7 +1060,7 @@ object SparkEntry {
 
     "q_psi_drift" ->
       """WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events
-        |          WHERE value IS NOT NULL),
+        |          WHERE value IS NOT NULL AND isfinite(value)),
         |s AS (SELECT ((min(us) + max(us)) // 2) AS mid,
         |             min(value) AS vmn, max(value) AS vmx FROM e),
         |binned AS (
@@ -1076,7 +1097,7 @@ object SparkEntry {
     // integer-exact, D = d_num/(N·M) is the caller's division
     "q_ks_drift" ->
       """WITH e AS (SELECT event_type, value, epoch_us(ts)::BIGINT AS us FROM events
-        |          WHERE value IS NOT NULL),
+        |          WHERE value IS NOT NULL AND isfinite(value)),
         |s AS (SELECT ((min(us) + max(us)) // 2) AS mid,
         |             min(value) AS vmn, max(value) AS vmx FROM e),
         |binned AS (
@@ -1114,7 +1135,7 @@ object SparkEntry {
     // since the reference range IS the table range
     "q_drift_by_day" ->
       """WITH e AS (SELECT event_type AS grp, value, epoch_us(ts)::BIGINT AS us FROM events
-        |          WHERE value IS NOT NULL),
+        |          WHERE value IS NOT NULL AND isfinite(value)),
         |s AS (SELECT min(value) AS vmn, max(value) AS vmx FROM e),
         |b AS (SELECT grp, strftime(make_timestamp(us), '%Y-%m-%d') AS bucket,
         |        CASE WHEN s.vmx = s.vmn THEN 0::BIGINT
@@ -1835,6 +1856,11 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang,
         |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |        FROM documents))""".stripMargin,
+
+    "q_quality_ntile_approx" ->
+      """SELECT true AS tiles_in_range, count(*)::BIGINT AS n_docs,
+        |  true AS balance_ok
+        |FROM documents""".stripMargin,
 
     // affine classifier score: fixed left-to-right IEEE arithmetic —
     // every op correctly rounded, no libm, so z hash-matches bitwise;

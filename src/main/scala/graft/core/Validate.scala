@@ -242,19 +242,41 @@ object Validate {
         col("d_num"))
   }
 
+  /** The drift family's SAMPLE filter: a distribution sample is a
+    * non-null FINITE value. NaN/±Infinity are not tail samples but
+    * poison — one NaN in training data makes min/max return NaN cut
+    * params (every bin degenerates), and floor of a non-finite
+    * double cast to Long ABORTS the job under Spark 4's default
+    * ANSI mode (in the streaming monitor, permanently). Mirrored by
+    * `isfinite(value)` in the DuckDB oracles. Non-finite RATE, like
+    * null rate, is [[dataProfile]]'s monitor, not this family's. */
+  private[graft] def finiteSample(c: Column): Column = {
+    val d = c.cast(DoubleType)
+    c.isNotNull && !isnan(d) && abs(d) =!= lit(Double.PositiveInfinity)
+  }
+
   /** Equi-width bin of `value` against FROZEN [vmn, vmx] cut params
     * — a pure LITERAL expression: no scan, no aggregation, no state,
     * so it is legal (and cheap) in a streaming plan. Serving rows
     * may fall outside the training range, so the bin clamps BOTH
     * ends (below-range → bin 0, above-range → bin nBins−1) — the
     * standard out-of-range convention for a frozen reference
-    * binning. Shares the (v−mn)·nBins/(mx−mn) floor form with
-    * [[psiDrift]]/[[ksDrift]]'s self-referenced binning. */
-  def binColumn(value: Column, vmn: Double, vmx: Double, nBins: Int): Column =
+    * binning. The clamp runs in DOUBLE space and only then casts:
+    * a serving-time ±Infinity lands in the boundary bin instead of
+    * aborting the stream on an ANSI non-finite→Long cast (NaN also
+    * cannot abort — Spark orders it greatest, so it clamps to the
+    * top bin — but callers filter NaN out via [[finiteSample]]: it
+    * is not a sample of any distribution). Shares the
+    * (v−mn)·nBins/(mx−mn) floor form with [[psiDrift]]/[[ksDrift]]'s
+    * self-referenced binning. */
+  def binColumn(value: Column, vmn: Double, vmx: Double, nBins: Int): Column = {
+    require(java.lang.Double.isFinite(vmn) && java.lang.Double.isFinite(vmx),
+      s"non-finite cut params [$vmn, $vmx] — train the reference on finiteSample rows")
     if (vmx == vmn) lit(0L)
-    else least(lit(nBins - 1L), greatest(lit(0L),
-      floor((value.cast(DoubleType) - lit(vmn)) * nBins / lit(vmx - vmn))
-        .cast(LongType)))
+    else least(lit((nBins - 1).toDouble), greatest(lit(0.0),
+      floor((value.cast(DoubleType) - lit(vmn)) * nBins / lit(vmx - vmn))))
+      .cast(LongType)
+  }
 
   /** Frozen drift REFERENCE: learn equi-width cut params on a
     * training snapshot and return (vmn, vmx, dense per-(group, bin)
@@ -269,10 +291,11 @@ object Validate {
   def driftReference(df0: DataFrame, groupCol: String, valueCol: String,
                      nBins: Int): (Double, Double, DataFrame) = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
-    // same null contract as halfSplitBinCounts: null values are not
-    // samples — excluded from BOTH the counts and n_ref, so the
-    // cumulative reference CDF actually reaches n_ref
-    val df = df0.filter(col(valueCol).isNotNull)
+    // same sample contract as halfSplitBinCounts: null/non-finite
+    // values are not samples — excluded from BOTH the counts and
+    // n_ref, so the cumulative reference CDF actually reaches n_ref
+    // (and NaN cannot poison the min/max cut params)
+    val df = df0.filter(finiteSample(col(valueCol)))
     val row = df.agg(min(col(valueCol)).cast(DoubleType),
                      max(col(valueCol)).cast(DoubleType)).head()
     // empty (or all-null) training frame: degenerate single-bin
@@ -360,7 +383,7 @@ object Validate {
   def driftByDay(df0: DataFrame, groupCol: String, valueCol: String,
                  tsUsCol: String, nBins: Int): DataFrame = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
-    val df = df0.filter(col(valueCol).isNotNull)
+    val df = df0.filter(finiteSample(col(valueCol)))
     val scalars = df.agg(
       min(col(valueCol)).cast(DoubleType).as("__vmn"),
       max(col(valueCol)).cast(DoubleType).as("__vmx"))
@@ -402,10 +425,13 @@ object Validate {
     // filter they would inflate the group totals (n_first/m_second
     // sum every count row) while the dense 0..nBins−1 scaffold drops
     // their NULL bin — an asymmetry that manufactures a nonzero
-    // drift floor for identically-distributed halves. Null RATE is a
-    // separate monitor (dataProfile reports it); the distribution
-    // statistics compare non-null populations.
-    val df = df0.filter(col(valueCol).isNotNull)
+    // drift floor for identically-distributed halves. Non-finite
+    // values are excluded for the same reason PLUS job safety: one
+    // NaN poisons the min/max cut params, and a non-finite bin
+    // expression aborts on the ANSI double→Long cast. Null and
+    // non-finite RATES are separate monitors (dataProfile); the
+    // distribution statistics compare finite populations.
+    val df = df0.filter(finiteSample(col(valueCol)))
     // midpoint in LONG arithmetic: a double (min+max)/2 loses
     // exactness past 2^53 (ns-scale timestamps sum to ~3.4e18) and
     // truncates instead of flooring for negative sums; arithmetic

@@ -115,6 +115,56 @@ object Warehouse {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** An optimistic zone-map commit lost its race: the `_current`
+    * pointer moved between the merge's snapshot read and its commit
+    * attempt, so the staged manifest was derived from a superseded
+    * file set. The staged attempt is discarded (its appended data
+    * files become orphans a vacuum reclaims); the caller re-reads
+    * the table and retries — the Iceberg optimistic-concurrency
+    * contract. */
+  final class ZoneMapConflictException(dir: String, expected: Int, found: Int)
+    extends RuntimeException(
+      s"zone-map commit conflict under $dir: snapshot was v$expected " +
+        s"but _current is now v$found — re-read and retry the merge")
+
+  /** Compare-and-swap commit of a STAGED manifest dir: under an
+    * exclusive `_commit.lock` file lock (advisory, works across
+    * JVMs on a shared filesystem — the local stand-in for a catalog
+    * service's conditional swap), verify `_current` still names the
+    * version the merge planned against, claim the next version
+    * number by renaming the staging dir to `v{expected+1}`, and move
+    * the pointer. Two concurrent merges from the same snapshot thus
+    * serialize: the first commits, the second observes the moved
+    * pointer and throws [[ZoneMapConflictException]] instead of
+    * silently last-write-winning a version whose manifest resurrects
+    * files the winner deleted. Returns the committed version. */
+  private def commitStagedZoneMapVersion(dir: String, expected: Int,
+                                         staged: java.io.File): Int = {
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(dir, "_commit.lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val found = zoneMapCurrentVersion(dir)
+        if (found != expected) {
+          deleteRecursively(staged)
+          throw new ZoneMapConflictException(dir, expected, found)
+        }
+        val next = expected + 1
+        val vDir = new java.io.File(dir, s"_zonemap_history/v$next")
+        // a v$next left by a CRASHED attempt is uncommitted (its
+        // pointer rename never ran) — replacing it keeps retries safe
+        if (vDir.exists()) deleteRecursively(vDir)
+        java.nio.file.Files.move(staged.toPath, vDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        commitZoneMapVersion(dir, next)
+        next
+      } finally lock.release()
+    } finally ch.close()
+  }
+
   /** The live manifest: per-file (file, mn, mx, n_rows), resolved
     * through the `_current` pointer. */
   def zoneMapManifest(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
@@ -227,6 +277,14 @@ object Warehouse {
       .map(_.getAbsolutePath).toSet
     val orphans = onDisk -- keptPaths -- dropPaths
     drop.foreach(v => deleteRecursively(new java.io.File(dir, s"_zonemap_history/v$v")))
+    // crashed/conflicted merge attempts leave `_staging-*` manifest
+    // dirs behind — uncommitted by construction, reclaim them too.
+    // (Don't vacuum concurrently with an in-flight merge: its staging
+    // dir would vanish and the merge fails at commit — retryably.)
+    Option(new java.io.File(dir, "_zonemap_history").listFiles)
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_staging-"))
+      .foreach(deleteRecursively)
     crashHook("vacuum:post-manifest-drop")
     (dead ++ orphans).foreach { p =>
       val f = new java.io.File(p)
@@ -266,15 +324,22 @@ object Warehouse {
     *
     * Returns (filesRewritten, filesTotalBefore).
     *
-    * COMMIT PROTOCOL (the Iceberg/Delta model, now actually atomic):
+    * COMMIT PROTOCOL (the Iceberg/Delta model, atomic AND optimistic):
     *   1. stage — append the rewritten+inserted data files (invisible:
     *      readers resolve file sets through manifests, never by
-    *      listing `data/`), then write the new manifest to
-    *      `_zonemap_history/v{N+1}`;
-    *   2. commit — one atomic `_current` pointer rename
-    *      ([[commitZoneMapVersion]]). A crash anywhere before this
-    *      leaves v{N} live and every byte it references intact (the
-    *      staged files are orphans a vacuum can reclaim);
+    *      listing `data/`), then write the new manifest to an
+    *      attempt-unique `_zonemap_history/_staging-*` dir;
+    *   2. commit — a compare-and-swap under the `_commit.lock` file
+    *      lock ([[commitStagedZoneMapVersion]]): verify `_current`
+    *      still names the snapshot this merge planned against, claim
+    *      v{N+1} by renaming the staging dir, move the pointer. A
+    *      concurrent merge that committed first makes this one throw
+    *      [[ZoneMapConflictException]] — re-read and retry; without
+    *      the check the loser would last-write-win a manifest that
+    *      resurrects files the winner rewrote. A crash anywhere
+    *      before the pointer rename leaves v{N} live and every byte
+    *      it references intact (the staged files are orphans a
+    *      vacuum can reclaim);
     *   3. clean — only AFTER the commit, and only when
     *      `retainForTimeTravel = false`: superseded manifest dirs go
     *      first, then the superseded data files, so a crash mid-clean
@@ -324,16 +389,17 @@ object Warehouse {
       .groupBy("file")
       .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
            count(lit(1)).as("n_rows"))
-    val next = curVersion + 1
-    // Overwrite: a staged v$next left by a CRASHED attempt is
-    // uncommitted (pointer never moved), so replacing it is safe —
-    // and makes the merge retryable after any crash
+    // stage to an attempt-unique dir: two concurrent merges must
+    // never overwrite each other's staged manifest — the commit CAS
+    // below decides which one claims the version number
+    val staged = new java.io.File(dir,
+      s"_zonemap_history/_staging-${java.util.UUID.randomUUID().toString.take(8)}")
     man.filter(!col("file").isin(touched.toSeq: _*))
       .unionByName(freshStats)
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_zonemap_history/v$next")
+      .write.mode(SaveMode.Overwrite).parquet(staged.getPath)
     crashHook("merge:pre-commit")
-    commitZoneMapVersion(dir, next)
+    val next = commitStagedZoneMapVersion(dir, curVersion, staged)
     crashHook("merge:post-commit")
     // clean: only after the commit, only when nothing else references
     // the superseded bytes. An insert-only merge (touched empty)

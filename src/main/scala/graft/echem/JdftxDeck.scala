@@ -18,8 +18,6 @@ object JdftxDeck {
 
   private def f(v: Double): String = String.format(Locale.ROOT, "%f", Double.box(v))
 
-  /** Python `f"{charge}"` repr for the simple floats used here
-    * (`dags/utils.py:47`): -0.1 → "-0.1", 0.0 → "0.0". */
   /** Python `f"{charge}"` parity: -0.0 keeps its sign, and values
     * where Java switches to scientific notation but Python stays
     * plain (1e-4 ≤ |c| < 1e-3, and non-integral |c| ≥ 1e7) render

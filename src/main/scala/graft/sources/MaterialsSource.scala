@@ -696,23 +696,43 @@ private[sources] class MaterialsReaderFactory(required: StructType)
 }
 
 private[sources] object MaterialsJoinPageReader {
+  private type Right = Map[String, Seq[Array[String]]]
   // per-executor-JVM, scan-scoped, LRU-bounded: at most 4 scans'
   // dimension-sized right sides live at once; a re-planned query
-  // gets a fresh scanId and therefore a fresh fetch (no staleness)
+  // gets a fresh scanId and therefore a fresh fetch (no staleness).
+  // Entries are FutureTasks, not values: the slow HTTP fetch runs
+  // OUTSIDE the cache lock (the lock only installs the placeholder),
+  // so readers of a DIFFERENT concurrent scan hit their own cached
+  // entry immediately instead of queueing behind this scan's fetch —
+  // while readers of the SAME scan still block on one shared fetch.
   private val cache =
-    new java.util.LinkedHashMap[String, Map[String, Seq[Array[String]]]](
+    new java.util.LinkedHashMap[String, java.util.concurrent.FutureTask[Right]](
       8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, Seq[Array[String]]]]): Boolean =
+          e: java.util.Map.Entry[String, java.util.concurrent.FutureTask[Right]]): Boolean =
         size() > 4
     }
-  def rightSide(scanId: String,
-                build: => Map[String, Seq[Array[String]]]): Map[String, Seq[Array[String]]] =
+  def rightSide(scanId: String, build: => Right): Right =
     if (scanId.isEmpty) build
-    else cache.synchronized {
-      val hit = cache.get(scanId)
-      if (hit != null) hit
-      else { val v = build; cache.put(scanId, v); v }
+    else {
+      val (task, owner) = cache.synchronized {
+        val hit = cache.get(scanId)
+        if (hit != null) (hit, false)
+        else {
+          val t = new java.util.concurrent.FutureTask[Right](() => build)
+          cache.put(scanId, t)
+          (t, true)
+        }
+      }
+      if (owner) task.run()
+      try task.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          // a failed fetch must not poison the scanId for the task
+          // RETRY Spark schedules — evict so the retry re-fetches
+          cache.synchronized { if (cache.get(scanId) eq task) cache.remove(scanId) }
+          throw Option(e.getCause).getOrElse(e)
+      }
     }
 }
 

@@ -50,10 +50,25 @@ object StreamingOps {
 
   /** Gap-based sessionization: a session closes after `gapMinutes`
     * of inactivity (event-time timeout — state is dropped as the
-    * watermark passes, so it cannot grow unboundedly). */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    * watermark passes, so it cannot grow unboundedly).
+    *
+    * `watermarkMinutes` (≤ 0 ⇒ gapMinutes) is the late-data
+    * admission delay. At the default, an admitted event is never
+    * more than gapUs before the open session's start (the runtime's
+    * late-row filter guarantees it), so every late event folds into
+    * the open session. With a LONGER delay (accept very late data),
+    * deeply-late events — more than gapUs before the open session's
+    * start — become admissible; they are gap-split among their own
+    * micro-batch peers and emitted as separate closed sessions, the
+    * batch twin's answer. Residual stream/batch divergence
+    * (inherent to single-interval state): such an event merges only
+    * with peers in its own batch — a previously-EMITTED session it
+    * would have bridged in batch mode has no surviving state. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkMinutes: Int = 0): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    val wmMinutes = if (watermarkMinutes <= 0) gapMinutes else watermarkMinutes
 
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[Session] = {
@@ -65,16 +80,44 @@ object StreamingOps {
         val sorted = rows.toSeq.sortBy(_.ts_t.getTime)
         var closed = List.empty[Session]
         var cur = state.getOption
-        sorted.foreach { e =>
+        // DEEPLY-late prefix: an event more than gapUs BEFORE the
+        // open session's start cannot belong to it — the batch twin
+        // (global sort, split on gaps) emits it as a separate earlier
+        // session. Sorted input makes such events a prefix: peel it
+        // off, gap-split it among its own peers, and emit those
+        // sessions closed immediately. Reachable only when
+        // watermarkMinutes > gapMinutes (see scaladoc); at the
+        // default delay the runtime's late-row filter makes this a
+        // no-op, kept as the correct answer rather than a silent
+        // merge-into-the-wrong-session.
+        val (deepLate, rest) = cur match {
+          case Some(s) => sorted.span(e => s.start - e.ts_t.getTime * 1000L > gapUs)
+          case None    => (Seq.empty[Event], sorted)
+        }
+        var late: Option[SessionState] = None
+        deepLate.foreach { e =>
+          val t = e.ts_t.getTime * 1000L
+          late match {
+            case Some(s) if t - s.last <= gapUs =>
+              late = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, s.start, s.last, s.n, s.total)
+              late = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              late = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        late.foreach(s => closed ::= Session(userId, s.start, s.last, s.n, s.total))
+        rest.foreach { e =>
           val t = e.ts_t.getTime * 1000L
           cur match {
             case Some(s) if t - s.last <= gapUs =>
               // a cross-batch LATE event (inside the watermark) can
-              // carry t < s.last or even t < s.start — the session's
-              // bounds must only ever widen, or the emitted end_us
-              // regresses below contained events (and the event-time
-              // timeout re-arms too early), diverging from the batch
-              // twin's min(us)/max(us)
+              // still carry t < s.last, or t within gapUs before
+              // s.start — the session's bounds must only ever widen,
+              // or the emitted end_us regresses below contained
+              // events (and the event-time timeout re-arms too
+              // early), diverging from the batch twin's min/max(us)
               cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
                 s.n + 1, s.total + e.value))
             case Some(s) =>
@@ -93,7 +136,7 @@ object StreamingOps {
     }
 
     events
-      .withWatermark("ts_t", s"$gapMinutes minutes")
+      .withWatermark("ts_t", s"$wmMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
@@ -277,8 +320,11 @@ object StreamingOps {
     // foreachBatch finisher
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
     events
-      // the family's null contract: null values are not samples
-      .filter(col("value").isNotNull)
+      // the family's sample contract: null/non-finite values are not
+      // samples — and a NaN reaching the bin expression's ANSI
+      // double→Long cast would kill the query permanently (binColumn
+      // clamps ±Inf in double space as a second line of defense)
+      .filter(graft.core.Validate.finiteSample(col("value")))
       .withWatermark("ts_t", watermark)
       .groupBy(window(col("ts_t"), windowDur).as("w"),
         col("event_type").as("grp"),

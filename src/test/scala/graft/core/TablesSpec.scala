@@ -46,6 +46,19 @@ class TablesSpec extends SparkSpec {
     assert(got == baseNs, s"expected ns $baseNs, got $got")
   }
 
+  test("loaders memoize the resolved plan per (session, dir, table)") {
+    // the per-query bench floor lever: repeated loads must return
+    // the SAME DataFrame (no re-listing, no re-inference, and for
+    // events no repeated driver-side footer pass) — reference
+    // equality is the strongest form of that contract
+    val d = "/root/testdata/sf0.001"
+    assert(Tables.lineitem(spark, d) eq Tables.lineitem(spark, d))
+    assert(Tables.events(spark, d) eq Tables.events(spark, d))
+    // distinct dirs stay distinct plans
+    assert(!(Tables.lineitem(spark, d) eq
+      Tables.lineitem(spark, "/root/testdata/sf0.01")))
+  }
+
   test("plain INT64 ts outside both epoch bands refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tbl-ms").toString
     writeEvents(dir, (0 until 10).map(i => 1700000000000L + i)) // millis band

@@ -217,6 +217,43 @@ class ValidateSpec extends SparkSpec {
     assert(rs.map(_._1).sum == rs.head._2, "sum(ref_cnt) == n_ref")
   }
 
+  test("drift family non-finite contract: NaN/Inf are not samples and cannot abort") {
+    // one NaN would poison min/max cut params; a non-finite bin
+    // expression would abort on the ANSI double→Long cast (killing a
+    // streaming monitor permanently) — both must be filtered like
+    // nulls, mirroring the oracles' isfinite(value)
+    val rows = Seq[(String, java.lang.Double, Long)](
+      ("a", 0.0, 0L), ("a", 10.0, 1L), ("a", Double.NaN, 2L),
+      ("a", Double.PositiveInfinity, 3L),
+      ("a", 0.0, 1000L), ("a", 10.0, 1001L),
+      ("a", Double.NegativeInfinity, 1002L))
+      .toDF("grp", "value", "us")
+    val clean = rows.filter(!isnan(col("value")) &&
+      abs(col("value")) =!= lit(Double.PositiveInfinity))
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      Validate.ksDrift(df, "grp", "value", "us", 2)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ks(rows) == ks(clean), "non-finite rows must be excluded, not counted")
+    def psi(df: org.apache.spark.sql.DataFrame) =
+      Validate.psiDrift(df, "grp", "value", "us", 2)
+        .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(psi(rows) == psi(clean))
+    val (vmn, vmx, _) = Validate.driftReference(rows, "grp", "value", 2)
+    assert(vmn == 0.0 && vmx == 10.0, s"cut params must stay finite, got [$vmn, $vmx]")
+    assert(Validate.driftByDay(rows, "grp", "value", "us", 2).count() ==
+      Validate.driftByDay(clean, "grp", "value", "us", 2).count())
+    // binColumn: serving-time ±Inf clamps to the boundary bins
+    // (double-space clamp) instead of aborting the query
+    val served = Seq(Double.NegativeInfinity, -5.0, 5.0, Double.PositiveInfinity)
+      .toDF("v").select(Validate.binColumn(col("v"), 0.0, 10.0, 4).as("bin"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(served == Seq(0L, 0L, 2L, 3L), s"got $served")
+    // and non-finite CUT PARAMS are refused at plan time, loudly
+    val ex = intercept[IllegalArgumentException](
+      Validate.binColumn(col("v"), Double.NaN, 1.0, 4))
+    assert(ex.getMessage.contains("finiteSample"))
+  }
+
   test("driftByDay (lazy one-plan) == eager reference + finisher composition") {
     val rnd = new scala.util.Random(11)
     val dayUs = 86400000000L

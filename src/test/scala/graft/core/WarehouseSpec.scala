@@ -236,6 +236,47 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 1000L).count() == 1000L)
   }
 
+  test("optimistic concurrency: the losing concurrent merge detects the conflict") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_occ_spec").getPath
+    val base = (1L to 1000L).map(k => (k, s"V$k")).toDF("k", "v")
+    Warehouse.writeZoneMapped(base, dir, "k", 4)
+    val updA = base.filter(col("k") % 100 === 0).withColumn("v", lit("A"))
+    val updB = base.filter(col("k") % 100 === 50).withColumn("v", lit("B"))
+    // interleave via the crash seam: while writer B sits between its
+    // staging and its commit, writer A runs a COMPLETE merge from the
+    // same v1 snapshot and commits v2. B's commit must then detect
+    // the moved pointer and throw — not silently claim a version
+    // whose manifest was built against A's superseded file set.
+    Warehouse.crashHook = step => if (step == "merge:pre-commit") {
+      Warehouse.crashHook = _ => () // A's nested merge runs clean
+      Warehouse.mergeZoneMapped(spark, dir, "k", updA)
+      ()
+    }
+    try {
+      val ex = intercept[Warehouse.ZoneMapConflictException](
+        Warehouse.mergeZoneMapped(spark, dir, "k", updB))
+      assert(ex.getMessage.contains("v1") && ex.getMessage.contains("v2"),
+        ex.getMessage)
+    } finally Warehouse.crashHook = _ => ()
+    // the live table is exactly A's committed result — B left no trace
+    assert(Warehouse.zoneMapCurrentVersion(dir) == 2)
+    assert(Warehouse.zoneMapVersions(dir) == Seq(2))
+    val seen = Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 1000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(seen.size == 1000 && seen(100L) == "A" && seen(50L) == "V50")
+    // B retried against the NEW snapshot succeeds and composes with A
+    val (rewritten, _) = Warehouse.mergeZoneMapped(spark, dir, "k", updB)
+    assert(rewritten > 0 && Warehouse.zoneMapCurrentVersion(dir) == 3)
+    val after = Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 1000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(100L) == "A" && after(50L) == "B" && after.size == 1000)
+    // vacuum reclaims B's aborted attempt: its orphaned data files
+    // and any crashed staging dirs
+    val (_, deleted) = Warehouse.vacuumZoneMapped(spark, dir, keepFrom = 3)
+    assert(deleted > 0, "expected the conflicted attempt's files to be reclaimed")
+    assert(Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 1000L).count() == 1000L)
+  }
+
   test("compactFiles refuses directories holding non-parquet content") {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_guard")
     val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")

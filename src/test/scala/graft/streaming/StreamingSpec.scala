@@ -434,6 +434,39 @@ class StreamingSpec extends SparkSpec {
         s"its bounds, got ${sess.head}")
   }
 
+  test("sessionize: deeply-late events under a long watermark emit separate sessions") {
+    val t0 = 1600000000000L
+    def ev(id: Long, user: Long, tMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(t0 + tMs), user, "click", v)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-deep").toString
+    // batch 1: open session at +100/+101 min
+    Seq(ev(1, 1, 100 * 60000L, 1.0), ev(2, 1, 101 * 60000L, 2.0)).toDS()
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // batch 2: +10/+12 min — more than the 30-min gap BEFORE the open
+    // session's start, admitted only because the watermark delay
+    // (1200 min) exceeds the gap; they must become their own closed
+    // session (the batch twin's answer), NOT fold into [+100, +101].
+    // Sentinel advances the watermark so the open session times out.
+    Seq(ev(3, 1, 10 * 60000L, 4.0), ev(4, 1, 12 * 60000L, 8.0),
+        ev(99, 9, 100 * 3600000L, 0.0)).toDS()
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = sessionize(
+        spark.readStream.schema(EventSchema).parquet(dir).as[Event],
+        gapMinutes = 30, watermarkMinutes = 1200)
+      .writeStream.outputMode("append").format("memory").queryName("sess_deep_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sess = spark.table("sess_deep_out").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.start_us)
+    assert(sess.length == 2, s"expected an early and a main session, got ${sess.toSeq}")
+    assert(sess(0).start_us == (t0 + 10 * 60000L) * 1000L &&
+      sess(0).end_us == (t0 + 12 * 60000L) * 1000L &&
+      sess(0).n_events == 2 && sess(0).total_value == 12.0, s"got ${sess(0)}")
+    assert(sess(1).start_us == (t0 + 100 * 60000L) * 1000L &&
+      sess(1).end_us == (t0 + 101 * 60000L) * 1000L &&
+      sess(1).n_events == 2 && sess(1).total_value == 3.0, s"got ${sess(1)}")
+  }
+
   test("scd2Stream: NaN runs extend one range (Spark-equality NaN semantics)") {
     val t0 = 1600000000000L
     def ev(id: Long, tMs: Long, v: Double) =

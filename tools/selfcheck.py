@@ -37,4 +37,17 @@ for name, sql in sorted(oracle.items()):
             print(f'{name}: OK ({len(sp)} rows)')
     except Exception as e:
         print(f'{name}: ERROR {str(e).splitlines()[0][:200]}'); fails.append(name)
+# doc sync: SURVEY.md's "N declared queries total" must equal the live
+# contract (every SparkEntry.queries entry ships an oracle, so the
+# oracle dump's size IS the declared-query count) — the count rotted
+# silently for three rounds before this check existed
+import os, re
+survey = os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', 'SURVEY.md')
+if os.path.exists(survey):
+    m = re.search(r'(\d+) declared queries total', open(survey).read())
+    if m is None:
+        print('SURVEY.md: missing "N declared queries total" marker'); fails.append('survey_count_sync')
+    elif int(m.group(1)) != len(oracle):
+        print(f'SURVEY.md declares {m.group(1)} queries; oracle_sql.json has {len(oracle)}')
+        fails.append('survey_count_sync')
 print('---'); print('FAILED:', fails if fails else 'none')
