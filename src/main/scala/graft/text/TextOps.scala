@@ -1246,6 +1246,51 @@ object TextOps {
       case (syms, (a, b)) => bpeMergeOnce(syms, a, b)
     }
 
+  /** Rank-map greedy BPE segmentation — the PRODUCTION encoder for
+    * large merge lists: repeatedly find the adjacent symbol pair
+    * with the LOWEST rank (training priority) and merge all its
+    * left-to-right non-overlapping occurrences, until no adjacent
+    * pair is in the model. Each round is one scan and removes at
+    * least one symbol, so the cost is O(len²·lookup) per word —
+    * independent of merge-list size, vs the fold's O(|merges|·len):
+    * at the 10⁴–10⁵ rules of a real tokenizer the fold pays tens of
+    * thousands of passes per word, almost all of them no-ops.
+    *
+    * For a TRAINING-ORDERED merge list (every merged symbol is
+    * produced before any later merge consumes it — what [[bpeTrain]]
+    * emits by construction) this equals [[bpeSegmentOf]]'s in-order
+    * fold exactly, property-tested in BpeEncodeSpec: merging rank-k
+    * (a, b) can only create adjacencies involving the NEW symbol ab,
+    * whose pairs rank strictly later — so no earlier-rank pair ever
+    * (re)appears, and lowest-rank-first replays the fold's order. */
+  def bpeSegmentGreedy(word: String,
+                       ranks: scala.collection.Map[(String, String), Int]): IndexedSeq[String] = {
+    var syms = bpeBaseSymbols(word)
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestA = syms(i); bestB = syms(i + 1) }
+        i += 1
+      }
+      if (bestA == null) done = true
+      else {
+        syms = bpeMergeOnce(syms, bestA, bestB)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** The rank map [[bpeSegmentGreedy]] consumes: merge pair → its
+    * position in the learned priority order. */
+  def bpeRanks(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
   /** ENCODE path of a trained BPE model over the corpus: apply the
     * ordered merge list to every token of every document and report
     * per-doc token accounting — (doc_id, n_words, n_subwords). This
@@ -1268,15 +1313,17 @@ object TextOps {
     * once per occurrence — the vocabulary-decomposition trick of
     * [[bpePairStats]] without its corpus-wide explode+join; the memo
     * is size-capped so an adversarial all-unique corpus degrades to
-    * flat per-word cost, never to memory pressure. For production
-    * merge lists (tens of thousands of rules) the per-word fold
-    * would be replaced by the rank-map greedy scan (cost ∝ word
-    * length, not merge count) — same output by the consistency
-    * argument above; at the declared-model sizes the fold is
-    * simpler and equally exact. */
+    * flat per-word cost, never to memory pressure. Above
+    * `greedyFrom` rules the per-word fold switches to
+    * [[bpeSegmentGreedy]]'s rank-map scan (cost ∝ word length, not
+    * merge count — measured ~2 orders of magnitude at 10⁴ rules);
+    * identical output for the training-ordered lists real models
+    * are (property-tested), and at the declared-model sizes the
+    * fold stays the simpler reference. */
   def bpeEncode(documents: DataFrame, merges: Seq[(String, String)],
-                memoCap: Int = 1 << 20): DataFrame = {
+                memoCap: Int = 1 << 20, greedyFrom: Int = 64): DataFrame = {
     require(memoCap >= 0, s"need memoCap >= 0, got $memoCap")
+    require(greedyFrom >= 1, s"need greedyFrom >= 1, got $greedyFrom")
     val spark = documents.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
@@ -1285,12 +1332,16 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val ms = bc.value
+        val useGreedy = ms.length >= greedyFrom
+        val ranks: Map[(String, String), Int] =
+          if (useGreedy) bpeRanks(ms) else null
         val memo = new java.util.HashMap[String, Integer]()
         def nSyms(w: String): Int = {
           val hit = memo.get(w)
           if (hit != null) hit.intValue()
           else {
-            val n = bpeSegmentOf(w, ms).length
+            val n = if (useGreedy) bpeSegmentGreedy(w, ranks).length
+                    else bpeSegmentOf(w, ms).length
             if (memo.size < memoCap) memo.put(w, Integer.valueOf(n))
             n
           }
@@ -1358,16 +1409,14 @@ object TextOps {
     require(minPairCount >= 1, s"need minPairCount >= 1, got $minPairCount")
     require(batchK >= 1, s"need batchK >= 1, got $batchK")
     import documents.sparkSession.implicits._
-    var vocab = documents
+    var (vocab, vocabRdd) = materializeVocab(documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c_w"))
       .as[(String, Long)]
-      .map { case (w, c) => (bpeBaseSymbols(w), c) }
-      .persist()
+      .map { case (w, c) => (bpeBaseSymbols(w), c) })
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var rounds = 0
     try {
-      vocab.count()
       var exhausted = false
       while (!exhausted && merges.length < nMerges) {
         val want = math.min(batchK, nMerges - merges.length)
@@ -1400,15 +1449,35 @@ object TextOps {
           }
           merges ++= batch
           val pairs = batch.map { case (a, b, _) => (a, b) }.toSeq
-          val next = vocab.map { case (syms, c) => (bpeMergeBatch(syms, pairs), c) }.persist()
-          try next.count()
-          catch { case t: Throwable => next.unpersist(blocking = false); throw t }
-          vocab.unpersist()
+          val (next, nextRdd) =
+            materializeVocab(vocab.map { case (syms, c) => (bpeMergeBatch(syms, pairs), c) })
+          vocabRdd.unpersist(blocking = false)
           vocab = next
+          vocabRdd = nextRdd
         }
       }
-    } finally vocab.unpersist(blocking = false)
+    } finally vocabRdd.unpersist(blocking = false)
     (merges.toSeq, rounds)
+  }
+
+  /** Materialize one training round's vocabulary and RESET its
+    * logical lineage (RDD round-trip through `localCheckpoint`).
+    * `persist` alone caches the ROWS but leaves round N's PLAN
+    * chained through N typed maps, and Catalyst re-analyzes that
+    * growing plan every round — the same superlinear pathology
+    * [[graft.core.Graph]] documents for its label loop, observed
+    * here as a multi-minute driver stall by round ~30 (a real
+    * tokenizer trains thousands). The count() is the forcing
+    * action; the returned RDD handle lets the caller free the
+    * superseded round's blocks. */
+  private def materializeVocab(ds: org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)])
+      : (org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)],
+         org.apache.spark.rdd.RDD[(IndexedSeq[String], Long)]) = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val rdd = ds.rdd.localCheckpoint()
+    rdd.count()
+    (spark.createDataset(rdd), rdd)
   }
 
   /** BPE tokenizer training: learn `nMerges` merge rules, highest
@@ -1421,29 +1490,28 @@ object TextOps {
     * every training round after that runs on the (symbols, count)
     * VOCABULARY dataset: pair counts are a vocab-sized partial-
     * aggregated shuffle, the argmax ships exactly one row to the
-    * driver, and the re-segmentation is a narrow vocab map. The
-    * per-round persist breaks the iterative lineage (the
-    * [[graft.core.Graph]] loop discipline); the previous round's
-    * cache releases as soon as its successor materializes. At 100 TB
-    * the corpus pass dominates; rounds cost |vocab|, orders of
-    * magnitude smaller. */
+    * driver, and the re-segmentation is a narrow vocab map. Each
+    * round materializes through [[materializeVocab]] — a TRUE
+    * lineage reset (RDD round-trip), not just a persist, so round
+    * 1000's plan is as small as round 1's (the [[graft.core.Graph]]
+    * loop discipline); the previous round's blocks release as soon
+    * as the successor materializes. At 100 TB the corpus pass
+    * dominates; rounds cost |vocab|, orders of magnitude smaller. */
   def bpeTrain(documents: DataFrame, nMerges: Int,
                minPairCount: Long = 2L): Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
     require(minPairCount >= 1, s"need minPairCount >= 1, got $minPairCount")
     import documents.sparkSession.implicits._
-    var vocab = documents
+    var (vocab, vocabRdd) = materializeVocab(documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c_w"))
       .as[(String, Long)]
-      .map { case (w, c) => (bpeBaseSymbols(w), c) }
-      .persist()
+      .map { case (w, c) => (bpeBaseSymbols(w), c) })
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     // the finally releases whichever round's vocab is live when a
-    // mid-training job fails — without it the persisted dataset
-    // outlives the exception for the session's lifetime
+    // mid-training job fails — without it the checkpointed blocks
+    // outlive the exception for the session's lifetime
     try {
-      vocab.count()
       var exhausted = false
       while (!exhausted && merges.length < nMerges) {
         val best = vocab
@@ -1462,14 +1530,14 @@ object TextOps {
           case Some(r) =>
             val (a, b, cnt) = (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt"))
             merges += ((a, b, cnt))
-            val next = vocab.map { case (syms, c) => (bpeMergeOnce(syms, a, b), c) }.persist()
-            try next.count()
-            catch { case t: Throwable => next.unpersist(blocking = false); throw t }
-            vocab.unpersist()
+            val (next, nextRdd) =
+              materializeVocab(vocab.map { case (syms, c) => (bpeMergeOnce(syms, a, b), c) })
+            vocabRdd.unpersist(blocking = false)
             vocab = next
+            vocabRdd = nextRdd
         }
       }
-    } finally vocab.unpersist(blocking = false)
+    } finally vocabRdd.unpersist(blocking = false)
     merges.toSeq
   }
 }
