@@ -96,11 +96,22 @@ object Bench {
     // cache eviction, JIT recompilation); min-of-N is the standard way
     // to measure the query's own cost. All reps execute fully.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // SPARK_GRAFT_ROWS=1: also record each query's output row count
+    // (free — the timed action IS a count) in a "rows" object. Used
+    // by the scaling sweeps to separate time growth from OUTPUT
+    // growth (a pair operator whose output is quadratic by
+    // construction is not a quadratic-WORK finding).
+    val wantRows = sys.env.get("SPARK_GRAFT_ROWS").contains("1")
+    val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true } catch {
+          try {
+            val n = fn(spark, sfDir).count()
+            if (wantRows) rowCounts(name) = n
+            true
+          } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: $e")
               e.printStackTrace()
@@ -137,8 +148,12 @@ object Bench {
     val nErr = errors.size
     // ONE contract line, used verbatim for both stdout and the
     // committed artifact — two copies of the template could drift
+    val rowsField =
+      if (!wantRows) ""
+      else rowCounts.map { case (k, v) => s"\"$k\":$v" }
+        .mkString(",\"rows\":{", ",", "}")
     val contractLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr$rowsField,"sf":"$sfDir"}"""
     println(contractLine)
     // The driver archives only the TAIL of stdout: both r3 and r4 bench
     // artifacts lost the head of the one-line contract above — the

@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core.Validate
+import graft.streaming.StreamingOps
 import graft.echem._
 import graft.echem.ProcessRunner.{Exec, Run}
 import graft.echem.Schemas.Slab
@@ -219,5 +222,61 @@ object Pipeline {
     val md = reportMarkdown(results) + images.mkString + "\n"
     Files.write(Paths.get(outDir, "report.md"), md.getBytes(StandardCharsets.UTF_8))
     md
+  }
+
+  /** EP-style streaming drift monitor — the deployment composition of
+    * the drift family, anchoring the streaming tail the way EP2
+    * anchors the batch tail: train a frozen reference ONCE on a batch
+    * snapshot ([[graft.core.Validate.driftReference]]), bin the
+    * serving stream statelessly under a watermark
+    * ([[graft.streaming.StreamingOps.driftBinStream]]), run the
+    * SHARED integer-exact finisher per micro-batch
+    * ([[graft.core.Validate.ksAgainstReference]]), and append one
+    * parquet file of (bucket, grp, n_win, n_ref, d_num) KS rows per
+    * finalized window batch to `sinkDir` — the monitor's append-only
+    * report sink, restartable exactly-once from `checkpointDir`.
+    *
+    * Scale shape: the reference is collected ONCE into a driver-local
+    * relation — |groups|·nBins metadata rows (the artifact a real
+    * deployment serializes next to the model) — so each micro-batch's
+    * finisher broadcast-joins frozen metadata and never re-scans the
+    * training snapshot. Streaming state is one counter per live
+    * (window, group, bin), watermark-dropped; the sink write per
+    * batch is ≤ |groups| rows per finalized window (`coalesce(1)` is
+    * driver-metadata-sized by construction). Output mode is `append`,
+    * so each window's KS row is written exactly once, when the
+    * watermark finalizes the window — the contract an alerting
+    * consumer tails. */
+  def driftMonitorStream(serving: DataFrame, trainingSnapshot: DataFrame,
+                         sinkDir: String, checkpointDir: String,
+                         nBins: Int = 64, windowDur: String = "1 hour",
+                         watermark: String = "10 minutes",
+                         groupCol: String = "event_type",
+                         valueCol: String = "value",
+                         trigger: Trigger = Trigger.ProcessingTime(0L)):
+      StreamingQuery = {
+    val (vmn, vmx, refPlan) =
+      Validate.driftReference(trainingSnapshot, groupCol, valueCol, nBins)
+    // freeze the dense reference counts as a LocalRelation: bounded
+    // driver metadata, evaluated once — not a per-batch re-scan
+    val session = serving.sparkSession
+    val refDense = session.createDataFrame(
+      java.util.Arrays.asList(refPlan.collect(): _*), refPlan.schema)
+    StreamingOps.driftBinStream(serving, vmn, vmx, nBins, windowDur, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // an empty finalization batch appends nothing (no empty
+        // parquet part files accumulating between live windows)
+        if (!batch.isEmpty) {
+          Validate.ksAgainstReference(batch, refDense, nBins)
+            .coalesce(1)
+            .write.mode("append").parquet(sinkDir)
+        }
+        ()
+      }
+      .start()
   }
 }

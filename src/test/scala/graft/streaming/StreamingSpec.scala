@@ -406,6 +406,70 @@ class StreamingSpec extends SparkSpec {
       s"expected three second-precision buckets, got ${buckets30.toSeq}")
   }
 
+  test("driftMonitorStream (EP composition): replayed fixture stream appends " +
+      "per-window KS rows; restart from checkpoint appends nothing new") {
+    import graft.Pipeline
+    val nBins = 4
+    // frozen reference snapshot — same distributions as the unit twin
+    // test above, so the golden endpoints carry over
+    val ref = Seq(
+      ("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 0.0), ("b", 0.5), ("b", 0.75), ("b", 3.0))
+      .toDF("event_type", "value")
+
+    val t0 = 1600000000000L
+    val h = 3600000L
+    def ev(id: Long, tMs: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(t0 + tMs), id, typ, v)
+    // window 1: "a" matches the reference (D = 0), "b" clamps its
+    // out-of-range rows; window 2: "a" all-top-bin (max drift). The
+    // far-future sentinel advances the watermark past both windows so
+    // append mode finalizes them; its OWN window stays open and must
+    // NOT be in the sink.
+    val serving = Seq(
+      ev(1, 0, "a", 0.0), ev(2, 1000, "a", 1.0),
+      ev(3, 2000, "a", 2.0), ev(4, 3000, "a", 3.0),
+      ev(5, 4000, "b", -5.0), ev(6, 5000, "b", 99.0),
+      ev(7, h, "a", 3.0), ev(8, h + 1000, "a", 99.0),
+      ev(99, 1000 * h, "a", 1.0))
+      .toDF("event_id", "ts_t", "user_id", "event_type", "value")
+    val base = java.nio.file.Files.createTempDirectory("graft-driftmon")
+    val srcDir = base.resolve("src").toString
+    val sinkDir = base.resolve("sink").toString
+    val ckptDir = base.resolve("ckpt").toString
+    serving.write.mode("overwrite").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val q = Pipeline.driftMonitorStream(
+        spark.readStream.schema(EventSchema).parquet(srcDir),
+        trainingSnapshot = ref, sinkDir = sinkDir, checkpointDir = ckptDir,
+        nBins = nBins, windowDur = "1 hour", watermark = "10 minutes",
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    runOnce()
+
+    def sinkRows() = spark.read.parquet(sinkDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = sinkRows()
+    val buckets = got.keys.map(_._1).toSeq.distinct.sorted
+    assert(buckets.size == 2,
+      s"exactly the two finalized windows must reach the sink, got $buckets")
+    assert(got((buckets.head, "a")) == (4L, 4L, 0L),
+      "window matching the reference has zero KS gap")
+    assert(got((buckets.head, "b")) == (2L, 4L, 2L),
+      "out-of-range values clamp to the edge bins")
+    assert(got((buckets.last, "a")) == (2L, 4L, 6L),
+      "all-top-bin window reaches cum gap |0*4 - 3*2| = 6")
+    assert(!got.contains((buckets.last, "b")), "no b rows in window 2")
+
+    // restart from the checkpoint over the same source: exactly-once
+    // means the append sink gains NOTHING
+    runOnce()
+    assert(sinkRows() == got, "restart must not duplicate sink rows")
+  }
+
   test("sessionize: a cross-batch late event widens the session, never regresses it") {
     val t0 = 1600000000000L
     def ev(id: Long, user: Long, tMs: Long, v: Double) =

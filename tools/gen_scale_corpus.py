@@ -9,7 +9,18 @@ Mirrors the driver testdata's observed structure (driver tooling only
     word-perturbed near-copies of a base doc, ~0.2% exact dups.
   embeddings: 64-dim unit vectors around 10 cluster centers.
 
-Usage: gen_scale_corpus.py OUTDIR MULTIPLE [SEED]
+Two corpus regimes:
+  dense (default): the tiny ~45-word vocab makes near-dup density —
+    and every pair operator's true OUTPUT — quadratic in corpus size.
+    A deliberate stress case.
+  sparse (--sparse): 20k-word vocab, ~3% of docs are near-copies of a
+    base that is reused at most twice (cluster size <= 3), so near-dup
+    PAIR OUTPUT is linear in corpus size — the regime real corpora
+    live in. Embeddings likewise: random unit vectors (pairwise cosine
+    ~ N(0, 1/8), far from any near-dup threshold) plus ~3% tight
+    near-copies.
+
+Usage: gen_scale_corpus.py OUTDIR MULTIPLE [SEED] [--sparse]
 Writes OUTDIR/documents.parquet and OUTDIR/embeddings.parquet.
 """
 import sys, random, math
@@ -23,15 +34,38 @@ VOCAB = ("batch part spark line column order small sort fast value scan hash "
 LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
 
-def gen(outdir, mult, seed=42):
+def gen(outdir, mult, seed=42, sparse=False):
     rnd = random.Random(seed)
     n_docs = int(5000 * mult)
     n_emb = int(2000 * mult)
+    vocab = [f"w{i:05d}" for i in range(20000)] if sparse else VOCAB
 
     doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
-    base_texts = []
+    base_texts = []   # dense mode: unbounded reuse (quadratic pairs)
+    base_queue = []   # sparse mode: (words, n_reuses), reused <= 2x
     for i in range(n_docs):
-        if base_texts and rnd.random() < 0.05:
+        if sparse:
+            if base_queue and rnd.random() < 0.03:
+                # near-dup of a BOUNDED-reuse base: cluster size <= 3,
+                # so pair output stays linear in corpus size. Perturb
+                # ~5% of words — above the 0.8 unigram-jaccard
+                # confirm threshold for all but the shortest docs.
+                base, reuses = base_queue.pop()
+                words = base[:]
+                for j in range(len(words)):
+                    if rnd.random() < 0.05:
+                        words[j] = rnd.choice(vocab)
+                if reuses < 1 and rnd.random() < 0.3:
+                    base_queue.append((base, reuses + 1))
+            elif texts and rnd.random() < 0.002:
+                words = None  # exact dup (uniform over history: O(1)
+                t = rnd.choice(texts)  # expected copies per text)
+            else:
+                nw = rnd.randint(8, 110)
+                words = [rnd.choice(vocab) for _ in range(nw)]
+                if rnd.random() < 0.10:
+                    base_queue.append((words, 0))
+        elif base_texts and rnd.random() < 0.05:
             # near-dup: perturb ~10% of a base doc's words
             words = rnd.choice(base_texts)[:]
             for j in range(len(words)):
@@ -67,9 +101,25 @@ def gen(outdir, mult, seed=42):
         n = math.sqrt(sum(x * x for x in v))
         centers.append([x / n for x in v])
     vec_ids, embs, labels = [], [], []
+    vbase_queue = []  # sparse: bounded-reuse near-dup vector bases
     for i in range(n_emb):
-        lab = rnd.randrange(10)
-        v = [c + rnd.gauss(0, 0.25) for c in centers[lab]]
+        if sparse:
+            # random unit vectors: pairwise cosine ~ N(0, 1/64) —
+            # nowhere near any near-dup threshold; ~3% are tight
+            # near-copies (sigma 0.02) of a bounded-reuse base
+            if vbase_queue and rnd.random() < 0.03:
+                base, reuses = vbase_queue.pop()
+                v = [x + rnd.gauss(0, 0.02) for x in base]
+                if reuses < 1 and rnd.random() < 0.3:
+                    vbase_queue.append((base, reuses + 1))
+            else:
+                v = [rnd.gauss(0, 1) for _ in range(64)]
+                if rnd.random() < 0.10:
+                    vbase_queue.append((v, 0))
+            lab = rnd.randrange(10)
+        else:
+            lab = rnd.randrange(10)
+            v = [c + rnd.gauss(0, 0.25) for c in centers[lab]]
         n = math.sqrt(sum(x * x for x in v))
         vec_ids.append(i + 1)
         embs.append([x / n for x in v])
@@ -112,7 +162,9 @@ def gen(outdir, mult, seed=42):
 
 if __name__ == "__main__":
     import os
-    outdir, mult = sys.argv[1], float(sys.argv[2])
-    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    args = [a for a in sys.argv[1:] if a != "--sparse"]
+    sparse = "--sparse" in sys.argv[1:]
+    outdir, mult = args[0], float(args[1])
+    seed = int(args[2]) if len(args) > 2 else 42
     os.makedirs(outdir, exist_ok=True)
-    gen(outdir, mult, seed)
+    gen(outdir, mult, seed, sparse)
