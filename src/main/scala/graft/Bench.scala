@@ -103,12 +103,28 @@ object Bench {
     // construction is not a quadratic-WORK finding).
     val wantRows = sys.env.get("SPARK_GRAFT_ROWS").contains("1")
     val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // SPARK_GRAFT_DECOMP=1: per-rep floor decomposition. Splits each
+    // rep into BUILD (the queries() closure returning its DataFrame —
+    // scan resolution, any driver-side cut-point collection, demo
+    // setup on rep 1) and EXEC (the count action: planning + codegen
+    // + run). All reps are recorded, not just the min, so rep-1-only
+    // costs (codegen cache miss, demo construction) are attributable.
+    // Written to a side file; the driver contract line is unchanged.
+    val wantDecomp = sys.env.get("SPARK_GRAFT_DECOMP").contains("1")
+    val decomp = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try {
-            val n = fn(spark, sfDir).count()
+            val df = fn(spark, sfDir)
+            val tBuilt = System.nanoTime()
+            val n = df.count()
+            if (wantDecomp) {
+              val tDone = System.nanoTime()
+              decomp(name) = decomp.getOrElse(name, Seq.empty) :+
+                ((tBuilt - t0) / 1e9, (tDone - tBuilt) / 1e9)
+            }
             if (wantRows) rowCounts(name) = n
             true
           } catch {
@@ -172,6 +188,17 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (contractLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
+    if (wantDecomp) {
+      val decompJson = decomp.map { case (k, repsList) =>
+        val arr = repsList.map { case (b, e) =>
+          s"""{"build":${fmt(b)},"exec":${fmt(e)}}""" }.mkString("[", ",", "]")
+        s"\"" + k + "\":" + arr
+      }.mkString("{", ",", "}")
+      val dPath = sys.env.getOrElse("SPARK_GRAFT_DECOMP_OUT", "bench_decomp.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(dPath),
+        (decompJson + "\n").getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] could not write $dPath: $e") }
+    }
     if (nErr > 0) System.err.println(s"[bench] $nErr quer${if (nErr == 1) "y" else "ies"} FAILED — timings for those entries are invalid")
     spark.stop()
   }

@@ -234,7 +234,11 @@ object Pipeline {
     * ([[graft.core.Validate.ksAgainstReference]]), and append one
     * parquet file of (bucket, grp, n_win, n_ref, d_num) KS rows per
     * finalized window batch to `sinkDir` — the monitor's append-only
-    * report sink, restartable exactly-once from `checkpointDir`.
+    * report sink, restartable exactly-once from `checkpointDir`:
+    * each micro-batch lands in its own `batchId=` partition with
+    * overwrite semantics, so foreachBatch's at-least-once replay
+    * (crash between sink write and checkpoint commit) rewrites the
+    * same partition instead of duplicating rows.
     *
     * Scale shape: the reference is collected ONCE into a driver-local
     * relation — |groups|·nBins metadata rows (the artifact a real
@@ -253,6 +257,7 @@ object Pipeline {
                          watermark: String = "10 minutes",
                          groupCol: String = "event_type",
                          valueCol: String = "value",
+                         tsCol: String = "ts_t",
                          trigger: Trigger = Trigger.ProcessingTime(0L)):
       StreamingQuery = {
     val (vmn, vmx, refPlan) =
@@ -262,18 +267,26 @@ object Pipeline {
     val session = serving.sparkSession
     val refDense = session.createDataFrame(
       java.util.Arrays.asList(refPlan.collect(): _*), refPlan.schema)
-    StreamingOps.driftBinStream(serving, vmn, vmx, nBins, windowDur, watermark)
+    StreamingOps.driftBinStream(serving, vmn, vmx, nBins, windowDur, watermark,
+        groupCol = groupCol, valueCol = valueCol, tsCol = tsCol)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // an empty finalization batch appends nothing (no empty
-        // parquet part files accumulating between live windows)
+        // parquet part files accumulating between live windows).
+        // foreachBatch is at-least-once: a crash AFTER the write but
+        // BEFORE the checkpoint commit replays this batch on restart,
+        // so the write must be idempotent on batchId — each batch
+        // OVERWRITES its own batchId= partition (a replay rewrites
+        // identical content; batch content is deterministic from the
+        // checkpointed offsets). Readers of `sinkDir` see the KS row
+        // schema plus a trailing `batchId` partition column.
         if (!batch.isEmpty) {
           Validate.ksAgainstReference(batch, refDense, nBins)
             .coalesce(1)
-            .write.mode("append").parquet(sinkDir)
+            .write.mode("overwrite").parquet(s"$sinkDir/batchId=$batchId")
         }
         ()
       }

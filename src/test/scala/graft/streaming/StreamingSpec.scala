@@ -4,12 +4,22 @@ import graft.SparkSpec
 import graft.core.{Ops, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
 
 /** Streaming semantics: the streaming windowed aggregate must agree
   * with its batch twin on the same data (read ↔ readStream symmetry),
   * and sessionization must produce gap-delimited sessions.
   */
-class StreamingSpec extends SparkSpec {
+class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
+  // The shared session outlives this suite (one JVM across suites);
+  // any stream a failed assertion left running would otherwise die
+  // mid-plan in the SparkContext shutdown hook — the ERROR-log noise
+  // that once shadowed the suite's green total.
+  override def afterAll(): Unit = {
+    spark.streams.active.foreach(_.stop())
+    super.afterAll()
+  }
+
   import spark.implicits._
   import StreamingOps._
 
@@ -29,7 +39,7 @@ class StreamingSpec extends SparkSpec {
     val q = windowedAgg(stream).writeStream
       .outputMode("complete").format("memory").queryName("win_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val got = spark.table("win_out").collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
@@ -57,7 +67,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingOps.dedupStream(stream).writeStream
       .outputMode("append").format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val out = spark.table("dedup_out").select("text").as[String].collect().sorted.toSeq
     assert(out == Seq("aaa", "bbb", "ccc"), s"got $out")
@@ -82,7 +92,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingOps.markovStream(stream.as[StreamingOps.Event]).writeStream
       .outputMode("append").format("memory").queryName("markov_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val got = spark.table("markov_out")
       .groupBy("from_type", "to_type").count().collect()
@@ -108,15 +118,36 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(EventSchema).parquet(s"$dir/in")
     // one-hour TTL cannot fire inside the test: output must equal the
     // untimed operator's exactly (the TTL only bounds IDLE state)
+    // NOTE: a ProcessingTimeTimeout query NEVER self-terminates, even
+    // under Trigger.AvailableNow — Spark's shouldRunAnotherBatch is
+    // unconditionally true for processing-time timeouts, so the engine
+    // spins no-data batches to evaluate timeouts forever (and neither
+    // awaitTermination nor processAllAvailable ever returns). The
+    // round-7 form of this test (awaitTermination on AvailableNow)
+    // left the query running until the JVM shutdown hook shot it
+    // mid-plan — the suite-teardown INTERNAL_ERROR in the r7 logs.
+    // Bounded drive pattern: poll the sink for the expected rows,
+    // then stop() explicitly.
+    // a 10 s trigger (vs AvailableNow's back-to-back batches) keeps
+    // the engine IDLE between no-data ticks, so the stop() below
+    // lands between batches instead of cancelling one mid-broadcast
+    // (which logs an ERROR even on a clean stop)
     val q = StreamingOps.markovStream(stream.as[StreamingOps.Event],
         stateTtlMs = Some(3600L * 1000L)).writeStream
       .outputMode("append").format("memory").queryName("markov_ttl_out")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val got = spark.table("markov_ttl_out")
-      .groupBy("from_type", "to_type").count().collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(got == Map(("A", "B") -> 1L, ("B", "A") -> 1L, ("X", "Y") -> 1L))
+      .trigger(Trigger.ProcessingTime("10 seconds")).start()
+    val want = Map(("A", "B") -> 1L, ("B", "A") -> 1L, ("X", "Y") -> 1L)
+    try {
+      def counts() = spark.table("markov_ttl_out")
+        .groupBy("from_type", "to_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      var got = counts()
+      while (got != want && System.nanoTime() < deadline) {
+        Thread.sleep(250); got = counts()
+      }
+      assert(got == want, s"TTL markov stream never produced $want, got $got")
+    } finally q.stop()
     intercept[IllegalArgumentException](
       StreamingOps.markovStream(stream.as[StreamingOps.Event], stateTtlMs = Some(0L)))
   }
@@ -139,7 +170,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingOps.bloomScreen(stream, sketch).writeStream
       .outputMode("append").format("memory").queryName("bscreen_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val kept = spark.table("bscreen_out").select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(2L), s"got $kept")
     // batch twin on the same frame: identical keep set and hit counts
@@ -174,7 +205,7 @@ class StreamingSpec extends SparkSpec {
         spark.readStream.schema(EventSchema).parquet(s"$dir/r"))
       .writeStream.outputMode("append").format("memory").queryName("ssjoin_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val got = spark.table("ssjoin_out")
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
@@ -199,7 +230,7 @@ class StreamingSpec extends SparkSpec {
     val q = scd2Stream(spark.readStream.schema(EventSchema).parquet(dir).as[Event])
       .writeStream.outputMode("append").format("memory").queryName("scd2_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("scd2_out").as[Scd2Closed].collect()
       .map(c => (c.user_id, c.value, c.valid_from_us, c.valid_to_us))
       .sortBy(x => (x._1, x._3)).toSeq
@@ -233,7 +264,7 @@ class StreamingSpec extends SparkSpec {
     val q = scd2Stream(spark.readStream.schema(EventSchema).parquet(s"$dir/b=*").as[Event])
       .writeStream.outputMode("append").format("memory").queryName("scd2_ord")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("scd2_ord").as[Scd2Closed].collect()
       .map(c => (c.value, c.valid_from_us, c.valid_to_us)).sortBy(_._2).toSeq
     val us = (ms: Long) => (t0 + ms) * 1000L
@@ -269,7 +300,7 @@ class StreamingSpec extends SparkSpec {
     val q = sessionize(stream, gapMinutes = 30).writeStream
       .outputMode("append").format("memory").queryName("sess_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
 
     val sess = spark.table("sess_out").as[Session].collect()
       .filter(_.user_id != 9).sortBy(s => (s.user_id, s.start_us))
@@ -305,7 +336,7 @@ class StreamingSpec extends SparkSpec {
         spark.readStream.schema(EventSchema).parquet(dir))
       .writeStream.outputMode("append").format("memory").queryName("sw_out")
       .trigger(Trigger.AvailableNow()).start()
-    swq.awaitTermination(120000)
+    assert(swq.awaitTermination(120000), "stream did not finish in 120 s")
     val streamed = spark.table("sw_out").collect()
       .map(r => (r.getAs[Long]("user_id"),
                  r.getAs[java.sql.Timestamp]("start_t").getTime * 1000L,
@@ -352,7 +383,7 @@ class StreamingSpec extends SparkSpec {
         spark.readStream.schema(EventSchema).parquet(dir), vmn, vmx, nBins, "1 hour")
       .writeStream.outputMode("complete").format("memory").queryName("drift_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val streamedCounts = spark.table("drift_out")
 
     // batch twin: same binning expression, plain groupBy
@@ -396,7 +427,7 @@ class StreamingSpec extends SparkSpec {
         windowDur = "30 seconds")
       .writeStream.outputMode("complete").format("memory").queryName("drift30_out")
       .trigger(Trigger.AvailableNow()).start()
-    q30.awaitTermination(120000)
+    assert(q30.awaitTermination(120000), "stream did not finish in 120 s")
     val buckets30 = spark.table("drift30_out")
       .select("bucket").distinct().collect().map(_.getString(0)).sorted
     // +0 s, +35 s, +55 s land in three consecutive 30 s windows, the
@@ -445,7 +476,7 @@ class StreamingSpec extends SparkSpec {
         trainingSnapshot = ref, sinkDir = sinkDir, checkpointDir = ckptDir,
         nBins = nBins, windowDur = "1 hour", watermark = "10 minutes",
         trigger = Trigger.AvailableNow())
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     }
     runOnce()
 
@@ -468,6 +499,50 @@ class StreamingSpec extends SparkSpec {
     // means the append sink gains NOTHING
     runOnce()
     assert(sinkRows() == got, "restart must not duplicate sink rows")
+    // the idempotency mechanism is visible in the layout: each batch
+    // owns a batchId= partition it would overwrite on replay
+    assert(spark.read.parquet(sinkDir).columns.contains("batchId"),
+      "sink must be partitioned by micro-batch id")
+  }
+
+  test("driftMonitorStream honors non-default group/value/ts column names") {
+    import graft.Pipeline
+    // same distributions as the default-named test's window 1, under
+    // renamed columns end to end: the reference must be learned on
+    // `v` grouped by `g`, and the stream binned on the SAME columns
+    // (a half-plumbed monitor would train on one column and bin on
+    // another without erroring)
+    val ref = Seq(
+      ("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 0.0), ("b", 0.5), ("b", 0.75), ("b", 3.0))
+      .toDF("g", "v")
+    val t0 = 1600000000000L
+    val h = 3600000L
+    val serving = Seq(
+      (1L, new java.sql.Timestamp(t0), "a", 0.0),
+      (2L, new java.sql.Timestamp(t0 + 1000), "a", 1.0),
+      (3L, new java.sql.Timestamp(t0 + 2000), "a", 2.0),
+      (4L, new java.sql.Timestamp(t0 + 3000), "a", 3.0),
+      (5L, new java.sql.Timestamp(t0 + 4000), "b", -5.0),
+      (6L, new java.sql.Timestamp(t0 + 5000), "b", 99.0),
+      (99L, new java.sql.Timestamp(t0 + 1000 * h), "a", 1.0))
+      .toDF("id", "t", "g", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft-driftmon-cols")
+    val srcDir = base.resolve("src").toString
+    val sinkDir = base.resolve("sink").toString
+    serving.write.mode("overwrite").parquet(srcDir)
+    val q = Pipeline.driftMonitorStream(
+      spark.readStream.schema(serving.schema).parquet(srcDir),
+      trainingSnapshot = ref, sinkDir = sinkDir,
+      checkpointDir = base.resolve("ckpt").toString,
+      nBins = 4, windowDur = "1 hour", watermark = "10 minutes",
+      groupCol = "g", valueCol = "v", tsCol = "t",
+      trigger = Trigger.AvailableNow())
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
+    val got = spark.read.parquet(sinkDir).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == (4L, 4L, 0L), s"group a golden KS row, got $got")
+    assert(got("b") == (2L, 4L, 2L), s"group b golden KS row, got $got")
   }
 
   test("sessionize: a cross-batch late event widens the session, never regresses it") {
@@ -487,7 +562,7 @@ class StreamingSpec extends SparkSpec {
         spark.readStream.schema(EventSchema).parquet(dir).as[Event], 30)
       .writeStream.outputMode("append").format("memory").queryName("sess_late_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val sess = spark.table("sess_late_out").as[Session].collect()
       .filter(_.user_id == 1L)
     assert(sess.length == 1)
@@ -519,7 +594,7 @@ class StreamingSpec extends SparkSpec {
         gapMinutes = 30, watermarkMinutes = 1200)
       .writeStream.outputMode("append").format("memory").queryName("sess_deep_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val sess = spark.table("sess_deep_out").as[Session].collect()
       .filter(_.user_id == 1L).sortBy(_.start_us)
     assert(sess.length == 2, s"expected an early and a main session, got ${sess.toSeq}")
@@ -541,7 +616,7 @@ class StreamingSpec extends SparkSpec {
     val q = scd2Stream(spark.readStream.schema(EventSchema).parquet(dir).as[Event])
       .writeStream.outputMode("append").format("memory").queryName("scd2_nan_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val closed = spark.table("scd2_nan_out").as[Scd2Closed].collect()
       .sortBy(_.valid_from_us)
     // batch semantics (=!=): NaN equals NaN, so the two NaN events are

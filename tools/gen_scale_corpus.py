@@ -17,7 +17,7 @@ Two corpus regimes:
     base that is reused at most twice (cluster size <= 3), so near-dup
     PAIR OUTPUT is linear in corpus size — the regime real corpora
     live in. Embeddings likewise: random unit vectors (pairwise cosine
-    ~ N(0, 1/8), far from any near-dup threshold) plus ~3% tight
+    ~ N(0, 1/64), i.e. std 1/8 — far from any near-dup threshold) plus ~3% tight
     near-copies.
 
 Usage: gen_scale_corpus.py OUTDIR MULTIPLE [SEED] [--sparse]

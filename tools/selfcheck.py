@@ -42,12 +42,22 @@ for name, sql in sorted(oracle.items()):
 # oracle dump's size IS the declared-query count) — the count rotted
 # silently for three rounds before this check existed
 import os, re
-survey = os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', 'SURVEY.md')
-if os.path.exists(survey):
-    m = re.search(r'(\d+) declared queries total', open(survey).read())
+root = os.path.join(os.path.dirname(os.path.abspath(__file__)), '..')
+# (file, marker regex) — each doc that states the query count is pinned
+# to the live contract; README/COVERAGE rotted the same way SURVEY did
+# before it was pinned
+for fname, pat in [('SURVEY.md',   r'(\d+) declared queries total'),
+                   ('README.md',   r'(\d+) named queries'),
+                   ('README.md',   r'all (\d+) declared queries'),
+                   ('COVERAGE.md', r'(\d+) declared queries \(')]:
+    path = os.path.join(root, fname)
+    if not os.path.exists(path):
+        continue
+    m = re.search(pat, open(path).read())
+    key = f'{fname}_count_sync'
     if m is None:
-        print('SURVEY.md: missing "N declared queries total" marker'); fails.append('survey_count_sync')
+        print(f'{fname}: missing marker /{pat}/'); fails.append(key)
     elif int(m.group(1)) != len(oracle):
-        print(f'SURVEY.md declares {m.group(1)} queries; oracle_sql.json has {len(oracle)}')
-        fails.append('survey_count_sync')
+        print(f'{fname} says {m.group(1)} queries ({pat}); oracle_sql.json has {len(oracle)}')
+        fails.append(key)
 print('---'); print('FAILED:', fails if fails else 'none')
