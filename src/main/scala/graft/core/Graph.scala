@@ -169,19 +169,29 @@ object Graph {
                           reliableCheckpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
     val spark = edges.sparkSession
-    val symPlan = edges
-      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
-      .union(edges.select(col(dstCol).cast(LongType).as("src"), col(srcCol).cast(LongType).as("dst")))
-    val (sym, symRdd, badIds, symCount) =
-      materializeCount(symPlan, r => r.isNullAt(0) || r.isNullAt(1), reliableCheckpointDir)
     val reliable = reliableCheckpointDir.isDefined
+    // Materialize the DIRECTED edge projection FIRST, then build the
+    // symmetric closure from the materialized rows. Building sym
+    // straight off `edges` evaluated the caller's edge plan in BOTH
+    // union branches — and that plan is typically the expensive part
+    // of the whole query (an LSH band join, a blocked similarity
+    // join); measured on the 10× sparse embedding corpus, the
+    // double evaluation alone was ~25 s of a ~50 s query.
+    val dirPlan = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+    val (dir, dirRdd, badIds, _) =
+      materializeCount(dirPlan, r => r.isNullAt(0) || r.isNullAt(1), reliableCheckpointDir)
     if (badIds > 0) {
-      release(spark, symRdd, reliable)
+      release(spark, dirRdd, reliable)
       throw new IllegalArgumentException(
-        s"connectedComponents: $badIds edge endpoint(s) in '$srcCol'/'$dstCol' are null " +
-          "or not castable to long — fix or filter the edge input, a null id would " +
+        s"connectedComponents: $badIds edge row(s) in '$srcCol'/'$dstCol' have a null " +
+          "or non-long-castable endpoint — fix or filter the edge input, a null id would " +
           "otherwise collapse into one bogus component")
     }
+    val symPlan = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+    val (sym, symRdd, _, symCount) =
+      materializeCount(symPlan, _ => false, reliableCheckpointDir)
+    release(spark, dirRdd, reliable)
 
     // ---- small-graph path: exact union-find on the driver ----
     // symCount counts both directions, so /2 ≈ undirected edges. The

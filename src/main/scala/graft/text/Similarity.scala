@@ -422,7 +422,16 @@ object Similarity {
   def embeddingComponents(embeddings: DataFrame, threshold: Double,
                           nPlanes: Int = 4, nBands: Int = 4): DataFrame = {
     val keyed = embeddings.select(col("vec_id"), col("embedding"))
-    val reps = keyed.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id"))
+    // scoped cache (the family's standard pattern — minhash/simhash
+    // components do the same for their signature tables): the rep
+    // table is read by BOTH sides of the LSH band join, by the final
+    // membership join, and across connectedComponents' eager edge
+    // materialization — uncached, the rep-collapse shuffle recomputed
+    // once per reference. actions = 2: consumed by the edge
+    // materialization inside connectedComponents, then by the
+    // caller's terminal action on the returned frame.
+    val reps = graft.text.Dedup.registerCache(
+      keyed.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id")), actions = 2)
     val repVecs = reps.select(col("rep_id").as("vec_id"), col("embedding"))
     val edges = embeddingNearDupPairs(repVecs, threshold, nPlanes, nBands)
       .select(col("id_a"), col("id_b"))
