@@ -25,20 +25,23 @@ import org.apache.spark.sql.SparkSession
 object Demo {
 
   private val built = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, Unit]]()
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
 
   def once(spark: SparkSession, key: String)(build: => Unit): Unit = {
     val per = built.synchronized {
       var m = built.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Unit]
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
         built.put(spark, m)
       }
       m
     }
-    // a failed build propagates and caches nothing — the next call
-    // retries instead of running the operator against a half-built dir
-    per.getOrElseUpdate(key, build)
+    // computeIfAbsent, not getOrElseUpdate: atomic under concurrent
+    // first callers — two threads racing the same key must not both
+    // run a build that writes the same demo directory. A failed build
+    // propagates and caches nothing — the next call retries instead
+    // of running the operator against a half-built dir.
+    per.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
     ()
   }
 }
