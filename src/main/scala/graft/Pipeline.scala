@@ -238,7 +238,11 @@ object Pipeline {
     * each micro-batch lands in its own `batchId=` partition with
     * overwrite semantics, so foreachBatch's at-least-once replay
     * (crash between sink write and checkpoint commit) rewrites the
-    * same partition instead of duplicating rows.
+    * same partition instead of duplicating rows. Layout note: this
+    * replaced an earlier append-to-sink-root layout; a sink dir
+    * written by that layout must be drained (or pointed elsewhere)
+    * before restarting, since root-level part files and `batchId=`
+    * subdirectories cannot coexist under partition discovery.
     *
     * Scale shape: the reference is collected ONCE into a driver-local
     * relation — |groups|·nBins metadata rows (the artifact a real

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.core.{Ops, Tables}
+import graft.core.{Demo, Ops, Tables}
 import graft.text.{Dedup, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -98,7 +98,7 @@ object SparkEntry {
     // a file-set optimization, so the result equals plain filter
     "q_zonemap_prune" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_zonemap").getPath
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_zonemap-${Demo.dirTag(d)}").getPath
       graft.core.Demo.once(s, s"zonemap|$d") {
         graft.core.Warehouse.writeZoneMapped(
           Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
@@ -224,7 +224,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_jsonl_events").getPath
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_jsonl_events-${Demo.dirTag(d)}").getPath
       graft.core.Demo.once(s, s"jsonl|$d") { graft.sources.TextFormats.writeJsonl(ev, dir) }
       graft.sources.TextFormats.readJsonl(s, dir, ev.schema)
         .groupBy("event_type")
@@ -234,7 +234,7 @@ object SparkEntry {
     "q_csv_ingest" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit, max, min}
       val cust = Tables.customer(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_csv_customer").getPath
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_csv_customer-${Demo.dirTag(d)}").getPath
       graft.core.Demo.once(s, s"csv|$d") { graft.sources.TextFormats.writeCsv(cust, dir) }
       graft.sources.TextFormats.readCsv(s, dir, cust.schema)
         .groupBy("c_mktsegment")
@@ -248,7 +248,7 @@ object SparkEntry {
     "q_merge_upsert" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit}
       val ord = Tables.orders(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_merge_orders").getPath
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_merge_orders-${Demo.dirTag(d)}").getPath
       graft.core.Demo.once(s, s"merge|$d") {
         graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)
       }
@@ -267,7 +267,7 @@ object SparkEntry {
     "q_time_travel" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit}
       val ord = Tables.orders(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_timetravel_orders").getPath
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_timetravel_orders-${Demo.dirTag(d)}").getPath
       // the version HISTORY (v1 write + retained merge to v2) is the
       // demo table's construction; the operator under test — and the
       // timed region's steady-state cost — is the AS OF v1 read below
@@ -287,7 +287,7 @@ object SparkEntry {
     "q_orc_ingest" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit}
       val ord = Tables.orders(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_orc_orders").getPath
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_orc_orders-${Demo.dirTag(d)}").getPath
       graft.core.Demo.once(s, s"orc|$d") { graft.sources.ColumnarFormats.writeOrc(ord, dir) }
       graft.sources.ColumnarFormats.readOrc(s, dir)
         .filter(col("o_totalprice") > 150000.0)
@@ -328,12 +328,19 @@ object SparkEntry {
     // content-preserving so the oracle aggregates the original
     "q_compact_files" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit}
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_compact_events").getPath
+      // the fragmented INPUT layout is built once; every call then
+      // compacts a FRESH file-level copy of it — compaction consumes
+      // its own input state, so re-compacting in place would make
+      // later bench reps measure "compact an already-compacted dir"
+      // instead of the declared many-small-files workload
+      val dirFrag = new java.io.File(sys.props("java.io.tmpdir"), s"graft_compact_events-${Demo.dirTag(d)}").getPath
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_compact_work-${Demo.dirTag(d)}").getPath
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), col("value"))
       graft.core.Demo.once(s, s"compact|$d") {
-        ev.repartition(64).write.mode("overwrite").parquet(dir)
+        ev.repartition(64).write.mode("overwrite").parquet(dirFrag)
       }
+      Demo.refreshCopy(dirFrag, dir)
       graft.core.Warehouse.compactFiles(s, dir, 20000L)
       s.read.parquet(dir)
         .groupBy("event_type")

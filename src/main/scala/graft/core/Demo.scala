@@ -44,4 +44,36 @@ object Demo {
     per.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
     ()
   }
+
+  /** Filesystem-safe tag for a source directory, used to give each
+    * scale factor its OWN demo directory. The memo key alone is not
+    * enough: two sf dirs sharing one on-disk demo path would let a
+    * later build overwrite the earlier one while the earlier KEY
+    * stays cached — a revisit would then silently read the wrong
+    * scale factor's table. */
+  def dirTag(sourceDir: String): String = {
+    val base = new java.io.File(sourceDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    f"$base-${sourceDir.hashCode & 0x7fffffff}%08x"
+  }
+
+  /** Replace `dst` with a flat file-level copy of `src` — the reset
+    * step for demo operators that CONSUME their input layout (e.g.
+    * compaction): the once-built source layout stays pristine, each
+    * run works on a fresh copy. Local-filesystem copy of a
+    * file-count-bounded demo directory — not a data-path operation. */
+  def refreshCopy(src: String, dst: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val d = new java.io.File(dst)
+    rm(d)
+    d.mkdirs()
+    Option(new java.io.File(src).listFiles).getOrElse(Array.empty)
+      .filter(_.isFile)
+      .foreach { f =>
+        java.nio.file.Files.copy(f.toPath, new java.io.File(d, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
 }

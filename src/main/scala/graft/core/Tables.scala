@@ -88,7 +88,14 @@ object Tables {
     * inside the scan's partitions — wants the spread; anything whose
     * first exchange re-partitions regardless does not. So the plain
     * loaders return raw scans and the `*Spread` variants serve the
-    * narrow-heavy call sites (the dedup/ANN/components family). */
+    * narrow-heavy call sites (the dedup/ANN/components family).
+    * The shape rule is the heuristic; every call-site flip was
+    * decided by sf0.1/local[32] head-to-head timing, and several
+    * queries the rule nominates stay UNSPREAD because the exchange
+    * outweighed the parallelism win at their input size (measured:
+    * q_simhash 1.41×, q_incremental_dedup 1.20×, q_jaccard_clusters
+    * 1.34×, q_embed_components 1.11× WITH spread) — tiny inputs
+    * amortize an exchange worse than they amortize a 1-core scan. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
@@ -109,7 +116,6 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
   def documentsSpread(s: SparkSession, d: String): DataFrame = spreadTable(s, d, "documents")
   def embeddingsSpread(s: SparkSession, d: String): DataFrame = spreadTable(s, d, "embeddings")
-  def lineitemSpread(s: SparkSession, d: String): DataFrame = spreadTable(s, d, "lineitem")
 
   /** `events.parquet` has shipped with two physical `ts` encodings
     * across driver testdata generations: INT64 TIMESTAMP(NANOS)
