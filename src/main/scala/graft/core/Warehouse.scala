@@ -26,8 +26,13 @@ object Warehouse {
     // a fresh (in-memory) catalog may not know a table whose previous
     // location survives on disk — clear both before writing
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the session catalog lowercases table names on disk — computing
+    // the location from the caller's casing would miss the surviving
+    // directory and the saveAsTable below would fail on "location is
+    // not empty", the exact failure this cleanup exists to prevent
     val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table.toLowerCase(java.util.Locale.ROOT))
     if (loc.exists()) deleteRecursively(loc)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
@@ -66,12 +71,21 @@ object Warehouse {
                     nFiles: Int = 16, bits: Int = 12): Unit = {
     require(nFiles >= 1 && bits >= 1 && bits <= 31,
       s"need nFiles >= 1 and bits in [1, 31], got ($nFiles, $bits)")
+    // non-finite guard (the drift family's finiteSample discipline):
+    // one NaN reaching max() would make (mx - mn) NaN and collapse
+    // EVERY row's rank to a constant — single-column (or no)
+    // clustering silently shipped under a z-order label. Stats come
+    // from finite values only; non-finite rows rank 0 (they land in
+    // the lowest z-range file and never poison the layout).
+    def finite(c: Column) = graft.core.Validate.finiteSample(c)
     val stats = df.agg(
-      min(col(colA)).cast("double").as("__amn"), max(col(colA)).cast("double").as("__amx"),
-      min(col(colB)).cast("double").as("__bmn"), max(col(colB)).cast("double").as("__bmx"))
+      min(when(finite(col(colA)), col(colA))).cast("double").as("__amn"),
+      max(when(finite(col(colA)), col(colA))).cast("double").as("__amx"),
+      min(when(finite(col(colB)), col(colB))).cast("double").as("__bmn"),
+      max(when(finite(col(colB)), col(colB))).cast("double").as("__bmx"))
     val maxRank = (1L << bits) - 1
     def rank(c: Column, mn: Column, mx: Column) =
-      when(mx === mn, lit(0L)).otherwise(
+      when(mx <=> mn, lit(0L)).when(!finite(c), lit(0L)).otherwise(
         least(lit(maxRank), floor((c.cast("double") - mn) / (mx - mn) * maxRank).cast("long")))
     df.crossJoin(broadcast(stats))
       .withColumn("__z", zValue(rank(col(colA), col("__amn"), col("__amx")),
@@ -138,8 +152,25 @@ object Warehouse {
     * pointer and throws [[ZoneMapConflictException]] instead of
     * silently last-write-winning a version whose manifest resurrects
     * files the winner deleted. Returns the committed version. */
+  /** Per-table JVM-level monitors: java.nio file locks are held
+    * per-JVM, so two threads of the SAME driver attempting the file
+    * lock concurrently would throw OverlappingFileLockException — an
+    * exception type the documented retry contract (catch
+    * ZoneMapConflictException, re-read, retry) does not include.
+    * Same-JVM committers serialize here first; the file lock then
+    * guards cross-JVM writers as before. */
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def commitStagedZoneMapVersion(dir: String, expected: Int,
-                                         staged: java.io.File): Int = {
+                                         staged: java.io.File): Int =
+    commitMonitors.computeIfAbsent(
+        new java.io.File(dir).getAbsolutePath, _ => new Object).synchronized {
+      commitStagedLocked(dir, expected, staged)
+    }
+
+  private def commitStagedLocked(dir: String, expected: Int,
+                                 staged: java.io.File): Int = {
     val ch = java.nio.channels.FileChannel.open(
       new java.io.File(dir, "_commit.lock").toPath,
       java.nio.file.StandardOpenOption.CREATE,
@@ -285,6 +316,12 @@ object Warehouse {
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("_staging-"))
       .foreach(deleteRecursively)
+    // ...as do crashed merges' data-staging dirs under the table root
+    // (files not yet moved into data/, referenced by no manifest)
+    Option(new java.io.File(dir).listFiles)
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_merge-tmp-"))
+      .foreach(deleteRecursively)
     crashHook("vacuum:post-manifest-drop")
     (dead ++ orphans).foreach { p =>
       val f = new java.io.File(p)
@@ -351,16 +388,48 @@ object Warehouse {
     * would silently become a permanent insert-only row; fail
     * instead. */
   def mergeZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      statCol: String, updates: DataFrame,
+                      statCol: String, updates0: DataFrame,
                       retainForTimeTravel: Boolean = false): (Int, Int) = {
+    // one row per key: the merge contract is REPLACE-by-key, so a
+    // batch carrying two rows for one key (an earlier and a later
+    // CDC value) must not insert both — dedup on the merge key, the
+    // JdbcUpsert.newRows convention (which row survives an
+    // intra-batch duplicate is unspecified; feed pre-collapsed
+    // batches when it matters). Persisted for the merge's lifetime:
+    // the plan is otherwise re-executed by the null-check, the
+    // touched-file probe, the anti-join, and the rewrite union.
+    val updates = updates0.dropDuplicates(statCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val firstRow = updates.agg(count(lit(1)).as("n"),
       sum(when(col(statCol).isNull, 1L).otherwise(0L)).as("n_null")).collect()(0)
     val (nUpd, nNull) = (firstRow.getLong(0), if (firstRow.isNullAt(1)) 0L else firstRow.getLong(1))
     require(nNull == 0L, s"mergeZoneMapped: $nNull update row(s) carry a null '$statCol' key")
     val curVersion = zoneMapCurrentVersion(dir)
-    val man = zoneMapManifest(spark, dir)
+    // SNAPSHOT the manifest eagerly (it is file-count-sized metadata
+    // by design): the merge body references it twice, and a lazy plan
+    // re-reading the versioned manifest files mid-merge races a
+    // concurrent winner's post-commit cleanup — FAILED_READ_FILE
+    // instead of the documented conflict. One consistent snapshot
+    // also pins `touched` and the staged manifest to the SAME
+    // version the CAS below verifies.
+    val manPlan = zoneMapManifest(spark, dir)
+    val man = spark.createDataFrame(
+      java.util.Arrays.asList(manPlan.collect(): _*), manPlan.schema)
     val before = man.select("file").collect().map(_.getString(0)).toSet
     if (nUpd == 0L) return (0, before.size)
+    // any Spark read failure below, when the table version has moved
+    // meanwhile, IS a concurrency casualty (the winner deleted files
+    // this merge's plans referenced) — classify it as the documented
+    // retryable conflict instead of leaking FAILED_READ_FILE
+    def classifyConflict[A](body: => A): A =
+      try body catch {
+        case e: org.apache.spark.SparkException =>
+          val now = try zoneMapCurrentVersion(dir) catch { case _: Exception => -1 }
+          if (now != curVersion) throw new ZoneMapConflictException(dir, curVersion, now)
+          else throw e
+      }
+    classifyConflict {
     val touched = updates.select(col(statCol).as("k")).distinct()
       .join(broadcast(man), col("k") >= col("mn") && col("k") <= col("mx"))
       .select("file").distinct().collect().map(_.getString(0)).toSet
@@ -368,22 +437,33 @@ object Warehouse {
       if (touched.isEmpty) updates.limit(0)
       else spark.read.parquet(touched.toSeq: _*)
         .join(updates.select(col(statCol)).distinct(), Seq(statCol), "left_anti")
-    // fresh = files this APPEND creates, diffed on the actual disk
-    // listing — NOT against the manifest: the data dir also holds
-    // files superseded by EARLIER merges (absent from the current
-    // manifest), and a manifest diff would resurrect their stale
-    // rows into the new manifest
-    def diskFiles(): Set[String] =
-      Option(new java.io.File(dir, "data").listFiles).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath).toSet
-    val diskBefore = diskFiles()
+    // fresh = files this merge creates, identified DETERMINISTICALLY:
+    // write to a merge-private staging dir, then move each part file
+    // into data/ (parquet part names carry a write-UUID, so moves
+    // never collide). The previous before/after listing DIFF of
+    // data/ raced a concurrent merge — its freshly appended files
+    // landed in the diff window and were absorbed into THIS merge's
+    // manifest, committing the loser's rows alongside the winner's
+    // (duplicate keys) despite the CAS. A crash between moves leaves
+    // orphan files in data/ (never referenced by a committed
+    // manifest) and possibly a _merge-tmp dir; vacuum reclaims both.
+    val mergeTmp = new java.io.File(dir,
+      s"_merge-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     keep.unionByName(updates)
       .repartitionByRange(math.max(1, touched.size), col(statCol))
       .sortWithinPartitions(col(statCol))
-      .write.mode(SaveMode.Append).parquet(s"$dir/data")
+      .write.mode(SaveMode.Overwrite).parquet(mergeTmp.getPath)
+    val dataDir = new java.io.File(dir, "data")
+    val fresh = Option(mergeTmp.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val dest = new java.io.File(dataDir, f.getName)
+        java.nio.file.Files.move(f.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        dest.getAbsolutePath
+      }.toSeq
+    deleteRecursively(mergeTmp)
     // manifest delta: stats from the NEW files only (merge-sized scan)
-    val fresh = (diskFiles() -- diskBefore).toSeq
     val freshStats = spark.read.parquet(fresh: _*)
       .select(input_file_name().as("file"), col(statCol))
       .groupBy("file")
@@ -418,6 +498,8 @@ object Warehouse {
       }
     }
     (touched.size, before.size)
+    }
+    } finally updates.unpersist(blocking = false)
   }
 
   /** Snapshot diff (table-version compare): classify every key as
@@ -526,6 +608,9 @@ object Warehouse {
       s"compactFiles compacts plain parquet directories only; $dir contains " +
         s"${foreign.map(_.getName).mkString(", ")} — compact the data subdir instead")
     val before = parquetFiles(dirFile)
+    // nothing to compact (e.g. a sink dir holding only marker files):
+    // a no-op, not a schema-inference failure from reading zero files
+    if (before.isEmpty) return (0, 0)
     val hconf = spark.sparkContext.hadoopConfiguration
     val nRows = before.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(

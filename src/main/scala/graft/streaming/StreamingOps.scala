@@ -58,9 +58,11 @@ object StreamingOps {
     * late-row filter guarantees it), so every late event folds into
     * the open session. With a LONGER delay (accept very late data),
     * deeply-late events — more than gapUs before the open session's
-    * start — become admissible; they are gap-split among their own
-    * micro-batch peers and emitted as separate closed sessions, the
-    * batch twin's answer. Residual stream/batch divergence
+    * start — become admissible; ones that chain into the open
+    * session (directly or transitively through later same-batch
+    * events, the batch twin's gap rule) merge in and widen it, the
+    * rest are gap-split among their own micro-batch peers and
+    * emitted as separate closed sessions. Residual stream/batch divergence
     * (inherent to single-interval state): such an event merges only
     * with peers in its own batch — a previously-EMITTED session it
     * would have bridged in batch mode has no surviving state. */
@@ -80,19 +82,33 @@ object StreamingOps {
         val sorted = rows.toSeq.sortBy(_.ts_t.getTime)
         var closed = List.empty[Session]
         var cur = state.getOption
-        // DEEPLY-late prefix: an event more than gapUs BEFORE the
-        // open session's start cannot belong to it — the batch twin
-        // (global sort, split on gaps) emits it as a separate earlier
-        // session. Sorted input makes such events a prefix: peel it
-        // off, gap-split it among its own peers, and emit those
-        // sessions closed immediately. Reachable only when
-        // watermarkMinutes > gapMinutes (see scaladoc); at the
-        // default delay the runtime's late-row filter makes this a
-        // no-op, kept as the correct answer rather than a silent
-        // merge-into-the-wrong-session.
+        // DEEPLY-late prefix: an event that cannot reach the open
+        // session — neither directly (within gapUs of its start) nor
+        // TRANSITIVELY through later same-batch events that
+        // themselves chain in (the batch twin's gap rule is
+        // transitive over the merged timeline) — is emitted as part
+        // of a separate earlier session. Chain BACKWARDS from the
+        // session start: a naive distance-to-start span would split
+        // an 11:25 event off a [11:25, 11:31, 12:00-session] chain
+        // the batch twin merges whenever 11:31 bridges the gap.
+        // Reachable only when watermarkMinutes > gapMinutes (see
+        // scaladoc); at the default delay the runtime's late-row
+        // filter makes this a no-op, kept as the correct answer
+        // rather than a silent merge-into-the-wrong-session.
         val (deepLate, rest) = cur match {
-          case Some(s) => sorted.span(e => s.start - e.ts_t.getTime * 1000L > gapUs)
-          case None    => (Seq.empty[Event], sorted)
+          case Some(s) =>
+            val times = sorted.map(_.ts_t.getTime * 1000L)
+            var anchor = s.start
+            var i = sorted.length - 1
+            var cut = 0
+            while (i >= 0 && cut == 0) {
+              val t = times(i)
+              if (t >= s.start) i -= 1 // at/inside the open session: chains trivially
+              else if (anchor - t <= gapUs) { anchor = t; i -= 1 }
+              else cut = i + 1 // first unbridgeable gap: prefix [0, i] is deeply late
+            }
+            (sorted.take(cut), sorted.drop(cut))
+          case None => (Seq.empty[Event], sorted)
         }
         var late: Option[SessionState] = None
         deepLate.foreach { e =>

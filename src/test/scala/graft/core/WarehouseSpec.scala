@@ -70,6 +70,94 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       rand.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet)
   }
 
+  test("z-order layout survives non-finite values: stats from finite rows only") {
+    // one NaN in each dimension — pre-guard, max() returned NaN, every
+    // rank collapsed to a constant, and repartitionByRange put ALL
+    // rows in one file (single-column or no clustering shipped under
+    // a z-order label)
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 2000).map(i =>
+      (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val rows = (base :+ ((2001L, Double.NaN, 5.0)) :+ ((2002L, 5.0, Double.NaN)))
+      .toDF("id", "a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-znan").toString + "/t"
+    Warehouse.writeZOrdered(rows, dir, "a", "b", nFiles = 8)
+    val back = spark.read.parquet(dir)
+    // content conserved, including the non-finite rows
+    assert(back.count() == 2002L)
+    assert(back.filter(isnan(col("a")) || isnan(col("b"))).count() == 2L)
+    // the layout is still clustered: rows spread over multiple files
+    // (a poisoned constant z-value would range-partition into one)
+    val nonEmpty = back.select(input_file_name()).distinct().count()
+    assert(nonEmpty >= 4, s"NaN poisoned the z-ranks: $nonEmpty non-empty files")
+    // and a 2-D box still prunes to a file subset
+    val touched = back.filter(col("a").between(10, 30) && col("b").between(10, 30))
+      .select(input_file_name()).distinct().count()
+    assert(touched < nonEmpty, s"box touched all $nonEmpty files")
+  }
+
+  test("merge dedups the update batch on the merge key (REPLACE contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mgdup").toString + "/t"
+    Warehouse.writeZoneMapped((1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"),
+      dir, "k", 4)
+    // a CDC batch carrying the same key twice (earlier + later value)
+    // must not insert both rows — one row per key survives
+    val dup = Seq((50L, "X"), (50L, "Y"), (200L, "I"), (200L, "J")).toDF("k", "v")
+    Warehouse.mergeZoneMapped(spark, dir, "k", dup)
+    val got = spark.read.parquet(s"$dir/data").groupBy("k").count()
+      .filter(col("count") > 1).count()
+    assert(got == 0L, "duplicate keys committed by a duplicated update batch")
+    val all = spark.read.parquet(s"$dir/data").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all.size == 101 && Set("X", "Y").contains(all(50L)) &&
+      Set("I", "J").contains(all(200L)))
+  }
+
+  test("compactFiles on a directory with zero parquet files is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmp0").toString + "/t"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath, Array.empty[Byte])
+    assert(Warehouse.compactFiles(spark, dir, 1000L) == ((0, 0)))
+    assert(new java.io.File(dir, "_SUCCESS").exists, "no-op must not disturb the dir")
+  }
+
+  test("same-JVM concurrent merges serialize: loser gets ZoneMapConflictException") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mgthr").toString + "/t"
+    Warehouse.writeZoneMapped((1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"),
+      dir, "k", 4)
+    val updA = (1L to 1000L).filter(_ % 100 == 0).map(k => (k, "A")).toDF("k", "v")
+    val updB = (1L to 1000L).filter(_ % 100 == 50).map(k => (k, "B")).toDF("k", "v")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    def runner(upd: org.apache.spark.sql.DataFrame) = new Thread(() => {
+      start.await()
+      try {
+        Warehouse.mergeZoneMapped(spark, dir, "k", upd)
+        results.add(Right(Warehouse.zoneMapCurrentVersion(dir)))
+      } catch { case t: Throwable => results.add(Left(t)) }
+    })
+    val (ta, tb) = (runner(updA), runner(updB))
+    ta.start(); tb.start(); start.countDown(); ta.join(120000); tb.join(120000)
+    val (losers, winners) = results.toArray(Array.empty[Either[Throwable, Int]])
+      .partition(_.isLeft)
+    assert(winners.length == 1 && losers.length == 1,
+      s"exactly one of two same-snapshot merges must commit, got $winners / $losers")
+    // the loser sees the documented conflict type — never the
+    // undocumented OverlappingFileLockException the raw file lock
+    // throws for same-JVM contention
+    losers.head.left.foreach(t =>
+      assert(t.isInstanceOf[Warehouse.ZoneMapConflictException],
+        s"loser threw ${t.getClass.getName}: ${t.getMessage}"))
+    // the winner's table is consistent: 1000 rows, no duplicate keys,
+    // and no absorption of the loser's files into the manifest
+    val live = Warehouse.readZoneMapPruned(spark, dir, "k", 1L, 1000L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live.size == 1000, s"committed table has ${live.size} keys")
+    val winnerMark = if (live(100L) == "A") "A" else "B"
+    if (winnerMark == "A") assert(live(50L) == "v50", "loser's rows leaked into the commit")
+    else assert(live(100L) == "v100", "loser's rows leaked into the commit")
+  }
+
   test("zone-map manifest prunes the file set; result equals full filter") {
     val rows = (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft-zm").toString + "/t"

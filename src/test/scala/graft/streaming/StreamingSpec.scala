@@ -606,6 +606,37 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
       sess(1).n_events == 2 && sess(1).total_value == 3.0, s"got ${sess(1)}")
   }
 
+  test("sessionize: a deep-late event bridged to the open session by a same-batch " +
+      "peer merges in (transitive gap rule), not split off") {
+    val t0 = 1600000000000L
+    def ev(id: Long, user: Long, tMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(t0 + tMs), user, "click", v)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-bridge").toString
+    // batch 1: open session at +60 min
+    Seq(ev(1, 1, 60 * 60000L, 1.0)).toDS()
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // batch 2: +25 min and +31 min. +25 is 35 min before the open
+    // session's start (> 30-min gap) — but +31 bridges it: 25→31 is
+    // 6 min, 31→60 is 29 min, so the batch twin (transitive gap
+    // split over the sorted timeline) puts ALL THREE in one session.
+    // A distance-to-start peel would wrongly emit +25 alone.
+    Seq(ev(2, 1, 25 * 60000L, 2.0), ev(3, 1, 31 * 60000L, 4.0),
+        ev(99, 9, 100 * 3600000L, 0.0)).toDS() // watermark sentinel
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = sessionize(
+        spark.readStream.schema(EventSchema).parquet(dir).as[Event],
+        gapMinutes = 30, watermarkMinutes = 1200)
+      .writeStream.outputMode("append").format("memory").queryName("sess_bridge_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
+    val sess = spark.table("sess_bridge_out").as[Session].collect()
+      .filter(_.user_id == 1L)
+    assert(sess.length == 1, s"bridged chain must be ONE session, got ${sess.toSeq}")
+    assert(sess.head.start_us == (t0 + 25 * 60000L) * 1000L &&
+      sess.head.end_us == (t0 + 60 * 60000L) * 1000L &&
+      sess.head.n_events == 3 && sess.head.total_value == 7.0, s"got ${sess.head}")
+  }
+
   test("scd2Stream: NaN runs extend one range (Spark-equality NaN semantics)") {
     val t0 = 1600000000000L
     def ev(id: Long, tMs: Long, v: Double) =
