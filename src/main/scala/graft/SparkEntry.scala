@@ -146,11 +146,18 @@ object SparkEntry {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      // per-dir TABLE NAMES, not just a per-dir memo key: the catalog
+      // names are session-global, so a shared name + per-dir key would
+      // serve dir A's cached key with dir B's rebuilt rows after an
+      // A→B→A sequence in one session (dots sanitized — saveAsTable
+      // parses them as a database qualifier)
+      val tag = graft.core.Demo.dirTag(d).replaceAll("[^A-Za-z0-9_]", "_")
+      val (liT, ordT) = (s"q_li_bucketed_$tag", s"q_ord_bucketed_$tag")
       graft.core.Demo.once(s, s"bucket|$d") {
-        graft.core.Warehouse.writeBucketed(li, "q_li_bucketed", "l_orderkey", 8)
-        graft.core.Warehouse.writeBucketed(ord, "q_ord_bucketed", "l_orderkey", 8)
+        graft.core.Warehouse.writeBucketed(li, liT, "l_orderkey", 8)
+        graft.core.Warehouse.writeBucketed(ord, ordT, "l_orderkey", 8)
       }
-      s.table("q_li_bucketed").join(s.table("q_ord_bucketed"), "l_orderkey")
+      s.table(liT).join(s.table(ordT), "l_orderkey")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Ops.moneySum(col("l_quantity"), 2).as("qty"))
     }),

@@ -406,29 +406,37 @@ object Warehouse {
     val (nUpd, nNull) = (firstRow.getLong(0), if (firstRow.isNullAt(1)) 0L else firstRow.getLong(1))
     require(nNull == 0L, s"mergeZoneMapped: $nNull update row(s) carry a null '$statCol' key")
     val curVersion = zoneMapCurrentVersion(dir)
+    // any Spark failure below, when the table version has moved
+    // meanwhile, IS a concurrency casualty (the winner deleted files
+    // this merge's plans referenced) — classify it as the documented
+    // retryable conflict instead of leaking the raw error. Both
+    // runtime (SparkException: FAILED_READ_FILE) and plan-time
+    // (AnalysisException: PATH_NOT_FOUND when a whole touched file
+    // vanished before the read was even planned) shapes occur.
+    def classifyConflict[A](body: => A): A =
+      try body catch {
+        case e @ (_: org.apache.spark.SparkException |
+                  _: org.apache.spark.sql.AnalysisException) =>
+          val now = try zoneMapCurrentVersion(dir) catch { case _: Exception => -1 }
+          if (now != curVersion) throw new ZoneMapConflictException(dir, curVersion, now)
+          else throw e
+      }
     // SNAPSHOT the manifest eagerly (it is file-count-sized metadata
     // by design): the merge body references it twice, and a lazy plan
     // re-reading the versioned manifest files mid-merge races a
     // concurrent winner's post-commit cleanup — FAILED_READ_FILE
     // instead of the documented conflict. One consistent snapshot
     // also pins `touched` and the staged manifest to the SAME
-    // version the CAS below verifies.
-    val manPlan = zoneMapManifest(spark, dir)
-    val man = spark.createDataFrame(
-      java.util.Arrays.asList(manPlan.collect(): _*), manPlan.schema)
+    // version the CAS below verifies. The collect itself races the
+    // same cleanup (the winner may drop _zonemap_history/v{cur}
+    // mid-read), so it runs classified too.
+    val man = classifyConflict {
+      val manPlan = zoneMapManifest(spark, dir)
+      spark.createDataFrame(
+        java.util.Arrays.asList(manPlan.collect(): _*), manPlan.schema)
+    }
     val before = man.select("file").collect().map(_.getString(0)).toSet
     if (nUpd == 0L) return (0, before.size)
-    // any Spark read failure below, when the table version has moved
-    // meanwhile, IS a concurrency casualty (the winner deleted files
-    // this merge's plans referenced) — classify it as the documented
-    // retryable conflict instead of leaking FAILED_READ_FILE
-    def classifyConflict[A](body: => A): A =
-      try body catch {
-        case e: org.apache.spark.SparkException =>
-          val now = try zoneMapCurrentVersion(dir) catch { case _: Exception => -1 }
-          if (now != curVersion) throw new ZoneMapConflictException(dir, curVersion, now)
-          else throw e
-      }
     classifyConflict {
     val touched = updates.select(col(statCol).as("k")).distinct()
       .join(broadcast(man), col("k") >= col("mn") && col("k") <= col("mx"))

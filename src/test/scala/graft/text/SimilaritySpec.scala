@@ -266,6 +266,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1000L) == got(0L), "bit-identical vectors must share a component")
   }
 
+  test("embeddingComponents rep cache self-releases after the consuming action") {
+    // same contract DedupPropertySpec pins for the lexical component
+    // operators: a library user who runs one terminal action and
+    // never calls releaseCaches() must leak no persisted blocks
+    graft.text.Dedup.releaseCaches()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val emb = clustered(seed = 41, nClusters = 4, perCluster = 6, dim = 8)
+    Similarity.embeddingComponents(emb, 0.9).count()
+    val deadline = System.currentTimeMillis() + 15000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"rep cache not self-released: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("semanticDedup: keep-first within cells, identical members always dropped") {
     // tight clusters -> within-cluster cosine ~1; vec 6 duplicates
     // vec 1 exactly (a non-rep member)

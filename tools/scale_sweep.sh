@@ -49,12 +49,20 @@ root, regime = sys.argv[1], sys.argv[2]
 d = {m: json.load(open(f'{root}/bench_{regime}{m}.json')) for m in (1, 3, 10)}
 q1, q3, q10 = d[1]['queries'], d[3]['queries'], d[10]['queries']
 r1, r10 = d[1].get('rows', {}), d[10].get('rows', {})
+# error check FIRST: Bench omits failed queries from 'queries', so a
+# failure at one scale would KeyError the table below before the
+# diagnostic that explains it
+errs = [d[m].get('n_errors', 0) for m in (1, 3, 10)]
+print("errors per scale:", errs)
+complete = sorted(set(q1) & set(q3) & set(q10))
+dropped = sorted((set(q1) | set(q3) | set(q10)) - set(complete))
+if dropped:
+    print("MISSING at some scale (failed there):", ", ".join(dropped))
 print(f"{'query':24s} {'1x s':>7s} {'3x s':>8s} {'10x s':>8s} {'t-exp':>6s} {'o-exp':>6s}")
-for k in sorted(q1, key=lambda k: math.log10(q10[k] / q1[k])):
+for k in sorted(complete, key=lambda k: math.log10(q10[k] / q1[k])):
     te = math.log10(q10[k] / q1[k])
     oe = math.log10(max(r10.get(k, 1), 1) / max(r1.get(k, 1), 1))
     print(f"{k:24s} {q1[k]:7.2f} {q3[k]:8.2f} {q10[k]:8.2f} {te:6.2f} {oe:6.2f}")
-errs = [d[m].get('n_errors', 0) for m in (1, 3, 10)]
-print("errors per scale:", errs)
-assert sum(errs) == 0, "sweep had query errors - exponents above are invalid"
+assert sum(errs) == 0 and not dropped, \
+    "sweep had query errors - exponents above are invalid"
 EOF
