@@ -907,7 +907,7 @@ object SparkEntry {
         |    median(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med,
         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events)
+        |  FROM events WHERE value IS NOT NULL)
         |SELECT user_id, event_id, us, value, med FROM w WHERE rn >= 5""".stripMargin,
 
     "q_fanout_explode" ->
@@ -1358,8 +1358,9 @@ object SparkEntry {
         |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
         |      FROM e)
         |SELECT user_id,
-        |  CAST(sum(cents * (next_us - us)) AS DOUBLE)
-        |    / CAST(sum(next_us - us) AS DOUBLE) / 100.0 AS twa,
+        |  CASE WHEN sum(next_us - us) = 0 THEN NULL
+        |       ELSE CAST(sum(cents * (next_us - us)) AS DOUBLE)
+        |              / CAST(sum(next_us - us) AS DOUBLE) / 100.0 END AS twa,
         |  count(*)::BIGINT AS n_intervals
         |FROM i WHERE next_us IS NOT NULL GROUP BY 1""".stripMargin,
 
@@ -1395,9 +1396,11 @@ object SparkEntry {
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts)::BIGINT AS us FROM events),
         |ch AS (SELECT user_id, event_id, value, us,
-        |         lag(value) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pv
+        |         lag(value) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pv,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
         |       FROM e),
-        |k AS (SELECT user_id, event_id, value, us FROM ch WHERE pv IS NULL OR value <> pv)
+        |k AS (SELECT user_id, event_id, value, us FROM ch
+        |      WHERE rn = 1 OR value IS DISTINCT FROM pv)
         |SELECT user_id, value, us AS valid_from_us,
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current

@@ -356,8 +356,15 @@ object Ops {
       .withColumn("next_us", lead(col("us"), 1).over(w))
       .filter(col("next_us").isNotNull)
       .groupBy("user_id")
-      .agg((sum(col("cents") * (col("next_us") - col("us"))).cast(DoubleType)
-            / sum(col("next_us") - col("us")).cast(DoubleType) / 100.0).as("twa"),
+      // a user whose retained intervals are ALL zero-length (every
+      // event at one timestamp) has no held duration — twa is
+      // DELIBERATELY null, guarded explicitly rather than reached
+      // through 0.0/0.0 (Spark's non-ANSI divide nulls it silently;
+      // DuckDB would say NaN — a cross-engine hash bomb)
+      .agg(when(sum(col("next_us") - col("us")) === 0L, lit(null).cast(DoubleType))
+            .otherwise(
+              sum(col("cents") * (col("next_us") - col("us"))).cast(DoubleType)
+                / sum(col("next_us") - col("us")).cast(DoubleType) / 100.0).as("twa"),
            count(lit(1)).as("n_intervals"))
   }
 
@@ -442,9 +449,16 @@ object Ops {
   def scd2(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val prev = lag(col("value"), 1).over(w)
+    // null-safe change detection: `value =!= prev` is NULL (filtered
+    // as false) when either side is null, which would silently DROP a
+    // transition into null and fail to collapse consecutive nulls —
+    // `prev.isNull` cannot distinguish "no previous row" from
+    // "previous value was null". <=> compares null-safely; the
+    // row_number marker handles a first row whose value is null.
     events
       .select(col("user_id"), col("event_id"), col("value"), expr("ts div 1000").as("us"))
-      .withColumn("changed", prev.isNull || col("value") =!= prev)
+      .withColumn("changed",
+        row_number().over(w) === lit(1) || !(col("value") <=> prev))
       .filter(col("changed"))
       .withColumn("valid_to_us", lead(col("us"), 1).over(w))
       .select(col("user_id"), col("value"), col("us").as("valid_from_us"),
@@ -550,21 +564,28 @@ object Ops {
     require(p > 0.0 && p < 1.0, s"need p in (0,1), got $p")
     require(accuracyFraction > 0.0 && accuracyFraction < 0.5,
       s"need accuracyFraction in (0,0.5), got $accuracyFraction")
+    // nulls are not samples (the drift family's discipline, and what
+    // percentile_approx itself does): without this filter the exact
+    // rank/count include null rows — ascending sort puts them FIRST,
+    // so exact_q lands on the wrong element (or on NULL) and
+    // within_bound indicts a sketch that is inside its guarantee
+    val data = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
     val order = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val whole = Window.partitionBy(col(groupCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = df.select(col(groupCol), col(valueCol))
+    val ranked = data
       .withColumn("rk", row_number().over(order))
       .withColumn("n", count(lit(1)).over(whole))
     val exact = ranked
       .filter(col("rk") === ceil(lit(p) * col("n")).cast(LongType))
       .select(col(groupCol), col(valueCol).as("exact_q"), col("n"))
-    val approx = df.groupBy(col(groupCol))
+    val approx = data.groupBy(col(groupCol))
       .agg(percentile_approx(col(valueCol), lit(p),
         lit(math.max(1, math.ceil(1.0 / accuracyFraction).toInt))).as("approx_q"))
     // rank of the sketch's answer = how many values are <= it; the GK
     // bound allows ±accuracy·n around the target rank
-    val approxRank = df.select(col(groupCol), col(valueCol))
+    val approxRank = data
       .join(approx, Seq(groupCol))
       .groupBy(col(groupCol), col("approx_q"))
       .agg(sum(when(col(valueCol) <= col("approx_q"), 1L).otherwise(0L)).as("approx_rank"))
@@ -681,9 +702,14 @@ object Ops {
 
   /** Fixed-width histogram: arithmetic bucketing + count — the
     * shuffle carries |buckets| rows after map-side combine. */
-  def histogram(lineitem: DataFrame, width: Double): DataFrame =
+  def histogram(lineitem: DataFrame, width: Double): DataFrame = {
+    // fail fast like every sibling: width = 0 would silently put all
+    // rows in one `null` bucket (x/0.0 is NULL under non-ANSI mode),
+    // a negative width silently negates every bucket index
+    require(width > 0.0, s"bucket width must be positive, got $width")
     lineitem.groupBy(floor(col("l_quantity") / width).cast(LongType).as("bucket"))
       .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice"), 2).as("revenue"))
+  }
 
   /** Exact interpolated percentiles per group (`percentile`, not
     * `approx_percentile` — t-digest/GK sketches are not
@@ -750,6 +776,13 @@ object Ops {
     val order = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val frame = order.rowsBetween(-(nWindow - 1), Window.currentRow)
     events
+      // null values are not samples: collect_list silently DROPS them
+      // while the frame and the rn gate still count them, so a null
+      // in the window would shift the picked element off the true
+      // middle (or past the array's end → null median). Excluding
+      // them up front keeps every emitted window exactly nWindow
+      // observed values — the windows slide over observations.
+      .filter(col("value").isNotNull)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"), col("value"))
       .withColumn("arr", sort_array(collect_list(col("value")).over(frame)))
       .withColumn("rn", row_number().over(order))
@@ -824,8 +857,9 @@ object Ops {
   /** Set intersection/difference on a common key projection — the
     * remaining ANSI set operators beside [[unionEntities]]. Spark
     * plans both as aggregates/joins on the full row key (one shuffle,
-    * partial-aggregable); declared over the customer∩supplier key
-    * overlap so the result is non-trivial on the testdata. */
+    * partial-aggregable); declared over the customers-with-orders
+    * key overlap (c_custkey ∩ o_custkey) so the result is
+    * non-trivial on the testdata. */
   def intersectKeys(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.select(col("c_custkey").as("k"))
       .intersect(orders.select(col("o_custkey").as("k")))
@@ -1070,7 +1104,6 @@ object Ops {
     */
   def paretoFront(df: DataFrame, keyCol: String, maxCol: String,
                   minCol: String, nScanParts: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nScanParts >= 1, s"need nScanParts >= 1, got $nScanParts")
     val perValue = df.groupBy(col(maxCol))
       .agg(min(col(minCol)).as("__mp"))

@@ -433,6 +433,68 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2: null attribute values — transition into null kept, consecutive nulls collapse") {
+    def ns(us: Long) = us * 1000L
+    // user 1: 5.0 → null (a real transition, previously DROPPED
+    // because 'null =!= 5.0' is NULL) → null (collapses, previously
+    // re-emitted because lag(value).isNull conflated "no previous
+    // row" with "previous value was null") → 5.0 (reopens)
+    // user 2: FIRST value null (needs the row_number marker)
+    val events = Seq(
+      (1L, 10L, ns(100L), Some(5.0)), (1L, 11L, ns(200L), None),
+      (1L, 12L, ns(300L), None), (1L, 13L, ns(400L), Some(5.0)),
+      (2L, 20L, ns(50L), None), (2L, 21L, ns(60L), Some(1.0)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Ops.scd2(events).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+                 Option(r.getAs[java.lang.Double]("value")).map(_.toDouble),
+                 r.getAs[Long]("valid_from_us"),
+                 Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.toLong))).toSet
+    assert(got == Set(
+      (1L, Some(5.0), 100L, Some(200L)),
+      (1L, None, 200L, Some(400L)), // one range covering both null rows
+      (1L, Some(5.0), 400L, None),
+      (2L, None, 50L, Some(60L)),
+      (2L, Some(1.0), 60L, None)), s"got $got")
+  }
+
+  test("rollingMedian: null values are not samples — windows slide over observations") {
+    def ns(us: Long) = us * 1000L
+    // 6 rows, one null at position 3: medians come from the 5
+    // OBSERVED values around it, never a mis-indexed 4-element list
+    val rows = Seq(
+      (1L, 1L, ns(10L), Some(1.0)), (1L, 2L, ns(20L), Some(2.0)),
+      (1L, 3L, ns(30L), None), (1L, 4L, ns(40L), Some(3.0)),
+      (1L, 5L, ns(50L), Some(4.0)), (1L, 6L, ns(60L), Some(5.0)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Ops.rollingMedian(rows, 5).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("med")).toMap
+    assert(got == Map(6L -> 3.0), s"got $got") // first FULL observed window ends at id 6
+  }
+
+  test("approxPercentileChecked ignores null values like percentile_approx does") {
+    val df = ((1 to 50).map(i => ("a", Some(i.toDouble))) ++
+      (1 to 50).map(_ => ("a", Option.empty[Double]))).toDF("g", "v")
+    val got = Ops.approxPercentileChecked(df, "g", "v", 0.5, 0.01).collect()
+    assert(got.length == 1)
+    // exact median of the 50 NON-NULL values (rank ceil(0.5*50)=25),
+    // not a null-shifted pick over 100 rows; and the sketch (which
+    // never saw the nulls) must not be indicted by a null-inflated n
+    assert(got.head.getAs[Double]("exact_q") == 25.0 &&
+      got.head.getAs[Boolean]("within_bound"), s"got ${got.head}")
+  }
+
+  test("timeWeightedAvg: all-same-timestamp user emits a deliberate null twa") {
+    def ns(us: Long) = us * 1000L
+    val tw = Ops.timeWeightedAvg(Seq(
+      (1L, 1L, ns(100L), 5.0), (1L, 2L, ns(100L), 9.0), // zero total duration
+      (2L, 3L, ns(0L), 2.0), (2L, 4L, ns(10L), 8.0))    // normal: held 2.0 for 10us
+      .toDF("user_id", "event_id", "ts", "value")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        Option(r.getAs[java.lang.Double]("twa")).map(_.toDouble)).toMap
+    assert(tw == Map(1L -> None, 2L -> Some(2.0)), s"got $tw")
+  }
+
   test("scd2 matches a driver-side reference on random streams") {
     val rnd = new scala.util.Random(11)
     // few distinct values → plenty of holds, changes, and recurrences
