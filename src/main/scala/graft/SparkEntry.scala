@@ -990,9 +990,9 @@ object SparkEntry {
         |    CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
         |         WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_pred
         |  FROM (SELECT doc_id,
-        |      len(list_filter(words, x -> list_contains(['the','a','of','and'], x)))::BIGINT AS s_en,
-        |      len(list_filter(words, x -> list_contains(['el','la','de','y'], x)))::BIGINT AS s_es,
-        |      len(list_filter(words, x -> list_contains(['der','die','das','und'], x)))::BIGINT AS s_de
+        |      len(list_filter(words, x -> list_contains(['the','a','of','and'], lower(x))))::BIGINT AS s_en,
+        |      len(list_filter(words, x -> list_contains(['el','la','de','y'], lower(x))))::BIGINT AS s_es,
+        |      len(list_filter(words, x -> list_contains(['der','die','das','und'], lower(x))))::BIGINT AS s_de
         |    FROM u))
         |SELECT l.lang_pred, u.source, count(*)::BIGINT AS n_docs,
         |  sum(u.n_words)::BIGINT AS n_tokens, sum(u.n_chars)::BIGINT AS n_chars
@@ -1857,9 +1857,9 @@ object SparkEntry {
         |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted
         |FROM (
         |  SELECT doc_id, lang,
-        |    len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::BIGINT AS s_en,
-        |    len(list_filter(toks, x -> list_contains(['el','la','de','y'], x)))::BIGINT AS s_es,
-        |    len(list_filter(toks, x -> list_contains(['der','die','das','und'], x)))::BIGINT AS s_de
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and'], lower(x))))::BIGINT AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','y'], lower(x))))::BIGINT AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und'], lower(x))))::BIGINT AS s_de
         |  FROM (SELECT doc_id, lang,
         |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |        FROM documents))""".stripMargin,
@@ -1867,9 +1867,9 @@ object SparkEntry {
     "q_quality_score" ->
       """SELECT doc_id,
         |  len(toks)::BIGINT AS n_tokens,
-        |  len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks) AS stop_ratio,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and'], lower(x))))::DOUBLE / len(toks) AS stop_ratio,
         |  0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
-        |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks))
+        |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], lower(x))))::DOUBLE / len(toks))
         |      + 0.2 * least((list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 10.0, 1.0) AS quality
         |FROM (SELECT doc_id,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -1881,7 +1881,7 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id, lang,
         |    0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
-        |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks))
+        |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], lower(x))))::DOUBLE / len(toks))
         |      + 0.2 * least((list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 10.0, 1.0) AS quality
         |  FROM (SELECT doc_id, lang,
         |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -1900,7 +1900,7 @@ object SparkEntry {
         |  FROM (
         |    SELECT doc_id, lang,
         |      0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
-        |        + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks))
+        |        + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], lower(x))))::DOUBLE / len(toks))
         |        + 0.2 * least((list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks)) / 10.0, 1.0) AS quality
         |    FROM (SELECT doc_id, lang,
         |            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -2012,7 +2012,7 @@ object SparkEntry {
         |  LEFT JOIN rc ON cl.rep_id = rc.node),
         |q AS (SELECT doc_id,
         |  0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
-        |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))::DOUBLE / len(toks))
+        |      + 0.4 * (len(list_filter(toks, x -> list_contains(['the','a','of','and'], lower(x))))::DOUBLE / len(toks))
         |      + 0.2 * least((list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 10.0, 1.0) AS quality
         |  FROM (SELECT doc_id,
         |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -2071,8 +2071,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  len(regexp_extract_all(text, '<[^>]+>'))::BIGINT AS n_tags,
-        |  length(trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))::BIGINT AS clean_len,
-        |  trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+        |  length(trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '[\t\n\x0B\f\r ]+', ' ', 'g')))::BIGINT AS clean_len,
+        |  trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS clean_text
         |FROM x""".stripMargin,
 
     "q_pack_shards" ->
@@ -2125,7 +2125,7 @@ object SparkEntry {
         |  len(lines)::BIGINT AS n_lines,
         |  len(kept)::BIGINT AS n_kept,
         |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
-        |    AND NOT contains(text, '{')) AS keep_doc,
+        |    AND NOT contains(text, '{') AND NOT contains(text, '}')) AS keep_doc,
         |  coalesce(array_to_string(kept, chr(10)), '') AS clean
         |FROM y""".stripMargin,
 

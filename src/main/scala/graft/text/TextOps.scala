@@ -108,8 +108,15 @@ object TextOps {
   private val EsMarkers = Seq("el", "la", "de", "y")
   private val DeMarkers = Seq("der", "die", "das", "und")
 
+  /** Case-insensitive: the tokenizer does not lowercase, and the
+    * marker lists are high-frequency FUNCTION words that real cased
+    * text capitalizes sentence-initially ("The", "El", "Der") —
+    * case-sensitive matching would systematically deflate exactly
+    * the strongest markers, and disagree with [[gopherRules]], which
+    * lowercases before its stopword test. Oracle twin: `lower(x)`
+    * inside each `list_contains`. */
   private def markerCount(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => array_contains(typedLit(markers), t))).cast(LongType)
+    size(filter(toks, t => array_contains(typedLit(markers), lower(t)))).cast(LongType)
 
   /** N-gram-style language-ID heuristic: score text against per-
     * language marker-token lists, argmax with a fixed tie order.
@@ -149,11 +156,17 @@ object TextOps {
     val nTokSafe = nullif(nTok, lit(0.0))
     val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
     val meanTok = sumLen.cast(DoubleType) / nTokSafe
-    val stopRatio = markerCount(toks, EnMarkers).cast(DoubleType) / nTokSafe
     lit(0.4) * least(nTok / 100.0, lit(1.0)) +
-      lit(0.4) * stopRatio +
+      lit(0.4) * stopRatioExpr(toks) +
       lit(0.2) * least(meanTok / 10.0, lit(1.0))
   }
+
+  /** The stop-ratio term of [[qualityExpr]], shared with
+    * [[qualityScore]]'s reported column so the two cannot drift
+    * (same nullif guard: token-less → NULL). */
+  private def stopRatioExpr(toks: Column): Column =
+    markerCount(toks, EnMarkers).cast(DoubleType) /
+      nullif(size(toks).cast(DoubleType), lit(0.0))
 
   /** Heuristic quality score in [0,1]: linear blend of token count,
     * stopword ratio, and mean token length (deliberately exp-free so
@@ -161,14 +174,10 @@ object TextOps {
     */
   def qualityScore(documents: DataFrame): DataFrame = {
     val toks = col("toks")
-    val nTok = size(toks).cast(DoubleType)
-    // same nullif contract as qualityExpr: token-less -> NULL ratio
-    val stopRatio =
-      markerCount(toks, EnMarkers).cast(DoubleType) / nullif(nTok, lit(0.0))
     tokenized(documents).select(
       col("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
-      stopRatio.as("stop_ratio"),
+      stopRatioExpr(toks).as("stop_ratio"),
       qualityExpr(toks).as("quality"))
   }
 
@@ -202,11 +211,16 @@ object TextOps {
       // tile n+1−b (tile 1 = top of the distribution).
       val cuts = scored.groupBy("lang")
         .agg(Ops.approxCutsAgg(col("quality"), n, relErr).as("cuts"))
-      scored.join(broadcast(cuts), Seq("lang"))
+      // NULL-SAFE join: groupBy keeps a NULL-lang group in `cuts`,
+      // and the exact path tiles NULL lang as a normal window
+      // partition — an equi-join here would silently DROP those
+      // documents, making relErr change which rows exist rather
+      // than just tie behavior
+      scored.as("s")
+        .join(broadcast(cuts).as("c"), col("s.lang") <=> col("c.lang"))
         .withColumn("tile",
           (lit(n + 1) - Ops.bucketByCuts(col("quality"), col("cuts"))).cast(LongType))
-        .drop("cuts")
-        .select(col("doc_id"), col("lang"), col("quality"), col("tile"))
+        .select(col("doc_id"), col("s.lang").as("lang"), col("quality"), col("tile"))
     }
   }
 
@@ -267,7 +281,11 @@ object TextOps {
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast(DoubleType).as(s"df$i"))
     val stats = f.agg(aggCols.head, aggCols.tail: _*)
     val scored = f.crossJoin(broadcast(stats))
-    val norm = col("dl") / (col("sumdl") / col("n"))
+    // nullif guard (the qualityExpr convention): a corpus whose
+    // documents are ALL token-less has sumdl = 0 with n > 0 — the
+    // mean length is undefined, scores go NULL, and the > 0 filter
+    // yields the empty top-k instead of 0/0 NaN rows
+    val norm = col("dl") / nullif(col("sumdl") / col("n"), lit(0.0))
     val score = terms.indices.map { i =>
       val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
       val tf = col(s"tf$i")
@@ -344,13 +362,20 @@ object TextOps {
     *    off by 1e-6 at sf0.1). */
   def ngramLmScore(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    val bi = documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val t = tokensOf(text)
-        if (t.length < 2) Iterator.empty
-        else t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (id, a, b) }
-      }
-      .toDF("doc_id", "w1", "w2")
+    // persisted (scoped, one consuming action — the bm25TopK
+    // pattern): `bi` feeds both the model's count aggregate and the
+    // scoring join, branches that share no exchange (one shuffles
+    // partial-agg rows, the other raw bigrams) — uncached, the
+    // corpus tokenize+bigram flatMap, THE dominant cost at corpus
+    // scale, runs twice
+    val bi = Dedup.registerCache(
+      documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val t = tokensOf(text)
+          if (t.length < 2) Iterator.empty
+          else t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (id, a, b) }
+        }
+        .toDF("doc_id", "w1", "w2"))
     val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val hist = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = documents
@@ -583,24 +608,6 @@ object TextOps {
           - col("s").cast(DoubleType) / col("n_chars")).as("entropy"))
   }
 
-  /** Data-mixture sampling by TOKEN budget: keep documents of each
-    * language, in deterministic scramble order, until that language's
-    * token budget is spent — the mixture-weights step of training-data
-    * assembly ("200 M tokens of en, 50 M of de, …"), which row-count
-    * sampling (`sampleStratified`) cannot express because documents
-    * have wildly different lengths.
-    *
-    * A document is kept iff the tokens accumulated BEFORE it are
-    * under budget, so each budget is exceeded by at most one document
-    * (the standard fill rule — budgets are targets, not caps).
-    * Languages absent from `budgets` are dropped. Order is the shared
-    * scramble key (`Ops.scrambleKey`, oracle-reproducible), never an
-    * RNG.
-    *
-    * Scale shape: one shuffle on the language key, one ordered pass
-    * (running sum) per language partition — the same accepted-skew
-    * contract as [[qualityNtile]]: a colossal language is one sort
-    * partition; pre-shard it if that bites. */
   /** Temperature-scaled language sampling weights (the multilingual
     * mixture rule of XLM-R / mT5): p_l ∝ (n_l)^α with α ∈ (0, 1]
     * flattening the head so low-resource languages are up-sampled.
@@ -627,6 +634,24 @@ object TextOps {
         (lnTerm6(col("n_tokens")).cast(DoubleType) * lit(alpha)).as("log_weight"))
   }
 
+  /** Data-mixture sampling by TOKEN budget: keep documents of each
+    * language, in deterministic scramble order, until that language's
+    * token budget is spent — the mixture-weights step of training-data
+    * assembly ("200 M tokens of en, 50 M of de, …"), which row-count
+    * sampling (`sampleStratified`) cannot express because documents
+    * have wildly different lengths.
+    *
+    * A document is kept iff the tokens accumulated BEFORE it are
+    * under budget, so each budget is exceeded by at most one document
+    * (the standard fill rule — budgets are targets, not caps).
+    * Languages absent from `budgets` are dropped. Order is the shared
+    * scramble key (`Ops.scrambleKey`, oracle-reproducible), never an
+    * RNG.
+    *
+    * Scale shape: one shuffle on the language key, one ordered pass
+    * (running sum) per language partition — the same accepted-skew
+    * contract as [[qualityNtile]]: a colossal language is one sort
+    * partition; pre-shard it if that bites. */
   def mixtureByTokenBudget(documents: DataFrame,
                            budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty, "need at least one language budget")
@@ -772,7 +797,7 @@ object TextOps {
         }
         val keepDoc = kept.length >= minKeptLines &&
           !text.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum") &&
-          !text.contains("{")
+          !text.contains("{") && !text.contains("}")
         (id, lines.length.toLong, kept.length.toLong, keepDoc, kept.mkString("\n"))
       }
       .toDF("doc_id", "n_lines", "n_kept", "keep_doc", "clean")
@@ -894,7 +919,12 @@ object TextOps {
     * (doc_id, n_tags, clean_len, clean_text). */
   def stripMarkup(documents: DataFrame): DataFrame = {
     val stripped = regexp_replace(col("text"), TagRe, " ")
-    val clean = trim(regexp_replace(stripped, "\\s+", " "))
+    // spelled-out ASCII whitespace class, not `\s` (the WsRunRe
+    // portability rule): Java's \s includes VT (\x0B), RE2's does
+    // not, and stripMarkup runs on RAW text — before normalizeText's
+    // CtrlRe could delete a VT — so a bare \s+ would collapse it in
+    // Spark but not in the DuckDB twin
+    val clean = trim(regexp_replace(stripped, "[\\t\\n\\x0B\\f\\r ]+", " "))
     documents.select(
       col("doc_id"),
       regexp_count(col("text"), lit(TagRe)).cast(LongType).as("n_tags"),
@@ -1476,7 +1506,12 @@ object TextOps {
     val spark = ds.sparkSession
     import spark.implicits._
     val rdd = ds.rdd.localCheckpoint()
-    rdd.count()
+    // release on a FAILED forcing count: partitions materialized
+    // before the failure are already cached, and the handle would be
+    // lost to the throw — the caller's finally only knows the
+    // PREVIOUS round's RDD
+    try rdd.count()
+    catch { case t: Throwable => rdd.unpersist(blocking = false); throw t }
     (spark.createDataset(rdd), rdd)
   }
 
@@ -1498,46 +1533,10 @@ object TextOps {
     * as the successor materializes. At 100 TB the corpus pass
     * dominates; rounds cost |vocab|, orders of magnitude smaller. */
   def bpeTrain(documents: DataFrame, nMerges: Int,
-               minPairCount: Long = 2L): Seq[(String, String, Long)] = {
-    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
-    require(minPairCount >= 1, s"need minPairCount >= 1, got $minPairCount")
-    import documents.sparkSession.implicits._
-    var (vocab, vocabRdd) = materializeVocab(documents
-      .select(explode(tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("c_w"))
-      .as[(String, Long)]
-      .map { case (w, c) => (bpeBaseSymbols(w), c) })
-    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-    // the finally releases whichever round's vocab is live when a
-    // mid-training job fails — without it the checkpointed blocks
-    // outlive the exception for the session's lifetime
-    try {
-      var exhausted = false
-      while (!exhausted && merges.length < nMerges) {
-        val best = vocab
-          .flatMap { case (syms, c) =>
-            if (syms.length < 2) Iterator.empty
-            else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, c) }
-          }
-          .toDF("a", "b", "c")
-          .groupBy("a", "b").agg(sum(col("c")).as("cnt"))
-          .filter(col("cnt") >= minPairCount)
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1)
-          .collect()
-        best.headOption match {
-          case None => exhausted = true
-          case Some(r) =>
-            val (a, b, cnt) = (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("cnt"))
-            merges += ((a, b, cnt))
-            val (next, nextRdd) =
-              materializeVocab(vocab.map { case (syms, c) => (bpeMergeOnce(syms, a, b), c) })
-            vocabRdd.unpersist(blocking = false)
-            vocab = next
-            vocabRdd = nextRdd
-        }
-      }
-    } finally vocabRdd.unpersist(blocking = false)
-    merges.toSeq
-  }
+               minPairCount: Long = 2L): Seq[(String, String, Long)] =
+    // batchK = 1 is bit-identical by construction (a one-pair batch
+    // IS sequential greedy — property-pinned in CurationSpec), so
+    // the fragile materialize/argmax/unpersist loop lives in exactly
+    // one place
+    bpeTrainBatched(documents, nMerges, minPairCount, batchK = 1)._1
 }

@@ -281,6 +281,46 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == ((4L, 2L, 1L, false, "\"A quoted sentence also counts as terminal.\"")))
   }
 
+  test("c4Clean: a page containing only a closing brace is dropped (C4 curly rule)") {
+    val d = docs(
+      (1L, "en", "End of snippet } trailing prose stays readable.\nA second proper sentence here."),
+      (2L, "en", "A clean page with one good sentence.\nAnd a second one to pass the gate."))
+    val out = TextOps.c4Clean(d, minWords = 3, minKeptLines = 2)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true), s"got $out")
+  }
+
+  test("langId and qualityScore markers match case-insensitively") {
+    // sentence-initial capitals — the highest-frequency markers on
+    // any real cased corpus; case-sensitive matching scored these 0
+    val d = docs((1L, "en", "The cat sat. A dog ran. Of course. And then."),
+                 (2L, "es", "El perro. La casa. De nada. Y entonces."))
+    val lid = TextOps.langId(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    assert(lid(1L)._1 == 4L && lid(1L)._3 == "en", s"got ${lid(1L)}")
+    assert(lid(2L)._2 == 4L && lid(2L)._3 == "es", s"got ${lid(2L)}")
+    val sr = TextOps.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sr(1L) > 0.0, s"stop_ratio must see 'The/A/Of/And': got ${sr(1L)}")
+  }
+
+  test("qualityNtile approx path keeps NULL-lang documents (null-safe cuts join)") {
+    val d = Seq((1L, null.asInstanceOf[String], "one two three four five"),
+                (2L, null.asInstanceOf[String], "alpha beta gamma delta"),
+                (3L, "en", "the quick brown fox jumps"))
+      .map { case (id, lang, t) => (id, lang, t.length.toLong, t) }
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val exact = TextOps.qualityNtile(d, 2).collect().map(_.getLong(0)).toSet
+    val approx = TextOps.qualityNtile(d, 2, relErr = 0.01).collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 2L, 3L) && approx == exact,
+      s"relErr must not change WHICH rows exist: exact=$exact approx=$approx")
+  }
+
+  test("bm25TopK on an all-token-less corpus returns the empty top-k, not NaN rows") {
+    val d = docs((1L, "en", ""), (2L, "en", "   "), (3L, "en", "\t"))
+    assert(TextOps.bm25TopK(d, Seq("fox"), 5).collect().isEmpty)
+  }
+
   test("gopherRules evaluates each rule with integer arithmetic") {
     // 61 words (8x7 + 5), all eight stopwords, mean word length 3.3
     val good = ("the cat sat to be of and mattress " * 7).trim + " that dogs have with him"
