@@ -41,11 +41,28 @@ object Dedup {
     * recomputes without the cache — correct, just unaccelerated;
     * rebuild the operator for repeated runs (Bench does). The
     * explicit [[releaseCaches]] remains for lifecycle-owning callers
-    * and is idempotent with the listener. */
+    * and is idempotent with the listener.
+    *
+    * Interleaved operators over the SAME input: two registrations
+    * whose plans are `sameResult` share ONE physical cache entry
+    * (Spark's CacheManager dedupes by sameResult), so an action that
+    * consumes either decrements both registry entries and may
+    * unpersist before the second operator's own action runs. That is
+    * deliberate — unpersisting one registration would drop the
+    * shared blocks anyway; the cost is a recompute, never a wrong
+    * result. Lifecycle-owning callers that interleave same-input
+    * operators should run each to its action before building the
+    * next (Bench/Verify do). */
   private[text] val scopedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, java.util.concurrent.atomic.AtomicInteger)]()
+  // weak keys: a stopped SparkSession must be collectable — a strong
+  // set would pin every session this JVM ever cycled through (test
+  // harnesses, notebook servers) for the process lifetime. add() on
+  // the synchronized set stays the atomic register-once gate.
   private val listenerSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** @param actions how many CONSUMING actions the cache survives —
     *        1 (default) for operators whose single output plan holds
@@ -338,8 +355,10 @@ object Dedup {
       .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
               greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
     val comp = graft.core.Graph.connectedComponents(repPairs, "rep_a", "rep_b")
+    // comp is stat-less after the iterative closure (jaccardComponents'
+    // rationale) — pin shuffled-hash so the outer join never sorts
     members.join(reps.hint("shuffle_hash"), "sig_key")
-      .join(comp, col("rep_id") === col("node"), "left")
+      .join(comp.hint("shuffle_hash"), col("rep_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 
@@ -354,16 +373,24 @@ object Dedup {
     * and the corpus never shuffles; the per-pair count is a
     * partial-aggregable groupBy bounded by |docs| × |probes|. A
     * corpus-sized probe set degrades to one hash join on the gram. */
+  /** (id, gram) rows of the DISTINCT word n-grams of each document —
+    * the ONE gram extractor of the whole decontamination family.
+    * [[contamination]], [[bloomContamination]], [[probeSketch]] and
+    * [[crossDupFraction]] all promise bit-identical gram sets to each
+    * other (bloom fallback equivalence, sketch hash compatibility at
+    * ingest) — a single definition makes that drift-proof. */
+  private def docGrams(df: DataFrame, idCol: String, ngram: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct.map(g => (id, g))
+      }
+      .toDF(idCol, "gram")
+  }
+
   def contamination(documents: DataFrame, probes: DataFrame, ngram: Int = 3): DataFrame = {
-    import documents.sparkSession.implicits._
-    def grams(df: DataFrame, idCol: String) =
-      df.select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct.map(g => (id, g))
-        }
-        .toDF(idCol, "gram")
-    grams(documents, "doc_id")
-      .join(broadcast(grams(probes, "probe_id")), "gram")
+    docGrams(documents, "doc_id", ngram)
+      .join(broadcast(docGrams(probes, "probe_id", ngram)), "gram")
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -395,18 +422,11 @@ object Dedup {
                          fpp: Double = 0.01): DataFrame = {
     require(expectedProbeGrams > 0, s"need expectedProbeGrams > 0, got $expectedProbeGrams")
     require(fpp > 0.0 && fpp < 1.0, s"need fpp in (0, 1), got $fpp")
-    import documents.sparkSession.implicits._
-    def grams(df: DataFrame, idCol: String) =
-      df.select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct.map(g => (id, g))
-        }
-        .toDF(idCol, "gram")
     // the probe-gram table feeds two actions: the sketch build
     // (collects one numBits-sized row) and the confirm join
-    val probeGrams = registerCache(grams(probes, "probe_id"), actions = 2)
+    val probeGrams = registerCache(docGrams(probes, "probe_id", ngram), actions = 2)
     val bits = sketchOf(probeGrams, expectedProbeGrams, fpp)
-    grams(documents, "doc_id")
+    docGrams(documents, "doc_id", ngram)
       .filter(org.apache.spark.sql.graft.BloomBridge
         .mightContain(bits, xxhash64(col("gram"))))
       .join(probeGrams.hint("shuffle_hash"), "gram")
@@ -427,13 +447,8 @@ object Dedup {
                   fpp: Double = 0.01): Array[Byte] = {
     require(expectedProbeGrams > 0, s"need expectedProbeGrams > 0, got $expectedProbeGrams")
     require(fpp > 0.0 && fpp < 1.0, s"need fpp in (0, 1), got $fpp")
-    import probes.sparkSession.implicits._
-    val grams = probes.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (_, text) =>
-        TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct
-      }
-      .toDF("gram")
-    sketchOf(grams, expectedProbeGrams, fpp)
+    sketchOf(docGrams(probes, "probe_id", ngram).select("gram"),
+      expectedProbeGrams, fpp)
   }
 
   private def sketchOf(grams: DataFrame, expectedItems: Long, fpp: Double): Array[Byte] = {
@@ -463,13 +478,7 @@ object Dedup {
     * scale; the join streams it. The per-doc rollup is the second
     * and last shuffle. */
   def crossDupFraction(documents: DataFrame, ngram: Int = 3): DataFrame = {
-    import documents.sparkSession.implicits._
-    val grams = registerCache(
-      documents.select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct.map(g => (id, g))
-        }
-        .toDF("doc_id", "gram"))
+    val grams = registerCache(docGrams(documents, "doc_id", ngram))
     val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     grams.join(docFreq.hint("shuffle_hash"), "gram")
       .groupBy("doc_id")
@@ -610,8 +619,9 @@ object Dedup {
       .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
               greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
     val comp = graft.core.Graph.connectedComponents(repEdges, "rep_a", "rep_b")
+    // pin the stat-less comp side, as in jaccardComponents
     sh.join(reps.hint("shuffle_hash"), "simhash")
-      .join(comp, col("rep_id") === col("node"), "left")
+      .join(comp.hint("shuffle_hash"), col("rep_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 
@@ -645,7 +655,13 @@ object Dedup {
   private def tokenSets(documents: DataFrame, ngram: Int): DataFrame = {
     import documents.sparkSession.implicits._
     documents
-      .select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"), col("text"))
+      // null-tolerant bkt: the typed map below decodes it into a
+      // PRIMITIVE Long, so a null n_chars would crash the job
+      // ("Null value appeared in non-nullable field") instead of the
+      // family's silent-drop convention. n_chars is the text length
+      // by contract — fall back to it, then 0 (null text).
+      .select(col("doc_id"), col("lang"),
+        expr("coalesce(n_chars, length(text), 0L) div 64").as("bkt"), col("text"))
       .as[(Long, String, Long, String)]
       .map { case (id, lang, bkt, text) =>
         val sh = TextOps.shinglesOf(TextOps.tokensOf(text), ngram)
@@ -728,14 +744,17 @@ object Dedup {
 
     // expand rep pairs to doc pairs; intra-cluster pairs are exact
     // duplicates (J = 1.0)
+    // pin shuffled-hash on the expansion joins like every sibling
+    // (minhashLshPairs' measured rationale at its expansion block):
+    // hot set_keys make sort-merge buffer whole matched groups
     val cross = repPairs
-      .join(members.as("ma"), col("set_a") === col("ma.set_key"))
-      .join(members.as("mb"), col("set_b") === col("mb.set_key"))
+      .join(members.as("ma").hint("shuffle_hash"), col("set_a") === col("ma.set_key"))
+      .join(members.as("mb").hint("shuffle_hash"), col("set_b") === col("mb.set_key"))
       .select(
         least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
         greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
         col("jaccard"))
-    val intra = members.as("ma").join(members.as("mb"), "set_key")
+    val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "set_key")
       .filter(col("ma.doc_id") < col("mb.doc_id"))
       .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
               lit(1.0).as("jaccard"))
@@ -761,9 +780,12 @@ object Dedup {
     * the per-pair constant further — kept 2-arg here because the
     * oracle engine has no thresholded variant and the filtered
     * result is identical. */
-  def editDistancePairs(documents: DataFrame, maxDist: Int, prefixLen: Int = 64,
-                        blockChars: Int = 8): DataFrame = {
-    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+  /** The ONE blocked-pair frame shared by [[editDistancePairs]] and
+    * [[jaroWinklerPairs]] — their scaladoc promises IDENTICAL pair
+    * selection (lang + length bucket + shared `blockChars` prefix),
+    * so the blocking table and join predicate live in one place. */
+  private def blockedPrefixPairs(documents: DataFrame, prefixLen: Int,
+                                 blockChars: Int): DataFrame = {
     require(prefixLen >= 1, s"need prefixLen >= 1, got $prefixLen")
     require(blockChars >= 1 && blockChars <= prefixLen,
       s"need 1 <= blockChars <= prefixLen, got $blockChars")
@@ -773,6 +795,12 @@ object Dedup {
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
         col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+  }
+
+  def editDistancePairs(documents: DataFrame, maxDist: Int, prefixLen: Int = 64,
+                        blockChars: Int = 8): DataFrame = {
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    blockedPrefixPairs(documents, prefixLen, blockChars)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.p"), col("b.p")).cast(LongType).as("dist"))
       .filter(col("dist") <= maxDist)
@@ -789,20 +817,11 @@ object Dedup {
     * (integer-exact); the similarity is reported rounded to 6 —
     * thresholding belongs to the caller, on the rounded value. */
   def jaroWinklerPairs(documents: DataFrame, prefixLen: Int = 64,
-                       blockChars: Int = 8): DataFrame = {
-    require(prefixLen >= 1, s"need prefixLen >= 1, got $prefixLen")
-    require(blockChars >= 1 && blockChars <= prefixLen,
-      s"need 1 <= blockChars <= prefixLen, got $blockChars")
-    val t = documents.select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"),
-      substring(col("text"), 1, prefixLen).as("p"))
-      .withColumn("pfx", substring(col("p"), 1, blockChars))
-    t.as("a").join(t.as("b"),
-        col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
-        col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
+                       blockChars: Int = 8): DataFrame =
+    blockedPrefixPairs(documents, prefixLen, blockChars)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(graft.functions.StringSimilarity.jaro_winkler(col("a.p"), col("b.p")), 6)
           .as("jw"))
-  }
 
   /** Transitive near-dup clustering: (doc_id, component) where
     * `component` is the smallest doc_id transitively reachable
