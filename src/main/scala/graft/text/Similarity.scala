@@ -71,6 +71,9 @@ object Similarity {
     * rank by rounded similarity with vec_id tiebreak (deterministic
     * under float noise). */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    // fail loudly like every sibling: k or nQueries <= 0 would
+    // silently return the empty frame, reading as "no neighbors"
+    require(nQueries >= 1 && k >= 1, s"need nQueries, k >= 1, got ($nQueries, $k)")
     val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
@@ -173,26 +176,6 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Embedding-cosine near-duplicate pairs, banded sign-LSH.
-    *
-    * OR-of-ANDs banding (the MinHash-LSH construction applied to
-    * random-hyperplane signatures): `nBands` independent families of
-    * `nPlanes` hyperplanes each; a pair is *scored* iff it lands in
-    * the same bucket of at least one band, and *emitted* iff its
-    * exact cosine ≥ `threshold`. Per-band collision probability for
-    * vectors at angle θ is (1 − θ/π)^nPlanes; banding drives recall
-    * to 1 − (1 − p^nPlanes)^nBands while keeping the candidate set
-    * far below all-pairs.
-    *
-    * Scale shape: the corpus is exploded ×nBands (a constant), each
-    * (band, bucket) group self-joins — a single shuffle on the
-    * composite key, never a cross join. The terminal
-    * `dropDuplicates` is bounded by the *output* pair count (a pair
-    * can match in ≤ nBands bands), not the candidate count, because
-    * the threshold filter runs before it. Near-dup output is
-    * linear-ish in corpus size by construction (few true near-dups),
-    * so the distinct is cheap even at 100 TB.
-    */
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023):
     * coarse-cluster the corpus, then within each cluster drop every
     * vector that has an EARLIER (lower vec_id) cluster-mate with
@@ -251,6 +234,26 @@ object Similarity {
           coalesce(col("rep_dropped"), lit(false))).as("dropped"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, banded sign-LSH.
+    *
+    * OR-of-ANDs banding (the MinHash-LSH construction applied to
+    * random-hyperplane signatures): `nBands` independent families of
+    * `nPlanes` hyperplanes each; a pair is *scored* iff it lands in
+    * the same bucket of at least one band, and *emitted* iff its
+    * exact cosine ≥ `threshold`. Per-band collision probability for
+    * vectors at angle θ is (1 − θ/π)^nPlanes; banding drives recall
+    * to 1 − (1 − p^nPlanes)^nBands while keeping the candidate set
+    * far below all-pairs.
+    *
+    * Scale shape: the corpus is exploded ×nBands (a constant), each
+    * (band, bucket) group self-joins — a single shuffle on the
+    * composite key, never a cross join. The terminal
+    * `dropDuplicates` is bounded by the *output* pair count (a pair
+    * can match in ≤ nBands bands), not the candidate count, because
+    * the threshold filter runs before it. Near-dup output is
+    * linear-ish in corpus size by construction (few true near-dups),
+    * so the distinct is cheap even at 100 TB.
+    */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
                             nPlanes: Int = 4, nBands: Int = 4): DataFrame = {
     require(nBands >= 1, s"nBands must be >= 1 (0 bands silently emits no pairs), got $nBands")
@@ -303,7 +306,11 @@ object Similarity {
       .flatMap { case (_, v) =>
         val q = v.map(f => BigDecimal(f.toDouble * 1e6)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-        for (i <- q.indices; j <- i until q.length) yield (i.toLong, j.toLong, q(i) * q(j))
+        // multiplyExact enforces the documented fail-loudly range
+        // contract — a bare * would wrap silently past 2^63 and the
+        // decimal sum would faithfully aggregate the garbage
+        for (i <- q.indices; j <- i until q.length)
+          yield (i.toLong, j.toLong, Math.multiplyExact(q(i), q(j)))
       }
       .toDF("i", "j", "p")
       .groupBy("i", "j")
@@ -661,6 +668,8 @@ object Similarity {
     * only the tiny broadcast query block fans out ×nProbes. */
   def cosineTopKBucketed(embeddings: DataFrame, nQueries: Int, k: Int,
                          nPlanes: Int = 4, nProbes: Int = 1): DataFrame = {
+    require(nQueries >= 1 && k >= 1, s"need nQueries, k >= 1, got ($nQueries, $k)")
+    require(nPlanes >= 1 && nProbes >= 1, s"need nPlanes, nProbes >= 1, got ($nPlanes, $nProbes)")
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("nrm"), lshBucket(col("embedding"), nPlanes).as("bkt"))
     val q = embeddings.filter(col("vec_id") < nQueries)
@@ -861,7 +870,13 @@ object Similarity {
     * (adist asc, vec_id) and keep the first `k`. */
   private def pqRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
+    // [[topK]]'s null contract, mirrored for distances: an undefined
+    // adist (null embedding element, length-mismatched reconstruction
+    // — zip_with pads the shorter array with nulls) must be EXCLUDED,
+    // not ranked — ascending order puts NULL FIRST in Spark, so
+    // unfiltered it would fill every top-k slot
+    scored.filter(col("adist").isNotNull)
+      .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select("q_id", "vec_id", "adist", "rk")
   }
@@ -952,6 +967,18 @@ object Similarity {
     require(cids.sameElements(cids.indices.map(_.toLong)),
       s"stored PQ codebook at $dir/books must have dense cids 0..n-1, " +
         s"got [${cids.mkString(",")}] — rebuild the index with writePqIndex")
+    // the reader's (m, dim) must match what the index was WRITTEN
+    // with: a mismatch makes the reconstruction length differ from
+    // the query dim, zip_with pads with nulls, and every adist goes
+    // NULL — a silently empty result. dim is encoded in the stored
+    // codebook vectors (nBooks rows, free to check); m in the stored
+    // code arrays (one-row probe).
+    val storedDim = storedBooks.select(size(col("c_vec")).as("s"))
+      .distinct().collect().map(_.getInt(0))
+    require(storedDim.sameElements(Array(dim)),
+      s"stored PQ codebook at $dir/books holds dim-${storedDim.mkString(",")} " +
+        s"vectors but the query asked for dim=$dim — query with the index's " +
+        "own parameters or rebuild")
     val booksRow = storedBooks
       .agg(array_sort(collect_list(struct(col("cid"), col("c_vec")))).as("books"))
     val qProbed = probeCells(
@@ -959,6 +986,13 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm")),
       cent, nProbe).drop("q_nrm")
     val index = spark.read.parquet(s"$dir/index")
+    // m lives in the stored code arrays — one-row probe, same
+    // fail-loudly contract as the dim/cid checks above
+    index.select(size(col("codes")).as("s")).limit(1).collect()
+      .headOption.map(_.getInt(0)).foreach(storedM =>
+        require(storedM == m,
+          s"stored PQ index at $dir/index holds $storedM-code rows but the " +
+            s"query asked for m=$m — query with the index's own parameters or rebuild"))
     val scored = index.join(broadcast(qProbed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .crossJoin(broadcast(booksRow))

@@ -451,6 +451,38 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.count() <= 25 && narrow.count() > 0)
   }
 
+  test("pqTopK: a null embedding element never fills a top-k slot (null adist excluded)") {
+    val emb = spark.read.parquet(realEmbeddings)
+    // poison a CORPUS vector (vec_id 50 — not a query, not one of the
+    // first nBooks codebook seeds) with one null element: its codes
+    // reconstruct through null, adist is NULL against every query;
+    // ascending order puts NULL FIRST in Spark, so an unguarded rank
+    // would hand every query the poisoned vector as neighbor #1
+    val poisoned = emb.withColumn("embedding",
+      when(col("vec_id") === 50L,
+        concat(slice(col("embedding"), 1, 63),
+          array(lit(null).cast("float")))).otherwise(col("embedding")))
+    val got = Similarity.pqTopK(poisoned, nQueries = 5, k = 5).collect()
+    assert(!got.exists(_.isNullAt(2)), "null adist rows must be excluded, not ranked")
+    assert(!got.exists(_.getAs[Long]("vec_id") == 50L),
+      "the poisoned vector has no defined distance — it must never be a neighbor")
+    assert(got.map(_.getAs[Long]("q_id")).distinct.length == 5 && got.length == 25)
+  }
+
+  test("ivfPqTopKIndexed rejects a (m, dim) mismatch with the stored index") {
+    val emb = spark.read.parquet(realEmbeddings)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-dim").toString
+    Similarity.writePqIndex(emb, dir, nCells = 8, m = 4, nBooks = 8, dim = 64)
+    val queries = emb.filter(col("vec_id") < 2)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfPqTopKIndexed(spark, dir, queries, k = 3, nProbe = 2, m = 8))
+    assert(e.getMessage.contains("-code rows"), e.getMessage)
+    // and a dim mismatch is caught at the codebook, before any scan
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.ivfPqTopKIndexed(spark, dir, queries, k = 3, nProbe = 2, m = 4, dim = 32))
+    assert(e2.getMessage.contains("holds dim-"), e2.getMessage)
+  }
+
   test("persisted IVF-PQ: all-cells probe == in-memory pqTopK, codes prune + compress") {
     val emb = spark.read.parquet(realEmbeddings)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
