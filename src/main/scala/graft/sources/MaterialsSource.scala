@@ -65,10 +65,28 @@ object MaterialsSource {
     StructField("nsites", IntegerType, nullable = false),
     StructField("energy_per_atom", DoubleType, nullable = false)))
 
-  /** Query predicates the "server" understands — the pushed subset. */
-  case class BackendQuery(equal: Map[String, String], in: Map[String, Seq[String]]) {
+  /** Wire row codec (one pipe-separated row per line). A single-cell
+    * row holding only a blank — the no-group min/max aggregate of an
+    * EMPTY match set, whose contract is "exactly one row even when
+    * empty" — would serialize to an empty LINE, which the newline
+    * framing cannot carry (blank lines are stripped as padding); it
+    * rides as a one-byte 0x01 sentinel line instead. Both the HTTP client and
+    * the loopback test server use these, so the contract cannot
+    * drift. */
+  def encodeWireRow(f: Array[String]): String = {
+    val s = f.mkString("|")
+    if (s.isEmpty) "\u0001" else s
+  }
+  def decodeWireRow(line: String): Array[String] =
+    if (line == "\u0001") Array("") else line.split("\\|", -1)
+
+  /** Query predicates the "server" understands — the pushed subset.
+    * One shape only: per-column IN-lists (an EqualTo is a singleton
+    * IN — a separate equality map was dead wire surface the source
+    * never emitted, removed). */
+  case class BackendQuery(in: Map[String, Seq[String]]) {
     def matches(col: String, value: String): Boolean =
-      equal.get(col).forall(_ == value) && in.get(col).forall(_.contains(value))
+      in.get(col).forall(_.contains(value))
   }
 
   /** One pushed aggregate function: `fn ∈ {count, min, max}`, `col`
@@ -185,7 +203,7 @@ case class LocalBackend(path: String) extends MaterialsBackend {
   * instance; zero egress).
   *
   * Wire contract (`text/plain`, one pipe-separated row per line):
-  *   GET url?page=i&pages=n[&eq.<col>=v][&in.<col>=v]*[&sample=lo:hi:seed]
+  *   GET url?page=i&pages=n[&in.<col>=v]*[&sample=lo:hi:seed]
   *                 [&offset=o][&limit=k][&sort=<col>&dir=asc|desc&topn=k]
   *   GET url?count=1[&filters…]   → single line: matching row count
   * Repeated `in.<col>` params form the IN-list (values may contain
@@ -209,8 +227,7 @@ case class HttpCatalogBackend(url: String) extends MaterialsBackend {
   }
 
   private def filterParams(q: BackendQuery): Seq[(String, String)] =
-    q.equal.toSeq.sortBy(_._1).map { case (c, v) => s"eq.$c" -> v } ++
-      q.in.toSeq.sortBy(_._1).flatMap { case (c, vs) => vs.map(v => s"in.$c" -> v) }
+    q.in.toSeq.sortBy(_._1).flatMap { case (c, vs) => vs.map(v => s"in.$c" -> v) }
 
   override def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
                      topN: Option[(String, Boolean, Int)], offset: Int,
@@ -223,7 +240,7 @@ case class HttpCatalogBackend(url: String) extends MaterialsBackend {
         (if (limit >= 0) Seq("limit" -> limit.toString) else Nil) ++
         topN.toSeq.flatMap { case (c, desc, n) =>
           Seq("sort" -> c, "dir" -> (if (desc) "desc" else "asc"), "topn" -> n.toString) }
-    get(params).iterator.map(_.split("\\|", -1))
+    get(params).iterator.map(MaterialsSource.decodeWireRow)
   }
 
   override def count(query: BackendQuery): Long =
@@ -242,7 +259,7 @@ case class HttpCatalogBackend(url: String) extends MaterialsBackend {
         filterParams(query) ++
         groupBy.map("group" -> _) ++
         aggs.map(a => "agg" -> a.wire)
-    get(params).iterator.map(_.split("\\|", -1))
+    get(params).iterator.map(MaterialsSource.decodeWireRow)
   }
 
   override def description: String = s"url=$url"
@@ -259,7 +276,14 @@ private[sources] class MaterialsTable(properties: Map[String, String])
     def opt(k: String, default: String): String =
       options.getOrDefault(k, properties.getOrElse(k, default))
     val backend: MaterialsBackend = opt("url", "") match {
-      case "" => LocalBackend(opt("path", ""))
+      case "" =>
+        val p = opt("path", "")
+        // fail fast at planning, like the pages check below — an
+        // empty path otherwise surfaces as an executor-time
+        // FileNotFoundException('') with no hint at the cause
+        require(p.nonEmpty,
+          "materials source needs option 'path' (local catalog) or 'url' (HTTP backend)")
+        LocalBackend(p)
       case u  => HttpCatalogBackend(u)
     }
     val pages = opt("pages", "4").toInt
@@ -301,7 +325,7 @@ private[sources] class MaterialsScanBuilder(val backend: MaterialsBackend, pages
       }
       .groupBy(_._1)
       .map { case (colName, gs) => colName -> gs.map(_._2).reduce(_ intersect _) }
-    BackendQuery(Map.empty, in)
+    BackendQuery(in)
   }
 
   /** JOIN pushdown (DSv2, Spark 4.1): both sides of an INNER equi-
@@ -356,6 +380,16 @@ private[sources] class MaterialsScanBuilder(val backend: MaterialsBackend, pages
 
   private def accept(o: MaterialsScanBuilder, leftCols: Seq[(String, String)],
                      rightCols: Seq[(String, String)], lk: String, rk: String): Boolean = {
+    // STRING join keys only (the pushTopN numeric-only rule, inverted):
+    // the pushed join matches raw catalog text, and raw text equality
+    // equals typed equality only for strings — a numeric key stored as
+    // "1.5" on one row and "1.50" on another parses to the same double
+    // (Spark's unpushed join matches them) but compares unequal as
+    // text, silently dropping the pair. Declining is just Spark's own
+    // join.
+    def isStringCol(c: String) =
+      Schema(Schema.fieldIndex(c)).dataType == StringType
+    if (!isStringCol(lk) || !isStringCol(rk)) return false
     val pj = PushedJoin(o.inQuery, leftCols, rightCols, lk, rk)
     joinPushed = Some(pj)
     required = pj.schema
@@ -617,9 +651,24 @@ private[sources] class MaterialsScan(
     //  - plain scan: matching rows minus a pushed offset, capped by
     //    a pushed per-page limit/top-n.
     private lazy val matching = backend.count(runtime)
-    private val n = agg match {
-      case Some(a) => if (a.groupBy.isEmpty) pages.toLong else matching
-      case None =>
+    private val n = (agg, join) match {
+      case (Some(a), _) => if (a.groupBy.isEmpty) pages.toLong else matching
+      case (None, Some(pj)) =>
+        // the scan EMITS joined rows: left matches × per-key right
+        // multiplicity. material_id is unique by catalog contract →
+        // multiplicity ≤ 1; any other key has no distinct-count
+        // endpoint, so take the safe upper bound left × right —
+        // overestimating can only forgo a broadcast, while the old
+        // left-only count could UNDERestimate a fan-out join below
+        // the broadcast threshold and blow up the build side
+        val left = matching
+        if (pj.leftKey == "material_id" || pj.rightKey == "material_id") left
+        else {
+          val right = backend.count(pj.rightQuery)
+          if (right != 0 && left > Long.MaxValue / right) Long.MaxValue
+          else left * right
+        }
+      case (None, None) =>
         val sampled = sample match {
           // ceil, not floor: (19 rows × 0.05).toLong = 0 would cost
           // the scan as EMPTY while it can still emit a row
@@ -634,8 +683,10 @@ private[sources] class MaterialsScan(
         }
         math.min(afterOffset, cap)
     }
-    // ~64 bytes per catalog row (measured on the stand-in format)
-    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(n * 64L)
+    // ~64 bytes per catalog row (measured on the stand-in format);
+    // a pushed join emits both sides' projections → double width
+    private val rowBytes = if (join.isDefined) 128L else 64L
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(n * rowBytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
   }
 
@@ -881,7 +932,11 @@ object LocalCatalogBackend {
     parsed.compute(path, (_, cur) =>
       if (cur != null && cur._1 == mtime) cur
       else {
-        val src = scala.io.Source.fromFile(path)
+        // explicit UTF-8 (the HTTP backend's charset): the default
+        // codec is JVM-configurable, and a non-ASCII catalog parsed
+        // differently per backend would break the determinism
+        // contract (same filter / same sample subset on any backend)
+        val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
         try (mtime, src.getLines().filterNot(l => l.isEmpty || l.startsWith("#"))
           .map(_.split("\\|", -1)).toArray)
         finally src.close()

@@ -58,7 +58,6 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val query = BackendQuery(
-      params.collect { case (k, vs) if k.startsWith("eq.") => k.drop(3) -> vs.head },
       params.collect { case (k, vs) if k.startsWith("in.") => k.drop(3) -> vs })
     val matching = catalogRows.filter { f =>
       query.matches("material_id", f(0)) &&
@@ -82,7 +81,7 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
               .aggregateRows(page.iterator, params.getOrElse("group", Seq.empty), aggs)
               .toArray
             rowsServed.addAndGet(out.length)
-            out.map(_.mkString("|")).mkString("\n")
+            out.map(MaterialsSource.encodeWireRow).mkString("\n")
           case None =>
             // contract order (MaterialsBackend.fetch): sample, sort,
             // THEN skip the offset, THEN cut top-n/limit — SQL
@@ -105,7 +104,7 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
             params.get("topn").foreach { case Seq(n) => page = page.take(n.toInt) }
             params.get("limit").foreach { case Seq(n) => page = page.take(n.toInt) }
             rowsServed.addAndGet(page.length)
-            page.map(_.mkString("|")).mkString("\n")
+            page.map(MaterialsSource.encodeWireRow).mkString("\n")
         }
       }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -227,6 +226,22 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
     // wire cost is rows-per-group-per-page (≤ 3 groups × 3 pages),
     // never the 10 catalog rows
     assert(rowsServed.get() <= 9, s"server shipped ${rowsServed.get()} rows for a grouped agg")
+  }
+
+  test("completely-pushed global MIN over an EMPTY match set is one null row (wire sentinel)") {
+    // pages=1 makes the global aggregate COMPLETELY pushed: Spark
+    // plans no agg above the scan and relies on the one-row-even-
+    // when-empty contract. The blank min row serializes to an empty
+    // line, which newline framing can't carry — it rides the 0x01
+    // sentinel; pre-fix the HTTP backend returned ZERO rows here
+    // (diverging from SQL's single null row and from the local
+    // backend).
+    val one = spark.read.format("graft.sources.MaterialsSource")
+      .option("url", url).option("pages", "1").load()
+    val got = one.filter(col("chemsys") === "No-Such")
+      .agg(min(col("energy_per_atom")).as("mn")).collect()
+    assert(got.length == 1 && got.head.isNullAt(0),
+      s"empty-set global min must be one null row, got ${got.toSeq}")
   }
 
   test("pushed OFFSET rides the request; skipped rows never cross the wire") {

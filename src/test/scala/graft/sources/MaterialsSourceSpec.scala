@@ -406,6 +406,27 @@ class MaterialsSourceSpec extends SparkSpec {
     }
   }
 
+  test("a NUMERIC join key declines the push (raw-text matching), results intact") {
+    withSQLConf(JoinConf -> "true") {
+      // the pushed join compares raw catalog text; "1.5" vs "1.50"
+      // would silently drop typed-equal numeric pairs — string keys
+      // only, anything else is Spark's own join
+      val l = load().select(col("material_id").as("lid"), col("nsites"))
+      val r = load().select(col("material_id").as("rid"), col("nsites"))
+      val j = l.join(r, "nsites")
+      assert(!scanDesc(j).contains("PushedJoin"), scanDesc(j))
+      val engine = withSQLConfValue(JoinConf, "false")(
+        l.join(r, "nsites").collect().toSet)
+      assert(j.collect().toSet == engine && engine.nonEmpty)
+    }
+  }
+
+  test("missing path/url option fails at planning with a clear message") {
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft.sources.MaterialsSource").load().collect())
+    assert(e.getMessage.contains("option 'path'"), e.getMessage)
+  }
+
   test("non-inner and non-equi joins decline and stay engine-side, results intact") {
     withSQLConf(JoinConf -> "true") {
       val l = load().select(col("material_id"), col("formula"), col("nsites"))
