@@ -35,6 +35,8 @@ object Validate {
     * [[Ops.approxDistinct]] trade documented there. */
   def dataProfile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
+    require(cols.distinct.length == cols.length,
+      s"duplicate profile columns: ${cols.diff(cols.distinct).distinct.mkString(", ")}")
     val schema = df.schema
     cols.foreach { c =>
       require(schema.fieldNames.contains(c), s"column '$c' not in ${schema.fieldNames.toSeq}")
@@ -48,7 +50,11 @@ object Validate {
     val isStr: String => Boolean = c => schema(c).dataType == StringType
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        // coalesce: sum over ZERO rows is NULL, and an empty (clean)
+        // table must profile as n_nulls = 0, not null — a gate like
+        // filter(n_nulls === 0) would silently drop the row
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__nulls_$c"),
         nd(c).as(s"__nd_$c")) ++
         (if (isNum(c))
           Seq(min(col(c)).cast(DoubleType).as(s"__min_$c"),
@@ -87,6 +93,8 @@ object Validate {
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 2, s"k-anonymity below 2 is vacuous, got $k")
+    require(!quasiCols.contains("group_size"),
+      "quasi-identifier column 'group_size' collides with the output count alias — alias it first")
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
@@ -119,9 +127,18 @@ object Validate {
     require(phi > 0.0 && phi <= 0.5, s"need phi in (0, 0.5], got $phi")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(col(valueCol).cast(StringType).as("v")).as[String]
+    // nulls are not samples (the family contract): the MG pass and
+    // the candidate join both skip them, so counting them in n_total
+    // would inflate the threshold applied to the real values while
+    // the null key itself could never be reported
+    val vals = df.select(col(valueCol).cast(StringType).as("v"))
+      .filter(col("v").isNotNull).as[String]
     val totals = vals.toDF("v").agg(count(lit(1)).as("n_total"))
-    val capacity = math.ceil(1.0 / phi).toInt
+    // +1 counter of slack over the exact ⌈1/φ⌉ pigeonhole bound: the
+    // HAVING threshold below is the fp product ceil(φ·N), which can
+    // round a half-ulp BELOW the exact φ·N — the extra counter keeps
+    // the MG union a superset of everything that fp threshold admits
+    val capacity = math.ceil(1.0 / phi).toInt + 1
     val candidates = vals.mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { v =>
@@ -270,6 +287,10 @@ object Validate {
     * (v−mn)·nBins/(mx−mn) floor form with [[psiDrift]]/[[ksDrift]]'s
     * self-referenced binning. */
   def binColumn(value: Column, vmn: Double, vmx: Double, nBins: Int): Column = {
+    // nBins <= 0 would silently bin every row to -1, which the dense
+    // 0..nBins-1 scaffolds never match — counts would vanish with no
+    // error
+    require(nBins >= 1, s"need nBins >= 1, got $nBins")
     require(java.lang.Double.isFinite(vmn) && java.lang.Double.isFinite(vmx),
       s"non-finite cut params [$vmn, $vmx] — train the reference on finiteSample rows")
     if (vmx == vmn) lit(0L)
@@ -291,6 +312,7 @@ object Validate {
   def driftReference(df0: DataFrame, groupCol: String, valueCol: String,
                      nBins: Int): (Double, Double, DataFrame) = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    requireNonReserved(groupCol)
     // same sample contract as halfSplitBinCounts: null/non-finite
     // values are not samples — excluded from BOTH the counts and
     // n_ref, so the cumulative reference CDF actually reaches n_ref
@@ -383,7 +405,13 @@ object Validate {
   def driftByDay(df0: DataFrame, groupCol: String, valueCol: String,
                  tsUsCol: String, nBins: Int): DataFrame = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
-    val df = df0.filter(finiteSample(col(valueCol)))
+    requireNonReserved(groupCol)
+    // a null timestamp has no day bucket: unfiltered it formed a
+    // bucket=NULL group whose bins then failed the === probe join,
+    // emitting a spurious (bucket=null, d_num=0) "no drift" row while
+    // the rows' actual counts vanished. The half-split twins drop
+    // null-ts rows too — same family contract.
+    val df = df0.filter(finiteSample(col(valueCol)) && col(tsUsCol).isNotNull)
     val scalars = df.agg(
       min(col(valueCol)).cast(DoubleType).as("__vmn"),
       max(col(valueCol)).cast(DoubleType).as("__vmx"))
@@ -418,9 +446,28 @@ object Validate {
     * a |groups|·nBins scaffold from the group totals — no windows
     * over data rows, no self-joins, post-shuffle size independent
     * of table size. */
+  /** Working/output column names the drift family mints ALONGSIDE
+    * the re-aliased group column. A groupCol with one of these names
+    * would coexist with the internal column of the same name in one
+    * projection — ambiguous downstream (AnalysisException at best, a
+    * silently shadowed column at worst) — rejected up front.
+    * ("grp"/"bucket" are safe: the user name and the internal alias
+    * unify rather than coexist; value/ts columns are consumed in the
+    * first projection and never collide.) */
+  private val DriftReservedNames = Set(
+    "bin", "a", "b", "a1", "b1", "n1", "m1",
+    "n_first", "m_second", "d_num", "gap", "cnt",
+    "n_win", "n_ref", "ref_cnt")
+
+  private[core] def requireNonReserved(name: String): Unit =
+    require(!DriftReservedNames.contains(name),
+      s"group column name '$name' is reserved by the drift family's internals " +
+        s"(${DriftReservedNames.toSeq.sorted.mkString(", ")}) — rename or alias it first")
+
   private def halfSplitBinCounts(df0: DataFrame, groupCol: String,
                                  valueCol: String, tsUsCol: String,
                                  nBins: Int): DataFrame = {
+    requireNonReserved(groupCol)
     // NULL values are NOT samples of the distribution: without this
     // filter they would inflate the group totals (n_first/m_second
     // sum every count row) while the dense 0..nBins−1 scaffold drops

@@ -22,26 +22,24 @@ object StreamingOps {
 
   /** Events schema as the stream source sees it (ts already µs —
     * streaming readers should pre-convert nanos with
-    * `Tables.eventsWithTs` semantics). */
+    * `Tables.eventsWithTs` semantics). The primitive-decoded fields
+    * are declared non-nullable so a null in the source data is
+    * rejected at the boundary instead of killing the stream mid-query
+    * with a "Null value appeared in non-nullable field" decode
+    * error from `.as[Event]`. */
   val EventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts_t", TimestampType),
-    StructField("user_id", LongType),
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts_t", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
     StructField("event_type", StringType),
-    StructField("value", DoubleType)))
+    StructField("value", DoubleType, nullable = false)))
 
-  /** Watermarked tumbling-window aggregate — streaming twin of
-    * `Ops.windowAgg` (same grouping, same decimal-exact sum). */
+  /** Watermarked tumbling-window aggregate — the streaming twin IS
+    * the batch operator's body: delegate so the grouping, the
+    * decimal-exact sum, and the bucket format can never silently
+    * diverge from `Ops.windowAgg`. */
   def windowedAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts_t", watermark)
-      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           // the SAME shared decimal-exact sum the batch twin uses —
-           // an inline copy could silently diverge from it
-           graft.core.Ops.moneySum(col("value"), 2).as("sum_value"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
-              col("event_type"), col("n"), col("sum_value"))
+    graft.core.Ops.windowAgg(events.withWatermark("ts_t", watermark))
 
   case class Event(event_id: Long, ts_t: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
@@ -68,6 +66,11 @@ object StreamingOps {
     * would have bridged in batch mode has no surviving state. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  watermarkMinutes: Int = 0): Dataset[Session] = {
+    // fail fast like the batch twin (Ops.sessionize rejects a
+    // non-positive gap): a negative gap otherwise builds a valid
+    // plan, then kills the RUNNING query when a timeout timestamp
+    // lands below the watermark
+    require(gapMinutes > 0, s"need gapMinutes > 0, got $gapMinutes")
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     val wmMinutes = if (watermarkMinutes <= 0) gapMinutes else watermarkMinutes
@@ -79,7 +82,10 @@ object StreamingOps {
         state.remove()
         Iterator(Session(userId, s.start, s.last, s.n, s.total))
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts_t.getTime)
+        // Array, not List: the deep-late scan below random-accesses
+        // times(i) — on a List that is O(i) per access, turning a hot
+        // user's 50k-event batch into ~n²/2 pointer chases
+        val sorted = rows.toArray.sortBy(_.ts_t.getTime).toIndexedSeq
         var closed = List.empty[Session]
         var cur = state.getOption
         // DEEPLY-late prefix: an event that cannot reach the open
@@ -262,11 +268,21 @@ object StreamingOps {
     * new (last-value state cannot re-order history). Feed it a
     * per-key-ordered stream (watermark-delayed upstream), or treat
     * emissions as approximate and rebuild in batch. State is one
-    * (value, from) per ACTIVE key — O(keys), never O(history). */
-  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    * (value, from) per EVER-SEEN key — O(keys), never O(history);
+    * on an unbounded key universe pass `stateTtlMs` to expire idle
+    * keys (the [[markovStream]] escape hatch). */
+  def scd2Stream(events: Dataset[Event],
+                 stateTtlMs: Option[Long] = None): Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._
+    // same unbounded-key-universe escape hatch as markovStream: with
+    // NoTimeout, one Scd2State per EVER-SEEN key accumulates for the
+    // query's lifetime; a TTL expires keys idle longer than `ms`
+    // (their open range is abandoned, not emitted — append mode
+    // cannot close a range no change-event terminated)
+    stateTtlMs.foreach(ms => require(ms > 0L, s"need stateTtlMs > 0, got $ms"))
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[Scd2State]): Iterator[Scd2Closed] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val sorted = rows.toSeq.sortBy(e => (e.ts_t.getTime, e.event_id))
       var closed = List.empty[Scd2Closed]
       var cur = state.getOption
@@ -288,11 +304,15 @@ object StreamingOps {
         }
       }
       cur.foreach(state.update)
+      stateTtlMs.foreach(ms => state.setTimeoutDuration(ms))
       closed.reverseIterator
     }
+    val timeout =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 
   /** Streaming twin of `Dedup.exactDedup`: content-hash dedup on

@@ -217,6 +217,48 @@ class ValidateSpec extends SparkSpec {
     assert(rs.map(_._1).sum == rs.head._2, "sum(ref_cnt) == n_ref")
   }
 
+  test("dataProfile on an EMPTY table: one row per column, n_nulls 0 not null") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "s")
+    val rows = Validate.dataProfile(empty, Seq("k", "s")).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 0L)
+      assert(!r.isNullAt(r.fieldIndex("n_nulls")) && r.getAs[Long]("n_nulls") == 0L,
+        "an empty (clean) table must profile n_nulls = 0, not null")
+    }
+  }
+
+  test("heavyHitters: nulls are not samples — excluded from totals AND candidates") {
+    // 6 nulls + 4 "x" in 10 rows, phi = 0.5: over NON-NULL values
+    // "x" is 4/4 = every sample; pre-fix n_total was 10 and the
+    // threshold ceil(5) rejected it — a value covering 100% of the
+    // real population reported as not heavy
+    val df = ((1 to 6).map(_ => Option.empty[String]) ++
+      (1 to 4).map(_ => Some("x"))).toDF("v")
+    val got = Validate.heavyHitters(df, "v", 0.5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 4L), s"got $got")
+  }
+
+  test("driftByDay: null timestamps produce no spurious bucket=null row") {
+    val rows = Seq[(String, java.lang.Double, java.lang.Long)](
+      ("a", 1.0, 0L), ("a", 9.0, 86400000000L), ("a", 5.0, null))
+      .toDF("g", "value", "us")
+    val got = Validate.driftByDay(rows, "g", "value", "us", 2).collect()
+    assert(got.forall(!_.isNullAt(0)),
+      s"bucket=null row leaked: ${got.toSeq}")
+    assert(got.length == 2, s"one row per real day expected, got ${got.toSeq}")
+  }
+
+  test("drift family rejects reserved group column names up front") {
+    val rows = Seq(("a", 1.0, 0L)).toDF("bin", "value", "us")
+    val e = intercept[IllegalArgumentException](
+      Validate.ksDrift(rows, "bin", "value", "us", 2).collect())
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Validate.kAnonymity(Seq((1, 2)).toDF("a", "group_size"), Seq("group_size"), 2L))
+  }
+
   test("drift family non-finite contract: NaN/Inf are not samples and cannot abort") {
     // one NaN would poison min/max cut params; a non-finite bin
     // expression would abort on the ANSI double→Long cast (killing a

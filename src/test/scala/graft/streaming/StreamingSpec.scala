@@ -667,5 +667,43 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       StreamingOps.driftBinStream(e.toDF(), 0.0, 1.0, nBins = 0)
     }
+    // a negative gap previously built a valid plan and killed the
+    // RUNNING query when a timeout timestamp fell below the watermark
+    intercept[IllegalArgumentException] {
+      sessionize(e, gapMinutes = -5)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.scd2Stream(e, stateTtlMs = Some(0L))
+    }
+  }
+
+  test("scd2Stream with a (long) TTL emits the same closed rows as without") {
+    val t0 = 1600000000000L
+    def ev(id: Long, user: Long, tMs: Long, v: Double) =
+      Event(id, new java.sql.Timestamp(t0 + tMs), user, "click", v)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2ttl").toString
+    Seq(ev(1, 1, 0L, 5.0), ev(2, 1, 1000L, 5.0), ev(3, 1, 2000L, 7.0),
+        ev(4, 1, 3000L, 5.0), ev(5, 2, 0L, 9.0)).toDS()
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // ProcessingTimeTimeout queries never self-terminate under
+    // AvailableNow (see markovStream TTL test) — poll the sink for
+    // the expected rows, then stop()
+    val q = StreamingOps.scd2Stream(
+        spark.readStream.schema(EventSchema).parquet(dir).as[Event],
+        stateTtlMs = Some(3600L * 1000L)).writeStream
+      .outputMode("append").format("memory").queryName("scd2_ttl_out")
+      .trigger(Trigger.ProcessingTime("10 seconds")).start()
+    val want = Set((1L, 5.0, (t0 + 0L) * 1000L, (t0 + 2000L) * 1000L),
+                   (1L, 7.0, (t0 + 2000L) * 1000L, (t0 + 3000L) * 1000L))
+    try {
+      def rows() = spark.table("scd2_ttl_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      var got = rows()
+      while (got != want && System.nanoTime() < deadline) {
+        Thread.sleep(250); got = rows()
+      }
+      assert(got == want, s"TTL scd2 stream never produced $want, got $got")
+    } finally q.stop()
   }
 }
