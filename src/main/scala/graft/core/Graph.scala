@@ -1,9 +1,9 @@
 package graft.core
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph primitives for dedup-cluster construction.
@@ -34,9 +34,13 @@ object Graph {
     *    round ~10 (observed);
     *  - a `LongAccumulator` fed by the materializing map counts the
     *    delta rows DURING the checkpoint job, so convergence needs no
-    *    separate `isEmpty`/count action per round. Accumulators in an
-    *    RDD *action* are exactly-once per partition, and this count
-    *    is read once right after the forcing `count()`.
+    *    separate `isEmpty`/count action per round. The update lives
+    *    in a TRANSFORMATION, so it is at-least-once (speculative or
+    *    retried tasks can double-fire) — direction-safe for every
+    *    use here: a true delta of 0 cannot inflate (no rows fire the
+    *    predicate at all), so convergence is never falsely declared,
+    *    and badIds > 0 stays > 0; only the magnitude in the error
+    *    message can overcount. Do not hang exact-count logic off it.
     *
     * Checkpoint mode: `reliableDir = None` uses `localCheckpoint` —
     * fastest, but blocks die with an executor, the right trade for an
@@ -45,6 +49,22 @@ object Graph {
     * to MEMORY_AND_DISK first so the checkpoint-write job reads the
     * cached blocks (no recompute — which would double-fire the delta
     * accumulator), then write to fault-tolerant storage. */
+  /** LongType id cast that NULLs — instead of truncating — a
+    * FRACTIONAL value: an id column stored as double/decimal with
+    * value 41.7 must fail the null validation loudly, not silently
+    * merge into node 41 and collapse two unrelated documents into
+    * one cluster. (Strings already null out on a non-integer parse;
+    * integral types cast exactly. The double round-trip compare is
+    * exact for |id| < 2^53 — far past any real id space.) */
+  private def strictLongId(df: DataFrame, name: String): Column = {
+    val c = col(name)
+    df.schema(df.schema.fieldIndex(name)).dataType match {
+      case DoubleType | FloatType | (_: DecimalType) =>
+        when(c.cast(LongType).cast(DoubleType) === c.cast(DoubleType), c.cast(LongType))
+      case _ => c.cast(LongType)
+    }
+  }
+
   private def materializeCount(df: DataFrame, deltaWhen: Row => Boolean,
                                reliableDir: Option[String])
       : (DataFrame, RDD[Row], Long, Long) = {
@@ -56,7 +76,7 @@ object Graph {
     val rows = reliableDir match {
       case Some(dir) =>
         // setCheckpointDir appends a unique subdir; only (re)set when
-        // the current one is already under the requested root (true
+        // the current one is NOT already under the requested root (true
         // path-prefix — a plain startsWith would also match a SIBLING
         // like "<dir>2" and silently keep checkpointing there).
         // Compare FS-QUALIFIED forms: getCheckpointDir returns a
@@ -162,7 +182,13 @@ object Graph {
     *        `localCheckpoint` — fastest, right for interactive jobs;
     *        a long-lived pipeline stage passes a durable path (HDFS/
     *        object store) so an executor loss does not restart the
-    *        whole iteration from round 1. */
+    *        whole iteration from round 1. CAVEAT: RDD checkpointing
+    *        is CONTEXT-GLOBAL — passing a dir repoints
+    *        `SparkContext.setCheckpointDir` for the whole application
+    *        and does not restore it afterwards; an application that
+    *        checkpoints its own RDDs elsewhere, or runs concurrent
+    *        graph ops with different dirs, must coordinate (use one
+    *        shared root). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50,
                           localSolveMaxEdges: Long = 1000000L,
@@ -178,32 +204,31 @@ object Graph {
     // join); measured on the 10× sparse embedding corpus, the
     // double evaluation alone was ~25 s of a ~50 s query.
     val dirPlan = edges
-      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
-    val (dir, dirRdd, badIds, _) =
+      .select(strictLongId(edges, srcCol).as("src"),
+              strictLongId(edges, dstCol).as("dst"))
+    val (dir, dirRdd, badIds, dirCount) =
       materializeCount(dirPlan, r => r.isNullAt(0) || r.isNullAt(1), reliableCheckpointDir)
     if (badIds > 0) {
       release(spark, dirRdd, reliable)
       throw new IllegalArgumentException(
-        s"connectedComponents: $badIds edge row(s) in '$srcCol'/'$dstCol' have a null " +
-          "or non-long-castable endpoint — fix or filter the edge input, a null id would " +
-          "otherwise collapse into one bogus component")
+        s"connectedComponents: $badIds edge row(s) in '$srcCol'/'$dstCol' have a null, " +
+          "non-long-castable, or FRACTIONAL endpoint — fix or filter the edge input; a " +
+          "null id would otherwise collapse into one bogus component and a truncating " +
+          "cast would silently merge distinct nodes")
     }
-    val symPlan = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-    val (sym, symRdd, _, symCount) =
-      materializeCount(symPlan, _ => false, reliableCheckpointDir)
-    release(spark, dirRdd, reliable)
 
     // ---- small-graph path: exact union-find on the driver ----
-    // symCount counts both directions, so /2 ≈ undirected edges. The
+    // Gated on the DIRECTED edge count, BEFORE the symmetric closure
+    // is ever built: union-find is orientation-insensitive (and dir
+    // keeps self-loops), so the local path never needs sym — building
+    // it first cost a second full materialization (in reliable mode a
+    // durable write of 2× the edge data) just to discard it. The
     // collect below is BOUNDED by the gate — this is not an unguarded
     // driver loop; it reads the already-checkpointed blocks once.
-    if (symCount / 2 <= localSolveMaxEdges) {
+    if (dirCount <= localSolveMaxEdges) {
       import spark.implicits._
-      // one row per undirected edge; src <= dst also keeps self-loops
-      // so isolated self-loop nodes still receive a label
-      val pairs = sym.filter(col("src") <= col("dst"))
-        .as[(Long, Long)].collect()
-      release(spark, symRdd, reliable)
+      val pairs = dir.as[(Long, Long)].collect()
+      release(spark, dirRdd, reliable)
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -224,6 +249,16 @@ object Graph {
         .parallelize(labels.toIndexedSeq, math.max(1, labels.length / 500000 + 1))
         .toDF("node", "comp")
     }
+
+    // ---- distributed path: symmetric closure from the MATERIALIZED
+    // directed edges (building it straight off `edges` would evaluate
+    // the caller's — typically expensive — edge plan in both union
+    // branches; measured ~25 s of a ~50 s query on the 10× sparse
+    // corpus) ----
+    val symPlan = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+    val (sym, symRdd, _, _) =
+      materializeCount(symPlan, _ => false, reliableCheckpointDir)
+    release(spark, dirRdd, reliable)
 
     // one propagate+shortcut hop, all lazy: cur = (node, old, comp),
     // act = the subset whose labels neighbors have not read yet
@@ -274,10 +309,16 @@ object Graph {
     // labels that stopped moving ARE the components; labels cut off
     // mid-flight are not transitively closed — returning them would
     // silently under-merge dedup clusters downstream
-    if (!converged)
+    if (!converged) {
+      // release the final round too: a caller that catches and
+      // retries with a higher maxIter must not hoard one label-table
+      // copy (plus, in reliable mode, its durable checkpoint files)
+      // per failed attempt
+      release(spark, labRdd, reliable)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds " +
           "(pointer jumping needs ~log2(diameter)); raise maxIter")
+    }
     lab
   }
 
@@ -295,6 +336,12 @@ object Graph {
   def degreeHistogram(edges: DataFrame, srcCol: String, dstCol: String,
                       nodes: DataFrame, nodeCol: String): DataFrame = {
     val deg = edges
+      // a null endpoint is not a node: unfiltered, the non-null side
+      // gained a degree for an edge to nowhere and the null grouped
+      // into a phantom row — this operator is fully lazy (no
+      // materialization pass to throw from, unlike the siblings), so
+      // the declarative null contract is DROP, stated here
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(explode(array(col(srcCol), col(dstCol))).as("__n"))
       .groupBy("__n").agg(count(lit(1)).as("degree"))
     nodes.select(col(nodeCol).as("__n"))
@@ -333,8 +380,8 @@ object Graph {
     require(damping > 0.0 && damping < 1.0, s"need damping in (0,1), got $damping")
     val spark = edges.sparkSession
     val reliable = reliableCheckpointDir.isDefined
-    val ePlan = edges.select(col(srcCol).cast(LongType).as("src"),
-                             col(dstCol).cast(LongType).as("dst"))
+    val ePlan = edges.select(strictLongId(edges, srcCol).as("src"),
+                             strictLongId(edges, dstCol).as("dst"))
     val (e, eRdd, badIds, _) =
       materializeCount(ePlan, r => r.isNullAt(0) || r.isNullAt(1), reliableCheckpointDir)
     if (badIds > 0) {

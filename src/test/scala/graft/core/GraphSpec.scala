@@ -87,6 +87,22 @@ class GraphSpec extends SparkSpec {
       Graph.connectedComponents(unCastable, "a", "b").collect())
   }
 
+  test("fractional ids fail loudly instead of truncating distinct nodes together") {
+    // 41.2 and 41.7 both truncate to node 41 under a bare LongType
+    // cast — two unrelated documents silently merged; integral-valued
+    // doubles (41.0) must still pass
+    val frac = Seq((41.2, 1.0), (41.7, 2.0)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException](
+      Graph.connectedComponents(frac, "a", "b").collect())
+    assert(ex.getMessage.toLowerCase.contains("fractional"), ex.getMessage)
+    intercept[IllegalArgumentException](
+      Graph.pageRank(frac, "a", "b").collect())
+    val intDoubles = Seq((1.0, 2.0), (2.0, 3.0)).toDF("a", "b")
+    val got = Graph.connectedComponents(intDoubles, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("reliableCheckpointDir: distributed loop writes durable checkpoints, same labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val ids = ((100L to 131L) :+ 1L) ++ (200L to 230L) // multi-round convergence
