@@ -50,15 +50,20 @@ object Pipeline {
   def seededSamplePy(slabs: Dataset[Slab], n: Int, seed: Long,
                      maxDriverIds: Int = 1000000): Dataset[Slab] = {
     import slabs.sparkSession.implicits._
-    // gate BEFORE collecting: counting first costs one cheap job and
-    // means the guard actually prevents the driver OOM it exists for
-    // (the graph union-find fallback's count-then-collect discipline)
-    val nIds = slabs.count()
-    require(nIds <= maxDriverIds,
+    // ONE action, not count-then-collect: take(gate+1) both fetches
+    // the ids and proves the gate in a single job — and, load-bearing
+    // for full()'s scoped caches, burns ONE cache-consumption slot
+    // instead of two (the count gate added later silently exhausted
+    // the actions=2 budgets before the downstream consumer ran)
+    val ids0 = slabs.select(col("mpKey")).as[String].take(maxDriverIds + 1)
+    require(ids0.length <= maxDriverIds,
       s"seededSamplePy collects ids driver-side (CPython-parity semantics); " +
-        s"$nIds keys exceed the $maxDriverIds gate — use seededSample " +
-        "for engine-scale inputs")
-    val ids = slabs.select(col("mpKey")).as[String].collect().sorted.toIndexedSeq
+        s"more than $maxDriverIds keys — use seededSample for engine-scale inputs")
+    val ids = ids0.sorted.toIndexedSeq
+    // the CLAMP is reference parity, not a mask: the reference DAG
+    // itself draws `random.sample(bulk_ids, min(nsample,
+    // len(bulk_ids)))` (dags/my_dag.py:57) — bare CPython would
+    // raise on k > len, the reference deliberately does not
     val picked = new graft.core.PyRandom(seed).sample(ids, math.min(n, ids.length))
     slabs.filter(col("mpKey").isin(picked: _*))
   }
@@ -97,13 +102,15 @@ object Pipeline {
     // plan ordering across the UDF barrier). CPython-bit-exact draws
     // — the reference's own seed/sample pairs (27 → bulk subset,
     // 20 → pick-1), dags/my_dag.py:55-57,109-111.
-    // Each sampled stage is scope-CACHED for exactly 2 actions: the
-    // draw's key collect and the one downstream consumer — without
-    // it the POSCAR parse and the whole SlabGen fan-out would
-    // re-execute once per stage (the key collect is an action the
-    // old lazy single-plan sampler didn't have)
+    // Scope-CACHED with budgets counted against EVERY action whose
+    // plan contains the frame (sameResult containment): bulkAll is
+    // read by its own draw's key take, by the slab draw's key take
+    // (the slab plan contains the bulk subtree), and by the final
+    // sink action = 3; slabs by its draw's take and the final action
+    // = 2. Without the caches the POSCAR parse and the whole SlabGen
+    // fan-out would re-execute once per stage.
     val bulkAll = PoscarCodec.read(spark, bulkPoscarDir)
-    graft.text.Dedup.registerCache(bulkAll.toDF(), actions = 2)
+    graft.text.Dedup.registerCache(bulkAll.toDF(), actions = 3)
     val bulks = seededSamplePy(bulkAll, nBulkSample, seed = 27L)
     val slabs = SlabGen.generate(bulks, facets, nShifts)
     graft.text.Dedup.registerCache(slabs.toDF(), actions = 2)
@@ -144,14 +151,24 @@ object Pipeline {
   /** Report body (`write_report`, `dags/my_dag.py:213-243`): the
     * final small result rendered driver-side. Collect is correct
     * here — it is the terminal, human-facing artifact. */
-  def reportMarkdown(results: DataFrame): String = {
-    val rows = results.select("mp_id", "pzc", "capacitance")
-      .orderBy("mp_id").collect()
+  def reportMarkdown(results: DataFrame): String =
+    markdownTable(results.select("mp_id", "pzc", "capacitance")
+      .orderBy("mp_id").collect())
+
+  /** The table body over ALREADY-COLLECTED rows — shared with
+    * [[writeReport]], which holds the same projection in `fits` and
+    * must not re-execute the upstream plan (behind a live pipeline
+    * that plan contains the external-DFT stage) just to render it. */
+  private def markdownTable(rows: Array[org.apache.spark.sql.Row]): String = {
     // a material without a charge==0 run has NULL pzc; a single-point
     // series has NULL capacitance (regr_slope) — render "NA" instead
     // of throwing away the whole report
     def cell(r: org.apache.spark.sql.Row, i: Int): String =
-      if (r.isNullAt(i)) "NA" else f"${r.getDouble(i)}%.5f"
+      if (r.isNullAt(i)) "NA"
+      // Locale.ROOT: the report is a byte-stable artifact — the
+      // default-locale f-interpolator renders "0,46601" on a
+      // comma-decimal JVM
+      else String.format(java.util.Locale.ROOT, "%.5f", Double.box(r.getDouble(i)))
     val header = "| MP id | PZC (V vs SHE) | Capacitance (µF/cm²) |\n|---|---|---|\n"
     header + rows.map(r => s"| ${r.getString(0)} | ${cell(r, 1)} | ${cell(r, 2)} |")
       .mkString("\n")
@@ -207,7 +224,12 @@ object Pipeline {
         // the material's slab POSCAR is available
         poscarDir.foreach { pd =>
           val pf = Paths.get(pd, s"$id.poscar")
-          if (Files.exists(pf)) {
+          // skip (not crash) on a malformed slab file, the same
+          // one-bad-material-must-not-abort policy as the NULL-fit
+          // and non-finite-series skips above — a truncated POSCAR
+          // costs this material its structure panel, not everyone's
+          // report
+          if (Files.exists(pf)) scala.util.Try {
             val slab = graft.echem.PoscarCodec.parse(id,
               new String(Files.readAllBytes(pf), StandardCharsets.UTF_8))
             val structPng = Figure.structPng(slab)
@@ -219,7 +241,9 @@ object Pipeline {
         s"\n\n![](visualize/${id}_echem.svg)"
       }
     }
-    val md = reportMarkdown(results) + images.mkString + "\n"
+    // render the table from the rows ALREADY collected into `fits` —
+    // reportMarkdown(results) would re-execute the upstream plan
+    val md = markdownTable(fits) + images.mkString + "\n"
     Files.write(Paths.get(outDir, "report.md"), md.getBytes(StandardCharsets.UTF_8))
     md
   }
@@ -288,9 +312,20 @@ object Pipeline {
         // checkpointed offsets). Readers of `sinkDir` see the KS row
         // schema plus a trailing `batchId` partition column.
         if (!batch.isEmpty) {
-          Validate.ksAgainstReference(batch, refDense, nBins)
-            .coalesce(1)
-            .write.mode("overwrite").parquet(s"$sinkDir/batchId=$batchId")
+          val ks = Validate.ksAgainstReference(batch, refDense, nBins)
+          // KS rows are bounded driver metadata (≤ live groups known
+          // to the reference): collect once, and only write a batch
+          // that HAS rows — a batch whose groups are all absent from
+          // the frozen reference joins to zero KS rows, and writing
+          // it would create exactly the empty batchId= part files
+          // the outer guard exists to prevent
+          val rows = ks.collect()
+          if (rows.nonEmpty) {
+            batch.sparkSession
+              .createDataFrame(java.util.Arrays.asList(rows: _*), ks.schema)
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$sinkDir/batchId=$batchId")
+          }
         }
         ()
       }
