@@ -33,10 +33,16 @@ import Schemas.{Atom, Slab}
   * [[primitiveReduce]] covers the `primitive=True` flag
   * (`dags/my_dag.py:90`): translation-search cell reduction
   * (pymatgen `Structure.get_primitive_structure` re-derived — no
-  * spglib), applied to the bulk before cutting; the reference
-  * fixtures are already primitive, so it is an identity there
-  * (golden-tested both ways — identity on the fixtures, k-fold
-  * collapse on synthetic supercells).
+  * spglib), applied to each GENERATED slab after cutting — pymatgen
+  * reduces the slab, not the input bulk, so the Miller indices stay
+  * defined on the INPUT cell's basis (reducing the bulk first would
+  * reinterpret "001" in the reduced basis and cut a different
+  * crystallographic plane on any non-primitive input). With vacuum
+  * present only IN-PLANE translations survive the search, exactly
+  * pymatgen's slab-reduction effect. The reference fixtures' slabs
+  * are already minimal, so it is an identity there (golden-tested
+  * both ways — identity on the fixtures, k-fold collapse on
+  * synthetic supercells).
   *
   * Runs as `Dataset.flatMap` — the fan-out executes inside
   * executors, so a million bulks × facets never touches the driver.
@@ -194,14 +200,17 @@ object SlabGen {
   def cut(bulk0: Slab, facet: String, nShifts: Int,
           layers: Int = DefaultLayers, vacuumFrac: Double = DefaultVacuumFrac,
           primitive: Boolean = true): Seq[Slab] = {
-    val bulk = if (primitive) primitiveReduce(bulk0) else bulk0
+    // cut on the INPUT basis — primitive reduction applies to the
+    // generated slab below (see the object doc: reducing the bulk
+    // first would reinterpret the Miller plane)
+    val bulk = bulk0
     val miller = facet.map(_.asDigit)
     val (cell, cellAtoms) = orientedCell(bulk, miller)
     val cScale = layers * (1.0 + vacuumFrac)
     val lattice = Seq(cell(0), cell(1), cell(2).map(_ * cScale))
     val center = vacuumFrac / (2.0 * (1.0 + vacuumFrac)) // fraction of the new c
     val nCells = cellAtoms.length / bulk.positions.length
-    (0 until nShifts).map { i =>
+    val raw = (0 until nShifts).map { i =>
       val shift = i.toDouble / nShifts // fractional termination shift
       val atoms = for {
         a <- cellAtoms // species-grouped; layer index varies fastest
@@ -220,6 +229,7 @@ object SlabGen {
         positions = atoms,
         fixed = Seq.empty)
     }
+    if (primitive) raw.map(primitiveReduce(_)) else raw
   }
 
   /** Distributed fan-out: bulks × facets → slabs. */
@@ -325,7 +335,9 @@ object SlabGen {
                       tolAngstrom: Double = 0.1, layers: Int = DefaultLayers,
                       vacuumFrac: Double = DefaultVacuumFrac,
                       primitive: Boolean = true): Seq[Slab] = {
-    val bulk = if (primitive) primitiveReduce(bulk0) else bulk0
+    // cut on the INPUT basis; reduction applies to the generated
+    // slabs below (the [[cut]] rationale)
+    val bulk = bulk0
     val miller = facet.map(_.asDigit)
     val (cell, cellAtoms) = orientedCell(bulk, miller)
     val cScale = layers * (1.0 + vacuumFrac)
@@ -352,7 +364,7 @@ object SlabGen {
     val kept = if (symmetricOnly) distinct.filter(isSymmetricTermination(cellAtoms, _))
                else distinct
 
-    kept.sorted.zipWithIndex.map { case (shift, i) =>
+    val rawSlabs = kept.sorted.zipWithIndex.map { case (shift, i) =>
       val atoms = for {
         a <- cellAtoms
         l <- 0 until layers
@@ -375,6 +387,7 @@ object SlabGen {
         positions = atoms,
         fixed = Seq.empty)
     }
+    if (primitive) rawSlabs.map(primitiveReduce(_)) else rawSlabs
   }
 
   /** Distributed termination fan-out: bulks × facets → distinct
@@ -677,6 +690,12 @@ object SlabGen {
       }.filter(t => t.exists(v => periDist1(v) > tolFrac))
         .sortBy(t => (t.map(v => { val d = periDist1(v); d * d }).sum, t(0), t(1), t(2)))
       cands.find(isPureTranslation(atoms, _, tolFrac)).foreach { t =>
+        // positional ASE constraints cannot survive a reduction that
+        // drops and reorders atoms — stale indices would silently pin
+        // the WRONG atom in a generated DFT deck; fail loudly
+        require(cur.fixed.isEmpty,
+          s"primitiveReduce cannot remap positional 'fixed' constraints " +
+            s"(key=${cur.mpKey}) — clear them or reduce before constraining")
         // smallest k with k·t integral (k ≤ number of atoms of the
         // reference species; a valid translation permutes its sites)
         val k = (2 to ref.size).find(k =>
@@ -706,8 +725,14 @@ object SlabGen {
         // 10x margin would reject legitimately reducible
         // high-multiplicity supercells with near-tolerance noise.
         // Safe to loosen: distinct primitive-cell sites sit O(1)
-        // apart in the new fractional frame, orders above this.
-        val dupTol = tolFrac * math.max(10, 4 * collapse)
+        // apart in the new fractional frame, orders above this —
+        // but CAPPED at 0.01 fractional: unbounded scaling (a 1×1×N
+        // supercell has collapse = N in one pass) would eventually
+        // exceed real inter-site separations in large multi-atom
+        // primitive cells and falsely merge distinct atoms (the
+        // kept-count require below then kills the job on a
+        // legitimately reducible input)
+        val dupTol = math.min(tolFrac * math.max(10, 4 * collapse), 0.01)
         val kept = scala.collection.mutable.ArrayBuffer[Atom]()
         moved.foreach { a =>
           val dup = kept.exists(b => b.element == a.element &&

@@ -267,19 +267,37 @@ class SlabGenSpec extends SparkSpec {
     assert(red.species == Seq("Na", "Cl"))
   }
 
-  test("primitiveReduce feeds cut: supercell and primitive bulk yield the same slab composition per cell") {
+  test("cut(primitive=true) reduces the GENERATED slab in-plane (pymatgen semantics)") {
+    // pymatgen's primitive=True reduces the slab AFTER cutting on the
+    // input cell's Miller basis — reduction is therefore IN-PLANE
+    // only (vacuum breaks any stacking-direction translation). An
+    // in-plane supercell must collapse to the primitive slab; a
+    // stacking-direction supercell legitimately keeps its repeats
+    // (they are extra layers, exactly what pymatgen produces).
     val prim = Schemas.Slab("p", "t", 1.0,
       Seq(Seq(1.0, 0, 0), Seq(0, 1.0, 0), Seq(0, 0, 1.0)),
       Seq("Cu"), Seq(1), Seq(Schemas.Atom(0, 0, 0, "Cu")), Seq.empty)
-    val sup = Schemas.Slab("s", "t", 1.0,
+    // 1×3×1 supercell: the tripled b axis lies IN-PLANE for facet 100
+    val supInPlane = Schemas.Slab("s", "t", 1.0,
+      Seq(Seq(1.0, 0, 0), Seq(0, 3.0, 0), Seq(0, 0, 1.0)),
+      Seq("Cu"), Seq(3),
+      Seq(Schemas.Atom(0, 0, 0, "Cu"), Schemas.Atom(0, 1.0 / 3, 0, "Cu"),
+          Schemas.Atom(0, 2.0 / 3, 0, "Cu")), Seq.empty)
+    val a = SlabGen.cut(prim, "100", nShifts = 1).head
+    val b = SlabGen.cut(supInPlane, "100", nShifts = 1).head // primitive=true default
+    val c = SlabGen.cut(supInPlane, "100", nShifts = 1, primitive = false).head
+    assert(a.positions.size == b.positions.size,
+      s"in-plane supercell must reduce to the primitive slab: ${b.positions.size} vs ${a.positions.size}")
+    assert(c.positions.size == 3 * a.positions.size, "unreduced supercell keeps 3 cells")
+    // 3×1×1 supercell: the tripled a axis IS the 100 stacking
+    // direction — its repeats become layers, which vacuum pins
+    val supStack = Schemas.Slab("s2", "t", 1.0,
       Seq(Seq(3.0, 0, 0), Seq(0, 1.0, 0), Seq(0, 0, 1.0)),
       Seq("Cu"), Seq(3),
       Seq(Schemas.Atom(0, 0, 0, "Cu"), Schemas.Atom(1.0 / 3, 0, 0, "Cu"),
           Schemas.Atom(2.0 / 3, 0, 0, "Cu")), Seq.empty)
-    val a = SlabGen.cut(prim, "100", nShifts = 1).head
-    val b = SlabGen.cut(sup, "100", nShifts = 1).head   // primitive=true default
-    val c = SlabGen.cut(sup, "100", nShifts = 1, primitive = false).head
-    assert(a.positions.size == b.positions.size, "reduced supercell must equal primitive")
-    assert(c.positions.size == 3 * a.positions.size, "unreduced supercell keeps 3 cells")
+    val d = SlabGen.cut(supStack, "100", nShifts = 1).head
+    assert(d.positions.size == 3 * a.positions.size,
+      "stacking-direction repeats are layers, not reducible translations")
   }
 }
