@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions.col
   *    bounded memory per reader task, parallelism preserved for
   *    downstream scans.
   *
+  * Overwrite semantics, stated honestly: `mode("overwrite")` deletes
+  * the ENTIRE existing path when the job starts — a failed re-export
+  * leaves no previous corpus behind, and partition values absent
+  * from the new frame are wiped. For a production re-export of a
+  * live corpus, write to a fresh VERSIONED path and repoint readers
+  * (the zone-map table's `_current` pattern), or set
+  * `spark.sql.sources.partitionOverwriteMode=dynamic` to replace
+  * only the partitions present in the frame. Kept as plain overwrite
+  * here because the declared export writes to its own fresh dir.
+  *
   * The `repartition(partitionCols)` before the write is deliberate:
   * without it every task can hold rows of every partition value and a
   * P-partition × T-task write emits P·T small files — the classic

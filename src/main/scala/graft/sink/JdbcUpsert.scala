@@ -17,6 +17,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * the wire, then broadcast when small. Re-running the pipeline is a
   * no-op, which is the reference's crash-recovery story
   * (`retries: 0` + idempotent load, SURVEY.md §2j).
+  *
+  * Scope of the guarantee, stated precisely: idempotent ACROSS runs
+  * (the anti-join snapshot sees every previously committed key).
+  * WITHIN one job, a task whose partition's insert transaction
+  * committed but whose success was never reported re-runs and
+  * re-inserts its slice; and two CONCURRENT jobs can both snapshot
+  * before either appends. The true backstop for both — exactly what
+  * the reference's `ON CONFLICT DO NOTHING` is — lives in the
+  * DATABASE: create a UNIQUE index on the key so a replayed insert
+  * fails (or is ignored, dialect permitting) instead of duplicating.
+  * The plan-level anti-join minimizes wasted writes; the constraint
+  * guarantees uniqueness.
   */
 object JdbcUpsert {
 
@@ -36,8 +48,11 @@ object JdbcUpsert {
     incoming
       .dropDuplicates(key)
       .as("i")
-      .join(existing.select(col(key).as("__ek")),
-        col(s"i.$key") <=> col("__ek"), "left_anti")
+      // qualify through the right side's alias: an incoming frame
+      // that itself carries a column named __ek (e.g. this join's
+      // round-tripped output) would make a bare col("__ek") ambiguous
+      .join(existing.select(col(key).as("__ek")).as("e"),
+        col(s"i.$key") <=> col("e.__ek"), "left_anti")
   }
 
   def upsertAppend(spark: SparkSession, incoming: DataFrame, key: String,

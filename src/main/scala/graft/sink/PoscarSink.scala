@@ -16,6 +16,12 @@ import Schemas.Slab
   * the REFERENCE's contract — for engine-internal handoffs prefer
   * parquet of the Slab struct (see Pipeline, which never
   * materializes between stages at all).
+  *
+  * Key contract: `mpKey` names the file, so DUPLICATE keys collapse
+  * to one file, last rename wins — fine for retries rewriting
+  * identical content (the designed case), silently lossy for
+  * distinct-content duplicates. Dedup upstream when keys may repeat
+  * (the SlabGen key scheme makes them unique by construction).
   */
 object PoscarSink {
 
@@ -32,18 +38,32 @@ object PoscarSink {
         val target = Paths.get(dir, s"${s.mpKey}.poscar")
         val tmp = Paths.get(dir,
           s".${s.mpKey}.poscar.${java.util.UUID.randomUUID()}.tmp")
-        Files.write(tmp, PoscarCodec.render(s).getBytes(StandardCharsets.UTF_8))
-        try
-          Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        catch {
-          case _: java.nio.file.AtomicMoveNotSupportedException =>
-            // object-store FUSE mounts may lack atomic rename; a
-            // plain replace is still torn-write-safe vs CREATE+
-            // TRUNCATE because the content was staged fully first
+        // any failure between staging and the move must not leave
+        // UUID-named .tmp litter accumulating in the shared dir —
+        // a killed speculative task never retries under the same
+        // temp name, so nothing else would ever clean it
+        try {
+          Files.write(tmp, PoscarCodec.render(s).getBytes(StandardCharsets.UTF_8))
+          try
             Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch {
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              // object-store FUSE mounts may lack atomic rename; the
+              // plain replace still avoids CREATE+TRUNCATE streaming
+              // of the render, but Files.move may internally degrade
+              // to copy+delete there — a concurrent reader CAN then
+              // observe a missing/partial file. On such mounts the
+              // atomicity guarantee is only as good as the mount's
+              // rename; stage-then-move is the best portable form.
+              Files.move(tmp, target,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } catch {
+          case t: Throwable =>
+            try Files.deleteIfExists(tmp) catch { case _: Exception => () }
+            throw t
         }
       }
     }
