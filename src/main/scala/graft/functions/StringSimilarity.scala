@@ -79,11 +79,16 @@ object StringSimilarity {
     j + l * 0.1 * (1.0 - j)
   }
 
-  case class JaroWinklerSim(left: Expression, right: Expression) extends BinaryExpression {
+  case class JaroWinklerSim(left: Expression, right: Expression) extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType
+    // see NfcNormalize: NULL literals coerce to NULL results, and
+    // collated string columns (`_: StringType`) are accepted
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(StringType, StringType)
     override def checkInputDataTypes(): TypeCheckResult =
       (left.dataType, right.dataType) match {
-        case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+        case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
         case (l, r) => TypeCheckResult.TypeCheckFailure(
           s"jaro_winkler expects (string, string), got (${l.simpleString}, ${r.simpleString})")
       }

@@ -50,10 +50,18 @@ object TextNormalize {
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 
-  case class NfcNormalize(child: Expression) extends UnaryExpression {
+  case class NfcNormalize(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     override def dataType: DataType = StringType
+    // ImplicitCastInputTypes + a `_: StringType` match: a NULL
+    // literal coerces and returns NULL like every string built-in,
+    // and a COLLATED string column (Spark 4: StringType with a
+    // non-zero collationId never equals the StringType stable
+    // identifier) is accepted — NFC is collation-independent
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(StringType)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
         s"nfc_normalize expects string, got ${t.simpleString}")
     }

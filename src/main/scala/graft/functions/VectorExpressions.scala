@@ -37,6 +37,10 @@ object VectorExpressions {
     * short side with nulls, which null the whole sum), so the
     * [[VectorFoldRewrite]] substitution cannot change results on
     * ragged inputs. */
+  // deliberately NOT ImplicitCastInputTypes: implicit function-arg
+  // coercion would accept array<double> and silently DOWNCAST every
+  // element to float — a precision loss the strict check surfaces
+  // instead (the fold formulation remains the double-exact path)
   case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
@@ -115,14 +119,16 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         val v = ctx.freshName("v")
         val bad = ctx.freshName("hasNullElem")
         s"""
+           |int $n = $a.numElements();
            |double $s = 0.0;
            |boolean $bad = false;
-           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |for (int $i = 0; $i < $n; $i++) {
            |  if ($a.isNullAt($i)) { $bad = true; break; }
            |  double $v = (double) $a.getFloat($i);
            |  $s += $v * $v;

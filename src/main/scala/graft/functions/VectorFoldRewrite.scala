@@ -21,12 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * the `VectorExpressionsSpec` property test pins) and stay inside
   * whole-stage codegen.
   *
-  * Conservative by design: any deviation — different zero, non-sum
-  * merge, non-identity finish, non-float arrays (the fold also
-  * accepts doubles; the native expression does not), or a
-  * nullable-element array type (a null element nulls the whole fold;
-  * the native loop would read it as 0.0f) — leaves the expression
-  * untouched. Length-mismatched inputs are safe to rewrite because
+  * Conservative by design: any deviation — different zero (including
+  * a -0.0 literal: the native accumulator starts at +0.0, and an
+  * empty array folded from -0.0 yields -0.0 — bit-distinct), non-sum
+  * merge, non-identity finish, or non-float arrays (the fold also
+  * accepts doubles; the native expression does not) — leaves the
+  * expression untouched. Nullable-ELEMENT arrays DO rewrite: the
+  * native expressions return NULL on a null element, bit-matching
+  * the fold (a null product nulls the running sum) — rejecting
+  * containsNull would make the rule dead on the most common real
+  * schemas (SQL DDL `array<float>` and optional-element parquet
+  * lists both default containsNull=true). Length-mismatched inputs are safe to rewrite because
   * [[VectorExpressions.DotProductF]] mirrors the fold's
   * NULL-on-ragged semantics.
   *
@@ -36,7 +41,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 object VectorFoldRewrite extends Rule[LogicalPlan] {
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, containsNull) => !containsNull
+    case ArrayType(FloatType, _) => true // null elements NULL-propagate natively too
     case _ => false
   }
 
@@ -47,7 +52,11 @@ object VectorFoldRewrite extends Rule[LogicalPlan] {
   }
 
   private def isZeroD(e: Expression): Boolean = e match {
-    case Literal(z: Double, DoubleType) => z == 0.0
+    // bit-exact POSITIVE zero only: -0.0 == 0.0 is true in double
+    // comparison, but fold(-0.0) over an empty array returns -0.0
+    // while the native accumulator returns +0.0
+    case Literal(z: Double, DoubleType) =>
+      java.lang.Double.doubleToRawLongBits(z) == 0L
     case _ => false
   }
 

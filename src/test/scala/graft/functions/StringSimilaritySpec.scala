@@ -46,9 +46,20 @@ class StringSimilaritySpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
-  test("type check rejects non-string inputs") {
+  test("built-in-convention argument coercion: numerics cast, arrays reject") {
+    // ImplicitCastInputTypes (the levenshtein convention): numeric
+    // args coerce to their string rendering instead of failing
+    // analysis, and a NULL literal yields NULL instead of
+    // DATATYPE_MISMATCH
+    val r = Seq((11, 11)).toDF("a", "b")
+      .select(jaro_winkler(col("a"), col("b"))).collect().head
+    assert(r.getDouble(0) == 1.0)
+    val n = Seq("abc").toDF("s")
+      .select(jaro_winkler(lit(null), col("s"))).collect().head
+    assert(n.isNullAt(0))
+    // a genuinely un-coercible type still rejects loudly
     val err = intercept[Exception] {
-      Seq((1, 2)).toDF("a", "b").select(jaro_winkler(col("a"), col("b"))).collect()
+      Seq(Tuple1(Seq(1))).toDF("a").select(jaro_winkler(col("a"), col("a"))).collect()
     }
     assert(err.getMessage.toLowerCase.contains("string") ||
            err.getMessage.contains("DATATYPE_MISMATCH"))

@@ -43,11 +43,16 @@ class TextNormalizeSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
-  test("type check rejects non-string input") {
+  test("built-in-convention coercion: numerics cast to string, arrays reject") {
+    // ImplicitCastInputTypes: an int coerces to its string rendering
+    // (the upper()/lower() convention); NULL literal yields NULL
+    val ok = Seq(1).toDF("s").select(nfc_normalize(col("s"))).collect().head
+    assert(ok.getString(0) == "1")
     val err = intercept[Exception] {
-      Seq(1).toDF("s").select(nfc_normalize(col("s"))).collect()
+      Seq(Tuple1(Seq(1))).toDF("s").select(nfc_normalize(col("s"))).collect()
     }
-    assert(err.getMessage.contains("nfc_normalize"))
+    assert(err.getMessage.contains("nfc_normalize") ||
+           err.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
   test("SQL registration works and wrong arity is an analysis error, not an index error") {

@@ -64,18 +64,56 @@ class VectorFoldRewriteSpec extends SparkSpec {
         zip_with(col("v"), col("v"), (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, x) => greatest(acc, x))).queryExecution.optimizedPlan.toString
       assert(!p3.contains("DotProductF"), p3)
-      // nullable-element arrays → a null element nulls the fold but
-      // not the native loop; must not rewrite
-      val nn = df.select(transform(col("v"),
-        x => when(x > 100f, lit(null.asInstanceOf[Float])).otherwise(x)).as("v"))
-      val p4 = nn.select(aggregate(
+      // a -0.0 zero literal folds an EMPTY array to -0.0 while the
+      // native accumulator starts at +0.0 — bit-distinct, must not
+      // rewrite
+      val p5 = df.select(aggregate(
         zip_with(col("v"), col("v"), (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)).queryExecution.optimizedPlan.toString
-      assert(!p4.contains("DotProductF"), p4)
+        lit(-0.0), (acc, x) => acc + x)).queryExecution.optimizedPlan.toString
+      assert(!p5.contains("DotProductF"), p5)
       // ragged lengths DO rewrite — DotProductF mirrors the fold's
       // NULL-on-mismatch, so results agree (checked in
       // VectorExpressionsSpec fold-parity test)
     }
+  }
+
+  test("nullable-element arrays DO rewrite, null elements null both paths identically") {
+    // parquet/DDL float arrays default containsNull=true — rejecting
+    // them made the rule dead on the most common real schemas. The
+    // native expressions NULL-propagate null elements exactly like
+    // the fold, so the rewrite is safe and must fire.
+    val df = vecs(50, seed = 13)
+    // 0.95 threshold: ~2.5% of uniform[-1,1] elements null out, so a
+    // 16-element vector stays clean with p≈0.67 — the 50-row fixture
+    // reliably contains BOTH null-bearing and clean vectors
+    // repartition: without a barrier ConvertToLocalRelation folds the
+    // whole local fixture eagerly and no plan survives to rewrite
+    val nn = df.repartition(2).select(col("id"), transform(col("v"),
+      x => when(x > lit(0.95f), lit(null).cast("float")).otherwise(x)).as("v"))
+    def q = nn.select(col("id"),
+      Similarity.dotFold(col("v"), col("v")).as("d"),
+      Similarity.norm2Fold(col("v")).as("n"))
+    val baseline = q.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(baseline.exists(_._2.isEmpty) && baseline.exists(_._2.isDefined),
+      "fixture must exercise BOTH null-element and clean rows")
+    withRule {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("DotProductF") || plan.contains("dotproductf"),
+        s"nullable-element dot fold not rewritten:\n$plan")
+      val got = q.collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      assert(got.sortBy(_._1).sameElements(baseline.sortBy(_._1)),
+        "rewrite changed results on nullable-element arrays")
+    }
+  }
+
+  test("registered SQL functions accept NULL literals like built-ins") {
+    // ImplicitCastInputTypes: a NullType argument coerces and yields
+    // NULL — previously a DATATYPE_MISMATCH AnalysisException
+    org.apache.spark.sql.graft.FunctionBridge.registerAll(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler(NULL, 'abc') AS j, nfc_normalize(NULL) AS s").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
   test("GraftExtensions installs the rule and the SQL functions in a fresh session") {
