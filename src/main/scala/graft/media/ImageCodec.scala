@@ -32,7 +32,7 @@ object ImageCodec {
   /** Row-major, top-down, 3 bytes/pixel RGB. */
   final case class Image(width: Int, height: Int, rgb: Array[Byte]) {
     require(width > 0 && height > 0, s"empty image ${width}x$height")
-    require(rgb.length == width * height * 3,
+    require(rgb.length.toLong == width.toLong * height * 3, // Long: 65536² wraps in Int
       s"pixel buffer ${rgb.length} != ${width}x$height x3")
     /** Channel value in [0,255] at (x, y): c = 0 red, 1 green, 2 blue. */
     def at(x: Int, y: Int, c: Int): Int = rgb((y * width + x) * 3 + c) & 0xff
@@ -100,11 +100,17 @@ object ImageCodec {
     require(bpp == 24, s"expected 24-bit pixels, got $bpp")
     require(compression == 0, s"compressed BMP (method $compression) unsupported")
     require(width > 0 && height > 0, s"degenerate dimensions ${width}x$rawHeight")
-    val stride = (width * 3 + 3) / 4 * 4
+    // all size arithmetic in Long FIRST: width*3 wraps for widths
+    // past ~716M and a wrapped stride would pass the truncation check
+    // then crash mid-decode with AIOOBE instead of the promised IAE
+    val strideL = (width.toLong * 3 + 3) / 4 * 4
+    val rgbLenL = width.toLong * height * 3
+    require(rgbLenL <= Int.MaxValue - 16, s"image too large: ${width}x$height")
     require(dataOffset >= FileHeaderLen + InfoHeaderLen &&
-      dataOffset.toLong + stride.toLong * height <= bytes.length,
-      s"truncated pixel array (need ${stride.toLong * height} bytes at $dataOffset)")
-    val rgb = new Array[Byte](width * height * 3)
+      dataOffset.toLong + strideL * height <= bytes.length,
+      s"truncated pixel array (need ${strideL * height} bytes at $dataOffset)")
+    val stride = strideL.toInt
+    val rgb = new Array[Byte](rgbLenL.toInt)
     var row = 0
     while (row < height) {
       val y = if (topDown) row else height - 1 - row // normalize to top-down
@@ -133,11 +139,13 @@ object ImageCodec {
     out
   }
 
-  /** Decode one P6 image starting at `from`; returns the image and
-    * the offset one past its raster — the primitive the stream
-    * demuxer iterates. Handles `#` comments and any whitespace runs
-    * in the header, per the NetPBM spec. */
-  private def decodePpmAt(bytes: Array[Byte], from: Int): (Image, Int) = {
+  /** Header walk of one P6 frame starting at `from`: returns
+    * (width, height, rasterStart, frameEnd) WITHOUT copying any
+    * pixel bytes — the shared primitive of [[decodePpmAt]] (which
+    * copies), [[decodePpmStream]] (one copy per kept frame) and
+    * [[countPpmFrames]] (no copies at all). Handles `#` comments and
+    * any whitespace runs in the header, per the NetPBM spec. */
+  private def ppmBounds(bytes: Array[Byte], from: Int): (Int, Int, Int, Int) = {
     require(from + 2 <= bytes.length && bytes(from) == 'P'.toByte && bytes(from + 1) == '6'.toByte,
       s"missing P6 magic at offset $from")
     var pos = from + 2
@@ -168,10 +176,19 @@ object ImageCodec {
     require(pos < bytes.length && Character.isWhitespace(bytes(pos).toChar),
       "PPM header: missing raster separator")
     pos += 1
-    val len = width * height * 3
+    // Long: 65536 x 65536 wraps Int to 0 and would "decode" a
+    // crafted header into a bogus empty image instead of failing
+    val len = width.toLong * height * 3
     require(pos + len <= bytes.length,
       s"truncated raster (need $len bytes at $pos of ${bytes.length})")
-    (Image(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + len)), pos + len)
+    (width, height, pos, pos + len.toInt)
+  }
+
+  /** Decode one P6 image starting at `from`; returns the image and
+    * the offset one past its raster. */
+  private def decodePpmAt(bytes: Array[Byte], from: Int): (Image, Int) = {
+    val (w, h, rasterStart, end) = ppmBounds(bytes, from)
+    (Image(w, h, java.util.Arrays.copyOfRange(bytes, rasterStart, end)), end)
   }
 
   def decodePpm(bytes: Array[Byte]): Image = {
@@ -198,7 +215,10 @@ object ImageCodec {
     val frames = IndexedSeq.newBuilder[Array[Byte]]
     var pos = 0
     while (pos < bytes.length) {
-      val (_, end) = decodePpmAt(bytes, pos)
+      // bounds walk + ONE copy (the kept frame slice) — decodePpmAt
+      // here would have allocated a second, immediately-discarded
+      // pixel buffer per frame
+      val (_, _, _, end) = ppmBounds(bytes, pos)
       frames += java.util.Arrays.copyOfRange(bytes, pos, end)
       pos = end
     }
@@ -209,7 +229,18 @@ object ImageCodec {
   def countPpmFrames(bytes: Array[Byte]): Int = {
     var n = 0
     var pos = 0
-    while (pos < bytes.length) { pos = decodePpmAt(bytes, pos)._2; n += 1 }
+    while (pos < bytes.length) { pos = ppmBounds(bytes, pos)._4; n += 1 }
     n
   }
+
+  /** The ONE format sniff (magic bytes): "bmp", "ppm", or None —
+    * shared with feature extractors that label rows by format, so
+    * the label and the decoder can never drift. */
+  def formatOf(bytes: Array[Byte]): Option[String] =
+    if (bytes.length < 2) None
+    else (bytes(0).toChar, bytes(1).toChar) match {
+      case ('B', 'M') => Some("bmp")
+      case ('P', '6') => Some("ppm")
+      case _ => None
+    }
 }

@@ -383,8 +383,8 @@ object MediaOps {
   def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val fmt = if (m.payload.length >= 2 && m.payload(0) == 'B'.toByte) "bmp" else "ppm"
-      val img = ImageCodec.decode(m.payload)
+      val img = ImageCodec.decode(m.payload) // throws on unknown magic
+      val fmt = ImageCodec.formatOf(m.payload).get // same sniff as decode
       val n = img.width.toLong * img.height
       val (sr, sg, sb, peakR, wsum) = rgbStats(img)
       ImageFeatures(m.media_id, fmt, img.width.toLong, img.height.toLong, n,
@@ -392,8 +392,6 @@ object MediaOps {
     })
   }
 
-  /** Per-frame features over the REAL demux: each frame payload is
-    * itself a complete P6 image, decoded independently. */
   /** Nearest-neighbor resize: target pixel (x, y) reads source pixel
     * (x·w ÷ tw, y·h ÷ th) — integer floor arithmetic, up- and
     * down-scale alike, zero allocation beyond the output. The
@@ -454,6 +452,8 @@ object MediaOps {
     })
   }
 
+  /** Per-frame features over the REAL demux: each frame payload is
+    * itself a complete P6 image, decoded independently. */
   def frameFeatures(frames: Dataset[Frame]): Dataset[FrameFeatures] = {
     import frames.sparkSession.implicits._
     frames.mapPartitions(_.map { f =>
@@ -468,6 +468,9 @@ object MediaOps {
   /** "Resize": re-bucket the stub feature vector to a new dimension —
     * exercises the downstream reshape contract without a pixel codec. */
   def resizeFeatures(features: Dataset[MediaFeatures], newDim: Int): Dataset[MediaFeatures] = {
+    // the resize/audioSegments fail-fast convention: newDim <= 0
+    // would silently emit empty feature vectors for every row
+    require(newDim >= 1, s"need newDim >= 1, got $newDim")
     import features.sparkSession.implicits._
     features.map { f =>
       val src = f.features

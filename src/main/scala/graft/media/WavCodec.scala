@@ -63,6 +63,12 @@ object WavCodec {
       require(size >= 0 && size <= buf.remaining(), s"truncated chunk $id ($size bytes)")
       id match {
         case "fmt " =>
+          // the 16 format-field bytes below must actually BELONG to
+          // this chunk: an undersized declared size would read past
+          // the chunk boundary into the next chunk's header (garbage
+          // misparse) or off the buffer (BufferUnderflowException
+          // instead of the documented IllegalArgumentException)
+          require(size >= 16, s"fmt chunk too small ($size bytes, need 16)")
           val fmtStart = buf.position()
           audioFormat = buf.getShort
           channels = buf.getShort

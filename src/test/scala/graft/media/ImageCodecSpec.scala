@@ -73,6 +73,20 @@ class ImageCodecSpec extends SparkSpec {
       decodePpm("P6\n4 4\n65535\n".getBytes ++ Array.fill(48)(0.toByte))) // 16-bit maxval
   }
 
+  test("crafted overflow headers fail loudly instead of wrapping Int arithmetic") {
+    // 65536 x 65536 x 3 wraps a 32-bit length to 0: a header with no
+    // raster bytes would have "decoded" into a bogus empty image
+    intercept[IllegalArgumentException](
+      decodePpm("P6\n65536 65536\n255\n".getBytes))
+    // BMP with width 1431655768: width*3 wraps to 8 in Int — a
+    // wrapped stride passed the truncation check and crashed
+    // mid-decode with ArrayIndexOutOfBounds instead of the clean IAE
+    val b = java.nio.ByteBuffer.allocate(62).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(62).putInt(0).putInt(54)
+    b.putInt(40).putInt(1431655768).putInt(1).putShort(1).putShort(24).putInt(0)
+    intercept[IllegalArgumentException](decodeBmp(b.array()))
+  }
+
   test("P6 stream demux walks exact frame boundaries and rejects mid-stream corruption") {
     val rnd = new Random(12)
     val frames = (0 until 4).map(_ => randomImage(rnd, 5 + rnd.nextInt(6), 3 + rnd.nextInt(4)))
