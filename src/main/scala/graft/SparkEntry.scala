@@ -391,8 +391,8 @@ object SparkEntry {
     // contract: the sketch's cut values are engine-specific, but these
     // facts of the fixed dataset are not — bucket count bounded by n,
     // rows conserved, exact global bounds, counts within the
-    // comparison-bucketing balance band (all deterministic for fixed
-    // data + fixed accuracy, so the oracle emits exact values + TRUE)
+    // comparison-bucketing balance band (DuckDB computes the same
+    // facts over its own exact ntile tiling — see the oracle)
     "q_equidepth_hist_approx" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Ops.equiDepthHistogram(Tables.events(s, d), "value", "event_id", 10, relErr = 0.001)
@@ -1256,15 +1256,39 @@ object SparkEntry {
         |      FROM events)
         |GROUP BY bucket""".stripMargin,
 
+    // fact-contract twin: DuckDB computes the SAME facts on its own
+    // EXACT tiling (ntile) — the booleans are data-derived on both
+    // engines, not asserted; both tilings land inside the balance band
     "q_equidepth_hist_approx" ->
-      """SELECT true AS buckets_ok, count(*)::BIGINT AS total_n,
-        |  min(value) AS min_v, max(value) AS max_v, true AS balance_ok
-        |FROM events""".stripMargin,
+      """WITH h AS (
+        |  SELECT bucket, count(*)::BIGINT AS n
+        |  FROM (SELECT ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        |        FROM events)
+        |  GROUP BY bucket)
+        |SELECT (SELECT count(*) <= 10 FROM h) AS buckets_ok,
+        |  (SELECT sum(n) FROM h)::BIGINT AS total_n,
+        |  (SELECT min(value) FROM events) AS min_v,
+        |  (SELECT max(value) FROM events) AS max_v,
+        |  (SELECT max(n)::DOUBLE <= sum(n)::DOUBLE * 0.15 FROM h) AS balance_ok""".stripMargin,
 
+    // same fact-contract style: exact-ntile RFM (the q_rfm_segments
+    // construction) supplies DuckDB's own segment facts
     "q_rfm_segments_approx" ->
-      """SELECT true AS segs_in_range, count(*)::BIGINT AS n_users,
-        |  true AS m_balance_ok
-        |FROM (SELECT user_id FROM events GROUP BY 1)""".stripMargin,
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_us(ts)::BIGINT) AS recency_us,
+        |    count(*)::BIGINT AS frequency,
+        |    CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT ntile(5) OVER (ORDER BY recency_us, user_id) AS r_seg,
+        |         ntile(5) OVER (ORDER BY frequency, user_id) AS f_seg,
+        |         ntile(5) OVER (ORDER BY monetary, user_id) AS m_seg
+        |  FROM u)
+        |SELECT (SELECT min(least(r_seg, f_seg, m_seg)) >= 1
+        |          AND max(greatest(r_seg, f_seg, m_seg)) <= 5 FROM s) AS segs_in_range,
+        |  (SELECT count(*) FROM s)::BIGINT AS n_users,
+        |  (SELECT max(n)::DOUBLE <= sum(n)::DOUBLE * 0.3
+        |   FROM (SELECT m_seg, count(*) AS n FROM s GROUP BY 1)) AS m_balance_ok""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
