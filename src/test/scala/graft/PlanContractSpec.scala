@@ -1,15 +1,29 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
 import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.apache.spark.sql.execution.joins.CartesianProductExec
 
-/** Suite-wide plan contract: NO declared query may plan a
-  * partition-less Window — the single-hot-task shape that dies at
-  * 100 TB — except the two EXACT oracle paths whose scale-safe twins
-  * exist as `relErr > 0` variants (`Ops.equiDepthHistogram`,
-  * `Ops.rfmSegments`; the approx path is driver-checked via
-  * `q_equidepth_hist_approx`). The assertion runs both directions so
-  * the allow-list cannot rot: an unexpected global window fails, and
-  * an allow-listed query that stops needing its exemption fails too.
+/** Suite-wide plan contracts over EVERY declared query — the three
+  * single-machine-shaped plan classes that die at 100 TB, each
+  * asserted against the library's design claims:
+  *
+  *  1. NO partition-less Window (single-hot-task global sort) —
+  *     except the two EXACT oracle paths whose scale-safe twins exist
+  *     as `relErr > 0` variants (`Ops.equiDepthHistogram`,
+  *     `Ops.rfmSegments`; the approx paths are driver-checked via
+  *     `q_*_approx`).
+  *  2. NO CartesianProductExec — every crossJoin in the library is
+  *     `broadcast()`-pinned on a 1-row/tiny scalar frame and must
+  *     plan as BroadcastNestedLoopJoin; an unpinned cross product
+  *     is |L|·|R| shuffled rows.
+  *  3. NO ScalaUDF — the library's extension points are codegen'd
+  *     Catalyst expressions and typed Dataset operators; a UDF is an
+  *     optimization barrier (no pushdown through it, no codegen).
+  *
+  * The window assertion runs both directions so the allow-list cannot
+  * rot: an unexpected global window fails, and an allow-listed query
+  * that stops needing its exemption fails too.
   */
 class PlanContractSpec extends SparkSpec {
 
@@ -17,24 +31,51 @@ class PlanContractSpec extends SparkSpec {
     "q_equidepth_hist", // exact global ntile: the oracle default, relErr>0 is the scale path
     "q_rfm_segments")   // exact per-metric ntile: same contract, 3 windows
 
-  test("no query plans a partition-less window outside the declared exact-oracle paths") {
+  private case class Offenders(window: Set[String], cartesian: Set[String], udf: Set[String])
+
+  /** ONE sweep: build each declared query ONCE at sf0.001 and collect
+    * every contract violation from its optimized + physical plan.
+    * Known cost, accepted: a few builders (the q_zonemap/q_merge/
+    * q_compact warehouse family) EXECUTE small write jobs at
+    * construction time, so this plan-shape sweep also runs them at
+    * sf0.001. Excluding them would blind the contract to exactly the
+    * queries whose read-back plans it must check; the writes are
+    * tmp-dir, tiny, and idempotent. */
+  private lazy val offenders: Offenders = {
     val d = "/root/testdata/sf0.001"
-    // Known cost, accepted: a few builders (the q_zonemap/q_merge/
-    // q_compact warehouse family) EXECUTE small write jobs at
-    // construction time, so this plan-shape sweep also runs them at
-    // sf0.001. Excluding them would blind the contract to exactly
-    // the queries whose read-back plans it must check; the writes
-    // are tmp-dir, tiny, and idempotent.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val df = fn(spark, d)
-      val n = df.queryExecution.optimizedPlan.collect {
-        case w: Window if w.partitionSpec.isEmpty => w
-      }.size
-      if (n > 0) Some(name) else None
-    }.toSet
-    assert(offenders == allowedGlobalWindows,
-      s"unexpected global-sort windows: ${(offenders -- allowedGlobalWindows).toSeq.sorted
-        .mkString(", ")}; stale allow-list entries: ${(allowedGlobalWindows -- offenders)
+    val (w, c, u) = (Set.newBuilder[String], Set.newBuilder[String], Set.newBuilder[String])
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val qe = fn(spark, d).queryExecution
+      val opt = qe.optimizedPlan
+      if (opt.collectFirst { case x: Window if x.partitionSpec.isEmpty => x }.nonEmpty)
+        w += name
+      if (opt.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))))
+        u += name
+      // physical: sparkPlan PLANS without executing (AQE re-plans at
+      // run time, but only ever DOWNGRADES a shuffle join to broadcast
+      // — it cannot introduce a cartesian the static plan lacks)
+      if (qe.sparkPlan.collectFirst { case x: CartesianProductExec => x }.nonEmpty)
+        c += name
+    }
+    Offenders(w.result(), c.result(), u.result())
+  }
+
+  test("no query plans a partition-less window outside the declared exact-oracle paths") {
+    assert(offenders.window == allowedGlobalWindows,
+      s"unexpected global-sort windows: ${(offenders.window -- allowedGlobalWindows).toSeq.sorted
+        .mkString(", ")}; stale allow-list entries: ${(allowedGlobalWindows -- offenders.window)
         .toSeq.sorted.mkString(", ")}")
+  }
+
+  test("no query plans an unpinned cartesian product") {
+    assert(offenders.cartesian.isEmpty,
+      s"CartesianProductExec in: ${offenders.cartesian.toSeq.sorted.mkString(", ")} — " +
+        "broadcast()-pin the small side or rewrite the join")
+  }
+
+  test("no query plans a ScalaUDF") {
+    assert(offenders.udf.isEmpty,
+      s"ScalaUDF in: ${offenders.udf.toSeq.sorted.mkString(", ")} — " +
+        "use a native Catalyst expression or a typed Dataset operator")
   }
 }
