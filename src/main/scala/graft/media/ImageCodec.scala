@@ -163,9 +163,18 @@ object ImageCodec {
     def readInt(field: String): Int = {
       skipSeparators()
       val start = pos
-      while (pos < bytes.length && bytes(pos) >= '0'.toByte && bytes(pos) <= '9'.toByte) pos += 1
+      // accumulate in Long with an explicit bound: String.toInt on an
+      // over-long digit run throws NumberFormatException — an
+      // UNDOCUMENTED exception type that would escape a quarantine
+      // policy catching the promised IllegalArgumentException
+      var v = 0L
+      while (pos < bytes.length && bytes(pos) >= '0'.toByte && bytes(pos) <= '9'.toByte) {
+        v = v * 10 + (bytes(pos) - '0'.toByte)
+        require(v <= Int.MaxValue, s"PPM header: $field value overflows at offset $start")
+        pos += 1
+      }
       require(pos > start, s"PPM header: expected $field digits at offset $start")
-      new String(bytes, start, pos - start, "US-ASCII").toInt
+      v.toInt
     }
     val width = readInt("width")
     val height = readInt("height")
