@@ -17,25 +17,47 @@ import Schemas.{Atom, Slab}
   */
 object PoscarCodec {
 
-  def parse(mpKey: String, text: String): Slab = {
+  def parse(mpKey: String, text: String): Slab = try {
     val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    require(lines.length >= 8, s"need >= 8 non-empty lines, got ${lines.length}")
     val title = lines(0)
     val scale = lines(1).toDouble
     val lattice = (2 to 4).map(i => lines(i).split("\\s+").map(_.toDouble).toSeq)
+    require(lattice.forall(_.length == 3), "lattice rows must have 3 components")
     val species = lines(5).split("\\s+").toSeq
     val counts = lines(6).split("\\s+").map(_.toInt).toSeq
+    // length match + Long sum: a counts line like "2000000000 2000000000"
+    // wrapped counts.sum NEGATIVE, making the position range empty — a
+    // silently ATOM-LESS slab under a header claiming billions; and a
+    // counts/species length mismatch sent cum.indexWhere to -1 →
+    // species(-1) mid-parse
+    require(species.length == counts.length,
+      s"${species.length} species but ${counts.length} counts")
+    require(counts.forall(_ >= 0), s"negative species count in ${counts.mkString(" ")}")
+    val nAtomsL = counts.map(_.toLong).sum
+    require(nAtomsL <= lines.length - 8L,
+      s"header declares $nAtomsL atoms but only ${lines.length - 8} position lines follow")
     require(lines(7).toLowerCase.startsWith("d"), s"only 'direct' POSCAR supported, got: ${lines(7)}")
-    val nAtoms = counts.sum
+    val nAtoms = nAtomsL.toInt
     // the species line + counts is the authoritative element source
     // (VASP spec); trailing per-atom labels may carry pymatgen
     // oxidation-state suffixes like "V4+" and are ignored
     val cum = counts.scanLeft(0)(_ + _).tail
     val positions = (8 until 8 + nAtoms).map { i =>
       val p = lines(i).split("\\s+")
+      require(p.length >= 3, s"position line ${i + 1} has ${p.length} fields, need >= 3")
       val el = species(cum.indexWhere((i - 8) < _))
       Atom(p(0).toDouble, p(1).toDouble, p(2).toDouble, el)
     }
     Slab(mpKey, title, scale, lattice, species, counts, positions, Seq.empty)
+  } catch {
+    // one failure type with the FILE context: a corrupt .poscar in a
+    // million-file scan must name itself — a bare NumberFormatException
+    // ("For input string: ...") from deep inside a mapPartitions task
+    // identifies nothing
+    case e: Exception =>
+      throw new IllegalArgumentException(
+        s"malformed POSCAR '$mpKey': ${e.getMessage}", e)
   }
 
   // Locale.ROOT, not the f-interpolator: the interpolator formats with

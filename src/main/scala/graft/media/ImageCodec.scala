@@ -164,9 +164,11 @@ object ImageCodec {
       skipSeparators()
       val start = pos
       // accumulate in Long with an explicit bound: String.toInt on an
-      // over-long digit run throws NumberFormatException — an
-      // UNDOCUMENTED exception type that would escape a quarantine
-      // policy catching the promised IllegalArgumentException
+      // over-long digit run throws NumberFormatException ("For input
+      // string ...") — technically still an IllegalArgumentException,
+      // but without the offset/field context every other failure here
+      // reports, and the explicit bound documents WHERE oversized
+      // values are rejected instead of leaving it to parse mechanics
       var v = 0L
       while (pos < bytes.length && bytes(pos) >= '0'.toByte && bytes(pos) <= '9'.toByte) {
         v = v * 10 + (bytes(pos) - '0'.toByte)

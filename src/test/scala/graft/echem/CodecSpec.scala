@@ -92,4 +92,40 @@ class CodecSpec extends SparkSpec {
     assert(m.head.isNullAt(m.head.fieldIndex("mu")),
       "a metric-less log yields null mu, not an element_at abort")
   }
+
+  test("corrupt POSCARs fail as one IAE naming the file, never a bare parse exception") {
+    import graft.echem.PoscarCodec.parse
+    val good = PoscarCodec.render(goldenSlab)
+    // every line-truncation of a valid file: pre-hardening, short
+    // files threw ArrayIndexOutOfBounds (NOT an IAE) with no context
+    val lines = good.split("\n")
+    (0 until lines.length).foreach { n =>
+      val e = intercept[IllegalArgumentException](parse("mp-x", lines.take(n).mkString("\n")))
+      assert(e.getMessage.startsWith("malformed POSCAR 'mp-x'"), s"trunc$n: ${e.getMessage}")
+    }
+    // non-numeric scale / lattice / position tokens name the file too
+    Seq(good.replaceFirst("1\\.0", "one"),
+        good.replaceFirst("direct", "cartesian"),
+        good.replaceFirst("(?m)^(\\S+ \\S+) \\S+ ", "$1 ")).foreach { bad =>
+      if (bad != good)
+        assert(intercept[IllegalArgumentException](parse("mp-x", bad))
+          .getMessage.startsWith("malformed POSCAR 'mp-x'"))
+    }
+    // counts/species length mismatch: pre-hardening species(-1)
+    val mismatch = good.split("\n").zipWithIndex.map {
+      case (l, 6) => l + " 2"
+      case (l, _) => l
+    }.mkString("\n")
+    assert(intercept[IllegalArgumentException](parse("mp-x", mismatch))
+      .getMessage.contains("species but"))
+    // Int-wrapping counts: pre-hardening 2e9+2e9 summed NEGATIVE and
+    // parsed into a silently ATOM-LESS slab under a billion-atom header
+    val overflow = good.split("\n").zipWithIndex.map {
+      case (_, 5) => "Pt Cu"
+      case (_, 6) => "2000000000 2000000000"
+      case (l, _) => l
+    }.mkString("\n")
+    assert(intercept[IllegalArgumentException](parse("mp-x", overflow))
+      .getMessage.contains("atoms but only"))
+  }
 }

@@ -11,9 +11,10 @@ import scala.util.Random
   * NumberFormatException, ...) is an escape from the codecs'
   * fail-loudly contract: a `mapPartitions` decode stage whose
   * quarantine policy catches the promised IAE would instead die on
-  * the escaped type and take the whole job with it. Found-by-fuzz
-  * and fixed: PPM header digit runs longer than an Int went through
-  * `String.toInt` and threw NumberFormatException.
+  * the escaped type and take the whole job with it.
+  * (NumberFormatException is an IAE SUBCLASS, so it satisfies the
+  * contract — the readInt rework this spec pins was a diagnosability
+  * fix, bounded parsing with positional messages, not an escape.)
   */
 class MediaFuzzSpec extends AnyFunSuite {
 
@@ -82,12 +83,15 @@ class MediaFuzzSpec extends AnyFunSuite {
     fuzzArtifact("wav", wav(rnd, 120), 5L)(WavCodec.decode)
   }
 
-  test("over-long PPM digit runs fail with the documented IAE, not NumberFormatException") {
+  test("over-long PPM digit runs fail with the positional overflow message") {
     // 11 digits overflow Int: the pre-fix readInt went through
-    // String.toInt and threw NumberFormatException
-    intercept[IllegalArgumentException](
+    // String.toInt, whose NumberFormatException (an IAE subclass)
+    // carried no offset/field context — pin the bounded-parse message
+    val e1 = intercept[IllegalArgumentException](
       ImageCodec.decodePpm("P6\n99999999999 1\n255\n".getBytes ++ Array.fill(3)(0.toByte)))
-    intercept[IllegalArgumentException](
+    assert(e1.getMessage.contains("width value overflows"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
       ImageCodec.decodePpm("P6\n1 99999999999\n255\n".getBytes ++ Array.fill(3)(0.toByte)))
+    assert(e2.getMessage.contains("height value overflows"), e2.getMessage)
   }
 }
