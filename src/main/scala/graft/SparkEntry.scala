@@ -759,6 +759,17 @@ object SparkEntry {
       MediaOps.frameFeatures(MediaOps.videoFrames(
         MediaOps.synthVideoCorpus(Tables.documents(s, d)))).toDF()
     }),
+    // decode-or-quarantine ingest drill: deterministically corrupt a
+    // subset of the REAL-bytes image corpus (id ≡ 0 mod 7 → truncated,
+    // id ≡ 3 mod 7 → broken magic), then run the quarantine stage —
+    // corrupt rows land as (ok = false, null dims) instead of killing
+    // the scan; the oracle recomputes the verdict and the survivors'
+    // dimensions from the pure-arithmetic corruption/synthesis rules
+    "q_decode_quarantine" -> ((s, d) => {
+      import graft.media.MediaOps
+      MediaOps.decodeQuarantine(MediaOps.injectCorruption(
+        MediaOps.synthImageCorpus(Tables.documents(s, d)))).toDF()
+    }),
   )
 
   /** DuckDB oracle SQL, aligned column-by-column with `queries`. */
@@ -2609,6 +2620,19 @@ object SparkEntry {
         |  max(r)::BIGINT AS peak_r,
         |  sum((y*w + x) * (r + 2*g + 3*b))::BIGINT AS wsum
         |FROM px GROUP BY doc_id""".stripMargin,
+
+    // quarantine verdict recomputed from the corruption rule (id mod
+    // 7 ∈ {0, 3} fails — truncation always beheads a zero-slack
+    // payload, a zeroed magic byte never sniffs) and the synthesis
+    // dims for the survivors
+    "q_decode_quarantine" ->
+      """SELECT doc_id AS media_id,
+        |  (doc_id % 7 <> 0 AND doc_id % 7 <> 3) AS ok,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 7 <> 3
+        |       THEN (5 + doc_id % 8)::BIGINT END AS width,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 7 <> 3
+        |       THEN (3 + doc_id % 5)::BIGINT END AS height
+        |FROM documents""".stripMargin,
 
     // nearest-neighbor 4x4 thumbnail: source pixel (x*w//4, y*h//4),
     // features recomputed from the synthesis formula at those coords

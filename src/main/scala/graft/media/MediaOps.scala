@@ -465,6 +465,52 @@ object MediaOps {
     })
   }
 
+  case class DecodeVerdict(media_id: Long, ok: Boolean,
+                           width: Option[Long], height: Option[Long])
+
+  /** Decode-or-quarantine — the ingest stage that keeps a 100-TB
+    * media pipeline ALIVE on corrupt samples: try the real image
+    * decode per row, emit an ok row with the decoded dimensions or a
+    * quarantined row (ok = false, null dims) when the codec throws
+    * its documented IllegalArgumentException. Every other throwable
+    * still propagates — the codecs' fuzz-pinned contract
+    * (MediaFuzzSpec) is exactly what makes this catch safe: IAE means
+    * "this input is malformed", anything else means "the CODE is
+    * broken", and a quarantine stage must never eat the latter.
+    * Downstream: `filter(ok)` joins the survivors back to their
+    * payloads; the quarantined ids are the reprocess/alert feed.
+    * Pure per-row map — zero shuffle, no driver involvement. */
+  def decodeQuarantine(media: Dataset[MediaRow]): Dataset[DecodeVerdict] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      try {
+        val img = ImageCodec.decode(m.payload)
+        DecodeVerdict(m.media_id, ok = true,
+          Some(img.width.toLong), Some(img.height.toLong))
+      } catch {
+        case _: IllegalArgumentException =>
+          DecodeVerdict(m.media_id, ok = false, None, None)
+      }
+    })
+  }
+
+  /** Deterministic fault injection for quarantine drills (and the
+    * declared query's oracle): id ≡ 0 (mod 7) → payload truncated to
+    * half (always beheads the raster — the synthesized payloads carry
+    * zero slack), id ≡ 3 (mod 7) → first magic byte zeroed, everything
+    * else intact. The rule is pure arithmetic on media_id so an
+    * engine-independent oracle can recompute exactly which rows
+    * quarantine. */
+  def injectCorruption(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.media_id % 7 == 0) m.copy(payload = m.payload.take(m.payload.length / 2))
+      else if (m.media_id % 7 == 3) {
+        val p = m.payload.clone(); p(0) = 0; m.copy(payload = p)
+      } else m
+    }
+  }
+
   /** "Resize": re-bucket the stub feature vector to a new dimension —
     * exercises the downstream reshape contract without a pixel codec. */
   def resizeFeatures(features: Dataset[MediaFeatures], newDim: Int): Dataset[MediaFeatures] = {

@@ -101,4 +101,25 @@ class MediaSpec extends SparkSpec {
     val back = media.as[MediaRow].collect().head
     assert(back.media_id == 7L && back.payload.length == 128)
   }
+
+  test("decodeQuarantine: intact corpus all-ok with true dims; injected faults quarantine exactly") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val corpus = MediaOps.synthImageCorpus(docs)
+    // intact: every row decodes with the synthesis dimensions
+    val okAll = MediaOps.decodeQuarantine(corpus).collect()
+    assert(okAll.length == 30 && okAll.forall(_.ok))
+    okAll.foreach { v =>
+      assert(v.width.contains(5L + v.media_id % 8) && v.height.contains(3L + v.media_id % 5))
+    }
+    // injected: exactly the id mod 7 in {0, 3} rows quarantine (null
+    // dims), every other row keeps its decoded dimensions
+    val verdicts = MediaOps.decodeQuarantine(MediaOps.injectCorruption(corpus))
+      .collect().map(v => v.media_id -> v).toMap
+    assert(verdicts.size == 30)
+    verdicts.foreach { case (id, v) =>
+      val corrupt = id % 7 == 0 || id % 7 == 3
+      assert(v.ok == !corrupt, s"id $id: expected ok=${!corrupt}")
+      assert(v.width.isDefined == !corrupt && v.height.isDefined == !corrupt, s"id $id dims")
+    }
+  }
 }
