@@ -122,4 +122,22 @@ class MediaSpec extends SparkSpec {
       assert(v.width.isDefined == !corrupt && v.height.isDefined == !corrupt, s"id $id dims")
     }
   }
+
+  test("decodeQuarantine is a stateless narrow map: stream verdicts == batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = (0L until 25L).toDF("doc_id")
+    val corrupted = MediaOps.injectCorruption(MediaOps.synthImageCorpus(docs))
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar-stream").toString
+    corrupted.toDF().coalesce(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(MediaSchema).parquet(s"$dir/in").as[MediaRow]
+    val q = MediaOps.decodeQuarantine(stream).toDF().writeStream
+      .outputMode("append").format("memory").queryName("quar_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
+    val got = spark.table("quar_stream").as[DecodeVerdict]
+      .collect().map(v => v.media_id -> v).toMap
+    val want = MediaOps.decodeQuarantine(corrupted)
+      .collect().map(v => v.media_id -> v).toMap
+    assert(got == want, "streaming quarantine diverged from the batch twin")
+  }
 }
