@@ -386,25 +386,39 @@ object Warehouse {
     *
     * Update keys must be non-null: a null key matches no zone and
     * would silently become a permanent insert-only row; fail
-    * instead. */
+    * instead.
+    *
+    * Update keys must also be UNIQUE within the batch: the merge
+    * contract is REPLACE-by-key, and a batch carrying two different
+    * values for one key has no well-defined survivor — committing an
+    * arbitrary one would make table content nondeterministic, so the
+    * default is to fail loudly (the Delta-style multiple-source-
+    * matches error). Callers whose upstream genuinely produces
+    * redundant rows opt in with `dedupBatch = true`, accepting an
+    * UNSPECIFIED survivor per key. */
   def mergeZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
                       statCol: String, updates0: DataFrame,
-                      retainForTimeTravel: Boolean = false): (Int, Int) = {
-    // one row per key: the merge contract is REPLACE-by-key, so a
-    // batch carrying two rows for one key (an earlier and a later
-    // CDC value) must not insert both — dedup on the merge key, the
-    // JdbcUpsert.newRows convention (which row survives an
-    // intra-batch duplicate is unspecified; feed pre-collapsed
-    // batches when it matters). Persisted for the merge's lifetime:
-    // the plan is otherwise re-executed by the null-check, the
-    // touched-file probe, the anti-join, and the rewrite union.
-    val updates = updates0.dropDuplicates(statCol)
+                      retainForTimeTravel: Boolean = false,
+                      dedupBatch: Boolean = false): (Int, Int) = {
+    // Persisted for the merge's lifetime: the plan is otherwise
+    // re-executed by the key checks, the touched-file probe, the
+    // anti-join, and the rewrite union.
+    val updates = (if (dedupBatch) updates0.dropDuplicates(statCol) else updates0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // one pass for all three admission stats: total rows, null keys,
+    // distinct keys (count_distinct skips nulls, but the null check
+    // fires first so the dup check only ever sees a null-free batch)
     val firstRow = updates.agg(count(lit(1)).as("n"),
-      sum(when(col(statCol).isNull, 1L).otherwise(0L)).as("n_null")).collect()(0)
+      sum(when(col(statCol).isNull, 1L).otherwise(0L)).as("n_null"),
+      count_distinct(col(statCol)).as("n_keys")).collect()(0)
     val (nUpd, nNull) = (firstRow.getLong(0), if (firstRow.isNullAt(1)) 0L else firstRow.getLong(1))
     require(nNull == 0L, s"mergeZoneMapped: $nNull update row(s) carry a null '$statCol' key")
+    val nKeys = firstRow.getLong(2)
+    require(dedupBatch || nKeys == nUpd,
+      s"mergeZoneMapped: update batch carries ${nUpd - nKeys} duplicate '$statCol' key(s) — " +
+        "REPLACE-by-key has no defined survivor for an intra-batch duplicate; " +
+        "pre-collapse the batch, or pass dedupBatch = true to accept an unspecified one")
     val curVersion = zoneMapCurrentVersion(dir)
     // any Spark failure below, when the table version has moved
     // meanwhile, IS a concurrency casualty (the winner deleted files

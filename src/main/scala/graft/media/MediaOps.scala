@@ -505,7 +505,11 @@ object MediaOps {
     import media.sparkSession.implicits._
     media.map { m =>
       if (m.media_id % 7 == 0) m.copy(payload = m.payload.take(m.payload.length / 2))
-      else if (m.media_id % 7 == 3) {
+      else if (m.media_id % 7 == 3 && m.payload.nonEmpty) {
+        // nonEmpty guard: an empty payload is already maximally
+        // corrupt (every codec rejects it), and p(0) on it would
+        // throw AIOOBE from inside the injector — a crash the
+        // quarantine stage deliberately does not catch
         val p = m.payload.clone(); p(0) = 0; m.copy(payload = p)
       } else m
     }

@@ -22,11 +22,15 @@ object StreamingOps {
 
   /** Events schema as the stream source sees it (ts already µs —
     * streaming readers should pre-convert nanos with
-    * `Tables.eventsWithTs` semantics). The primitive-decoded fields
-    * are declared non-nullable so a null in the source data is
-    * rejected at the boundary instead of killing the stream mid-query
-    * with a "Null value appeared in non-nullable field" decode
-    * error from `.as[Event]`. */
+    * `Tables.eventsWithTs` semantics). The nullable=false flags are
+    * ADVISORY for file-based stream sources: Structured Streaming
+    * force-nullables file-source schemas
+    * (`spark.sql.streaming.fileSource.schema.forceNullable`, default
+    * true), so a null primitive is NOT rejected at the boundary — it
+    * surfaces later as a fatal "Null value appeared in non-nullable
+    * field" error the first time `.as[Event]` decodes the bad row,
+    * killing the running query. Use [[typedEvents]] for a decode
+    * that drops such rows explicitly instead. */
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts_t", TimestampType, nullable = false),
@@ -43,6 +47,20 @@ object StreamingOps {
 
   case class Event(event_id: Long, ts_t: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
+
+  /** Null-safe typed decode for file-source streams. The schema's
+    * nullable=false declarations are advisory there (see
+    * [[EventSchema]]), so a null in any primitive-decoded column
+    * kills a running `.as[Event]` query on the first bad batch.
+    * This drops such rows at the boundary — the quarantine-flavored
+    * choice: bad rows are data, not a reason to take down the
+    * pipeline. Narrow filter, fully codegen'd, streaming-safe. */
+  def typedEvents(df: DataFrame): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.filter(col("event_id").isNotNull && col("ts_t").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .as[Event]
+  }
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int, total_value: Double)
 

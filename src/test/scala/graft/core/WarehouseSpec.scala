@@ -96,14 +96,20 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(touched < nonEmpty, s"box touched all $nonEmpty files")
   }
 
-  test("merge dedups the update batch on the merge key (REPLACE contract)") {
+  test("merge rejects intra-batch duplicate keys by default; dedupBatch opts in") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mgdup").toString + "/t"
     Warehouse.writeZoneMapped((1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"),
       dir, "k", 4)
-    // a CDC batch carrying the same key twice (earlier + later value)
-    // must not insert both rows — one row per key survives
+    // a CDC batch carrying the same key twice (two DIFFERENT values)
+    // has no defined survivor — the default contract fails loudly
+    // instead of committing nondeterministic content
     val dup = Seq((50L, "X"), (50L, "Y"), (200L, "I"), (200L, "J")).toDF("k", "v")
-    Warehouse.mergeZoneMapped(spark, dir, "k", dup)
+    val e = intercept[IllegalArgumentException](
+      Warehouse.mergeZoneMapped(spark, dir, "k", dup))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    assert(Warehouse.zoneMapCurrentVersion(dir) == 1, "failed merge must not commit")
+    // explicit opt-in: one (unspecified) row per key survives
+    Warehouse.mergeZoneMapped(spark, dir, "k", dup, dedupBatch = true)
     val got = spark.read.parquet(s"$dir/data").groupBy("k").count()
       .filter(col("count") > 1).count()
     assert(got == 0L, "duplicate keys committed by a duplicated update batch")

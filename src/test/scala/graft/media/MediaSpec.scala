@@ -123,6 +123,20 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("injectCorruption tolerates an empty payload on the magic-byte branch") {
+    // id 3 (≡ 3 mod 7) with a zero-length payload: the magic-byte
+    // zeroing must not AIOOBE — an empty payload is already maximally
+    // corrupt, so the row passes through and still quarantines
+    val rows = Seq(
+      MediaRow(3L, MediaMeta("image", 0, 0, 0L), Array.empty[Byte]),
+      MediaRow(0L, MediaMeta("image", 0, 0, 0L), Array.empty[Byte])).toDS()
+    val out = MediaOps.injectCorruption(rows).collect().map(m => m.media_id -> m).toMap
+    assert(out(3L).payload.isEmpty && out(0L).payload.isEmpty)
+    val verdicts = MediaOps.decodeQuarantine(MediaOps.injectCorruption(rows))
+      .collect()
+    assert(verdicts.forall(!_.ok), "empty payloads must quarantine")
+  }
+
   test("decodeQuarantine is a stateless narrow map: stream verdicts == batch twin") {
     import org.apache.spark.sql.streaming.Trigger
     val docs = (0L until 25L).toDF("doc_id")

@@ -46,6 +46,26 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
     assert(got == batch)
   }
 
+  test("typedEvents drops null-primitive rows a raw .as[Event] decode would die on") {
+    // file-source schemas are force-nullable'd, so a null user_id
+    // reaches the typed decode despite EventSchema's nullable=false —
+    // typedEvents must drop that row and keep the stream alive
+    val t0 = new java.sql.Timestamp(1600000000000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullev").toString
+    Seq[(java.lang.Long, java.sql.Timestamp, java.lang.Long, String, java.lang.Double)](
+      (1L, t0, 10L, "click", 1.5),
+      (2L, t0, null, "view", 2.5),   // null primitive → dropped
+      (3L, t0, 30L, "click", null))  // null value → dropped
+      .toDF("event_id", "ts_t", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val q = typedEvents(spark.readStream.schema(EventSchema).parquet(s"$dir/in"))
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("typed_ev_out").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
+    val ids = spark.table("typed_ev_out").select("event_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L)), s"expected only row 1, got ${ids.mkString(",")}")
+  }
+
   test("dedupStream drops exact duplicates across micro-batches, keeps distinct texts") {
     val t0 = 1600000000000L
     def doc(id: Long, tMs: Long, text: String) =
