@@ -112,7 +112,16 @@ object Bench {
     // Written to a side file; the driver contract line is unchanged.
     val wantDecomp = sys.env.get("SPARK_GRAFT_DECOMP").contains("1")
     val decomp = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
-    val results = selected.map { case (name, fn) =>
+    // SPARK_GRAFT_RUNS=N: N complete passes over the suite in one
+    // process, and the artifact carries EVERY run's totals alongside
+    // the per-query medians. Why: this box's regime swings up to
+    // ~1.5× between captures, and a single-run artifact forced every
+    // round-over-round diff to consult SCALING.md prose to tell
+    // regression from noise. With the runs embedded, the artifact is
+    // self-normalizing — a slow capture shows N consistently slow
+    // totals, a real regression shows one query moving in every run.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt.max(1)
+    def runOnce(): Seq[(String, Double)] = selected.flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -155,7 +164,20 @@ object Bench {
       // a 0.0 here would make "crashed instantly" read as "fastest
       // query in the suite" in every round-over-round artifact diff
       times.reduceOption(_ min _).map(name -> _)
-    }.flatten
+    }
+    val allRuns: Seq[Seq[(String, Double)]] = (1 to nRuns).map(_ => runOnce())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // reported per-query value = MEDIAN across runs of each run's
+    // min-of-reps (a query absent from a run that failed it is
+    // medianed over the runs it completed); reported total = sum of
+    // those medians — the suite's cost on the capture's median regime
+    val results: Seq[(String, Double)] = selected.flatMap { case (name, _) =>
+      val per = allRuns.flatMap(_.collectFirst { case (`name`, t) => t })
+      if (per.isEmpty) None else Some(name -> median(per))
+    }
     def fmt(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -168,8 +190,16 @@ object Bench {
       if (!wantRows) ""
       else rowCounts.map { case (k, v) => s"\"$k\":$v" }
         .mkString(",\"rows\":{", ",", "}")
+    // the timing methodology rides IN the artifact (review finding:
+    // Demo.once changed what a "total" means between rounds and the
+    // JSON carried no marker of which methodology produced it)
+    val methodology =
+      s""""methodology":{"schema":2,"runs":$nRuns,"reps":$reps,""" +
+        s""""per_query":"median over runs of min-of-$reps-reps wall seconds",""" +
+        s""""total":"sum of per-query medians",""" +
+        s""""demo_tables":"built once per session (run 1, rep 1); later reps time the operator only"}"""
     val contractLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr$rowsField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr$rowsField,$methodology,"sf":"$sfDir"}"""
     println(contractLine)
     // The driver archives only the TAIL of stdout: both r3 and r4 bench
     // artifacts lost the head of the one-line contract above — the
@@ -185,8 +215,17 @@ object Bench {
     // two separate rounds (30 and 78 entries lost). The committed
     // artifact is what lets a judge diff all queries round-over-round.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // the file artifact additionally carries EVERY run (total + full
+    // per-query map) so a round-over-round diff can separate regime
+    // noise (all runs shifted together) from a real per-query move
+    // (consistent across runs) without external prose
+    val runsJson = allRuns.map { run =>
+      val rq = run.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"total":${fmt(run.map(_._2).sum)},"queries":$rq}"""
+    }.mkString("[", ",", "]")
+    val fileLine = contractLine.dropRight(1) + s""","runs":$runsJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (contractLine + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
     if (wantDecomp) {
       val decompJson = decomp.map { case (k, repsList) =>
