@@ -695,32 +695,64 @@ object Dedup {
     // guard on the shared core so EVERY entry point (pairs,
     // components) fails fast: threshold 0 would edge-connect all
     // token-sharing docs — catastrophic over-dedup, silently
-    require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
+    require(threshold > 0.0, "prefix-filtered jaccard join requires a positive threshold")
     require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
-    // distinct-set token table WITHOUT a first(toks) collapse: an
-    // array-valued aggregation buffer cannot hash-aggregate (plans a
-    // SortAggregate — same fix as the LSH banding). Exploding every
-    // member's tokens and distinct-ing the primitive quintuple is the
-    // same relation, hash-aggregable, with map-side partial dedup
-    // collapsing duplicate-heavy corpora before the shuffle.
-    val tok = withKey.select(
-        col("set_key"), col("lang"), col("bkt"),
-        size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
-      .distinct()
-    // shuffled-hash, not sort-merge: this is a many-to-many join
-    // (every key repeats df(token) times per side) and SMJ buffers
-    // each duplicate group; a per-partition hash build streams the
-    // fan-out. Hash, not broadcast: the build side is
-    // |distinct sets| × tokens and grows with the corpus.
-    val co = tok.as("x").join(tok.as("y").hint("shuffle_hash"),
+    // Prefix filtering (the PPJoin family's candidate bound): under
+    // ANY fixed total order of the token universe, two sets with
+    // |A∩B| ≥ α must share a token among the first |S|−α+1 of each
+    // (the smallest common token has at most α−1 common tokens after
+    // it). J(A,B) ≥ t implies |A∩B| ≥ t·|A∪B| ≥ t·|S| for both
+    // sides, so joining only the ⌊(1−t)·|S|⌋+1 smallest tokens of
+    // each set is exact on recall while shrinking the quadratic term
+    // from Σ_tok df(tok)² to the same sum over PREFIX tokens only —
+    // measured 11.6M → 1.2M join rows at sf0.1/t=0.8. `toks` is
+    // already sorted-distinct, so the lexicographic order is free
+    // (no global df pass; df-ascending ordering measured <10% better
+    // candidates here and costs an aggregate + per-set window).
+    // t is backed off by 1e-6 because the output filter is on
+    // round(j, 6) ≥ t: a pair whose true j sits within half an ulp-
+    // of-the-6th-decimal BELOW t still passes the rounded filter, so
+    // the recall bound must be computed against that slightly laxer
+    // effective threshold (over-inclusion only costs candidates).
+    val tEff = threshold - 1e-6
+    // one representative row per distinct set, WITHOUT a first(toks)
+    // aggregation buffer (arrays force SortAggregate): dropDuplicates
+    // on the 8-byte hash key — partial-aggregable, and every row of a
+    // set_key group carries the identical toks array by construction,
+    // so the surviving row is canonical whichever one it is
+    // scope-cached: the prefix join and both verification joins read
+    // this under DIFFERENT exchange keys (band key vs set_a vs
+    // set_b), so ReuseExchange cannot dedupe them — uncached, each
+    // would re-run the tokenize map over the whole corpus (measured
+    // +60% on the family at sf0.1). Post-collapse it is |distinct
+    // sets| rows, the narrow-expensive shape the registry exists for.
+    val sets = registerCache(withKey
+      .select(col("set_key"), col("lang"), col("bkt"), col("toks"),
+        size(col("toks")).as("sz"))
+      .dropDuplicates("set_key"))
+    val pfx = sets.select(col("set_key"), col("lang"), col("bkt"),
+      explode(expr(s"slice(toks, 1, cast(floor((1.0d - $tEff) * size(toks)) + 1 as int))"))
+        .as("tok"))
+    // shuffled-hash, not sort-merge: many-to-many on the prefix
+    // tokens (every key repeats df_prefix(token) times per side) and
+    // SMJ buffers each duplicate group. Hash, not broadcast: the
+    // build side grows with the corpus.
+    val cand = pfx.as("x").join(pfx.as("y").hint("shuffle_hash"),
         col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
         col("x.tok") === col("y.tok") && col("x.set_key") < col("y.set_key"))
-      .groupBy(
-        col("x.set_key").as("set_a"), col("y.set_key").as("set_b"),
-        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-      .agg(count(lit(1)).cast(IntegerType).as("c"))
+      .select(col("x.set_key").as("set_a"), col("y.set_key").as("set_b"))
+      .distinct()
+    // exact verification: |A∩B| as one codegen'd array_intersect per
+    // surviving candidate — no df² co-count blowup, and the arrays
+    // ride two narrow hash joins keyed on the 8-byte set_key
+    val scored = cand
+      .join(sets.select(col("set_key").as("set_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a")).hint("shuffle_hash"), "set_a")
+      .join(sets.select(col("set_key").as("set_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b")).hint("shuffle_hash"), "set_b")
+      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
     val j = col("c").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("c"))
-    co.select(col("set_a"), col("set_b"), round(j, 6).as("jaccard"))
+    scored.select(col("set_a"), col("set_b"), round(j, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -731,14 +763,15 @@ object Dedup {
 
     // collapse identical token sets (same trick as the LSH path):
     // J(identical sets) = 1.0 with no arithmetic, and the quadratic
-    // co-count stage only sees DISTINCT sets per block; 8-byte
-    // xxhash64 cluster keys keep the joins narrow. No persist: the
-    // five downstream references all consume this subtree through
-    // shuffles on set_key / (lang, bkt, tok), and ReuseExchange
-    // dedupes the structurally identical ones — measured faster than
-    // a persist (the cache round-trip of the toks arrays costs more
-    // than the branch recomputes it saves).
-    val withKey = base.withColumn("set_key", setKey)
+    // verification stage only sees DISTINCT sets per block; 8-byte
+    // xxhash64 cluster keys keep the joins narrow. Scope-cached: the
+    // prefix-filtered plan consumes this subtree under FOUR distinct
+    // exchange keys (set-collapse, expansion a/b, intra), none of
+    // which ReuseExchange can dedupe, and each uncached reference
+    // re-runs the per-document tokenize map. (The old co-count plan
+    // measured faster UNcached, but its references shared exchanges;
+    // this one's do not — re-measured with the prefix plan.)
+    val withKey = registerCache(base.withColumn("set_key", setKey))
     val members = withKey.select(col("doc_id"), col("set_key"))
     val repPairs = setPairs(withKey, threshold)
 
@@ -838,12 +871,15 @@ object Dedup {
     * diameter) rounds) over the rep graph only, and members join
     * their rep's component back with a streamed hash join. */
   def jaccardComponents(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
-    // NOT cached even though references span two actions: the
-    // token-set arrays are an order of magnitude wider than the
-    // minhash signature rows, and the A/B (medians of 3, sf0.1) puts
-    // the cached variant ~20% slower (q_cluster_best 2.63 -> 3.16 s)
-    // — width, not action count, decides the cache trade.
-    val withKey = tokenSets(documents, ngram).withColumn("set_key", setKey)
+    // actions = 2: the edge list is consumed eagerly inside
+    // connectedComponents; the member join runs under the caller's
+    // action on the returned frame. (An earlier A/B measured the
+    // UNcached variant faster, but that was against the co-count
+    // plan whose references shared exchanges; the prefix-filtered
+    // setPairs consumes this under heterogeneous keys and re-ran the
+    // tokenize map per reference — re-measured with the new plan.)
+    val withKey = registerCache(
+      tokenSets(documents, ngram).withColumn("set_key", setKey), actions = 2)
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = members.groupBy(col("set_key")).agg(min(col("doc_id")).as("rep_id"))
     val repPairs = setPairs(withKey, threshold)
