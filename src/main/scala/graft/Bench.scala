@@ -91,11 +91,14 @@ object Bench {
     // and an entry in the "errors" object — never a fake timing that
     // makes "crashed instantly" look like "fast".
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // repetitions per query, best-of reported: a single-shot timing on
-    // a shared box occasionally absorbs an unrelated stall (GC, page
-    // cache eviction, JIT recompilation); min-of-N is the standard way
-    // to measure the query's own cost. All reps execute fully.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // repetitions per query within one run, best-of per run: a
+    // single-shot timing on a shared box occasionally absorbs an
+    // unrelated stall (GC, page cache eviction, JIT recompilation).
+    // Default 1 now that the suite-level default is THREE runs with
+    // a median — three independent single-shot passes denoise better
+    // than one pass of min-of-2 at the same total execution count,
+    // and the medians are robust to one slow-regime run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
     // SPARK_GRAFT_ROWS=1: also record each query's output row count
     // (free — the timed action IS a count) in a "rows" object. Used
     // by the scaling sweeps to separate time growth from OUTPUT
@@ -120,7 +123,7 @@ object Bench {
     // regression from noise. With the runs embedded, the artifact is
     // self-normalizing — a slow capture shows N consistently slow
     // totals, a real regression shows one query moving in every run.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt.max(1)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     def runOnce(): Seq[(String, Double)] = selected.flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -32,10 +32,15 @@ object JdftxOutParser {
     // under Spark 4's default ANSI mode, so one crashed/timed-out
     // run (empty or truncated log) would kill the whole metrics
     // stage; the reference's loop semantics simply leave the metric
-    // unset -> NULL here
+    // unset -> NULL here. try_cast, not cast, for the same reason
+    // one step deeper (found by the fuzz sweep): the regex captures
+    // \S+, so a garbled line like "mu: abc nElectrons: def" MATCHES
+    // and a plain ANSI cast of 'abc' kills the stage — a non-numeric
+    // capture is a corrupt run, which quarantines as NULL like every
+    // other malformed shape.
     val lastMatch = (group: Int) => {
       val all = regexp_extract_all(col(textCol), lit(MetricRe), lit(group))
-      when(size(all) > 0, element_at(all, -1)).cast(DoubleType)
+      when(size(all) > 0, element_at(all, -1)).try_cast(DoubleType)
     }
     logs.withColumn("mu", lastMatch(1))
       .withColumn("nelectrons", lastMatch(2))
@@ -51,17 +56,47 @@ object JdftxOutParser {
       spark.read.option("wholetext", "true").text(dir)
         .select(input_file_name().as("file"), col("value"))
         .filter(col("file").endsWith(".out"))
-        // nullif before the cast: a .out file whose name does not
-        // match {mp_key}_{charge}.out extracts "", and CAST('' AS
-        // DOUBLE) throws under default ANSI — such files carry a
-        // null charge/empty key and are dropped, not job-fatal
+        // nullif + try_cast: a .out file whose name does not match
+        // {mp_key}_{charge}.out extracts "", and the charge group
+        // ([0-9.]+) can also capture a non-castable shape like
+        // "0..5" — under default ANSI a plain cast of either aborts
+        // the scan; such files carry a null charge/empty key and are
+        // dropped, not job-fatal
         .select(
           regexp_extract(col("file"), FileRe, 1).as("mp_key"),
           nullif(regexp_extract(col("file"), FileRe, 2), lit(""))
-            .cast(DoubleType).as("charge"),
+            .try_cast(DoubleType).as("charge"),
           col("value"))
         .filter(col("mp_key") =!= "" && col("charge").isNotNull),
       "value")
+
+  /** Quarantine-style ingest twin of [[metrics]] (the
+    * `MediaOps.decodeQuarantine` pattern applied to `.out` scans): one
+    * row per `.out` FILE — nothing silently dropped — with
+    * `ok = false` for any file whose name does not parse as
+    * `{mp_key}_{charge}.out` or whose content yields no final
+    * FillingsUpdate metrics (crashed/truncated/garbage run). A
+    * corrupt `.out` is the most likely real-world input in this
+    * domain (semi-structured text from an external binary), and the
+    * production posture is quarantine-and-continue: `filter(ok)` is
+    * the metrics feed, `filter(!ok)` the reprocess/alert feed with
+    * the file path naming the culprit. Same codegen'd expressions as
+    * the strict scan — zero shuffle, one row per file. */
+  def metricsQuarantine(spark: SparkSession, dir: String): DataFrame =
+    metricsFromText(
+      spark.read.option("wholetext", "true").text(dir)
+        .select(input_file_name().as("file"), col("value"))
+        .filter(col("file").endsWith(".out"))
+        .select(
+          col("file"),
+          nullif(regexp_extract(col("file"), FileRe, 1), lit("")).as("mp_key"),
+          nullif(regexp_extract(col("file"), FileRe, 2), lit(""))
+            .try_cast(DoubleType).as("charge"),
+          col("value")),
+      "value")
+      .withColumn("ok",
+        col("mp_key").isNotNull && col("charge").isNotNull &&
+          col("mu").isNotNull && col("nelectrons").isNotNull)
 
   /** Run-key form for in-flight outputs keyed `{mp_key}_{charge}`. */
   val KeyRe = "(.+)_(-?[0-9.]+)$"
@@ -70,7 +105,7 @@ object JdftxOutParser {
       runs.select(
         regexp_extract(col("key"), KeyRe, 1).as("mp_key"),
         nullif(regexp_extract(col("key"), KeyRe, 2), lit(""))
-          .cast(DoubleType).as("charge"),
+          .try_cast(DoubleType).as("charge"),
         col("output")),
       "output")
 }

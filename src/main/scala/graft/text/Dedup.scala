@@ -730,16 +730,20 @@ object Dedup {
       .select(col("set_key"), col("lang"), col("bkt"), col("toks"),
         size(col("toks")).as("sz"))
       .dropDuplicates("set_key"))
-    val pfx = sets.select(col("set_key"), col("lang"), col("bkt"),
+    val pfx = sets.select(col("set_key"), col("lang"), col("bkt"), col("sz"),
       explode(expr(s"slice(toks, 1, cast(floor((1.0d - $tEff) * size(toks)) + 1 as int))"))
         .as("tok"))
     // shuffled-hash, not sort-merge: many-to-many on the prefix
     // tokens (every key repeats df_prefix(token) times per side) and
     // SMJ buffers each duplicate group. Hash, not broadcast: the
-    // build side grows with the corpus.
+    // build side grows with the corpus. The size predicate is the
+    // standard length filter (J ≥ t forces t·max(|A|,|B|) ≤
+    // min(|A|,|B|)) — evaluated inside the join so mismatched pairs
+    // never reach the candidate distinct.
     val cand = pfx.as("x").join(pfx.as("y").hint("shuffle_hash"),
         col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
-        col("x.tok") === col("y.tok") && col("x.set_key") < col("y.set_key"))
+        col("x.tok") === col("y.tok") && col("x.set_key") < col("y.set_key") &&
+        col("x.sz") >= col("y.sz") * tEff && col("y.sz") >= col("x.sz") * tEff)
       .select(col("x.set_key").as("set_a"), col("y.set_key").as("set_b"))
       .distinct()
     // exact verification: |A∩B| as one codegen'd array_intersect per

@@ -11,17 +11,49 @@ import org.scalatest.BeforeAndAfterAll
   * and sessionization must produce gap-delimited sessions.
   */
 class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
+  // Error-free-log CONTRACT, machine-checked: this suite's streams
+  // historically leaked ERROR lines at teardown (shutdown-hook kills
+  // in r7, a stop-mid-broadcast TorrentBroadcast line in r8) that
+  // no assertion caught. The capture is installed for the whole
+  // suite and asserted empty after the last stream stops.
+  private var errCap: graft.ErrorLogCapture.Capture = _
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    errCap = graft.ErrorLogCapture.install()
+  }
   // The shared session outlives this suite (one JVM across suites);
   // any stream a failed assertion left running would otherwise die
   // mid-plan in the SparkContext shutdown hook — the ERROR-log noise
   // that once shadowed the suite's green total.
   override def afterAll(): Unit = {
     spark.streams.active.foreach(_.stop())
-    super.afterAll()
+    try {
+      val errs = errCap.asSeq
+      assert(errs.isEmpty,
+        s"streaming suite logged ${errs.size} ERROR event(s):\n${errs.mkString("\n")}")
+    } finally {
+      graft.ErrorLogCapture.uninstall(errCap)
+      super.afterAll()
+    }
   }
 
   import spark.implicits._
   import StreamingOps._
+
+  /** Stop a ProcessingTime-trigger query ON AN IDLE TICK: stopping
+    * right after a sink poll can land inside the batch's tail, where
+    * broadcast cleanup logs `ERROR TorrentBroadcast` even on a clean
+    * stop — the one residual ERROR line in the r8 green log.
+    * `isTriggerActive` false means the engine is between triggers;
+    * poll up to 30 s (three 10 s trigger periods) then stop
+    * regardless. The suite-level error capture asserts this actually
+    * keeps the log clean. */
+  private def stopOnIdleTick(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val idleBy = System.nanoTime() + 30L * 1000000000L
+    while (q.status.isTriggerActive && System.nanoTime() < idleBy)
+      Thread.sleep(50)
+    q.stop()
+  }
 
   private def eventsBatch = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
     .select(col("event_id"), col("ts_t"), col("user_id"), col("event_type"), col("value"))
@@ -167,7 +199,7 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
         Thread.sleep(250); got = counts()
       }
       assert(got == want, s"TTL markov stream never produced $want, got $got")
-    } finally q.stop()
+    } finally stopOnIdleTick(q)
     intercept[IllegalArgumentException](
       StreamingOps.markovStream(stream.as[StreamingOps.Event], stateTtlMs = Some(0L)))
   }
@@ -724,6 +756,6 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
         Thread.sleep(250); got = rows()
       }
       assert(got == want, s"TTL scd2 stream never produced $want, got $got")
-    } finally q.stop()
+    } finally stopOnIdleTick(q)
   }
 }
