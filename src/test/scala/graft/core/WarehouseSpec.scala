@@ -127,6 +127,114 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(new java.io.File(dir, "_SUCCESS").exists, "no-op must not disturb the dir")
   }
 
+  test("cross-process OCC: two JVMs contending on one table, no corruption in 10 rounds") {
+    // the same-JVM test below never reaches the advisory _commit.lock
+    // FILE lock (threads serialize on the per-table monitor first);
+    // this one exercises the lock's actual purpose: a SECOND JVM
+    // contending on the same table directory. Per round, both
+    // processes start a merge near-simultaneously from the same
+    // snapshot; each retries on ZoneMapConflictException. Asserted:
+    // the child saw no OTHER exception type (exit 0), every commit
+    // landed (final version = 1 + 20), content is exact, and the
+    // contention was real (>= 1 conflict across 10 overlapped rounds).
+    val rounds = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft-occ").toString + "/t"
+    val sync = java.nio.file.Files.createTempDirectory("graft-occ-sync").toString
+    Warehouse.writeZoneMapped((1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"),
+      dir, "k", 4)
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(m => Seq("--add-opens", s"java.base/$m=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx4g", "-cp",
+      sys.props("java.class.path"), "graft.core.OccChild",
+      dir, sync, rounds.toString)).toArray
+    val child = new ProcessBuilder(cmd: _*)
+      .redirectOutput(new java.io.File(sync, "child_stdout"))
+      .redirectErrorStream(true).start()
+    try {
+      val ready = new java.io.File(sync, "child_ready")
+      val readyBy = System.nanoTime() + 120L * 1000000000L
+      while (!ready.exists() && child.isAlive && System.nanoTime() < readyBy)
+        Thread.sleep(50)
+      assert(ready.exists(), "child session never came up; see child_stdout")
+      var parentConflicts = 0
+      (1 to rounds).foreach { i =>
+        java.nio.file.Files.write(
+          new java.io.File(sync, s"go_$i").toPath, Array.empty[Byte])
+        val upd = (1L to 1000L).filter(_ % 100 == i).map(k => (k, s"P$i")).toDF("k", "v")
+        var done = false
+        var attempts = 0
+        while (!done) {
+          try { Warehouse.mergeZoneMapped(spark, dir, "k", upd); done = true }
+          catch {
+            case _: Warehouse.ZoneMapConflictException =>
+              parentConflicts += 1; attempts += 1
+              assert(attempts <= 50, s"round $i: parent live-locked")
+          }
+        }
+        val childDone = new java.io.File(sync, s"child_done_$i")
+        val doneBy = System.nanoTime() + 120L * 1000000000L
+        while (!childDone.exists() && child.isAlive && System.nanoTime() < doneBy)
+          Thread.sleep(20)
+        assert(childDone.exists(), s"round $i: child never finished; see child_log")
+      }
+      assert(child.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+        "child did not exit")
+      val childLog = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(sync, "child_log").toPath), "UTF-8")
+      assert(child.exitValue() == 0,
+        s"child saw a non-conflict failure:\n$childLog")
+      // every one of the 20 merges committed exactly once
+      assert(Warehouse.zoneMapCurrentVersion(dir) == 1 + 2 * rounds,
+        s"expected v${1 + 2 * rounds}; child log:\n$childLog")
+      // exact content THROUGH THE MANIFEST: the raw data/ dir legally
+      // holds orphan part files from conflicted attempts (a loser's
+      // staged parts are already moved when its CAS fails — harmless
+      // because no committed manifest references them, reclaimed by
+      // vacuum), so a raw-directory read would see stale duplicate
+      // keys; the table view IS the manifest
+      val cur = Warehouse.zoneMapCurrentVersion(dir)
+      val rows = Warehouse.readZoneMapVersion(spark, dir, cur).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(rows.length == 1000, s"row count ${rows.length}")
+      val got = rows.toMap
+      assert(got.size == 1000, "duplicate keys in the committed table")
+      (1L to 1000L).foreach { k =>
+        val want = (k % 100) match {
+          case m if m >= 1 && m <= rounds => s"P$m"
+          case m if m >= 51 && m <= 50 + rounds => s"C${m - 50}"
+          case _ => s"v$k"
+        }
+        assert(got(k) == want, s"key $k: got ${got(k)}, want $want")
+      }
+      // manifest integrity: every live manifest row points at a file
+      // that exists and the zone-pruned read still works
+      val man = Warehouse.zoneMapManifest(spark, dir).collect()
+      man.foreach { r =>
+        val f = r.getAs[String]("file")
+        val p = if (f.startsWith("file:")) new java.io.File(new java.net.URI(f))
+                else new java.io.File(f)
+        assert(p.exists(), s"manifest references a missing file: $f")
+      }
+      assert(man.map(_.getAs[Long]("n_rows")).sum == 1000L)
+      // vacuum sweeps the conflict orphans; afterwards the raw
+      // directory and the manifest view must coincide exactly
+      Warehouse.vacuumZoneMapped(spark, dir, cur)
+      val raw = spark.read.parquet(s"$dir/data").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(raw.length == 1000 && raw.toMap == got,
+        s"post-vacuum raw dir diverges from the manifest view (${raw.length} rows)")
+      val childConflicts = "after (\\d+) conflicts".r
+        .findAllMatchIn(childLog).map(_.group(1).toInt).sum
+      assert(parentConflicts + childConflicts >= 1,
+        "10 simultaneous rounds produced zero conflicts — the processes never overlapped")
+    } finally if (child.isAlive) child.destroyForcibly()
+  }
+
   test("same-JVM concurrent merges serialize: loser gets ZoneMapConflictException") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mgthr").toString + "/t"
     Warehouse.writeZoneMapped((1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"),
