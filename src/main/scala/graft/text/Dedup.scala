@@ -695,8 +695,71 @@ object Dedup {
     // guard on the shared core so EVERY entry point (pairs,
     // components) fails fast: threshold 0 would edge-connect all
     // token-sharing docs — catastrophic over-dedup, silently
-    require(threshold > 0.0, "prefix-filtered jaccard join requires a positive threshold")
+    require(threshold > 0.0, "the jaccard set join requires a positive threshold")
     require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
+    // Two exact plans, picked by threshold. The prefix filter's
+    // candidate bound is ⌊(1−t)·|S|⌋+1 tokens per side — a 5× cut at
+    // t=0.8 but only 30% at t=0.3, where its extra machinery (the
+    // candidate distinct, two array-fetch joins) costs more than the
+    // co-count rows it saves (measured at sf0.1: t=0.8 family −20%,
+    // t=0.3 shingle +25%). 0.5 is the crossover's conservative side:
+    // at t=0.5 the prefix is still half the tokens → candidate join
+    // a quarter of the co-count's df² term.
+    if (usesPrefixPlan(threshold)) prefixSetPairs(withKey, threshold)
+    else coCountSetPairs(withKey, threshold)
+  }
+
+  /** Which [[setPairs]] plan a threshold selects — exposed to the
+    * entry points because the CACHING choice follows the plan: the
+    * prefix plan reads the keyed corpus under four heterogeneous
+    * exchange keys (cache wins), the co-count plan's references share
+    * exchanges that ReuseExchange dedupes (cache measured ~20% SLOWER
+    * — the array round-trip costs more than the recompute). */
+  private def usesPrefixPlan(threshold: Double): Boolean = threshold >= 0.5
+  private def requirePrefixPlan(threshold: Double): Unit =
+    require(usesPrefixPlan(threshold),
+      s"prefix plan requires threshold >= 0.5, got $threshold")
+  private def keyedTokenSets(documents: DataFrame, ngram: Int,
+                             threshold: Double, actions: Int): DataFrame = {
+    val base = tokenSets(documents, ngram).withColumn("set_key", setKey)
+    if (usesPrefixPlan(threshold)) registerCache(base, actions) else base
+  }
+
+  /** Token co-count plan — the low-threshold side of [[setPairs]]:
+    * |A∩B| falls out of ONE (block, token) equi-join + count, and
+    * |A∪B| = |A| + |B| − |A∩B|. Intermediate is Σ_token df(token)²
+    * within each block — acceptable when the prefix filter cannot
+    * shrink it much anyway. */
+  private def coCountSetPairs(withKey: DataFrame, threshold: Double): DataFrame = {
+    // distinct-set token table WITHOUT a first(toks) collapse: an
+    // array-valued aggregation buffer cannot hash-aggregate (plans a
+    // SortAggregate — same fix as the LSH banding). Exploding every
+    // member's tokens and distinct-ing the primitive quintuple is the
+    // same relation, hash-aggregable, with map-side partial dedup
+    // collapsing duplicate-heavy corpora before the shuffle.
+    val tok = withKey.select(
+        col("set_key"), col("lang"), col("bkt"),
+        size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
+      .distinct()
+    // shuffled-hash, not sort-merge: this is a many-to-many join
+    // (every key repeats df(token) times per side) and SMJ buffers
+    // each duplicate group; a per-partition hash build streams the
+    // fan-out. Hash, not broadcast: the build side is
+    // |distinct sets| × tokens and grows with the corpus.
+    val co = tok.as("x").join(tok.as("y").hint("shuffle_hash"),
+        col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
+        col("x.tok") === col("y.tok") && col("x.set_key") < col("y.set_key"))
+      .groupBy(
+        col("x.set_key").as("set_a"), col("y.set_key").as("set_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).cast(IntegerType).as("c"))
+    val j = col("c").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("c"))
+    co.select(col("set_a"), col("set_b"), round(j, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Prefix-filtered plan — the high-threshold side of [[setPairs]]. */
+  private def prefixSetPairs(withKey: DataFrame, threshold: Double): DataFrame = {
     // Prefix filtering (the PPJoin family's candidate bound): under
     // ANY fixed total order of the token universe, two sets with
     // |A∩B| ≥ α must share a token among the first |S|−α+1 of each
@@ -709,6 +772,7 @@ object Dedup {
     // already sorted-distinct, so the lexicographic order is free
     // (no global df pass; df-ascending ordering measured <10% better
     // candidates here and costs an aggregate + per-set window).
+    requirePrefixPlan(threshold) // the recall bound below assumes it
     // t is backed off by 1e-6 because the output filter is on
     // round(j, 6) ≥ t: a pair whose true j sits within half an ulp-
     // of-the-6th-decimal BELOW t still passes the rounded filter, so
@@ -761,21 +825,14 @@ object Dedup {
   }
 
   def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
-    require(threshold > 0.0, "co-count jaccard join requires a positive threshold")
+    require(threshold > 0.0, "the jaccard set join requires a positive threshold")
     require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
-    val base = tokenSets(documents, ngram)
-
     // collapse identical token sets (same trick as the LSH path):
     // J(identical sets) = 1.0 with no arithmetic, and the quadratic
     // verification stage only sees DISTINCT sets per block; 8-byte
-    // xxhash64 cluster keys keep the joins narrow. Scope-cached: the
-    // prefix-filtered plan consumes this subtree under FOUR distinct
-    // exchange keys (set-collapse, expansion a/b, intra), none of
-    // which ReuseExchange can dedupe, and each uncached reference
-    // re-runs the per-document tokenize map. (The old co-count plan
-    // measured faster UNcached, but its references shared exchanges;
-    // this one's do not — re-measured with the prefix plan.)
-    val withKey = registerCache(base.withColumn("set_key", setKey))
+    // xxhash64 cluster keys keep the joins narrow. Caching follows
+    // the plan (see usesPrefixPlan).
+    val withKey = keyedTokenSets(documents, ngram, threshold, actions = 1)
     val members = withKey.select(col("doc_id"), col("set_key"))
     val repPairs = setPairs(withKey, threshold)
 
@@ -875,15 +932,13 @@ object Dedup {
     * diameter) rounds) over the rep graph only, and members join
     * their rep's component back with a streamed hash join. */
   def jaccardComponents(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
-    // actions = 2: the edge list is consumed eagerly inside
-    // connectedComponents; the member join runs under the caller's
-    // action on the returned frame. (An earlier A/B measured the
-    // UNcached variant faster, but that was against the co-count
-    // plan whose references shared exchanges; the prefix-filtered
-    // setPairs consumes this under heterogeneous keys and re-ran the
-    // tokenize map per reference — re-measured with the new plan.)
-    val withKey = registerCache(
-      tokenSets(documents, ngram).withColumn("set_key", setKey), actions = 2)
+    // actions = 2 when cached: the edge list is consumed eagerly
+    // inside connectedComponents; the member join runs under the
+    // caller's action on the returned frame. Caching follows the
+    // plan choice (see usesPrefixPlan): the prefix plan reads this
+    // under heterogeneous exchange keys, the co-count plan's shared
+    // exchanges measured faster uncached.
+    val withKey = keyedTokenSets(documents, ngram, threshold, actions = 2)
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = members.groupBy(col("set_key")).agg(min(col("doc_id")).as("rep_id"))
     val repPairs = setPairs(withKey, threshold)

@@ -9,7 +9,7 @@ Mirrors the driver testdata's observed structure (driver tooling only
     word-perturbed near-copies of a base doc, ~0.2% exact dups.
   embeddings: 64-dim unit vectors around 10 cluster centers.
 
-Two corpus regimes:
+Three corpus regimes:
   dense (default): the tiny ~45-word vocab makes near-dup density —
     and every pair operator's true OUTPUT — quadratic in corpus size.
     A deliberate stress case.
@@ -19,8 +19,20 @@ Two corpus regimes:
     live in. Embeddings likewise: random unit vectors (pairwise cosine
     ~ N(0, 1/64), i.e. std 1/8 — far from any near-dup threshold) plus ~3% tight
     near-copies.
+  skew (--skew): the sparse background PLUS one colossal hot cluster —
+    30% of all docs are byte-identical copies of ONE text (and ~2%
+    near-copies of it), 30% of embeddings tight copies of ONE vector.
+    The regime that stresses the rep-collapse and shuffle-hash-pin
+    choices: one set_key/fingerprint/band bucket carries a third of
+    the corpus, so any plan that sort-merge-buffers a matched group,
+    windows over a cluster, or fails to collapse identical sets before
+    pair expansion blows up HERE first. Pair OUTPUT is quadratic by
+    construction (the hot clique), so time exponents must be read
+    against the output exponents — t-exp tracking o-exp means the
+    work is output-bound (streamed expansion), t-exp >> o-exp means a
+    real hotspot.
 
-Usage: gen_scale_corpus.py OUTDIR MULTIPLE [SEED] [--sparse]
+Usage: gen_scale_corpus.py OUTDIR MULTIPLE [SEED] [--sparse|--skew]
 Writes OUTDIR/documents.parquet and OUTDIR/embeddings.parquet.
 """
 import sys, random, math
@@ -34,17 +46,43 @@ VOCAB = ("batch part spark line column order small sort fast value scan hash "
 LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
 
-def gen(outdir, mult, seed=42, sparse=False):
+def gen(outdir, mult, seed=42, sparse=False, skew=False):
     rnd = random.Random(seed)
     n_docs = int(5000 * mult)
     n_emb = int(2000 * mult)
-    vocab = [f"w{i:05d}" for i in range(20000)] if sparse else VOCAB
+    vocab = [f"w{i:05d}" for i in range(20000)] if (sparse or skew) else VOCAB
 
     doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
     base_texts = []   # dense mode: unbounded reuse (quadratic pairs)
     base_queue = []   # sparse mode: (words, n_reuses), reused <= 2x
+    # skew mode: ONE hot base; 30% of docs are byte-identical copies
+    # of it, ~2% near-copies (distinct sets in the same band buckets)
+    hot_words = [rnd.choice(vocab) for _ in range(60)] if skew else None
     for i in range(n_docs):
-        if sparse:
+        if skew:
+            r = rnd.random()
+            if r < 0.30:
+                words = None
+                t = " ".join(hot_words)
+            elif r < 0.32:
+                words = hot_words[:]
+                for j in range(len(words)):
+                    if rnd.random() < 0.05:
+                        words[j] = rnd.choice(vocab)
+            elif base_queue and rnd.random() < 0.03:
+                base, reuses = base_queue.pop()
+                words = base[:]
+                for j in range(len(words)):
+                    if rnd.random() < 0.05:
+                        words[j] = rnd.choice(vocab)
+                if reuses < 1 and rnd.random() < 0.3:
+                    base_queue.append((base, reuses + 1))
+            else:
+                nw = rnd.randint(8, 110)
+                words = [rnd.choice(vocab) for _ in range(nw)]
+                if rnd.random() < 0.10:
+                    base_queue.append((words, 0))
+        elif sparse:
             if base_queue and rnd.random() < 0.03:
                 # near-dup of a BOUNDED-reuse base: cluster size <= 3,
                 # so pair output stays linear in corpus size. Perturb
@@ -102,8 +140,20 @@ def gen(outdir, mult, seed=42, sparse=False):
         centers.append([x / n for x in v])
     vec_ids, embs, labels = [], [], []
     vbase_queue = []  # sparse: bounded-reuse near-dup vector bases
+    # skew: 30% of embeddings are tight copies of ONE hot vector
+    hot_v = None
+    if skew:
+        v = [rnd.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        hot_v = [x / n for x in v]
     for i in range(n_emb):
-        if sparse:
+        if skew:
+            if rnd.random() < 0.30:
+                v = [x + rnd.gauss(0, 0.005) for x in hot_v]
+            else:
+                v = [rnd.gauss(0, 1) for _ in range(64)]
+            lab = rnd.randrange(10)
+        elif sparse:
             # random unit vectors: pairwise cosine ~ N(0, 1/64) —
             # nowhere near any near-dup threshold; ~3% are tight
             # near-copies (sigma 0.02) of a bounded-reuse base
@@ -162,9 +212,10 @@ def gen(outdir, mult, seed=42, sparse=False):
 
 if __name__ == "__main__":
     import os
-    args = [a for a in sys.argv[1:] if a != "--sparse"]
+    args = [a for a in sys.argv[1:] if a not in ("--sparse", "--skew")]
     sparse = "--sparse" in sys.argv[1:]
+    skew = "--skew" in sys.argv[1:]
     outdir, mult = args[0], float(args[1])
     seed = int(args[2]) if len(args) > 2 else 42
     os.makedirs(outdir, exist_ok=True)
-    gen(outdir, mult, seed, sparse)
+    gen(outdir, mult, seed, sparse, skew)

@@ -19,7 +19,9 @@ cd "$(dirname "$0")/.."
 
 REGIME="${1:-sparse}"
 OUTROOT="${2:-/dev/shm/graft-scale}"
-FLAG=""; [ "$REGIME" = "sparse" ] && FLAG="--sparse"
+FLAG=""
+[ "$REGIME" = "sparse" ] && FLAG="--sparse"
+[ "$REGIME" = "skew" ] && FLAG="--skew"
 
 QS="q_cosine_topk,q_ivf_topk,q_ann_topk,q_semantic_dedup,q_ivfpq_topk,q_simhash,q_dedup_exact,q_pq_topk,q_minhash_sig,q_degree_hist,q_simhash_components,q_minhash_lsh_pairs,q_minhash_components,q_incremental_dedup,q_shingle_jaccard,q_embed_components,q_embed_neardup,q_connected_components,q_cluster_best,q_jaccard_neardup"
 
