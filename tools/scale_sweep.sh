@@ -37,7 +37,7 @@ for M in 1 3 10; do
     python3 tools/gen_scale_corpus.py "$DIR" "$M" 42 $FLAG
   fi
   echo "== bench $REGIME ${M}x"
-  SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
+  SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 SPARK_GRAFT_RUNS=1 \
   SPARK_GRAFT_ROWS=1 SPARK_GRAFT_ONLY="$QS" \
   SPARK_GRAFT_WARM_DIR="$OUTROOT/${REGIME}1" \
   SPARK_GRAFT_BENCH_OUT="$OUTROOT/bench_$REGIME$M.json" \
