@@ -93,11 +93,15 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // repetitions per query within one run, best-of per run: a
     // single-shot timing on a shared box occasionally absorbs an
-    // unrelated stall (GC, page cache eviction, JIT recompilation).
-    // Default 1 now that the suite-level default is THREE runs with
-    // a median — three independent single-shot passes denoise better
-    // than one pass of min-of-2 at the same total execution count,
-    // and the medians are robust to one slow-regime run.
+    // unrelated stall (GC, page cache eviction, JIT recompilation);
+    // min-of-N is the standard way to measure the query's own cost.
+    // Default 1 per run now that the suite default is THREE runs and
+    // the headline statistic is min-ACROSS-runs — same family as the
+    // historical min-of-2, so totals stay comparable round-over-round
+    // (single-shot MEDIANS measured a uniform ~1.35× above min-of-2
+    // on the floor-bound queries: right-skewed scheduling noise), at
+    // 3 total executions per query instead of 6 (runs×reps=2 blew
+    // the capture past practical wall-clock).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
     // SPARK_GRAFT_ROWS=1: also record each query's output row count
     // (free — the timed action IS a count) in a "rows" object. Used
@@ -173,14 +177,19 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    // reported per-query value = MEDIAN across runs of each run's
-    // min-of-reps (a query absent from a run that failed it is
-    // medianed over the runs it completed); reported total = sum of
-    // those medians — the suite's cost on the capture's median regime
-    val results: Seq[(String, Double)] = selected.flatMap { case (name, _) =>
-      val per = allRuns.flatMap(_.collectFirst { case (`name`, t) => t })
-      if (per.isEmpty) None else Some(name -> median(per))
-    }
+    // HEADLINE per-query value = MIN across runs of each run's
+    // min-of-reps (a query absent from a run that failed it uses the
+    // runs it completed) — the same statistic family every prior
+    // round reported, so totals diff cleanly; the artifact ALSO
+    // carries per-query medians (regression signal robust to one
+    // lucky run) and every run's full map (regime context).
+    def perQuery(stat: Seq[Double] => Double): Seq[(String, Double)] =
+      selected.flatMap { case (name, _) =>
+        val per = allRuns.flatMap(_.collectFirst { case (`name`, t) => t })
+        if (per.isEmpty) None else Some(name -> stat(per))
+      }
+    val results: Seq[(String, Double)] = perQuery(_.min)
+    val medianResults: Seq[(String, Double)] = perQuery(median)
     def fmt(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -197,10 +206,10 @@ object Bench {
     // Demo.once changed what a "total" means between rounds and the
     // JSON carried no marker of which methodology produced it)
     val methodology =
-      s""""methodology":{"schema":2,"runs":$nRuns,"reps":$reps,""" +
-        s""""per_query":"median over runs of min-of-$reps-reps wall seconds",""" +
-        s""""total":"sum of per-query medians",""" +
-        s""""demo_tables":"built once per session (run 1, rep 1); later reps time the operator only"}"""
+      s""""methodology":{"schema":3,"runs":$nRuns,"reps":$reps,""" +
+        s""""per_query":"min over $nRuns runs of min-of-$reps-reps wall seconds (headline; medians also embedded)",""" +
+        s""""total":"sum of per-query mins",""" +
+        s""""demo_tables":"built once per session (run 1, rep 1); later executions time the operator only"}"""
     val contractLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr$rowsField,$methodology,"sf":"$sfDir"}"""
     println(contractLine)
@@ -226,7 +235,10 @@ object Bench {
       val rq = run.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       s"""{"total":${fmt(run.map(_._2).sum)},"queries":$rq}"""
     }.mkString("[", ",", "]")
-    val fileLine = contractLine.dropRight(1) + s""","runs":$runsJson}"""
+    val mediansJson = medianResults
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fileLine = contractLine.dropRight(1) +
+      s""","medians":$mediansJson,"runs":$runsJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
