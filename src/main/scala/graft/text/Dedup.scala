@@ -170,8 +170,13 @@ object Dedup {
   /** (doc_id, mhs, sig_key): every document keyed by its FULL MinHash
     * signature — exact-duplicate sets share a `sig_key`. Internal
     * keys are xxhash64 (8-byte join/shuffle keys, not 32-char md5
-    * strings); a key collision between distinct signatures is ~2^-64
-    * — same order as any content-hash scheme. No persist: the
+    * strings); per-pair collision ~2^-64, and by the birthday bound
+    * the EXPECTED spurious merges over n distinct signatures are
+    * n²/2^65 — ~3 falsely merged clusters at n = 10^10, each costing
+    * one wrongly-deduped document. Acceptable here because MinHash
+    * clustering is itself probabilistic; a zero-tolerance deployment
+    * swaps in md5 (128-bit: bound ~10^-19 at the same n) for wider
+    * shuffle keys, the `exactDedup` choice. No persist: the
     * signature fold is a pure map, and the downstream self-joins
     * shuffle structurally identical subtrees that ReuseExchange
     * dedupes — caching would only pin memory. */
@@ -671,6 +676,11 @@ object Dedup {
       .filter(size(col("toks")) > 0)
   }
 
+  /** 8-byte cluster key over (lang, bkt, token set) — the
+    * signatureClusters trade restated: n²/2^65 expected spurious
+    * set-merges by the birthday bound (~3 at 10^10 distinct sets,
+    * each emitting one false J=1.0 pair family); md5 is the
+    * zero-tolerance swap at 4× the key width. */
   private def setKey: Column =
     xxhash64(concat_ws(":", col("lang"), col("bkt"), array_join(col("toks"), " ")))
 
