@@ -729,7 +729,7 @@ object Dedup {
   private def requirePrefixPlan(threshold: Double): Unit =
     require(usesPrefixPlan(threshold),
       s"prefix plan requires threshold >= 0.5, got $threshold")
-  private def keyedTokenSets(documents: DataFrame, ngram: Int,
+  private[text] def keyedTokenSets(documents: DataFrame, ngram: Int,
                              threshold: Double, actions: Int): DataFrame = {
     val base = tokenSets(documents, ngram).withColumn("set_key", setKey)
     if (usesPrefixPlan(threshold)) registerCache(base, actions) else base
@@ -740,7 +740,7 @@ object Dedup {
     * |A∪B| = |A| + |B| − |A∩B|. Intermediate is Σ_token df(token)²
     * within each block — acceptable when the prefix filter cannot
     * shrink it much anyway. */
-  private def coCountSetPairs(withKey: DataFrame, threshold: Double): DataFrame = {
+  private[text] def coCountSetPairs(withKey: DataFrame, threshold: Double): DataFrame = {
     // distinct-set token table WITHOUT a first(toks) collapse: an
     // array-valued aggregation buffer cannot hash-aggregate (plans a
     // SortAggregate — same fix as the LSH banding). Exploding every
@@ -769,7 +769,7 @@ object Dedup {
   }
 
   /** Prefix-filtered plan — the high-threshold side of [[setPairs]]. */
-  private def prefixSetPairs(withKey: DataFrame, threshold: Double): DataFrame = {
+  private[text] def prefixSetPairs(withKey: DataFrame, threshold: Double): DataFrame = {
     // Prefix filtering (the PPJoin family's candidate bound): under
     // ANY fixed total order of the token universe, two sets with
     // |A∩B| ≥ α must share a token among the first |S|−α+1 of each

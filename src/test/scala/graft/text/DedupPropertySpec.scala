@@ -51,6 +51,33 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered set join == co-count set join (plans agree above the dispatch line)") {
+    // setPairs dispatches by threshold; BOTH plans are exact, so on
+    // any corpus and any prefix-legal threshold their (set_a, set_b,
+    // jaccard) outputs must be identical. This directly guards the
+    // prefix plan's recall bound (floor((1-t)|S|)+1 smallest tokens),
+    // including the t-1e-6 backoff for the round-to-6 output filter —
+    // an off-by-one there silently DROPS near-dup pairs, which no
+    // oracle run on well-behaved testdata would catch.
+    for {
+      seed <- Seq(41, 42, 43)
+      (nDocs, vocab) <- Seq((150, 8), (120, 25))   // heavy dup + sparser
+      t <- Seq(0.5, 0.75, 0.8, 1.0)
+      ngram <- Seq(1, 2)
+    } {
+      val docs = corpus(seed, nDocs, vocab)
+      val withKey = Dedup.keyedTokenSets(docs, ngram, threshold = 0.0, actions = 1)
+      def norm(df: DataFrame): Map[(Long, Long), Double] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val co = norm(Dedup.coCountSetPairs(withKey, t))
+      val pf = norm(Dedup.prefixSetPairs(withKey, t))
+      assert(pf == co,
+        s"seed=$seed n=$nDocs vocab=$vocab t=$t ngram=$ngram: " +
+          s"prefix=${pf.size} co=${co.size}; " +
+          s"missing=${(co.keySet -- pf.keySet).take(3)} extra=${(pf.keySet -- co.keySet).take(3)}")
+    }
+  }
+
   test("cluster-collapsed LSH pairs == naive per-(doc,band) banding (3 random corpora)") {
     for (seed <- Seq(11, 12, 13)) {
       val docs = corpus(seed, nDocs = 100, vocab = 10)
