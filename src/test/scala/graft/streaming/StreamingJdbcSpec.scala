@@ -12,8 +12,28 @@ import org.apache.spark.sql.types._
   * body — duplicate keys across AND within micro-batches land
   * exactly once, which is what makes streaming retries safe.
   */
-class StreamingJdbcSpec extends SparkSpec {
+class StreamingJdbcSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // same error-free-log contract as StreamingSpec: a streaming suite
+  // must not leak ERROR lines into a green run
+  private var errCap: graft.ErrorLogCapture.Capture = _
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    errCap = graft.ErrorLogCapture.install()
+  }
+  override def afterAll(): Unit = {
+    spark.streams.active.foreach(_.stop())
+    try {
+      val errs = errCap.asSeq
+      assert(errs.isEmpty,
+        s"streaming-jdbc suite logged ${errs.size} ERROR event(s):\n${errs.mkString("\n")}")
+    } finally {
+      graft.ErrorLogCapture.uninstall(errCap)
+      super.afterAll()
+    }
+  }
 
   private val url = "jdbc:derby:memory:graftstream;create=true"
   private val table = "stream_echem"
