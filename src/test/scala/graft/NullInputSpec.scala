@@ -26,9 +26,12 @@ class NullInputSpec extends SparkSpec {
     // quality is defined for token-less docs (the declared query
     // scores every document) — the null doc scores like an empty one
     assert(TextOps.qualityScore(docs).count() == 3)
-    // … and pair generators simply see two documents
+    // … and pair generators simply see two documents — on BOTH
+    // setPairs plans (0.1 → co-count, 0.8 → prefix-filter): "hello
+    // world" / "hello there" share 1 of 3 distinct tokens, J = 1/3
     assert(Dedup.jaccardNearDupPairs(docs, 0.1).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    assert(Dedup.jaccardNearDupPairs(docs, 0.8).count() == 0)
     assert(TextOps.pmiCollocations(docs, 1L).count() == 2) // hello+world, hello+there
     // span clustering sees the null doc as span-less (k=2: "hello
     // world" / "hello there" are singleton spans -> no cluster)
