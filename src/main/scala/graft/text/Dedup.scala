@@ -127,16 +127,40 @@ object Dedup {
     * Docs with no tokens carry no signature (dropped, matching the
     * explode/unnest formulations). */
   def minhashSignatureArrays(documents: DataFrame): DataFrame = {
-    val codes = transform(array_distinct(TextOps.tokens(col("text"))),
-      t => TextOps.tokenCode(t) % MinhashPrime)
-    val fold = aggregate(
-      codes,
-      array_repeat(lit(MinhashPrime), MinhashFuncs),
-      (acc, code) => zip_with(acc, sequence(lit(0L), lit(MinhashFuncs - 1L)),
-        (m, p) => least(m, (code * (p * 2L + 1L) + (p * 101L + 7L)) % MinhashPrime)))
-    documents
-      .filter(size(TextOps.tokens(col("text"))) > 0)
-      .select(col("doc_id"), fold.as("mhs"))
+    // Typed map, not a Catalyst aggregate-over-zip_with fold: the
+    // expression form allocated a fresh 16-element accumulator array
+    // PLUS a sequence(0,15) array per TOKEN per document (the fold
+    // rebuilds both on every lambda step — array churn the optimizer
+    // cannot elide), where this loop updates 16 longs in place. Same
+    // md5 count (one per distinct token on both paths), bit-identical
+    // arithmetic via the tokenCodeOf/tokensOf Scala twins. Fully
+    // distributed narrow map — the same escape hatch tokenSets uses.
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = TextOps.tokensOf(text)
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val mhs = Array.fill(MinhashFuncs)(MinhashPrime)
+            val seen = new java.util.HashSet[String]()
+            toks.foreach { t =>
+              if (seen.add(t)) {
+                val code = TextOps.tokenCodeOf(md, t) % MinhashPrime
+                var p = 0
+                while (p < MinhashFuncs) {
+                  val h = (code * (p * 2L + 1L) + (p * 101L + 7L)) % MinhashPrime
+                  if (h < mhs(p)) mhs(p) = h
+                  p += 1
+                }
+              }
+            }
+            Iterator.single((id, mhs.toSeq))
+          }
+        }
+      }
+      .toDF("doc_id", "mhs")
   }
 
   /** MinHash signatures, long form (doc_id, hid, mh) — the array
@@ -509,26 +533,42 @@ object Dedup {
     * already-evaluated value rather than a re-inlined subexpression
     * (the projection-collapse pitfall, SCALING.md). */
   def simhash(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val bitIdx = sequence(lit(0), lit(31))
-    val weights = typedLit((0 until 32).map(b => 1L << b))
-    val codes = transform(array_distinct(TextOps.tokens(col("text"))),
-      t => TextOps.tokenCode(t))
-    val fold = aggregate(
-      codes,
-      struct(lit(0L).as("n"), array_repeat(lit(0L), 32).as("ones")),
-      (acc, code) => struct(
-        (acc.getField("n") + lit(1L)).as("n"),
-        zip_with(acc.getField("ones"), bitIdx,
-          (o, b) => o + call_function("shiftright", code, b).bitwiseAND(lit(1L))).as("ones")),
-      acc => aggregate(
-        zip_with(acc.getField("ones"), weights,
-          (o, w) => when(o * 2 > acc.getField("n"), w).otherwise(lit(0L))),
-        lit(0L), (s, x) => s + x))
-    documents
-      // docs with no tokens have no votes — excluded, matching the
-      // explode/unnest formulations on both engines
-      .filter(size(TextOps.tokens(col("text"))) > 0)
-      .select(col("doc_id"), fold.as("simhash"))
+    // Typed map, not the Catalyst aggregate-over-zip_with fold, for
+    // the same measured reason as minhashSignatureArrays: the
+    // expression form rebuilt a 32-long ones-counter array (plus the
+    // bit-index array) per TOKEN per document; this loop bumps 32
+    // ints in place. Bit-identical votes: code = tokenCodeOf (the
+    // tokenCode twin, no modulus here), bit b of the fingerprint set
+    // iff 2·ones_b > n over the doc's DISTINCT tokens; token-less
+    // docs have no votes — excluded, matching the explode/unnest
+    // formulations on both engines.
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = TextOps.tokensOf(text)
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val ones = new Array[Long](32)
+            var n = 0L
+            val seen = new java.util.HashSet[String]()
+            toks.foreach { t =>
+              if (seen.add(t)) {
+                val code = TextOps.tokenCodeOf(md, t)
+                n += 1L
+                var b = 0
+                while (b < 32) { ones(b) += (code >> b) & 1L; b += 1 }
+              }
+            }
+            var fp = 0L
+            var b = 0
+            while (b < 32) { if (ones(b) * 2 > n) fp |= 1L << b; b += 1 }
+            Iterator.single((id, fp))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash near-duplicate pairs: Hamming distance ≤ `maxHamming`

@@ -84,6 +84,16 @@ object TextOps {
   def tokenCode(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)
 
+  /** Scala twin of [[tokenCode]] for typed-map paths (the tokensOf
+    * convention): the first 8 hex digits of md5 = the first 4 digest
+    * bytes read as an unsigned 32-bit value. Pass a per-partition
+    * MessageDigest — `digest()` resets it, so one instance serves the
+    * whole partition without per-token allocation. */
+  def tokenCodeOf(md5: java.security.MessageDigest, tok: String): Long = {
+    val d = md5.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Per-document token statistics: whitespace token count, distinct
     * count, BPE-ish subword count (letter runs / digit runs / single
     * punctuation), mean token length. Token-less documents (empty or
