@@ -51,6 +51,41 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("Scala twins match their Catalyst expressions: tokensOf/tokenCodeOf (adversarial strings)") {
+    // the typed-map MinHash/SimHash folds are bit-identical to the
+    // old expression folds ONLY IF the twins agree exactly — pin them
+    // over strings the testdata never exercises: unicode whitespace,
+    // combining marks, empty/blank, long tokens, control chars
+    val rnd = new Random(77711L)
+    val pool = "aA zZ09!@#€漢字éü  \t\n\r .,-_" // incl. NBSP, em-space, control
+    val adversarial = Seq("", " ", "\t\n", "a", "a b", " a  b ", "a b",
+      "é漢 字 x", "ctrl tok", "a" * 500) ++
+      (1 to 300).map(_ => (1 to rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    val df = adversarial.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    // tokensOf == tokens (expression) on every string
+    val exprToks = df.select(col("id"), TextOps.tokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[String](1)).getOrElse(Seq.empty)).toMap
+    adversarial.zipWithIndex.foreach { case (s, i) =>
+      val scalaToks = TextOps.tokensOf(s)
+      assert(scalaToks == exprToks(i.toLong).toSeq,
+        s"tokensOf diverged on [${s.take(40).map(c => if (c < ' ') '?' else c)}]: " +
+          s"$scalaToks vs ${exprToks(i.toLong)}")
+    }
+    // tokenCodeOf == tokenCode (expression) on every distinct token
+    val toks = adversarial.flatMap(TextOps.tokensOf).distinct
+    if (toks.nonEmpty) {
+      val exprCodes = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("i", "tok")
+        .select(col("i"), TextOps.tokenCode(col("tok")).as("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      toks.zipWithIndex.foreach { case (t, i) =>
+        assert(TextOps.tokenCodeOf(md, t) == exprCodes(i.toLong),
+          s"tokenCodeOf diverged on token [${t.take(30)}]")
+      }
+    }
+  }
+
   test("prefix-filtered set join == co-count set join (plans agree above the dispatch line)") {
     // setPairs dispatches by threshold; BOTH plans are exact, so on
     // any corpus and any prefix-legal threshold their (set_a, set_b,
