@@ -47,6 +47,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
     scratch.foreach(s => builder.config("spark.local.dir", s))
+    // Capture-environment guard: round 9 found two stale sbt daemons
+    // from a prior session burning ~3 cores through several historical
+    // captures — part of the "regime swings" was plain background load.
+    // Record load average and the count of FOREIGN sbt JVMs (any
+    // xsbt.boot.Boot process that is not this bench's own sbt ancestry)
+    // into the artifact, and warn loudly when either says the box is
+    // not idle, so a polluted capture identifies itself mechanically.
+    val loadAvg: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val foreignJvms: Int =
+      try {
+        val ancestors = Iterator
+          .iterate(Option(ProcessHandle.current())) { ho =>
+            ho.flatMap(h => if (h.parent().isPresent) Some(h.parent().get()) else None)
+          }
+          .takeWhile(_.isDefined).take(64).flatten.map(_.pid()).toSet
+        val procDir = new java.io.File("/proc")
+        Option(procDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+          .count { f =>
+            !ancestors.contains(f.getName.toLong) && {
+              try {
+                val raw = java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(f.getPath, "cmdline"))
+                new String(raw.map(b => if (b == 0) ' ' else b.toChar))
+                  .contains("xsbt.boot.Boot")
+              } catch { case _: Exception => false }
+            }
+          }
+      } catch { case _: Exception => -1 }
+    val envLoaded = loadAvg > 1.0 || foreignJvms > 0
+    if (envLoaded) System.err.println(
+      s"[bench] WARNING: capture environment is NOT idle (load_avg=$loadAvg, " +
+        s"foreign sbt JVMs=$foreignJvms) — timings will carry background-load " +
+        "noise; the artifact is flagged with \"loaded\":true")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Sessions.tune(spark) // shared confs + SQL function registration
@@ -210,8 +246,10 @@ object Bench {
         s""""per_query":"min over $nRuns runs of min-of-$reps-reps wall seconds (headline; medians also embedded)",""" +
         s""""total":"sum of per-query mins",""" +
         s""""demo_tables":"built once per session (run 1, rep 1); later executions time the operator only"}"""
+    val captureEnv =
+      s""""capture_env":{"load_avg":$loadAvg,"foreign_jvms":$foreignJvms,"loaded":$envLoaded}"""
     val contractLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr$rowsField,$methodology,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":$nErr$rowsField,$methodology,$captureEnv,"sf":"$sfDir"}"""
     println(contractLine)
     // The driver archives only the TAIL of stdout: both r3 and r4 bench
     // artifacts lost the head of the one-line contract above — the
