@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// GlobalErrorBudget's run-wide ERROR accounting assumes suites run
+// sequentially in the one forked test JVM; export the setting so the
+// test code can assert the assumption instead of flaking if it drifts
+Test / javaOptions += s"-Dgraft.test.forkedParallel=${(Test / testForkedParallel).value}"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

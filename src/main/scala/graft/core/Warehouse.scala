@@ -395,30 +395,47 @@ object Warehouse {
     * default is to fail loudly (the Delta-style multiple-source-
     * matches error). Callers whose upstream genuinely produces
     * redundant rows opt in with `dedupBatch = true`, accepting an
-    * UNSPECIFIED survivor per key. */
+    * UNSPECIFIED survivor per key. BEHAVIOR CHANGE vs pre-r9
+    * releases (see CHANGELOG.md): duplicate batches previously
+    * deduped silently.
+    *
+    * `assumeUniqueKeys = true` skips the distinct-count admission
+    * aggregate for callers that can PROVE uniqueness upstream (e.g. a
+    * batch that is itself the output of a groupBy on `statCol`) — the
+    * null-key check still runs. A violated promise is strictly worse
+    * than `dedupBatch`: both duplicate rows survive the rewrite and
+    * the table itself ends up with duplicate keys. */
   def mergeZoneMapped(spark: org.apache.spark.sql.SparkSession, dir: String,
                       statCol: String, updates0: DataFrame,
                       retainForTimeTravel: Boolean = false,
-                      dedupBatch: Boolean = false): (Int, Int) = {
+                      dedupBatch: Boolean = false,
+                      assumeUniqueKeys: Boolean = false): (Int, Int) = {
     // Persisted for the merge's lifetime: the plan is otherwise
     // re-executed by the key checks, the touched-file probe, the
     // anti-join, and the rewrite union.
     val updates = (if (dedupBatch) updates0.dropDuplicates(statCol) else updates0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // one pass for all three admission stats: total rows, null keys,
-    // distinct keys (count_distinct skips nulls, but the null check
-    // fires first so the dup check only ever sees a null-free batch)
-    val firstRow = updates.agg(count(lit(1)).as("n"),
-      sum(when(col(statCol).isNull, 1L).otherwise(0L)).as("n_null"),
-      count_distinct(col(statCol)).as("n_keys")).collect()(0)
+    // one pass for all admission stats: total rows, null keys, and —
+    // only when the dup check is live — distinct keys (count_distinct
+    // skips nulls, but the null check fires first so the dup check
+    // only ever sees a null-free batch). dedupBatch already collapsed
+    // duplicates above and assumeUniqueKeys is the caller's proof, so
+    // neither pays the per-partition distinct hash build.
+    val needDupCheck = !dedupBatch && !assumeUniqueKeys
+    val admissionAggs = Seq(count(lit(1)).as("n"),
+      sum(when(col(statCol).isNull, 1L).otherwise(0L)).as("n_null")) ++
+      (if (needDupCheck) Seq(count_distinct(col(statCol)).as("n_keys")) else Nil)
+    val firstRow = updates.agg(admissionAggs.head, admissionAggs.tail: _*).collect()(0)
     val (nUpd, nNull) = (firstRow.getLong(0), if (firstRow.isNullAt(1)) 0L else firstRow.getLong(1))
     require(nNull == 0L, s"mergeZoneMapped: $nNull update row(s) carry a null '$statCol' key")
-    val nKeys = firstRow.getLong(2)
-    require(dedupBatch || nKeys == nUpd,
-      s"mergeZoneMapped: update batch carries ${nUpd - nKeys} duplicate '$statCol' key(s) — " +
-        "REPLACE-by-key has no defined survivor for an intra-batch duplicate; " +
-        "pre-collapse the batch, or pass dedupBatch = true to accept an unspecified one")
+    if (needDupCheck) {
+      val nKeys = firstRow.getLong(2)
+      require(nKeys == nUpd,
+        s"mergeZoneMapped: update batch carries ${nUpd - nKeys} duplicate '$statCol' key(s) — " +
+          "REPLACE-by-key has no defined survivor for an intra-batch duplicate; " +
+          "pre-collapse the batch, or pass dedupBatch = true to accept an unspecified one")
+    }
     val curVersion = zoneMapCurrentVersion(dir)
     // any Spark failure below, when the table version has moved
     // meanwhile, IS a concurrency casualty (the winner deleted files

@@ -136,7 +136,13 @@ object Dedup {
     // arithmetic via the tokenCodeOf/tokensOf Scala twins. Fully
     // distributed narrow map — the same escape hatch tokenSets uses.
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null doc_id rows are DROPPED (the family's silent-drop
+    // convention, like token-less docs) — without the filter the
+    // typed encoder's non-nullable Long field would kill the whole
+    // job on one null key, where the old Catalyst fold passed it
+    // through. A null key cannot join or cluster anyway.
+    documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
@@ -543,7 +549,11 @@ object Dedup {
     // docs have no votes — excluded, matching the explode/unnest
     // formulations on both engines.
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null doc_id dropped — same guard and rationale as
+    // minhashSignatureArrays (typed Long field vs the family's
+    // silent-drop convention)
+    documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
@@ -741,7 +751,8 @@ object Dedup {
     * jaccard) over the `set_key`-collapsed sets of `withKey` — the
     * quadratic core both the pair expansion and the component
     * builder share. */
-  private def setPairs(withKey: DataFrame, threshold: Double): DataFrame = {
+  private def setPairs(withKey: DataFrame, threshold: Double,
+                       actions: Int = 1): DataFrame = {
     // guard on the shared core so EVERY entry point (pairs,
     // components) fails fast: threshold 0 would edge-connect all
     // token-sharing docs — catastrophic over-dedup, silently
@@ -755,7 +766,7 @@ object Dedup {
     // t=0.3 shingle +25%). 0.5 is the crossover's conservative side:
     // at t=0.5 the prefix is still half the tokens → candidate join
     // a quarter of the co-count's df² term.
-    if (usesPrefixPlan(threshold)) prefixSetPairs(withKey, threshold)
+    if (usesPrefixPlan(threshold)) prefixSetPairs(withKey, threshold, actions)
     else coCountSetPairs(withKey, threshold)
   }
 
@@ -808,8 +819,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Prefix-filtered plan — the high-threshold side of [[setPairs]]. */
-  private[text] def prefixSetPairs(withKey: DataFrame, threshold: Double): DataFrame = {
+  /** Prefix-filtered plan — the high-threshold side of [[setPairs]].
+    * `actions` = how many consuming actions the caller will run on
+    * the RETURNED frame: the internal collapsed-sets cache is scoped
+    * to that count (see the entry points' scaladoc). */
+  private[text] def prefixSetPairs(withKey: DataFrame, threshold: Double,
+                                   actions: Int = 1): DataFrame = {
     // Prefix filtering (the PPJoin family's candidate bound): under
     // ANY fixed total order of the token universe, two sets with
     // |A∩B| ≥ α must share a token among the first |S|−α+1 of each
@@ -843,7 +858,7 @@ object Dedup {
     val sets = registerCache(withKey
       .select(col("set_key"), col("lang"), col("bkt"), col("toks"),
         size(col("toks")).as("sz"))
-      .dropDuplicates("set_key"))
+      .dropDuplicates("set_key"), actions)
     val pfx = sets.select(col("set_key"), col("lang"), col("bkt"), col("sz"),
       explode(expr(s"slice(toks, 1, cast(floor((1.0d - $tEff) * size(toks)) + 1 as int))"))
         .as("tok"))
@@ -874,7 +889,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
+  /** Near-duplicate document pairs above a Jaccard threshold.
+    *
+    * CACHE SCOPE: when the prefix plan is selected (t ≥ 0.5) the
+    * expensive tokenize/collapse intermediates are scope-cached for
+    * `actions` CONSUMING actions on the returned frame (default 1 —
+    * the one-action query shape the bench and Verify run). A caller
+    * that will, say, `count()` then `collect()` should pass
+    * `actions = 2`; extra actions beyond the hint recompute the
+    * tokenize map — correct but silently slower. */
+  def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1,
+                          actions: Int = 1): DataFrame = {
     require(threshold > 0.0, "the jaccard set join requires a positive threshold")
     require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
     // collapse identical token sets (same trick as the LSH path):
@@ -882,9 +907,9 @@ object Dedup {
     // verification stage only sees DISTINCT sets per block; 8-byte
     // xxhash64 cluster keys keep the joins narrow. Caching follows
     // the plan (see usesPrefixPlan).
-    val withKey = keyedTokenSets(documents, ngram, threshold, actions = 1)
+    val withKey = keyedTokenSets(documents, ngram, threshold, actions)
     val members = withKey.select(col("doc_id"), col("set_key"))
-    val repPairs = setPairs(withKey, threshold)
+    val repPairs = setPairs(withKey, threshold, actions)
 
     // expand rep pairs to doc pairs; intra-cluster pairs are exact
     // duplicates (J = 1.0)
@@ -981,14 +1006,20 @@ object Dedup {
     * then runs min-label propagation with pointer jumping (O(log
     * diameter) rounds) over the rep graph only, and members join
     * their rep's component back with a streamed hash join. */
-  def jaccardComponents(documents: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
-    // actions = 2 when cached: the edge list is consumed eagerly
-    // inside connectedComponents; the member join runs under the
-    // caller's action on the returned frame. Caching follows the
-    // plan choice (see usesPrefixPlan): the prefix plan reads this
-    // under heterogeneous exchange keys, the co-count plan's shared
+  /** CACHE SCOPE: `actions` = consuming actions the CALLER will run
+    * on the returned frame (default 1; see [[jaccardNearDupPairs]]) —
+    * the internal edge materialization adds its own. */
+  def jaccardComponents(documents: DataFrame, threshold: Double, ngram: Int = 1,
+                        actions: Int = 1): DataFrame = {
+    // keyedTokenSets actions = 1 + caller's: the edge list is
+    // consumed eagerly inside connectedComponents; the member join
+    // runs under the caller's action(s) on the returned frame.
+    // setPairs' internal sets cache is only read under the eager
+    // edge pass, so IT stays at 1. Caching follows the plan choice
+    // (see usesPrefixPlan): the prefix plan reads this under
+    // heterogeneous exchange keys, the co-count plan's shared
     // exchanges measured faster uncached.
-    val withKey = keyedTokenSets(documents, ngram, threshold, actions = 2)
+    val withKey = keyedTokenSets(documents, ngram, threshold, actions = 1 + actions)
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = members.groupBy(col("set_key")).agg(min(col("doc_id")).as("rep_id"))
     val repPairs = setPairs(withKey, threshold)
@@ -1029,8 +1060,11 @@ object Dedup {
     * same way. Quality is the shared `TextOps.qualityScore` blend,
     * identical on both engine and oracle. */
   def keepBestPerCluster(documents: DataFrame, threshold: Double,
-                         ngram: Int = 1): DataFrame = {
-    val comp = jaccardComponents(documents, threshold, ngram)
+                         ngram: Int = 1, actions: Int = 1): DataFrame = {
+    // `actions` (caller's consuming-action count on the returned
+    // frame, default 1) rides through to the cluster search's cache
+    // scope — see jaccardNearDupPairs' CACHE SCOPE note
+    val comp = jaccardComponents(documents, threshold, ngram, actions)
     val quality = TextOps.qualityScore(documents).select(col("doc_id"), col("quality"))
     comp.join(quality, "doc_id")
       .groupBy(col("component"))

@@ -52,6 +52,22 @@ class NullInputSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("typed-map signature folds drop a null doc_id, not the job") {
+    // the typed encoder reads doc_id into a primitive Long — without
+    // the isNotNull guard one null key would fail the whole job with
+    // "Null value appeared in non-nullable field"; the contract is the
+    // family's silent-drop (a null key cannot join or cluster)
+    val withNullKey = Seq(
+      (java.lang.Long.valueOf(1L), "hello world"),
+      (null.asInstanceOf[java.lang.Long], "hello there"),
+      (java.lang.Long.valueOf(3L), "hello again"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashSignatureArrays(withNullKey).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(Dedup.simhash(spark, withNullKey).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("invertedIndex treats null text as an empty document") {
     val got = TextOps.invertedIndex(docs, minDf = 2L, headLen = 5)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq

@@ -117,6 +117,20 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(all.size == 101 && Set("X", "Y").contains(all(50L)) &&
       Set("I", "J").contains(all(200L)))
+    // assumeUniqueKeys skips the distinct-count admission aggregate
+    // for a caller-proven-unique batch; the merge itself is unchanged
+    Warehouse.mergeZoneMapped(spark, dir, "k",
+      Seq((50L, "Z"), (300L, "N")).toDF("k", "v"), assumeUniqueKeys = true)
+    val after = spark.read.parquet(s"$dir/data").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 102 && after(50L) == "Z" && after(300L) == "N")
+    // ...and the null-key check still runs on that path
+    val eNull = intercept[IllegalArgumentException](
+      Warehouse.mergeZoneMapped(spark, dir, "k",
+        Seq((java.lang.Long.valueOf(1L), "a"),
+          (null.asInstanceOf[java.lang.Long], "b")).toDF("k", "v"),
+        assumeUniqueKeys = true))
+    assert(eNull.getMessage.contains("null"), eNull.getMessage)
   }
 
   test("compactFiles on a directory with zero parquet files is a no-op") {

@@ -21,7 +21,9 @@ class StreamingJdbcSpec extends SparkSpec
   private var errCap: graft.ErrorLogCapture.Capture = _
   override def beforeAll(): Unit = {
     super.beforeAll()
-    errCap = graft.ErrorLogCapture.install()
+    // streaming/broadcast loggers only — same rationale as
+    // StreamingSpec (late task-level lines belong to GlobalErrorBudget)
+    errCap = graft.ErrorLogCapture.install(graft.ErrorLogCapture.StreamingLoggers)
   }
   override def afterAll(): Unit = {
     spark.streams.active.foreach(_.stop())

@@ -19,7 +19,12 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
   private var errCap: graft.ErrorLogCapture.Capture = _
   override def beforeAll(): Unit = {
     super.beforeAll()
-    errCap = graft.ErrorLogCapture.install()
+    // scoped to the streaming/broadcast loggers: a late background
+    // thread from an earlier suite's declared negative test (task-
+    // level Executor/TaskSetManager lines) must not flake this
+    // suite's zero-ERROR contract — those are the run-wide
+    // GlobalErrorBudget's to account for
+    errCap = graft.ErrorLogCapture.install(graft.ErrorLogCapture.StreamingLoggers)
   }
   // The shared session outlives this suite (one JVM across suites);
   // any stream a failed assertion left running would otherwise die
