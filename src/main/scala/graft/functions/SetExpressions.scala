@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native sorted-set intersection size — the verification kernel of
+  * the prefix-filtered set-similarity join ([[graft.text.Dedup]]).
+  *
+  * `array_intersect` builds a hash set per row pair (an OpenHashSet
+  * of boxed elements, then materializes the intersection ARRAY just
+  * to take its size); over the ~10⁵–10⁶ surviving candidates of a
+  * near-dup join at corpus scale that per-pair allocation is the
+  * measured bottleneck (sf0.1: 1.7 s of a 2.6 s query). The producer
+  * (`tokenSets`) already emits each document's token-code array
+  * SORTED ASCENDING and DISTINCT, so the intersection size is one
+  * allocation-free two-pointer merge — `doGenCode` territory, same
+  * extension rationale as [[VectorExpressions]].
+  *
+  * CONTRACT: both inputs must be sorted ascending with no duplicate
+  * elements and no null elements — the producer guarantees it, and
+  * `DedupPropertySpec` pins the producer+kernel pair against the
+  * naive string-set formulation. On unsorted input the count is
+  * simply wrong (no error) — this is a private kernel for a producer
+  * that sorts, not a general-purpose function. NULL if either side
+  * is NULL (BinaryExpression default).
+  */
+object SetExpressions {
+
+  /** Two-pointer merge count. Static so generated code can call it. */
+  def countCommonSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  private def checkLongArray(dt: DataType, side: String): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$side must be array<bigint>, got ${other.simpleString}")
+  }
+
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArray(left.dataType, "left") match {
+        case TypeCheckResult.TypeCheckSuccess => checkLongArray(right.dataType, "right")
+        case f => f
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      countCommonSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.SetExpressions.countCommonSorted($a, $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+}

@@ -696,17 +696,30 @@ object Dedup {
     * zero common tokens never materialize (they cannot pass any
     * threshold > 0).
     */
-  /** (doc_id, lang, bkt, toks): blocked, sorted-distinct token/shingle
-    * sets. Tokenize + shingle + distinct as a typed map, not a column
-    * expression: Catalyst's projection collapse inlines a derived
-    * array column into every downstream reference, and the shingle
-    * expression references its input several times — the combined
-    * effect re-tokenized each document O(refs²) times. A per-row
-    * Scala closure is evaluated exactly once per document, stays
-    * fully distributed, and this is precisely the "custom codec in
-    * a map" escape hatch (SURVEY.md §2i) for logic the expression
-    * optimizer mishandles. Shingle-less docs are dropped (undefined
-    * jaccard). */
+  /** (doc_id, lang, bkt, toks): blocked, SORTED-ASCENDING-distinct
+    * token/shingle CODE sets (`array<bigint>`,
+    * [[TextOps.tokenHash64Of]]). Tokenize + shingle + hash + distinct
+    * as one typed map, not a column expression: Catalyst's projection
+    * collapse inlines a derived array column into every downstream
+    * reference, and the shingle expression references its input
+    * several times — the combined effect re-tokenized each document
+    * O(refs²) times. A per-row Scala closure is evaluated exactly
+    * once per document, stays fully distributed, and this is
+    * precisely the "custom codec in a map" escape hatch (SURVEY.md
+    * §2i) for logic the expression optimizer mishandles.
+    *
+    * CODES, not strings (r10, measured): every downstream consumer —
+    * the prefix/co-count join keys, the candidate distinct, the
+    * sorted-merge intersection kernel — works on 8-byte primitives
+    * instead of UTF8Strings (2-gram shingles average ~13 bytes and
+    * hash per comparison). Jaccard over the code sets equals jaccard
+    * over the string sets up to the 2⁻⁶⁴-per-pair collision bound
+    * documented on tokenHash64Of; the naive-string-formulation
+    * property tests stay the equivalence oracle. The ascending sort
+    * (required by [[graft.functions.SetExpressions]]'s merge kernel,
+    * and the prefix filter's "any fixed total order") runs on
+    * primitive longs — java.util.Arrays.sort, no comparator.
+    * Shingle-less docs are dropped (undefined jaccard). */
   private def tokenSets(documents: DataFrame, ngram: Int): DataFrame = {
     import documents.sparkSession.implicits._
     documents
@@ -719,8 +732,24 @@ object Dedup {
         expr("coalesce(n_chars, length(text), 0L) div 64").as("bkt"), col("text"))
       .as[(Long, String, Long, String)]
       .map { case (id, lang, bkt, text) =>
-        val sh = TextOps.shinglesOf(TextOps.tokensOf(text), ngram)
-        (id, lang, bkt, sh.distinct.sorted)
+        val toks = TextOps.tokensOf(text).toIndexedSeq
+        val m = if (ngram <= 1) toks.length else toks.length - ngram + 1
+        val codes = new Array[Long](math.max(m, 0))
+        var i = 0
+        while (i < m) {
+          codes(i) = if (ngram <= 1) TextOps.tokenHash64Of(toks(i))
+                     else TextOps.shingleHash64Of(toks, i, ngram)
+          i += 1
+        }
+        java.util.Arrays.sort(codes)
+        // in-place dedup of the sorted array
+        var w = 0
+        i = 0
+        while (i < codes.length) {
+          if (w == 0 || codes(w - 1) != codes(i)) { codes(w) = codes(i); w += 1 }
+          i += 1
+        }
+        (id, lang, bkt, if (w == codes.length) codes else codes.take(w))
       }
       .toDF("doc_id", "lang", "bkt", "toks")
       .filter(size(col("toks")) > 0)
@@ -732,7 +761,7 @@ object Dedup {
     * each emitting one false J=1.0 pair family); md5 is the
     * zero-tolerance swap at 4× the key width. */
   private def setKey: Column =
-    xxhash64(concat_ws(":", col("lang"), col("bkt"), array_join(col("toks"), " ")))
+    xxhash64(col("lang"), col("bkt"), col("toks"))
 
   /** Rep-mode exact-set dedup: (doc_id, rep_id, cluster_size) where a
     * cluster is an identical token/shingle set within a (lang,
@@ -859,9 +888,27 @@ object Dedup {
       .select(col("set_key"), col("lang"), col("bkt"), col("toks"),
         size(col("toks")).as("sz"))
       .dropDuplicates("set_key"), actions)
+    // posexplode: `pos` is the 0-based index of the prefix token in
+    // the FULL sorted array (the slice starts at 1), feeding the
+    // positional bound below
     val pfx = sets.select(col("set_key"), col("lang"), col("bkt"), col("sz"),
-      explode(expr(s"slice(toks, 1, cast(floor((1.0d - $tEff) * size(toks)) + 1 as int))"))
-        .as("tok"))
+      posexplode(expr(s"slice(toks, 1, cast(floor((1.0d - $tEff) * size(toks)) + 1 as int))")))
+      .withColumnRenamed("col", "tok")
+    // Positional filter (PPJoin's second bound, exact on recall): let
+    // w be the FIRST common token of a matching pair, at 0-based
+    // sorted positions i in A, j in B. Every common token is ≥ w in
+    // both arrays (anything smaller and common would precede w), so
+    // |A∩B| ≤ min(|A|−i, |B|−j). J ≥ t forces |A∩B| ≥
+    // t/(1+t)·(|A|+|B|), so the first-common-token collision row of
+    // every true pair satisfies the bound — infeasible collisions are
+    // dropped at the join (measured at sf0.1/t=0.8: raw collision
+    // rows 1.11M → 0.55M, i.e. the bound halves the verify stream;
+    // distinct PAIRS barely move because most pairs also collide
+    // early, so the win is stream width, not pair count). The 1e-9
+    // slack keeps a double-rounding of the exact rational bound from
+    // ever rejecting an equality case (over-inclusion only costs
+    // candidate rows).
+    val alphaFrac = tEff / (1.0 + tEff)
     // shuffled-hash, not sort-merge: many-to-many on the prefix
     // tokens (every key repeats df_prefix(token) times per side) and
     // SMJ buffers each duplicate group. Hash, not broadcast: the
@@ -872,21 +919,35 @@ object Dedup {
     val cand = pfx.as("x").join(pfx.as("y").hint("shuffle_hash"),
         col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
         col("x.tok") === col("y.tok") && col("x.set_key") < col("y.set_key") &&
-        col("x.sz") >= col("y.sz") * tEff && col("y.sz") >= col("x.sz") * tEff)
+        col("x.sz") >= col("y.sz") * tEff && col("y.sz") >= col("x.sz") * tEff &&
+        least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos"))
+          .cast(DoubleType) >= lit(alphaFrac) * (col("x.sz") + col("y.sz")) - lit(1e-9))
       .select(col("x.set_key").as("set_a"), col("y.set_key").as("set_b"))
-      .distinct()
-    // exact verification: |A∩B| as one codegen'd array_intersect per
-    // surviving candidate — no df² co-count blowup, and the arrays
-    // ride two narrow hash joins keyed on the 8-byte set_key
+    // exact verification: |A∩B| as ONE allocation-free sorted-merge
+    // per candidate ([[graft.functions.SetExpressions]] — the arrays
+    // are sorted by construction; array_intersect's per-pair hash set
+    // was the measured bottleneck here) — no df² co-count blowup, and
+    // the arrays ride two narrow hash joins keyed on the 8-byte
+    // set_key. Candidates are verified RAW, without a pre-verify
+    // distinct: a pair colliding on several prefix tokens is merged
+    // only AFTER the threshold filter, when survivors are few — the
+    // full-candidate-stream distinct exchange cost more than the
+    // duplicate merges it saved (A/B at sf0.1 t=0.8, min of 3:
+    // 1.87 s → 1.40 s), and the positional bound caps the repeat
+    // factor at the effective prefix length. Duplicate rows carry
+    // identical jaccard by construction, so the post-filter
+    // dropDuplicates is a pure dedup, never a choice.
     val scored = cand
       .join(sets.select(col("set_key").as("set_a"), col("toks").as("toks_a"),
         col("sz").as("sz_a")).hint("shuffle_hash"), "set_a")
       .join(sets.select(col("set_key").as("set_b"), col("toks").as("toks_b"),
         col("sz").as("sz_b")).hint("shuffle_hash"), "set_b")
-      .withColumn("c", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("c", graft.functions.SetExpressions
+        .sorted_intersect_count(col("toks_a"), col("toks_b")))
     val j = col("c").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("c"))
     scored.select(col("set_a"), col("set_b"), round(j, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .dropDuplicates("set_a", "set_b")
   }
 
   /** Near-duplicate document pairs above a Jaccard threshold.

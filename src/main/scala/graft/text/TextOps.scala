@@ -75,6 +75,59 @@ object TextOps {
       acc
     }
 
+  /** 64-bit FNV-1a over UTF-16 code units — the INTERNAL token/
+    * shingle code of the set-similarity join family ([[graft.text
+    * .Dedup]] `tokenSets`). Unlike [[tokenCode]] this never needs
+    * cross-engine parity (codes exist only between the tokenize map
+    * and the join; the observable output is jaccard over the code
+    * SETS), so the hash is chosen for per-token speed: no UTF-8
+    * encode, no digest allocation. Collision effect: two distinct
+    * tokens of one document colliding shrinks that document's set by
+    * one (P ≈ n²/2⁶⁵ per doc, ~10⁻¹⁵ at 10³ tokens); a cross-doc
+    * collision adds one spurious common element to pairs already
+    * sharing a block. Both perturb jaccard by ~1/|set| with
+    * negligible probability — the signatureClusters trade restated;
+    * swap for the md5-based [[tokenCode]] when zero tolerance is
+    * required. */
+  def tokenHash64Of(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      h ^= (c & 0xffL); h *= 0x100000001b3L
+      h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** [[tokenHash64Of]] of the n-gram shingle starting at `i` WITHOUT
+    * materializing the "a b" string: hashes the member tokens' chars
+    * with the same ' ' separator [[shinglesOf]] uses, so by
+    * construction `shingleHash64Of(toks, i, n) ==
+    * tokenHash64Of(shinglesOf(toks, n)(i))` — the twin equivalence
+    * DedupPropertySpec pins. */
+  def shingleHash64Of(toks: IndexedSeq[String], i: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var k = 0
+    while (k < n) {
+      if (k > 0) { // the ' ' separator (one UTF-16 unit, high byte 0)
+        h ^= 0x20L; h *= 0x100000001b3L
+        h ^= 0L; h *= 0x100000001b3L
+      }
+      val t = toks(i + k)
+      var p = 0
+      while (p < t.length) {
+        val c = t.charAt(p)
+        h ^= (c & 0xffL); h *= 0x100000001b3L
+        h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L
+        p += 1
+      }
+      k += 1
+    }
+    h
+  }
+
   /** Portable 32-bit token hash: first 8 hex digits of md5, as a
     * long. Chosen over Spark's murmur `hash()` because any engine
     * with md5 can reproduce it (DuckDB oracle, future Flink/Trino
