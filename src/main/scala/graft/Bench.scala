@@ -83,6 +83,18 @@ object Bench {
       s"[bench] WARNING: capture environment is NOT idle (load_avg=$loadAvg, " +
         s"foreign sbt JVMs=$foreignJvms) — timings will carry background-load " +
         "noise; the artifact is flagged with \"loaded\":true")
+    // SPARK_GRAFT_BENCH_REQUIRE_IDLE=1: refuse, don't just flag. A
+    // capture taken on a loaded box is destined to mislead every
+    // round-over-round diff it enters; the builder's idle-capture
+    // convention wants a hard failure, not a warning scrolled past.
+    // Default behavior (flag-and-proceed) unchanged — the driver's
+    // own per-round capture still runs on whatever box it has.
+    if (envLoaded && sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").contains("1")) {
+      System.err.println(
+        s"[bench] REFUSING capture: SPARK_GRAFT_BENCH_REQUIRE_IDLE=1 and the box " +
+          s"is loaded (load_avg=$loadAvg, foreign sbt JVMs=$foreignJvms)")
+      sys.exit(2)
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Sessions.tune(spark) // shared confs + SQL function registration

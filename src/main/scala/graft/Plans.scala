@@ -80,7 +80,9 @@ object Plans {
     "q_degree_hist",      // two tiny partial-agg shuffles over the pair pipeline
     "q_ks_drift",         // PSI-shared binning + window over <=nBins metadata rows
     "q_bpe_encode",       // broadcast merges, zero-shuffle memoized mapPartitions
-    "q_drift_by_day")     // frozen-reference monitor: literal binning + metadata finisher
+    "q_drift_by_day",     // frozen-reference monitor: literal binning + metadata finisher
+    "q_jaccard_neardup",  // t>=0.5 prefix plan: sorted-code sets + positional bound + merge kernel
+    "q_shingle_jaccard")  // t<0.5 co-count plan: token-inverted-index co-occurrence counting
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

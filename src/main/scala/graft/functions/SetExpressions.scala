@@ -23,12 +23,26 @@ import org.apache.spark.sql.types._
   * CONTRACT: both inputs must be sorted ascending with no duplicate
   * elements and no null elements — the producer guarantees it, and
   * `DedupPropertySpec` pins the producer+kernel pair against the
-  * naive string-set formulation. On unsorted input the count is
-  * simply wrong (no error) — this is a private kernel for a producer
-  * that sorts, not a general-purpose function. NULL if either side
-  * is NULL (BinaryExpression default).
+  * naive string-set formulation. On unsorted input the release-mode
+  * count is simply wrong (no error) — this is a private kernel for a
+  * producer that sorts, not a general-purpose function. Because that
+  * silent-wrong-answer coupling is one refactor away from a bug, the
+  * contract is ALSO locally enforceable: constructing the column
+  * under `spark.graft.strictSortedArrays=true` (the test suite's
+  * setting) bakes a per-row ascending-strict check into the kernel
+  * that throws on violation. The flag is read once at plan-build
+  * time and rides in the expression, so executors need no conf;
+  * release plans carry zero extra branches. NULL if either side is
+  * NULL (BinaryExpression default).
   */
 object SetExpressions {
+
+  /** Conf that bakes the sorted-input assertion into new
+    * `SortedIntersectCount` columns. Read at COLUMN CONSTRUCTION
+    * time (driver), not at eval — flipping it after a plan is built
+    * does not retrofit the check.
+    */
+  val StrictSortedConf = "spark.graft.strictSortedArrays"
 
   /** Two-pointer merge count. Static so generated code can call it. */
   def countCommonSorted(a: ArrayData, b: ArrayData): Int = {
@@ -47,13 +61,33 @@ object SetExpressions {
     c
   }
 
+  /** Strict twin of [[countCommonSorted]]: verifies both inputs are
+    * strictly ascending (sorted, distinct) before counting. Test-mode
+    * only — O(n) extra comparisons per row pair.
+    */
+  def countCommonSortedStrict(a: ArrayData, b: ArrayData): Int = {
+    def check(x: ArrayData, side: String): Unit = {
+      var i = 1
+      while (i < x.numElements()) {
+        if (x.getLong(i - 1) >= x.getLong(i)) throw new IllegalArgumentException(
+          s"SortedIntersectCount: $side input violates the sorted-distinct " +
+            s"contract at index $i (${x.getLong(i - 1)} >= ${x.getLong(i)}) — " +
+            "the producer must emit strictly ascending arrays")
+        i += 1
+      }
+    }
+    check(a, "left"); check(b, "right")
+    countCommonSorted(a, b)
+  }
+
   private def checkLongArray(dt: DataType, side: String): TypeCheckResult = dt match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$side must be array<bigint>, got ${other.simpleString}")
   }
 
-  case class SortedIntersectCount(left: Expression, right: Expression)
+  case class SortedIntersectCount(left: Expression, right: Expression,
+      strict: Boolean = false)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = left.nullable || right.nullable
@@ -63,12 +97,16 @@ object SetExpressions {
         case f => f
       }
 
+    private def kernel: String =
+      if (strict) "countCommonSortedStrict" else "countCommonSorted"
+
     override def nullSafeEval(a: Any, b: Any): Any =
-      countCommonSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (strict) countCommonSortedStrict(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      else countCommonSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.SetExpressions.countCommonSorted($a, $b);")
+        s"${ev.value} = graft.functions.SetExpressions.$kernel($a, $b);")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -76,6 +114,11 @@ object SetExpressions {
 
   import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
 
-  def sorted_intersect_count(a: Column, b: Column): Column =
-    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def sorted_intersect_count(a: Column, b: Column): Column = {
+    val strict =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(StrictSortedConf, "false").toBoolean
+      catch { case _: Exception => false }
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b), strict))
+  }
 }

@@ -106,15 +106,17 @@ object GlobalErrorBudget {
     private[GlobalErrorBudget] val seen = new AtomicInteger(0)
   }
 
-  /** The declared negative tests, r10 census (9 lines in a green run;
-    * maxes are worst-case task fan-out, see class doc):
+  /** The declared negative tests, r11 census (maxes are worst-case
+    * task fan-out, see class doc):
     *  - MaterialsHttpSourceSpec: HTTP-503 intercept — the 2-page read
     *    runs 2 tasks, each may log before the abort lands;
     *  - TextFormatsSpec: two FAILFAST reads (malformed CSV, bad text)
     *    — one stage each, up to 2 tasks;
     *  - LearnSpec: ANSI bad-cast ('oops') — one stage, up to 2 tasks;
+    *  - SetExpressionsSpec: two strict-mode contract violations
+    *    (unsorted, duplicate), coalesce(1) → one task each;
     *  - TaskSetManager's job-abort line is shared by all of the above
-    *    (its message carries no cause): one per aborted job, 4 jobs.
+    *    (its message carries no cause): one per aborted job, 6 jobs.
     */
   private val budget: Seq[Entry] = Seq(
     Entry("materials-http-503", "org.apache.spark.executor.Executor",
@@ -123,8 +125,10 @@ object GlobalErrorBudget {
       "(?s)FAILED_READ_FILE".r, 4),
     Entry("learn-bad-cast", "org.apache.spark.executor.Executor",
       "(?s)CAST_INVALID_INPUT".r, 2),
+    Entry("setexpr-strict-contract", "org.apache.spark.executor.Executor",
+      "(?s)sorted-distinct contract".r, 2),
     Entry("declared-job-abort", "org.apache.spark.scheduler.TaskSetManager",
-      """Task \d+ in stage .* failed \d+ times; aborting job""".r, 4))
+      """Task \d+ in stage .* failed \d+ times; aborting job""".r, 6))
 
   private val leaks = new ConcurrentLinkedQueue[String]()
   @volatile private var installed = false

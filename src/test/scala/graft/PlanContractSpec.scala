@@ -78,4 +78,30 @@ class PlanContractSpec extends SparkSpec {
       s"ScalaUDF in: ${offenders.udf.toSeq.sorted.mkString(", ")} — " +
         "use a native Catalyst expression or a typed Dataset operator")
   }
+
+  test("the t>=0.5 jaccard plan verifies via the sorted-merge kernel, never array_intersect") {
+    // Guards the silent-fallback failure mode: a refactor that swaps
+    // SortedIntersectCount back to array_intersect would still be
+    // CORRECT (DedupPropertySpec stays green) but reintroduces the
+    // per-pair hash-set allocation the kernel was measured to remove
+    // (1.87 -> 1.40 s at sf0.1/t=0.8). Checked on the optimized plan
+    // so a Catalyst rewrite eliminating the kernel also fails here.
+    import org.apache.spark.sql.catalyst.expressions.ArrayIntersect
+    import graft.functions.SetExpressions.SortedIntersectCount
+    def scan(name: String): (Boolean, Boolean) = {
+      val opt = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+      (opt.exists(_.expressions.exists(_.exists(_.isInstanceOf[SortedIntersectCount]))),
+        opt.exists(_.expressions.exists(_.exists(_.isInstanceOf[ArrayIntersect]))))
+    }
+    val (kernel, arrInt) = scan("q_jaccard_neardup") // t=0.8 -> prefix plan
+    assert(kernel, "q_jaccard_neardup no longer plans SortedIntersectCount — " +
+      "the prefix plan's verify step regressed to a slower formulation")
+    assert(!arrInt, "q_jaccard_neardup plans array_intersect — the per-pair " +
+      "hash-set allocation the merge kernel replaced is back")
+    // the t<0.5 co-count plan needs neither: it never materializes sets
+    val (kernelLow, arrIntLow) = scan("q_shingle_jaccard") // t=0.3 -> co-count plan
+    assert(!kernelLow && !arrIntLow, "q_shingle_jaccard (co-count plan) should " +
+      "count co-occurrences by aggregation, not per-pair set intersection")
+  }
 }
