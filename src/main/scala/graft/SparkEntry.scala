@@ -263,7 +263,12 @@ object SparkEntry {
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
         .unionByName(ord.filter(col("o_orderkey") % 101 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
-      graft.core.Warehouse.mergeZoneMapped(s, dir, "o_orderkey", updates)
+      // assumeUniqueKeys: provable by construction — o_orderkey is the
+      // orders PK, the %97 branch keeps original keys, and the %101
+      // branch shifts by +1e8 (disjoint from every unshifted key at
+      // any bench SF), so the union cannot carry an intra-batch dup
+      graft.core.Warehouse.mergeZoneMapped(s, dir, "o_orderkey", updates,
+        assumeUniqueKeys = true)
       s.read.parquet(s"$dir/data")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Ops.moneySum(col("o_totalprice"), 2).as("price_sum"))
@@ -282,8 +287,9 @@ object SparkEntry {
         graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)
         val updates = ord.filter(col("o_orderkey") % 97 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        // assumeUniqueKeys: the batch is a PK-filter (%97) of orders
         graft.core.Warehouse.mergeZoneMapped(s, dir, "o_orderkey", updates,
-          retainForTimeTravel = true)
+          retainForTimeTravel = true, assumeUniqueKeys = true)
       }
       graft.core.Warehouse.readZoneMapVersion(s, dir, 1)
         .groupBy("o_orderpriority")

@@ -189,6 +189,20 @@ object Graph {
     *        checkpoints its own RDDs elsewhere, or runs concurrent
     *        graph ops with different dirs, must coordinate (use one
     *        shared root). */
+  /** The member-join side for a component map returned by
+    * [[connectedComponents]] — the hint follows the regime CC already
+    * decided. The LOCAL-SOLVE regime returns a LocalRelation whose
+    * size is exactly known and gate-bounded (≤ 2·localSolveMaxEdges
+    * node rows): broadcast it, so the member join runs exchange-free
+    * on the (corpus-sized) member side. The DISTRIBUTED regime's
+    * iterative closure is stat-less: pin shuffled-hash so the join
+    * never falls back to a sort-merge (no sort, streamed probe). */
+  def componentJoinSide(comp: DataFrame): DataFrame =
+    if (comp.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      broadcast(comp)
+    else comp.hint("shuffle_hash")
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50,
                           localSolveMaxEdges: Long = 1000000L,
@@ -245,9 +259,13 @@ object Graph {
       // (union by min-root already ensures it, but stay explicit)
       val labels = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
         .map(n => n -> find(n))
-      return spark.sparkContext
-        .parallelize(labels.toIndexedSeq, math.max(1, labels.length / 500000 + 1))
-        .toDF("node", "comp")
+      // LocalRelation, not parallelize: the rows already live on the
+      // driver (the gate bounded the collect), and a LocalRelation
+      // carries EXACT size stats — so [[componentJoinSide]] can prove
+      // the broadcast that lets every member join skip its exchange.
+      // An RDD-backed frame is stat-less and forced the callers into
+      // a shuffled-hash pin even in this regime.
+      return labels.toIndexedSeq.toDF("node", "comp")
     }
 
     // ---- distributed path: symmetric closure from the MATERIALIZED

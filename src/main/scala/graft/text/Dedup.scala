@@ -390,10 +390,11 @@ object Dedup {
       .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
               greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
     val comp = graft.core.Graph.connectedComponents(repPairs, "rep_a", "rep_b")
-    // comp is stat-less after the iterative closure (jaccardComponents'
-    // rationale) — pin shuffled-hash so the outer join never sorts
+    // regime-sensitive comp side (componentJoinSide): broadcast the
+    // gate-bounded local solve, shuffled-hash pin the stat-less
+    // distributed closure
     members.join(reps.hint("shuffle_hash"), "sig_key")
-      .join(comp.hint("shuffle_hash"), col("rep_id") === col("node"), "left")
+      .join(graft.core.Graph.componentJoinSide(comp), col("rep_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 
@@ -674,9 +675,9 @@ object Dedup {
       .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
               greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
     val comp = graft.core.Graph.connectedComponents(repEdges, "rep_a", "rep_b")
-    // pin the stat-less comp side, as in jaccardComponents
+    // regime-sensitive comp side, as in jaccardComponents
     sh.join(reps.hint("shuffle_hash"), "simhash")
-      .join(comp.hint("shuffle_hash"), col("rep_id") === col("node"), "left")
+      .join(graft.core.Graph.componentJoinSide(comp), col("rep_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 
@@ -720,6 +721,9 @@ object Dedup {
     * and the prefix filter's "any fixed total order") runs on
     * primitive longs — java.util.Arrays.sort, no comparator.
     * Shingle-less docs are dropped (undefined jaccard). */
+  private[text] def tokenSetsProfile(documents: DataFrame, ngram: Int): DataFrame =
+    tokenSets(documents, ngram)
+
   private def tokenSets(documents: DataFrame, ngram: Int): DataFrame = {
     import documents.sparkSession.implicits._
     documents
@@ -1089,11 +1093,12 @@ object Dedup {
       .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
               greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
     val comp = graft.core.Graph.connectedComponents(repPairs, "rep_a", "rep_b")
-    // comp is |reps-in-pairs| rows (small) but not broadcast-provable
-    // after the iterative closure — pin shuffled-hash so the outer
+    // comp side follows the regime CC decided (componentJoinSide):
+    // the local solve broadcasts (exchange-free member join), the
+    // distributed closure is stat-less — shuffled-hash so the outer
     // join never falls back to a sort-merge (no sort, streamed probe)
     members.join(reps.hint("shuffle_hash"), "set_key")
-      .join(comp.hint("shuffle_hash"), col("rep_id") === col("node"), "left")
+      .join(graft.core.Graph.componentJoinSide(comp), col("rep_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 

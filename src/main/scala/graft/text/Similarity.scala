@@ -444,7 +444,7 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     val comp = graft.core.Graph.connectedComponents(edges, "id_a", "id_b")
     keyed.join(reps.hint("shuffle_hash"), "embedding")
-      .join(comp.hint("shuffle_hash"), col("rep_id") === col("node"), "left")
+      .join(graft.core.Graph.componentJoinSide(comp), col("rep_id") === col("node"), "left")
       .select(col("vec_id"), coalesce(col("comp"), col("rep_id")).as("component"))
   }
 
