@@ -36,6 +36,12 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf, so it must ride the builder (Sessions.tune runs
+      // too late): the default 100-entry codegen class cache thrashes
+      // under 150 distinct plans — every run recompiled nearly every
+      // stage (measured −29% suite total; rationale on the constant)
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.core.Sessions.CodegenCacheEntries)
       .config("spark.sql.adaptive.enabled", "true")
       // size-based AQE coalescing (default parallelismFirst=true
       // keeps ~2×cores post-shuffle partitions for "parallelism",

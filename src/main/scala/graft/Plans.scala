@@ -90,6 +90,8 @@ object Plans {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.core.Sessions.CodegenCacheEntries) // static conf; see Sessions
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -23,6 +23,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.codegen.cache.maxEntries",
+      graft.core.Sessions.CodegenCacheEntries) // static conf; see Sessions
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
