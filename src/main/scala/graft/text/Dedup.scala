@@ -721,9 +721,6 @@ object Dedup {
     * and the prefix filter's "any fixed total order") runs on
     * primitive longs — java.util.Arrays.sort, no comparator.
     * Shingle-less docs are dropped (undefined jaccard). */
-  private[text] def tokenSetsProfile(documents: DataFrame, ngram: Int): DataFrame =
-    tokenSets(documents, ngram)
-
   private def tokenSets(documents: DataFrame, ngram: Int): DataFrame = {
     import documents.sparkSession.implicits._
     documents
