@@ -14,6 +14,22 @@ import org.apache.spark.sql.types.DoubleType
 class DedupPropertySpec extends SparkSpec {
   import spark.implicits._
 
+  // The whole suite runs with the sorted-input assertion baked into
+  // every SortedIntersectCount it builds: the producer+kernel pair is
+  // proven across every RANDOM corpus here, not just the crafted
+  // fixtures in SetExpressionsSpec. Strict mode changes behavior only
+  // by THROWING on a contract violation, so equivalence results are
+  // untouched while any future producer refactor that stops sorting
+  // fails this suite's randomized tests loudly.
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(graft.functions.SetExpressions.StrictSortedConf, "true")
+  }
+  override protected def afterAll(): Unit = {
+    try spark.conf.unset(graft.functions.SetExpressions.StrictSortedConf)
+    finally super.afterAll()
+  }
+
   /** Random corpus: vocab small enough to force heavy duplication
     * (the regime that broke the naive plans). */
   private def corpus(seed: Int, nDocs: Int, vocab: Int): DataFrame = {
