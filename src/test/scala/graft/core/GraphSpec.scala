@@ -147,6 +147,39 @@ class GraphSpec extends SparkSpec {
     assert(kept.size <= 1, s"leaked ${kept.size} persisted RDDs: ${kept.values.map(_.name)}")
   }
 
+  test("componentJoinSide follows the regime CC decided: broadcast local, shuffle-hash distributed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val members = Seq((1L, "x"), (2L, "y"), (10L, "z")).toDF("node_id", "payload")
+    def joined(comp: org.apache.spark.sql.DataFrame) =
+      members.join(Graph.componentJoinSide(comp),
+        members("node_id") === comp("node"), "left")
+    // local regime: LocalRelation result → broadcast side, so the
+    // member join must plan as a BroadcastHashJoin (no exchange on
+    // the member side at all)
+    val localPlan = joined(Graph.connectedComponents(edges, "a", "b"))
+      .queryExecution.sparkPlan
+    assert(localPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"local-regime member join did not broadcast:\n$localPlan")
+    // distributed regime (gate 0): stat-less iterative result → the
+    // shuffled-hash pin, never a sort-merge fallback
+    val distPlan = joined(
+        Graph.connectedComponents(edges, "a", "b", localSolveMaxEdges = 0L))
+      .queryExecution.sparkPlan
+    assert(distPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => s
+    }.nonEmpty, s"distributed-regime member join lost the shuffle-hash pin:\n$distPlan")
+    assert(distPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }.isEmpty, "distributed-regime member join fell back to sort-merge")
+    // both regimes still agree on the labels through the join
+    def labels(p: org.apache.spark.sql.DataFrame) = p
+      .select(col("node_id"), coalesce(col("comp"), col("node_id")).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels(joined(Graph.connectedComponents(edges, "a", "b"))) ==
+      labels(joined(Graph.connectedComponents(edges, "a", "b", localSolveMaxEdges = 0L))))
+  }
+
   test("jaccardComponents groups transitive near-dup chains") {
     // a~b (J=1 identical), b~c high overlap, c~d high overlap, e isolated
     val mk = (id: Long, words: Seq[String]) =>
