@@ -250,26 +250,46 @@ object Dedup {
       .distinct()
   }
 
-  /** Distinct (sig_key, band, bkey) band keys of a signature frame —
-    * the probe/build primitive shared by the full self-join and the
-    * incremental (fresh-probes-corpus) banding. */
-  private def bandedSigs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
-    // central banding guard (every LSH path routes through here):
-    // a non-divisor would silently band only part of the signature
-    // (changing the documented per-band collision probability), and
-    // rowsPerBand > MinhashFuncs would make nBands = 0 — zero band
-    // rows, a silent recall collapse with no error
+  /** Band-key columns for one signature row (shared by every banding
+    * shape). Also the central banding guard: a non-divisor would
+    * silently band only part of the signature (changing the
+    * documented per-band collision probability), and rowsPerBand >
+    * MinhashFuncs would make nBands = 0 — zero band rows, a silent
+    * recall collapse with no error. */
+  private def bandKeyCols(rowsPerBand: Int): Seq[Column] = {
     require(rowsPerBand >= 1 && rowsPerBand <= MinhashFuncs &&
         MinhashFuncs % rowsPerBand == 0,
       s"rowsPerBand must divide MinhashFuncs=$MinhashFuncs, got $rowsPerBand")
     val nBands = MinhashFuncs / rowsPerBand
-    val bandKeys = (0 until nBands).map { b =>
+    (0 until nBands).map { b =>
       xxhash64(lit(b), slice(col("mhs"), b * rowsPerBand + 1, rowsPerBand))
     }
-    sigs.select(col("sig_key"), posexplode(array(bandKeys: _*)))
+  }
+
+  /** Distinct (sig_key, band, bkey) band keys of a signature frame —
+    * the probe/build primitive shared by the full self-join and the
+    * incremental (fresh-probes-corpus) banding. */
+  private def bandedSigs(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs.select(col("sig_key"), posexplode(array(bandKeyCols(rowsPerBand): _*)))
       .select(col("sig_key"), col("pos").as("band"), col("col").as("bkey"))
       .distinct()
-  }
+
+  /** Banded rows CARRYING the signature: (sig_key, mhs, band, bkey),
+    * one row per (sig, band), for the confirm-inline component path.
+    * Input must be ONE row per distinct signature (the `sigs`
+    * collapse), so no distinct is needed — and the fixed 16-int
+    * signature rides each band row. That direction is scale-safe BY
+    * CONSTRUCTION: the payload attached before the quadratic band
+    * expansion is a constant 4×64 B per signature, whereas fetching
+    * signatures onto the collision stream afterwards ships 2×64 B per
+    * COLLISION row — unbounded exactly when the corpus is
+    * duplicate-heavy (contrast the jaccard token sets, where the
+    * carried payload would be O(|S|) per prefix row and the fetch
+    * plan is the one that cannot blow up; see SCALING.md r11). */
+  private def bandedSigsCarrying(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs.select(col("sig_key"), col("mhs"),
+        posexplode(array(bandKeyCols(rowsPerBand): _*)))
+      .select(col("sig_key"), col("mhs"), col("pos").as("band"), col("col").as("bkey"))
 
   /** Incremental near-dup screen: LSH candidate pairs with at least
     * one side in the `fresh` batch — the ingest-time shape of dedup.
@@ -377,13 +397,26 @@ object Dedup {
     val members = full.select(col("doc_id"), col("sig_key"))
     val reps = members.groupBy(col("sig_key")).agg(min(col("doc_id")).as("rep_id"))
     val sigs = full.select(col("sig_key"), col("mhs")).distinct()
+    // Confirm INLINE in the band join: the fixed 16-int signatures
+    // ride the banded rows (bandedSigsCarrying — constant 4×64 B per
+    // signature, attached BEFORE the quadratic expansion), so the
+    // agreement fold evaluates in the join output and the two
+    // signature fetch joins the collision stream used to pay for are
+    // gone. A pair colliding in k ≤ 4 bands is folded k times and
+    // deduped after the filter — the r10 raw-verify rule (survivors
+    // are few; a pre-filter distinct exchanges the whole stream).
+    // shuffled-hash pin: many-to-many on deliberately hot band keys
+    // (a duplicate-heavy cluster IS one key); a sort-merge would
+    // buffer each matched group.
     val agree = aggregate(
-      zip_with(col("mhs_a"), col("mhs_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
-    val confirmed = sigBandPairs(full, rowsPerBand)
-      .join(sigs.select(col("sig_key").as("sig_a"), col("mhs").as("mhs_a")), "sig_a")
-      .join(sigs.select(col("sig_key").as("sig_b"), col("mhs").as("mhs_b")), "sig_b")
-      .filter(agree >= minAgree)
+      zip_with(col("x.mhs"), col("y.mhs"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val banded = bandedSigsCarrying(sigs, rowsPerBand)
+    val confirmed = banded.as("x")
+      .join(banded.as("y").hint("shuffle_hash"), Seq("band", "bkey"))
+      .filter(col("x.sig_key") < col("y.sig_key") && agree >= minAgree)
+      .select(col("x.sig_key").as("sig_a"), col("y.sig_key").as("sig_b"))
+      .distinct()
     val repPairs = confirmed
       .join(reps.as("ra"), col("sig_a") === col("ra.sig_key"))
       .join(reps.as("rb"), col("sig_b") === col("rb.sig_key"))
