@@ -102,6 +102,13 @@ object Bench {
       sys.exit(2)
     }
     val spark = builder.getOrCreate()
+    // the −29% codegen-cache sizing is a builder-time static conf; a
+    // refactor that drops it would silently re-thrash the 100-entry
+    // default — refuse to measure without it (SessionsSpec pins the
+    // test builder the same way)
+    require(spark.conf.get("spark.sql.codegen.cache.maxEntries")
+        == graft.core.Sessions.CodegenCacheEntries,
+      "bench session lost the sized codegen class cache (static conf must ride the builder)")
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Sessions.tune(spark) // shared confs + SQL function registration
 

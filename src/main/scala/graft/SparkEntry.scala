@@ -257,6 +257,16 @@ object SparkEntry {
       val ord = Tables.orders(s, d)
       val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_merge_orders-${Demo.dirTag(d)}").getPath
       graft.core.Demo.once(s, s"merge|$d") {
+        // guard the assumeUniqueKeys proof ONCE per table (r12): the
+        // +1e8 shift below is disjoint from unshifted keys only while
+        // max(o_orderkey) < 1e8 — TPC-H orderkeys reach ~6M×SF, so
+        // the proof silently breaks near SF 17. A bigger table must
+        // fail loudly here, not commit duplicate keys. Inside the
+        // once-block so the steady-state timed region pays nothing.
+        val maxKey = ord.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+          .head().getLong(0)
+        require(maxKey < 100000000L,
+          s"merge demo key-shift disjointness broken: max o_orderkey=$maxKey >= 1e8")
         graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)
       }
       val updates = ord.filter(col("o_orderkey") % 97 === 0)
@@ -265,8 +275,9 @@ object SparkEntry {
           .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
       // assumeUniqueKeys: provable by construction — o_orderkey is the
       // orders PK, the %97 branch keeps original keys, and the %101
-      // branch shifts by +1e8 (disjoint from every unshifted key at
-      // any bench SF), so the union cannot carry an intra-batch dup
+      // branch shifts by +1e8 (disjointness ASSERTED against the
+      // observed max key in the once-block above), so the union
+      // cannot carry an intra-batch dup
       graft.core.Warehouse.mergeZoneMapped(s, dir, "o_orderkey", updates,
         assumeUniqueKeys = true)
       s.read.parquet(s"$dir/data")

@@ -197,11 +197,23 @@ object Graph {
     * on the (corpus-sized) member side. The DISTRIBUTED regime's
     * iterative closure is stat-less: pin shuffled-hash so the join
     * never falls back to a sort-merge (no sort, streamed probe). */
+  /** Broadcast cap for [[componentJoinSide]] (rows, not bytes — a
+    * LocalRelation row here is exactly two longs). The broadcast
+    * hint BYPASSES autoBroadcastJoinThreshold, so without a cap a
+    * caller that raises `localSolveMaxEdges` (the only way the
+    * LocalRelation grows) would force an unbounded broadcast of up
+    * to 2×gate node rows into every executor. 4M rows ≈ ~200 MB as
+    * a built hash relation — comfortably inside executor memory;
+    * the default gate (1M edges → ≤2M rows) always broadcasts. */
+  val ComponentBroadcastMaxRows: Int = 4000000
+
   def componentJoinSide(comp: DataFrame): DataFrame =
-    if (comp.queryExecution.optimizedPlan
-          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-      broadcast(comp)
-    else comp.hint("shuffle_hash")
+    comp.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.length <= ComponentBroadcastMaxRows =>
+        broadcast(comp)
+      case _ => comp.hint("shuffle_hash")
+    }
 
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50,

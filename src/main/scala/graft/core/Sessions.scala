@@ -19,12 +19,15 @@ object Sessions {
     * units each), so at the default every re-execution RE-COMPILES
     * nearly every stage — measured on the 150-query bench suite:
     * 66.7 s → 47.1 s total (−29%, min-of-3 idle runs, zero per-query
-    * regressions) from this one knob. 4096 entries ≈ a few hundred MB
-    * of driver class retention at worst (the cache is size-bounded
-    * and weak-ref keyed) — the right trade for any long-lived session
-    * serving many distinct plans, which is exactly the deployment
-    * shape of an analytics library; single-query batch jobs never
-    * notice either way. */
+    * regressions) from this one knob. The cache (CodeGenerator's
+    * Guava cache) is a size-bounded LRU with STRONG keys — entries
+    * are retained until evicted by count, so 4096 entries means up to
+    * ~a few hundred MB of driver class/metadata retention that will
+    * NOT be reclaimed under memory pressure; size the count, not the
+    * hope of GC. The right trade for any long-lived session serving
+    * many distinct plans, which is exactly the deployment shape of an
+    * analytics library; single-query batch jobs never notice either
+    * way. */
   val CodegenCacheEntries = "4096"
 
   /** Runtime confs: AQE on (coalescing + skew-join split), nanos

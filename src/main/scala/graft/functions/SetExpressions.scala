@@ -114,11 +114,22 @@ object SetExpressions {
 
   import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
 
+  /** Strictness is sampled ONCE, on the CONSTRUCTING thread, via the
+    * thread-local `SQLConf.get` — the flag is baked into the
+    * expression at column-construction time so release plans carry
+    * zero extra branches. A thread with no readable session conf
+    * (exotic: column built off-driver or before any session exists)
+    * resolves to non-strict; a MALFORMED conf value now throws
+    * `IllegalArgumentException` at construction instead of silently
+    * disarming the assertion (the r11 catch-all swallowed it). */
   def sorted_intersect_count(a: Column, b: Column): Column = {
     val strict =
-      try org.apache.spark.sql.internal.SQLConf.get
-        .getConfString(StrictSortedConf, "false").toBoolean
-      catch { case _: Exception => false }
+      (try Some(org.apache.spark.sql.internal.SQLConf.get
+         .getConfString(StrictSortedConf, "false"))
+       // only the missing-conf-context case disarms; anything else
+       // (incl. a bad value's IllegalArgumentException below) is loud
+       catch { case _: IllegalStateException => None })
+        .exists(_.toBoolean)
     toCol(SortedIntersectCount(toExpr(a), toExpr(b), strict))
   }
 }

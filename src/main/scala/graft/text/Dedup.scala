@@ -664,13 +664,22 @@ object Dedup {
     val banded = fps.select(col("simhash"), posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
       .select(col("simhash"), col("pos").as("band"), col("col").as("bkey"))
+    // hamming confirm BEFORE the pair-dedup distinct (r12 A/B):
+    // bit_count(xor) is one codegen'd instruction pair, and filtering
+    // first commutes exactly with distinct while shrinking the
+    // distinct's map-side hash state from ALL banded collisions
+    // (1.38M rows at sf0.1) to only the confirmed edges (2,375).
+    // Measured a wash at sf0.1 (0.50 vs 0.53 s — partial aggregation
+    // already collapses the old order's exchange), but at cluster
+    // scale the per-task dedup hash table over the raw collision
+    // stream is the memory hazard; this order strictly dominates.
     banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
       .filter(col("x.simhash") < col("y.simhash"))
       .select(col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
-      .distinct()
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash transitive near-dup clusters: connected components of

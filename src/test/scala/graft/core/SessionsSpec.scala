@@ -21,6 +21,17 @@ class SessionsSpec extends SparkSpec {
     assert(spark.read.parquet("/root/testdata/sf0.001/events.parquet").count() == 1000)
   }
 
+  test("repo-built sessions carry the sized codegen class cache") {
+    // The −29% suite-total finding (SCALING.md round-11) lives
+    // entirely in builder configs; nothing else fails if a refactor
+    // drops the conf. This case turns that silent regression red:
+    // every session built by this repo's builders (SparkSpec here,
+    // Bench, Sessions.local — all set it at builder time, it is a
+    // STATIC conf) must carry the sized cache.
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries")
+      == Sessions.CodegenCacheEntries)
+  }
+
   test("wrong arity raises WRONG_NUM_ARGS analysis error, not IndexOutOfBounds") {
     Sessions.tune(spark)
     for (sql <- Seq(

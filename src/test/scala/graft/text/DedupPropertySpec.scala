@@ -21,6 +21,14 @@ class DedupPropertySpec extends SparkSpec {
   // by THROWING on a contract violation, so equivalence results are
   // untouched while any future producer refactor that stops sorting
   // fails this suite's randomized tests loudly.
+  //
+  // The conf is set on the shared getOrCreate session, which would
+  // leak into columns OTHER suites build concurrently — safe here
+  // only because suites run SEQUENTIALLY in the one forked test JVM,
+  // an assumption that is ENFORCED, not hoped: build.sbt exports
+  // `graft.test.forkedParallel` and ErrorLogCapture asserts it false
+  // at install time, so a build-setting drift fails the run loudly
+  // before any flag could bleed.
   override protected def beforeAll(): Unit = {
     super.beforeAll()
     spark.conf.set(graft.functions.SetExpressions.StrictSortedConf, "true")
