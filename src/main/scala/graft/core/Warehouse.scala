@@ -21,7 +21,14 @@ object Warehouse {
     * a full-network shuffle into local merges. (Local session
     * catalog here; on a cluster this is the metastore + object
     * store.) */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Composite-key form — a join keyed on ALL bucket columns (e.g.
+    * the LSH band store's `(band, bkey)`) reads this side
+    * exchange-free the same way. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
     val spark = df.sparkSession
     // a fresh (in-memory) catalog may not know a table whose previous
     // location survives on disk — clear both before writing
@@ -35,7 +42,8 @@ object Warehouse {
       table.toLowerCase(java.util.Locale.ROOT))
     if (loc.exists()) deleteRecursively(loc)
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
 

@@ -301,26 +301,70 @@ object Dedup {
     * restricted to pairs touching `fresh` (unit-tested equivalence),
     * but the band join probes with FRESH band keys only, so
     * corpus-vs-corpus candidates never exist in the plan: cost is
-    * O(batch × collision rate), not O(corpus²). At 100 TB the
-    * corpus-side inputs here (signatures + band keys) are exactly
-    * what a pipeline persists between batches — bucket the band
-    * store on `(band, bkey)` and the probe join is exchange-free on
-    * the corpus side, the [[graft.core.Warehouse.writeBucketed]]
-    * layout. Caller contract: the two frames' doc_ids are disjoint.
+    * O(batch × collision rate), not O(corpus²). This overload
+    * re-derives the corpus side from documents (convenient for
+    * one-shot screens); the 100 TB ingest pipeline persists
+    * [[minhashBandStore]] + [[minhashMembers]] between batches and
+    * calls [[incrementalLshPairsAgainstStore]] instead — with the
+    * store bucketed on `(band, bkey)` via
+    * [[graft.core.Warehouse.writeBucketed]], the probe join reads
+    * the corpus side exchange-free (DEMONSTRATED: the plan-shape +
+    * equivalence test in DedupPropertySpec, r12). Caller contract:
+    * the two frames' doc_ids are disjoint.
     */
   def incrementalLshPairs(spark: SparkSession, corpus: DataFrame, fresh: DataFrame,
-                          rowsPerBand: Int = 4): DataFrame = {
-    val cSig = signatureClusters(corpus).withColumn("is_fresh", lit(false))
-    val fSig = signatureClusters(fresh).withColumn("is_fresh", lit(true))
-    val members = cSig.unionByName(fSig).select(col("doc_id"), col("sig_key"), col("is_fresh"))
-    val freshSigs = fSig.select(col("sig_key"), col("mhs")).distinct()
-    val allSigs = cSig.unionByName(fSig).select(col("sig_key"), col("mhs")).distinct()
-    val sigPairs = bandedSigs(freshSigs, rowsPerBand).as("x")
-      .join(bandedSigs(allSigs, rowsPerBand).as("y"), Seq("band", "bkey"))
+                          rowsPerBand: Int = 4): DataFrame =
+    incrementalLshPairsAgainstStore(spark,
+      minhashBandStore(corpus, rowsPerBand), minhashMembers(corpus),
+      fresh, rowsPerBand)
+
+  /** The persistable corpus side of incremental dedup, part 1: the
+    * distinct (sig_key, band, bkey) band store. A pipeline writes
+    * this once per ingested batch (append-only — band rows of
+    * immutable documents never change) via
+    * `Warehouse.writeBucketed(store, table, Seq("band", "bkey"), n)`;
+    * the next batch's probe join then reads the corpus side
+    * EXCHANGE-FREE (plan-shape-tested in DedupPropertySpec). */
+  def minhashBandStore(documents: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    bandedSigs(signatureClusters(documents).select(col("sig_key"), col("mhs")).distinct(),
+      rowsPerBand)
+
+  /** The persistable corpus side of incremental dedup, part 2: the
+    * (doc_id, sig_key) membership map the candidate expansion joins
+    * back through. */
+  def minhashMembers(documents: DataFrame): DataFrame =
+    signatureClusters(documents).select(col("doc_id"), col("sig_key"))
+
+  /** [[incrementalLshPairs]] probing a PERSISTED corpus — the shape a
+    * 100 TB ingest pipeline actually runs: `bandStore` and
+    * `corpusMembers` come off disk ([[minhashBandStore]] /
+    * [[minhashMembers]] persisted by the previous batch), so the
+    * corpus documents are never re-read, let alone re-hashed. The
+    * fresh-vs-corpus and fresh-vs-fresh candidate joins are split
+    * (their union is exactly the one probe against corpus∪fresh:
+    * least/greatest + distinct collapse the orientations, and an
+    * identical signature appearing on both sides is excluded by the
+    * sig_key inequality in either formulation — those doc pairs come
+    * from the `intra` branch), which is what lets the corpus side
+    * keep its bucketed layout through the join. */
+  def incrementalLshPairsAgainstStore(spark: SparkSession, bandStore: DataFrame,
+                                      corpusMembers: DataFrame, fresh: DataFrame,
+                                      rowsPerBand: Int = 4): DataFrame = {
+    val fSig = signatureClusters(fresh)
+    val members = corpusMembers.withColumn("is_fresh", lit(false))
+      .unionByName(fSig.select(col("doc_id"), col("sig_key")).withColumn("is_fresh", lit(true)))
+    val freshBanded = bandedSigs(fSig.select(col("sig_key"), col("mhs")).distinct(), rowsPerBand)
+    // fresh-vs-corpus probe: NO hint — when the store side is
+    // bucketed on (band, bkey) the planner proves its distribution
+    // from the layout and only the (small) fresh side exchanges
+    val vsCorpus = freshBanded.as("x").join(bandStore.as("y"), Seq("band", "bkey"))
+    // fresh-vs-fresh: tiny self-join within the batch
+    val vsFresh = freshBanded.as("x").join(freshBanded.as("y"), Seq("band", "bkey"))
+    def normalized(collided: DataFrame): DataFrame = collided
       .filter(col("x.sig_key") =!= col("y.sig_key"))
       .select(least(col("x.sig_key"), col("y.sig_key")).as("sig_a"),
               greatest(col("x.sig_key"), col("y.sig_key")).as("sig_b"))
-      .distinct()
+    val sigPairs = normalized(vsCorpus).unionByName(normalized(vsFresh)).distinct()
     val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "sig_key")
       .filter(col("ma.doc_id") < col("mb.doc_id") &&
               (col("ma.is_fresh") || col("mb.is_fresh")))
