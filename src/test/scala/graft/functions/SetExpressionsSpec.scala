@@ -62,6 +62,18 @@ class SetExpressionsSpec extends SparkSpec {
     assert(withStrict(strictFlag(SetExpressions.sorted_intersect_count(col("a"), col("b")))))
   }
 
+  test("a malformed strict-flag value throws at column construction, never silently disarms") {
+    // r12 hardening: the r11 catch-all swallowed a bad conf value
+    // into strict=false — a suite believing strict mode was on would
+    // have been running the unchecked kernel
+    spark.conf.set(SetExpressions.StrictSortedConf, "definitely-not-a-boolean")
+    try {
+      intercept[IllegalArgumentException] {
+        SetExpressions.sorted_intersect_count(col("a"), col("b"))
+      }
+    } finally spark.conf.unset(SetExpressions.StrictSortedConf)
+  }
+
   test("the real producer upholds the contract: jaccard prefix plan runs green under strict mode") {
     val docs = Seq(
       (1L, "en", "the quick brown fox jumps over the lazy dog"),
