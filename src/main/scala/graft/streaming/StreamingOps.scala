@@ -482,4 +482,49 @@ object StreamingOps {
       val existing = readSink(batch.sparkSession).select(key)
       append(graft.sink.JdbcUpsert.newRows(batch, existing, key))
     }
+
+  /** Ingest-time NEAR-dup screen, streaming form — the `foreachBatch`
+    * body that runs the incremental-dedup story continuously. Per
+    * micro-batch, in order:
+    *
+    *  1. SCREEN: [[graft.text.Dedup.incrementalLshPairsAgainstStore]]
+    *     with the batch as `fresh` against the persisted corpus store
+    *     ([[graft.text.Dedup.minhashBandStore]] layout) — `emit`
+    *     receives the candidate pairs (doc_a, doc_b).
+    *  2. ADMIT: the batch's own band rows and members are handed to
+    *     the append callbacks, so the NEXT batch screens against
+    *     corpus ∪ all prior batches.
+    *
+    * Screen-then-admit yields every cross-batch pair exactly once
+    * (batch j probes the store holding batches < j) and every
+    * in-batch pair once (the fresh×fresh branch); `emit` MUST
+    * materialize its frame before returning (any sink write does) —
+    * deferring it past the admit step would double-count the batch
+    * as both fresh and corpus. The batchId rides to the append
+    * callbacks so a caller can make admission idempotent under
+    * micro-batch retries (e.g. overwrite a batch_id=<id> partition);
+    * the screen step itself is naturally idempotent (same store
+    * state + same batch → same pairs).
+    *
+    * Scale shape: identical to the batch screen — the corpus is
+    * never re-read or re-hashed, cost per batch is
+    * O(batch × collision rate), and with the band store bucketed on
+    * (band, bkey) the probe join reads it exchange-free. State lives
+    * entirely in the stores (no Spark streaming state), so the query
+    * restarts cold for free. The exact-hash in-flight complement is
+    * [[dedupStream]]; this screen catches the NEAR-duplicates that
+    * content hashing cannot. */
+  def lshScreenForeachBatch(readBandStore: SparkSession => DataFrame,
+                            readMembers: SparkSession => DataFrame,
+                            appendBandStore: (DataFrame, Long) => Unit,
+                            appendMembers: (DataFrame, Long) => Unit,
+                            emit: DataFrame => Unit,
+                            rowsPerBand: Int = 4): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val s = batch.sparkSession
+      emit(graft.text.Dedup.incrementalLshPairsAgainstStore(
+        s, readBandStore(s), readMembers(s), batch, rowsPerBand))
+      appendBandStore(graft.text.Dedup.minhashBandStore(batch, rowsPerBand), batchId)
+      appendMembers(graft.text.Dedup.minhashMembers(batch), batchId)
+    }
 }

@@ -130,6 +130,63 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out == Seq("aaa", "bbb", "ccc"), s"got $out")
   }
 
+  test("lshScreenForeachBatch: streamed near-dup screen == full banding restricted to fresh") {
+    // corpus doc 1 / b1 doc 101 / b2 doc 201 share one text (exact-
+    // dup chain across all three populations); corpus doc 2 / b2 doc
+    // 202 are a one-word-edit near-dup pair; doc 3 and 203 are noise
+    val longA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((1L, longB), (2L, longA), (3L, "completely unrelated noise text")).toDF("doc_id", "text")
+    val b1 = Seq((101L, longB), (102L, "more unrelated filler words here")).toDF("doc_id", "text")
+    val b2 = Seq((201L, longB), (202L, longA.replace("alpha7", "gamma7")),
+                 (203L, "yet another distinct document")).toDF("doc_id", "text")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-lshscreen").toString
+    // seed the persisted corpus side (plain parquet appends here; the
+    // bucketed layout's exchange-free probe is plan-shape-tested in
+    // DedupPropertySpec — this test is about the streaming protocol)
+    graft.text.Dedup.minhashBandStore(corpus).write.parquet(s"$root/bands")
+    graft.text.Dedup.minhashMembers(corpus).write.parquet(s"$root/members")
+    b1.coalesce(1).write.parquet(s"$root/in")
+    b2.coalesce(1).write.mode("append").parquet(s"$root/in")
+
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val body = StreamingOps.lshScreenForeachBatch(
+      readBandStore = s => s.read.parquet(s"$root/bands"),
+      readMembers = s => s.read.parquet(s"$root/members"),
+      appendBandStore = (df, _) => df.write.mode("append").parquet(s"$root/bands"),
+      appendMembers = (df, _) => df.write.mode("append").parquet(s"$root/members"),
+      // collect() materializes before the admit step runs — the
+      // ordering contract the scaladoc requires of emit
+      emit = df => emitted.synchronized {
+        emitted ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      })
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      .writeStream.foreachBatch(body)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
+
+    // oracle: the one-shot batch screen of all fresh docs against the
+    // corpus — order-insensitive (cross-batch pairs appear exactly
+    // once regardless of micro-batch slicing)
+    val expected = graft.text.Dedup
+      .incrementalLshPairs(spark, corpus, b1.unionByName(b2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = emitted.toSet
+    assert(got == expected, s"streamed screen diverged: got $got expected $expected")
+    assert(emitted.size == emitted.toSet.size, "a pair was emitted twice")
+    // non-vacuity: the exact-dup chain must produce the corpus-vs-b1,
+    // corpus-vs-b2 AND b1-vs-b2 (cross-batch!) pairs, and the near-
+    // dup edit must collide corpus doc 2 with b2 doc 202
+    assert(Set((1L, 101L), (1L, 201L), (101L, 201L), (2L, 202L)).subsetOf(got))
+    // the admitted store now holds corpus + both batches' band rows
+    assert(spark.read.parquet(s"$root/members").count() == 8)
+  }
+
   test("markovStream == batch markovTransitions; boundary transition emits once") {
     val t0 = 1600000000000L
     def ev(id: Long, tMs: Long, u: Long, typ: String) =
