@@ -180,6 +180,40 @@ class GraphSpec extends SparkSpec {
       labels(joined(Graph.connectedComponents(edges, "a", "b", localSolveMaxEdges = 0L))))
   }
 
+  test("componentJoinSide caps the forced broadcast: an over-cap LocalRelation gets the shuffle-hash pin") {
+    // the broadcast hint bypasses autoBroadcastJoinThreshold, so a
+    // caller that raises localSolveMaxEdges must not be handed an
+    // unbounded forced broadcast (r12 advice fix). Drive the dispatch
+    // directly with LocalRelations on both sides of the cap.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // analyzed (not optimized) plan: a standalone hinted relation has
+    // no join for the hint to fold into, so EliminateResolvedHint
+    // would strip it from the optimized tree
+    def hintOf(df: org.apache.spark.sql.DataFrame): Option[String] =
+      Graph.componentJoinSide(df).queryExecution.analyzed.collectFirst {
+        case h: ResolvedHint =>
+          if (h.hints.strategy.exists(_.toString.toLowerCase.contains("broadcast")))
+            "broadcast"
+          else "other"
+      }
+    val small = Seq((1L, 1L), (2L, 1L)).toDF("node", "comp")
+    assert(hintOf(small).contains("broadcast"), "under-cap LocalRelation must broadcast")
+    // over-cap: rows > ComponentBroadcastMaxRows. Build the
+    // LocalRelation directly from InternalRows (a 4M-element Scala
+    // Seq through the encoder would dominate the suite's runtime)
+    val n = Graph.ComponentBroadcastMaxRows + 1
+    val rows = (0 until n).map(i =>
+      org.apache.spark.sql.catalyst.InternalRow(i.toLong, i.toLong))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType, nullable = false)))
+    val big = org.apache.spark.sql.graft.TestBridge.ofLocalRelation(spark, schema, rows)
+    assert(big.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(!hintOf(big).contains("broadcast"),
+      "over-cap LocalRelation must NOT be force-broadcast")
+  }
+
   test("jaccardComponents groups transitive near-dup chains") {
     // a~b (J=1 identical), b~c high overlap, c~d high overlap, e isolated
     val mk = (id: Long, words: Seq[String]) =>
