@@ -263,8 +263,10 @@ object SparkEntry {
         // the proof silently breaks near SF 17. A bigger table must
         // fail loudly here, not commit duplicate keys. Inside the
         // once-block so the steady-state timed region pays nothing.
-        val maxKey = ord.agg(org.apache.spark.sql.functions.max("o_orderkey"))
-          .head().getLong(0)
+        val maxRow = ord.agg(org.apache.spark.sql.functions.max("o_orderkey")).head()
+        require(!maxRow.isNullAt(0),
+          s"orders table at $d is empty — the merge demo has nothing to merge")
+        val maxKey = maxRow.getLong(0)
         require(maxKey < 100000000L,
           s"merge demo key-shift disjointness broken: max o_orderkey=$maxKey >= 1e8")
         graft.core.Warehouse.writeZoneMapped(ord, dir, "o_orderkey", 16)

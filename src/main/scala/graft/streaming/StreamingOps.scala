@@ -500,11 +500,25 @@ object StreamingOps {
     * in-batch pair once (the fresh×fresh branch); `emit` MUST
     * materialize its frame before returning (any sink write does) —
     * deferring it past the admit step would double-count the batch
-    * as both fresh and corpus. The batchId rides to the append
-    * callbacks so a caller can make admission idempotent under
-    * micro-batch retries (e.g. overwrite a batch_id=<id> partition);
-    * the screen step itself is naturally idempotent (same store
-    * state + same batch → same pairs).
+    * as both fresh and corpus. The batchId rides to BOTH `emit` and
+    * the append callbacks so a caller can make every side idempotent
+    * under micro-batch retries (overwrite a batch_id=<id> partition).
+    * The screen itself is retry-proof BY CONSTRUCTION: the batch's
+    * own doc_ids are anti-joined out of the members read, so even a
+    * retry after a partial or complete admit of the same batch
+    * screens against "corpus without me" and emits the same pairs —
+    * with idempotent admission this makes the whole body
+    * exactly-once. (The sig-level band store needs no such exclusion:
+    * self-collisions die on the sig_key inequality and the candidate
+    * distinct collapses the store/fresh double-hit.)
+    *
+    * Per batch the signature fold (per-token MD5 + 16 hashes — the
+    * expensive step) runs ONCE: the frame is persisted and the
+    * screen, band-store and member appends all derive from it. The
+    * store's band layout is validated on the FIRST batch
+    * ([[graft.text.Dedup.validateBandStore]] — a mismatched
+    * rowsPerBand would silently collapse recall; one narrow scan,
+    * amortized over the stream).
     *
     * Scale shape: identical to the batch screen — the corpus is
     * never re-read or re-hashed, cost per batch is
@@ -518,13 +532,29 @@ object StreamingOps {
                             readMembers: SparkSession => DataFrame,
                             appendBandStore: (DataFrame, Long) => Unit,
                             appendMembers: (DataFrame, Long) => Unit,
-                            emit: DataFrame => Unit,
-                            rowsPerBand: Int = 4): (DataFrame, Long) => Unit =
+                            emit: (DataFrame, Long) => Unit,
+                            rowsPerBand: Int = 4): (DataFrame, Long) => Unit = {
+    // once per returned body (= per stream start); foreachBatch
+    // bodies run serially, so a plain var is safe
+    var storeValidated = false
     (batch: DataFrame, batchId: Long) => {
       val s = batch.sparkSession
-      emit(graft.text.Dedup.incrementalLshPairsAgainstStore(
-        s, readBandStore(s), readMembers(s), batch, rowsPerBand))
-      appendBandStore(graft.text.Dedup.minhashBandStore(batch, rowsPerBand), batchId)
-      appendMembers(graft.text.Dedup.minhashMembers(batch), batchId)
+      if (!storeValidated) {
+        graft.text.Dedup.validateBandStore(readBandStore(s), rowsPerBand)
+        storeValidated = true
+      }
+      val sig = graft.text.Dedup.signatureClusters(batch).persist()
+      try {
+        // retry-proof screen: exclude this batch's own doc_ids from
+        // the corpus side (no-op when admission has not run — the
+        // caller contract keeps corpus/fresh ids disjoint)
+        val corpusMembers = readMembers(s).join(
+          broadcast(sig.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        emit(graft.text.Dedup.incrementalLshPairsAgainstStoreSigs(
+          s, readBandStore(s), corpusMembers, sig, rowsPerBand), batchId)
+        appendBandStore(graft.text.Dedup.bandStoreOfSigs(sig, rowsPerBand), batchId)
+        appendMembers(graft.text.Dedup.membersOfSigs(sig), batchId)
+      } finally sig.unpersist()
     }
+  }
 }

@@ -210,7 +210,11 @@ object Dedup {
     * signature fold is a pure map, and the downstream self-joins
     * shuffle structurally identical subtrees that ReuseExchange
     * dedupes — caching would only pin memory. */
-  private def signatureClusters(documents: DataFrame): DataFrame =
+  // private[graft]: the streaming ingest screen (StreamingOps.
+  // lshScreenForeachBatch) computes this ONCE per micro-batch and
+  // feeds the sig-based variants below — the per-token MD5 + 16-hash
+  // fold is the expensive step and must not run three times per batch
+  private[graft] def signatureClusters(documents: DataFrame): DataFrame =
     minhashSignatureArrays(documents)
       .select(col("doc_id"), col("mhs"), xxhash64(col("mhs")).as("sig_key"))
 
@@ -326,14 +330,44 @@ object Dedup {
     * the next batch's probe join then reads the corpus side
     * EXCHANGE-FREE (plan-shape-tested in DedupPropertySpec). */
   def minhashBandStore(documents: DataFrame, rowsPerBand: Int = 4): DataFrame =
-    bandedSigs(signatureClusters(documents).select(col("sig_key"), col("mhs")).distinct(),
-      rowsPerBand)
+    bandStoreOfSigs(signatureClusters(documents), rowsPerBand)
+
+  private[graft] def bandStoreOfSigs(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    bandedSigs(sig.select(col("sig_key"), col("mhs")).distinct(), rowsPerBand)
 
   /** The persistable corpus side of incremental dedup, part 2: the
     * (doc_id, sig_key) membership map the candidate expansion joins
     * back through. */
   def minhashMembers(documents: DataFrame): DataFrame =
-    signatureClusters(documents).select(col("doc_id"), col("sig_key"))
+    membersOfSigs(signatureClusters(documents))
+
+  private[graft] def membersOfSigs(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sig_key"))
+
+  /** Guard against a silently mismatched band layout: a store written
+    * with a different `rowsPerBand` than the probe makes fresh band
+    * keys collide with stored keys essentially never — the screen
+    * quietly returns (almost) nothing, the exact "silent recall
+    * collapse" the in-plan banding guard fails loudly on. Every
+    * signature emits ALL its bands, so any non-empty store must show
+    * max(band) == nBands−1. COST: one narrow column scan of the
+    * store — call once per pipeline/stream start (the streaming
+    * screen does), not per batch. An empty store (cold start)
+    * validates trivially. */
+  def validateBandStore(bandStore: DataFrame, rowsPerBand: Int = 4): Unit = {
+    require(rowsPerBand >= 1 && rowsPerBand <= MinhashFuncs &&
+        MinhashFuncs % rowsPerBand == 0,
+      s"rowsPerBand must divide MinhashFuncs=$MinhashFuncs, got $rowsPerBand")
+    val nBands = MinhashFuncs / rowsPerBand
+    val mx = bandStore.agg(max(col("band"))).head()
+    if (!mx.isNullAt(0)) {
+      val got = mx.getAs[Number](0).longValue()
+      require(got == nBands - 1L,
+        s"band store layout mismatch: store has bands 0..$got but the probe expects " +
+          s"$nBands bands (rowsPerBand=$rowsPerBand) — it was written with a " +
+          "different rowsPerBand; probing it would silently collapse recall")
+    }
+  }
 
   /** [[incrementalLshPairs]] probing a PERSISTED corpus — the shape a
     * 100 TB ingest pipeline actually runs: `bandStore` and
@@ -349,8 +383,17 @@ object Dedup {
     * keep its bucketed layout through the join. */
   def incrementalLshPairsAgainstStore(spark: SparkSession, bandStore: DataFrame,
                                       corpusMembers: DataFrame, fresh: DataFrame,
-                                      rowsPerBand: Int = 4): DataFrame = {
-    val fSig = signatureClusters(fresh)
+                                      rowsPerBand: Int = 4): DataFrame =
+    incrementalLshPairsAgainstStoreSigs(spark, bandStore, corpusMembers,
+      signatureClusters(fresh), rowsPerBand)
+
+  /** [[incrementalLshPairsAgainstStore]] with the fresh side already
+    * signature-folded — the streaming screen persists ONE signature
+    * frame per micro-batch and derives screen + band-store + members
+    * from it (three actions, one tokenize+hash pass). */
+  private[graft] def incrementalLshPairsAgainstStoreSigs(
+      spark: SparkSession, bandStore: DataFrame, corpusMembers: DataFrame,
+      fSig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val members = corpusMembers.withColumn("is_fresh", lit(false))
       .unionByName(fSig.select(col("doc_id"), col("sig_key")).withColumn("is_fresh", lit(true)))
     val freshBanded = bandedSigs(fSig.select(col("sig_key"), col("mhs")).distinct(), rowsPerBand)

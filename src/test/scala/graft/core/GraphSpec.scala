@@ -198,12 +198,17 @@ class GraphSpec extends SparkSpec {
       }
     val small = Seq((1L, 1L), (2L, 1L)).toDF("node", "comp")
     assert(hintOf(small).contains("broadcast"), "under-cap LocalRelation must broadcast")
-    // over-cap: rows > ComponentBroadcastMaxRows. Build the
-    // LocalRelation directly from InternalRows (a 4M-element Scala
-    // Seq through the encoder would dominate the suite's runtime)
+    // over-cap: rows > ComponentBroadcastMaxRows. A VIRTUAL IndexedSeq
+    // — the dispatch only reads .length and the analyzed plan never
+    // executes, so materializing 4M+1 boxed InternalRows (~hundreds
+    // of MB on the shared test heap) would buy nothing
     val n = Graph.ComponentBroadcastMaxRows + 1
-    val rows = (0 until n).map(i =>
-      org.apache.spark.sql.catalyst.InternalRow(i.toLong, i.toLong))
+    val rows: IndexedSeq[org.apache.spark.sql.catalyst.InternalRow] =
+      new scala.collection.immutable.IndexedSeq[org.apache.spark.sql.catalyst.InternalRow] {
+        def length: Int = n
+        def apply(i: Int): org.apache.spark.sql.catalyst.InternalRow =
+          org.apache.spark.sql.catalyst.InternalRow(i.toLong, i.toLong)
+      }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType, nullable = false)))

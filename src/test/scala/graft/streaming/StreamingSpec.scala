@@ -158,7 +158,7 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
       appendMembers = (df, _) => df.write.mode("append").parquet(s"$root/members"),
       // collect() materializes before the admit step runs — the
       // ordering contract the scaladoc requires of emit
-      emit = df => emitted.synchronized {
+      emit = (df, _) => emitted.synchronized {
         emitted ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
       })
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -185,6 +185,25 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
     assert(Set((1L, 101L), (1L, 201L), (101L, 201L), (2L, 202L)).subsetOf(got))
     // the admitted store now holds corpus + both batches' band rows
     assert(spark.read.parquet(s"$root/members").count() == 8)
+
+    // retry-proofness: re-running a batch body AFTER its admit has
+    // fully landed (the worst retry case — the store already contains
+    // the batch) must emit exactly the same pairs, not doubles
+    val reEmitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val retryBody = StreamingOps.lshScreenForeachBatch(
+      readBandStore = s => s.read.parquet(s"$root/bands"),
+      readMembers = s => s.read.parquet(s"$root/members"),
+      appendBandStore = (_, _) => (), // admission made a no-op for the replay
+      appendMembers = (_, _) => (),
+      emit = (df, _) => reEmitted.synchronized {
+        reEmitted ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      })
+    retryBody(b2, 1L)
+    val b2Pairs = got.filter { case (a, b) =>
+      (200L to 299L).contains(a) || (200L to 299L).contains(b) }
+    assert(reEmitted.toSet == b2Pairs,
+      s"retried batch diverged: got ${reEmitted.toSet} expected $b2Pairs")
+    assert(reEmitted.size == reEmitted.toSet.size, "retry emitted a pair twice")
   }
 
   test("markovStream == batch markovTransitions; boundary transition emits once") {
