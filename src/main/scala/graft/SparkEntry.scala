@@ -344,10 +344,11 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       val base = ev.filter(col("event_id") % 10 < 8)
       val delta = ev.filter(col("event_id") % 10 >= 8)
-      graft.core.Warehouse.mergeAggStates(Seq(
-        graft.core.Warehouse.aggState(base, Seq("event_type"), "value"),
-        graft.core.Warehouse.aggState(delta, Seq("event_type"), "value")),
-        Seq("event_type"))
+      graft.core.Warehouse.finishAggState(
+        graft.core.Warehouse.mergeAggStates(Seq(
+          graft.core.Warehouse.aggState(base, Seq("event_type"), "value"),
+          graft.core.Warehouse.aggState(delta, Seq("event_type"), "value")),
+          Seq("event_type")))
     }),
     // small-file compaction: 64-way fragmented write, OPTIMIZE into
     // ~20k-row files, aggregate the compacted table; compaction is

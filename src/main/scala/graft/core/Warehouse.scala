@@ -29,6 +29,13 @@ object Warehouse {
     * exchange-free the same way. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
     require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
+    // simple (unqualified) names only: the backticked DROP below
+    // would treat "db.tbl" as ONE identifier and the computed
+    // location ignores the db.db/ directory layer — the stale-
+    // location cleanup would silently miss, resurrecting the exact
+    // "location is not empty" failure it exists to prevent
+    require(!table.contains("."),
+      s"writeBucketed takes a simple table name in the current database, got '$table'")
     val spark = df.sparkSession
     // a fresh (in-memory) catalog may not know a table whose previous
     // location survives on disk — clear both before writing
@@ -170,10 +177,20 @@ object Warehouse {
   private val commitMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Monitor key: CANONICAL path, so two same-JVM threads addressing
+    * one table via different spellings ("/t", "/./t", a symlink)
+    * share the monitor — getAbsolutePath keys them apart and the
+    * second thread hits OverlappingFileLockException, an exception
+    * the documented retry contract does not include. Falls back to
+    * the absolute path if the filesystem refuses canonicalization. */
+  private def canonicalKey(dir: String): String = {
+    val f = new java.io.File(dir)
+    try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+  }
+
   private def commitStagedZoneMapVersion(dir: String, expected: Int,
                                          staged: java.io.File): Int =
-    commitMonitors.computeIfAbsent(
-        new java.io.File(dir).getAbsolutePath, _ => new Object).synchronized {
+    commitMonitors.computeIfAbsent(canonicalKey(dir), _ => new Object).synchronized {
       commitStagedLocked(dir, expected, staged)
     }
 
@@ -228,11 +245,21 @@ object Warehouse {
     * and the prune path are what this models. */
   def writeZoneMapped(df: DataFrame, dir: String, statCol: String, nFiles: Int = 16): Unit = {
     require(nFiles >= 1, s"need nFiles >= 1, got $nFiles")
-    // CREATE OR REPLACE: any previous incarnation's metadata restarts
-    val hist = new java.io.File(dir, "_zonemap_history")
-    if (hist.exists()) deleteRecursively(hist)
+    // CREATE OR REPLACE: any previous incarnation's metadata restarts.
+    // REPLACE is deliberately NOT crash-atomic — data/ is shared
+    // across versions, so overwriting it consumes the previous
+    // incarnation regardless of metadata ordering; crash-safe
+    // evolution of a committed table is mergeZoneMapped's staged CAS
+    // path. What the ordering below DOES guarantee is fail-CLOSED
+    // reads throughout the window: the `_current` pointer dies FIRST,
+    // so a reader racing a replace (or arriving after a mid-replace
+    // crash) gets the clean "no committed zone-map table" error, never
+    // a committed-looking manifest whose files are being deleted
+    // under it.
     val ptr = new java.io.File(dir, "_current")
     if (ptr.exists()) ptr.delete()
+    val hist = new java.io.File(dir, "_zonemap_history")
+    if (hist.exists()) deleteRecursively(hist)
     df.repartitionByRange(nFiles, col(statCol))
       .sortWithinPartitions(col(statCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
@@ -569,14 +596,22 @@ object Warehouse {
       s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
     keys.foreach(k => require(oldDf.columns.contains(k), s"missing key column '$k'"))
     val valCols = oldDf.columns.filterNot(keys.contains).toIndexedSeq
-    val o = oldDf.select(keys.map(col) ++ valCols.map(c => col(c).as(s"__o_$c"))
-      :+ lit(true).as("__in_old"): _*)
-    val n = newDf.select(keys.map(col) ++ valCols.map(c => col(c).as(s"__n_$c"))
-      :+ lit(true).as("__in_new"): _*)
+    // keys renamed per side and joined NULL-SAFELY (<=>): a plain
+    // name-based equi-join never matches null keys, so an identical
+    // null-key row present in both snapshots would surface as a
+    // spurious added+removed pair — a CDC consumer replaying that
+    // feed deletes and re-inserts a row that never changed. <=> is
+    // still an equi-join key to the planner (hash/merge joinable).
+    val o = oldDf.select(keys.map(k => col(k).as(s"__o_k_$k"))
+      ++ valCols.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__in_old"): _*)
+    val n = newDf.select(keys.map(k => col(k).as(s"__n_k_$k"))
+      ++ valCols.map(c => col(c).as(s"__n_$c")) :+ lit(true).as("__in_new"): _*)
     val changed = valCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    o.join(n, keys.toIndexedSeq, "full_outer")
-      .select(keys.map(col) :+ when(col("__in_old").isNull, lit("added"))
+    val joinCond = keys.map(k => col(s"__o_k_$k") <=> col(s"__n_k_$k")).reduce(_ && _)
+    o.join(n, joinCond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"__o_k_$k"), col(s"__n_k_$k")).as(k))
+        :+ when(col("__in_old").isNull, lit("added"))
         .when(col("__in_new").isNull, lit("removed"))
         .when(changed, lit("changed"))
         .otherwise(lit("unchanged")).as("change_type"): _*)
@@ -594,6 +629,11 @@ object Warehouse {
   def aggState(df: DataFrame, groupCols: Seq[String], valueCol: String,
                scale: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // fail-loud on poison values, BY DESIGN (the moneySum convention):
+    // a NaN/Infinity (or |value| ≥ 1e16) in valueCol aborts the job
+    // via the ANSI double→Decimal cast rather than silently skewing a
+    // materialized aggregate. A pipeline that prefers to quarantine
+    // filters with Validate.finiteSample upstream.
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
            sum(round(col(valueCol), scale).cast(DecimalType(18, scale))).as("val_dec"))
@@ -601,15 +641,25 @@ object Warehouse {
 
   /** Merge [[aggState]] frames (base ∪ deltas) into the state of the
     * combined data: one small shuffle over GROUPS (not rows). The
-    * declared output casts the exact decimal back to double. */
+    * output is ITSELF an aggState — (groups, n, val_dec) — so states
+    * are CLOSED under merging, which is the whole point of the IVM
+    * loop: a materialized base state absorbs the next cycle's delta
+    * state by another merge (the r12 review caught the old double
+    * cast here — it made round 2 of the loop a schema mismatch and
+    * silently surrendered the exact-decimal guarantee). Cast to a
+    * presentation value at the edge with [[finishAggState]]. */
   def mergeAggStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(states.nonEmpty, "mergeAggStates needs at least one state")
     states.reduce(_ unionByName _)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("val_dec")).as("val_dec"))
-      .withColumn("value_sum", col("val_dec").cast("double"))
-      .drop("val_dec")
   }
+
+  /** Presentation finisher for an [[aggState]]: the exact decimal sum
+    * becomes a double `value_sum`. Terminal — the result is no longer
+    * mergeable state. */
+  def finishAggState(state: DataFrame): DataFrame =
+    state.withColumn("value_sum", col("val_dec").cast("double")).drop("val_dec")
 
   /** Small-file compaction (OPTIMIZE): rewrite a parquet directory
     * into ⌈rows / targetFileRows⌉ files, content-preserved. The
@@ -644,6 +694,19 @@ object Warehouse {
     // before doing anything else (see swap comment below)
     if (!dirFile.exists() && old.exists())
       require(old.renameTo(dirFile), s"compactFiles: crash recovery rename failed for $dir")
+    // a manifest-committed table's data/ directory passes the foreign
+    // check below (only parquet inside) but MUST NOT be compacted:
+    // the rewrite renames every file and strands the committed
+    // manifest's URIs, breaking all subsequent pruned/versioned reads
+    // (the old refusal message even ADVISED this corruption — r12
+    // review). Detect the sibling metadata and refuse loudly.
+    val parentMeta = Option(dirFile.getParentFile)
+      .map(p => new java.io.File(p, "_zonemap_history"))
+    require(!parentMeta.exists(_.exists()),
+      s"$dir is the data directory of a manifest-committed zone-map table; " +
+        "compacting it would rename files out from under the committed manifest. " +
+        "Rebuild the table at the target file count with writeZoneMapped (or evolve " +
+        "it through mergeZoneMapped, whose COW rewrite re-manifests) instead")
     // the whole-directory swap REPLACES dir: refuse if it holds
     // anything beyond parquet + write-marker files (e.g. a zone-map
     // manifest subdir) — a caller compacting a table ROOT would
@@ -653,7 +716,7 @@ object Warehouse {
         || f.getName.startsWith("."))))
     require(foreign.isEmpty,
       s"compactFiles compacts plain parquet directories only; $dir contains " +
-        s"${foreign.map(_.getName).mkString(", ")} — compact the data subdir instead")
+        s"${foreign.map(_.getName).mkString(", ")}")
     val before = parquetFiles(dirFile)
     // nothing to compact (e.g. a sink dir holding only marker files):
     // a no-op, not a schema-inference failure from reading zero files
@@ -694,8 +757,16 @@ object Warehouse {
     // (null never equi-joins) and sequence(0, -1) on the small side
     // — a silently EMPTY join instead of an error
     require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")
+    // salt from the row's POSITION, not its content (r12 review): a
+    // content hash (xxhash64 of all columns) gives every byte-
+    // identical duplicate of the hot key the SAME salt, so the exact
+    // degenerate case this function exists for — millions of
+    // identical rows on one key — stayed on one reducer. The
+    // monotonic id spreads consecutive rows round-robin across salts
+    // regardless of content; the salt routes rows but never changes
+    // the join result, so layout-dependence is harmless.
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(nSalts)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(nSalts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

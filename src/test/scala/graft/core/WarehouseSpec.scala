@@ -523,19 +523,37 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // schema mismatch refuses loudly
     intercept[IllegalArgumentException](
       Warehouse.snapshotDiff(old, old.drop("v"), Seq("k")))
+    // NULL KEYS join null-safely (r12 review): an identical null-key
+    // row in both snapshots is unchanged (dropped), not a spurious
+    // added+removed pair; a changed null-key row classifies normally
+    val o4 = Seq((Option(1L), "same"), (Option.empty[Long], "same"))
+      .toDF("k", "s")
+    val got3 = Warehouse.snapshotDiff(o4, o4, Seq("k"))
+    assert(got3.count() == 0, "identical snapshots with a null key must diff empty")
+    val got4 = Warehouse.snapshotDiff(
+      Seq((Option.empty[Long], "was")).toDF("k", "s"),
+      Seq((Option.empty[Long], "now")).toDF("k", "s"), Seq("k"))
+      .collect().map(r => r.getString(1)).toSeq
+    assert(got4 == Seq("changed"), s"null-key value change must classify as changed, got $got4")
   }
 
-  test("aggState slices merge into the full-recompute state (any slicing)") {
+  test("aggState slices merge into the full-recompute state; states stay mergeable (IVM loop)") {
     val df = (1 to 1000).map(i => (s"g${i % 3}", i * 0.37)).toDF("g", "v")
-    val full = Warehouse.mergeAggStates(
-      Seq(Warehouse.aggState(df, Seq("g"), "v")), Seq("g"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def finished(state: org.apache.spark.sql.DataFrame) =
+      Warehouse.finishAggState(state)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = finished(Warehouse.mergeAggStates(
+      Seq(Warehouse.aggState(df, Seq("g"), "v")), Seq("g")))
     // 3-way disjoint slicing by a different predicate than the group
     val slices = (0 to 2).map(m => Warehouse.aggState(
       df.filter(abs(hash(col("v"))) % 3 === m), Seq("g"), "v"))
-    val merged = Warehouse.mergeAggStates(slices, Seq("g"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(merged == full) // decimal partials: bit-identical, not approx
+    assert(finished(Warehouse.mergeAggStates(slices, Seq("g"))) == full)
+    // CLOSED under merging — the IVM loop's round 2: a MERGED state
+    // (base) absorbs a further delta state by another merge (the r12
+    // review found the old value_sum cast broke exactly this)
+    val base = Warehouse.mergeAggStates(slices.take(2), Seq("g"))
+    val absorbed = Warehouse.mergeAggStates(Seq(base, slices(2)), Seq("g"))
+    assert(finished(absorbed) == full) // decimal partials: bit-identical, not approx
   }
 
   test("compactFiles shrinks the file count, preserves content exactly") {
