@@ -203,11 +203,14 @@ case class LocalBackend(path: String) extends MaterialsBackend {
   * instance; zero egress).
   *
   * Wire contract (`text/plain`, one pipe-separated row per line):
-  *   GET url?page=i&pages=n[&in.<col>=v]*[&sample=lo:hi:seed]
+  *   GET url?page=i&pages=n[&in.<col>=v]*[&none.<col>=1]*[&sample=lo:hi:seed]
   *                 [&offset=o][&limit=k][&sort=<col>&dir=asc|desc&topn=k]
   *   GET url?count=1[&filters…]   → single line: matching row count
   * Repeated `in.<col>` params form the IN-list (values may contain
-  * any catalog character — no in-value separator to collide with). */
+  * any catalog character — no in-value separator to collide with);
+  * `none.<col>=1` declares an EMPTY IN-list — the column matches no
+  * row (contradictory pushed conjuncts; required because "zero
+  * repeated params" is indistinguishable from "no filter"). */
 case class HttpCatalogBackend(url: String) extends MaterialsBackend {
   import MaterialsSource.BackendQuery
 
@@ -227,7 +230,17 @@ case class HttpCatalogBackend(url: String) extends MaterialsBackend {
   }
 
   private def filterParams(q: BackendQuery): Seq[(String, String)] =
-    q.in.toSeq.sortBy(_._1).flatMap { case (c, vs) => vs.map(v => s"in.$c" -> v) }
+    q.in.toSeq.sortBy(_._1).flatMap {
+      // an EMPTY intersected IN-list (contradictory pushed conjuncts,
+      // e.g. c = 'x' AND c = 'y') matches NOTHING — but "no values"
+      // is unrepresentable as repeated in.<col> params, and dropping
+      // the column entirely would make the server match EVERYTHING
+      // on it; Spark never re-applies pushed conjuncts, so the wire
+      // needs an explicit match-nothing marker (r12 review: the
+      // local backend returned 0 rows here, HTTP returned all)
+      case (c, vs) if vs.isEmpty => Seq(s"none.$c" -> "1")
+      case (c, vs)               => vs.map(v => s"in.$c" -> v)
+    }
 
   override def fetch(page: Int, nPages: Int, query: BackendQuery, limit: Int,
                      topN: Option[(String, Boolean, Int)], offset: Int,
@@ -455,9 +468,7 @@ private[sources] class MaterialsScanBuilder(val backend: MaterialsBackend, pages
       case Array(o) =>
         o.expression() match {
           case ref: NamedReference if ref.fieldNames().length == 1 &&
-              MaterialsSource.Schema.fields.exists(f =>
-                f.name == ref.fieldNames()(0) &&
-                  (f.dataType == IntegerType || f.dataType == DoubleType)) =>
+              numericField(ref.fieldNames()(0)) => // same acceptance as min/max pushdown
             topN = Some((ref.fieldNames()(0), o.direction() == SortDirection.DESCENDING, n))
             true
           case _ => false
@@ -492,7 +503,17 @@ private[sources] class MaterialsScanBuilder(val backend: MaterialsBackend, pages
     * reason as pushTopN: JVM string ordering diverges from Spark's
     * UTF-8 binary order on supplementary-plane text. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    pages == 1 && joinPushed.isEmpty && translateAgg(agg).isDefined
+    // string group keys ONLY for the complete form: complete pushdown
+    // means Spark plans NO aggregate at all, trusting the backend's
+    // per-group rows — which group by RAW CELL TEXT. For a numeric
+    // group column, non-canonical text forms ("1.5" vs "1.50") would
+    // ship as distinct groups that nothing ever merges; the partial
+    // form is immune (Spark's merge re-groups by TYPED value) — the
+    // same raw-text-vs-typed-equality hazard the join-key push guards
+    // against.
+    pages == 1 && joinPushed.isEmpty &&
+      translateAgg(agg).exists(_.groupBy.forall(c =>
+        Schema(Schema.fieldIndex(c)).dataType == StringType))
 
   override def pushAggregation(agg: Aggregation): Boolean =
     // a pushed sample would have to apply BEFORE the aggregation; the
@@ -639,6 +660,12 @@ private[sources] class MaterialsScan(
   /** Post-pushdown statistics: the backend counts matching rows so
     * the planner sizes this side correctly (broadcast vs shuffle) —
     * without this, a heavily-filtered scan is costed at table size. */
+  // one backend count() per scan per query, however many Statistics
+  // instances the planner asks for
+  private lazy val matchingCount: Long = backend.count(runtime)
+  private lazy val rightCount: Long =
+    join.map(pj => backend.count(pj.rightQuery)).getOrElse(0L)
+
   override def estimateStatistics(): Statistics = new Statistics {
     // the estimate must describe what the scan EMITS, not what the
     // catalog matches — stats exist so the planner can e.g. broadcast
@@ -650,21 +677,29 @@ private[sources] class MaterialsScan(
     //    endpoint); still far better than unestimated;
     //  - plain scan: matching rows minus a pushed offset, capped by
     //    a pushed per-page limit/top-n.
-    private lazy val matching = backend.count(runtime)
-    private val n = (agg, join) match {
+    // memoized ON THE SCAN (not per-Statistics-instance): each count
+    // is a blocking backend round-trip (HTTP GET with 10s/60s
+    // timeouts) during driver-side planning — re-fetching a number
+    // the scan already knows on every estimateStatistics() call
+    // stalls planning on a slow catalog for nothing
+    private lazy val matching = matchingCount
+    private lazy val n: Long = (agg, join) match {
       case (Some(a), _) => if (a.groupBy.isEmpty) pages.toLong else matching
       case (None, Some(pj)) =>
-        // the scan EMITS joined rows: left matches × per-key right
-        // multiplicity. material_id is unique by catalog contract →
-        // multiplicity ≤ 1; any other key has no distinct-count
-        // endpoint, so take the safe upper bound left × right —
-        // overestimating can only forgo a broadcast, while the old
-        // left-only count could UNDERestimate a fan-out join below
-        // the broadcast threshold and blow up the build side
+        // the scan EMITS joined rows: output = Σ_v L(v)·R(v), so a
+        // UNIQUE key bounds the output by the OTHER side's count
+        // (material_id is unique by catalog contract). A unique LEFT
+        // key bounds by the RIGHT count — the r12 review caught the
+        // old code returning `left` for either side, which could
+        // UNDERestimate a fan-out join (unique left key, hot right
+        // key) below the broadcast threshold and blow up the build
+        // side. No unique key → the safe upper bound left × right:
+        // overestimating can only forgo a broadcast.
         val left = matching
-        if (pj.leftKey == "material_id" || pj.rightKey == "material_id") left
+        if (pj.rightKey == "material_id") left
+        else if (pj.leftKey == "material_id") rightCount
         else {
-          val right = backend.count(pj.rightQuery)
+          val right = rightCount
           if (right != 0 && left > Long.MaxValue / right) Long.MaxValue
           else left * right
         }

@@ -58,7 +58,9 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val query = BackendQuery(
-      params.collect { case (k, vs) if k.startsWith("in.") => k.drop(3) -> vs })
+      params.collect { case (k, vs) if k.startsWith("in.") => k.drop(3) -> vs } ++
+      // none.<col>=1: an explicitly EMPTY IN-list — matches nothing
+      params.collect { case (k, _) if k.startsWith("none.") => k.drop(5) -> Seq.empty[String] })
     val matching = catalogRows.filter { f =>
       query.matches("material_id", f(0)) &&
       query.matches("chemsys", f(1)) &&
@@ -115,9 +117,9 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
 
   private def resetCounters(): Unit = { requests.clear(); rowsServed.set(0) }
 
-  private def loadHttp() = spark.read
+  private def loadHttp(pages: Int = 3) = spark.read
     .format("graft.sources.MaterialsSource")
-    .option("url", url).option("pages", "3").load()
+    .option("url", url).option("pages", pages.toString).load()
 
   private def loadLocal() = spark.read
     .format("graft.sources.MaterialsSource")
@@ -168,6 +170,41 @@ class MaterialsHttpSourceSpec extends SparkSpec with BeforeAndAfterAll {
       q.contains("in.material_id=mp-1002") && q.contains("in.material_id=mp-1005")),
       s"in-list params missing: $fetches")
     assert(rowsServed.get() == 2)
+  }
+
+  test("contradictory same-column filters return ZERO rows over the wire (none. marker)") {
+    // the local-backend regression test for this shape passed while
+    // the HTTP wire silently dropped the empty IN-list and matched
+    // everything (r12 review); the none.<col> marker closes the gap
+    resetCounters()
+    // two DISJOINT In-lists: contradictory equalities never reach the
+    // source (Catalyst's ConstantPropagation folds them to an empty
+    // relation engine-side), but disjoint IN-lists survive to
+    // pushFilters and intersect to the empty set on the scan
+    val df = loadHttp().filter(
+      col("material_id").isin("mp-1002", "mp-1005") &&
+      col("material_id").isin("mp-1008", "mp-1009"))
+    assert(df.collect().isEmpty, "contradictory pushed conjuncts must match nothing")
+    val fetches = requests.asScala.filterNot(_.contains("count=1"))
+    assert(fetches.nonEmpty && fetches.forall(_.contains("none.material_id=1")),
+      s"empty-IN marker missing from requests: $fetches")
+    assert(rowsServed.get() == 0, s"server shipped ${rowsServed.get()} rows, expected 0")
+  }
+
+  test("complete agg pushdown only for STRING group keys; numeric keys stay partial") {
+    // complete pushdown trusts the backend's raw-text grouping — fine
+    // for strings, wrong for numerics ("1.5" vs "1.50" would ship as
+    // two groups nothing merges). The partial form re-groups typed.
+    val byString = loadHttp(pages = 1).groupBy("chemsys").count()
+    val byNumeric = loadHttp(pages = 1).groupBy("nsites").count()
+    def hasAggExec(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("HashAggregate")
+    assert(!hasAggExec(byString), "string group key at pages=1 should push complete")
+    assert(hasAggExec(byNumeric), "numeric group key must keep Spark's merge aggregate")
+    // and both are RIGHT regardless of the pushdown depth
+    assert(byNumeric.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      loadLocal().groupBy("nsites").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
   }
 
   test("pushed limit rides the request and caps rows shipped per page") {

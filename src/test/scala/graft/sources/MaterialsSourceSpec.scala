@@ -60,9 +60,19 @@ class MaterialsSourceSpec extends SparkSpec {
       col("material_id").isin("mp-1002", "mp-1005") &&
       col("material_id").isin("mp-1005", "mp-1008"))
     assert(df.collect().map(_.getAs[String]("material_id")).toSeq == Seq("mp-1005"))
-    // contradictory equalities → empty, not last-wins
+    // contradictory equalities → empty, not last-wins (NOTE: this
+    // shape is folded to an empty relation by Catalyst's
+    // ConstantPropagation and never reaches the source — kept as an
+    // end-to-end fact; the SOURCE-reaching contradiction is the
+    // disjoint-IN case below)
     val none = load().filter(col("chemsys") === "V-O" && col("chemsys") === "Pt")
     assert(none.count() == 0)
+    // DISJOINT In-lists survive to pushFilters and intersect to the
+    // empty set on the scan: the backend must match nothing
+    val disjoint = load().filter(
+      col("material_id").isin("mp-1002", "mp-1005") &&
+      col("material_id").isin("mp-1008", "mp-1009"))
+    assert(disjoint.collect().isEmpty)
   }
 
   test("LIMIT is pushed into the scan; the global limit still holds") {
