@@ -56,12 +56,21 @@ object Similarity {
     * vec_id tiebreak keeps ranks deterministic under float noise —
     * and keep the first `k`. One place defines the ranking contract
     * for the exact, IVF, and ANN paths. */
+  /** Defined-similarity guard, shared by every ranking/threshold
+    * site: a sim is usable iff non-NULL AND non-NaN. NULL is the
+    * zero-norm case (the nullif guards); NaN means a NaN/∞ component
+    * reached the dot product — and Spark ORDERS NaN greater than
+    * every value and evaluates `NaN >= t` as TRUE, so one poisoned
+    * vector would otherwise outrank every real neighbor in top-k and
+    * pass every near-dup threshold (r12 review; same NaN-is-not-null
+    * trap Learn/Validate/Warehouse each guard on their own columns). */
+  private def simDefined(sim: Column): Column = sim.isNotNull && !isnan(sim)
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    // a NULL sim (zero-norm side, see the nullif guards) is
-    // undefined, not "worst": excluded from the ranking entirely so
-    // it can never fill a top-k slot when candidates are scarce
-    scored.filter(col("sim").isNotNull)
+    // an undefined sim is excluded from the ranking entirely so it
+    // can never fill a top-k slot when candidates are scarce
+    scored.filter(simDefined(col("sim")))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select("q_id", "vec_id", "sim", "rk")
@@ -194,11 +203,24 @@ object Similarity {
     * identical vectors; the within-cell join therefore expands on
     * distinct vectors only, pinned shuffle_hash so a hot cell
     * streams. Assignment itself is the zero-shuffle broadcast argmax
-    * fold. Returns (vec_id, cell, dropped). */
+    * fold. Returns (vec_id, cell, dropped).
+    *
+    * Edge semantics, stated precisely: BYTE-IDENTICAL embeddings are
+    * exact duplicates and every non-rep member is ALWAYS dropped —
+    * including zero-norm identicals whose pairwise cosine is
+    * undefined (exact-duplicate collapse is prior to, not governed
+    * by, the cosine threshold). The threshold governs only DISTINCT
+    * embeddings; an undefined sim (zero-norm pair, NaN component)
+    * never drops a distinct vector. Zero-norm reps carry the
+    * assignment sentinel cell = -1 (no defined cosine to any
+    * centroid). Rows with a NULL embedding are excluded — no
+    * similarity is defined on them (the family's tokenless-doc
+    * convention). */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
                     nCells: Int = 16): DataFrame = {
     require(nCells >= 1, s"need nCells >= 1, got $nCells")
-    val e = embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // r_emb alias keeps the rep table's lineage distinct from e's so
     // the member rejoin below isn't an ambiguous self-join
     val reps = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id"))
@@ -215,10 +237,11 @@ object Similarity {
         bestCellExpr(col("embedding"), col("nrm")).as("cell"))
     val earlier = assigned.select(col("cell"), col("vec_id").as("id_b"),
       col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
+    val pairSim = round(dot(col("embedding"), col("vec_b"))
+      / nullif(sqrt(col("nrm") * col("nrm_b")), lit(0.0)), 6)
     val dupReps = assigned.join(earlier.hint("shuffle_hash"), Seq("cell"))
       .filter(col("id_b") < col("vec_id"))
-      .filter(round(dot(col("embedding"), col("vec_b"))
-        / nullif(sqrt(col("nrm") * col("nrm_b")), lit(0.0)), 6) >= threshold)
+      .filter(simDefined(pairSim) && pairSim >= threshold)
       .select(col("vec_id")).distinct()
       .withColumn("rep_dropped", lit(true))
     // members rejoin through their rep: a non-rep member is dropped
@@ -269,7 +292,7 @@ object Similarity {
       col("embedding").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("band", "bkt")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(dot(col("vec_a"), col("vec_b")) / nullif(sqrt(col("nrm_a") * col("nrm_b")), lit(0.0)), 6))
-      .filter(col("sim") >= threshold)
+      .filter(simDefined(col("sim")) && col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
       .dropDuplicates("id_a", "id_b")
   }
@@ -303,9 +326,23 @@ object Similarity {
   def gramMatrix(embeddings: DataFrame): DataFrame = {
     import embeddings.sparkSession.implicits._
     embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .flatMap { case (_, v) =>
-        val q = v.map(f => BigDecimal(f.toDouble * 1e6)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      .flatMap { case (id, v) =>
+        val q = v.map { f =>
+          val x = f.toDouble
+          // explicit, named failure for the two silent paths the r12
+          // review found: BigDecimal(NaN/∞) throws an opaque
+          // NumberFormatException with no row context, and .toLong
+          // WRAPS for |x·1e6| past 2^63 — before multiplyExact could
+          // ever observe the documented range violation
+          require(!x.isNaN && !x.isInfinity,
+            s"gramMatrix: non-finite embedding component $x in vec_id=$id — " +
+              "quarantine upstream (Validate.finiteSample)")
+          val bd = BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          require(bd.abs <= BigDecimal(Long.MaxValue),
+            s"gramMatrix: component $x in vec_id=$id overflows the 1e6 fixed-point " +
+              "long range (|x| <= ~9.2e12)")
+          bd.toLong
+        }
         // multiplyExact enforces the documented fail-loudly range
         // contract — a bare * would wrap silently past 2^63 and the
         // decimal sum would faithfully aggregate the garbage
@@ -393,10 +430,19 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
               col("xf").cast(DoubleType).as("x"))
-    val stats = ex.groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    // stats from FINITE values only (the writeZOrdered guard,
+    // Validate.finiteSample): one NaN reaching max() — Spark orders
+    // NaN greatest — would make (mx − mn) NaN and poison EVERY row's
+    // x_scaled in that dimension. Non-finite inputs keep their own
+    // raw value in the output (poison stays visible on its own row,
+    // never smeared across the dimension).
+    val finite = graft.core.Validate.finiteSample(col("x"))
+    val stats = ex.groupBy(col("dim")).agg(
+      min(when(finite, col("x"))).as("mn"), max(when(finite, col("x"))).as("mx"))
     ex.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim"),
-        when(col("mx") === col("mn"), lit(0.0))
+        when(!finite, col("x"))
+          .when(col("mx") <=> col("mn"), lit(0.0))
           .otherwise(round((col("x") - col("mn")) / (col("mx") - col("mn")), 6))
           .as("x_scaled"))
   }
@@ -428,7 +474,13 @@ object Similarity {
     * through a streamed hash join. */
   def embeddingComponents(embeddings: DataFrame, threshold: Double,
                           nPlanes: Int = 4, nBands: Int = 4): DataFrame = {
-    val keyed = embeddings.select(col("vec_id"), col("embedding"))
+    // NULL embeddings are excluded EXPLICITLY (family convention:
+    // tokenless docs drop) — before r12 they vanished by accident of
+    // the non-null-safe membership rejoin, which is the same outcome
+    // with the wrong author; a null-safe join would instead merge all
+    // null rows into one bogus "cluster" of unmeasurable vectors
+    val keyed = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
     // scoped cache (the family's standard pattern — minhash/simhash
     // components do the same for their signature tables): the rep
     // table is read by BOTH sides of the LSH band join, by the final
@@ -552,9 +604,27 @@ object Similarity {
   private def quantizer(e: DataFrame, nCells: Int, lloydIters: Int,
                         trainSampleFraction: Double = 1.0): DataFrame =
     if (lloydIters == 0)
+      // dense 0..n-1 cell ids in vec_id order (the pqBooksFrame
+      // renumbering trick), NOT raw vec_ids: the trained path
+      // renumbers densely, so raw ids made cell labels inconsistent
+      // across lloydIters settings on sparse-id corpora (r12 review);
+      // on dense 0-based corpora (every fixture and oracle) the two
+      // labelings coincide. The assert_true rides the one-row frame:
+      // zero seed rows (no vec_id < nCells — e.g. a re-keyed shard)
+      // used to silently assign cell=-1 everywhere and read as "no
+      // neighbors"; now ANY consumer of the quantizer fails loudly,
+      // matching trainedQuantizer's require.
       e.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cell"), col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
-        .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("cents"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("c_vec"), col("c_nrm")))).as("seeds"))
+        .select(when(
+            assert_true(size(col("seeds")) >= 1,
+              lit(s"IVF seed quantizer found no rows with vec_id < $nCells — " +
+                "re-key vec_ids to start at 0 or use lloydIters > 0 with a trained quantizer"))
+              .isNull,
+          transform(col("seeds"), (s, i) =>
+            struct(i.cast(LongType).as("cell"),
+              s.getField("c_vec").as("c_vec"), s.getField("c_nrm").as("c_nrm")))).as("cents"))
     else
       trainedQuantizer(e, nCells, lloydIters, trainSampleFraction)
 
@@ -717,8 +787,16 @@ object Similarity {
     e.filter(col("vec_id") < nBooks)
       .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding").as("c_vec"))))
         .as("seeds"))
-      .select(transform(col("seeds"), (s, i) =>
-        struct(i.cast(LongType).as("cid"), s.getField("c_vec").as("c_vec"))).as("books"))
+      // loud on zero seeds, like the IVF quantizer: an empty codebook
+      // used to yield NULL codes → NULL distances → a silently empty
+      // top-k (pqTrainBooks requires nonEmpty; the seeded path now
+      // fails the same way, from inside the plan)
+      .select(when(
+          assert_true(size(col("seeds")) >= 1,
+            lit(s"PQ seed codebook found no rows with vec_id < $nBooks — " +
+              "re-key vec_ids to start at 0 or train with lloydIters > 0")).isNull,
+        transform(col("seeds"), (s, i) =>
+          struct(i.cast(LongType).as("cid"), s.getField("c_vec").as("c_vec")))).as("books"))
 
   /** The `m` per-subspace code columns as one array expression
     * (requires a `books` column in scope). */
@@ -963,7 +1041,12 @@ object Similarity {
     // labels writePqIndex stores; a stale index written under a
     // different labeling would silently mis-decode — fail loudly
     // instead (the books table is nBooks rows, the check is free)
-    val cids = storedBooks.select(col("cid")).collect().map(_.getLong(0)).sorted
+    // one collect serves both validations (cid density + stored dim)
+    // — these were two separate driver jobs over the same nBooks-row
+    // table, i.e. two scheduling round-trips before the real query
+    val bookFacts = storedBooks.select(col("cid"), size(col("c_vec")).as("s"))
+      .collect()
+    val cids = bookFacts.map(_.getLong(0)).sorted
     require(cids.sameElements(cids.indices.map(_.toLong)),
       s"stored PQ codebook at $dir/books must have dense cids 0..n-1, " +
         s"got [${cids.mkString(",")}] — rebuild the index with writePqIndex")
@@ -973,8 +1056,7 @@ object Similarity {
     // NULL — a silently empty result. dim is encoded in the stored
     // codebook vectors (nBooks rows, free to check); m in the stored
     // code arrays (one-row probe).
-    val storedDim = storedBooks.select(size(col("c_vec")).as("s"))
-      .distinct().collect().map(_.getInt(0))
+    val storedDim = bookFacts.map(_.getInt(1)).distinct
     require(storedDim.sameElements(Array(dim)),
       s"stored PQ codebook at $dir/books holds dim-${storedDim.mkString(",")} " +
         s"vectors but the query asked for dim=$dim — query with the index's " +

@@ -37,6 +37,57 @@ class SimilaritySpec extends SparkSpec {
     pairs(approx).intersect(e).size.toDouble / e.size
   }
 
+  test("a NaN-component vector cannot poison top-k, near-dup pairs, or components") {
+    // Spark orders NaN GREATER than every value and NaN >= t is true
+    // (r12 review): unguarded, one embedder-failure vector outranks
+    // every real neighbor and near-dups with everything it shares a
+    // bucket with. The guards must exclude it like the zero-norm NULL.
+    val good = (0L to 5L).map(i =>
+      (i, Seq.fill(8)(0.1f * (i + 1))))            // colinear: sim 1.0 pairwise
+    val bad = Seq((99L, Seq(Float.NaN) ++ Seq.fill(7)(0.1f)))
+    val docs = (good ++ bad).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(docs, nQueries = 2, k = 3)
+    assert(top.count() > 0)
+    assert(!top.select("vec_id").as[Long].collect().contains(99L),
+      "NaN vector must never fill a top-k slot")
+    assert(top.select("sim").as[Double].collect().forall(s => !s.isNaN))
+    val pairs = Similarity.embeddingNearDupPairs(docs, 0.9)
+    assert(pairs.count() > 0)
+    assert(pairs.select("id_a", "id_b").collect()
+      .forall(r => r.getLong(0) != 99L && r.getLong(1) != 99L),
+      "NaN vector must never pass the near-dup threshold")
+    // components: the NaN vector stays its own singleton
+    val comp = Similarity.embeddingComponents(docs, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(99L) == 99L, "NaN vector must not chain into a component")
+    // semanticDedup: never dropped by an undefined sim
+    val sd = Similarity.semanticDedup(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(!sd(99L), "NaN vector must not be dropped by an undefined sim")
+  }
+
+  test("minMaxScale: a NaN component stays on its own row, never smears its dimension") {
+    val df = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, Float.NaN)), (3L, Seq(2.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.minMaxScale(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // dim 1 stats come from the finite values {5.0, 7.0} only
+    assert(got((1L, 1L)) == 0.0 && got((3L, 1L)) == 1.0,
+      s"finite rows of the poisoned dimension must scale normally: $got")
+    assert(got((2L, 1L)).isNaN, "the poisoned row keeps its NaN visibly")
+    assert(got((1L, 0L)) == 0.0 && got((2L, 0L)) == 1.0 && got((3L, 0L)) == 0.5)
+  }
+
+  test("gramMatrix fails loudly with row context on a non-finite component") {
+    val df = Seq((7L, Seq(0.5f, Float.NaN))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.gramMatrix(df).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("vec_id=7"),
+      s"error must name the offending row, got: $msg")
+  }
+
   test("gramMatrix: integer micro²-units closed form, upper triangle only") {
     val e = Seq(
       (1L, Seq(1.0f, 2.0f)),
