@@ -1900,7 +1900,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(toks)::BIGINT AS n_tokens,
         |  len(list_distinct(toks))::BIGINT AS n_uniq,
-        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_subword,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_subword,
         |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 6) AS avg_tok_len
         |FROM (SELECT doc_id, text,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -2135,7 +2135,7 @@ object SparkEntry {
         |  (coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000)::BIGINT AS shard
         |FROM (SELECT doc_id, lang,
-        |        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+        |        coalesce(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 0)::BIGINT AS n_tokens
         |      FROM documents)""".stripMargin,
 
     // same injected duplicate lines; DuckDB list_filter's lambda index
@@ -2149,9 +2149,9 @@ object SparkEntry {
         |SELECT doc_id,
         |  len(str_split(text, chr(10)))::BIGINT AS n_lines,
         |  len(list_filter(str_split(text, chr(10)),
-        |      (l, i) -> list_position(str_split(text, chr(10)), l) = i))::BIGINT AS n_kept,
+        |      (l, i) -> l = '' OR list_position(str_split(text, chr(10)), l) = i))::BIGINT AS n_kept,
         |  array_to_string(list_filter(str_split(text, chr(10)),
-        |      (l, i) -> list_position(str_split(text, chr(10)), l) = i), chr(10)) AS clean
+        |      (l, i) -> l = '' OR list_position(str_split(text, chr(10)), l) = i), chr(10)) AS clean
         |FROM x""".stripMargin,
 
     // same injected lines; DuckDB concat_ws skips NULL args exactly

@@ -27,8 +27,15 @@ object TextOps {
     * the row); without this, every typed-map operator NPE'd on a
     * library user's nullable text column (probed, then pinned in
     * `NullInputSpec`). */
+  // precompiled: String.split only fast-paths single-char literal
+  // separators — "\\s+" went through Pattern.compile once per ROW in
+  // every typed-map operator (and once per LINE in c4Clean), the
+  // hottest path in the file. Pattern is immutable/thread-safe; each
+  // executor JVM re-initializes it on object load.
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   def tokensOf(text: String): Seq[String] =
-    if (text == null) Nil else text.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (text == null) Nil else Ws.split(text).toSeq.filter(_.nonEmpty)
 
   /** Scala twin of [[shingles]] — the one word-n-gram definition every
     * typed-map path shares (n-gram top-k, Jaccard shingle sets), so
@@ -37,6 +44,29 @@ object TextOps {
   def shinglesOf(toks: Seq[String], n: Int): Seq[String] =
     if (n <= 1) toks
     else toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+
+  /** Scala twin of [[shinglesOf]] at n = 2, shared by the LM /
+    * collocation / importance-weight extractors so the bigram rule
+    * (space join, <2-token docs yield nothing) cannot drift between
+    * them — same rationale as the tokensOf/shinglesOf twins. */
+  def bigramPairsOf(toks: Seq[String]): Iterator[(String, String)] =
+    if (toks.length < 2) Iterator.empty
+    else toks.iterator.zip(toks.iterator.drop(1))
+
+  def bigramsOf(toks: Seq[String]): Iterator[String] =
+    bigramPairsOf(toks).map { case (a, b) => a + " " + b }
+
+  /** The ONE (doc_id, text) typed decode every per-row operator
+    * shares. Null doc_ids are DROPPED — the family's silent-drop
+    * convention (Dedup's typed maps document the same choice): the
+    * non-nullable Long encoder would otherwise abort the whole
+    * 100 TB job on a single null id, where every sibling silently
+    * drops the row. */
+  private def docIdText(documents: DataFrame): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull).as[(Long, String)]
+  }
 
   /** (doc_id, text, toks) with the token array materialized ONCE per
     * row by a typed map. The operators below reference the token list
@@ -50,7 +80,9 @@ object TextOps {
     // stats/quality operators don't require one)
     val base = if (documents.columns.contains("lang")) documents
                else documents.withColumn("lang", lit(""))
-    base.select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+    base.select(col("doc_id"), col("lang"), col("text"))
+      .filter(col("doc_id").isNotNull) // silent-drop convention (docIdText)
+      .as[(Long, String, String)]
       .map { case (id, lang, text) => (id, lang, text, tokensOf(text)) }
       .toDF("doc_id", "lang", "text", "toks")
   }
@@ -163,7 +195,11 @@ object TextOps {
       col("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
       size(array_distinct(toks)).cast(LongType).as("n_uniq"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType).as("n_subword"),
+      // letter runs CASE-INSENSITIVELY (r12 review: the lowercase-only
+      // class counted every uppercase letter as its own one-char
+      // "punctuation" subword, inflating acronym/title-heavy docs;
+      // the DuckDB oracle twin carries the same class)
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType).as("n_subword"),
       round(sumLen.cast(DoubleType) / size(toks), 6).as("avg_tok_len"))
   }
 
@@ -300,7 +336,7 @@ object TextOps {
   def ngramTopK(documents: DataFrame, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got ($n, $k)")
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    docIdText(documents)
       .flatMap { case (_, text) => shinglesOf(tokensOf(text), n) }
       .toDF("shingle")
       .groupBy("shingle").agg(count(lit(1)).as("cnt"))
@@ -376,7 +412,7 @@ object TextOps {
   def tfidfTopK(documents: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     import documents.sparkSession.implicits._
-    val tf = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    val tf = docIdText(documents)
       .flatMap { case (id, text) =>
         val toks = tokensOf(text)
         toks.map(t => (id, t, toks.length))
@@ -432,11 +468,9 @@ object TextOps {
     // corpus tokenize+bigram flatMap, THE dominant cost at corpus
     // scale, runs twice
     val bi = Dedup.registerCache(
-      documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      docIdText(documents)
         .flatMap { case (id, text) =>
-          val t = tokensOf(text)
-          if (t.length < 2) Iterator.empty
-          else t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (id, a, b) }
+          bigramPairsOf(tokensOf(text)).map { case (a, b) => (id, a, b) }
         }
         .toDF("doc_id", "w1", "w2"))
     val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -474,7 +508,7 @@ object TextOps {
   def vocabOov(documents: DataFrame, vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"need vocabSize >= 1, got $vocabSize")
     import documents.sparkSession.implicits._
-    def occurrences = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    def occurrences = docIdText(documents)
       .flatMap { case (id, text) => tokensOf(text).map(t => (id, t)) }
       .toDF("doc_id", "tok")
     val vocab = occurrences.groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -526,12 +560,8 @@ object TextOps {
   def pmiCollocations(documents: DataFrame, minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
     import documents.sparkSession.implicits._
-    val bi = documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (_, text) =>
-        val t = tokensOf(text)
-        if (t.length < 2) Iterator.empty
-        else t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (a, b) }
-      }
+    val bi = docIdText(documents)
+      .flatMap { case (_, text) => bigramPairsOf(tokensOf(text)) }
       .toDF("w1", "w2")
     val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = documents
@@ -602,11 +632,10 @@ object TextOps {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
     import documents.sparkSession.implicits._
     def feats = documents.select(col("doc_id"), col("lang"), col("text"))
+      .filter(col("doc_id").isNotNull) // silent-drop convention (docIdText)
       .as[(Long, String, String)]
       .flatMap { case (id, lang, text) =>
-        val t = tokensOf(text)
-        if (t.length < 2) Iterator.empty
-        else t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (id, lang, a + " " + b) }
+        bigramsOf(tokensOf(text)).map(g => (id, lang, g))
       }
       .toDF("doc_id", "lang", "feat")
       .withColumn("bucket", pmod(tokenCode(col("feat")), lit(nBuckets.toLong)))
@@ -742,7 +771,14 @@ object TextOps {
     *
     * Output: (doc_id, lang, n_tokens, shard) with shard numbering
     * per-language from 0. Same per-language ordered-pass scale
-    * contract as [[mixtureByTokenBudget]]. */
+    * contract as [[mixtureByTokenBudget]].
+    *
+    * Token-less documents (empty or null text) ARE assigned a shard
+    * (n_tokens = 0 — null text normalizes to 0, never a NULL that
+    * diverges from the empty case): shard assignment is whole-doc
+    * bookkeeping and an empty doc still belongs somewhere. Contrast
+    * [[packSequences]], which MUST drop them — a zero-width span has
+    * no seq_first..seq_last. */
   def packShards(documents: DataFrame, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 1, s"need budgetTokens >= 1, got $budgetTokens")
     val w = org.apache.spark.sql.expressions.Window
@@ -750,7 +786,7 @@ object TextOps {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     documents
       .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        coalesce(size(tokens(col("text"))), lit(0)).cast(LongType).as("n_tokens"))
       .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer `div`, not `/`: same 2^52 contract as packSequences
       .withColumn("shard", expr(s"cum div $budgetTokens"))
@@ -809,12 +845,17 @@ object TextOps {
     // per-row set also makes first-occurrence linear instead of the
     // array_position quadratic. Null text = empty document (one
     // empty line), the NullInputSpec contract.
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    docIdText(documents)
       .map { case (id, textOrNull) =>
         val text = if (textOrNull == null) "" else textOrNull
         val lines = text.split("\n", -1)
         val seen = scala.collection.mutable.HashSet.empty[String]
-        val kept = lines.filter(seen.add)
+        // EMPTY lines are exempt from dedup (r12 review): they are
+        // paragraph separators, not boilerplate — deduping them merged
+        // every paragraph after the first blank line into one block
+        // (CCNet-style line dedup exempts trivial lines for exactly
+        // this reason). The oracle twin carries the same exemption.
+        val kept = lines.filter(l => l.isEmpty || seen.add(l))
         (id, lines.length.toLong, kept.length.toLong, kept.mkString("\n"))
       }
       .toDF("doc_id", "n_lines", "n_kept", "clean")
@@ -845,7 +886,7 @@ object TextOps {
     // referencing output column. Case folds are ASCII
     // (Locale.ROOT = SQL lower() = the oracle's lower() on this
     // contract). Null text = empty document per NullInputSpec.
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    docIdText(documents)
       .map { case (id, textOrNull) =>
         val text = if (textOrNull == null) "" else textOrNull
         // CRLF normalization: splitting on \n leaves a trailing \r
@@ -1074,7 +1115,7 @@ object TextOps {
     require(k >= 1, s"need k >= 1, got $k")
     require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    docIdText(documents)
       .flatMap { case (id, text) =>
         shinglesOf(tokensOf(text), k).distinct.map(s => (id, s))
       }
@@ -1105,7 +1146,7 @@ object TextOps {
     val spans = spanClusters(documents, k, minDocs).select(col("span"))
     // grams built by the SAME shinglesOf as spanClusters — the
     // gram==span equi-join below depends on one shared definition
-    val starts = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    val starts = docIdText(documents)
       .flatMap { case (id, text) =>
         shinglesOf(tokensOf(text), k).iterator.zipWithIndex
           .map { case (g, i) => (id, i, g) }
@@ -1115,6 +1156,7 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("start")).as("starts"))
     documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull) // silent-drop convention (docIdText)
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
@@ -1136,6 +1178,9 @@ object TextOps {
     * n-gram (fewer than n tokens) are dropped, where the ratio is
     * undefined. */
   def repetitionScore(documents: DataFrame, n: Int = 2): DataFrame = {
+    // fail fast like every sibling n-gram operator: n <= 0 would
+    // silently degrade to unigram ratios via shingles' n <= 1 rule
+    require(n >= 1, s"need n >= 1, got $n")
     val sh = shingles(col("toks"), n)
     tokenized(documents)
       .select(col("doc_id"),
@@ -1158,7 +1203,7 @@ object TextOps {
     require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got ($size, $overlap)")
     val step = size - overlap
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    docIdText(documents)
       .flatMap { case (id, text) =>
         val toks = tokensOf(text)
         (0 until toks.length by step).iterator
@@ -1417,15 +1462,32 @@ object TextOps {
                 memoCap: Int = 1 << 20, greedyFrom: Int = 64): DataFrame = {
     require(memoCap >= 0, s"need memoCap >= 0, got $memoCap")
     require(greedyFrom >= 1, s"need greedyFrom >= 1, got $greedyFrom")
+    // the greedy fast path equals the declared fold semantics ONLY
+    // for training-ordered lists (each merge's inputs are base
+    // symbols or outputs of EARLIER merges) — true of every list a
+    // real BPE trainer emits, but a hand-assembled or two-models-
+    // concatenated list can violate it, and the r12 review noted the
+    // old size-only dispatch would then silently change results past
+    // `greedyFrom` rules. Verify the property once on the driver
+    // (O(|merges|), tiny) and keep the exact fold when it fails.
+    val trainingOrdered = {
+      val produced = scala.collection.mutable.HashSet[String]()
+      merges.forall { case (a, b) =>
+        val ok = (a.length == 1 || produced(a)) && (b.length == 1 || produced(b))
+        produced += (a + b)
+        ok
+      }
+    }
     val spark = documents.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
     documents
       .select(col("doc_id").cast(LongType), col("text").cast(StringType))
+      .filter(col("doc_id").isNotNull) // silent-drop convention (docIdText)
       .as[(Long, String)]
       .mapPartitions { rows =>
         val ms = bc.value
-        val useGreedy = ms.length >= greedyFrom
+        val useGreedy = trainingOrdered && ms.length >= greedyFrom
         val ranks: Map[(String, String), Int] =
           if (useGreedy) bpeRanks(ms) else null
         val memo = new java.util.HashMap[String, Integer]()

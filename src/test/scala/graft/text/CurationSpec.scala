@@ -249,13 +249,15 @@ class CurationSpec extends SparkSpec {
     val d = docs(
       (1L, "en", "nav\nbody one\nnav\nbody two\nnav"),   // repeated nav bar
       (2L, "en", "only line"),                            // nothing to cut
-      (3L, "en", "a\n\nb\n\na"),                          // repeated EMPTY line too
+      (3L, "en", "a\n\nb\n\na"),                          // EMPTY lines are EXEMPT (r12)
       (4L, "en", ""))                                     // empty doc: 1 empty line
     val out = TextOps.dedupLines(d).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(out(0) == ((1L, 5L, 3L, "nav\nbody one\nbody two")))
     assert(out(1) == ((2L, 1L, 1L, "only line")))
-    assert(out(2) == ((3L, 5L, 3L, "a\n\nb")))
+    // empty lines are paragraph separators, never boilerplate: both
+    // blanks survive, only the repeated "a" is cut
+    assert(out(2) == ((3L, 5L, 4L, "a\n\nb\n")))
     assert(out(3) == ((4L, 1L, 1L, "")))
   }
 
