@@ -29,10 +29,7 @@ object Verify {
       // builder or write throws, a stale directory would otherwise
       // survive and the downstream DuckDB compare would silently
       // validate last round's rows as this round's result
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
+      def rm(f: java.io.File): Unit = graft.core.Demo.recursiveDelete(f)
       rm(new java.io.File(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

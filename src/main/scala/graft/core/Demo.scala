@@ -61,13 +61,17 @@ object Demo {
     * compaction): the once-built source layout stays pristine, each
     * run works on a fresh copy. Local-filesystem copy of a
     * file-count-bounded demo directory — not a data-path operation. */
+  /** Recursive local delete (no-op on a missing path) — shared by the
+    * demo reset and Verify's stale-dump cleanup so any future
+    * symlink- or error-handling fix lands once, in one place. */
+  def recursiveDelete(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(recursiveDelete)
+    f.delete(); ()
+  }
+
   def refreshCopy(src: String, dst: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
     val d = new java.io.File(dst)
-    rm(d)
+    recursiveDelete(d)
     d.mkdirs()
     Option(new java.io.File(src).listFiles).getOrElse(Array.empty)
       .filter(_.isFile)

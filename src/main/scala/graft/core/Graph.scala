@@ -53,15 +53,23 @@ object Graph {
     * FRACTIONAL value: an id column stored as double/decimal with
     * value 41.7 must fail the null validation loudly, not silently
     * merge into node 41 and collapse two unrelated documents into
-    * one cluster. (Strings already null out on a non-integer parse;
-    * integral types cast exactly. The double round-trip compare is
-    * exact for |id| < 2^53 — far past any real id space.) */
+    * one cluster. try_cast, not cast: under Spark 4's default ANSI
+    * mode a plain cast ABORTS the task on a non-numeric string or a
+    * NaN/Infinity/overflowing double (SparkNumberFormatException /
+    * SparkArithmeticException mid-job, skipping the designed loud
+    * badIds validation below and leaking the materialized RDD);
+    * try_cast nulls those rows so every malformed id reaches the one
+    * IllegalArgumentException with the fix-or-filter message.
+    * (Integral types cast exactly; ANSI's double→long cast truncates
+    * fractions LEGALLY, hence the round-trip compare — exact for
+    * |id| < 2^53, far past any real id space.) */
   private def strictLongId(df: DataFrame, name: String): Column = {
     val c = col(name)
     df.schema(df.schema.fieldIndex(name)).dataType match {
       case DoubleType | FloatType | (_: DecimalType) =>
-        when(c.cast(LongType).cast(DoubleType) === c.cast(DoubleType), c.cast(LongType))
-      case _ => c.cast(LongType)
+        when(c.try_cast(LongType).cast(DoubleType) === c.cast(DoubleType),
+          c.try_cast(LongType))
+      case _ => c.try_cast(LongType)
     }
   }
 

@@ -187,9 +187,26 @@ object SlabGen {
       s"oriented-cell re-basing kept ${atoms.length} atoms, expected " +
         s"${nCells * bulk.positions.length} (miller=$miller, key=${bulk.mpKey})")
 
-    // POSCAR contract: positions grouped by species in header order
-    val spIdx = bulk.species.zipWithIndex.toMap
+    // POSCAR contract: positions grouped by species — keyed on FIRST
+    // appearance, because a legal VASP header may repeat a species in
+    // multiple groups ("V O V O", the run-length form cutSymmetrized
+    // itself emits). zipWithIndex.toMap would keep each symbol's LAST
+    // index and silently interleave the groups the header promises;
+    // the callers attach a normalizedHeader-collapsed header that
+    // matches this first-appearance grouping exactly.
+    val spIdx = bulk.species.distinct.zipWithIndex.toMap
     (m, atoms.sortBy(a => spIdx(a.element)))
+  }
+
+  /** Collapse a (possibly repeated-group, "V O V O") species header
+    * to first-appearance order with summed counts — the normalized
+    * header whose blocks match an element-grouped position list.
+    * Identity on the common unique-species header. */
+  private[echem] def normalizedHeader(species: Seq[String],
+                                      counts: Seq[Int]): (Seq[String], Seq[Int]) = {
+    val order = species.distinct
+    val totals = species.zip(counts).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    (order, order.map(totals))
   }
 
   /** Cut `nShifts` slabs of the (facet) plane: oriented cell stacked
@@ -219,13 +236,18 @@ object SlabGen {
         val z = (a.z + shift) % 1.0
         Atom(a.x, a.y, (l + z) / cScale + center, a.element)
       }
+      // normalizedHeader: cellAtoms are grouped by FIRST species
+      // appearance (orientedCell), so a repeated-group input header
+      // must collapse to match — verbatim bulk.species would label
+      // the wrong atoms O where the blocks interleave
+      val (spOrder, spCounts) = normalizedHeader(bulk.species, bulk.counts)
       Slab(
         mpKey = s"${bulk.mpKey}-$facet-$i",
         title = bulk.title,
         scale = bulk.scale,
         lattice = lattice,
-        species = bulk.species,
-        counts = bulk.counts.map(_ * layers * nCells),
+        species = spOrder,
+        counts = spCounts.map(_ * layers * nCells),
         positions = atoms,
         fixed = Seq.empty)
     }
@@ -377,13 +399,16 @@ object SlabGen {
         }
         Atom(a.x, a.y, (l + z) / cScale + center, a.element)
       }
+      // same normalizedHeader rationale as [[cut]]: cellAtoms are
+      // grouped by first species appearance
+      val (spOrder, spCounts) = normalizedHeader(bulk.species, bulk.counts)
       Slab(
         mpKey = s"${bulk.mpKey}-$facet-$i",
         title = bulk.title,
         scale = bulk.scale,
         lattice = lattice,
-        species = bulk.species,
-        counts = bulk.counts.map(_ * layers * nCells),
+        species = spOrder,
+        counts = spCounts.map(_ * layers * nCells),
         positions = atoms,
         fixed = Seq.empty)
     }
@@ -744,13 +769,20 @@ object SlabGen {
         require(kept.size * collapse == atoms.size,
           s"primitive reduction kept ${kept.size} of ${atoms.size} atoms, " +
             s"expected ${atoms.size / collapse} (collapse $collapse, key=${cur.mpKey})")
-        val spIdx = cur.species.zipWithIndex.toMap
+        // first-appearance grouping + normalized header: a repeated-
+        // group input header ("V O V O") would make the per-entry
+        // count-all rebuild double-count every species and fail the
+        // fold check on a legitimately reducible cell; collapsing to
+        // per-SPECIES totals makes the check exact for both forms
+        val (spOrder, oldTotals) = normalizedHeader(cur.species, cur.counts)
+        val spIdx = spOrder.zipWithIndex.toMap
         val sorted = kept.sortBy(a => spIdx(a.element)).toIndexedSeq
-        val newCounts = cur.species.map(s => sorted.count(_.element == s))
-        require(newCounts.zip(cur.counts).forall { case (n, o) => n * collapse == o },
+        val newCounts = spOrder.map(s => sorted.count(_.element == s))
+        require(newCounts.zip(oldTotals).forall { case (n, o) => n * collapse == o },
           s"species counts ${newCounts.mkString(",")} not a $collapse-fold " +
-            s"reduction of ${cur.counts.mkString(",")} (key=${cur.mpKey})")
-        cur = cur.copy(lattice = newLat, counts = newCounts, positions = sorted)
+            s"reduction of ${oldTotals.mkString(",")} (key=${cur.mpKey})")
+        cur = cur.copy(lattice = newLat, species = spOrder, counts = newCounts,
+          positions = sorted)
         reduced = true
       }
     }

@@ -62,14 +62,23 @@ object SetExpressions {
   }
 
   /** Strict twin of [[countCommonSorted]]: verifies both inputs are
-    * strictly ascending (sorted, distinct) before counting. Test-mode
-    * only — O(n) extra comparisons per row pair.
+    * strictly ascending (sorted, distinct) AND null-element-free
+    * before counting — the full three-clause contract. The null check
+    * is load-bearing for the enforcement role: `getLong` on a null
+    * slot reads the zeroed word as 0, which can PASS the ascending
+    * check (e.g. [null, 5]) while the release kernel counts a phantom
+    * 0 match — exactly the silent producer drift strict mode exists
+    * to catch. Test-mode only — O(n) extra comparisons per row pair.
     */
   def countCommonSortedStrict(a: ArrayData, b: ArrayData): Int = {
     def check(x: ArrayData, side: String): Unit = {
-      var i = 1
+      var i = 0
       while (i < x.numElements()) {
-        if (x.getLong(i - 1) >= x.getLong(i)) throw new IllegalArgumentException(
+        if (x.isNullAt(i)) throw new IllegalArgumentException(
+          s"SortedIntersectCount: $side input violates the no-null-elements " +
+            s"contract at index $i — the release kernel would read the slot as 0 " +
+            "and count phantom matches; the producer must emit null-free arrays")
+        if (i > 0 && x.getLong(i - 1) >= x.getLong(i)) throw new IllegalArgumentException(
           s"SortedIntersectCount: $side input violates the sorted-distinct " +
             s"contract at index $i (${x.getLong(i - 1)} >= ${x.getLong(i)}) — " +
             "the producer must emit strictly ascending arrays")

@@ -42,6 +42,11 @@ class ErrorBudgetSpec extends SparkSpec {
       "Exception in task 0.0 in stage 1.0 (TID 1) thrown=org.apache.spark." +
         "SparkNumberFormatException: [CAST_INVALID_INPUT] The value 'oops'")
       .contains("learn-bad-cast"))
+    assert(tagOf("org.apache.spark.executor.Executor",
+      "Exception in task 0.0 in stage 2.0 (TID 2) thrown=java.lang." +
+        "IllegalArgumentException: SortedIntersectCount: left input violates " +
+        "the no-null-elements contract at index 0")
+      .contains("setexpr-strict-contract"))
     // ...and a novel shape does NOT silently match anything
     assert(tagOf("org.apache.spark.executor.Executor",
       "Exception in task 0.0 in stage 1.0 (TID 1) thrown=java.lang." +

@@ -113,12 +113,14 @@ object GlobalErrorBudget {
     *  - TextFormatsSpec: two FAILFAST reads (malformed CSV, bad text)
     *    — one stage each, up to 2 tasks;
     *  - LearnSpec: ANSI bad-cast ('oops') — one stage, up to 2 tasks;
-    *  - SetExpressionsSpec: two strict-mode contract violations
-    *    (unsorted, duplicate), coalesce(1) → one task each;
+    *  - SetExpressionsSpec: three strict-mode contract violations
+    *    (unsorted, duplicate, null element), coalesce(1) → one task
+    *    each;
     *  - SimilaritySpec: gramMatrix non-finite-component intercept
     *    (r12) — one-row input, up to 2 tasks;
     *  - TaskSetManager's job-abort line is shared by all of the above
-    *    (its message carries no cause): one per aborted job, 7 jobs.
+    *    (its message carries no cause): one per aborted job, 8 jobs
+    *    (the third setexpr contract case, r12, added the eighth).
     */
   private val budget: Seq[Entry] = Seq(
     Entry("materials-http-503", "org.apache.spark.executor.Executor",
@@ -128,11 +130,11 @@ object GlobalErrorBudget {
     Entry("learn-bad-cast", "org.apache.spark.executor.Executor",
       "(?s)CAST_INVALID_INPUT".r, 2),
     Entry("setexpr-strict-contract", "org.apache.spark.executor.Executor",
-      "(?s)sorted-distinct contract".r, 2),
+      "(?s)(sorted-distinct|no-null-elements) contract".r, 3),
     Entry("gram-nonfinite", "org.apache.spark.executor.Executor",
       "(?s)non-finite embedding component".r, 2),
     Entry("declared-job-abort", "org.apache.spark.scheduler.TaskSetManager",
-      """Task \d+ in stage .* failed \d+ times; aborting job""".r, 7))
+      """Task \d+ in stage .* failed \d+ times; aborting job""".r, 8))
 
   private val leaks = new ConcurrentLinkedQueue[String]()
   @volatile private var installed = false

@@ -83,8 +83,26 @@ class GraphSpec extends SparkSpec {
       Graph.connectedComponents(withNull, "a", "b").collect())
     assert(ex.getMessage.contains("null"))
     val unCastable = Seq(("1", "2"), ("2", "not-an-id")).toDF("a", "b")
-    intercept[IllegalArgumentException](
+    // assert the DESIGNED failure, not just the exception class: under
+    // ANSI a plain cast would abort with SparkNumberFormatException
+    // (which EXTENDS IllegalArgumentException, so a bare intercept
+    // passed while the fix-or-filter message never fired); try_cast
+    // routes the row into the badIds validation
+    val ex2 = intercept[IllegalArgumentException](
       Graph.connectedComponents(unCastable, "a", "b").collect())
+    assert(ex2.getMessage.contains("fix or filter"), ex2.getMessage)
+  }
+
+  test("NaN/Infinity/overflow double ids reach the loud validation, not an ANSI abort") {
+    // a plain ANSI cast throws SparkArithmeticException (NOT an
+    // IllegalArgumentException) from inside the task on these values —
+    // the designed badIds message must fire instead
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, 1e20)) {
+      val df = Seq((bad, 1.0), (2.0, 3.0)).toDF("a", "b")
+      val ex = intercept[IllegalArgumentException](
+        Graph.connectedComponents(df, "a", "b").collect())
+      assert(ex.getMessage.contains("fix or filter"), s"$bad: ${ex.getMessage}")
+    }
   }
 
   test("fractional ids fail loudly instead of truncating distinct nodes together") {

@@ -267,6 +267,48 @@ class SlabGenSpec extends SparkSpec {
     assert(red.species == Seq("Na", "Cl"))
   }
 
+  test("repeated-group species headers (V O V O form) survive cut and primitiveReduce") {
+    // a legal VASP header may list a species in several groups — the
+    // run-length form cutSymmetrized itself emits. zipWithIndex.toMap
+    // grouping kept each symbol's LAST index, so generated slabs
+    // interleaved the blocks the header promised (silent element
+    // mislabeling on re-parse), and primitiveReduce's per-entry
+    // count-all rebuild double-counted and threw on reducible input.
+    def blocksMatch(s: Schemas.Slab): Unit = {
+      assert(s.counts.sum == s.positions.size, s"${s.mpKey}: counts/positions")
+      val expected = s.species.zip(s.counts).flatMap { case (e, n) => Seq.fill(n)(e) }
+      assert(s.positions.map(_.element) == expected,
+        s"${s.mpKey}: position grouping does not match the species header blocks")
+    }
+    // rock-salt 2x2x1 supercell, atoms grouped per the duplicated header
+    def blockAtoms(e: String, z: Double, off: Double) = for {
+      i <- Seq(0, 1); j <- Seq(0, 1)
+    } yield Schemas.Atom((i + off) / 2, (j + off) / 2, z, e)
+    val dup = Schemas.Slab("dup", "t", 1.0,
+      Seq(Seq(2.0, 0, 0), Seq(0, 2.0, 0), Seq(0, 0, 1.0)),
+      Seq("Na", "Cl", "Na", "Cl"), Seq(2, 2, 2, 2),
+      blockAtoms("Na", 0.0, 0.0).take(2) ++ blockAtoms("Cl", 0.5, 0.5).take(2) ++
+        blockAtoms("Na", 0.0, 0.0).drop(2) ++ blockAtoms("Cl", 0.5, 0.5).drop(2),
+      Seq.empty)
+    // primitiveReduce: must reduce (not throw), normalized header
+    val red = SlabGen.primitiveReduce(dup)
+    assert(red.positions.size == 2 && red.species == Seq("Na", "Cl") &&
+      red.counts == Seq(1, 1), s"${red.species}/${red.counts}/${red.positions.size}")
+    blocksMatch(red)
+    // cut: every generated slab's grouping must match its header, and
+    // equal the slab cut from the equivalent unique-header bulk
+    val uniq = dup.copy(species = Seq("Na", "Cl"), counts = Seq(4, 4),
+      positions = blockAtoms("Na", 0.0, 0.0) ++ blockAtoms("Cl", 0.5, 0.5))
+    for (primitive <- Seq(true, false)) {
+      val a = SlabGen.cut(dup, "100", nShifts = 2, primitive = primitive)
+      val b = SlabGen.cut(uniq, "100", nShifts = 2, primitive = primitive)
+      a.foreach(blocksMatch)
+      assert(a.map(s => (s.species, s.counts, s.positions)) ==
+        b.map(s => (s.species, s.counts, s.positions)),
+        "duplicated-header bulk must cut identically to its unique-header twin")
+    }
+  }
+
   test("cut(primitive=true) reduces the GENERATED slab in-plane (pymatgen semantics)") {
     // pymatgen's primitive=True reduces the slab AFTER cutting on the
     // input cell's Miller basis — reduction is therefore IN-PLANE

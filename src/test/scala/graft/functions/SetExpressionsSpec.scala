@@ -52,6 +52,20 @@ class SetExpressionsSpec extends SparkSpec {
       s"expected the contract violation to surface, got: $messages")
   }
 
+  test("strict mode rejects null ELEMENTS (the third contract clause)") {
+    // [null, 5] is the trap case: getLong reads the null slot as 0,
+    // 0 < 5 PASSES the ascending check, and the release kernel counts
+    // a phantom 0 match against the right side's 0 — strict mode must
+    // reject it, not bless it
+    val df = Seq((Array[java.lang.Long](null, 5L), Array[java.lang.Long](0L, 5L)))
+      .toDF("a", "b").coalesce(1)
+    val e = intercept[Throwable] { withStrict(df.select(icount).collect()) }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("no-null-elements"),
+      s"expected the null-element violation to surface, got: $messages")
+  }
+
   test("the flag is plan-build-time: release columns carry strict=false, strict columns true") {
     import org.apache.spark.sql.graft.ColumnBridge.toExpr
     def strictFlag(c: org.apache.spark.sql.Column): Boolean =
