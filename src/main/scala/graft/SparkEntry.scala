@@ -2561,12 +2561,19 @@ object SparkEntry {
           s"ELSE list_sum(codes[(n_bytes*$d)//8+1:(n_bytes*${d + 1})//8])::DOUBLE " +
           s"/ ((n_bytes*${d + 1})//8 - (n_bytes*$d)//8) END AS f$d"
       }.mkString(",\n  ")
+      // coalesce(text, '') + the n_bytes = 0 guard mirror the Spark
+      // side's null-text-as-empty contract and its explicit empty-
+      // payload mean of 0.0 (list_sum([]) is NULL in DuckDB, which
+      // would hash-diverge on a legal empty/null document)
       s"""WITH b AS (
-         |  SELECT doc_id, 'text' AS kind, octet_length(encode(text))::BIGINT AS n_bytes,
-         |    list_transform(range(1, length(text)+1), i -> unicode(text[i])) AS codes
+         |  SELECT doc_id, 'text' AS kind,
+         |    octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
+         |    list_transform(range(1, length(coalesce(text, '')) + 1),
+         |                   i -> unicode(coalesce(text, '')[i])) AS codes
          |  FROM documents)
          |SELECT doc_id AS media_id, kind, n_bytes,
-         |  list_sum(codes)::DOUBLE / n_bytes AS mean_byte,
+         |  CASE WHEN n_bytes = 0 THEN 0.0
+         |       ELSE list_sum(codes)::DOUBLE / n_bytes END AS mean_byte,
          |  $bands
          |FROM b""".stripMargin
     },

@@ -40,40 +40,51 @@ object Validate {
     val schema = df.schema
     cols.foreach { c =>
       require(schema.fieldNames.contains(c), s"column '$c' not in ${schema.fieldNames.toSeq}")
+      // the quoted resolution below cannot escape a backtick itself
+      require(!c.contains("`"), s"column name '$c' contains a backtick — rename it first")
     }
+    // backtick-quoted resolution: a TOP-LEVEL column whose name
+    // contains a dot ("price.usd") must not be parsed as struct-field
+    // access (bare col()/df() both would)
+    def src(c: String): Column = df.col(s"`$c`")
     def nd(c: String): Column =
-      if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
+      if (approx) approx_count_distinct(src(c)) else countDistinct(src(c))
     val isNum: String => Boolean = c => schema(c).dataType match {
       case _: org.apache.spark.sql.types.NumericType => true
       case _ => false
     }
     val isStr: String => Boolean = c => schema(c).dataType == StringType
-    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
-      Seq(
-        // coalesce: sum over ZERO rows is NULL, and an empty (clean)
-        // table must profile as n_nulls = 0, not null — a gate like
-        // filter(n_nulls === 0) would silently drop the row
-        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
-          .as(s"__nulls_$c"),
-        nd(c).as(s"__nd_$c")) ++
-        (if (isNum(c))
-          Seq(min(col(c)).cast(DoubleType).as(s"__min_$c"),
-              max(col(c)).cast(DoubleType).as(s"__max_$c"))
-        else if (isStr(c))
-          Seq(min(col(c)).as(s"__smin_$c"), max(col(c)).as(s"__smax_$c"))
-        else Nil)
-    }
+    // internal aliases are INDEX-based ("__nulls_0"), never embed the
+    // user's column name: col("__nulls_price.usd") would parse the dot
+    // as struct-field access and fail resolution on a legal (if
+    // unusual) dotted column name the up-front schema check accepted
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          // coalesce: sum over ZERO rows is NULL, and an empty (clean)
+          // table must profile as n_nulls = 0, not null — a gate like
+          // filter(n_nulls === 0) would silently drop the row
+          coalesce(sum(when(src(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"__nulls_$i"),
+          nd(c).as(s"__nd_$i")) ++
+          (if (isNum(c))
+            Seq(min(src(c)).cast(DoubleType).as(s"__min_$i"),
+                max(src(c)).cast(DoubleType).as(s"__max_$i"))
+          else if (isStr(c))
+            Seq(min(src(c)).as(s"__smin_$i"), max(src(c)).as(s"__smax_$i"))
+          else Nil)
+      }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { c =>
+    val rows = cols.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).as("column"),
         col("__n").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"),
-        col(s"__nd_$c").cast(LongType).as("n_distinct"),
-        (if (isNum(c)) col(s"__min_$c") else lit(null).cast(DoubleType)).as("min_num"),
-        (if (isNum(c)) col(s"__max_$c") else lit(null).cast(DoubleType)).as("max_num"),
-        (if (isStr(c)) col(s"__smin_$c") else lit(null).cast(StringType)).as("min_str"),
-        (if (isStr(c)) col(s"__smax_$c") else lit(null).cast(StringType)).as("max_str"))
+        col(s"__nulls_$i").as("n_nulls"),
+        col(s"__nd_$i").cast(LongType).as("n_distinct"),
+        (if (isNum(c)) col(s"__min_$i") else lit(null).cast(DoubleType)).as("min_num"),
+        (if (isNum(c)) col(s"__max_$i") else lit(null).cast(DoubleType)).as("max_num"),
+        (if (isStr(c)) col(s"__smin_$i") else lit(null).cast(StringType)).as("min_str"),
+        (if (isStr(c)) col(s"__smax_$i") else lit(null).cast(StringType)).as("max_str"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
@@ -330,10 +341,7 @@ object Validate {
       .select(col(groupCol).as("grp"),
         binColumn(col(valueCol), vmn, vmx, nBins).as("bin"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("ref_cnt"))
-    val dense = counts.groupBy("grp").agg(sum(col("ref_cnt")).as("n_ref"))
-      .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
-      .join(counts, Seq("grp", "bin"), "left")
-      .na.fill(0L, Seq("ref_cnt"))
+    val dense = denseScaffold(counts, nBins, Seq("ref_cnt" -> "n_ref"))
       .select(col("grp"), col("bin"), col("ref_cnt"), col("n_ref"))
     (vmn, vmx, dense)
   }
@@ -418,15 +426,9 @@ object Validate {
     val binned = df.crossJoin(broadcast(scalars))
       .select(col(groupCol).as("grp"),
         date_format(timestamp_micros(col(tsUsCol)), "yyyy-MM-dd").as("bucket"),
-        when(col("__vmx") === col("__vmn"), lit(0L))
-          .otherwise(least(lit(nBins - 1L), greatest(lit(0L),
-            floor((col(valueCol).cast(DoubleType) - col("__vmn")) * nBins
-              / (col("__vmx") - col("__vmn"))).cast(LongType)))).as("bin"))
+        binExpr(col(valueCol), col("__vmn"), col("__vmx"), nBins).as("bin"))
     val ref = binned.groupBy("grp", "bin").agg(count(lit(1)).as("ref_cnt"))
-    val refDense = ref.groupBy("grp").agg(sum(col("ref_cnt")).as("n_ref"))
-      .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
-      .join(ref, Seq("grp", "bin"), "left")
-      .na.fill(0L, Seq("ref_cnt"))
+    val refDense = denseScaffold(ref, nBins, Seq("ref_cnt" -> "n_ref"))
       .select(col("grp"), col("bin"), col("ref_cnt"), col("n_ref"))
     val winCounts = binned.groupBy("bucket", "grp", "bin")
       .agg(count(lit(1)).as("cnt"))
@@ -464,6 +466,33 @@ object Validate {
       s"group column name '$name' is reserved by the drift family's internals " +
         s"(${DriftReservedNames.toSeq.sorted.mkString(", ")}) — rename or alias it first")
 
+  /** The family's ONE in-plan equi-width bin form —
+    * clamp(⌊(v−mn)·nBins/(mx−mn)⌋, 0, nBins−1), degenerate range →
+    * bin 0 — over scalar COLUMNS (broadcast 1-row cross join), so it
+    * stays lazy inside a plan. [[binColumn]] is the literal-parameter
+    * (frozen-reference / streaming) twin of the same arithmetic.
+    * Shared so the binning convention cannot fork between the
+    * half-split, reference-learn, and by-day paths. */
+  private def binExpr(v: Column, vmn: Column, vmx: Column, nBins: Int): Column =
+    when(vmx === vmn, lit(0L))
+      .otherwise(least(lit(nBins - 1L), greatest(lit(0L),
+        floor((v.cast(DoubleType) - vmn) * nBins / (vmx - vmn)).cast(LongType))))
+
+  /** Dense (grp × 0..nBins−1) scaffold over a sparse per-(grp, bin)
+    * count frame: per-group totals (one alias per value column), the
+    * full bin range exploded from them, sparse counts joined back,
+    * absent bins zero-filled. Empty bins are load-bearing for the
+    * whole family (PSI smooths them, KS's cumulative gap must step
+    * past them) — shared so the scaffold shape cannot fork either. */
+  private def denseScaffold(counts: DataFrame, nBins: Int,
+                            valueTotals: Seq[(String, String)]): DataFrame = {
+    val aggCols = valueTotals.map { case (v, t) => sum(col(v)).as(t) }
+    counts.groupBy("grp").agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
+      .join(counts, Seq("grp", "bin"), "left")
+      .na.fill(0L, valueTotals.map(_._1))
+  }
+
   private def halfSplitBinCounts(df0: DataFrame, groupCol: String,
                                  valueCol: String, tsUsCol: String,
                                  nBins: Int): DataFrame = {
@@ -491,19 +520,11 @@ object Validate {
     // floor, clamp — sub/mul/div/floor are correctly rounded IEEE ops
     val binned = df.crossJoin(broadcast(scalars))
       .select(col(groupCol).as("grp"),
-        when(col("__vmx") === col("__vmn"), lit(0L))
-          .otherwise(least(lit(nBins - 1L),
-            floor((col(valueCol).cast(DoubleType) - col("__vmn")) * nBins
-              / (col("__vmx") - col("__vmn"))).cast(LongType))).as("bin"),
+        binExpr(col(valueCol), col("__vmn"), col("__vmx"), nBins).as("bin"),
         (col(tsUsCol) <= col("__mid")).as("is_first"))
     val counts = binned.groupBy("grp", "bin")
       .agg(sum(when(col("is_first"), 1L).otherwise(0L)).as("a"),
            sum(when(!col("is_first"), 1L).otherwise(0L)).as("b"))
-    val totals = counts.groupBy("grp")
-      .agg(sum(col("a")).as("n_first"), sum(col("b")).as("m_second"))
-    totals
-      .withColumn("bin", explode(sequence(lit(0L), lit(nBins - 1L))))
-      .join(counts, Seq("grp", "bin"), "left")
-      .na.fill(0L, Seq("a", "b"))
+    denseScaffold(counts, nBins, Seq("a" -> "n_first", "b" -> "m_second"))
   }
 }

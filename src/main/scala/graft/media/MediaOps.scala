@@ -103,8 +103,12 @@ object MediaOps {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
+        // null text = empty document — the repo-wide text-operator
+        // contract (TextOps.tokensOf, pinned in NullInputSpec); a bare
+        // getBytes would NPE the executor on one null row
+        val t = if (text == null) "" else text
         MediaRow(id, MediaMeta("text", 0, 0, 0L),
-          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
   }
 

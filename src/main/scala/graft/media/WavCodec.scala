@@ -75,7 +75,11 @@ object WavCodec {
           sampleRate = buf.getInt
           buf.getInt; buf.getShort // byte rate, block align
           bitsPerSample = buf.getShort
-          buf.position(fmtStart + size)
+          // word-alignment pad EXACTLY like the generic skip below: an
+          // odd-sized fmt chunk (spec-legal) carries a pad byte, and
+          // skipping to fmtStart + size alone would desync the walk by
+          // one byte — every later chunk id/size read becomes garbage
+          skipPadded(buf, fmtStart, size)
         case "data" =>
           require(audioFormat != -1, "data chunk before fmt chunk")
           require(samples == null, "second data chunk (multi-data WAV is malformed)")
@@ -90,11 +94,18 @@ object WavCodec {
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
         case _ => // LIST, fact, cue … skip
-          buf.position(buf.position() + size + (size & 1)) // chunks are word-aligned
+          skipPadded(buf, buf.position(), size)
       }
     }
     require(samples != null, "no data chunk")
     require(sampleRate > 0, "no fmt chunk before data")
     Wav(sampleRate, samples)
   }
+
+  /** Advance past a chunk of `size` bytes starting at `start`,
+    * including the RIFF word-alignment pad byte after an odd size.
+    * Clamped to the buffer end: a valid file whose LAST chunk is
+    * odd-sized may legally omit the trailing pad. */
+  private def skipPadded(buf: ByteBuffer, start: Int, size: Int): Unit =
+    buf.position(math.min(start + size + (size & 1), buf.limit()))
 }

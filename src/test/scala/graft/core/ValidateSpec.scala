@@ -32,6 +32,22 @@ class ValidateSpec extends SparkSpec {
     assert(x.getDouble(4) == -1.0 && x.getDouble(5) == 2.5)
   }
 
+  test("dataProfile: a top-level column name containing a dot profiles correctly") {
+    // internal aliases are index-based and source columns resolve
+    // backtick-quoted — previously col("__nulls_price.usd") parsed the
+    // dot as struct access and failed resolution on this legal name
+    val df = Seq[(java.lang.Long, java.lang.Double)]((1L, 2.0), (2L, null))
+      .toDF("id", "price.usd")
+    val p = Validate.dataProfile(df, Seq("price.usd", "id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("price.usd", "id"))
+    val x = p("price.usd")
+    assert(x.getLong(1) == 2L && x.getLong(2) == 1L && x.getLong(3) == 1L)
+    assert(x.getDouble(4) == 2.0 && x.getDouble(5) == 2.0)
+    intercept[IllegalArgumentException](
+      Validate.dataProfile(df.withColumnRenamed("id", "a`b"), Seq("a`b")))
+  }
+
   test("dataProfile: approx path keeps the same shape with sketched distincts") {
     val df = (1 to 1000).map(i => (i.toLong, s"v${i % 37}")).toDF("id", "s")
     val p = Validate.dataProfile(df, Seq("id", "s"), approx = true)

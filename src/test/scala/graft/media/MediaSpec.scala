@@ -23,6 +23,19 @@ class MediaSpec extends SparkSpec {
     assert(f1.forall(f => f.mean_byte >= 0 && f.mean_byte <= 255))
   }
 
+  test("mediaFromDocuments: null text is an empty document (the text-operator contract)") {
+    val docs = Seq((1L, "abc"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val feats = featurize(mediaFromDocuments(docs), StubDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L)) // no NPE, no drop
+    // null and empty behave identically: zero bytes, mean 0.0, zero bands
+    for (f <- feats.drop(1)) {
+      assert(f.n_bytes == 0L && f.mean_byte == 0.0 && f.features.forall(_ == 0.0),
+        s"${f.media_id}: $f")
+    }
+  }
+
   test("featurize default decoder really decodes images (band means over pixels)") {
     val media = synthImageCorpus(Seq((4L, "a"), (9L, "b")).toDF("doc_id", "text"))
     val feats = featurize(media).collect().sortBy(_.media_id)

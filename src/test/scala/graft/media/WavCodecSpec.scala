@@ -36,6 +36,23 @@ class WavCodecSpec extends SparkSpec {
     assert(wav.sampleRate == 16000 && wav.samples.toSeq == samples.toSeq)
   }
 
+  test("decoder walks past an odd-sized fmt chunk via the RIFF pad byte") {
+    val samples = Array.tabulate(40)(i => (i * 7 - 140).toShort)
+    val plain = WavCodec.encode(samples, 8000)
+    // rebuild with fmt size 17 (spec-legal): the 16 canonical bytes +
+    // 1 extension byte counted in the size + 1 alignment pad NOT
+    // counted — a skip of exactly `size` desyncs every later chunk
+    val out = ByteBuffer.allocate(plain.length + 2).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(plain, 0, 16)                 // RIFF hdr + WAVE + "fmt "
+    out.putInt(17)                        // odd declared fmt size
+    out.put(plain, 20, 16)                // the 16 canonical fmt fields
+    out.put(0x7f.toByte)                  // extension byte (in size)
+    out.put(0.toByte)                     // word-alignment pad (not in size)
+    out.put(plain, 36, plain.length - 36) // data chunk onward
+    val wav = WavCodec.decode(out.array())
+    assert(wav.sampleRate == 8000 && wav.samples.toSeq == samples.toSeq)
+  }
+
   test("decoder fails loudly on garbage, truncation, stereo, and odd data chunks") {
     intercept[IllegalArgumentException](WavCodec.decode("not a wav at all".getBytes))
     val ok = WavCodec.encode(Array.tabulate(50)(_.toShort), 8000)
