@@ -37,7 +37,11 @@ object Dedup {
     * lookup — so a library user who never heard of the registry leaks
     * nothing. Until first consumption `persist` is only a lazy marker
     * (no storage blocks exist), so an abandoned query leaks nothing
-    * either. Re-running a returned frame after its first action
+    * either — with ONE exception: [[bloomContamination]] consumes its
+    * probe-gram cache's first action eagerly (the sketch build must
+    * run before the returned plan exists), so abandoning ITS returned
+    * frame leaves one materialized cache until [[releaseCaches]] or
+    * session cleanup. Re-running a returned frame after its first action
     * recomputes without the cache — correct, just unaccelerated;
     * rebuild the operator for repeated runs (Bench does). The
     * explicit [[releaseCaches]] remains for lifecycle-owning callers
@@ -109,7 +113,16 @@ object Dedup {
   }
 
   /** Exact dedup via content hash: one shuffle on md5(text).
-    * `min(doc_id)` is the canonical survivor (deterministic). */
+    * `min(doc_id)` is the canonical survivor (deterministic).
+    *
+    * NULL-text rows deliberately keep SQL GROUP BY semantics (pinned
+    * in NullInputSpec, mirrored by the DuckDB oracle): md5(null) is
+    * null and ALL null-text docs land in one text_hash=null group.
+    * That group is "docs with no content", NOT a verified duplicate
+    * cluster — a pipeline that deletes everything but keep_id should
+    * filter null text first (decode failures are not each other's
+    * duplicates); the typed-map family (minhash/simhash/jaccard)
+    * drops such docs instead. */
   def exactDedup(documents: DataFrame): DataFrame =
     documents.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
@@ -317,10 +330,19 @@ object Dedup {
     * the two frames' doc_ids are disjoint.
     */
   def incrementalLshPairs(spark: SparkSession, corpus: DataFrame, fresh: DataFrame,
-                          rowsPerBand: Int = 4): DataFrame =
-    incrementalLshPairsAgainstStore(spark,
-      minhashBandStore(corpus, rowsPerBand), minhashMembers(corpus),
-      fresh, rowsPerBand)
+                          rowsPerBand: Int = 4): DataFrame = {
+    // ONE corpus tokenize+hash pass: the signature table feeds both
+    // the band store and the membership map, which the expansion then
+    // reads under heterogeneous join keys ReuseExchange cannot dedupe
+    // — uncached, the per-token MD5 + 16-hash corpus fold (the step
+    // signatureClusters' own doc calls the expensive one) re-executed
+    // several times per call. The minhashComponents cache rationale;
+    // the caller's single output action consumes and releases it.
+    val cSig = registerCache(signatureClusters(corpus), actions = 1)
+    incrementalLshPairsAgainstStoreSigs(spark,
+      bandStoreOfSigs(cSig, rowsPerBand), membersOfSigs(cSig),
+      signatureClusters(fresh), rowsPerBand)
+  }
 
   /** The persistable corpus side of incremental dedup, part 1: the
     * distinct (sig_key, band, bkey) band store. A pipeline writes
@@ -394,8 +416,6 @@ object Dedup {
   private[graft] def incrementalLshPairsAgainstStoreSigs(
       spark: SparkSession, bandStore: DataFrame, corpusMembers: DataFrame,
       fSig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    val members = corpusMembers.withColumn("is_fresh", lit(false))
-      .unionByName(fSig.select(col("doc_id"), col("sig_key")).withColumn("is_fresh", lit(true)))
     val freshBanded = bandedSigs(fSig.select(col("sig_key"), col("mhs")).distinct(), rowsPerBand)
     // fresh-vs-corpus probe: NO hint — when the store side is
     // bucketed on (band, bkey) the planner proves its distribution
@@ -407,7 +427,29 @@ object Dedup {
       .filter(col("x.sig_key") =!= col("y.sig_key"))
       .select(least(col("x.sig_key"), col("y.sig_key")).as("sig_a"),
               greatest(col("x.sig_key"), col("y.sig_key")).as("sig_b"))
-    val sigPairs = normalized(vsCorpus).unionByName(normalized(vsFresh)).distinct()
+    // scope-cached: read three times below (two key projections + the
+    // expansion join) — without the cache the band joins would run
+    // once per reference; batch-collision-sized, one consuming action
+    val sigPairs = registerCache(
+      normalized(vsCorpus).unionByName(normalized(vsFresh)).distinct(), actions = 1)
+    // The ONLY corpus members that can contribute a pair share a
+    // sig_key with this batch (intra: the fresh side's own keys) or
+    // with a collision partner (cross: the sig-pair keys). Restricting
+    // the corpus membership through a BROADCAST semi-join keeps it a
+    // narrow filtered scan — the corpus membership table is never
+    // shuffled per batch, which is what makes the documented
+    // O(batch × collision rate) cost true rather than aspirational
+    // (the unrestricted union shuffled the full corpus membership
+    // through every expansion join, a per-batch cost proportional to
+    // the corpus).
+    val neededKeys = fSig.select(col("sig_key"))
+      .unionByName(sigPairs.select(col("sig_a").as("sig_key")))
+      .unionByName(sigPairs.select(col("sig_b").as("sig_key")))
+      .distinct()
+    val members = corpusMembers
+      .join(broadcast(neededKeys), Seq("sig_key"), "left_semi")
+      .withColumn("is_fresh", lit(false))
+      .unionByName(fSig.select(col("doc_id"), col("sig_key")).withColumn("is_fresh", lit(true)))
     val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "sig_key")
       .filter(col("ma.doc_id") < col("mb.doc_id") &&
               (col("ma.is_fresh") || col("mb.is_fresh")))
@@ -537,7 +579,12 @@ object Dedup {
     * ingest) — a single definition makes that drift-proof. */
   private def docGrams(df: DataFrame, idCol: String, ngram: Int): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null ids are DROPPED (the family's silent-drop convention, the
+    // minhashSignatureArrays rationale): the typed decode below reads
+    // doc_id into a primitive Long, so one null id would abort the
+    // whole job with "Null value appeared in non-nullable field"
+    df.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull).as[(Long, String)]
       .flatMap { case (id, text) =>
         TextOps.shinglesOf(TextOps.tokensOf(text), ngram).distinct.map(g => (id, g))
       }
@@ -572,7 +619,14 @@ object Dedup {
     *
     * `expectedProbeGrams`/`fpp` size the sketch
     * (`BloomFilter.optimalNumOfBits`); undersizing degrades fpp —
-    * more confirm-join traffic — never correctness. */
+    * more confirm-join traffic — never correctness.
+    *
+    * Lifecycle note: the sketch build below is an EAGER action that
+    * materializes the probe-gram cache (its first of two scoped
+    * actions). A caller that then abandons the returned frame holds
+    * that cache until [[releaseCaches]]/session cleanup — the one
+    * registry operator where "abandoned leaks nothing" does not hold
+    * (see the registry scaladoc). */
   def bloomContamination(documents: DataFrame, probes: DataFrame, ngram: Int = 3,
                          expectedProbeGrams: Long = 1L << 20,
                          fpp: Double = 0.01): DataFrame = {
@@ -863,6 +917,10 @@ object Dedup {
       // by contract — fall back to it, then 0 (null text).
       .select(col("doc_id"), col("lang"),
         expr("coalesce(n_chars, length(text), 0L) div 64").as("bkt"), col("text"))
+      // doc_id decodes into a primitive Long too — null-id rows are
+      // DROPPED (the minhashSignatureArrays convention), not allowed
+      // to abort the whole jaccard family on one bad key
+      .filter(col("doc_id").isNotNull)
       .as[(Long, String, Long, String)]
       .map { case (id, lang, bkt, text) =>
         val toks = TextOps.tokensOf(text).toIndexedSeq
@@ -1213,7 +1271,19 @@ object Dedup {
     // (see usesPrefixPlan): the prefix plan reads this under
     // heterogeneous exchange keys, the co-count plan's shared
     // exchanges measured faster uncached.
-    val withKey = keyedTokenSets(documents, ngram, threshold, actions = 1 + actions)
+    val withKey = {
+      val base = keyedTokenSets(documents, ngram, threshold, actions = 1 + actions)
+      // the co-count plan skips the cache on the SINGLE-action pairs
+      // path (measured slower there: shared exchanges + array
+      // round-trip) — but components span TWO actions (the eager edge
+      // materialization inside connectedComponents, then the caller's
+      // member join), and exchange reuse never crosses actions: the
+      // uncached token map would recompute per action. The
+      // minhashComponents cross-action rationale applies to BOTH plans
+      // here.
+      if (usesPrefixPlan(threshold)) base
+      else registerCache(base, actions = 1 + actions)
+    }
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = members.groupBy(col("set_key")).agg(min(col("doc_id")).as("rep_id"))
     val repPairs = setPairs(withKey, threshold)

@@ -66,6 +66,17 @@ class NullInputSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L, 3L))
     assert(Dedup.simhash(spark, withNullKey).collect()
       .map(_.getLong(0)).toSet == Set(1L, 3L))
+    // the jaccard family's tokenSets and the decontamination family's
+    // docGrams decode the same primitive Long — same drop contract
+    // (withKey frames add lang/n_chars; both null here is fine)
+    val wk = withNullKey
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    assert(Dedup.jaccardClusters(wk).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(Dedup.contamination(wk, wk).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .forall { case (a, b) => Set(1L, 3L)(a) && Set(1L, 3L)(b) })
   }
 
   test("invertedIndex treats null text as an empty document") {

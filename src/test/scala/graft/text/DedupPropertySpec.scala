@@ -502,16 +502,27 @@ class DedupPropertySpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val plan = pairsFromStore().queryExecution.executedPlan
+      // the operator scope-caches its sig-pair frame (r12), so parts
+      // of the tree — including the probe join — live inside an
+      // InMemoryRelation's cachedPlan; walk through cache boundaries
+      // or the scan matcher sees nothing
+      def cachedRoots(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            m.relation.cachedPlan
+        }.flatMap(cp => cp +: cachedRoots(cp))
+      val roots = plan +: cachedRoots(plan)
       def subtreeReadsStore(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p.collectLeaves().exists {
           case s: FileSourceScanExec =>
             s.relation.location.rootPaths.exists(_.toString.contains("band_store"))
           case _ => false
         }
-      val storeScans = plan.collect {
+      val storeScans = roots.flatMap(_.collect {
         case s: FileSourceScanExec
             if s.relation.location.rootPaths.exists(_.toString.contains("band_store")) => s
-      }
+      })
       assert(storeScans.nonEmpty, "probe join must read the persisted band store")
       assert(storeScans.forall(_.bucketedScan), "band-store scan must be bucket-aware")
       // the claim is scoped to the PROBE join's store-side input: the
@@ -521,9 +532,9 @@ class DedupPropertySpec extends SparkSpec {
       // they group by different keys. Identify the probe input as a
       // join child whose subtree reads the store and contains no
       // further join.
-      val probeStoreSides = plan.collect {
+      val probeStoreSides = roots.flatMap(_.collect {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-      }.flatMap(_.children).filter { c =>
+      }).flatMap(_.children).filter { c =>
         subtreeReadsStore(c) && c.collect {
           case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
         }.isEmpty
@@ -539,7 +550,7 @@ class DedupPropertySpec extends SparkSpec {
       // the expansion joins) — the empty match above means the store
       // input specifically is exchange-free, not that the matcher
       // found nothing at all
-      assert(plan.collect { case e: ShuffleExchangeExec => e }.nonEmpty)
+      assert(roots.flatMap(_.collect { case e: ShuffleExchangeExec => e }).nonEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
