@@ -330,19 +330,20 @@ object Dedup {
     * the two frames' doc_ids are disjoint.
     */
   def incrementalLshPairs(spark: SparkSession, corpus: DataFrame, fresh: DataFrame,
-                          rowsPerBand: Int = 4): DataFrame = {
-    // ONE corpus tokenize+hash pass: the signature table feeds both
-    // the band store and the membership map, which the expansion then
-    // reads under heterogeneous join keys ReuseExchange cannot dedupe
-    // — uncached, the per-token MD5 + 16-hash corpus fold (the step
-    // signatureClusters' own doc calls the expensive one) re-executed
-    // several times per call. The minhashComponents cache rationale;
-    // the caller's single output action consumes and releases it.
-    val cSig = registerCache(signatureClusters(corpus), actions = 1)
-    incrementalLshPairsAgainstStoreSigs(spark,
-      bandStoreOfSigs(cSig, rowsPerBand), membersOfSigs(cSig),
-      signatureClusters(fresh), rowsPerBand)
-  }
+                          rowsPerBand: Int = 4): DataFrame =
+    // The corpus signature table is DELIBERATELY not cached across its
+    // band-store/membership references: the minhashLshPairs trade
+    // (cache measured 19% slower in the one-action shape — the
+    // array-bearing cache round-trip loses to recompute), re-measured
+    // here in r12 (cached variant +80% on q_incremental_dedup), and a
+    // corpus-sized persist is the r2 anti-pattern at scale regardless.
+    // A pipeline that cannot afford the repeated corpus fold persists
+    // the store once via [[minhashBandStore]]/[[minhashMembers]] and
+    // calls [[incrementalLshPairsAgainstStore]] — the actual ingest
+    // shape, where the corpus is never re-derived at all.
+    incrementalLshPairsAgainstStore(spark,
+      minhashBandStore(corpus, rowsPerBand), minhashMembers(corpus),
+      fresh, rowsPerBand)
 
   /** The persistable corpus side of incremental dedup, part 1: the
     * distinct (sig_key, band, bkey) band store. A pipeline writes
@@ -427,28 +428,20 @@ object Dedup {
       .filter(col("x.sig_key") =!= col("y.sig_key"))
       .select(least(col("x.sig_key"), col("y.sig_key")).as("sig_a"),
               greatest(col("x.sig_key"), col("y.sig_key")).as("sig_b"))
-    // scope-cached: read three times below (two key projections + the
-    // expansion join) — without the cache the band joins would run
-    // once per reference; batch-collision-sized, one consuming action
-    val sigPairs = registerCache(
-      normalized(vsCorpus).unionByName(normalized(vsFresh)).distinct(), actions = 1)
-    // The ONLY corpus members that can contribute a pair share a
-    // sig_key with this batch (intra: the fresh side's own keys) or
-    // with a collision partner (cross: the sig-pair keys). Restricting
-    // the corpus membership through a BROADCAST semi-join keeps it a
-    // narrow filtered scan — the corpus membership table is never
-    // shuffled per batch, which is what makes the documented
-    // O(batch × collision rate) cost true rather than aspirational
-    // (the unrestricted union shuffled the full corpus membership
-    // through every expansion join, a per-batch cost proportional to
-    // the corpus).
-    val neededKeys = fSig.select(col("sig_key"))
-      .unionByName(sigPairs.select(col("sig_a").as("sig_key")))
-      .unionByName(sigPairs.select(col("sig_b").as("sig_key")))
-      .distinct()
-    val members = corpusMembers
-      .join(broadcast(neededKeys), Seq("sig_key"), "left_semi")
-      .withColumn("is_fresh", lit(false))
+    val sigPairs = normalized(vsCorpus).unionByName(normalized(vsFresh)).distinct()
+    // Per-batch cost, stated exactly (r12 — an earlier draft semi-join-
+    // restricted the corpus membership to fresh-touching sig_keys and
+    // measured +70% at sf0.1: the extra band-join evaluations and the
+    // broadcast sync point cost more than the shuffle they saved):
+    // CANDIDATES are batch-bounded (fresh band keys probe the store;
+    // corpus×corpus is never planned), while the MEMBERSHIP expansion
+    // below reads and shuffles the narrow (doc_id, sig_key) corpus
+    // membership once per batch — the four expansion references are
+    // structurally identical exchanges that ReuseExchange shares, so
+    // it is ONE corpus-membership shuffle of 16-byte rows, not four.
+    // Corpus-linear per batch in that one narrow table only; the wide
+    // data (text, signatures, band rows) never shuffles.
+    val members = corpusMembers.withColumn("is_fresh", lit(false))
       .unionByName(fSig.select(col("doc_id"), col("sig_key")).withColumn("is_fresh", lit(true)))
     val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "sig_key")
       .filter(col("ma.doc_id") < col("mb.doc_id") &&
