@@ -1900,7 +1900,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(toks)::BIGINT AS n_tokens,
         |  len(list_distinct(toks))::BIGINT AS n_uniq,
-        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_subword,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\t\n\f\r ]'))::BIGINT AS n_subword,
         |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 6) AS avg_tok_len
         |FROM (SELECT doc_id, text,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

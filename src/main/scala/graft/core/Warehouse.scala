@@ -43,10 +43,17 @@ object Warehouse {
     // the session catalog lowercases table names on disk — computing
     // the location from the caller's casing would miss the surviving
     // directory and the saveAsTable below would fail on "location is
-    // not empty", the exact failure this cleanup exists to prevent
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      table.toLowerCase(java.util.Locale.ROOT))
+    // not empty", the exact failure this cleanup exists to prevent.
+    // The CURRENT DATABASE owns the directory layer: default-database
+    // tables live directly under the warehouse dir, any other under
+    // <db>.db/ — a cleanup that ignored it deleted warehouse/<table>
+    // while the surviving location was warehouse/<db>.db/<table>
+    val warehousePath =
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val db = spark.catalog.currentDatabase.toLowerCase(java.util.Locale.ROOT)
+    val dbDir = if (db == "default") new java.io.File(warehousePath)
+                else new java.io.File(warehousePath, s"$db.db")
+    val loc = new java.io.File(dbDir, table.toLowerCase(java.util.Locale.ROOT))
     if (loc.exists()) deleteRecursively(loc)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
@@ -508,7 +515,23 @@ object Warehouse {
       .join(broadcast(man), col("k") >= col("mn") && col("k") <= col("mx"))
       .select("file").distinct().collect().map(_.getString(0)).toSet
     val keep =
-      if (touched.isEmpty) updates.limit(0)
+      if (touched.isEmpty) {
+        // the insert-only fast path never reads a stored file, so the
+        // unionByName below cannot compare schemas the way the
+        // touched path does — check one stored footer explicitly, or
+        // a schema-divergent batch (disjoint key range, different
+        // columns) would COMMIT silently and poison every later read
+        // that mixes the files
+        if (before.nonEmpty) {
+          val stored = spark.read.parquet(before.head).schema
+          val a = stored.fields.map(f => (f.name, f.dataType)).toSet
+          val b = updates.schema.fields.map(f => (f.name, f.dataType)).toSet
+          require(a == b,
+            s"mergeZoneMapped: update batch schema ${updates.schema.simpleString} " +
+              s"does not match the stored table schema ${stored.simpleString} under $dir")
+        }
+        updates.limit(0)
+      }
       else spark.read.parquet(touched.toSeq: _*)
         .join(updates.select(col(statCol)).distinct(), Seq(statCol), "left_anti")
     // fresh = files this merge creates, identified DETERMINISTICALLY:

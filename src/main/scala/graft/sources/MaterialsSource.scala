@@ -27,7 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    exactly how the reference pushes chemistry filters to the
   *    Materials Project server),
   *  - `SupportsPushDownRequiredColumns`: column pruning reaches the
-  *    backend,
+  *    READER (only requested fields are decoded into rows); the
+  *    backend wire format still ships full catalog rows — threading
+  *    the projection into `MaterialsBackend.fetch` is the remaining
+  *    bandwidth lever a production REST backend would add,
   *  - partition planning: the key space is split into `pages`
   *    input partitions, the DSv2 analogue of paginated API fetches —
   *    each executor pulls its own page.
@@ -719,9 +722,14 @@ private[sources] class MaterialsScan(
         math.min(afterOffset, cap)
     }
     // ~64 bytes per catalog row (measured on the stand-in format);
-    // a pushed join emits both sides' projections → double width
+    // a pushed join emits both sides' projections → double width.
+    // SATURATING multiply: the no-unique-key join bound deliberately
+    // clamps n to Long.MaxValue, and a plain n * rowBytes would wrap
+    // NEGATIVE — the planner would read a ~0-byte scan and broadcast
+    // the fan-out side, the exact blow-up the clamp exists to prevent
     private val rowBytes = if (join.isDefined) 128L else 64L
-    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(n * rowBytes)
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(
+      if (n > Long.MaxValue / rowBytes) Long.MaxValue else n * rowBytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
   }
 

@@ -952,8 +952,12 @@ object Similarity {
     // adist (null embedding element, length-mismatched reconstruction
     // — zip_with pads the shorter array with nulls) must be EXCLUDED,
     // not ranked — ascending order puts NULL FIRST in Spark, so
-    // unfiltered it would fill every top-k slot
-    scored.filter(col("adist").isNotNull)
+    // unfiltered it would fill every top-k slot. NaN too (the full
+    // simDefined contract): a NaN query/corpus component makes adist
+    // NaN, which is non-null and still ranks — rows with no defined
+    // distance must not occupy neighbor slots the cosine paths would
+    // leave empty.
+    scored.filter(col("adist").isNotNull && !isnan(col("adist")))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select("q_id", "vec_id", "adist", "rk")

@@ -199,7 +199,12 @@ object TextOps {
       // class counted every uppercase letter as its own one-char
       // "punctuation" subword, inflating acronym/title-heavy docs;
       // the DuckDB oracle twin carries the same class)
-      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType).as("n_subword"),
+      // spelled-out whitespace class, NOT \s (the WsRunRe portability
+      // contract): Java's \s includes \x0B where RE2's does not, so a
+      // VT in the text would diverge n_subword cross-engine; both
+      // sides now carry RE2's set explicitly (VT counts as a subword
+      // char on both)
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\t\\n\\f\\r ]"), lit(0))).cast(LongType).as("n_subword"),
       round(sumLen.cast(DoubleType) / size(toks), 6).as("avg_tok_len"))
   }
 
@@ -409,9 +414,13 @@ object TextOps {
     * Score = (tf/dl)·ln(N/df), rounded to 5 (ln differs by 1 ulp
     * across libms); deterministic total order (score desc, doc, term).
     */
-  def tfidfTopK(documents: DataFrame, k: Int): DataFrame = {
+  def tfidfTopK(documents0: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    import documents.sparkSession.implicits._
+    import documents0.sparkSession.implicits._
+    // N counts the same rows tf/df see: docIdText drops null ids from
+    // the tf table, so the unfiltered row count inflated every idf
+    // (r12 review — denominator symmetry)
+    val documents = documents0.filter(col("doc_id").isNotNull)
     val tf = docIdText(documents)
       .flatMap { case (id, text) =>
         val toks = tokensOf(text)
@@ -459,8 +468,11 @@ object TextOps {
     *    final `round(…, 6)` sits Spark's HALF_UP against DuckDB's
     *    float rounding on exact .5 boundaries (observed: 2/5000 docs
     *    off by 1e-6 at sf0.1). */
-  def ngramLmScore(documents: DataFrame): DataFrame = {
-    import documents.sparkSession.implicits._
+  def ngramLmScore(documents0: DataFrame): DataFrame = {
+    import documents0.sparkSession.implicits._
+    // null-id rows drop from the bigram table AND the vocabulary —
+    // the pmiCollocations denominator-symmetry rule (r12 review)
+    val documents = documents0.filter(col("doc_id").isNotNull)
     // persisted (scoped, one consuming action — the bm25TopK
     // pattern): `bi` feeds both the model's count aggregate and the
     // scoring join, branches that share no exchange (one shuffles
@@ -557,9 +569,14 @@ object TextOps {
     * exact decimal arithmetic — order-independent, with one final
     * correctly-rounded cast to double (the `ngramLmScore` rule). The
     * exact integer counts c1/c2 ride along in the output. */
-  def pmiCollocations(documents: DataFrame, minCount: Long = 5L): DataFrame = {
+  def pmiCollocations(documents0: DataFrame, minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
-    import documents.sparkSession.implicits._
+    import documents0.sparkSession.implicits._
+    // ONE null-id filter for numerators AND totals: docIdText drops
+    // null-id rows from the bigram table, so totals computed over the
+    // unfiltered frame would count tokens the c12/c1/c2 side never
+    // sees — a biased denominator, not a dropped row (r12 review)
+    val documents = documents0.filter(col("doc_id").isNotNull)
     val bi = docIdText(documents)
       .flatMap { case (_, text) => bigramPairsOf(tokensOf(text)) }
       .toDF("w1", "w2")
@@ -627,12 +644,14 @@ object TextOps {
     * per reference). The bucket stats table is `nBuckets` rows by
     * construction and broadcasts.
     * Returns (doc_id, n_feats, logw) for docs with ≥ 1 bigram. */
-  def dsirWeight(documents: DataFrame, targetLang: String = "en",
+  def dsirWeight(documents0: DataFrame, targetLang: String = "en",
                  nBuckets: Int = 256): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
-    import documents.sparkSession.implicits._
+    import documents0.sparkSession.implicits._
+    // null-id rows drop from features AND totals together — the
+    // pmiCollocations denominator-symmetry rule (r12 review)
+    val documents = documents0.filter(col("doc_id").isNotNull)
     def feats = documents.select(col("doc_id"), col("lang"), col("text"))
-      .filter(col("doc_id").isNotNull) // silent-drop convention (docIdText)
       .as[(Long, String, String)]
       .flatMap { case (id, lang, text) =>
         bigramsOf(tokensOf(text)).map(g => (id, lang, g))
@@ -688,7 +707,10 @@ object TextOps {
     * before anything moves — then a tiny per-doc rollup. Returns
     * (doc_id, n_chars, n_distinct, entropy) in nats. */
   def charEntropy(documents: DataFrame): DataFrame = {
-    val ch = documents.select(col("doc_id"),
+    // null-id rows are DROPPED (the family convention) — unfiltered,
+    // groupBy would merge EVERY null-id document's characters into one
+    // bogus combined-entropy row (worse than a drop: wrong data out)
+    val ch = documents.filter(col("doc_id").isNotNull).select(col("doc_id"),
       explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
     ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
@@ -1458,6 +1480,24 @@ object TextOps {
     * identical output for the training-ordered lists real models
     * are (property-tested), and at the declared-model sizes the
     * fold stays the simpler reference. */
+  /** Whether every merge's inputs are base symbols or outputs of
+    * EARLIER merges — the property that makes the greedy fast path
+    * exactly equal the fold. Base symbols are CODEPOINTS
+    * ([[bpeBaseSymbols]]): a supplementary-plane char is a LENGTH-2
+    * string, so a length==1 test would misclassify emoji-bearing
+    * trained models as not training-ordered and silently fall back
+    * to the O(|merges|·len) fold (dispatch pinned in BpeEncodeSpec). */
+  private[text] def trainingOrderedOf(merges: Seq[(String, String)]): Boolean = {
+    val produced = scala.collection.mutable.HashSet[String]()
+    def isBase(s: String): Boolean =
+      s.nonEmpty && s.codePointCount(0, s.length) == 1
+    merges.forall { case (a, b) =>
+      val ok = (isBase(a) || produced(a)) && (isBase(b) || produced(b))
+      produced += (a + b)
+      ok
+    }
+  }
+
   def bpeEncode(documents: DataFrame, merges: Seq[(String, String)],
                 memoCap: Int = 1 << 20, greedyFrom: Int = 64): DataFrame = {
     require(memoCap >= 0, s"need memoCap >= 0, got $memoCap")
@@ -1470,14 +1510,7 @@ object TextOps {
     // old size-only dispatch would then silently change results past
     // `greedyFrom` rules. Verify the property once on the driver
     // (O(|merges|), tiny) and keep the exact fold when it fails.
-    val trainingOrdered = {
-      val produced = scala.collection.mutable.HashSet[String]()
-      merges.forall { case (a, b) =>
-        val ok = (a.length == 1 || produced(a)) && (b.length == 1 || produced(b))
-        produced += (a + b)
-        ok
-      }
-    }
+    val trainingOrdered = trainingOrderedOf(merges)
     val spark = documents.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)

@@ -79,6 +79,27 @@ class NullInputSpec extends SparkSpec {
       .forall { case (a, b) => Set(1L, 3L)(a) && Set(1L, 3L)(b) })
   }
 
+  test("null doc_id rows drop from BOTH sides of corpus-statistic ratios") {
+    // the operators whose scores divide a filtered numerator by a
+    // corpus total: the total must count the same rows the numerator
+    // saw, or every score is silently biased (r12 review). With a
+    // null-id row present, each must equal itself on the clean frame.
+    val clean = docs
+    val withNullId = docs.unionByName(Seq(
+      (null.asInstanceOf[java.lang.Long], "en", "hello hello there there", 23L)
+    ).toDF("doc_id", "lang", "text", "n_chars"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(TextOps.tfidfTopK(withNullId, 5)) == rows(TextOps.tfidfTopK(clean, 5)))
+    assert(rows(TextOps.pmiCollocations(withNullId, 1L)) ==
+      rows(TextOps.pmiCollocations(clean, 1L)))
+    assert(rows(TextOps.ngramLmScore(withNullId)) == rows(TextOps.ngramLmScore(clean)))
+    assert(rows(TextOps.dsirWeight(withNullId)) == rows(TextOps.dsirWeight(clean)))
+    // charEntropy: unfiltered, groupBy fused every null-id document's
+    // characters into one bogus combined row — now they drop
+    assert(rows(TextOps.charEntropy(withNullId)) == rows(TextOps.charEntropy(clean)))
+  }
+
   test("invertedIndex treats null text as an empty document") {
     val got = TextOps.invertedIndex(docs, minDf = 2L, headLen = 5)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq

@@ -133,6 +133,48 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(eNull.getMessage.contains("null"), eNull.getMessage)
   }
 
+  test("insert-only merge rejects a schema-divergent batch instead of committing it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mgschema").toString + "/t"
+    Warehouse.writeZoneMapped((1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"),
+      dir, "k", 4)
+    // keys entirely OUTSIDE every zone range → touched is empty → the
+    // fast path never reads a stored file, so unionByName could not
+    // catch the wrong columns; the explicit footer check must
+    val divergent = Seq((500L, 1.5), (600L, 2.5)).toDF("k", "w")
+    val e = intercept[IllegalArgumentException](
+      Warehouse.mergeZoneMapped(spark, dir, "k", divergent))
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    assert(Warehouse.zoneMapCurrentVersion(dir) == 1, "failed merge must not commit")
+    // matching schema on the same insert-only path still commits
+    Warehouse.mergeZoneMapped(spark, dir, "k", Seq((500L, "x")).toDF("k", "v"))
+    assert(spark.read.parquet(s"$dir/data").count() == 51L)
+  }
+
+  test("writeBucketed cleans the stale location of the CURRENT database, not default's") {
+    val d = "/root/testdata/sf0.001"
+    spark.sql("CREATE DATABASE IF NOT EXISTS wbdb")
+    spark.sql("USE wbdb")
+    try {
+      // simulate the fresh-catalog survivor: a stale non-empty
+      // directory at the table's REAL location (warehouse/wbdb.db/
+      // nat_b) with no catalog entry. A cleanup that computed
+      // warehouse/<table> (ignoring the current database) missed it
+      // and saveAsTable failed with "location is not empty"
+      val wh = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      val stale = new java.io.File(new java.io.File(wh, "wbdb.db"), "nat_b")
+      stale.mkdirs()
+      val junk = new java.io.File(stale, "stale-part.parquet")
+      java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+      Warehouse.writeBucketed(Tables.nation(spark, d), "nat_b", "n_nationkey", 4)
+      assert(spark.table("nat_b").count() == Tables.nation(spark, d).count())
+      assert(!junk.exists(), "the stale file must have been cleaned, not absorbed")
+    } finally {
+      spark.sql("USE default")
+      spark.sql("DROP DATABASE IF EXISTS wbdb CASCADE")
+    }
+  }
+
   test("compactFiles on a directory with zero parquet files is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp0").toString + "/t"
     new java.io.File(dir).mkdirs()

@@ -437,6 +437,20 @@ class MaterialsSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("option 'path'"), e.getMessage)
   }
 
+  test("non-unique-key pushed join reports positive (saturated-product) stats") {
+    withSQLConf(JoinConf -> "true") {
+      // chemsys is NOT a unique key → the stats bound is left × right
+      // (saturated) × rowBytes, which must SATURATE, never wrap
+      // negative — a wrapped size reads as a ~0-byte scan and invites
+      // exactly the broadcast blow-up the bound exists to prevent
+      val l = load().select(col("material_id").as("ida"), col("chemsys"))
+      val r = load().select(col("material_id").as("idb"), col("chemsys"))
+      val j = l.join(r, "chemsys")
+      val size = j.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(size > 0, s"stats must stay positive: $size")
+    }
+  }
+
   test("non-inner and non-equi joins decline and stay engine-side, results intact") {
     withSQLConf(JoinConf -> "true") {
       val l = load().select(col("material_id"), col("formula"), col("nsites"))

@@ -159,6 +159,26 @@ class BpeEncodeSpec extends SparkSpec {
     }
   }
 
+  test("trainingOrderedOf treats supplementary-plane base symbols as base (codepoints, not chars)") {
+    // "😀" is ONE codepoint but TWO UTF-16 units: a length==1 base
+    // test misclassified any emoji-bearing trained model as not
+    // training-ordered, silently disabling the greedy fast path
+    val emoji = new String(Character.toChars(0x1F600))
+    val ordered = Seq(emoji -> emoji, "a" -> "b", (emoji + emoji) -> "ab")
+    assert(TextOps.trainingOrderedOf(ordered), "codepoint base symbols must count as base")
+    // a genuinely out-of-order list still fails: "xy" is neither a
+    // base symbol nor produced by an earlier merge
+    assert(!TextOps.trainingOrderedOf(Seq("xy" -> "z")))
+    // and encode agrees between the two dispatch paths on such a model
+    import spark.implicits._
+    val docs = Seq((1L, s"$emoji$emoji" + "ab zz")).toDF("doc_id", "text")
+    val greedy = TextOps.bpeEncode(docs, ordered, greedyFrom = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fold = TextOps.bpeEncode(docs, ordered, greedyFrom = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(greedy == fold, s"$greedy vs $fold")
+  }
+
   test("bpeEncode greedy path == fold path; rank scan beats the fold at 10k rules") {
     val model = syntheticModel(10000, 23)
     val rnd = new scala.util.Random(5)

@@ -520,6 +520,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("q_id")).distinct.length == 5 && got.length == 25)
   }
 
+  test("pqTopK: a NaN query component yields no neighbors, never NaN-ranked slots") {
+    val emb = spark.read.parquet(realEmbeddings)
+    // poison a QUERY vector: its adist is NaN (non-null!) against
+    // every corpus row — NaN passed the old isNotNull-only guard and
+    // ranked, filling all k slots with meaningless neighbors where
+    // the cosine paths (simDefined) correctly return nothing
+    val poisoned = emb.withColumn("embedding",
+      when(col("vec_id") === 2L,
+        concat(slice(col("embedding"), 1, 63),
+          array(lit(Float.NaN)))).otherwise(col("embedding")))
+    val got = Similarity.pqTopK(poisoned, nQueries = 5, k = 5).collect()
+    assert(!got.exists(r => r.getAs[Long]("q_id") == 2L),
+      "a query with no defined distances must return no neighbors")
+    assert(got.forall(r => !r.getDouble(2).isNaN))
+    assert(got.map(_.getAs[Long]("q_id")).distinct.length == 4 && got.length == 20)
+  }
+
   test("ivfPqTopKIndexed rejects a (m, dim) mismatch with the stored index") {
     val emb = spark.read.parquet(realEmbeddings)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-dim").toString
