@@ -112,6 +112,33 @@ object Dedup {
     while (d != null) { d._1.unpersist(blocking = false); d = scopedCaches.poll() }
   }
 
+  /** Run an operator construction that may register scoped caches and
+    * then throw [[PairMode.Bounded]]'s guard; on the throwing path,
+    * release every registration the call created — the caller's
+    * consuming action will never come, and the family's fail-fast
+    * convention (nothing left persisted after a failed call,
+    * suite-asserted) must hold for the guard exactly as it does for
+    * argument validation. Identity snapshot, not a count: the async
+    * release listener may drain entries concurrently, and another
+    * session's registrations must not be touched. */
+  private def releasingOnBudgetError[T](body: => T): T = {
+    val before = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    scopedCaches.forEach(e => before.add(e._1))
+    try body
+    catch {
+      case e: PairBudgetExceededException =>
+        val it = scopedCaches.iterator()
+        while (it.hasNext) {
+          val entry = it.next()
+          if (!before.contains(entry._1)) {
+            entry._1.unpersist(blocking = false); it.remove()
+          }
+        }
+        throw e
+    }
+  }
+
   /** Exact dedup via content hash: one shuffle on md5(text).
     * `min(doc_id)` is the canonical survivor (deterministic).
     *
@@ -456,32 +483,101 @@ object Dedup {
     intra.unionByName(cross)
   }
 
-  def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    // NOT cached: all references live in ONE output plan, and a clean
-    // sf0.1 A/B (medians of 3) put the cached variant 19% SLOWER
-    // (1.68 s → 2.00 s) — the array-bearing cache round-trip loses to
-    // Spark's own branch sharing. Contrast minhashComponents, whose
-    // references span two actions where no plan-level sharing exists.
-    val full = signatureClusters(documents)
-    val members = full.select(col("doc_id"), col("sig_key"))
-    val sigPairs = sigBandPairs(full, rowsPerBand)
+  /** Cluster→doc pair expansion shared by the three pair-emitting
+    * families, dispatching on [[PairMode]]. `members` is
+    * (doc_id, ckey) — doc to identical-content cluster key;
+    * `clusterPairs` is (ck_a, ck_b, payload…) — one row per
+    * qualifying DISTINCT-cluster pair, `payloadCols` carried through
+    * unchanged; `intraPayload` supplies the (aliased) literal payload
+    * for identical-cluster pairs (J = 1.0 / hamming 0 by
+    * construction).
+    *
+    * All expansion joins pin shuffled-hash: they are many-to-many
+    * with deliberately hot keys (a duplicate-heavy cluster IS one
+    * key), and a sort-merge plan buffers every matched group —
+    * observed as multi-10s spill stalls when the planner drifts
+    * there. A hash build streams the fan-out, and unlike broadcast
+    * it also holds at corpus scale. */
+  private def expandDocPairs(members: DataFrame, clusterPairs: DataFrame,
+                             payloadCols: Seq[String], intraPayload: Seq[Column],
+                             mode: PairMode, family: String): DataFrame = {
+    val payload = payloadCols.map(col)
+    def fullExpansion: DataFrame = {
+      val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "ckey")
+        .filter(col("ma.doc_id") < col("mb.doc_id"))
+        .select(col("ma.doc_id").as("doc_a") +: col("mb.doc_id").as("doc_b") +:
+          intraPayload: _*)
+      val cross = clusterPairs
+        .join(members.as("ma").hint("shuffle_hash"), col("ck_a") === col("ma.ckey"))
+        .join(members.as("mb").hint("shuffle_hash"), col("ck_b") === col("mb.ckey"))
+        .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a") +:
+          greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b") +: payload: _*)
+      intra.unionByName(cross)
+    }
+    mode match {
+      case PairMode.Full => fullExpansion
+      case PairMode.Star =>
+        // spanning subset, same transitive closure (PairMode.Star
+        // scaladoc): member→rep stars inside each cluster, one
+        // rep→rep edge per distinct-cluster pair. rep = min doc_id,
+        // so intra pairs are already (smaller, larger)-ordered.
+        val reps = members.groupBy(col("ckey")).agg(min(col("doc_id")).as("rep_id"))
+        val intra = members.join(reps.hint("shuffle_hash"), "ckey")
+          .filter(col("doc_id") =!= col("rep_id"))
+          .select(col("rep_id").as("doc_a") +: col("doc_id").as("doc_b") +:
+            intraPayload: _*)
+        val cross = clusterPairs
+          .join(reps.select(col("ckey").as("ck_a"), col("rep_id").as("rep_a"))
+            .hint("shuffle_hash"), "ck_a")
+          .join(reps.select(col("ckey").as("ck_b"), col("rep_id").as("rep_b"))
+            .hint("shuffle_hash"), "ck_b")
+          .select(least(col("rep_a"), col("rep_b")).as("doc_a") +:
+            greatest(col("rep_a"), col("rep_b")).as("doc_b") +: payload: _*)
+        intra.unionByName(cross)
+      case PairMode.Bounded(maxPairs) =>
+        // predict the EXACT Full output size before launching it:
+        // Σ n·(n−1)/2 over clusters + Σ |A|·|B| over edges — ONE
+        // driver action over narrow key/count columns (the Long
+        // product is exact to ~4.3e9-member clusters and ANSI mode
+        // fails loudly past that, never silently under-counts).
+        // n·(n−1) is even, so the shift-right halving is exact — and
+        // stays LONG (SQL `/` would promote to double and lose
+        // exactness past 2^53).
+        val sizes = members.groupBy(col("ckey")).agg(count(lit(1)).as("n"))
+        val intraCnt = sizes.select(shiftright(col("n") * (col("n") - 1L), 1).as("c"))
+        val crossCnt = clusterPairs.select(col("ck_a"), col("ck_b"))
+          .join(sizes.select(col("ckey").as("ck_a"), col("n").as("na"))
+            .hint("shuffle_hash"), "ck_a")
+          .join(sizes.select(col("ckey").as("ck_b"), col("n").as("nb"))
+            .hint("shuffle_hash"), "ck_b")
+          .select((col("na") * col("nb")).as("c"))
+        val predicted = intraCnt.unionByName(crossCnt)
+          .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+        if (predicted > maxPairs)
+          throw new PairBudgetExceededException(predicted, maxPairs, family)
+        fullExpansion
+    }
+  }
 
-    // expansion joins: pin shuffled-hash. They are many-to-many with
-    // deliberately hot keys (a duplicate-heavy cluster IS one key),
-    // and a sort-merge plan buffers every matched group — observed
-    // as multi-10s spill stalls when the planner drifts there. A
-    // hash build streams the quadratic fan-out, and unlike broadcast
-    // it also holds at corpus scale.
-    val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "sig_key")
-      .filter(col("ma.doc_id") < col("mb.doc_id"))
-      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"))
-    val cross = sigPairs
-      .join(members.as("ma").hint("shuffle_hash"), col("sig_a") === col("ma.sig_key"))
-      .join(members.as("mb").hint("shuffle_hash"), col("sig_b") === col("mb.sig_key"))
-      .select(
-        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
-        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"))
-    intra.unionByName(cross)
+  def minhashLshPairs(spark: SparkSession, documents: DataFrame, rowsPerBand: Int = 4,
+                      mode: PairMode = PairMode.Full): DataFrame = releasingOnBudgetError {
+    // NOT cached in the one-action modes: all references live in ONE
+    // output plan, and a clean sf0.1 A/B (medians of 3) put the
+    // cached variant 19% SLOWER (1.68 s → 2.00 s) — the array-bearing
+    // cache round-trip loses to Spark's own branch sharing. Contrast
+    // minhashComponents, whose references span two actions where no
+    // plan-level sharing exists — which is exactly Bounded's shape
+    // (the guard action + the caller's), so Bounded takes the
+    // two-action cache.
+    val base = signatureClusters(documents)
+    val full = mode match {
+      case PairMode.Bounded(_) => registerCache(base, actions = 2)
+      case _ => base
+    }
+    val members = full.select(col("doc_id"), col("sig_key").as("ckey"))
+    val sigPairs = sigBandPairs(full, rowsPerBand)
+      .select(col("sig_a").as("ck_a"), col("sig_b").as("ck_b"))
+    expandDocPairs(members, sigPairs, Nil, Nil, mode, "minhashLshPairs")
   }
 
   /** Transitive MinHash near-dup clustering: (doc_id, component)
@@ -762,25 +858,25 @@ object Dedup {
     * single codegen'd instruction pair — the confirm step costs
     * nothing next to the join. */
   def simhashNearDupPairs(spark: SparkSession, documents: DataFrame,
-                          maxHamming: Int = 1): DataFrame = {
+                          maxHamming: Int = 1,
+                          mode: PairMode = PairMode.Full): DataFrame = releasingOnBudgetError {
     requireMaxHamming(maxHamming) // before registerCache: an invalid
     // argument must not leave a persisted frame behind
     // (doc_id, simhash): two longs per doc, three references in the
     // output plan, and each recompute re-runs the md5-per-token fold
-    // — the narrow-expensive shape the scoped cache exists for
-    val sh = registerCache(simhash(spark, documents))
+    // — the narrow-expensive shape the scoped cache exists for.
+    // Bounded adds the guard action before the caller's — two
+    // consuming actions, so its cache scope widens to match.
+    val cacheActions = mode match {
+      case PairMode.Bounded(_) => 2
+      case _ => 1
+    }
+    val sh = registerCache(simhash(spark, documents), actions = cacheActions)
+    val members = sh.select(col("doc_id"), col("simhash").as("ckey"))
     val fpPairs = simhashFpPairs(sh, maxHamming)
-    val intra = sh.as("ma").join(sh.as("mb").hint("shuffle_hash"), "simhash")
-      .filter(col("ma.doc_id") < col("mb.doc_id"))
-      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
-              lit(0L).as("hamming"))
-    val cross = fpPairs
-      .join(sh.as("ma").hint("shuffle_hash"), col("fp_a") === col("ma.simhash"))
-      .join(sh.as("mb").hint("shuffle_hash"), col("fp_b") === col("mb.simhash"))
-      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
-              greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
-              col("hamming"))
-    intra.unionByName(cross)
+      .select(col("fp_a").as("ck_a"), col("fp_b").as("ck_b"), col("hamming"))
+    expandDocPairs(members, fpPairs, Seq("hamming"), Seq(lit(0L).as("hamming")),
+      mode, "simhashNearDupPairs")
   }
 
   /** (fp_a, fp_b, hamming): near-dup edges between DISTINCT
@@ -1144,35 +1240,28 @@ object Dedup {
     * `actions = 2`; extra actions beyond the hint recompute the
     * tokenize map — correct but silently slower. */
   def jaccardNearDupPairs(documents: DataFrame, threshold: Double, ngram: Int = 1,
-                          actions: Int = 1): DataFrame = {
+                          actions: Int = 1,
+                          mode: PairMode = PairMode.Full): DataFrame = releasingOnBudgetError {
     require(threshold > 0.0, "the jaccard set join requires a positive threshold")
     require(threshold <= 1.0, "jaccard threshold above 1 excludes everything")
     // collapse identical token sets (same trick as the LSH path):
     // J(identical sets) = 1.0 with no arithmetic, and the quadratic
     // verification stage only sees DISTINCT sets per block; 8-byte
     // xxhash64 cluster keys keep the joins narrow. Caching follows
-    // the plan (see usesPrefixPlan).
-    val withKey = keyedTokenSets(documents, ngram, threshold, actions)
-    val members = withKey.select(col("doc_id"), col("set_key"))
-    val repPairs = setPairs(withKey, threshold, actions)
-
+    // the plan (see usesPrefixPlan); Bounded's guard action adds one
+    // consuming action to the scope.
+    val effActions = mode match {
+      case PairMode.Bounded(_) => actions + 1
+      case _ => actions
+    }
+    val withKey = keyedTokenSets(documents, ngram, threshold, effActions)
+    val members = withKey.select(col("doc_id"), col("set_key").as("ckey"))
+    val repPairs = setPairs(withKey, threshold, effActions)
+      .select(col("set_a").as("ck_a"), col("set_b").as("ck_b"), col("jaccard"))
     // expand rep pairs to doc pairs; intra-cluster pairs are exact
     // duplicates (J = 1.0)
-    // pin shuffled-hash on the expansion joins like every sibling
-    // (minhashLshPairs' measured rationale at its expansion block):
-    // hot set_keys make sort-merge buffer whole matched groups
-    val cross = repPairs
-      .join(members.as("ma").hint("shuffle_hash"), col("set_a") === col("ma.set_key"))
-      .join(members.as("mb").hint("shuffle_hash"), col("set_b") === col("mb.set_key"))
-      .select(
-        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
-        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
-        col("jaccard"))
-    val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "set_key")
-      .filter(col("ma.doc_id") < col("mb.doc_id"))
-      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
-              lit(1.0).as("jaccard"))
-    intra.unionByName(cross)
+    expandDocPairs(members, repPairs, Seq("jaccard"), Seq(lit(1.0).as("jaccard")),
+      mode, "jaccardNearDupPairs")
   }
 
   /** Edit-distance (Levenshtein) near-dup pairs — the fuzzy-dedup

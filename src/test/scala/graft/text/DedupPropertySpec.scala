@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.DoubleType
 class DedupPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  // The whole suite runs with the sorted-input assertion baked into
+  // Every test runs with the sorted-input assertion baked into
   // every SortedIntersectCount it builds: the producer+kernel pair is
   // proven across every RANDOM corpus here, not just the crafted
   // fixtures in SetExpressionsSpec. Strict mode changes behavior only
@@ -22,21 +22,21 @@ class DedupPropertySpec extends SparkSpec {
   // untouched while any future producer refactor that stops sorting
   // fails this suite's randomized tests loudly.
   //
-  // The conf is set on the shared getOrCreate session, which would
-  // leak into columns OTHER suites build concurrently — safe here
-  // only because suites run SEQUENTIALLY in the one forked test JVM,
-  // an assumption that is ENFORCED, not hoped: build.sbt exports
-  // `graft.test.forkedParallel` and ErrorLogCapture asserts it false
-  // at install time, so a build-setting drift fails the run loudly
-  // before any flag could bleed.
-  override protected def beforeAll(): Unit = {
-    super.beforeAll()
+  // Scoped PER TEST (SetExpressionsSpec's withStrict pattern), not
+  // suite-wide in beforeAll: the flag is read at column-construction
+  // time, so wrapping each test body gives identical coverage while
+  // the shared session's conf is mutated only inside a test's own
+  // set/unset bracket — never left set across the suite's lifetime,
+  // where it could bleed into columns other suites build if test
+  // execution ever went parallel.
+  private def withStrict[T](body: => T): T = {
     spark.conf.set(graft.functions.SetExpressions.StrictSortedConf, "true")
+    try body
+    finally spark.conf.unset(graft.functions.SetExpressions.StrictSortedConf)
   }
-  override protected def afterAll(): Unit = {
-    try spark.conf.unset(graft.functions.SetExpressions.StrictSortedConf)
-    finally super.afterAll()
-  }
+
+  private def strictTest(name: String)(body: => Unit): Unit =
+    test(name)(withStrict(body))
 
   /** Random corpus: vocab small enough to force heavy duplication
     * (the regime that broke the naive plans). */
@@ -53,7 +53,7 @@ class DedupPropertySpec extends SparkSpec {
   private def pairsOf(df: DataFrame): Set[(Long, Long)] =
     df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("co-count jaccard == naive array-based jaccard (3 random corpora)") {
+  strictTest("co-count jaccard == naive array-based jaccard (3 random corpora)") {
     for (seed <- Seq(1, 2, 3)) {
       val docs = corpus(seed, nDocs = 120, vocab = 15)
       val fast = Dedup.jaccardNearDupPairs(docs, 0.6)
@@ -75,7 +75,7 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("Scala twins match their Catalyst expressions: tokensOf/tokenCodeOf (adversarial strings)") {
+  strictTest("Scala twins match their Catalyst expressions: tokensOf/tokenCodeOf (adversarial strings)") {
     // the typed-map MinHash/SimHash folds are bit-identical to the
     // old expression folds ONLY IF the twins agree exactly — pin them
     // over strings the testdata never exercises: unicode whitespace,
@@ -110,7 +110,7 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("prefix-filtered set join == co-count set join (plans agree above the dispatch line)") {
+  strictTest("prefix-filtered set join == co-count set join (plans agree above the dispatch line)") {
     // setPairs dispatches by threshold; BOTH plans are exact, so on
     // any corpus and any prefix-legal threshold their (set_a, set_b,
     // jaccard) outputs must be identical. This directly guards the
@@ -137,7 +137,7 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("setPairs dispatch boundary (t=0.5): both plans and the dispatched path agree at 0.499/0.5/0.501") {
+  strictTest("setPairs dispatch boundary (t=0.5): both plans and the dispatched path agree at 0.499/0.5/0.501") {
     // The t >= 0.5 dispatch point is load-bearing: below it the
     // co-count plan runs, at and above it the prefix plan. This pins
     // the seam specifically — crafted docs with pairs at EXACTLY
@@ -191,7 +191,7 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("cluster-collapsed LSH pairs == naive per-(doc,band) banding (3 random corpora)") {
+  strictTest("cluster-collapsed LSH pairs == naive per-(doc,band) banding (3 random corpora)") {
     for (seed <- Seq(11, 12, 13)) {
       val docs = corpus(seed, nDocs = 100, vocab = 10)
       val fast = pairsOf(Dedup.minhashLshPairs(spark, docs))
@@ -213,7 +213,7 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("rep-mode clusters and pairs-mode output induce the same clustering") {
+  strictTest("rep-mode clusters and pairs-mode output induce the same clustering") {
     for (seed <- Seq(31, 32)) {
       val docs = corpus(seed, nDocs = 120, vocab = 8) // heavy duplication
 
@@ -246,7 +246,7 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("ngramTopK: agrees with the shingles() expression twin and plans a top-k, not a sort") {
+  strictTest("ngramTopK: agrees with the shingles() expression twin and plans a top-k, not a sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -264,7 +264,7 @@ class DedupPropertySpec extends SparkSpec {
       got.queryExecution.executedPlan.toString)
   }
 
-  test("bm25TopK matches a driver-side Okapi implementation") {
+  strictTest("bm25TopK matches a driver-side Okapi implementation") {
     import spark.implicits._
     val docs = Seq(
       (1L, "en", "table scan fast table"),
@@ -299,7 +299,7 @@ class DedupPropertySpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet.size <= before.size)
   }
 
-  test("contamination: verbatim inclusion flagged with exact shared-gram count") {
+  strictTest("contamination: verbatim inclusion flagged with exact shared-gram count") {
     import spark.implicits._
     val probes = Seq((100L, "en", "the quick brown fox jumps")).toDF("doc_id", "lang", "text")
     val docs = Seq(
@@ -313,7 +313,7 @@ class DedupPropertySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L, 3L), (3L, 100L, 1L)))
   }
 
-  test("bloomContamination equals the exact screen (no false negatives survive confirm)") {
+  strictTest("bloomContamination equals the exact screen (no false negatives survive confirm)") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") >= 5)
@@ -338,7 +338,7 @@ class DedupPropertySpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
-  test("crossDupFraction: shared trigrams counted once per doc, short docs dropped") {
+  strictTest("crossDupFraction: shared trigrams counted once per doc, short docs dropped") {
     import spark.implicits._
     val docs = Seq(
       (1L, "en", "the quick brown fox jumps"),       // grams: tqb,qbf,bfj — shares tqb with doc 2
@@ -361,7 +361,7 @@ class DedupPropertySpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
-  test("repetitionScore: known ratios on crafted docs, short docs dropped") {
+  strictTest("repetitionScore: known ratios on crafted docs, short docs dropped") {
     import spark.implicits._
     val docs = Seq(
       (1L, "en", "a b a b a b"),   // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
@@ -375,7 +375,7 @@ class DedupPropertySpec extends SparkSpec {
     assert(got(1) == ((2L, 3L, 3L, 0.0)))
   }
 
-  test("chunk: overlapping windows tile the token stream and reconstruct it") {
+  strictTest("chunk: overlapping windows tile the token stream and reconstruct it") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val chunks = TextOps.chunk(docs, size = 32, overlap = 8)
@@ -403,7 +403,7 @@ class DedupPropertySpec extends SparkSpec {
     assert(chunks.nonEmpty)
   }
 
-  test("minhashComponents: exact + near dups merge transitively, strangers stay apart") {
+  strictTest("minhashComponents: exact + near dups merge transitively, strangers stay apart") {
     val base = (1 to 40).map(i => s"tok$i")
     val docs = Seq(
       (1L, base.mkString(" ")),                               // |
@@ -427,7 +427,7 @@ class DedupPropertySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((5L, 6L)))
   }
 
-  test("minhashComponents requires confirmed edges (strict minAgree isolates near dups)") {
+  strictTest("minhashComponents requires confirmed edges (strict minAgree isolates near dups)") {
     val base = (1 to 40).map(i => s"tok$i")
     val docs = Seq(
       (1L, base.mkString(" ")),
@@ -441,14 +441,14 @@ class DedupPropertySpec extends SparkSpec {
     assert(strict(1L) == 1L && strict(2L) == 2L)
   }
 
-  test("incrementalLshPairs with an empty fresh batch is a no-op screen") {
+  strictTest("incrementalLshPairs with an empty fresh batch is a no-op screen") {
     val corp = corpus(seed = 9, nDocs = 60, vocab = 10)
     val fresh = corp.filter(col("doc_id") < 0) // empty, same schema
     assert(Dedup.incrementalLshPairs(spark, corp, fresh).count() == 0,
       "no fresh docs -> no candidates, regardless of corpus-side duplicates")
   }
 
-  test("incrementalLshPairs == full banding restricted to fresh-touching pairs") {
+  strictTest("incrementalLshPairs == full banding restricted to fresh-touching pairs") {
     for (seed <- Seq(5, 6)) {
       val docs = corpus(seed, nDocs = 150, vocab = 12)
       val fresh = docs.filter(col("doc_id") % 3 === 0)
@@ -464,7 +464,7 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("bucketed band store: probe join reads the corpus side exchange-free, same pairs") {
+  strictTest("bucketed band store: probe join reads the corpus side exchange-free, same pairs") {
     // The load-bearing 100-TB claim of the ingest-dedup story
     // (minhashBandStore scaladoc): persist the corpus band store
     // bucketed on (band, bkey) and the next batch's probe join never
@@ -557,7 +557,7 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("simhashComponents: exact dups + hamming-close docs merge, disjoint stay apart") {
+  strictTest("simhashComponents: exact dups + hamming-close docs merge, disjoint stay apart") {
     val base = (1 to 60).map(i => s"tok$i")
     val docs = Seq(
       (1L, base.mkString(" ")),                               // |
@@ -585,7 +585,7 @@ class DedupPropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("invalid maxHamming fails fast with nothing left persisted") {
+  strictTest("invalid maxHamming fails fast with nothing left persisted") {
     Dedup.releaseCaches()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
@@ -599,7 +599,7 @@ class DedupPropertySpec extends SparkSpec {
       "failed validation must not leak persisted tables")
   }
 
-  test("near-dup operators leave no cached tables behind") {
+  strictTest("near-dup operators leave no cached tables behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = corpus(seed = 21, nDocs = 80, vocab = 12)
     Dedup.jaccardNearDupPairs(docs, 0.5).count()
@@ -610,7 +610,7 @@ class DedupPropertySpec extends SparkSpec {
       "dedup operators must not leak persisted tables into the session")
   }
 
-  test("scoped caches self-release after the consuming action, WITHOUT releaseCaches()") {
+  strictTest("scoped caches self-release after the consuming action, WITHOUT releaseCaches()") {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val docs = corpus(seed = 33, nDocs = 60, vocab = 10)
     // both registry users, consumed by plain actions a library user
@@ -634,7 +634,7 @@ class DedupPropertySpec extends SparkSpec {
       s"caches not self-released: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
-  test("round-5 curation ops are invariant under repartitioning") {
+  strictTest("round-5 curation ops are invariant under repartitioning") {
     val rnd = new Random(29)
     val df = (1L to 400L).map { i =>
       (i, s"src${rnd.nextInt(7)}", rnd.nextInt(500).toLong,
@@ -660,7 +660,7 @@ class DedupPropertySpec extends SparkSpec {
            TextOps.bpeTrain(df.repartition(17), 4, 2L))
   }
 
-  test("decimal moneySum is invariant under repartitioning") {
+  strictTest("decimal moneySum is invariant under repartitioning") {
     val rnd = new Random(7)
     val df = (1 to 5000).map(i => (i % 13, rnd.nextDouble() * 1000)).toDF("k", "v")
     def total(parts: Int): Map[Int, Double] =
@@ -670,7 +670,106 @@ class DedupPropertySpec extends SparkSpec {
     assert(total(1) == total(32))
   }
 
-  test("lastPerGroup == Scala overwrite loop on random events") {
+  // ---- PairMode: the output-quadratic pair-emission contract ----
+
+  /** Driver union-find: components of an edge list, for closure
+    * comparison on the small test corpora. */
+  private def componentsOf(edges: Set[(Long, Long)], nodes: Set[Long]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    nodes.foreach(n => parent.getOrElse(n, { parent(n) = n; n }))
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  strictTest("PairMode.Star: spanning subset of Full with the SAME transitive closure (3 families)") {
+    val docs = corpus(seed = 91, nDocs = 150, vocab = 8) // heavy duplication
+    val families: Seq[(String, PairMode => DataFrame)] = Seq(
+      "minhash" -> (m => Dedup.minhashLshPairs(spark, docs, mode = m)),
+      "simhash" -> (m => Dedup.simhashNearDupPairs(spark, docs, maxHamming = 1, mode = m)),
+      "jaccard" -> (m => Dedup.jaccardNearDupPairs(docs, 0.8, mode = m)))
+    for ((name, run) <- families) {
+      val full = run(PairMode.Full).collect().map(_.toSeq).toSet
+      val star = run(PairMode.Star).collect().map(_.toSeq).toSet
+      assert(star.subsetOf(full),
+        s"$name: star emitted ${(star -- full).take(3)} not present under Full")
+      def edges(rows: Set[Seq[Any]]): Set[(Long, Long)] =
+        rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      val fe = edges(full)
+      val se = edges(star)
+      val nodes = fe.flatMap(e => Seq(e._1, e._2))
+      assert(componentsOf(se, nodes) == componentsOf(fe, nodes),
+        s"$name: star closure diverged from full closure")
+      // star's identical-cluster share is linear by construction:
+      // n−1 member→rep edges per cluster can never exceed doc count
+      assert(se.size <= fe.size, s"$name: star emitted more pairs than full")
+    }
+  }
+
+  strictTest("PairMode on a colossal cluster: Star is O(n), Bounded throws the documented guard, under-budget is bit-identical") {
+    // 400 identical docs (one exact-dup cluster) + 5 strangers: Full
+    // must emit the 400·399/2 clique; Star must emit the 399-edge star
+    val big = (0 until 400).map(i => (i.toLong, "en", "w1 w2 w3 w4 w5 w6", 17L))
+    val lone = (400 until 405).map(i => (i.toLong, "en", s"x$i y$i z$i q$i r$i s$i", 23L))
+    val docs = (big ++ lone).toDF("doc_id", "lang", "text", "n_chars")
+    val clique = 400L * 399L / 2L
+
+    val fullCnt = Dedup.minhashLshPairs(spark, docs).count()
+    assert(fullCnt >= clique, s"full should contain the $clique-pair clique, got $fullCnt")
+    val starPairs = Dedup.minhashLshPairs(spark, docs, mode = PairMode.Star)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the star of the colossal cluster: rep 0 to each of 1..399
+    assert((1L until 400L).forall(m => starPairs.contains((0L, m))))
+    assert(starPairs.size < 420, s"star must be O(n), got ${starPairs.size}")
+
+    // the guard fires at CALL time, before any expansion job, with
+    // the exact predicted count in the message
+    val e = intercept[PairBudgetExceededException] {
+      Dedup.minhashLshPairs(spark, docs, mode = PairMode.Bounded(maxPairs = 1000L))
+    }
+    assert(e.predictedPairs == fullCnt, s"predicted ${e.predictedPairs} != actual $fullCnt")
+    assert(e.getMessage.contains("PairMode.Star") && e.getMessage.contains("1000"))
+
+    // under budget: bit-identical to Full — for all three families
+    val okMin = Dedup.minhashLshPairs(spark, docs, mode = PairMode.Bounded(fullCnt))
+    assert(okMin.collect().map(_.toSeq).toSet ==
+      Dedup.minhashLshPairs(spark, docs).collect().map(_.toSeq).toSet)
+    val okSim = Dedup.simhashNearDupPairs(spark, docs, mode = PairMode.Bounded(Long.MaxValue))
+    assert(okSim.collect().map(_.toSeq).toSet ==
+      Dedup.simhashNearDupPairs(spark, docs).collect().map(_.toSeq).toSet)
+    val okJac = Dedup.jaccardNearDupPairs(docs, 0.8, mode = PairMode.Bounded(Long.MaxValue))
+    assert(okJac.collect().map(_.toSeq).toSet ==
+      Dedup.jaccardNearDupPairs(docs, 0.8).collect().map(_.toSeq).toSet)
+
+    // Bounded guard also fires on the jaccard and simhash paths
+    intercept[PairBudgetExceededException] {
+      Dedup.jaccardNearDupPairs(docs, 0.8, mode = PairMode.Bounded(10L))
+    }
+    intercept[PairBudgetExceededException] {
+      Dedup.simhashNearDupPairs(spark, docs, maxHamming = 1, mode = PairMode.Bounded(10L))
+    }
+    // the throwing guard path must strand nothing (the family's
+    // fail-fast convention): the guard action consumed one cache
+    // scope, and the operator releases the rest itself — no
+    // releaseCaches() here, emptiness is the assertion. Poll: the
+    // release listener fires on the bus thread.
+    val deadline = System.currentTimeMillis() + 15000
+    while ((!Dedup.scopedCaches.isEmpty ||
+            spark.sparkContext.getPersistentRDDs.nonEmpty) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(Dedup.scopedCaches.isEmpty,
+      "budget-guard throw left scoped-cache registrations behind")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "budget-guard throw left persisted tables behind")
+  }
+
+  strictTest("lastPerGroup == Scala overwrite loop on random events") {
     val rnd = new Random(5)
     val rows = (0 until 2000).map { i =>
       (i.toLong, rnd.nextInt(40).toLong, s"t${rnd.nextInt(5)}", rnd.nextDouble(),
