@@ -14,6 +14,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
   */
 object Validate {
 
+  /** Backtick-quoted TOP-LEVEL resolution of a user-supplied column
+    * name against the frame that owns it — [[dataProfile]]'s
+    * convention, shared family-wide so a legal (if unusual) dotted
+    * top-level name ("price.usd") is never misparsed as struct-field
+    * access by a bare `col()`. The resolved Column's attribute rides
+    * downstream filter/select lineage of the same frame. The quoting
+    * cannot escape a backtick itself — rejected up front. */
+  private def userCol(df: DataFrame, c: String): Column = {
+    require(!c.contains("`"), s"column name '$c' contains a backtick — rename it first")
+    df.col(s"`$c`")
+  }
+
   /** Per-column profile in ONE job: row count, null count, exact (or
     * sketched) distinct count, and min/max — numeric columns report
     * `min_num`/`max_num` (double), string columns `min_str`/`max_str`
@@ -40,13 +52,11 @@ object Validate {
     val schema = df.schema
     cols.foreach { c =>
       require(schema.fieldNames.contains(c), s"column '$c' not in ${schema.fieldNames.toSeq}")
-      // the quoted resolution below cannot escape a backtick itself
-      require(!c.contains("`"), s"column name '$c' contains a backtick — rename it first")
     }
-    // backtick-quoted resolution: a TOP-LEVEL column whose name
+    // quoted resolution (userCol): a TOP-LEVEL column whose name
     // contains a dot ("price.usd") must not be parsed as struct-field
     // access (bare col()/df() both would)
-    def src(c: String): Column = df.col(s"`$c`")
+    def src(c: String): Column = userCol(df, c)
     def nd(c: String): Column =
       if (approx) approx_count_distinct(src(c)) else countDistinct(src(c))
     val isNum: String => Boolean = c => schema(c).dataType match {
@@ -106,7 +116,7 @@ object Validate {
     require(k >= 2, s"k-anonymity below 2 is vacuous, got $k")
     require(!quasiCols.contains("group_size"),
       "quasi-identifier column 'group_size' collides with the output count alias — alias it first")
-    df.groupBy(quasiCols.map(col): _*)
+    df.groupBy(quasiCols.map(userCol(df, _)): _*)
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
   }
@@ -142,7 +152,7 @@ object Validate {
     // the candidate join both skip them, so counting them in n_total
     // would inflate the threshold applied to the real values while
     // the null key itself could never be reported
-    val vals = df.select(col(valueCol).cast(StringType).as("v"))
+    val vals = df.select(userCol(df, valueCol).cast(StringType).as("v"))
       .filter(col("v").isNotNull).as[String]
     val totals = vals.toDF("v").agg(count(lit(1)).as("n_total"))
     // +1 counter of slack over the exact ⌈1/φ⌉ pigeonhole bound: the
@@ -209,10 +219,13 @@ object Validate {
     def ln6(c: Column): Column =
       round(log(c.cast(DoubleType)), 6).cast(DecimalType(18, 6))
     val dense = halfSplitBinCounts(df, groupCol, valueCol, tsUsCol, nBins)
-    dense.select(col("grp").as(groupCol), col("bin"), col("a"), col("b"),
+    // the internal "grp" alias survives until the FINAL projection:
+    // re-referencing an already-aliased user name with a bare col()
+    // would misparse a dotted top-level groupCol (userCol rationale)
+    dense.select(col("grp"), col("bin"), col("a"), col("b"),
         (col("a") + 1L).as("a1"), (col("b") + 1L).as("b1"),
         (col("n_first") + nBins).as("n1"), (col("m_second") + nBins).as("m1"))
-      .select(col(groupCol), col("bin"), col("a"), col("b"),
+      .select(col("grp").as(groupCol), col("bin"), col("a"), col("b"),
         (col("a1") * col("m1") - col("b1") * col("n1")).as("diff_num"),
         (col("n1") * col("m1")).as("den"),
         (ln6(col("a1")) + ln6(col("m1")) - ln6(col("b1")) - ln6(col("n1")))
@@ -324,13 +337,17 @@ object Validate {
                      nBins: Int): (Double, Double, DataFrame) = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
     requireNonReserved(groupCol)
+    // quoted resolution (userCol): a dotted top-level group/value
+    // name must not parse as struct access — dataProfile's convention
+    val gc = userCol(df0, groupCol)
+    val vc = userCol(df0, valueCol)
     // same sample contract as halfSplitBinCounts: null/non-finite
     // values are not samples — excluded from BOTH the counts and
     // n_ref, so the cumulative reference CDF actually reaches n_ref
     // (and NaN cannot poison the min/max cut params)
-    val df = df0.filter(finiteSample(col(valueCol)))
-    val row = df.agg(min(col(valueCol)).cast(DoubleType),
-                     max(col(valueCol)).cast(DoubleType)).head()
+    val df = df0.filter(finiteSample(vc))
+    val row = df.agg(min(vc).cast(DoubleType),
+                     max(vc).cast(DoubleType)).head()
     // empty (or all-null) training frame: degenerate single-bin
     // reference with an empty count scaffold, not an NPE — the
     // empty-input contract every operator family honors
@@ -338,8 +355,8 @@ object Validate {
       if (row.isNullAt(0) || row.isNullAt(1)) (0.0, 0.0)
       else (row.getDouble(0), row.getDouble(1))
     val counts = df
-      .select(col(groupCol).as("grp"),
-        binColumn(col(valueCol), vmn, vmx, nBins).as("bin"))
+      .select(gc.as("grp"),
+        binColumn(vc, vmn, vmx, nBins).as("bin"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("ref_cnt"))
     val dense = denseScaffold(counts, nBins, Seq("ref_cnt" -> "n_ref"))
       .select(col("grp"), col("bin"), col("ref_cnt"), col("n_ref"))
@@ -414,19 +431,23 @@ object Validate {
                  tsUsCol: String, nBins: Int): DataFrame = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")
     requireNonReserved(groupCol)
+    // quoted resolution (userCol) — see driftReference
+    val gc = userCol(df0, groupCol)
+    val vc = userCol(df0, valueCol)
+    val tc = userCol(df0, tsUsCol)
     // a null timestamp has no day bucket: unfiltered it formed a
     // bucket=NULL group whose bins then failed the === probe join,
     // emitting a spurious (bucket=null, d_num=0) "no drift" row while
     // the rows' actual counts vanished. The half-split twins drop
     // null-ts rows too — same family contract.
-    val df = df0.filter(finiteSample(col(valueCol)) && col(tsUsCol).isNotNull)
+    val df = df0.filter(finiteSample(vc) && tc.isNotNull)
     val scalars = df.agg(
-      min(col(valueCol)).cast(DoubleType).as("__vmn"),
-      max(col(valueCol)).cast(DoubleType).as("__vmx"))
+      min(vc).cast(DoubleType).as("__vmn"),
+      max(vc).cast(DoubleType).as("__vmx"))
     val binned = df.crossJoin(broadcast(scalars))
-      .select(col(groupCol).as("grp"),
-        date_format(timestamp_micros(col(tsUsCol)), "yyyy-MM-dd").as("bucket"),
-        binExpr(col(valueCol), col("__vmn"), col("__vmx"), nBins).as("bin"))
+      .select(gc.as("grp"),
+        date_format(timestamp_micros(tc), "yyyy-MM-dd").as("bucket"),
+        binExpr(vc, col("__vmn"), col("__vmx"), nBins).as("bin"))
     val ref = binned.groupBy("grp", "bin").agg(count(lit(1)).as("ref_cnt"))
     val refDense = denseScaffold(ref, nBins, Seq("ref_cnt" -> "n_ref"))
       .select(col("grp"), col("bin"), col("ref_cnt"), col("n_ref"))
@@ -497,6 +518,10 @@ object Validate {
                                  valueCol: String, tsUsCol: String,
                                  nBins: Int): DataFrame = {
     requireNonReserved(groupCol)
+    // quoted resolution (userCol) — see driftReference
+    val gc = userCol(df0, groupCol)
+    val vc = userCol(df0, valueCol)
+    val tc = userCol(df0, tsUsCol)
     // NULL values are NOT samples of the distribution: without this
     // filter they would inflate the group totals (n_first/m_second
     // sum every count row) while the dense 0..nBins−1 scaffold drops
@@ -507,21 +532,21 @@ object Validate {
     // expression aborts on the ANSI double→Long cast. Null and
     // non-finite RATES are separate monitors (dataProfile); the
     // distribution statistics compare finite populations.
-    val df = df0.filter(finiteSample(col(valueCol)))
+    val df = df0.filter(finiteSample(vc))
     // midpoint in LONG arithmetic: a double (min+max)/2 loses
     // exactness past 2^53 (ns-scale timestamps sum to ~3.4e18) and
     // truncates instead of flooring for negative sums; arithmetic
     // shift-right IS floor-division by 2, matching the oracle's `//`
     val scalars = df.agg(
-      shiftright(min(col(tsUsCol)) + max(col(tsUsCol)), 1).as("__mid"),
-      min(col(valueCol)).cast(DoubleType).as("__vmn"),
-      max(col(valueCol)).cast(DoubleType).as("__vmx"))
+      shiftright(min(tc) + max(tc), 1).as("__mid"),
+      min(vc).cast(DoubleType).as("__vmn"),
+      max(vc).cast(DoubleType).as("__vmx"))
     // identical expression shape on both engines: (v−mn)·nBins/(mx−mn),
     // floor, clamp — sub/mul/div/floor are correctly rounded IEEE ops
     val binned = df.crossJoin(broadcast(scalars))
-      .select(col(groupCol).as("grp"),
-        binExpr(col(valueCol), col("__vmn"), col("__vmx"), nBins).as("bin"),
-        (col(tsUsCol) <= col("__mid")).as("is_first"))
+      .select(gc.as("grp"),
+        binExpr(vc, col("__vmn"), col("__vmx"), nBins).as("bin"),
+        (tc <= col("__mid")).as("is_first"))
     val counts = binned.groupBy("grp", "bin")
       .agg(sum(when(col("is_first"), 1L).otherwise(0L)).as("a"),
            sum(when(!col("is_first"), 1L).otherwise(0L)).as("b"))

@@ -101,7 +101,12 @@ object MediaOps {
     * stubbed. */
   def mediaFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null doc_id dropped silently — the family convention the
+    // jaccard/decontamination operators follow (a keyless row can't
+    // join back to anything downstream); without the filter the typed
+    // Long field aborts the whole job on one null id
+    documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull).as[(Long, String)]
       .map { case (id, text) =>
         // null text = empty document — the repo-wide text-operator
         // contract (TextOps.tokensOf, pinned in NullInputSpec); a bare

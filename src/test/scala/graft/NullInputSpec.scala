@@ -66,6 +66,10 @@ class NullInputSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L, 3L))
     assert(Dedup.simhash(spark, withNullKey).collect()
       .map(_.getLong(0)).toSet == Set(1L, 3L))
+    // the media corpus derivation decodes the same primitive Long —
+    // joined the family convention in r13 (it aborted before)
+    assert(graft.media.MediaOps.mediaFromDocuments(withNullKey).collect()
+      .map(_.media_id).toSet == Set(1L, 3L))
     // the jaccard family's tokenSets and the decontamination family's
     // docGrams decode the same primitive Long — same drop contract
     // (withKey frames add lang/n_chars; both null here is fine)

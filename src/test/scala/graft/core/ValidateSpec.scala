@@ -48,6 +48,36 @@ class ValidateSpec extends SparkSpec {
       Validate.dataProfile(df.withColumnRenamed("id", "a`b"), Seq("a`b")))
   }
 
+  test("drift family + kAnonymity/heavyHitters resolve dotted top-level names (quoted, family-wide)") {
+    // dataProfile's quoted resolution extended family-wide (r13,
+    // ADVICE r12): previously these entry points resolved user names
+    // with bare col(), misparsing a legal dotted top-level name as
+    // struct-field access. Equivalence oracle: rename the columns to
+    // plain names and the results must match exactly.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 3}", rnd.nextDouble() * 10, 1700000000000000L + i * 1000L)
+    }
+    val dotted = rows.toDF("grp.name", "val.usd", "ts.us")
+    val plain = rows.toDF("g", "v", "t")
+    def s(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    assert(s(Validate.psiDrift(dotted, "grp.name", "val.usd", "ts.us", 5)) ==
+      s(Validate.psiDrift(plain, "g", "v", "t", 5)))
+    assert(s(Validate.ksDrift(dotted, "grp.name", "val.usd", "ts.us", 8)) ==
+      s(Validate.ksDrift(plain, "g", "v", "t", 8)))
+    assert(s(Validate.driftByDay(dotted, "grp.name", "val.usd", "ts.us", 5)) ==
+      s(Validate.driftByDay(plain, "g", "v", "t", 5)))
+    val (mn, mx, ref) = Validate.driftReference(dotted, "grp.name", "val.usd", 5)
+    val (mn2, mx2, ref2) = Validate.driftReference(plain, "g", "v", 5)
+    assert(mn == mn2 && mx == mx2 && s(ref) == s(ref2))
+    assert(s(Validate.kAnonymity(dotted.select(col("`grp.name`")), Seq("grp.name"), 200L)
+        .withColumnRenamed("grp.name", "g")) ==
+      s(Validate.kAnonymity(plain.select(col("g")), Seq("g"), 200L)))
+    assert(s(Validate.heavyHitters(dotted, "grp.name", 0.3)) ==
+      s(Validate.heavyHitters(plain, "g", 0.3)))
+  }
+
   test("dataProfile: approx path keeps the same shape with sketched distincts") {
     val df = (1 to 1000).map(i => (i.toLong, s"v${i % 37}")).toDF("id", "s")
     val p = Validate.dataProfile(df, Seq("id", "s"), approx = true)
