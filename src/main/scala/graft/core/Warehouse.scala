@@ -61,6 +61,23 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** Append a batch to an existing bucketed table (creating it on
+    * first use), preserving the bucket spec — the band-store ingest
+    * path: each admitted micro-batch's band rows land in the SAME
+    * (band, bkey) bucketing, so the next batch's probe join still
+    * reads the whole table exchange-free. Spark verifies the spec
+    * against the existing table's, so a drifted bucketing fails
+    * loudly instead of silently de-bucketing the store. */
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    require(keys.nonEmpty, "appendBucketed needs at least one bucket key")
+    require(!table.contains("."),
+      s"appendBucketed takes a simple table name in the current database, got '$table'")
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Morton (Z-order) interleave of two `bits`-bit ranks: bit b of
     * `x` lands at position 2b, bit b of `y` at 2b+1. Rows close in
     * BOTH dimensions get close z-values — the property the clustered
@@ -518,12 +535,20 @@ object Warehouse {
       if (touched.isEmpty) {
         // the insert-only fast path never reads a stored file, so the
         // unionByName below cannot compare schemas the way the
-        // touched path does — check one stored footer explicitly, or
+        // touched path does — check the stored footers explicitly, or
         // a schema-divergent batch (disjoint key range, different
         // columns) would COMMIT silently and poison every later read
-        // that mixes the files
+        // that mixes the files. mergeSchema makes the check
+        // DETERMINISTIC over every committed file (a plain read
+        // samples one arbitrary footer, so on a table that mixed
+        // schemas before this guard existed, acceptance would depend
+        // on which file got sampled) and fail-closed: any stored
+        // field the batch lacks — or a stored int/long fork — surfaces
+        // as a mismatch or a merge error instead of a silent commit.
+        // Footer-only metadata cost, |before| small by construction.
         if (before.nonEmpty) {
-          val stored = spark.read.parquet(before.head).schema
+          val stored = spark.read.option("mergeSchema", "true")
+            .parquet(before.toSeq: _*).schema
           val a = stored.fields.map(f => (f.name, f.dataType)).toSet
           val b = updates.schema.fields.map(f => (f.name, f.dataType)).toSet
           require(a == b,

@@ -206,6 +206,133 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
     assert(reEmitted.size == reEmitted.toSet.size, "retry emitted a pair twice")
   }
 
+  test("lshScreenForeachBatch over the BUCKETED on-disk store survives a restart: cross-restart pairs exactly once, probe exchange-free") {
+    // Composes three separately-tested pieces into the production
+    // ingest claim (r12 ask): the streaming screen protocol (test
+    // above, parquet paths), the bucketed band store's exchange-free
+    // probe (DedupPropertySpec plan test), and bucketed PERSISTENCE
+    // across a restart — two micro-batches through a real stream,
+    // then a "restart" (a brand-new body with fresh reader closures,
+    // the only state a cold stream start has), then a third batch.
+    val longA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((1L, longB), (2L, longA),
+      (3L, "completely unrelated noise text")).toDF("doc_id", "text")
+    val b1 = Seq((101L, longB), (102L, "more unrelated filler words here")).toDF("doc_id", "text")
+    val b2 = Seq((201L, longB), (202L, longA.replace("alpha7", "gamma7")),
+                 (203L, "yet another distinct document")).toDF("doc_id", "text")
+    val b3 = Seq((301L, longB), (302L, "post restart filler document")).toDF("doc_id", "text")
+
+    val bandsTbl = "scr_bands"
+    val membersTbl = "scr_members"
+    graft.core.Warehouse.writeBucketed(
+      graft.text.Dedup.minhashBandStore(corpus), bandsTbl, Seq("band", "bkey"), 8)
+    graft.core.Warehouse.writeBucketed(
+      graft.text.Dedup.minhashMembers(corpus), membersTbl, Seq("sig_key"), 8)
+
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var lastScreen: org.apache.spark.sql.DataFrame = null
+    def mkBody() = StreamingOps.lshScreenForeachBatch(
+      readBandStore = s => s.table(bandsTbl),
+      readMembers = s => s.table(membersTbl),
+      appendBandStore = (df, _) =>
+        graft.core.Warehouse.appendBucketed(df, bandsTbl, Seq("band", "bkey"), 8),
+      appendMembers = (df, _) =>
+        graft.core.Warehouse.appendBucketed(df, membersTbl, Seq("sig_key"), 8),
+      emit = (df, bid) => emitted.synchronized {
+        lastScreen = df
+        emitted ++= df.collect().map(r => (r.getLong(0), r.getLong(1), bid))
+      })
+
+    // pre-restart life: b1, b2 through a real stream
+    val root = java.nio.file.Files.createTempDirectory("graft-lshbucket").toString
+    b1.coalesce(1).write.parquet(s"$root/in")
+    b2.coalesce(1).write.mode("append").parquet(s"$root/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      .writeStream.foreachBatch(mkBody())
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
+    assert(spark.table(membersTbl).count() == 8,
+      "both pre-restart batches must be admitted to the bucketed store")
+
+    // restart: a NEW body (fresh closures, fresh validation state) —
+    // everything it knows comes off the bucketed tables. The third
+    // batch runs with broadcast off + AQE off so the probe plan can
+    // be interrogated the way the DedupPropertySpec plan test does.
+    val restarted = mkBody()
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      restarted(b3, 2L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+
+    // cross-restart correctness: all emissions together == the
+    // one-shot batch screen, every pair exactly once; the pairs that
+    // BRIDGE the restart (b1/b2 docs vs b3 docs) exist only because
+    // the persisted store carried them over, and appear once, in the
+    // post-restart batch
+    val pairs = emitted.map(e => (e._1, e._2))
+    assert(pairs.size == pairs.toSet.size, "a pair was emitted twice across the restart")
+    val expected = graft.text.Dedup
+      .incrementalLshPairs(spark, corpus, b1.unionByName(b2).unionByName(b3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.toSet == expected, s"got ${pairs.toSet} expected $expected")
+    val bridging = emitted.filter(e => e._2 >= 300L && e._1 < 300L)
+    assert(bridging.map(e => (e._1, e._2)).toSet == Set((1L, 301L), (101L, 301L), (201L, 301L)),
+      s"cross-restart pairs wrong: $bridging")
+    assert(bridging.forall(_._3 == 2L), "bridging pairs must come from the post-restart batch")
+    // post-restart store holds corpus + all three batches
+    assert(spark.table(membersTbl).count() == 10)
+
+    // plan shape: the restarted probe read the APPENDED band store
+    // bucket-aware, with no shuffle exchange between the store scan
+    // and the probe join (the compact form of DedupPropertySpec's
+    // assertion, here proven on the post-restart, multi-append table)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = lastScreen.queryExecution.executedPlan
+    def cachedRoots(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m.relation.cachedPlan
+      }.flatMap(cp => cp +: cachedRoots(cp))
+    val roots = plan +: cachedRoots(plan)
+    def readsStore(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectLeaves().exists {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains(bandsTbl))
+        case _ => false
+      }
+    val storeScans = roots.flatMap(_.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(bandsTbl)) => s
+    })
+    assert(storeScans.nonEmpty, "restarted probe must read the persisted band store")
+    assert(storeScans.forall(_.bucketedScan),
+      "band-store scan must stay bucket-aware after bucketed appends")
+    val probeStoreSides = roots.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }).flatMap(_.children).filter { c =>
+      readsStore(c) && c.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty
+    }
+    assert(probeStoreSides.nonEmpty, "expected a join reading the band store directly")
+    for (side <- probeStoreSides)
+      assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"store must flow exchange-free into the restarted probe join:\n$side")
+  }
+
   test("markovStream == batch markovTransitions; boundary transition emits once") {
     val t0 = 1600000000000L
     def ev(id: Long, tMs: Long, u: Long, typ: String) =
