@@ -82,7 +82,9 @@ object Plans {
     "q_bpe_encode",       // broadcast merges, zero-shuffle memoized mapPartitions
     "q_drift_by_day",     // frozen-reference monitor: literal binning + metadata finisher
     "q_jaccard_neardup",  // t>=0.5 prefix plan: sorted-code sets + positional bound + merge kernel
-    "q_shingle_jaccard")  // t<0.5 co-count plan: token-inverted-index co-occurrence counting
+    "q_shingle_jaccard",  // t<0.5 co-count plan: token-inverted-index co-occurrence counting
+    "q_connected_components", // gated driver union-find: LocalRelation comp side, broadcast member join
+    "q_incremental_dedup")    // fresh-probes-corpus banding; ReuseExchange'd membership (store twin below)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -95,6 +97,10 @@ object Plans {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // stable path for the appendix's bucketed store tables, so the
+      // dumped scan locations don't churn between regenerations
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/plans-warehouse").getAbsoluteFile.toURI.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Sessions.tune(spark) // shared confs + SQL function registration
@@ -107,6 +113,47 @@ object Plans {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+
+    // Appendix (NOT a declared-query section — the store must be
+    // WRITTEN before the probe plan exists, so it can't be a lazy
+    // `queries` entry; the suffixed title keeps it out of
+    // PlansDocSpec's section regex): the persisted BUCKETED band
+    // store probe, i.e. the plan the 100-TB ingest pipeline actually
+    // runs per batch. DedupPropertySpec asserts this shape
+    // ("bucketed band store: … exchange-free"); this section makes
+    // it readable. Broadcast is disabled for the dump only because
+    // at this tiny SF the store side would broadcast and hide the
+    // layout claim under review: `Bucketed: true` on the band-store
+    // scan and NO Exchange between it and the probe join — the
+    // fresh side is the only side that shuffles into it.
+    {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.core.Tables.documents(spark, sfDir)
+      val fresh = docs.filter(col("doc_id") % 4 === 0)
+      val corp = docs.filter(col("doc_id") % 4 =!= 0)
+      graft.core.Warehouse.writeBucketed(
+        graft.text.Dedup.minhashBandStore(corp), "plans_band_store",
+        Seq("band", "bkey"), 8)
+      graft.core.Warehouse.writeBucketed(
+        graft.text.Dedup.minhashMembers(corp), "plans_member_store",
+        Seq("sig_key"), 8)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probe = graft.text.Dedup.incrementalLshPairsAgainstStore(spark,
+          spark.table("plans_band_store"), spark.table("plans_member_store"), fresh)
+        val plan = probe.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        sb.append("\n## q_incremental_dedup against the persisted BUCKETED band store\n\n")
+        sb.append("The ingest shape (`incrementalLshPairsAgainstStore` over\n" +
+          "`Warehouse.writeBucketed` stores): the corpus is never re-read or\n" +
+          "re-hashed; the band-store scan below is bucket-aware (`Bucketed:\n" +
+          "true`, SelectedBucketsCount) and flows into the probe join with no\n" +
+          "Exchange above it. Broadcast disabled for this dump so the tiny-SF\n" +
+          "store cannot dodge the question; the shape is ASSERTED (with the\n" +
+          "same confs) in DedupPropertySpec's bucketed-band-store plan test.\n\n")
+        sb.append(s"```\n$plan```\n")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
     Files.write(Paths.get(out), sb.toString.getBytes(StandardCharsets.UTF_8))
     println(s"wrote ${Headline.size} plans to $out")
