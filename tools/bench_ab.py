@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Same-box A/B bench: old commit vs the current working tree.
+
+The box this project benches on drifts 10-25% between days/reboots
+(SCALING.md), so a round-over-round diff of two committed artifacts
+conflates code moves with box-regime moves. This tool produces the
+paired comparison SCALING.md used to assemble by hand: it re-runs the
+PREVIOUS committed artifact's commit in a throwaway git worktree on
+the CURRENT box, runs the current tree the same way, and prints a
+paired delta table -- same box, same protocol, minutes apart.
+
+Usage:
+    python3 tools/bench_ab.py [--old <commit>] [--sf-dir DIR]
+                              [--cpus N] [--runs N] [--no-require-idle]
+                              [--out ab_report.md] [--top N]
+
+Defaults: --old = the commit that last touched bench_full.json (the
+previous committed capture); sf0.1; 32 cpus; 3 runs; idle required
+(both captures refuse on a loaded box, the committed-artifact
+convention). Old runs first, then new -- both on the sbt basis (bare
+java deoptimizes under 150 codegen'd queries; see memory/SCALING.md).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(args, cwd=REPO, env=None, check=True):
+    return subprocess.run(args, cwd=cwd, env=env, check=check,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                          text=True)
+
+
+def last_artifact_commit():
+    r = sh(["git", "log", "-1", "--format=%H", "--", "bench_full.json"])
+    c = r.stdout.strip()
+    if not c:
+        sys.exit("no commit touching bench_full.json found; pass --old")
+    return c
+
+
+def run_bench(tree, out_path, sf_dir, cpus, runs, require_idle, label):
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_CPUS": str(cpus),
+        "SPARK_GRAFT_RUNS": str(runs),
+        "SPARK_GRAFT_BENCH_OUT": out_path,
+    })
+    if require_idle:
+        env["SPARK_GRAFT_BENCH_REQUIRE_IDLE"] = "1"
+    print(f"[ab] {label}: sbt runMain graft.Bench in {tree} ...", flush=True)
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=tree,
+                       env=env, stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, text=True)
+    tail = "\n".join(r.stdout.splitlines()[-15:])
+    if r.returncode != 0:
+        sys.exit(f"[ab] {label} bench FAILED (exit {r.returncode}):\n{tail}")
+    with open(out_path) as f:
+        return json.loads(f.read())
+
+
+def fmt_row(name, old, new):
+    d = new - old
+    pct = (d / old * 100.0) if old > 0 else float("nan")
+    return f"| {name} | {old:.3f} | {new:.3f} | {d:+.3f} | {pct:+.1f}% |"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--old", default=None,
+                    help="commit to A/B against (default: last commit touching bench_full.json)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--no-require-idle", action="store_true")
+    ap.add_argument("--out", default=None, help="also write the report to this file")
+    ap.add_argument("--top", type=int, default=15, help="per-query moves to show")
+    args = ap.parse_args()
+
+    old_commit = args.old or last_artifact_commit()
+    old_commit = sh(["git", "rev-parse", old_commit]).stdout.strip()
+    head = sh(["git", "rev-parse", "HEAD"]).stdout.strip()
+    dirty = bool(sh(["git", "status", "--porcelain"]).stdout.strip())
+    require_idle = not args.no_require_idle
+
+    tmp = tempfile.mkdtemp(prefix="graft-ab-")
+    wt = os.path.join(tmp, "old")
+    sh(["git", "worktree", "add", "--detach", wt, old_commit])
+    try:
+        old = run_bench(wt, os.path.join(tmp, "old.json"), args.sf_dir,
+                        args.cpus, args.runs, require_idle,
+                        f"OLD {old_commit[:9]}")
+        new = run_bench(REPO, os.path.join(tmp, "new.json"), args.sf_dir,
+                        args.cpus, args.runs, require_idle,
+                        f"NEW {head[:9]}{'+dirty' if dirty else ''}")
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt], cwd=REPO)
+
+    lines = []
+    lines.append(f"# Same-box bench A/B — {old_commit[:9]} vs "
+                 f"{head[:9]}{' (+uncommitted)' if dirty else ''}")
+    lines.append("")
+    oe, ne = old.get("capture_env", {}), new.get("capture_env", {})
+    lines.append(f"Box: old load_avg {oe.get('load_avg')} loaded={oe.get('loaded')}; "
+                 f"new load_avg {ne.get('load_avg')} loaded={ne.get('loaded')}. "
+                 f"Protocol: {args.runs} runs, min-total, sf={args.sf_dir}, "
+                 f"cpus={args.cpus}, idle {'REQUIRED' if require_idle else 'not required'}.")
+    lines.append("")
+    lines.append("| | old (s) | new (s) | delta | % |")
+    lines.append("|---|---|---|---|---|")
+    lines.append(fmt_row("**total**", old["value"], new["value"]))
+    o_runs = [r["total"] for r in old.get("runs", [])]
+    n_runs = [r["total"] for r in new.get("runs", [])]
+    lines.append("")
+    lines.append(f"Per-run totals — old: {', '.join(f'{t:.2f}' for t in o_runs)}; "
+                 f"new: {', '.join(f'{t:.2f}' for t in n_runs)}. "
+                 "(All runs shifting together = box regime; one query moving in "
+                 "every run = code.)")
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq), key=lambda k: -abs(nq[k] - oq[k]))
+    only_old = sorted(set(oq) - set(nq))
+    only_new = sorted(set(nq) - set(oq))
+    lines.append("")
+    lines.append(f"## Largest per-query moves (top {args.top} of {len(shared)} shared)")
+    lines.append("")
+    lines.append("| query | old (s) | new (s) | delta | % |")
+    lines.append("|---|---|---|---|---|")
+    for k in shared[: args.top]:
+        lines.append(fmt_row(k, oq[k], nq[k]))
+    if only_old:
+        lines.append("")
+        lines.append(f"Only in old: {', '.join(only_old)}")
+    if only_new:
+        lines.append("")
+        lines.append(f"Only in new: {', '.join(only_new)} "
+                     f"(sum {sum(nq[k] for k in only_new):.3f} s — excluded from total delta? "
+                     "No: totals above include them; the shared-query delta is "
+                     f"{sum(nq[k] for k in shared) - sum(oq[k] for k in shared):+.3f} s.)")
+    errs = {**{k: f"old: {v}" for k, v in old.get("errors", {}).items()},
+            **{k: f"new: {v}" for k, v in new.get("errors", {}).items()}}
+    if errs:
+        lines.append("")
+        lines.append("## Errors")
+        for k, v in errs.items():
+            lines.append(f"- {k} — {v}")
+    report = "\n".join(lines) + "\n"
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report)
+        print(f"[ab] report written to {args.out}")
+    print(f"[ab] raw artifacts: {tmp}/old.json {tmp}/new.json")
+
+
+if __name__ == "__main__":
+    main()
