@@ -45,6 +45,23 @@ def last_artifact_commit():
     return c
 
 
+def wait_idle(timeout_s=600, threshold=0.6):
+    """Sleep until 1-min load drops below threshold. 0.6, not the
+    guard's own 1.0: sbt's startup JVMs add ~0.3-0.5 of 1-min load
+    between this check and Bench reading /proc/loadavg, and a capture
+    refused at 1.09 wastes a whole compile+wait cycle (observed)."""
+    import time
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        with open("/proc/loadavg") as f:
+            load = float(f.read().split()[0])
+        if load < threshold:
+            return load
+        print(f"[ab] waiting for idle box (load {load:.2f}) ...", flush=True)
+        time.sleep(20)
+    return load
+
+
 def run_bench(tree, out_path, sf_dir, cpus, runs, require_idle, label):
     env = dict(os.environ)
     env.update({
@@ -55,15 +72,32 @@ def run_bench(tree, out_path, sf_dir, cpus, runs, require_idle, label):
     })
     if require_idle:
         env["SPARK_GRAFT_BENCH_REQUIRE_IDLE"] = "1"
-    print(f"[ab] {label}: sbt runMain graft.Bench in {tree} ...", flush=True)
-    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=tree,
-                       env=env, stdout=subprocess.PIPE,
-                       stderr=subprocess.STDOUT, text=True)
-    tail = "\n".join(r.stdout.splitlines()[-15:])
-    if r.returncode != 0:
+    # compile separately so the compile's own load spike settles
+    # before the bench's idle guard reads /proc/loadavg
+    print(f"[ab] {label}: compiling in {tree} ...", flush=True)
+    c = subprocess.run(["sbt", "-batch", "compile"], cwd=tree, env=env,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    if c.returncode != 0:
+        sys.exit(f"[ab] {label} compile FAILED:\n" +
+                 "\n".join(c.stdout.splitlines()[-15:]))
+    for attempt in range(3):
+        if require_idle:
+            wait_idle()
+        print(f"[ab] {label}: sbt runMain graft.Bench in {tree} ...", flush=True)
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=tree,
+                           env=env, stdout=subprocess.PIPE,
+                           stderr=subprocess.STDOUT, text=True)
+        if r.returncode == 0:
+            with open(out_path) as f:
+                return json.loads(f.read())
+        tail = "\n".join(r.stdout.splitlines()[-15:])
+        # the guard can still race load from this script's own sbt
+        # startup — re-wait and retry rather than wasting the compile
+        if "REFUSING capture" in r.stdout and attempt < 2:
+            print(f"[ab] {label}: capture refused (loaded box), retrying ...",
+                  flush=True)
+            continue
         sys.exit(f"[ab] {label} bench FAILED (exit {r.returncode}):\n{tail}")
-    with open(out_path) as f:
-        return json.loads(f.read())
 
 
 def fmt_row(name, old, new):
