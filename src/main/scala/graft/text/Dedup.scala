@@ -373,12 +373,16 @@ object Dedup {
       fresh, rowsPerBand)
 
   /** The persistable corpus side of incremental dedup, part 1: the
-    * distinct (sig_key, band, bkey) band store. A pipeline writes
-    * this once per ingested batch (append-only — band rows of
-    * immutable documents never change) via
-    * `Warehouse.writeBucketed(store, table, Seq("band", "bkey"), n)`;
-    * the next batch's probe join then reads the corpus side
-    * EXCHANGE-FREE (plan-shape-tested in DedupPropertySpec). */
+    * distinct (sig_key, band, bkey) band store. A pipeline seeds the
+    * table once via
+    * `Warehouse.writeBucketed(store, table, Seq("band", "bkey"), n)`
+    * and lands each ingested batch's rows with
+    * [[graft.core.Warehouse.appendBucketed]] (append-only — band
+    * rows of immutable documents never change; the append preserves
+    * the bucket spec or fails loudly); the next batch's probe join
+    * then reads the corpus side EXCHANGE-FREE (plan-shape-tested in
+    * DedupPropertySpec; proven across a stream restart on the
+    * appended table in StreamingSpec). */
   def minhashBandStore(documents: DataFrame, rowsPerBand: Int = 4): DataFrame =
     bandStoreOfSigs(signatureClusters(documents), rowsPerBand)
 

@@ -40,7 +40,18 @@ object PairMode {
     * unchanged (a pair's jaccard/hamming is the value for the two
     * docs actually emitted). Output is linear in documents plus
     * distinct-cluster edges — the banded candidate join already
-    * bounds the latter. */
+    * bounds the latter per bucket.
+    *
+    * Measured guidance (SCALING.md r13, 1×/10× both regimes): Star
+    * is for cluster-heavy corpora — on the colossal-cluster (skew)
+    * regime it removes the clique term outright (354–643× less
+    * output, minhash wall −68%). On a dense corpus of DISTINCT
+    * near-dup variants the cluster edge set is itself quadratic and
+    * Star only passes it through: minhash still halves (identical
+    * signatures cluster), but jaccard at t≥0.8 has near-singleton
+    * clusters, so Star saves ~nothing and pays its rep aggregation
+    * (+25%) — use the component operators there, or [[Bounded]],
+    * whose predicted count doubles as the regime diagnostic. */
   case object Star extends PairMode
 
   /** Full expansion behind a loud budget: before the expansion job
