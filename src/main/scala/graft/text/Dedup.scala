@@ -77,6 +77,10 @@ object Dedup {
   private[graft] def registerCache(df: DataFrame, actions: Int = 1): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scopedCaches.add((df, new java.util.concurrent.atomic.AtomicInteger(actions)))
+    // visible to a releasingOnBudgetError bracket on this thread, if
+    // one is active — its throw-path cleanup releases exactly these
+    val bracket = callRegistrations.get()
+    if (bracket != null) bracket += df
     val spark = df.sparkSession
     if (listenerSessions.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
@@ -112,31 +116,41 @@ object Dedup {
     while (d != null) { d._1.unpersist(blocking = false); d = scopedCaches.poll() }
   }
 
+  /** Registrations made by the pair-operator call currently running
+    * on this thread — so [[releasingOnBudgetError]] can release
+    * exactly ITS caches on a throw. Thread-local, not a registry
+    * snapshot: a before/after identity diff cannot distinguish "this
+    * call's registrations" from "registrations another thread made
+    * concurrently", and freeing those would silently de-cache a live
+    * operator. Operator construction is single-threaded, so the
+    * thread-local sees every registerCache in the call. */
+  private val callRegistrations =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
+
   /** Run an operator construction that may register scoped caches and
-    * then throw [[PairMode.Bounded]]'s guard; on the throwing path,
-    * release every registration the call created — the caller's
-    * consuming action will never come, and the family's fail-fast
-    * convention (nothing left persisted after a failed call,
-    * suite-asserted) must hold for the guard exactly as it does for
-    * argument validation. Identity snapshot, not a count: the async
-    * release listener may drain entries concurrently, and another
-    * session's registrations must not be touched. */
+    * then fail — [[PairMode.Bounded]]'s guard, or any error in its
+    * eager count action (the ANSI overflow the prediction documents,
+    * a task failure). On ANY throw, release every registration THIS
+    * call created: the caller's consuming action will never come, and
+    * the family's fail-fast convention (nothing left persisted after
+    * a failed call, suite-asserted) must hold for the guard exactly
+    * as it does for argument validation. */
   private def releasingOnBudgetError[T](body: => T): T = {
-    val before = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
-    scopedCaches.forEach(e => before.add(e._1))
+    val mine = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val prev = callRegistrations.get()
+    callRegistrations.set(mine)
     try body
     catch {
-      case e: PairBudgetExceededException =>
+      case e: Throwable =>
         val it = scopedCaches.iterator()
         while (it.hasNext) {
           val entry = it.next()
-          if (!before.contains(entry._1)) {
+          if (mine.exists(_ eq entry._1)) {
             entry._1.unpersist(blocking = false); it.remove()
           }
         }
         throw e
-    }
+    } finally callRegistrations.set(prev)
   }
 
   /** Exact dedup via content hash: one shuffle on md5(text).
@@ -506,12 +520,12 @@ object Dedup {
                              payloadCols: Seq[String], intraPayload: Seq[Column],
                              mode: PairMode, family: String): DataFrame = {
     val payload = payloadCols.map(col)
-    def fullExpansion: DataFrame = {
+    def fullExpansion(cp: DataFrame): DataFrame = {
       val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "ckey")
         .filter(col("ma.doc_id") < col("mb.doc_id"))
         .select(col("ma.doc_id").as("doc_a") +: col("mb.doc_id").as("doc_b") +:
           intraPayload: _*)
-      val cross = clusterPairs
+      val cross = cp
         .join(members.as("ma").hint("shuffle_hash"), col("ck_a") === col("ma.ckey"))
         .join(members.as("mb").hint("shuffle_hash"), col("ck_b") === col("mb.ckey"))
         .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a") +:
@@ -519,7 +533,7 @@ object Dedup {
       intra.unionByName(cross)
     }
     mode match {
-      case PairMode.Full => fullExpansion
+      case PairMode.Full => fullExpansion(clusterPairs)
       case PairMode.Star =>
         // spanning subset, same transitive closure (PairMode.Star
         // scaladoc): member→rep stars inside each cluster, one
@@ -547,9 +561,21 @@ object Dedup {
         // n·(n−1) is even, so the shift-right halving is exact — and
         // stays LONG (SQL `/` would promote to double and lose
         // exactness past 2^53).
+        //
+        // The cluster-pair frame is scope-cached across the guard
+        // action and the caller's: it is the narrow END of the
+        // candidate pipeline (two 8-byte keys + payload per
+        // DISTINCT-cluster edge), and without the cache the accepted
+        // expansion would re-run the whole candidate/verify join a
+        // second time — the r13 review finding on the co-count path,
+        // where the re-run doubled the family's dominant Σdf² term.
+        // An over-budget guard materializes then releases it
+        // (releasingOnBudgetError); that storage transient is the
+        // price of not recomputing an accepted run.
+        val cp = registerCache(clusterPairs, actions = 2)
         val sizes = members.groupBy(col("ckey")).agg(count(lit(1)).as("n"))
         val intraCnt = sizes.select(shiftright(col("n") * (col("n") - 1L), 1).as("c"))
-        val crossCnt = clusterPairs.select(col("ck_a"), col("ck_b"))
+        val crossCnt = cp.select(col("ck_a"), col("ck_b"))
           .join(sizes.select(col("ckey").as("ck_a"), col("n").as("na"))
             .hint("shuffle_hash"), "ck_a")
           .join(sizes.select(col("ckey").as("ck_b"), col("n").as("nb"))
@@ -559,7 +585,7 @@ object Dedup {
           .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
         if (predicted > maxPairs)
           throw new PairBudgetExceededException(predicted, maxPairs, family)
-        fullExpansion
+        fullExpansion(cp)
     }
   }
 
@@ -1252,15 +1278,26 @@ object Dedup {
     // J(identical sets) = 1.0 with no arithmetic, and the quadratic
     // verification stage only sees DISTINCT sets per block; 8-byte
     // xxhash64 cluster keys keep the joins narrow. Caching follows
-    // the plan (see usesPrefixPlan); Bounded's guard action adds one
-    // consuming action to the scope.
-    val effActions = mode match {
-      case PairMode.Bounded(_) => actions + 1
-      case _ => actions
+    // the plan (see usesPrefixPlan); Bounded changes the action
+    // shape: the guard consumes the keyed frame once more (so its
+    // scope widens), consumes setPairs' internals exactly ONCE (the
+    // cached cluster-pair frame then serves the caller's action, so
+    // the internal sets scope must NOT widen or it lingers
+    // unconsumed), and makes the keyed frame cache-worthy on the
+    // co-count plan too (two actions — the jaccardComponents
+    // cross-action rationale; single-action co-count stays uncached
+    // per the measured r2/r9 trade).
+    val isBounded = mode match {
+      case PairMode.Bounded(_) => true
+      case _ => false
     }
-    val withKey = keyedTokenSets(documents, ngram, threshold, effActions)
+    val effActions = if (isBounded) actions + 1 else actions
+    val withKey0 = keyedTokenSets(documents, ngram, threshold, effActions)
+    val withKey =
+      if (isBounded && !usesPrefixPlan(threshold)) registerCache(withKey0, effActions)
+      else withKey0
     val members = withKey.select(col("doc_id"), col("set_key").as("ckey"))
-    val repPairs = setPairs(withKey, threshold, effActions)
+    val repPairs = setPairs(withKey, threshold, if (isBounded) 1 else actions)
       .select(col("set_a").as("ck_a"), col("set_b").as("ck_b"), col("jaccard"))
     // expand rep pairs to doc pairs; intra-cluster pairs are exact
     // duplicates (J = 1.0)

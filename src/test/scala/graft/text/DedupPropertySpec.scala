@@ -754,6 +754,18 @@ class DedupPropertySpec extends SparkSpec {
     intercept[PairBudgetExceededException] {
       Dedup.simhashNearDupPairs(spark, docs, maxHamming = 1, mode = PairMode.Bounded(10L))
     }
+    // the CO-COUNT plan (t < 0.5) takes a different cache shape under
+    // Bounded (keyed frame + cluster pairs both scope-cached across
+    // the guard and the caller's action) — pin both its budget
+    // branches; the emptiness poll below then catches any
+    // mis-scoped cache this path would strand
+    val okJacCo = Dedup.jaccardNearDupPairs(docs, 0.3, ngram = 2,
+      mode = PairMode.Bounded(Long.MaxValue))
+    assert(okJacCo.collect().map(_.toSeq).toSet ==
+      Dedup.jaccardNearDupPairs(docs, 0.3, ngram = 2).collect().map(_.toSeq).toSet)
+    intercept[PairBudgetExceededException] {
+      Dedup.jaccardNearDupPairs(docs, 0.3, ngram = 2, mode = PairMode.Bounded(10L))
+    }
     // the throwing guard path must strand nothing (the family's
     // fail-fast convention): the guard action consumed one cache
     // scope, and the operator releases the rest itself — no

@@ -38,11 +38,15 @@ def sh(args, cwd=REPO, env=None, check=True):
 
 
 def last_artifact_commit():
-    r = sh(["git", "log", "-1", "--format=%H", "--", "bench_full.json"])
-    c = r.stdout.strip()
-    if not c:
-        sys.exit("no commit touching bench_full.json found; pass --old")
-    return c
+    # skip commits whose tree is HEAD's own: right after committing a
+    # round's capture, `git log -1 -- bench_full.json` IS HEAD, and a
+    # HEAD-vs-HEAD A/B prints an all-zero "no regression" table
+    head = sh(["git", "rev-parse", "HEAD"]).stdout.strip()
+    r = sh(["git", "log", "-8", "--format=%H", "--", "bench_full.json"])
+    commits = [c for c in r.stdout.split() if c and c != head]
+    if not commits:
+        sys.exit("no non-HEAD commit touching bench_full.json found; pass --old")
+    return commits[0]
 
 
 def wait_idle(timeout_s=600, threshold=0.6):
@@ -88,8 +92,15 @@ def run_bench(tree, out_path, sf_dir, cpus, runs, require_idle, label):
                            env=env, stdout=subprocess.PIPE,
                            stderr=subprocess.STDOUT, text=True)
         if r.returncode == 0:
-            with open(out_path) as f:
-                return json.loads(f.read())
+            # Bench catches its own artifact-write IOException and
+            # exits 0 — surface that as a message, not a traceback
+            try:
+                with open(out_path) as f:
+                    return json.loads(f.read())
+            except OSError as e:
+                sys.exit(f"[ab] {label}: bench exited 0 but wrote no artifact "
+                         f"at {out_path} ({e}) — check its stderr for "
+                         "'[bench] could not write'")
         tail = "\n".join(r.stdout.splitlines()[-15:])
         # the guard can still race load from this script's own sbt
         # startup — re-wait and retry rather than wasting the compile
@@ -122,6 +133,12 @@ def main():
     old_commit = sh(["git", "rev-parse", old_commit]).stdout.strip()
     head = sh(["git", "rev-parse", "HEAD"]).stdout.strip()
     dirty = bool(sh(["git", "status", "--porcelain"]).stdout.strip())
+    old_tree = sh(["git", "rev-parse", f"{old_commit}^{{tree}}"]).stdout.strip()
+    head_tree = sh(["git", "rev-parse", "HEAD^{tree}"]).stdout.strip()
+    if old_tree == head_tree and not dirty:
+        print("[ab] WARNING: old commit's tree is identical to HEAD's and the "
+              "working tree is clean — this A/B measures box noise only",
+              flush=True)
     require_idle = not args.no_require_idle
 
     tmp = tempfile.mkdtemp(prefix="graft-ab-")
@@ -177,13 +194,13 @@ def main():
                      f"(sum {sum(nq[k] for k in only_new):.3f} s — excluded from total delta? "
                      "No: totals above include them; the shared-query delta is "
                      f"{sum(nq[k] for k in shared) - sum(oq[k] for k in shared):+.3f} s.)")
-    errs = {**{k: f"old: {v}" for k, v in old.get("errors", {}).items()},
-            **{k: f"new: {v}" for k, v in new.get("errors", {}).items()}}
+    errs = [(k, "old", v) for k, v in sorted(old.get("errors", {}).items())] + \
+           [(k, "new", v) for k, v in sorted(new.get("errors", {}).items())]
     if errs:
         lines.append("")
         lines.append("## Errors")
-        for k, v in errs.items():
-            lines.append(f"- {k} — {v}")
+        for k, side, v in errs:
+            lines.append(f"- {k} ({side}) — {v}")
     report = "\n".join(lines) + "\n"
     print(report)
     if args.out:
