@@ -28,6 +28,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.simhashComponents(spark, emptyDocs).count() == 0)
     assert(Dedup.jaccardNearDupPairs(emptyDocs, 0.8).count() == 0)
     assert(Dedup.jaccardComponents(emptyDocs, 0.8).count() == 0)
+    // the non-default pair modes share the contract: Star's rep
+    // aggregation over zero rows is empty, and Bounded's guard
+    // predicts 0 pairs (coalesced sum) instead of NPE-ing on an
+    // empty aggregate — the first run of an ingest pipeline is
+    // exactly an empty corpus
+    assert(Dedup.minhashLshPairs(spark, emptyDocs,
+      mode = graft.text.PairMode.Star).count() == 0)
+    assert(Dedup.minhashLshPairs(spark, emptyDocs,
+      mode = graft.text.PairMode.Bounded(0L)).count() == 0)
+    assert(Dedup.jaccardNearDupPairs(emptyDocs, 0.8,
+      mode = graft.text.PairMode.Star).count() == 0)
+    assert(Dedup.jaccardNearDupPairs(emptyDocs, 0.3, ngram = 2,
+      mode = graft.text.PairMode.Bounded(0L)).count() == 0)
+    assert(Dedup.simhashNearDupPairs(spark, emptyDocs,
+      mode = graft.text.PairMode.Star).count() == 0)
+    assert(Dedup.simhashNearDupPairs(spark, emptyDocs,
+      mode = graft.text.PairMode.Bounded(0L)).count() == 0)
     assert(Dedup.incrementalLshPairs(spark, emptyDocs, emptyDocs).count() == 0)
     assert(TextOps.vocabOov(emptyDocs, 10).count() == 0)
     assert(TextOps.pmiCollocations(emptyDocs).count() == 0)
