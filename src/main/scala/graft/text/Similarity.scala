@@ -327,6 +327,13 @@ object Similarity {
     import embeddings.sparkSession.implicits._
     embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
+        // a NULL embedding is a vectorless row — the family's
+        // convention (semanticDedup/embeddingComponents filter the
+        // same rows; removeTopPC's posexplode drops them): it
+        // contributes nothing to the Gram sum. A bare v.map would
+        // NPE the executor with no row context instead.
+        if (v == null) Iterator.empty
+        else {
         val q = v.map { f =>
           val x = f.toDouble
           // explicit, named failure for the two silent paths the r12
@@ -348,6 +355,7 @@ object Similarity {
         // decimal sum would faithfully aggregate the garbage
         for (i <- q.indices; j <- i until q.length)
           yield (i.toLong, j.toLong, Math.multiplyExact(q(i), q(j)))
+        }
       }
       .toDF("i", "j", "p")
       .groupBy("i", "j")
@@ -560,7 +568,12 @@ object Similarity {
       struct(lit(-2.0).as("best_sim"), lit(-1L).as("cell")),
       (acc, c) => {
         val sim = round(dot(vec, c.getField("c_vec")) / nullif(sqrt(nrm * c.getField("c_nrm")), lit(0.0)), 6)
-        when(sim > acc.getField("best_sim"),
+        // simDefined, not bare > (r13 review): Spark evaluates
+        // NaN > x as TRUE, so a NaN-component vector would win EVERY
+        // fold step and land in the LAST centroid's cell instead of
+        // the documented "no defined cosine ⇒ sentinel cell −1"
+        // (null sim already falls through via three-valued logic)
+        when(simDefined(sim) && sim > acc.getField("best_sim"),
           struct(sim.as("best_sim"), c.getField("cell").as("cell")))
           .otherwise(acc)
       },
@@ -718,7 +731,29 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, dir: String, queries: DataFrame,
                      k: Int, nProbe: Int = 2): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"need k >= 1 and nProbe >= 1, got ($k, $nProbe)")
-    val cent = centsRow(spark.read.parquet(s"$dir/centroids"))
+    val centStored = spark.read.parquet(s"$dir/centroids")
+    // loud dim guard (r13 review): a query frame whose embedding dim
+    // differs from the stored index makes every dot NULL (zip_with's
+    // length contract), so probes degrade to arbitrary cells and
+    // every scored sim drops at the simDefined filter — the result
+    // silently reads as "no neighbors". The PQ reader fails loudly
+    // on the same mismatch via the stored codebook; here the stored
+    // centroid dim (nCells rows, driver metadata) plus ONE bounded
+    // scan of the query frame — small by contract, it broadcasts —
+    // buys the flat reader the same contract.
+    val storedDims = centStored.select(size(col("c_vec")).as("d")).distinct()
+      .collect().map(_.getInt(0))
+    require(storedDims.length == 1,
+      s"stored IVF centroids at $dir/centroids mix dims [${storedDims.mkString(",")}] " +
+        "— rebuild the index with writeInvertedFile")
+    val badQ = queries
+      .filter(col("embedding").isNotNull && size(col("embedding")) =!= storedDims.head)
+      .select(col("vec_id"), size(col("embedding")).as("d")).limit(1).collect()
+    require(badQ.isEmpty,
+      s"ivfTopKIndexed: query vec_id=${badQ.headOption.map(_.get(0)).getOrElse("")} has " +
+        s"dim ${badQ.headOption.map(_.get(1)).getOrElse("")} but the index at $dir " +
+        s"stores dim-${storedDims.head} vectors — query with matching embeddings or rebuild")
+    val cent = centsRow(centStored)
     val q = probeCells(
       queries.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm")),
       cent, nProbe)
@@ -931,8 +966,11 @@ object Similarity {
              m: Int = 4, nBooks: Int = 8, dim: Int = 64,
              lloydIters: Int = 0, trainSampleFraction: Double = 1.0): DataFrame = {
     require(nQueries >= 1 && k >= 1, s"need nQueries, k >= 1, got ($nQueries, $k)")
-    val sub = dim / m
     val coded = pqEncode(embeddings, m, nBooks, dim, lloydIters, trainSampleFraction)
+    // AFTER pqEncode's (m, dim) require — m = 0 would otherwise die
+    // in this division as a bare ArithmeticException before the
+    // named message (the sibling entry points already order it so)
+    val sub = dim / m
     val q = embeddings.filter(size(col("embedding")) === dim)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -957,7 +995,7 @@ object Similarity {
     // NaN, which is non-null and still ranks — rows with no defined
     // distance must not occupy neighbor slots the cosine paths would
     // leave empty.
-    scored.filter(col("adist").isNotNull && !isnan(col("adist")))
+    scored.filter(simDefined(col("adist")))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= k)
       .select("q_id", "vec_id", "adist", "rk")

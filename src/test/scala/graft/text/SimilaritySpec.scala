@@ -60,10 +60,37 @@ class SimilaritySpec extends SparkSpec {
     val comp = Similarity.embeddingComponents(docs, 0.9)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp(99L) == 99L, "NaN vector must not chain into a component")
-    // semanticDedup: never dropped by an undefined sim
-    val sd = Similarity.semanticDedup(docs, 0.9)
-      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
-    assert(!sd(99L), "NaN vector must not be dropped by an undefined sim")
+    // semanticDedup: never dropped by an undefined sim, and assigned
+    // the SENTINEL cell −1, not a real cell (r13 review: NaN > x is
+    // TRUE in Spark, so the unguarded argmax fold parked NaN vectors
+    // in the LAST centroid's cell)
+    val sdRows = Similarity.semanticDedup(docs, 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(!sdRows(99L)._2, "NaN vector must not be dropped by an undefined sim")
+    assert(sdRows(99L)._1 == -1L,
+      s"NaN vector must take the sentinel cell -1, got ${sdRows(99L)._1}")
+    assert(sdRows.filter(_._1 != 99L).values.forall(_._1 >= 0L),
+      "real vectors must keep real cells")
+  }
+
+  test("gramMatrix: a NULL embedding row is a vectorless row — dropped, not an executor NPE") {
+    val clean = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f, -1.0f)))
+    val withNull = (clean :+ (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Similarity.gramMatrix(df).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(cells(withNull) == cells(clean.toDF("vec_id", "embedding")),
+      "null-embedding row must contribute nothing to the Gram sum")
+  }
+
+  test("pqTopK: m = 0 fails with the named (m, dim) require, not a bare division error") {
+    val docs = (0L to 3L).map(i => (i, Seq.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(docs, nQueries = 1, k = 1, m = 0)
+    }
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("m"),
+      s"expected the named require message, got: ${e.getMessage}")
   }
 
   test("minMaxScale: a NaN component stays on its own row, never smears its dimension") {
@@ -285,6 +312,16 @@ class SimilaritySpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning") || plan.toLowerCase.contains("dynamic"),
       s"expected dynamic partition pruning on the index scan:\n$plan")
+    // dim guard (r13 review): a query frame of the wrong dim used to
+    // return a silently EMPTY result (every dot NULL under zip_with's
+    // length contract) — it must now fail loudly naming both dims
+    val wrongDim = queries.select(col("vec_id"),
+      org.apache.spark.sql.functions.slice(col("embedding"), 1, 16).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(spark, dir, wrongDim, k = 5, nProbe = 2)
+    }
+    assert(e.getMessage.contains("stores dim-") && e.getMessage.contains("dim 16"),
+      s"expected the dim-mismatch message, got: ${e.getMessage}")
   }
 
   test("embeddingComponents == driver union-find closure of the pair operator") {
