@@ -1244,7 +1244,7 @@ object SparkEntry {
       """WITH pairs AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
-        |  FROM documents)
+        |  FROM documents WHERE doc_id IS NOT NULL)
         |SELECT token, count(*)::BIGINT AS df,
         |  array_to_string(list_transform(
         |    list_slice(list(doc_id ORDER BY doc_id), 1, 50), x -> x::VARCHAR), ',') AS postings_head
@@ -2241,7 +2241,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT doc_id,
         |    ((((doc_id * 9973 + 12345) % 1000003) % 100) + 100) % 100 AS bucket
-        |  FROM documents)
+        |  FROM documents WHERE doc_id IS NOT NULL)
         |SELECT doc_id, bucket,
         |  CASE WHEN bucket < 90 THEN 'train'
         |       WHEN bucket < 95 THEN 'val'

@@ -40,11 +40,14 @@ object Learn {
     * re-enter the next round's plan as literals, so the whole round
     * stays inside whole-stage codegen.
     *
-    * Scale shape: the standardized (x̂, y) projection is PERSISTED
-    * once, so the `iters` rounds re-read cached narrow columns — not
-    * the caller's upstream lineage (a feature-join pipeline would
-    * otherwise re-execute per round, the exact re-run cost the graph
-    * loops' materializeCount exists to prevent). A quality classifier
+    * Scale shape: the raw (features, label) projection is PERSISTED
+    * once and the caller's upstream lineage executes exactly ONCE —
+    * the standardization stats are the cache's first (filling)
+    * action, and each of the `iters` rounds re-reads the cached
+    * narrow columns, standardizing with d multiply/divides per row
+    * (a feature-join pipeline would otherwise re-execute per round,
+    * the exact re-run cost the graph loops' materializeCount exists
+    * to prevent). A quality classifier
     * trains on a LABELED set — thousands to millions of rows, not the
     * corpus — so the cached passes are cheap; when training data is
     * truly huge, sample it upstream (the quantizer-training
@@ -71,49 +74,54 @@ object Learn {
     require(l2 >= 0, s"need l2 >= 0, got $l2")
     val d = featureCols.length
 
-    // one standardization pass: means, stds, n, null count
-    // (constant cols → σ=1; ANY null/NaN/Inf feature/label → reject:
-    // NaN is NOT null, so an isNull-only gate would let a single 0/0
-    // ratio feature poison every mean/gradient into NaN and return
-    // the silently-wrong all-NaN model this gate exists to prevent)
-    def bad(c: Column): Column = {
-      val x = c.cast("double")
-      x.isNull || isnan(x) || x === Double.PositiveInfinity ||
-        x === Double.NegativeInfinity
-    }
-    val anyNull = (featureCols.map(c => bad(col(c))) :+
-      bad(col(labelCol))).reduce(_ || _)
-    val statCols = featureCols.flatMap { c =>
-      Seq(avg(col(c).cast("double")).as(s"mu_$c"),
-          coalesce(stddev_pop(col(c).cast("double")), lit(0.0)).as(s"sd_$c"))
-    } ++ Seq(count(lit(1)).as("n"),
-             sum(when(anyNull, 1L).otherwise(0L)).as("n_bad"))
-    val stats = df.agg(statCols.head, statCols.tail: _*).collect()(0)
-    val n = stats.getAs[Long]("n")
-    require(n > 0, "cannot train on an empty frame")
-    val nBad = stats.getAs[Long]("n_bad")
-    if (nBad > 0)
-      throw new IllegalArgumentException(
-        s"trainLogistic: $nBad row(s) have a null or non-numeric value in " +
-          s"${featureCols.mkString("[", ", ", "]")} or '$labelCol' — sum() would " +
-          "silently skip them while n counts them (a silently-wrong model); " +
-          "fix or filter the training input")
-    val means = featureCols.map(c => stats.getAs[Double](s"mu_$c"))
-    val stds = featureCols.map { c =>
-      val s = stats.getAs[Double](s"sd_$c"); if (s == 0.0) 1.0 else s
-    }
-
-    // materialize the standardized projection ONCE: every GD round
-    // re-aggregates these d+1 narrow columns from cache instead of
-    // re-running the caller's upstream lineage per round
-    val train = df.select(
+    // ONE upstream execution (r13 review — the caller's lineage may
+    // be an expensive feature join, and the previous shape ran it
+    // twice: once under the stats aggregate over raw df, once
+    // filling the standardized cache): persist the narrow RAW
+    // (features, label) projection; the standardization pass is its
+    // FIRST action (filling the cache), and every gradient scan then
+    // standardizes with d multiply/divides per row over cached
+    // columns — arithmetic over the cache, never a second upstream
+    // run, and the gradient values are the bit-identical expressions.
+    val raw = df.select(
       featureCols.zipWithIndex.map { case (c, i) =>
-        ((col(c).cast("double") - lit(means(i))) / lit(stds(i))).as(s"x_$i")
+        col(c).cast("double").as(s"r_$i")
       } :+ col(labelCol).cast("double").as("y"): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // one standardization pass: means, stds, n, null count
+      // (constant cols → σ=1; ANY null/NaN/Inf feature/label → reject:
+      // NaN is NOT null, so an isNull-only gate would let a single 0/0
+      // ratio feature poison every mean/gradient into NaN and return
+      // the silently-wrong all-NaN model this gate exists to prevent)
+      def bad(x: Column): Column =
+        x.isNull || isnan(x) || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity
+      val anyNull = ((0 until d).map(i => bad(col(s"r_$i"))) :+
+        bad(col("y"))).reduce(_ || _)
+      val statCols = (0 until d).flatMap { i =>
+        Seq(avg(col(s"r_$i")).as(s"mu_$i"),
+            coalesce(stddev_pop(col(s"r_$i")), lit(0.0)).as(s"sd_$i"))
+      } ++ Seq(count(lit(1)).as("n"),
+               sum(when(anyNull, 1L).otherwise(0L)).as("n_bad"))
+      val stats = raw.agg(statCols.head, statCols.tail: _*).collect()(0)
+      val n = stats.getAs[Long]("n")
+      require(n > 0, "cannot train on an empty frame")
+      val nBad = stats.getAs[Long]("n_bad")
+      if (nBad > 0)
+        throw new IllegalArgumentException(
+          s"trainLogistic: $nBad row(s) have a null or non-numeric value in " +
+            s"${featureCols.mkString("[", ", ", "]")} or '$labelCol' — sum() would " +
+            "silently skip them while n counts them (a silently-wrong model); " +
+            "fix or filter the training input")
+      val means = (0 until d).map(i => stats.getAs[Double](s"mu_$i")).toSeq
+      val stds = (0 until d).map { i =>
+        val s = stats.getAs[Double](s"sd_$i"); if (s == 0.0) 1.0 else s
+      }.toSeq
+
       val y = col("y")
-      val xhat = (0 until d).map(i => col(s"x_$i"))
+      val xhat = (0 until d).map(i =>
+        (col(s"r_$i") - lit(means(i))) / lit(stds(i)))
       var w = Array.fill(d)(0.0)
       var b = 0.0
       var iter = 0
@@ -124,14 +132,14 @@ object Learn {
         val gradCols = xhat.zipWithIndex.map { case (x, i) =>
           sum((p - y) * x).as(s"g_$i")
         } :+ sum(p - y).as("g_b")
-        val g = train.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+        val g = raw.agg(gradCols.head, gradCols.tail: _*).collect()(0)
         w = Array.tabulate(d)(i =>
           w(i) - learningRate * (g.getAs[Double](s"g_$i") / n + l2 * w(i)))
         b -= learningRate * g.getAs[Double]("g_b") / n
         iter += 1
       }
       LogisticModel(featureCols, w.toSeq, b, means, stds)
-    } finally train.unpersist(blocking = false)
+    } finally raw.unpersist(blocking = false)
   }
 
   /** The model's affine score z = Σ wᵢ·(xᵢ−μᵢ)/σᵢ + b as a Column —

@@ -32,6 +32,13 @@ object Curate {
   def curationPipeline(documents: DataFrame, minWords: Int = 50,
                        minStopwords: Int = 2): DataFrame = {
     require(minStopwords >= 0, s"need minStopwords >= 0, got $minStopwords")
+    // n_stopwords is a DISTINCT-stopword count, capped by the list
+    // length (8): a floor above it can never pass and would return a
+    // silently empty mixture table — the impossible threshold fails
+    // loudly instead (r13 review)
+    require(minStopwords <= TextOps.GopherStopwords.length,
+      s"minStopwords = $minStopwords can never pass: n_stopwords counts DISTINCT " +
+        s"stopwords from a ${TextOps.GopherStopwords.length}-word list")
     // the stopword floor is the one Gopher rule that is corpus-
     // language-specific (the stopword list is English function
     // words); a corpus without them — multilingual, or synthetic
@@ -42,9 +49,13 @@ object Curate {
         col("ok_alpha_ratio") && col("n_stopwords") >= minStopwords)
       .select(col("doc_id"), col("n_words"))
     val kept = documents.join(gate, "doc_id")
-    val reps = kept.groupBy(md5(col("text")).as("text_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val uniq = kept.join(reps.select("doc_id"), "doc_id")
+    // THE library's exact-dedup operator, not an inline re-spelling
+    // (the docstring's "each stage the library's own operator" is a
+    // real dependency: Dedup.exactDedup's canonical-survivor rule and
+    // NULL-text group semantics are pinned in NullInputSpec, and an
+    // inline copy would silently drift if they ever change)
+    val reps = Dedup.exactDedup(kept).select(col("keep_id").as("doc_id"))
+    val uniq = kept.join(reps, "doc_id")
     val lang = TextOps.langId(uniq).select(col("doc_id"), col("predicted"))
     uniq.join(lang, "doc_id")
       .groupBy(col("predicted").as("lang_pred"), col("source"))

@@ -1270,7 +1270,13 @@ object TextOps {
     // doc_id would yield a negative bucket that `< trainPct` silently
     // files under train, breaking the declared proportions
     val bucket = pmod(graft.core.Ops.scrambleKey(col("doc_id")), lit(100))
-    documents.select(
+    documents
+      // null doc_id rows drop (the family convention) — a null key
+      // has a null bucket, falls through BOTH when() branches, and
+      // every such row silently landed in split='test': keyless rows
+      // must not leak into eval data (r13 review)
+      .filter(col("doc_id").isNotNull)
+      .select(
       col("doc_id"),
       bucket.cast(LongType).as("bucket"),
       when(bucket < trainPct, "train")
@@ -1327,6 +1333,11 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val byToken = Window.partitionBy("token")
     documents
+      // null doc_id rows drop (the family convention) — unfiltered
+      // they inflate df AND, sorted FIRST by the ASC row_number,
+      // consume headLen slots that collect_list then silently
+      // discards: phantom df with an empty postings_head (r13 review)
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
       .withColumn("df", count(lit(1)).over(byToken))
       .withColumn("rn", row_number().over(byToken.orderBy("doc_id")))
@@ -1559,6 +1570,18 @@ object TextOps {
     val symbols = pairs.flatMap { case (a, b) => if (a == b) Seq(a) else Seq(a, b) }
     require(symbols.distinct.length == symbols.length,
       s"bpeMergeBatch needs pairwise symbol-disjoint pairs, got $pairs")
+    // member-disjointness alone is NOT enough (r13 review): a pair
+    // whose merged PRODUCT equals another pair's member chains under
+    // a sequential fold ((a,b) then (ab,c) turns [a,b,c] into [abc])
+    // but not under the one scan — exactly the order-dependence the
+    // guard exists to exclude. Product-product collisions are fine:
+    // two pairs minting the same string cannot feed each other.
+    val products = pairs.map { case (a, b) => a + b }
+    val chained = products.intersect(symbols)
+    require(chained.isEmpty,
+      s"bpeMergeBatch: merged symbol(s) ${chained.mkString(", ")} are themselves " +
+        s"members of other pairs in the batch — such merges interact and cannot " +
+        s"batch; got $pairs")
     val right = pairs.toMap // disjointness ⇒ each left symbol maps to one right
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
@@ -1625,14 +1648,21 @@ object TextOps {
         if (cands.isEmpty) exhausted = true
         else {
           val batch = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+          // `used` holds members AND minted products: a candidate
+          // touching an earlier selection's product (or minting one
+          // of its members) interacts with it — its count would
+          // change under the earlier merge, the same rationale as
+          // the member-overlap stop (and the bpeMergeBatch guard
+          // rejects exactly these batches)
           val used = scala.collection.mutable.Set[String]()
           var stop = false
           var idx = 0
           while (!stop && batch.length < want && idx < cands.length) {
             val r = cands(idx)
             val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
-            if (used.contains(a) || used.contains(b)) stop = true
-            else { batch += ((a, b, r.getAs[Long]("cnt"))); used += a; used += b }
+            val prod = a + b
+            if (used.contains(a) || used.contains(b) || used.contains(prod)) stop = true
+            else { batch += ((a, b, r.getAs[Long]("cnt"))); used += a; used += b; used += prod }
             idx += 1
           }
           merges ++= batch

@@ -102,6 +102,13 @@ class NullInputSpec extends SparkSpec {
     // charEntropy: unfiltered, groupBy fused every null-id document's
     // characters into one bogus combined row — now they drop
     assert(rows(TextOps.charEntropy(withNullId)) == rows(TextOps.charEntropy(clean)))
+    // r13: invertedIndex + splitAssign join the convention —
+    // unfiltered, a null id inflated df while consuming (and then
+    // silently dropping) postings_head slots, and a null bucket fell
+    // through both when() branches into split='test'
+    assert(rows(TextOps.invertedIndex(withNullId, minDf = 1L, headLen = 5)) ==
+      rows(TextOps.invertedIndex(clean, minDf = 1L, headLen = 5)))
+    assert(rows(TextOps.splitAssign(withNullId)) == rows(TextOps.splitAssign(clean)))
   }
 
   test("invertedIndex treats null text as an empty document") {

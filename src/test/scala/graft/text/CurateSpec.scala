@@ -19,6 +19,14 @@ class CurateSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  test("an impossible stopword floor fails loudly, not as a silently empty table") {
+    // n_stopwords counts DISTINCT stopwords from the 8-word list —
+    // a floor of 9 can never pass any document (r13 review)
+    val e = intercept[IllegalArgumentException](
+      Curate.curationPipeline(docs((1L, good, "en", "web")), minStopwords = 9))
+    assert(e.getMessage.contains("can never pass"))
+  }
+
   test("gate, dedup, and accounting compose: short docs drop, dup texts collapse") {
     val df = docs(
       (1L, good, "en", "web"),

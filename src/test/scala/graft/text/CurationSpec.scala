@@ -485,6 +485,17 @@ class CurationSpec extends SparkSpec {
     // overlapping pairs refuse loudly
     intercept[IllegalArgumentException](
       TextOps.bpeMergeBatch(IndexedSeq("a", "b", "c"), Seq(("a", "b"), ("b", "c"))))
+    // r13: member-DISJOINT but CHAINED — (a,b) mints "ab", which is
+    // (ab,c)'s left member; a sequential fold turns [a,b,c] into
+    // [abc] while the one scan yields [ab,c]. Order-dependent, so the
+    // batch must refuse loudly rather than silently pick one answer.
+    val e = intercept[IllegalArgumentException](
+      TextOps.bpeMergeBatch(IndexedSeq("a", "b", "c"), Seq(("a", "b"), ("ab", "c"))))
+    assert(e.getMessage.contains("interact"))
+    // product-product collisions stay legal (they cannot feed each
+    // other): both orders and the one scan agree
+    assert(TextOps.bpeMergeBatch(IndexedSeq("a", "bc"), Seq(("a", "bc"), ("ab", "c")))
+      == IndexedSeq("abc"))
   }
 
   test("bpeTrainBatched: k=1 is bit-identical to bpeTrain; k>1 matches on disjoint corpora in ~k× fewer rounds") {
