@@ -826,7 +826,7 @@ object SparkEntry {
         |FROM part""".stripMargin,
 
     "q_sample_n" ->
-      """SELECT o_orderkey, o_custkey FROM orders
+      """SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey IS NOT NULL
         |ORDER BY (o_orderkey * 9973 + 12345) % 1000003, o_orderkey LIMIT 100""".stripMargin,
 
     "q_sample_stratified" ->
@@ -834,7 +834,7 @@ object SparkEntry {
         |  SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY (doc_id * 9973 + 12345) % 1000003, doc_id)::BIGINT AS rk
-        |  FROM documents)
+        |  FROM documents WHERE doc_id IS NOT NULL)
         |WHERE rk <= 25""".stripMargin,
 
     // Efraimidis-Spirakis weighted sample: priority -ln(u)/w rounded
@@ -844,14 +844,14 @@ object SparkEntry {
         |  SELECT doc_id, n_chars,
         |    round(-ln((((doc_id * 9973 + 12345) % 1000003 + 1000003) % 1000003 + 1)::DOUBLE / 1000004.0)
         |          / n_chars::DOUBLE, 6) AS es_key
-        |  FROM documents WHERE n_chars > 0)
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0)
         |ORDER BY es_key, doc_id LIMIT 150""".stripMargin,
 
     "q_semi_join" ->
       """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity
         |FROM lineitem
         |WHERE l_orderkey IN (
-        |  SELECT o_orderkey FROM orders
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
         |  ORDER BY (o_orderkey * 9973 + 12345) % 1000003, o_orderkey LIMIT 100)""".stripMargin,
 
     "q_anti_join" ->
@@ -1105,7 +1105,9 @@ object SparkEntry {
     // error-bound FACT are not (the q_approx_distinct contract)
     "q_hll_merge" ->
       """WITH e AS (SELECT event_type, user_id,
-        |  (epoch_us(ts)::BIGINT // 604800000000) AS week FROM events)
+        |  ((epoch_us(ts)::BIGINT // 604800000000)
+        |    - CASE WHEN epoch_us(ts)::BIGINT % 604800000000 < 0 THEN 1 ELSE 0 END) AS week
+        |  FROM events)
         |SELECT event_type, week, count(DISTINCT user_id)::BIGINT AS exact_nd,
         |  TRUE AS within_bound
         |FROM e GROUP BY 1, 2""".stripMargin,
@@ -1265,7 +1267,9 @@ object SparkEntry {
 
     "q_resample_ffill" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us, value FROM events),
-        |s AS (SELECT user_id, (us // 86400000000) AS slot, us, event_id, value FROM e),
+        |s AS (SELECT user_id,
+        |        ((us // 86400000000) - CASE WHEN us % 86400000000 < 0 THEN 1 ELSE 0 END) AS slot,
+        |        us, event_id, value FROM e),
         |lastps AS (
         |  SELECT user_id, slot, value FROM (
         |    SELECT *, row_number() OVER (PARTITION BY user_id, slot
@@ -1554,9 +1558,13 @@ object SparkEntry {
 
     "q_window_dedup" ->
       """SELECT user_id, event_type, win, event_id, us FROM (
-        |  SELECT user_id, event_type, epoch_us(ts)::BIGINT // 3600000000 AS win,
+        |  SELECT user_id, event_type,
+        |    (epoch_us(ts)::BIGINT // 3600000000
+        |      - CASE WHEN epoch_us(ts)::BIGINT % 3600000000 < 0 THEN 1 ELSE 0 END) AS win,
         |    event_id, epoch_us(ts)::BIGINT AS us,
-        |    row_number() OVER (PARTITION BY user_id, event_type, epoch_us(ts)::BIGINT // 3600000000
+        |    row_number() OVER (PARTITION BY user_id, event_type,
+        |        (epoch_us(ts)::BIGINT // 3600000000
+        |          - CASE WHEN epoch_us(ts)::BIGINT % 3600000000 < 0 THEN 1 ELSE 0 END)
         |                       ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,

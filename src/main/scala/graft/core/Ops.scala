@@ -105,9 +105,16 @@ object Ops {
     * buckets must `pmod` (see `TextOps.splitAssign`). */
   def scrambleKey(key: Column): Column = (key * 9973 + 12345) % 1000003
 
-  /** Seeded sample-n (`dags/my_dag.py:55-57,109-111`). */
+  /** Seeded sample-n (`dags/my_dag.py:55-57,109-111`).
+    *
+    * Null keys drop (the family convention, r13): scrambleKey(null)
+    * is null and Spark's ascending sort is NULLS FIRST, so an
+    * unfiltered null-key row would deterministically occupy a sample
+    * slot on every run — and hash-diverge from engines that sort
+    * nulls last. Same guard on the stratified/weighted samplers. */
   def sampleN(orders: DataFrame, n: Int): DataFrame =
-    orders.orderBy(scrambleKey(col("o_orderkey")), col("o_orderkey"))
+    orders.filter(col("o_orderkey").isNotNull)
+      .orderBy(scrambleKey(col("o_orderkey")), col("o_orderkey"))
       .limit(n)
       .select("o_orderkey", "o_custkey")
 
@@ -121,7 +128,9 @@ object Ops {
     * O(n) memory, not O(|stratum|). */
   def sampleStratified(df: DataFrame, stratum: String, key: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(stratum)).orderBy(scrambleKey(col(key)), col(key))
-    df.withColumn("rk", row_number().over(w).cast(LongType))
+    // null keys drop — see sampleN (NULLS FIRST would hand them rank 1)
+    df.filter(col(key).isNotNull)
+      .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= n)
       .select(col(stratum), col(key), col("rk"))
   }
@@ -151,7 +160,9 @@ object Ops {
     // FIRST, deterministically winning the sample regardless of
     // weight. pmod pins u into (0, 1) for every key sign.
     val u = (pmod(scrambleKey(col(keyCol)), lit(1000003L)) + 1).cast(DoubleType) / 1000004.0d
-    df.filter(col(weightCol) > 0)
+    // null keys drop — see sampleN: a null key's null es_key sorts
+    // FIRST and would win a slot regardless of weight
+    df.filter(col(keyCol).isNotNull && col(weightCol) > 0)
       .withColumn("es_key", round(-log(u) / col(weightCol).cast(DoubleType), 6))
       .orderBy(col("es_key"), col(keyCol))
       .limit(n)
@@ -506,8 +517,14 @@ object Ops {
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_nd"),
            countDistinct(col(valueCol)).as("exact_nd"))
       .select(col(groupCol), col("exact_nd"),
-        (abs(col("approx_nd") - col("exact_nd")).cast(DoubleType)
-          / col("exact_nd") <= lit(boundMultiple * rsd)).as("within_bound"))
+        // exact_nd = 0 (an all-null group — both counts skip nulls)
+        // would make the ratio a 0/0 that Spark's divide NULLs
+        // silently, emitting within_bound = NULL where the oracle's
+        // contract is a literal boolean — the timeWeightedAvg
+        // zero-denominator guard, applied here (r13 review)
+        when(col("exact_nd") === 0L, col("approx_nd") === 0L)
+          .otherwise(abs(col("approx_nd") - col("exact_nd")).cast(DoubleType)
+            / col("exact_nd") <= lit(boundMultiple * rsd)).as("within_bound"))
 
   /** Sketch RE-AGGREGATION rollup — the property that makes sketches
     * the 100-TB answer to distinct counting: per-(group, day) HLL
@@ -527,9 +544,12 @@ object Ops {
   def hllMergeRollup(df: DataFrame, groupCol: String, valueCol: String,
                      tsUsCol: String, bound: Double = 0.05): DataFrame = {
     val dayUs = 86400L * 1000000L
+    // the family's FLOOR bucket form (see windowDedup)
+    def floorBucket(w: Long) =
+      expr(s"$tsUsCol div $w") - when(expr(s"$tsUsCol % $w") < 0, 1L).otherwise(0L)
     val withDay = df.select(col(groupCol), col(valueCol),
-      expr(s"$tsUsCol div $dayUs").as("day"),
-      expr(s"$tsUsCol div ${7L * dayUs}").as("week"))
+      floorBucket(dayUs).as("day"),
+      floorBucket(7L * dayUs).as("week"))
     val daily = withDay.groupBy(col(groupCol), col("week"), col("day"))
       .agg(hll_sketch_agg(col(valueCol)).as("sk"))
     val weeklyApprox = daily.groupBy(col(groupCol), col("week"))
@@ -538,8 +558,10 @@ object Ops {
       .agg(countDistinct(col(valueCol)).as("exact_nd"))
     weeklyExact.join(weeklyApprox, Seq(groupCol, "week"))
       .select(col(groupCol), col("week"), col("exact_nd"),
-        (abs(col("approx_nd") - col("exact_nd")).cast(DoubleType)
-          / col("exact_nd") <= lit(bound)).as("within_bound"))
+        // same all-null-group 0/0 guard as approxDistinctChecked
+        when(col("exact_nd") === 0L, col("approx_nd") === lit(0.0))
+          .otherwise(abs(col("approx_nd") - col("exact_nd")).cast(DoubleType)
+            / col("exact_nd") <= lit(bound)).as("within_bound"))
   }
 
   /** Oracle-able sketched percentile, the [[approxDistinctChecked]]
@@ -805,8 +827,12 @@ object Ops {
     events
       .select(col("user_id"), col("event_type"), col("event_id"), us.as("us"))
       // FLOOR division, not `div` (truncate-toward-zero): a pre-1970
-      // timestamp must land in the window below zero, matching both
-      // calendar semantics and the oracle's `//` operator
+      // timestamp must land in the window below zero — calendar
+      // semantics. DuckDB's `//` ALSO truncates (measured: -7 // 2 =
+      // -3), so the oracle spells the same floor adjustment
+      // explicitly rather than relying on `//`; the whole tumbling-
+      // bucket family (windowDedup, resampleFfill, hllMergeRollup)
+      // shares this form on both engines (r13 review).
       .withColumn("win",
         expr(s"us div $windowUs") - when(col("us") % windowUs < 0, 1L).otherwise(0L))
       .withColumn("rn", row_number().over(w))
@@ -1004,7 +1030,11 @@ object Ops {
     require(gridUs >= 1, s"need gridUs >= 1, got $gridUs")
     val e = events.select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("us"), col("value"))
-      .withColumn("slot", expr(s"us div $gridUs"))
+      // the family's FLOOR bucket form (see windowDedup): truncation
+      // would make slot 0 double-width across the epoch and misalign
+      // every pre-1970 slot by one
+      .withColumn("slot",
+        expr(s"us div $gridUs") - when(col("us") % gridUs < 0, 1L).otherwise(0L))
     val lastPerSlot = e
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id", "slot")

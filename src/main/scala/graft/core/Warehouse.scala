@@ -72,6 +72,31 @@ object Warehouse {
     require(keys.nonEmpty, "appendBucketed needs at least one bucket key")
     require(!table.contains("."),
       s"appendBucketed takes a simple table name in the current database, got '$table'")
+    val spark = df.sparkSession
+    // first-use with a SURVIVING on-disk directory (fresh in-memory
+    // catalog after a JVM restart, warehouse dir persisted — the
+    // writeBucketed cleanup scenario): the create path would CTAS
+    // into a non-empty location and fail with Spark's opaque error —
+    // and silently deleting would destroy data an APPEND caller
+    // clearly wants kept (the bucket spec lives in the lost catalog
+    // entry, so the directory alone cannot be re-attached as a
+    // bucketed table). Fail with the recovery options instead. A
+    // production deployment's durable metastore never hits this; it
+    // is the local in-memory-catalog artifact.
+    if (!spark.catalog.tableExists(table)) {
+      val warehousePath =
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val db = spark.catalog.currentDatabase.toLowerCase(java.util.Locale.ROOT)
+      val dbDir = if (db == "default") new java.io.File(warehousePath)
+                  else new java.io.File(warehousePath, s"$db.db")
+      val loc = new java.io.File(dbDir, table.toLowerCase(java.util.Locale.ROOT))
+      require(!loc.exists() || Option(loc.list()).forall(_.isEmpty),
+        s"appendBucketed: '$table' is not in this session's catalog but its " +
+          s"location $loc survives from a previous session. The bucket spec " +
+          "lived in the lost catalog entry, so the directory cannot be " +
+          "re-attached: either re-seed the store with writeBucketed (rebuild), " +
+          "or read the old files and writeBucketed them into a fresh table.")
+    }
     df.write.mode(SaveMode.Append)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -644,11 +644,16 @@ private[sources] class MaterialsScan(
       Array(Expressions.column("material_id"))
     else Array.empty
   override def filter(filters: Array[Filter]): Unit = {
+    // two runtime filters on the SAME attribute in one batch must
+    // INTERSECT like everywhere else (inQuery's rule for static
+    // pushed conjuncts) — a bare .toMap would keep the last one and
+    // silently widen the backend query (r13 review; correctness
+    // survives via the engine-side re-filter, the pruning does not)
     val ins = filters.collect {
       case In(a, vs) if vs.forall(_.isInstanceOf[String]) =>
         a -> vs.map(_.asInstanceOf[String]).toSeq
       case EqualTo(a, v: String) => a -> Seq(v)
-    }.toMap
+    }.groupBy(_._1).map { case (k, kvs) => k -> kvs.map(_._2).reduce(_ intersect _) }
     if (ins.nonEmpty) {
       val mergedIn = (runtime.in.keySet ++ ins.keySet).map { k =>
         k -> ((runtime.in.get(k), ins.get(k)) match {

@@ -371,6 +371,28 @@ class OpsSpec extends SparkSpec {
     assert(meanSel > meanAll, s"weighted sample should skew heavy: $meanSel vs $meanAll")
   }
 
+  test("samplers drop null keys: NULLS-FIRST ascending sort must not hand them a slot") {
+    // scrambleKey(null) is null and Spark sorts nulls FIRST ascending,
+    // so an unfiltered null-key row deterministically won a sample
+    // slot on every run (r13 review) — and engines sorting nulls LAST
+    // would disagree. All three samplers share the drop.
+    val ordClean = Seq((1L, 10L), (2L, 11L), (3L, 12L)).toDF("o_orderkey", "o_custkey")
+    val ordNull = ordClean.unionByName(Seq(
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(13L)))
+      .toDF("o_orderkey", "o_custkey"))
+    assert(Ops.sampleN(ordNull, 2).collect().toSeq ==
+      Ops.sampleN(ordClean, 2).collect().toSeq)
+    val docClean = Seq(("en", 1L, 10L), ("en", 2L, 20L), ("de", 3L, 30L))
+      .toDF("lang", "doc_id", "n_chars")
+    val docNull = docClean.unionByName(Seq(
+      ("en", null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(40L)))
+      .toDF("lang", "doc_id", "n_chars"))
+    assert(Ops.sampleStratified(docNull, "lang", "doc_id", 1).collect().toSet ==
+      Ops.sampleStratified(docClean, "lang", "doc_id", 1).collect().toSet)
+    assert(Ops.sampleWeighted(docNull, "doc_id", "n_chars", 2).collect().toSeq ==
+      Ops.sampleWeighted(docClean, "doc_id", "n_chars", 2).collect().toSeq)
+  }
+
   test("sampleWeighted: negative ids get valid (0,1) priorities, never null-wins") {
     // scrambleKey keeps the sign; without the pmod fix a negative id
     // gave u <= 0 -> log null -> es_key null sorting FIRST and
@@ -762,6 +784,33 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(
       (1L, 0L, 2.0), (1L, 1L, 2.0), (1L, 2L, 2.0), (1L, 3L, 9.0),
       (2L, 1L, 5.0)))
+  }
+
+  test("resampleFfill floors pre-1970 timestamps into the slot below zero (family bucket form)") {
+    // -1000 µs is 1969-12-31 23:59:59.999 — FLOOR puts it in slot -1;
+    // truncation would fuse it into slot 0 (double-width epoch slot)
+    val ev = Seq(
+      (1L, -1000L * 1000L, 1L, 1.0), // us -1000 -> slot -1
+      (2L, 5000L * 1000L, 1L, 2.0)   // us  5000 -> slot 0 (grid 10000)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = Ops.resampleFfill(ev, gridUs = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, -1L, 1.0), (1L, 0L, 2.0)))
+  }
+
+  test("approxDistinctChecked/hllMergeRollup: an all-null group reports a BOOLEAN, not null (0/0 guard)") {
+    val df = Seq(("g1", "a"), ("g1", "b"),
+      ("g2", null.asInstanceOf[String])).toDF("g", "v")
+    val rows = Ops.approxDistinctChecked(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.isNullAt(2), r.getBoolean(2))).toMap
+    assert(rows("g2") == ((0L, false, true)),
+      s"all-null group must report within_bound=TRUE (0 approx == 0 exact), got ${rows("g2")}")
+    assert(rows("g1")._1 == 2L && rows("g1")._3)
+    // rollup twin: one group whose values are entirely null in a week
+    val ev = Seq(("t1", null.asInstanceOf[java.lang.Long], 1000L))
+      .toDF("event_type", "user_id", "us")
+    val roll = Ops.hllMergeRollup(ev, "event_type", "user_id", "us").collect()
+    assert(roll.length == 1 && !roll.head.isNullAt(3) && roll.head.getBoolean(3))
   }
 
   test("markovTransitions: consecutive-pair counts with per-from totals") {

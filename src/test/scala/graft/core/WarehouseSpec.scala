@@ -175,6 +175,42 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("appendBucketed: appends preserve the spec; first-use against an orphaned location names the recovery") {
+    import spark.implicits._
+    // the append path: seed + two appends accumulate, still a catalog
+    // bucketed table
+    spark.sql("DROP TABLE IF EXISTS app_b")
+    Warehouse.writeBucketed(Seq((1L, 10L)).toDF("band", "bkey"), "app_b",
+      Seq("band", "bkey"), 4)
+    Warehouse.appendBucketed(Seq((2L, 20L)).toDF("band", "bkey"), "app_b",
+      Seq("band", "bkey"), 4)
+    Warehouse.appendBucketed(Seq((3L, 30L)).toDF("band", "bkey"), "app_b",
+      Seq("band", "bkey"), 4)
+    assert(spark.table("app_b").count() == 3)
+    spark.sql("DROP TABLE app_b")
+    // orphaned survivor (fresh catalog, persisted warehouse dir): the
+    // create path would CTAS into the non-empty location with Spark's
+    // opaque error — and deleting would destroy data an APPEND caller
+    // wants kept; the named failure explains the recovery instead
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val orphan = new java.io.File(wh, "orph_b")
+    orphan.mkdirs()
+    val part = new java.io.File(orphan, "old-part.parquet")
+    java.nio.file.Files.write(part.toPath, Array[Byte](1, 2, 3))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Warehouse.appendBucketed(Seq((1L, 10L)).toDF("band", "bkey"), "orph_b",
+          Seq("band", "bkey"), 4)
+      }
+      assert(e.getMessage.contains("survives from a previous session"),
+        s"expected the orphaned-location recovery message, got: ${e.getMessage}")
+      assert(part.exists(), "the surviving store must NOT be deleted")
+    } finally {
+      part.delete(); orphan.delete()
+    }
+  }
+
   test("compactFiles on a directory with zero parquet files is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp0").toString + "/t"
     new java.io.File(dir).mkdirs()
