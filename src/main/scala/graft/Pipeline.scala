@@ -33,7 +33,11 @@ object Pipeline {
     * equivalent (the sort runs on the key column only). */
   def seededSample(slabs: Dataset[Slab], n: Int, seed: Int): Dataset[Slab] = {
     import slabs.sparkSession.implicits._
-    slabs.orderBy(xxhash64(lit(seed), col("mpKey"))).limit(n).as[Slab]
+    // mpKey tie-break: duplicate keys (or a hash collision) would
+    // otherwise leave the survivors of limit(n) partition/retry-
+    // dependent — the nondeterminism this SEEDED sampler exists to
+    // exclude (r13 review)
+    slabs.orderBy(xxhash64(lit(seed), col("mpKey")), col("mpKey")).limit(n).as[Slab]
   }
 
   /** CPython-BIT-EXACT `random.seed(seed); random.sample(ids, n)`
@@ -302,8 +306,6 @@ object Pipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // an empty finalization batch appends nothing (no empty
-        // parquet part files accumulating between live windows).
         // foreachBatch is at-least-once: a crash AFTER the write but
         // BEFORE the checkpoint commit replays this batch on restart,
         // so the write must be idempotent on batchId — each batch
@@ -311,21 +313,20 @@ object Pipeline {
         // identical content; batch content is deterministic from the
         // checkpointed offsets). Readers of `sinkDir` see the KS row
         // schema plus a trailing `batchId` partition column.
-        if (!batch.isEmpty) {
-          val ks = Validate.ksAgainstReference(batch, refDense, nBins)
-          // KS rows are bounded driver metadata (≤ live groups known
-          // to the reference): collect once, and only write a batch
-          // that HAS rows — a batch whose groups are all absent from
-          // the frozen reference joins to zero KS rows, and writing
-          // it would create exactly the empty batchId= part files
-          // the outer guard exists to prevent
-          val rows = ks.collect()
-          if (rows.nonEmpty) {
-            batch.sparkSession
-              .createDataFrame(java.util.Arrays.asList(rows: _*), ks.schema)
-              .coalesce(1)
-              .write.mode("overwrite").parquet(s"$sinkDir/batchId=$batchId")
-          }
+        //
+        // ONE plan execution per micro-batch: the KS rows are bounded
+        // driver metadata (≤ live groups known to the reference), so
+        // the rows.nonEmpty gate below already prevents empty
+        // batchId= part files — an additional batch.isEmpty pre-check
+        // would run the stateful flush's plan a second time on every
+        // live window for nothing (r13 review).
+        val ks = Validate.ksAgainstReference(batch, refDense, nBins)
+        val rows = ks.collect()
+        if (rows.nonEmpty) {
+          batch.sparkSession
+            .createDataFrame(java.util.Arrays.asList(rows: _*), ks.schema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$sinkDir/batchId=$batchId")
         }
         ()
       }

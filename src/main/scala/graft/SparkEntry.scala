@@ -62,7 +62,8 @@ object SparkEntry {
        |        FROM enc GROUP BY 1)
        |SELECT d.doc_id, coalesce(p.n_words, 0)::BIGINT AS n_words,
        |       coalesce(p.n_subwords, 0)::BIGINT AS n_subwords
-       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |WHERE d.doc_id IS NOT NULL""".stripMargin
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -98,7 +99,7 @@ object SparkEntry {
     // a file-set optimization, so the result equals plain filter
     "q_zonemap_prune" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_zonemap-${Demo.dirTag(d)}").getPath
+      val dir = Demo.tmpPath("zonemap", d)
       graft.core.Demo.once(s, s"zonemap|$d") {
         graft.core.Warehouse.writeZoneMapped(
           Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
@@ -231,7 +232,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_jsonl_events-${Demo.dirTag(d)}").getPath
+      val dir = Demo.tmpPath("jsonl_events", d)
       graft.core.Demo.once(s, s"jsonl|$d") { graft.sources.TextFormats.writeJsonl(ev, dir) }
       graft.sources.TextFormats.readJsonl(s, dir, ev.schema)
         .groupBy("event_type")
@@ -241,7 +242,7 @@ object SparkEntry {
     "q_csv_ingest" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit, max, min}
       val cust = Tables.customer(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_csv_customer-${Demo.dirTag(d)}").getPath
+      val dir = Demo.tmpPath("csv_customer", d)
       graft.core.Demo.once(s, s"csv|$d") { graft.sources.TextFormats.writeCsv(cust, dir) }
       graft.sources.TextFormats.readCsv(s, dir, cust.schema)
         .groupBy("c_mktsegment")
@@ -255,7 +256,7 @@ object SparkEntry {
     "q_merge_upsert" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit}
       val ord = Tables.orders(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_merge_orders-${Demo.dirTag(d)}").getPath
+      val dir = Demo.tmpPath("merge_orders", d)
       graft.core.Demo.once(s, s"merge|$d") {
         // guard the assumeUniqueKeys proof ONCE per table (r12): the
         // +1e8 shift below is disjoint from unshifted keys only while
@@ -292,7 +293,7 @@ object SparkEntry {
     "q_time_travel" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit}
       val ord = Tables.orders(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_timetravel_orders-${Demo.dirTag(d)}").getPath
+      val dir = Demo.tmpPath("timetravel_orders", d)
       // the version HISTORY (v1 write + retained merge to v2) is the
       // demo table's construction; the operator under test — and the
       // timed region's steady-state cost — is the AS OF v1 read below
@@ -313,7 +314,7 @@ object SparkEntry {
     "q_orc_ingest" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit}
       val ord = Tables.orders(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_orc_orders-${Demo.dirTag(d)}").getPath
+      val dir = Demo.tmpPath("orc_orders", d)
       graft.core.Demo.once(s, s"orc|$d") { graft.sources.ColumnarFormats.writeOrc(ord, dir) }
       graft.sources.ColumnarFormats.readOrc(s, dir)
         .filter(col("o_totalprice") > 150000.0)
@@ -340,10 +341,15 @@ object SparkEntry {
     // states over two disjoint slices merge into the state of the
     // whole table — the oracle recomputes from scratch
     "q_incr_agg" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
       val ev = Tables.events(s, d)
-      val base = ev.filter(col("event_id") % 10 < 8)
-      val delta = ev.filter(col("event_id") % 10 >= 8)
+      // coalesce: the two slices must PARTITION the table (the IVM
+      // equivalence being declared) — a null event_id is NULL under
+      // both bare predicates and would vanish from both slices while
+      // the whole-table oracle still counts it
+      val slice = coalesce(col("event_id"), lit(0L)) % 10
+      val base = ev.filter(slice < 8)
+      val delta = ev.filter(slice >= 8)
       graft.core.Warehouse.finishAggState(
         graft.core.Warehouse.mergeAggStates(Seq(
           graft.core.Warehouse.aggState(base, Seq("event_type"), "value"),
@@ -360,8 +366,8 @@ object SparkEntry {
       // its own input state, so re-compacting in place would make
       // later bench reps measure "compact an already-compacted dir"
       // instead of the declared many-small-files workload
-      val dirFrag = new java.io.File(sys.props("java.io.tmpdir"), s"graft_compact_events-${Demo.dirTag(d)}").getPath
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_compact_work-${Demo.dirTag(d)}").getPath
+      val dirFrag = Demo.tmpPath("compact_events", d)
+      val dir = Demo.tmpPath("compact_work", d)
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
         col("event_type"), col("value"))
       graft.core.Demo.once(s, s"compact|$d") {
@@ -855,8 +861,8 @@ object SparkEntry {
         |  ORDER BY (o_orderkey * 9973 + 12345) % 1000003, o_orderkey LIMIT 100)""".stripMargin,
 
     "q_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
 
     "q_equi_join" ->
       """SELECT n_name,
@@ -1072,21 +1078,23 @@ object SparkEntry {
 
     "q_snapshot_diff" ->
       """WITH base AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
-        |next AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS b_present FROM orders),
+        |next0 AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
         |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
         |              ELSE o_totalprice END AS o_totalprice
         |  FROM base WHERE o_orderkey % 89 <> 0
         |  UNION ALL
         |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
-        |  FROM base WHERE o_orderkey % 101 = 0)
+        |  FROM base WHERE o_orderkey % 101 = 0),
+        |next AS (SELECT *, 1 AS n_present FROM next0)
         |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-        |       CASE WHEN o.o_orderkey IS NULL THEN 'added'
-        |            WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       CASE WHEN o.b_present IS NULL THEN 'added'
+        |            WHEN n.n_present IS NULL THEN 'removed'
         |            ELSE 'changed' END AS change_type
-        |FROM base o FULL OUTER JOIN next n ON o.o_orderkey = n.o_orderkey
-        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |FROM base o FULL OUTER JOIN next n
+        |  ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey
+        |WHERE o.b_present IS NULL OR n.n_present IS NULL
         |   OR o.o_custkey IS DISTINCT FROM n.o_custkey
         |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
         |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice""".stripMargin,

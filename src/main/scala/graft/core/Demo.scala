@@ -56,6 +56,16 @@ object Demo {
     f"$base-${sourceDir.hashCode & 0x7fffffff}%08x"
   }
 
+  /** THE demo-directory layout, in one place: tmpdir/graft_<name>-
+    * <dirTag(sourceDir)>. Every declared demo query resolves its
+    * on-disk state through this helper — a layout change (content
+    * hashes in the tag, moving out of tmpdir) lands everywhere at
+    * once instead of silently forking one of eight hand-rolled
+    * copies. */
+  def tmpPath(name: String, sourceDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_$name-${dirTag(sourceDir)}").getPath
+
   /** Replace `dst` with a flat file-level copy of `src` — the reset
     * step for demo operators that CONSUME their input layout (e.g.
     * compaction): the once-built source layout stays pristine, each
