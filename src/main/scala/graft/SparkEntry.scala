@@ -2631,7 +2631,7 @@ object SparkEntry {
         |e AS (SELECT doc_id, f, sum(amp * amp)::BIGINT AS e FROM fr GROUP BY 1, 2),
         |tot AS (SELECT doc_id, count(*)::BIGINT AS nf, sum(e)::BIGINT AS etot FROM e GROUP BY 1),
         |act AS (SELECT e.doc_id, e.f, e.e FROM e JOIN tot USING (doc_id)
-        |        WHERE tot.nf * e.e >= tot.etot),
+        |        WHERE tot.etot > 0 AND tot.nf * e.e >= tot.etot),
         |grp AS (SELECT doc_id, f, e,
         |          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
         |        FROM act),

@@ -53,7 +53,14 @@ object JdftxOutParser {
     * the filename (`{mp_key}_{charge}.out`, `dags/my_dag.py:131,153`). */
   def metrics(spark: SparkSession, dir: String): DataFrame =
     metricsFromText(
-      spark.read.option("wholetext", "true").text(dir)
+      // pathGlobFilter prunes at LISTING time: a real run directory
+      // holds multi-GB binary siblings (wavefunctions, densities)
+      // beside the logs, and a post-read filter on input_file_name
+      // would wholetext-materialize each one as a single row first
+      // (r13 review). The endsWith filter stays as the semantic
+      // contract the glob implements.
+      spark.read.option("wholetext", "true").option("pathGlobFilter", "*.out")
+        .text(dir)
         .select(input_file_name().as("file"), col("value"))
         .filter(col("file").endsWith(".out"))
         // nullif + try_cast: a .out file whose name does not match
@@ -84,7 +91,9 @@ object JdftxOutParser {
     * the strict scan — zero shuffle, one row per file. */
   def metricsQuarantine(spark: SparkSession, dir: String): DataFrame =
     metricsFromText(
-      spark.read.option("wholetext", "true").text(dir)
+      // pathGlobFilter — the metrics() listing-time rationale
+      spark.read.option("wholetext", "true").option("pathGlobFilter", "*.out")
+        .text(dir)
         .select(input_file_name().as("file"), col("value"))
         .filter(col("file").endsWith(".out"))
         .select(
@@ -98,7 +107,12 @@ object JdftxOutParser {
         col("mp_key").isNotNull && col("charge").isNotNull &&
           col("mu").isNotNull && col("nelectrons").isNotNull)
 
-  /** Run-key form for in-flight outputs keyed `{mp_key}_{charge}`. */
+  /** Run-key form for in-flight outputs keyed `{mp_key}_{charge}`.
+    * Rows whose key does not parse DROP, the [[metrics]] convention
+    * (r13 review — previously they sailed through with mp_key = ""
+    * and a null charge, then vanished untraceably at the downstream
+    * geometry join; a caller that must see every row uses the
+    * quarantine twin's ok-flag pattern instead). */
   val KeyRe = "(.+)_(-?[0-9.]+)$"
   def metricsFromRuns(runs: DataFrame): DataFrame =
     metricsFromText(
@@ -106,6 +120,7 @@ object JdftxOutParser {
         regexp_extract(col("key"), KeyRe, 1).as("mp_key"),
         nullif(regexp_extract(col("key"), KeyRe, 2), lit(""))
           .try_cast(DoubleType).as("charge"),
-        col("output")),
+        col("output"))
+        .filter(col("mp_key") =!= "" && col("charge").isNotNull),
       "output")
 }

@@ -221,26 +221,58 @@ object SlabGen {
     // generated slab below (see the object doc: reducing the bulk
     // first would reinterpret the Miller plane)
     val bulk = bulk0
-    val miller = facet.map(_.asDigit)
-    val (cell, cellAtoms) = orientedCell(bulk, miller)
+    val (cell, cellAtoms) = orientedCell(bulk, millerOf(facet))
+    // fractional termination shifts, cut plane advancing UPWARD:
+    // atoms wrap through (a.z + shift) % 1
+    assembleSlabs(bulk, facet, cell, cellAtoms,
+      (0 until nShifts).map(_.toDouble / nShifts),
+      layers, vacuumFrac, primitive,
+      zOf = (az, s) => (az + s) % 1.0)
+  }
+
+  /** Miller indices from the 3-digit facet string — STRICTLY decimal
+    * digits: `Char.asDigit` is radix-36 ('a' → 10) and '-' → −1, so
+    * a typo'd or negative-index facet string would silently cut a
+    * DIFFERENT crystallographic plane under the bogus key (r13
+    * review). Negative indices need explicit Seq[Int] plumbing, not
+    * a string convention. */
+  private def millerOf(facet: String): Seq[Int] = {
+    require(facet.nonEmpty && facet.forall(c => c >= '0' && c <= '9'),
+      s"facet must be decimal digits (e.g. \"111\"), got '$facet'")
+    facet.map(_.asDigit)
+  }
+
+  /** The ONE slab-assembly body [[cut]] and [[cutTerminations]]
+    * share (they forked as near-identical copies and the comments
+    * had started to drift — r13 review): oriented-cell layer stack
+    * over each fractional shift, vacuum-scaled c, centered z, the
+    * normalized species header, and the `{id}-{facet}-{i}` key
+    * contract. `zOf` is the one genuine difference: [[cut]] advances
+    * the cut plane upward, [[cutTerminations]] exposes the shift
+    * line at the top. */
+  private def assembleSlabs(bulk: Slab, facet: String,
+                            cell: Seq[Seq[Double]], cellAtoms: Seq[Atom],
+                            shifts: Seq[Double], layers: Int, vacuumFrac: Double,
+                            primitive: Boolean,
+                            zOf: (Double, Double) => Double): Seq[Slab] = {
     val cScale = layers * (1.0 + vacuumFrac)
     val lattice = Seq(cell(0), cell(1), cell(2).map(_ * cScale))
     val center = vacuumFrac / (2.0 * (1.0 + vacuumFrac)) // fraction of the new c
     val nCells = cellAtoms.length / bulk.positions.length
-    val raw = (0 until nShifts).map { i =>
-      val shift = i.toDouble / nShifts // fractional termination shift
+    // normalizedHeader: cellAtoms are grouped by FIRST species
+    // appearance (orientedCell), so a repeated-group input header
+    // must collapse to match — verbatim bulk.species would label
+    // the wrong atoms O where the blocks interleave. Loop-invariant:
+    // hoisted out of the per-shift loop.
+    val (spOrder, spCounts) = normalizedHeader(bulk.species, bulk.counts)
+    val raw = shifts.zipWithIndex.map { case (shift, i) =>
       val atoms = for {
         a <- cellAtoms // species-grouped; layer index varies fastest
         l <- 0 until layers
       } yield {
-        val z = (a.z + shift) % 1.0
+        val z = zOf(a.z, shift)
         Atom(a.x, a.y, (l + z) / cScale + center, a.element)
       }
-      // normalizedHeader: cellAtoms are grouped by FIRST species
-      // appearance (orientedCell), so a repeated-group input header
-      // must collapse to match — verbatim bulk.species would label
-      // the wrong atoms O where the blocks interleave
-      val (spOrder, spCounts) = normalizedHeader(bulk.species, bulk.counts)
       Slab(
         mpKey = s"${bulk.mpKey}-$facet-$i",
         title = bulk.title,
@@ -288,6 +320,18 @@ object SlabGen {
     boundaries.map { case (i, gap) => (wrapped(i) + gap / 2.0) % 1.0 }.sorted
   }
 
+  /** Fixed 1e-3 canonicalization grid. Known knife-edge (r13
+    * review, accepted): two physically equal terminations reach this
+    * via DIFFERENT float paths ((a.z − s1) vs (b.z − s2)), so a
+    * value sitting within ~1 ulp of a .0005 grid boundary can round
+    * apart and both shifts survive dedup — an extra slab, never a
+    * wrong one (each emitted slab's geometry is exact; dedup is a
+    * count optimization). An epsilon-clustered canonicalization
+    * would close it at the cost of re-deriving the golden 7/3
+    * termination counts; the reference fixtures sit far from grid
+    * boundaries, and the possibleShifts midpoints put shifts at gap
+    * centers, not near atom planes — revisit only if a real input
+    * ever shows a duplicated termination. */
   private def round3(v: Double): Double = {
     val r = math.rint(v * 1000.0) / 1000.0
     if (r >= 1.0) r - 1.0 else r
@@ -360,12 +404,7 @@ object SlabGen {
     // cut on the INPUT basis; reduction applies to the generated
     // slabs below (the [[cut]] rationale)
     val bulk = bulk0
-    val miller = facet.map(_.asDigit)
-    val (cell, cellAtoms) = orientedCell(bulk, miller)
-    val cScale = layers * (1.0 + vacuumFrac)
-    val lattice = Seq(cell(0), cell(1), cell(2).map(_ * cScale))
-    val center = vacuumFrac / (2.0 * (1.0 + vacuumFrac))
-    val nCells = cellAtoms.length / bulk.positions.length
+    val (cell, cellAtoms) = orientedCell(bulk, millerOf(facet))
 
     // canonical frame ⇒ the c vector's z-component IS the projected
     // height of the repeat unit along the surface normal
@@ -386,33 +425,11 @@ object SlabGen {
     val kept = if (symmetricOnly) distinct.filter(isSymmetricTermination(cellAtoms, _))
                else distinct
 
-    val rawSlabs = kept.sorted.zipWithIndex.map { case (shift, i) =>
-      val atoms = for {
-        a <- cellAtoms
-        l <- 0 until layers
-      } yield {
-        // shift the cut plane to z=1 (top of the repeat unit): atoms
-        // at the shift line become the exposed surface
-        val z = {
-          val w = (a.z - shift) % 1.0
-          if (w < 0) w + 1.0 else w
-        }
-        Atom(a.x, a.y, (l + z) / cScale + center, a.element)
-      }
-      // same normalizedHeader rationale as [[cut]]: cellAtoms are
-      // grouped by first species appearance
-      val (spOrder, spCounts) = normalizedHeader(bulk.species, bulk.counts)
-      Slab(
-        mpKey = s"${bulk.mpKey}-$facet-$i",
-        title = bulk.title,
-        scale = bulk.scale,
-        lattice = lattice,
-        species = spOrder,
-        counts = spCounts.map(_ * layers * nCells),
-        positions = atoms,
-        fixed = Seq.empty)
-    }
-    if (primitive) rawSlabs.map(primitiveReduce(_)) else rawSlabs
+    // shift the cut plane to z=1 (top of the repeat unit): atoms at
+    // the shift line become the exposed surface
+    assembleSlabs(bulk, facet, cell, cellAtoms, kept.sorted,
+      layers, vacuumFrac, primitive,
+      zOf = (az, s) => { val w = (az - s) % 1.0; if (w < 0) w + 1.0 else w })
   }
 
   /** Distributed termination fan-out: bulks × facets → distinct

@@ -229,7 +229,11 @@ object MediaOps {
         var start = -1
         var segEnergy = 0L
         while (f < nf) {
-          val active = nf * energy(f) >= total
+          // total > 0: on digital silence every frame satisfies
+          // 0 >= 0, and an energy GATE reporting a silent file as
+          // 100% voice-activity is the inverted answer (r13 review);
+          // mirrored by `etot > 0` in the DuckDB oracle
+          val active = total > 0 && nf * energy(f) >= total
           if (active) {
             if (start < 0) { start = f; segEnergy = 0L }
             segEnergy += energy(f)

@@ -73,6 +73,11 @@ object WavCodec {
           audioFormat = buf.getShort
           channels = buf.getShort
           sampleRate = buf.getInt
+          // validated HERE, where the field is parsed: deferring to
+          // the post-loop "no fmt chunk before data" require would
+          // misdiagnose a PRESENT-but-invalid fmt chunk as missing —
+          // wrong triage signal for a quarantine feed (r13 review)
+          require(sampleRate > 0, s"fmt chunk declares sample rate $sampleRate")
           buf.getInt; buf.getShort // byte rate, block align
           bitsPerSample = buf.getShort
           // word-alignment pad EXACTLY like the generic skip below: an

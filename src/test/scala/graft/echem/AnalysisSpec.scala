@@ -21,6 +21,19 @@ class AnalysisSpec extends SparkSpec {
     assert(byCharge(0.1) == ((-0.185485046, 250.1, 9L)))
   }
 
+  test("metricsFromRuns drops rows whose key does not parse (the metrics() convention)") {
+    import spark.implicits._
+    // previously a bad key sailed through with mp_key = "" and a
+    // null charge, then vanished untraceably at the geometry join
+    val runs = Seq(
+      ("mp-1_0.0", "FillingsUpdate:  mu: -0.1 nElectrons: 10.0"),
+      ("no-charge-suffix", "FillingsUpdate:  mu: -0.2 nElectrons: 20.0"))
+      .toDF("key", "output")
+    val got = graft.echem.JdftxOutParser.metricsFromRuns(runs).collect()
+    assert(got.map(_.getAs[String]("mp_key")).toSeq == Seq("mp-1"),
+      s"unparseable key must drop, got ${got.mkString(";")}")
+  }
+
   test("EP2: fixtures → (mp_id, pzc, capacitance) golden values") {
     val res = Pipeline.analyzeFixtures(spark,
       fixturePath("gc_dft"), fixturePath("slab_poscars")).collect()

@@ -82,6 +82,21 @@ class SlabGenSpec extends SparkSpec {
     }
   }
 
+  test("non-digit facet strings fail loudly — asDigit is radix-36 and '-' is -1") {
+    // "1-1" (a negative Miller index spelled as a string) and "1a1"
+    // (typo → 10) would otherwise silently cut a DIFFERENT
+    // crystallographic plane under the bogus key (r13 review)
+    val bulk = readSlab("mp-755394.poscar")
+    for (bad <- Seq("1-1", "1a1", "")) {
+      val e1 = intercept[IllegalArgumentException](SlabGen.cut(bulk, bad, 1))
+      assert(e1.getMessage.contains("decimal digits"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        SlabGen.cutTerminations(bulk, bad))
+      assert(e2.getMessage.contains("decimal digits"), e2.getMessage)
+    }
+    assert(SlabGen.cut(bulk, "111", 1).head.positions.nonEmpty) // valid path untouched
+  }
+
   test("golden: distinct-termination counts match the reference slab sets") {
     // the reference produced exactly these slab files per bulk×facet
     // (`ls output/slab_poscars/`): enumeration + StructureMatcher

@@ -114,6 +114,26 @@ class WavCodecSpec extends SparkSpec {
       MediaOps.audioSegments(MediaOps.synthWavCorpus(docs), frameLen = 0))
   }
 
+  test("audioSegments: digital silence yields ZERO segments, not 100% activity") {
+    // all-zero samples made every frame pass the 0 >= 0 gate — a
+    // silent recording reported as fully voice-active (r13 review)
+    import MediaOps.{MediaMeta, MediaRow}
+    val silent = Seq(MediaRow(1L, MediaMeta("audio", 0, 0, 0L),
+      WavCodec.encode(Array.fill(300)(0.toShort), 8000))).toDS()
+    assert(MediaOps.audioSegments(silent, frameLen = 64).collect().isEmpty)
+  }
+
+  test("a present-but-invalid fmt chunk (sample rate 0) fails with the RATE message, not 'no fmt chunk'") {
+    val good = WavCodec.encode(Array.fill(16)(5.toShort), 8000)
+    // sampleRate is the int at offset 12 (RIFF) + 8 (fmt hdr) + 4 = 24
+    val bad = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(24, 0)
+    val e = intercept[IllegalArgumentException](WavCodec.decode(bad))
+    assert(e.getMessage.contains("sample rate"),
+      s"triage must name the invalid field, got: ${e.getMessage}")
+  }
+
   test("audioFeatures over real WAV bytes match the synthesis formula") {
     val docs = Seq((3L, "x"), (10L, "y"), (131L, "z")).toDF("doc_id", "text")
     val got = MediaOps.audioFeatures(MediaOps.synthWavCorpus(docs)).collect()
