@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for the 100 TB design point (SCALING.md):
@@ -27,6 +27,23 @@ object Warehouse {
   /** Composite-key form — a join keyed on ALL bucket columns (e.g.
     * the LSH band store's `(band, bkey)`) reads this side
     * exchange-free the same way. */
+  /** Managed-table location of a simple table name in the current
+    * database, resolved through the Hadoop [[FileSystem]] OF THE
+    * WAREHOUSE URI — a java.io.File resolution of URI.getPath only
+    * ever saw a local file: warehouse, so on hdfs/s3 the
+    * surviving-location guards below silently passed and the opaque
+    * CTAS "location is not empty" error they exist to preempt
+    * returned (r13 advisor finding). */
+  private def managedTableLocation(spark: SparkSession, table: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val wh = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val db = spark.catalog.currentDatabase.toLowerCase(java.util.Locale.ROOT)
+    val dbDir = if (db == "default") wh else new org.apache.hadoop.fs.Path(wh, s"$db.db")
+    (fs, new org.apache.hadoop.fs.Path(dbDir, table.toLowerCase(java.util.Locale.ROOT)))
+  }
+
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
     require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
     // simple (unqualified) names only: the backticked DROP below
@@ -48,13 +65,8 @@ object Warehouse {
     // tables live directly under the warehouse dir, any other under
     // <db>.db/ — a cleanup that ignored it deleted warehouse/<table>
     // while the surviving location was warehouse/<db>.db/<table>
-    val warehousePath =
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val db = spark.catalog.currentDatabase.toLowerCase(java.util.Locale.ROOT)
-    val dbDir = if (db == "default") new java.io.File(warehousePath)
-                else new java.io.File(warehousePath, s"$db.db")
-    val loc = new java.io.File(dbDir, table.toLowerCase(java.util.Locale.ROOT))
-    if (loc.exists()) deleteRecursively(loc)
+    val (fs, loc) = managedTableLocation(spark, table)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
@@ -84,13 +96,8 @@ object Warehouse {
     // production deployment's durable metastore never hits this; it
     // is the local in-memory-catalog artifact.
     if (!spark.catalog.tableExists(table)) {
-      val warehousePath =
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-      val db = spark.catalog.currentDatabase.toLowerCase(java.util.Locale.ROOT)
-      val dbDir = if (db == "default") new java.io.File(warehousePath)
-                  else new java.io.File(warehousePath, s"$db.db")
-      val loc = new java.io.File(dbDir, table.toLowerCase(java.util.Locale.ROOT))
-      require(!loc.exists() || Option(loc.list()).forall(_.isEmpty),
+      val (fs, loc) = managedTableLocation(spark, table)
+      require(!fs.exists(loc) || fs.listStatus(loc).isEmpty,
         s"appendBucketed: '$table' is not in this session's catalog but its " +
           s"location $loc survives from a previous session. The bucket spec " +
           "lived in the lost catalog entry, so the directory cannot be " +

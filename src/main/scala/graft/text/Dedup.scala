@@ -37,11 +37,14 @@ object Dedup {
     * lookup — so a library user who never heard of the registry leaks
     * nothing. Until first consumption `persist` is only a lazy marker
     * (no storage blocks exist), so an abandoned query leaks nothing
-    * either — with ONE exception: [[bloomContamination]] consumes its
-    * probe-gram cache's first action eagerly (the sketch build must
-    * run before the returned plan exists), so abandoning ITS returned
-    * frame leaves one materialized cache until [[releaseCaches]] or
-    * session cleanup. Re-running a returned frame after its first action
+    * either — with TWO exceptions, both operators that must run an
+    * eager action before the returned plan exists:
+    * [[bloomContamination]] consumes its probe-gram cache's first
+    * action eagerly (the sketch build), and [[PairMode.Bounded]]'s
+    * guard eagerly fills the cluster-pair/input caches with one
+    * consuming action (the caller's) still pending — so abandoning
+    * either's RETURNED frame leaves materialized cache(s) until
+    * [[releaseCaches]] or session cleanup. Re-running a returned frame after its first action
     * recomputes without the cache — correct, just unaccelerated;
     * rebuild the operator for repeated runs (Bench does). The
     * explicit [[releaseCaches]] remains for lifecycle-owning callers
@@ -150,7 +153,17 @@ object Dedup {
           }
         }
         throw e
-    } finally callRegistrations.set(prev)
+    } finally {
+      // propagate this call's registrations to an ENCLOSING bracket
+      // (r13 advisor): a nested bracketed operator call used to
+      // restore `prev` without handing its registrations up, so an
+      // outer-operator throw after an inner success stranded the
+      // inner call's still-pending caches. On the throw path the
+      // entries were already removed from scopedCaches above, so the
+      // outer cleanup scan simply won't find them — harmless.
+      if (prev != null) prev ++= mine
+      callRegistrations.set(prev)
+    }
   }
 
   /** Exact dedup via content hash: one shuffle on md5(text).
@@ -786,7 +799,7 @@ object Dedup {
     grams
       .select(org.apache.spark.sql.graft.BloomBridge
         .bloomAgg(xxhash64(col("gram")), expectedItems, numBits).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
   }
 
   /** Cross-document duplicate-text fraction: for each document, the

@@ -743,6 +743,10 @@ object Similarity {
     // buys the flat reader the same contract.
     val storedDims = centStored.select(size(col("c_vec")).as("d")).distinct()
       .collect().map(_.getInt(0))
+    // empty is its own failure (r13 advisor): "mix dims []" would
+    // misname a missing/truncated index as a dim mismatch
+    require(storedDims.nonEmpty,
+      s"IVF index at $dir/centroids is empty — build it with writeInvertedFile")
     require(storedDims.length == 1,
       s"stored IVF centroids at $dir/centroids mix dims [${storedDims.mkString(",")}] " +
         "— rebuild the index with writeInvertedFile")

@@ -12,7 +12,27 @@ if not os.path.exists(_osj):
              f'sbt "runMain graft.Verify {sf} {out}"')
 _entry = os.path.join(os.path.dirname(os.path.abspath(__file__)), '..',
                       'src', 'main', 'scala', 'graft', 'SparkEntry.scala')
-_dump_m, _src_m = os.path.getmtime(_osj), os.path.getmtime(_entry)
+def _src_time(path):
+    # "when did the contract last CHANGE", not "when was it checked
+    # out": a fresh clone stamps every file with the checkout time, so
+    # the mtime basis cried stale on every fresh checkout (three rounds
+    # running). The last COMMIT touching the file is the change time —
+    # unless the working copy is dirty, in which case mtime is the
+    # truth (an uncommitted edit postdates any commit).
+    import subprocess
+    try:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dirty = subprocess.run(['git', '-C', repo, 'status', '--porcelain', '--', path],
+                               capture_output=True, text=True, timeout=10)
+        if dirty.returncode == 0 and not dirty.stdout.strip():
+            ct = subprocess.run(['git', '-C', repo, 'log', '-1', '--format=%ct', '--', path],
+                                capture_output=True, text=True, timeout=10)
+            if ct.returncode == 0 and ct.stdout.strip():
+                return float(ct.stdout.strip())
+    except Exception:
+        pass
+    return os.path.getmtime(path)
+_dump_m, _src_m = os.path.getmtime(_osj), _src_time(_entry)
 print(f'dump: {out} (oracle_sql.json mtime '
       f'{time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(_dump_m))})')
 if os.path.exists(_entry) and _dump_m < _src_m:
