@@ -528,12 +528,34 @@ object StreamingOps {
     * restarts cold for free. The exact-hash in-flight complement is
     * [[dedupStream]]; this screen catches the NEAR-duplicates that
     * content hashing cannot. */
+  /** @param mode pair-emission contract for the screen (see
+    *        [[graft.text.Dedup.incrementalLshPairsAgainstStoreSigs]]):
+    *        [[graft.text.PairMode.Star]] makes a batch that hits one
+    *        colossal stored cluster emit O(fresh) edges (each to the
+    *        stored rep — exact for the admit/drop verdict) instead of
+    *        fresh×|cluster|; [[graft.text.PairMode.Bounded]] predicts
+    *        the exact Full pair count BEFORE the expansion job.
+    * @param onBudgetExceeded quarantine hook for
+    *        [[graft.text.PairBudgetExceededException]] under Bounded.
+    *        None (default): the exception propagates and FAILS the
+    *        batch loudly — foreachBatch retries, then the stream
+    *        stops; nothing was admitted, so a restart with a raised
+    *        budget (or Star) replays the batch cleanly. Some(f): f
+    *        receives (exception, the batch, batchId) — write it to a
+    *        quarantine sink — and the batch is SKIPPED: not emitted,
+    *        NOT admitted to the stores (a quarantined batch must stay
+    *        re-processable; admitting it would make later replay
+    *        see its own docs as corpus), and the stream continues. */
   def lshScreenForeachBatch(readBandStore: SparkSession => DataFrame,
                             readMembers: SparkSession => DataFrame,
                             appendBandStore: (DataFrame, Long) => Unit,
                             appendMembers: (DataFrame, Long) => Unit,
                             emit: (DataFrame, Long) => Unit,
-                            rowsPerBand: Int = 4): (DataFrame, Long) => Unit = {
+                            rowsPerBand: Int = 4,
+                            mode: graft.text.PairMode = graft.text.PairMode.Full,
+                            onBudgetExceeded: Option[
+                              (graft.text.PairBudgetExceededException, DataFrame, Long) => Unit] =
+                              None): (DataFrame, Long) => Unit = {
     // once per returned body (= per stream start); foreachBatch
     // bodies run serially, so a plain var is safe
     var storeValidated = false
@@ -550,10 +572,22 @@ object StreamingOps {
         // caller contract keeps corpus/fresh ids disjoint)
         val corpusMembers = readMembers(s).join(
           broadcast(sig.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-        emit(graft.text.Dedup.incrementalLshPairsAgainstStoreSigs(
-          s, readBandStore(s), corpusMembers, sig, rowsPerBand), batchId)
-        appendBandStore(graft.text.Dedup.bandStoreOfSigs(sig, rowsPerBand), batchId)
-        appendMembers(graft.text.Dedup.membersOfSigs(sig), batchId)
+        val admitted =
+          try {
+            // Bounded's guard throws HERE (construction time, before
+            // emit ever sees a frame) — the expansion job never starts
+            emit(graft.text.Dedup.incrementalLshPairsAgainstStoreSigs(
+              s, readBandStore(s), corpusMembers, sig, rowsPerBand, mode), batchId)
+            true
+          } catch {
+            case e: graft.text.PairBudgetExceededException if onBudgetExceeded.isDefined =>
+              onBudgetExceeded.get(e, batch, batchId)
+              false
+          }
+        if (admitted) {
+          appendBandStore(graft.text.Dedup.bandStoreOfSigs(sig, rowsPerBand), batchId)
+          appendMembers(graft.text.Dedup.membersOfSigs(sig), batchId)
+        }
       } finally sig.unpersist()
     }
   }

@@ -138,7 +138,7 @@ object Dedup {
     * the family's fail-fast convention (nothing left persisted after
     * a failed call, suite-asserted) must hold for the guard exactly
     * as it does for argument validation. */
-  private def releasingOnBudgetError[T](body: => T): T = {
+  private[text] def releasingOnBudgetError[T](body: => T): T = {
     val mine = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val prev = callRegistrations.get()
     callRegistrations.set(mine)
@@ -384,7 +384,8 @@ object Dedup {
     * the two frames' doc_ids are disjoint.
     */
   def incrementalLshPairs(spark: SparkSession, corpus: DataFrame, fresh: DataFrame,
-                          rowsPerBand: Int = 4): DataFrame =
+                          rowsPerBand: Int = 4,
+                          mode: PairMode = PairMode.Full): DataFrame =
     // The corpus signature table is DELIBERATELY not cached across its
     // band-store/membership references: the minhashLshPairs trade
     // (cache measured 19% slower in the one-action shape — the
@@ -397,7 +398,7 @@ object Dedup {
     // shape, where the corpus is never re-derived at all.
     incrementalLshPairsAgainstStore(spark,
       minhashBandStore(corpus, rowsPerBand), minhashMembers(corpus),
-      fresh, rowsPerBand)
+      fresh, rowsPerBand, mode)
 
   /** The persistable corpus side of incremental dedup, part 1: the
     * distinct (sig_key, band, bkey) band store. A pipeline seeds the
@@ -464,17 +465,45 @@ object Dedup {
     * keep its bucketed layout through the join. */
   def incrementalLshPairsAgainstStore(spark: SparkSession, bandStore: DataFrame,
                                       corpusMembers: DataFrame, fresh: DataFrame,
-                                      rowsPerBand: Int = 4): DataFrame =
+                                      rowsPerBand: Int = 4,
+                                      mode: PairMode = PairMode.Full): DataFrame =
     incrementalLshPairsAgainstStoreSigs(spark, bandStore, corpusMembers,
-      signatureClusters(fresh), rowsPerBand)
+      signatureClusters(fresh), rowsPerBand, mode)
 
   /** [[incrementalLshPairsAgainstStore]] with the fresh side already
     * signature-folded — the streaming screen persists ONE signature
     * frame per micro-batch and derives screen + band-store + members
     * from it (three actions, one tokenize+hash pass). */
+  /** @param mode pair-emission contract for the ADMISSION decision
+    *        (the 100-TB blind-caller site the batch families' guard
+    *        exists for: ONE colossal corpus-side cluster turns a
+    *        small fresh batch into fresh×|cluster| pairs at admit
+    *        time). [[PairMode.Full]] keeps the historical every-pair
+    *        output. [[PairMode.Star]] emits O(fresh × collisions):
+    *        each fresh doc links to its cluster's REP — the minimum
+    *        CORPUS member when the cluster has one (the
+    *        already-admitted copy a duplicate should point at), else
+    *        the minimum fresh member (a purely-new duplicate group
+    *        elects the one copy to admit) — plus one edge per fresh
+    *        doc × colliding near-dup cluster, to THAT cluster's rep.
+    *        Exact for the per-fresh-doc admit/drop verdict (a fresh
+    *        doc has an edge iff it has ≥1 Full partner, and the edge
+    *        names the canonical surviving copy); corpus-side cliques
+    *        are deliberately NOT re-emitted, so unlike the batch
+    *        families the Star edge set is not a spanning subset over
+    *        corpus-only nodes — admission never needs those.
+    *        [[PairMode.Bounded]] predicts the EXACT Full pair count
+    *        in one narrow metadata action (per sig cluster
+    *        C(n,2)−C(n_corpus,2); per colliding cluster pair
+    *        n_a·n_b−nc_a·nc_b) and throws
+    *        [[PairBudgetExceededException]] BEFORE the expansion job
+    *        launches — inside a foreachBatch, catch it to quarantine
+    *        the batch ([[graft.streaming.StreamingOps.lshScreenForeachBatch]]
+    *        does). */
   private[graft] def incrementalLshPairsAgainstStoreSigs(
       spark: SparkSession, bandStore: DataFrame, corpusMembers: DataFrame,
-      fSig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+      fSig: DataFrame, rowsPerBand: Int = 4,
+      mode: PairMode = PairMode.Full): DataFrame = releasingOnBudgetError {
     val freshBanded = bandedSigs(fSig.select(col("sig_key"), col("mhs")).distinct(), rowsPerBand)
     // fresh-vs-corpus probe: NO hint — when the store side is
     // bucketed on (band, bkey) the planner proves its distribution
@@ -486,7 +515,15 @@ object Dedup {
       .filter(col("x.sig_key") =!= col("y.sig_key"))
       .select(least(col("x.sig_key"), col("y.sig_key")).as("sig_a"),
               greatest(col("x.sig_key"), col("y.sig_key")).as("sig_b"))
-    val sigPairs = normalized(vsCorpus).unionByName(normalized(vsFresh)).distinct()
+    val sigPairs0 = normalized(vsCorpus).unionByName(normalized(vsFresh)).distinct()
+    // Bounded spans two actions (guard + caller) with no plan-level
+    // sharing between them — the candidate probe would otherwise run
+    // twice; the one-action modes keep the family's measured
+    // no-cache default (r12: caching this shape was 80% slower)
+    val sigPairs = mode match {
+      case PairMode.Bounded(_) => registerCache(sigPairs0, actions = 2)
+      case _ => sigPairs0
+    }
     // Per-batch cost, stated exactly (r12 — an earlier draft semi-join-
     // restricted the corpus membership to fresh-touching sig_keys and
     // measured +70% at sf0.1: the extra band-join evaluations and the
@@ -501,17 +538,74 @@ object Dedup {
     // data (text, signatures, band rows) never shuffles.
     val members = corpusMembers.withColumn("is_fresh", lit(false))
       .unionByName(fSig.select(col("doc_id"), col("sig_key")).withColumn("is_fresh", lit(true)))
-    val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "sig_key")
-      .filter(col("ma.doc_id") < col("mb.doc_id") &&
-              (col("ma.is_fresh") || col("mb.is_fresh")))
-      .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"))
-    val cross = sigPairs
-      .join(members.as("ma").hint("shuffle_hash"), col("sig_a") === col("ma.sig_key"))
-      .join(members.as("mb").hint("shuffle_hash"), col("sig_b") === col("mb.sig_key"))
-      .filter(col("ma.is_fresh") || col("mb.is_fresh"))
-      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
-              greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"))
-    intra.unionByName(cross)
+    def fullExpansion(sp: DataFrame): DataFrame = {
+      val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "sig_key")
+        .filter(col("ma.doc_id") < col("mb.doc_id") &&
+                (col("ma.is_fresh") || col("mb.is_fresh")))
+        .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"))
+      val cross = sp
+        .join(members.as("ma").hint("shuffle_hash"), col("sig_a") === col("ma.sig_key"))
+        .join(members.as("mb").hint("shuffle_hash"), col("sig_b") === col("mb.sig_key"))
+        .filter(col("ma.is_fresh") || col("mb.is_fresh"))
+        .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+                greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"))
+      intra.unionByName(cross)
+    }
+    mode match {
+      case PairMode.Full => fullExpansion(sigPairs)
+      case PairMode.Star =>
+        // corpus-preferring rep election (scaladoc): a fresh
+        // duplicate's edge names the already-admitted copy when one
+        // exists; a purely-fresh cluster elects its min member as the
+        // one copy to admit (it gets no edge — exactly the survivor)
+        val reps = members.groupBy(col("sig_key")).agg(
+          coalesce(min(when(!col("is_fresh"), col("doc_id"))),
+                   min(when(col("is_fresh"), col("doc_id")))).as("rep_id"))
+        val freshM = members.filter(col("is_fresh")).select(col("doc_id"), col("sig_key"))
+        val intra = freshM.join(reps.hint("shuffle_hash"), "sig_key")
+          .filter(col("doc_id") =!= col("rep_id"))
+          .select(least(col("doc_id"), col("rep_id")).as("doc_a"),
+                  greatest(col("doc_id"), col("rep_id")).as("doc_b"))
+        // one edge per (fresh member, colliding near-dup cluster):
+        // the fresh doc links to the OTHER cluster's rep
+        def crossSide(mySig: String, otherSig: String): DataFrame = sigPairs
+          .join(freshM.select(col("sig_key").as(mySig), col("doc_id"))
+            .hint("shuffle_hash"), mySig)
+          .join(reps.select(col("sig_key").as(otherSig), col("rep_id"))
+            .hint("shuffle_hash"), otherSig)
+          .select(least(col("doc_id"), col("rep_id")).as("doc_a"),
+                  greatest(col("doc_id"), col("rep_id")).as("doc_b"))
+        // distinct: the rep–rep edge of two purely-fresh colliding
+        // clusters arrives from both sides' crossSide — output is
+        // star-bounded (O(fresh × collisions)), so the dedup shuffle
+        // is on the small end by construction
+        intra.unionByName(crossSide("sig_a", "sig_b"))
+          .unionByName(crossSide("sig_b", "sig_a")).distinct()
+      case PairMode.Bounded(maxPairs) =>
+        // EXACT Full-output prediction in one narrow action —
+        // per-cluster pairs-with-≥1-fresh = C(n,2) − C(n_corpus,2),
+        // per colliding cluster pair n_a·n_b − nc_a·nc_b; the
+        // shiftright halving is LONG-exact and ANSI fails loudly
+        // past 2^63 (the batch families' same arithmetic)
+        val sizes = members.groupBy(col("sig_key")).agg(
+          count(lit(1)).as("n"),
+          count(when(!col("is_fresh"), lit(1))).as("nc"))
+        val intraCnt = sizes.select(
+          (shiftright(col("n") * (col("n") - 1L), 1) -
+           shiftright(col("nc") * (col("nc") - 1L), 1)).as("c"))
+        val crossCnt = sigPairs
+          .join(sizes.select(col("sig_key").as("sig_a"),
+            col("n").as("na"), col("nc").as("nca")).hint("shuffle_hash"), "sig_a")
+          .join(sizes.select(col("sig_key").as("sig_b"),
+            col("n").as("nb"), col("nc").as("ncb")).hint("shuffle_hash"), "sig_b")
+          .select((col("na") * col("nb") - col("nca") * col("ncb")).as("c"))
+        val predicted = intraCnt.unionByName(crossCnt)
+          .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+        if (predicted > maxPairs)
+          throw new PairBudgetExceededException(predicted, maxPairs,
+            "incrementalLshPairsAgainstStore")
+        fullExpansion(sigPairs)
+    }
   }
 
   /** Cluster→doc pair expansion shared by the three pair-emitting
@@ -529,7 +623,11 @@ object Dedup {
     * observed as multi-10s spill stalls when the planner drifts
     * there. A hash build streams the fan-out, and unlike broadcast
     * it also holds at corpus scale. */
-  private def expandDocPairs(members: DataFrame, clusterPairs: DataFrame,
+  /** `intraPayload` columns may reference member attributes through
+    * the `ma` alias (e.g. `col("ma.ip")` for a per-cluster payload
+    * carried on the members frame — the jaro-winkler empty-prefix
+    * case); every intra branch binds the members side as `ma`. */
+  private[text] def expandDocPairs(members: DataFrame, clusterPairs: DataFrame,
                              payloadCols: Seq[String], intraPayload: Seq[Column],
                              mode: PairMode, family: String): DataFrame = {
     val payload = payloadCols.map(col)
@@ -553,7 +651,7 @@ object Dedup {
         // rep→rep edge per distinct-cluster pair. rep = min doc_id,
         // so intra pairs are already (smaller, larger)-ordered.
         val reps = members.groupBy(col("ckey")).agg(min(col("doc_id")).as("rep_id"))
-        val intra = members.join(reps.hint("shuffle_hash"), "ckey")
+        val intra = members.as("ma").join(reps.hint("shuffle_hash"), "ckey")
           .filter(col("doc_id") =!= col("rep_id"))
           .select(col("rep_id").as("doc_a") +: col("doc_id").as("doc_b") +:
             intraPayload: _*)
@@ -1341,26 +1439,83 @@ object Dedup {
     * [[jaroWinklerPairs]] — their scaladoc promises IDENTICAL pair
     * selection (lang + length bucket + shared `blockChars` prefix),
     * so the blocking table and join predicate live in one place. */
-  private def blockedPrefixPairs(documents: DataFrame, prefixLen: Int,
-                                 blockChars: Int): DataFrame = {
+  private def blockedTable(documents: DataFrame, prefixLen: Int,
+                           blockChars: Int): DataFrame = {
     require(prefixLen >= 1, s"need prefixLen >= 1, got $prefixLen")
     require(blockChars >= 1 && blockChars <= prefixLen,
       s"need 1 <= blockChars <= prefixLen, got $blockChars")
-    val t = documents.select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"),
+    documents.select(col("doc_id"), col("lang"), expr("n_chars div 64").as("bkt"),
       substring(col("text"), 1, prefixLen).as("p"))
       .withColumn("pfx", substring(col("p"), 1, blockChars))
+  }
+
+  private def blockedPrefixPairs(documents: DataFrame, prefixLen: Int,
+                                 blockChars: Int): DataFrame = {
+    val t = blockedTable(documents, prefixLen, blockChars)
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
         col("a.pfx") === col("b.pfx") && col("a.doc_id") < col("b.doc_id"))
   }
 
+  /** Identical-prefix cluster view of the blocked families for the
+    * non-Full [[PairMode]]s: docs sharing (lang, length-bucket,
+    * scored prefix `p`) form one cluster — every within-cluster pair
+    * scores dist = 0 / jw(p,p) by construction, so the identical-
+    * prefix cluster is the expansion unit exactly as identical
+    * content/signature is for the lexical families. Returns
+    * (members = (doc_id, ckey, p), clusters = one row per distinct
+    * (lang, bkt, pfx, p) with its 8-byte ckey). Rows with a NULL
+    * blocking column (lang / n_chars / text) or NULL doc_id are
+    * absent: under Full a NULL never survives the block equi-join or
+    * the id inequality, so the exclusion is exact — and it keeps
+    * Bounded's predicted count exact. ckey = xxhash64(lang, bkt, p):
+    * an (astronomically unlikely) 64-bit collision would merge two
+    * distinct-prefix clusters — the same accepted trade as the
+    * jaccard family's xxhash64 set keys. */
+  private def blockedClusterView(documents: DataFrame, prefixLen: Int,
+                                 blockChars: Int): (DataFrame, DataFrame) = {
+    val t = blockedTable(documents, prefixLen, blockChars)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+              col("bkt").isNotNull && col("p").isNotNull)
+      .withColumn("ckey", xxhash64(col("lang"), col("bkt"), col("p")))
+    (t.select(col("doc_id"), col("ckey"), col("p")),
+     t.select(col("ckey"), col("lang"), col("bkt"), col("pfx"), col("p")).distinct())
+  }
+
+  /** One row per qualifying DISTINCT-prefix cluster pair within a
+    * block — the `clusterPairs` side of [[expandDocPairs]] for the
+    * blocked families. Same join predicate as the Full doc-level
+    * join, on clusters instead of docs. */
+  private def blockedClusterPairs(clusters: DataFrame): DataFrame =
+    clusters.as("a").join(clusters.as("b"),
+      col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
+      col("a.pfx") === col("b.pfx") && col("a.ckey") < col("b.ckey"))
+
   def editDistancePairs(documents: DataFrame, maxDist: Int, prefixLen: Int = 64,
-                        blockChars: Int = 8): DataFrame = {
+                        blockChars: Int = 8,
+                        mode: PairMode = PairMode.Full): DataFrame = releasingOnBudgetError {
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
-    blockedPrefixPairs(documents, prefixLen, blockChars)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.p"), col("b.p")).cast(LongType).as("dist"))
-      .filter(col("dist") <= maxDist)
+    mode match {
+      case PairMode.Full =>
+        blockedPrefixPairs(documents, prefixLen, blockChars)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            levenshtein(col("a.p"), col("b.p")).cast(LongType).as("dist"))
+          .filter(col("dist") <= maxDist)
+      case _ =>
+        // intra pairs are identical prefixes: dist = levenshtein(p,p)
+        // = 0 ≤ maxDist always, so every cluster is intra-eligible and
+        // the literal payload is exact; cross pairs confirm at the
+        // CLUSTER level (levenshtein is a function of the two
+        // prefixes, identical across members), so under budget the
+        // expansion is bit-identical to Full.
+        val (members, clusters) = blockedClusterView(documents, prefixLen, blockChars)
+        val cp = blockedClusterPairs(clusters)
+          .select(col("a.ckey").as("ck_a"), col("b.ckey").as("ck_b"),
+            levenshtein(col("a.p"), col("b.p")).cast(LongType).as("dist"))
+          .filter(col("dist") <= maxDist)
+        expandDocPairs(members, cp, Seq("dist"), Seq(lit(0L).as("dist")),
+          mode, "editDistancePairs")
+    }
   }
 
   /** Jaro-Winkler record-linkage pairs over the SAME blocking as
@@ -1374,11 +1529,33 @@ object Dedup {
     * (integer-exact); the similarity is reported rounded to 6 —
     * thresholding belongs to the caller, on the rounded value. */
   def jaroWinklerPairs(documents: DataFrame, prefixLen: Int = 64,
-                       blockChars: Int = 8): DataFrame =
-    blockedPrefixPairs(documents, prefixLen, blockChars)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(graft.functions.StringSimilarity.jaro_winkler(col("a.p"), col("b.p")), 6)
-          .as("jw"))
+                       blockChars: Int = 8,
+                       mode: PairMode = PairMode.Full): DataFrame = releasingOnBudgetError {
+    mode match {
+      case PairMode.Full =>
+        blockedPrefixPairs(documents, prefixLen, blockChars)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            round(graft.functions.StringSimilarity.jaro_winkler(col("a.p"), col("b.p")), 6)
+              .as("jw"))
+      case _ =>
+        // the intra payload is PER-CLUSTER, not a constant:
+        // jw(p, p) = 1.0 exactly for non-empty p (m = |p|, t = 0 —
+        // the jaro terms are la/la = 1.0 exact and the winkler boost
+        // adds l·0.1·(1−1.0) = 0) but the expression pins ''/'' to
+        // 0.0 (StringSimilarity's probed empty-side convention), so
+        // members carry the precomputed value and the intra branch
+        // reads it through the `ma` alias.
+        val (members0, clusters) = blockedClusterView(documents, prefixLen, blockChars)
+        val members = members0.withColumn("ip",
+          when(length(col("p")) === 0, lit(0.0)).otherwise(lit(1.0)))
+        val cp = blockedClusterPairs(clusters)
+          .select(col("a.ckey").as("ck_a"), col("b.ckey").as("ck_b"),
+            round(graft.functions.StringSimilarity.jaro_winkler(col("a.p"), col("b.p")), 6)
+              .as("jw"))
+        expandDocPairs(members, cp, Seq("jw"), Seq(col("ma.ip").as("jw")),
+          mode, "jaroWinklerPairs")
+    }
+  }
 
   /** Transitive near-dup clustering: (doc_id, component) where
     * `component` is the smallest doc_id transitively reachable

@@ -278,8 +278,65 @@ object Similarity {
     * so the distinct is cheap even at 100 TB.
     */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
-                            nPlanes: Int = 4, nBands: Int = 4): DataFrame = {
+                            nPlanes: Int = 4, nBands: Int = 4,
+                            mode: PairMode = PairMode.Full): DataFrame =
+      Dedup.releasingOnBudgetError {
     require(nBands >= 1, s"nBands must be >= 1 (0 bands silently emits no pairs), got $nBands")
+    // cosine ≤ 1: a threshold above 1 excludes everything (the
+    // jaccard family's same guard) — and it is what makes the
+    // non-Full intra expansion exact: every defined identical-vector
+    // pair scores exactly 1.0 ≥ threshold
+    require(threshold <= 1.0, s"cosine threshold above 1 excludes everything, got $threshold")
+    mode match {
+      case PairMode.Full => bandedCosinePairs(embeddings, threshold, nPlanes, nBands)
+      case _ =>
+        // identical-vector clusters: byte-identical embeddings share
+        // every band bucket, and any member pair's cosine equals the
+        // rep pair's (cosine is a function of the two vectors) — the
+        // embedding-space instance of the lexical families' identical-
+        // content collapse. Clusters whose self-sim is UNDEFINED
+        // (zero-norm / NaN / ∞ reps) are dropped from members AND
+        // cluster pairs: the nullif/NaN guards make every Full pair
+        // touching such a vector undefined too, so exclusion is exact
+        // — and it keeps Bounded's predicted count exact. For the
+        // defined rest, self-sim is exactly 1.0 ≥ threshold (the
+        // require above), so every cluster is intra-eligible with the
+        // literal payload.
+        val e = embeddings
+          .filter(col("embedding").isNotNull && col("vec_id").isNotNull)
+          .select(col("vec_id"), col("embedding"))
+        val selfSim = {
+          // Full's own per-pair sim expression, evaluated on (v, v)
+          val x = dot(col("embedding"), col("embedding"))
+          round(x / nullif(sqrt(x * x), lit(0.0)), 6)
+        }
+        val reps0 = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id"))
+          .filter(simDefined(selfSim))
+        // Bounded spans two actions (the guard's + the caller's) with
+        // no plan-level sharing between them — the cross-action cache
+        // shape (minhashLshPairs' Bounded rationale); the one-action
+        // modes keep Spark's own branch sharing instead.
+        val reps = mode match {
+          case PairMode.Bounded(_) => Dedup.registerCache(reps0, actions = 2)
+          case _ => reps0
+        }
+        val members = e.join(reps.hint("shuffle_hash"), "embedding")
+          .select(col("vec_id").as("doc_id"), col("rep_id").as("ckey"))
+        val cp = bandedCosinePairs(
+            reps.select(col("rep_id").as("vec_id"), col("embedding")),
+            threshold, nPlanes, nBands)
+          .select(col("id_a").as("ck_a"), col("id_b").as("ck_b"), col("sim"))
+        Dedup.expandDocPairs(members, cp, Seq("sim"), Seq(lit(1.0).as("sim")),
+            mode, "embeddingNearDupPairs")
+          .withColumnRenamed("doc_a", "id_a").withColumnRenamed("doc_b", "id_b")
+    }
+  }
+
+  /** The Full pair search ([[embeddingNearDupPairs]]'s historical
+    * body, bit-compatible): banded sign-LSH candidates, exact-cosine
+    * confirm, output-bounded distinct. */
+  private def bandedCosinePairs(embeddings: DataFrame, threshold: Double,
+                                nPlanes: Int, nBands: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("nrm"),
       explode(array((0 until nBands).map(b =>

@@ -45,7 +45,19 @@ class EmptyInputSpec extends SparkSpec {
       mode = graft.text.PairMode.Star).count() == 0)
     assert(Dedup.simhashNearDupPairs(spark, emptyDocs,
       mode = graft.text.PairMode.Bounded(0L)).count() == 0)
+    assert(Dedup.editDistancePairs(emptyDocs, 4,
+      mode = graft.text.PairMode.Star).count() == 0)
+    assert(Dedup.editDistancePairs(emptyDocs, 4,
+      mode = graft.text.PairMode.Bounded(0L)).count() == 0)
+    assert(Dedup.jaroWinklerPairs(emptyDocs,
+      mode = graft.text.PairMode.Star).count() == 0)
+    assert(Dedup.jaroWinklerPairs(emptyDocs,
+      mode = graft.text.PairMode.Bounded(0L)).count() == 0)
     assert(Dedup.incrementalLshPairs(spark, emptyDocs, emptyDocs).count() == 0)
+    assert(Dedup.incrementalLshPairs(spark, emptyDocs, emptyDocs,
+      mode = graft.text.PairMode.Star).count() == 0)
+    assert(Dedup.incrementalLshPairs(spark, emptyDocs, emptyDocs,
+      mode = graft.text.PairMode.Bounded(0L)).count() == 0)
     assert(TextOps.vocabOov(emptyDocs, 10).count() == 0)
     assert(TextOps.pmiCollocations(emptyDocs).count() == 0)
     assert(TextOps.spanClusters(emptyDocs).count() == 0)
@@ -90,6 +102,10 @@ class EmptyInputSpec extends SparkSpec {
 
   test("similarity operators are empty-safe") {
     assert(Similarity.embeddingNearDupPairs(emptyEmb, 0.5).count() == 0)
+    assert(Similarity.embeddingNearDupPairs(emptyEmb, 0.5,
+      mode = graft.text.PairMode.Star).count() == 0)
+    assert(Similarity.embeddingNearDupPairs(emptyEmb, 0.5,
+      mode = graft.text.PairMode.Bounded(0L)).count() == 0)
     assert(Similarity.embeddingComponents(emptyEmb, 0.5).count() == 0)
     assert(Similarity.minMaxScale(emptyEmb).count() == 0)
     assert(Similarity.cosineTopK(emptyEmb, 4, 5).count() == 0)

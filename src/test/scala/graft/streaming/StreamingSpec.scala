@@ -333,6 +333,105 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
         s"store must flow exchange-free into the restarted probe join:\n$side")
   }
 
+  test("lshScreenForeachBatch PairMode: colossal stored cluster admits in O(fresh) pairs under Star; Bounded quarantines un-admitted; default fails loudly") {
+    import graft.text.{Dedup, PairMode, PairBudgetExceededException}
+    // 400 stored copies of one text — the colossal corpus-side cluster
+    // that makes a blind Full screen emit fresh×|cluster| pairs at
+    // admission time (the 100-TB blind-caller scenario of the r13
+    // verdict's ask #2)
+    val longB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val corpus = ((0L until 400L).map(i => (i, longB)) :+ ((900L, "completely unrelated noise")))
+      .toDF("doc_id", "text")
+    val fresh = Seq((1001L, longB), (1002L, "fresh unrelated filler")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-lshstar").toString
+    Dedup.minhashBandStore(corpus).write.parquet(s"$root/bands")
+    Dedup.minhashMembers(corpus).write.parquet(s"$root/members")
+    def bands(s: org.apache.spark.sql.SparkSession) = s.read.parquet(s"$root/bands")
+    def membersT(s: org.apache.spark.sql.SparkSession) = s.read.parquet(s"$root/members")
+
+    // Full ground truth BEFORE any admission: the 400-member cluster
+    // forces ≥400 pairs for the one duplicated fresh doc
+    val fullBefore = Dedup.incrementalLshPairsAgainstStore(
+        spark, bands(spark), membersT(spark), fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullBefore.size >= 400, s"fixture must be colossal, got ${fullBefore.size}")
+
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val starBody = StreamingOps.lshScreenForeachBatch(
+      readBandStore = bands, readMembers = membersT,
+      appendBandStore = (df, _) => df.write.mode("append").parquet(s"$root/bands"),
+      appendMembers = (df, _) => df.write.mode("append").parquet(s"$root/members"),
+      emit = (df, _) => emitted.synchronized {
+        emitted ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      mode = PairMode.Star)
+    starBody(fresh, 0L)
+    // O(fresh), not fresh×|cluster|: the duplicated fresh doc links to
+    // the stored cluster's rep (min corpus member = 0), once
+    assert(emitted.contains((0L, 1001L)), s"missing the rep edge: $emitted")
+    assert(emitted.size <= 5, s"Star screen must be O(fresh), got ${emitted.size} pairs")
+    // the per-fresh-doc admit/drop verdict is EXACTLY Full's: the same
+    // fresh docs are flagged (have ≥1 pair) under both modes
+    def flaggedFresh(ps: Set[(Long, Long)]): Set[Long] =
+      ps.flatMap(p => Seq(p._1, p._2)).filter(_ >= 1000L)
+    assert(flaggedFresh(emitted.toSet) == flaggedFresh(fullBefore),
+      s"star verdict diverged: ${flaggedFresh(emitted.toSet)} vs ${flaggedFresh(fullBefore)}")
+    // Star admits normally
+    assert(spark.read.parquet(s"$root/members").count() == 403)
+
+    // Bounded + quarantine hook: the guard fires BEFORE expansion,
+    // the hook gets the exact Full prediction, the batch is neither
+    // emitted nor admitted, and the body returns normally (stream
+    // lives on)
+    val fresh2 = Seq((2001L, longB)).toDF("doc_id", "text")
+    val fullNow = Dedup.incrementalLshPairsAgainstStore(
+      spark, bands(spark), membersT(spark), fresh2).count()
+    val quarantined = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var emitCalls = 0
+    val bndBody = StreamingOps.lshScreenForeachBatch(
+      readBandStore = bands, readMembers = membersT,
+      appendBandStore = (df, _) => df.write.mode("append").parquet(s"$root/bands"),
+      appendMembers = (df, _) => df.write.mode("append").parquet(s"$root/members"),
+      emit = (_, _) => emitCalls += 1,
+      mode = PairMode.Bounded(10L),
+      onBudgetExceeded = Some((e, b, bid) =>
+        quarantined += ((e.predictedPairs, b.count(), bid))))
+    bndBody(fresh2, 7L)
+    assert(emitCalls == 0, "quarantined batch must not be emitted")
+    assert(quarantined.toSeq == Seq((fullNow, 1L, 7L)),
+      s"quarantine hook got $quarantined, expected predicted=$fullNow")
+    assert(spark.read.parquet(s"$root/members").count() == 403,
+      "quarantined batch must NOT be admitted (stays re-processable)")
+
+    // no hook: the documented loud failure, still un-admitted
+    val loudBody = StreamingOps.lshScreenForeachBatch(
+      readBandStore = bands, readMembers = membersT,
+      appendBandStore = (df, _) => df.write.mode("append").parquet(s"$root/bands"),
+      appendMembers = (df, _) => df.write.mode("append").parquet(s"$root/members"),
+      emit = (df, _) => df.count(),
+      mode = PairMode.Bounded(10L))
+    val ex = intercept[PairBudgetExceededException] { loudBody(fresh2, 8L) }
+    assert(ex.predictedPairs == fullNow)
+    assert(spark.read.parquet(s"$root/members").count() == 403)
+
+    // raised budget: bit-identical to the Full screen, admits
+    val emitted3 = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val okBody = StreamingOps.lshScreenForeachBatch(
+      readBandStore = bands, readMembers = membersT,
+      appendBandStore = (df, _) => df.write.mode("append").parquet(s"$root/bands"),
+      appendMembers = (df, _) => df.write.mode("append").parquet(s"$root/members"),
+      emit = (df, _) => emitted3.synchronized {
+        emitted3 ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      mode = PairMode.Bounded(fullNow))
+    val fullNowPairs = Dedup.incrementalLshPairsAgainstStore(
+        spark, bands(spark), membersT(spark), fresh2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    okBody(fresh2, 9L)
+    assert(emitted3.toSet == fullNowPairs, "under-budget Bounded must equal Full")
+    assert(spark.read.parquet(s"$root/members").count() == 404)
+  }
+
   test("markovStream == batch markovTransitions; boundary transition emits once") {
     val t0 = 1600000000000L
     def ev(id: Long, tMs: Long, u: Long, typ: String) =

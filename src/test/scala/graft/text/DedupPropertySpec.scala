@@ -781,6 +781,61 @@ class DedupPropertySpec extends SparkSpec {
       "budget-guard throw left persisted tables behind")
   }
 
+  strictTest("PairMode on the blocked prefix families (edit/jw): Star spanning subset + same closure, Bounded exact guard, under-budget bit-identical") {
+    // small vocab → heavy text duplication → identical-prefix clusters;
+    // distinct texts sharing the first 8 chars give cross-cluster pairs
+    val docs = corpus(seed = 77, nDocs = 150, vocab = 6)
+    val families: Seq[(String, PairMode => DataFrame)] = Seq(
+      "edit" -> (m => Dedup.editDistancePairs(docs, maxDist = 6, mode = m)),
+      "jw"   -> (m => Dedup.jaroWinklerPairs(docs, mode = m)))
+    for ((name, run) <- families) {
+      val full = run(PairMode.Full).collect().map(_.toSeq).toSet
+      assert(full.nonEmpty, s"$name: fixture produced no pairs — test is vacuous")
+      val star = run(PairMode.Star).collect().map(_.toSeq).toSet
+      assert(star.subsetOf(full),
+        s"$name: star emitted ${(star -- full).take(3)} not present under Full")
+      def edges(rows: Set[Seq[Any]]): Set[(Long, Long)] =
+        rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      val fe = edges(full)
+      val nodes = fe.flatMap(e => Seq(e._1, e._2))
+      assert(componentsOf(edges(star), nodes) == componentsOf(fe, nodes),
+        s"$name: star closure diverged from full closure")
+      // Bounded: the guard predicts the EXACT Full output count
+      // (cluster pairs are confirm-filtered before the count, so the
+      // prediction is the output, not the candidate set)
+      val e = intercept[PairBudgetExceededException] { run(PairMode.Bounded(0L)) }
+      assert(e.predictedPairs == full.size.toLong,
+        s"$name: predicted ${e.predictedPairs} != full output ${full.size}")
+      assert(run(PairMode.Bounded(full.size.toLong)).collect().map(_.toSeq).toSet == full,
+        s"$name: under-budget Bounded diverged from Full")
+    }
+
+    // the per-cluster intra payload: jw('','') = 0.0 (StringSimilarity's
+    // probed empty-side convention), NOT the non-empty 1.0 — all three
+    // modes must agree on the empty-prefix cluster
+    val empties = Seq((900L, "en", "", 0L), (901L, "en", "", 0L), (902L, "en", "", 0L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val fullE = Dedup.jaroWinklerPairs(empties).collect().map(_.toSeq).toSet
+    assert(fullE == Set(Seq(900L, 901L, 0.0), Seq(900L, 902L, 0.0), Seq(901L, 902L, 0.0)))
+    assert(Dedup.jaroWinklerPairs(empties, mode = PairMode.Star)
+      .collect().map(_.toSeq).toSet ==
+      Set(Seq(900L, 901L, 0.0), Seq(900L, 902L, 0.0)))
+    assert(Dedup.jaroWinklerPairs(empties, mode = PairMode.Bounded(3L))
+      .collect().map(_.toSeq).toSet == fullE)
+    // and the edit-distance intra payload is the exact 0 distance
+    assert(Dedup.editDistancePairs(empties, 0, mode = PairMode.Star)
+      .collect().map(_.toSeq).toSet ==
+      Set(Seq(900L, 901L, 0L), Seq(900L, 902L, 0L)))
+
+    // failed guard must strand nothing (family fail-fast convention)
+    val deadline = System.currentTimeMillis() + 15000
+    while ((!Dedup.scopedCaches.isEmpty ||
+            spark.sparkContext.getPersistentRDDs.nonEmpty) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(Dedup.scopedCaches.isEmpty && spark.sparkContext.getPersistentRDDs.isEmpty,
+      "blocked-family budget guard left caches behind")
+  }
+
   strictTest("lastPerGroup == Scala overwrite loop on random events") {
     val rnd = new Random(5)
     val rows = (0 until 2000).map { i =>

@@ -220,6 +220,74 @@ class SimilaritySpec extends SparkSpec {
     keys.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("embeddingNearDupPairs PairMode: Star spanning subset + same closure, colossal clique is O(n), Bounded exact guard, under-budget bit-identical") {
+    // clustered corpus + a 30-member exact-duplicate clique: Full must
+    // emit the 30·29/2 = 435-pair clique; Star the 29-edge star
+    val base = clustered(seed = 5, nClusters = 4, perCluster = 10, dim = 8)
+    val dupVec = Seq.fill(8)(0.25f)
+    val dups = (100L until 130L).map(i => (i, dupVec)).toDF("vec_id", "embedding")
+    val docs = base.unionByName(dups)
+    def run(m: PairMode) = Similarity.embeddingNearDupPairs(docs, 0.9, mode = m)
+
+    val full = run(PairMode.Full).collect().map(_.toSeq).toSet
+    assert(full.nonEmpty)
+    val star = run(PairMode.Star).collect().map(_.toSeq).toSet
+    assert(star.subsetOf(full), s"star emitted ${(star -- full).take(3)} not under Full")
+    def edges(rows: Set[Seq[Any]]): Set[(Long, Long)] =
+      rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    // driver union-find for closure comparison
+    def componentsOf(es: Set[(Long, Long)], nodes: Set[Long]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val fe = edges(full)
+    val nodes = fe.flatMap(e => Seq(e._1, e._2))
+    assert(componentsOf(edges(star), nodes) == componentsOf(fe, nodes),
+      "star closure diverged from full closure")
+    // the clique term: Full quadratic, Star linear with sim = 1.0
+    assert(full.count(r => r(0).asInstanceOf[Long] >= 100L &&
+      r(1).asInstanceOf[Long] >= 100L) == 435)
+    assert((101L until 130L).forall(m => star.contains(Seq(100L, m, 1.0))))
+
+    // Bounded: predicts the EXACT Full output count before expanding
+    val e = intercept[PairBudgetExceededException] { run(PairMode.Bounded(10L)) }
+    assert(e.predictedPairs == full.size.toLong,
+      s"predicted ${e.predictedPairs} != full output ${full.size}")
+    assert(run(PairMode.Bounded(full.size.toLong)).collect().map(_.toSeq).toSet == full,
+      "under-budget Bounded diverged from Full")
+
+    // undefined-self-sim clusters (zero-norm, NaN) drop from every
+    // mode identically — including Bounded's prediction
+    val poisoned = docs.unionByName(Seq(
+      (200L, Seq.fill(8)(0.0f)), (201L, Seq.fill(8)(0.0f)),
+      (202L, Seq(Float.NaN) ++ Seq.fill(7)(0.1f))).toDF("vec_id", "embedding"))
+    def runP(m: PairMode) = Similarity.embeddingNearDupPairs(poisoned, 0.9, mode = m)
+    assert(runP(PairMode.Full).collect().map(_.toSeq).toSet == full)
+    assert(runP(PairMode.Star).collect().map(_.toSeq).toSet == star)
+    val e2 = intercept[PairBudgetExceededException] { runP(PairMode.Bounded(10L)) }
+    assert(e2.predictedPairs == full.size.toLong)
+
+    // threshold > 1 now fails loudly in every mode (cosine ≤ 1)
+    intercept[IllegalArgumentException] { Similarity.embeddingNearDupPairs(docs, 1.5) }
+
+    // failed guard must strand nothing (family fail-fast convention)
+    val deadline = System.currentTimeMillis() + 15000
+    while ((!graft.text.Dedup.scopedCaches.isEmpty ||
+            spark.sparkContext.getPersistentRDDs.nonEmpty) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(graft.text.Dedup.scopedCaches.isEmpty &&
+      spark.sparkContext.getPersistentRDDs.isEmpty,
+      "embedding budget guard left caches behind")
+  }
+
   test("ivfTopK equals brute-force when probing all cells") {
     val vecs = spark.read.parquet(realEmbeddings)
     val exact = Similarity.cosineTopK(vecs, nQueries = 8, k = 5)
