@@ -123,8 +123,24 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_FLOOR=1: measure the suite's fixed per-query
+    // floor — every declared query name runs through the IDENTICAL
+    // harness loop (build closure, count action, releaseCaches, GC)
+    // but computes a trivial one-stage job with a per-query literal
+    // (distinct generated code, so codegen is paid per query like the
+    // real suite). total(floor sweep) is then the scheduling/planning/
+    // harness floor × query count, and total(real) − total(floor) the
+    // data-dependent cost — the envelope decomposition BASELINE.md
+    // cites. A LOWER bound on the real floor (real plans are
+    // multi-stage); stated as such wherever used.
+    val floorMode = sys.env.get("SPARK_GRAFT_BENCH_FLOOR").contains("1")
+    val selected0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = if (!floorMode) selected0
+      else selected0.zipWithIndex.map { case ((n, _), i) =>
+        n -> ((s: SparkSession, _: String) =>
+          s.range(32L + i).selectExpr(s"sum(id + $i) as v$i"))
+      }
     selected.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
       graft.text.Dedup.releaseCaches()
@@ -267,7 +283,7 @@ object Bench {
     // Demo.once changed what a "total" means between rounds and the
     // JSON carried no marker of which methodology produced it)
     val methodology =
-      s""""methodology":{"schema":3,"runs":$nRuns,"reps":$reps,""" +
+      s""""methodology":{"schema":3,"runs":$nRuns,"reps":$reps,"floor_probe":$floorMode,""" +
         s""""per_query":"min over $nRuns runs of min-of-$reps-reps wall seconds (headline; medians also embedded)",""" +
         s""""total":"sum of per-query mins",""" +
         s""""demo_tables":"built once per session (run 1, rep 1); later executions time the operator only"}"""

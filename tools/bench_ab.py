@@ -111,6 +111,29 @@ def run_bench(tree, out_path, sf_dir, cpus, runs, require_idle, label):
         sys.exit(f"[ab] {label} bench FAILED (exit {r.returncode}):\n{tail}")
 
 
+def closing_control_md(a):
+    """SCALING.md closing-control table, generated from an anchored
+    artifact's own fields (r13 verdict ask #3: the committed capture
+    must adjudicate itself — no prose archaeology)."""
+    lines = [
+        "**Closing control (generated from bench_full.json anchor fields):**",
+        "",
+        "| capture | at | min-total (s) | per-run totals |",
+        "|---|---|---|---|",
+        f"| old {a['anchor_commit'][:9]} | {a['anchor_captured_at']} | "
+        f"{a['anchor_total']:.2f} | "
+        f"{', '.join(f'{t:.2f}' for t in a.get('anchor_runs', []))} |",
+        f"| new {a.get('anchor_head', 'HEAD')[:9]} | {a['captured_at']} | "
+        f"{a['value']:.2f} | "
+        f"{', '.join(f'{t:.2f}' for t in [r['total'] for r in a.get('runs', [])])} |",
+        "",
+        f"Paired delta: {a['paired_delta_pct']:+.1f}% — same box, same protocol, "
+        "minutes apart; anything a round-over-round artifact diff reports beyond "
+        "this is box regime, not code.",
+    ]
+    return "\n".join(lines)
+
+
 def fmt_row(name, old, new):
     d = new - old
     pct = (d / old * 100.0) if old > 0 else float("nan")
@@ -127,6 +150,12 @@ def main():
     ap.add_argument("--no-require-idle", action="store_true")
     ap.add_argument("--out", default=None, help="also write the report to this file")
     ap.add_argument("--top", type=int, default=15, help="per-query moves to show")
+    ap.add_argument("--emit-anchored", default=None, metavar="PATH",
+                    help="write the NEW capture to PATH augmented with its own "
+                         "drift anchor (anchor_commit, anchor_total, "
+                         "paired_delta_pct, anchor_runs, timestamps) — the "
+                         "self-adjudicating committed bench_full.json; also "
+                         "prints the SCALING.md closing-control table")
     args = ap.parse_args()
 
     old_commit = args.old or last_artifact_commit()
@@ -141,6 +170,11 @@ def main():
               flush=True)
     require_idle = not args.no_require_idle
 
+    import datetime
+
+    def now():
+        return datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+
     tmp = tempfile.mkdtemp(prefix="graft-ab-")
     wt = os.path.join(tmp, "old")
     sh(["git", "worktree", "add", "--detach", wt, old_commit])
@@ -148,9 +182,11 @@ def main():
         old = run_bench(wt, os.path.join(tmp, "old.json"), args.sf_dir,
                         args.cpus, args.runs, require_idle,
                         f"OLD {old_commit[:9]}")
+        t_old = now()
         new = run_bench(REPO, os.path.join(tmp, "new.json"), args.sf_dir,
                         args.cpus, args.runs, require_idle,
                         f"NEW {head[:9]}{'+dirty' if dirty else ''}")
+        t_new = now()
     finally:
         subprocess.run(["git", "worktree", "remove", "--force", wt], cwd=REPO)
 
@@ -207,6 +243,20 @@ def main():
         with open(args.out, "w") as f:
             f.write(report)
         print(f"[ab] report written to {args.out}")
+    if args.emit_anchored:
+        anchored = dict(new)
+        anchored["anchor_commit"] = old_commit
+        anchored["anchor_total"] = old["value"]
+        anchored["paired_delta_pct"] = round(
+            (new["value"] - old["value"]) / old["value"] * 100.0, 2)
+        anchored["anchor_runs"] = [r["total"] for r in old.get("runs", [])]
+        anchored["anchor_captured_at"] = t_old
+        anchored["captured_at"] = t_new
+        anchored["anchor_head"] = head + ("+dirty" if dirty else "")
+        with open(args.emit_anchored, "w") as f:
+            json.dump(anchored, f)
+        print(f"[ab] anchored capture written to {args.emit_anchored}\n")
+        print(closing_control_md(anchored))
     print(f"[ab] raw artifacts: {tmp}/old.json {tmp}/new.json")
 
 
