@@ -1,8 +1,16 @@
 package graft.text
 
-/** Pair-emission contract for the pair-emitting near-dup families
-  * ([[Dedup.jaccardNearDupPairs]], [[Dedup.minhashLshPairs]],
-  * [[Dedup.simhashNearDupPairs]]).
+/** Pair-emission contract for EVERY pair-emitting operator:
+  * the batch near-dup families ([[Dedup.jaccardNearDupPairs]],
+  * [[Dedup.minhashLshPairs]], [[Dedup.simhashNearDupPairs]]), the
+  * blocked record-linkage pairs ([[Dedup.editDistancePairs]],
+  * [[Dedup.jaroWinklerPairs]]), the embedding-space pairs
+  * ([[Similarity.embeddingNearDupPairs]]), and the production ingest
+  * screen ([[Dedup.incrementalLshPairs]] /
+  * [[Dedup.incrementalLshPairsAgainstStore]] /
+  * [[graft.streaming.StreamingOps.lshScreenForeachBatch]], where
+  * Star's expansion unit is the fresh doc → stored-cluster-rep edge
+  * and Bounded composes with the quarantine hook).
   *
   * Why this exists (SCALING.md, 30× sweep): on a dense corpus the
   * full doc-pair expansion is OUTPUT-QUADRATIC by construction — the

@@ -557,6 +557,89 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  strictTest("incremental screen PairMode: Star ⊆ Full with the SAME per-fresh-doc verdict on random splits; Bounded predicts exactly; Star keeps the exchange-free probe") {
+    for (seed <- Seq(5, 6)) {
+      val docs = corpus(seed, nDocs = 150, vocab = 12)
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+      val corp = docs.filter(col("doc_id") % 3 =!= 0)
+      val full = Dedup.incrementalLshPairs(spark, corp, fresh)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full.nonEmpty, "fixture must produce candidates")
+      val star = Dedup.incrementalLshPairs(spark, corp, fresh, mode = PairMode.Star)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every star edge is a pair Full emits (rep edges are real pairs)
+      assert(star.subsetOf(full), s"star emitted ${(star -- full).take(3)} not under Full")
+      // the admit/drop verdict: exactly the same fresh docs are flagged
+      def flagged(ps: Set[(Long, Long)]): Set[Long] =
+        ps.flatMap(p => Seq(p._1, p._2)).filter(_ % 3 == 0)
+      assert(flagged(star) == flagged(full),
+        s"star verdict diverged: ${(flagged(star) diff flagged(full)) ++ (flagged(full) diff flagged(star))}")
+      // Bounded: exact Full-count prediction, loud throw, bit-identical under budget
+      val e = intercept[PairBudgetExceededException] {
+        Dedup.incrementalLshPairs(spark, corp, fresh, mode = PairMode.Bounded(0L)).count()
+      }
+      assert(e.predictedPairs == full.size.toLong,
+        s"predicted ${e.predictedPairs} != full output ${full.size}")
+      assert(Dedup.incrementalLshPairs(spark, corp, fresh,
+        mode = PairMode.Bounded(full.size.toLong))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+    }
+    // plan shape: the Star screen against the BUCKETED store keeps the
+    // exchange-free probe (the rep aggregation groups by sig_key — a
+    // different key — and must not re-shuffle the store into the band
+    // join)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = corpus(seed = 11, nDocs = 150, vocab = 12)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+    val corp = docs.filter(col("doc_id") % 3 =!= 0)
+    graft.core.Warehouse.writeBucketed(
+      Dedup.minhashBandStore(corp), "band_store_pm", Seq("band", "bkey"), 8)
+    graft.core.Warehouse.writeBucketed(
+      Dedup.minhashMembers(corp), "member_store_pm", Seq("sig_key"), 8)
+    def starFromStore() = Dedup.incrementalLshPairsAgainstStore(spark,
+      spark.table("band_store_pm"), spark.table("member_store_pm"), fresh,
+      mode = PairMode.Star)
+    val expected = Dedup.incrementalLshPairs(spark, corp, fresh, mode = PairMode.Star)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starFromStore().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = starFromStore().queryExecution.executedPlan
+      def subtreeReadsStore(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collectLeaves().exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.exists(_.toString.contains("band_store_pm"))
+          case _ => false
+        }
+      val storeScans = plan.collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("band_store_pm")) => s
+      }
+      assert(storeScans.nonEmpty, "star probe must read the persisted band store")
+      assert(storeScans.forall(_.bucketedScan), "star band-store scan must be bucket-aware")
+      val probeStoreSides = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.flatMap(_.children).filter { c =>
+        subtreeReadsStore(c) && c.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty
+      }
+      assert(probeStoreSides.nonEmpty,
+        "expected a join whose direct input reads the band store")
+      for (side <- probeStoreSides)
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"star screen must keep the exchange-free store probe:\n$side")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   strictTest("simhashComponents: exact dups + hamming-close docs merge, disjoint stay apart") {
     val base = (1 to 60).map(i => s"tok$i")
     val docs = Seq(
