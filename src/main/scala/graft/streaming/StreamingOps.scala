@@ -572,19 +572,24 @@ object StreamingOps {
         // caller contract keeps corpus/fresh ids disjoint)
         val corpusMembers = readMembers(s).join(
           broadcast(sig.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-        val admitted =
-          try {
-            // Bounded's guard throws HERE (construction time, before
-            // emit ever sees a frame) — the expansion job never starts
-            emit(graft.text.Dedup.incrementalLshPairsAgainstStoreSigs(
-              s, readBandStore(s), corpusMembers, sig, rowsPerBand, mode), batchId)
-            true
-          } catch {
+        // the catch is scoped to the screen CONSTRUCTION only —
+        // Bounded's guard throws there (its eager count action runs
+        // before the frame is returned), and that is the one
+        // exception the quarantine contract covers. A
+        // PairBudgetExceededException raised INSIDE the caller's emit
+        // (e.g. emit runs another Bounded operator downstream) must
+        // propagate as the caller's own failure, not be misread as
+        // this screen's verdict and silently drop a valid batch.
+        val screened =
+          try Some(graft.text.Dedup.incrementalLshPairsAgainstStoreSigs(
+            s, readBandStore(s), corpusMembers, sig, rowsPerBand, mode))
+          catch {
             case e: graft.text.PairBudgetExceededException if onBudgetExceeded.isDefined =>
               onBudgetExceeded.get(e, batch, batchId)
-              false
+              None
           }
-        if (admitted) {
+        screened.foreach { pairs =>
+          emit(pairs, batchId)
           appendBandStore(graft.text.Dedup.bandStoreOfSigs(sig, rowsPerBand), batchId)
           appendMembers(graft.text.Dedup.membersOfSigs(sig), batchId)
         }

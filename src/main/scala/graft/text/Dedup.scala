@@ -626,10 +626,19 @@ object Dedup {
   /** `intraPayload` columns may reference member attributes through
     * the `ma` alias (e.g. `col("ma.ip")` for a per-cluster payload
     * carried on the members frame — the jaro-winkler empty-prefix
-    * case); every intra branch binds the members side as `ma`. */
+    * case); every intra branch binds the members side as `ma`.
+    *
+    * `repsOpt`: a precomputed (ckey, rep_id) frame for families whose
+    * cluster key already encodes the rep (the embedding family's
+    * ckey IS the min vec_id) — Star then skips the members-wide
+    * groupBy re-derivation, reusing the caller's existing rep subtree
+    * (one shared exchange instead of a second corpus aggregation).
+    * Must satisfy rep_id = min(doc_id) per ckey, the invariant the
+    * derived form computes. */
   private[text] def expandDocPairs(members: DataFrame, clusterPairs: DataFrame,
                              payloadCols: Seq[String], intraPayload: Seq[Column],
-                             mode: PairMode, family: String): DataFrame = {
+                             mode: PairMode, family: String,
+                             repsOpt: Option[DataFrame] = None): DataFrame = {
     val payload = payloadCols.map(col)
     def fullExpansion(cp: DataFrame): DataFrame = {
       val intra = members.as("ma").join(members.as("mb").hint("shuffle_hash"), "ckey")
@@ -650,7 +659,8 @@ object Dedup {
         // scaladoc): member→rep stars inside each cluster, one
         // rep→rep edge per distinct-cluster pair. rep = min doc_id,
         // so intra pairs are already (smaller, larger)-ordered.
-        val reps = members.groupBy(col("ckey")).agg(min(col("doc_id")).as("rep_id"))
+        val reps = repsOpt.getOrElse(
+          members.groupBy(col("ckey")).agg(min(col("doc_id")).as("rep_id")))
         val intra = members.as("ma").join(reps.hint("shuffle_hash"), "ckey")
           .filter(col("doc_id") =!= col("rep_id"))
           .select(col("rep_id").as("doc_a") +: col("doc_id").as("doc_b") +:

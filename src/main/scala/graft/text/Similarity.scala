@@ -326,8 +326,12 @@ object Similarity {
             reps.select(col("rep_id").as("vec_id"), col("embedding")),
             threshold, nPlanes, nBands)
           .select(col("id_a").as("ck_a"), col("id_b").as("ck_b"), col("sim"))
+        // ckey IS the rep id for this family — hand the rep frame to
+        // the expansion so Star reuses the existing rep subtree
+        // instead of re-aggregating the membership corpus-wide
         Dedup.expandDocPairs(members, cp, Seq("sim"), Seq(lit(1.0).as("sim")),
-            mode, "embeddingNearDupPairs")
+            mode, "embeddingNearDupPairs",
+            repsOpt = Some(reps.select(col("rep_id").as("ckey"), col("rep_id"))))
           .withColumnRenamed("doc_a", "id_a").withColumnRenamed("doc_b", "id_b")
     }
   }

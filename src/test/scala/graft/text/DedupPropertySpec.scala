@@ -755,21 +755,11 @@ class DedupPropertySpec extends SparkSpec {
 
   // ---- PairMode: the output-quadratic pair-emission contract ----
 
-  /** Driver union-find: components of an edge list, for closure
-    * comparison on the small test corpora. */
-  private def componentsOf(edges: Set[(Long, Long)], nodes: Set[Long]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    nodes.foreach(n => parent.getOrElse(n, { parent(n) = n; n }))
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    nodes.map(n => n -> find(n)).toMap
-  }
+  /** Driver union-find for closure comparison — the shared
+    * [[TestClosure.componentsOf]] (one copy across the PairMode
+    * specs). */
+  private def componentsOf(edges: Set[(Long, Long)], nodes: Set[Long]): Map[Long, Long] =
+    TestClosure.componentsOf(edges, nodes)
 
   strictTest("PairMode.Star: spanning subset of Full with the SAME transitive closure (3 families)") {
     val docs = corpus(seed = 91, nDocs = 150, vocab = 8) // heavy duplication

@@ -235,19 +235,8 @@ class SimilaritySpec extends SparkSpec {
     assert(star.subsetOf(full), s"star emitted ${(star -- full).take(3)} not under Full")
     def edges(rows: Set[Seq[Any]]): Set[(Long, Long)] =
       rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
-    // driver union-find for closure comparison
-    def componentsOf(es: Set[(Long, Long)], nodes: Set[Long]): Map[Long, Long] = {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      es.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      nodes.map(n => n -> find(n)).toMap
-    }
+    def componentsOf(es: Set[(Long, Long)], nodes: Set[Long]): Map[Long, Long] =
+      TestClosure.componentsOf(es, nodes)
     val fe = edges(full)
     val nodes = fe.flatMap(e => Seq(e._1, e._2))
     assert(componentsOf(edges(star), nodes) == componentsOf(fe, nodes),
