@@ -79,6 +79,47 @@ class PlanContractSpec extends SparkSpec {
         "use a native Catalyst expression or a typed Dataset operator")
   }
 
+  test("non-Full PairMode plans honor the same contracts (no global window, no cartesian, no UDF)") {
+    // the declared-query sweep above covers every Full path; the
+    // Star/Bounded variants are plan-distinct (rep aggregation, guard
+    // count) and would rot invisibly without their own sweep. Bounded
+    // builders EXECUTE the guard's count action at sf0.001 at
+    // construction (the documented eager action) — small, tmp-free,
+    // and the abandoned guard caches are released explicitly below.
+    import org.apache.spark.sql.functions.col
+    import graft.text.{Dedup, Similarity, PairMode}
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.table(spark, d, "documents")
+    val emb = graft.core.Tables.table(spark, d, "embeddings")
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val corp = docs.filter(col("doc_id") % 5 =!= 0)
+    val ops: Seq[(String, PairMode => org.apache.spark.sql.DataFrame)] = Seq(
+      "minhash" -> (m => Dedup.minhashLshPairs(spark, docs, mode = m)),
+      "simhash" -> (m => Dedup.simhashNearDupPairs(spark, docs, mode = m)),
+      "jaccard_prefix" -> (m => Dedup.jaccardNearDupPairs(docs, 0.8, mode = m)),
+      "jaccard_cocount" -> (m => Dedup.jaccardNearDupPairs(docs, 0.3, ngram = 2, mode = m)),
+      "edit" -> (m => Dedup.editDistancePairs(docs, 4, mode = m)),
+      "jw" -> (m => Dedup.jaroWinklerPairs(docs, mode = m)),
+      "embed" -> (m => Similarity.embeddingNearDupPairs(emb, 0.8, mode = m)),
+      "ingest" -> (m => Dedup.incrementalLshPairs(spark, corp, fresh, mode = m)))
+    val modes: Seq[(String, PairMode)] =
+      Seq("star" -> PairMode.Star, "bounded" -> PairMode.Bounded(Long.MaxValue))
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    for ((opName, build) <- ops; (modeName, mode) <- modes) {
+      val qe = build(mode).queryExecution
+      val opt = qe.optimizedPlan
+      if (opt.collectFirst { case x: Window if x.partitionSpec.isEmpty => x }.nonEmpty)
+        bad += s"$opName:$modeName(window)"
+      if (opt.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))))
+        bad += s"$opName:$modeName(udf)"
+      if (qe.sparkPlan.collectFirst { case x: CartesianProductExec => x }.nonEmpty)
+        bad += s"$opName:$modeName(cartesian)"
+      Dedup.releaseCaches()
+    }
+    assert(bad.isEmpty,
+      s"non-Full PairMode contract violations: ${bad.toSeq.sorted.mkString(", ")}")
+  }
+
   test("the t>=0.5 jaccard plan verifies via the sorted-merge kernel, never array_intersect") {
     // Guards the silent-fallback failure mode: a refactor that swaps
     // SortedIntersectCount back to array_intersect would still be
