@@ -1440,11 +1440,14 @@ object Dedup {
     * whose edit lands inside the first `blockChars` characters is
     * missed — shrink `blockChars` (or union several offset blocks)
     * to trade cost for recall. DP cost per surviving pair is bounded
-    * by the fixed-length prefixes; at cluster scale the 3-arg
-    * thresholded `levenshtein` (early-abandon past `maxDist`) cuts
-    * the per-pair constant further — kept 2-arg here because the
-    * oracle engine has no thresholded variant and the filtered
-    * result is identical. */
+    * by the fixed-length prefixes AND by the 3-arg THRESHOLDED
+    * `levenshtein` (banded DP, early-abandon past `maxDist`:
+    * O((2k+1)·n) cells instead of O(n²)): over-threshold pairs
+    * return −1 and drop at the filter, so kept rows and their
+    * distances are bit-identical to the unthresholded form the
+    * oracle computes. The r14 measurement that motivated the switch:
+    * on a colossal identical-prefix cluster the unthresholded DP
+    * cost ~70 µs/pair × the clique — 200 s at 3× (SCALING.md). */
   /** The ONE blocked-pair frame shared by [[editDistancePairs]] and
     * [[jaroWinklerPairs]] — their scaladoc promises IDENTICAL pair
     * selection (lang + length bucket + shared `blockChars` prefix),
@@ -1509,8 +1512,8 @@ object Dedup {
       case PairMode.Full =>
         blockedPrefixPairs(documents, prefixLen, blockChars)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            levenshtein(col("a.p"), col("b.p")).cast(LongType).as("dist"))
-          .filter(col("dist") <= maxDist)
+            levenshtein(col("a.p"), col("b.p"), maxDist).cast(LongType).as("dist"))
+          .filter(col("dist") >= 0L)
       case _ =>
         // intra pairs are identical prefixes: dist = levenshtein(p,p)
         // = 0 ≤ maxDist always, so every cluster is intra-eligible and
@@ -1521,8 +1524,8 @@ object Dedup {
         val (members, clusters) = blockedClusterView(documents, prefixLen, blockChars)
         val cp = blockedClusterPairs(clusters)
           .select(col("a.ckey").as("ck_a"), col("b.ckey").as("ck_b"),
-            levenshtein(col("a.p"), col("b.p")).cast(LongType).as("dist"))
-          .filter(col("dist") <= maxDist)
+            levenshtein(col("a.p"), col("b.p"), maxDist).cast(LongType).as("dist"))
+          .filter(col("dist") >= 0L)
         expandDocPairs(members, cp, Seq("dist"), Seq(lit(0L).as("dist")),
           mode, "editDistancePairs")
     }
