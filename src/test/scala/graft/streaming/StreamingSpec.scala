@@ -414,6 +414,25 @@ class StreamingSpec extends SparkSpec with BeforeAndAfterAll {
     assert(ex.predictedPairs == fullNow)
     assert(spark.read.parquet(s"$root/members").count() == 403)
 
+    // catch-scope contract: a PairBudgetExceededException raised by
+    // the CALLER'S emit (e.g. a downstream Bounded operator) is the
+    // caller's own failure — it must propagate, not be misread as
+    // this screen's verdict and silently drop the batch
+    val emitBoom = new PairBudgetExceededException(123L, 1L, "downstreamOperator")
+    var hookCalls = 0
+    val emitFailBody = StreamingOps.lshScreenForeachBatch(
+      readBandStore = bands, readMembers = membersT,
+      appendBandStore = (df, _) => df.write.mode("append").parquet(s"$root/bands"),
+      appendMembers = (df, _) => df.write.mode("append").parquet(s"$root/members"),
+      emit = (_, _) => throw emitBoom,
+      mode = PairMode.Star, // screen's own guard cannot fire
+      onBudgetExceeded = Some((_, _, _) => hookCalls += 1))
+    val propagated = intercept[PairBudgetExceededException] { emitFailBody(fresh2, 10L) }
+    assert(propagated eq emitBoom, "emit's own exception must propagate unchanged")
+    assert(hookCalls == 0, "the quarantine hook must not fire for emit failures")
+    assert(spark.read.parquet(s"$root/members").count() == 403,
+      "a failed emit must not admit the batch")
+
     // raised budget: bit-identical to the Full screen, admits
     val emitted3 = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val okBody = StreamingOps.lshScreenForeachBatch(

@@ -761,6 +761,31 @@ class DedupPropertySpec extends SparkSpec {
   private def componentsOf(edges: Set[(Long, Long)], nodes: Set[Long]): Map[Long, Long] =
     TestClosure.componentsOf(edges, nodes)
 
+  strictTest("nested cache brackets: an outer-operator throw after an inner success releases the inner call's registrations") {
+    // the r13 advisor's theoretical strand (no operator nests another
+    // today, but the bracket is private[text] API future operators
+    // will compose): inner bracket registers + succeeds, outer throws
+    // AFTER — the propagated registrations must be released by the
+    // outer bracket's cleanup, not stranded until session teardown.
+    val df = spark.range(10).toDF("x")
+    val boom = intercept[RuntimeException] {
+      Dedup.releasingOnBudgetError {
+        val inner = Dedup.releasingOnBudgetError {
+          Dedup.registerCache(df, actions = 1)
+        }
+        assert(inner != null)
+        throw new RuntimeException("outer failure after inner success")
+      }
+    }
+    assert(boom.getMessage.contains("outer failure"))
+    assert(Dedup.scopedCaches.isEmpty,
+      "outer-bracket throw must release the inner call's propagated registrations")
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   strictTest("PairMode.Star: spanning subset of Full with the SAME transitive closure (3 families)") {
     val docs = corpus(seed = 91, nDocs = 150, vocab = 8) // heavy duplication
     val families: Seq[(String, PairMode => DataFrame)] = Seq(
