@@ -152,15 +152,22 @@ object Dedup {
             entry._1.unpersist(blocking = false); it.remove()
           }
         }
+        // the registrations were just released and removed from
+        // scopedCaches — clear them so the finally below never hands
+        // dead DataFrame refs up to an enclosing bracket (r14
+        // advisor: the outer scan tolerated them, but the outer
+        // bracket retained the already-released frames until it
+        // closed)
+        mine.clear()
         throw e
     } finally {
       // propagate this call's registrations to an ENCLOSING bracket
       // (r13 advisor): a nested bracketed operator call used to
       // restore `prev` without handing its registrations up, so an
       // outer-operator throw after an inner success stranded the
-      // inner call's still-pending caches. On the throw path the
-      // entries were already removed from scopedCaches above, so the
-      // outer cleanup scan simply won't find them — harmless.
+      // inner call's still-pending caches. On the throw path `mine`
+      // was cleared after its cleanup above, so only live
+      // registrations ever propagate.
       if (prev != null) prev ++= mine
       callRegistrations.set(prev)
     }
@@ -1426,28 +1433,6 @@ object Dedup {
       mode, "jaccardNearDupPairs")
   }
 
-  /** Edit-distance (Levenshtein) near-dup pairs — the fuzzy-dedup
-    * complement to set-based Jaccard: order-sensitive, catches small
-    * in-place edits that leave the token SET identical-ish but not
-    * the sequence.
-    *
-    * Scale shape: (lang, length-bucket) blocking PLUS record-linkage
-    * prefix blocking — candidates must share their first `blockChars`
-    * characters, which collapses the within-block pair count from
-    * quadratic to near-linear (measured 122k→1k candidate pairs at
-    * sf0.1, 24 s→sub-second; the all-pairs variant blew the bench
-    * envelope). The recall trade is explicit and standard: a pair
-    * whose edit lands inside the first `blockChars` characters is
-    * missed — shrink `blockChars` (or union several offset blocks)
-    * to trade cost for recall. DP cost per surviving pair is bounded
-    * by the fixed-length prefixes AND by the 3-arg THRESHOLDED
-    * `levenshtein` (banded DP, early-abandon past `maxDist`:
-    * O((2k+1)·n) cells instead of O(n²)): over-threshold pairs
-    * return −1 and drop at the filter, so kept rows and their
-    * distances are bit-identical to the unthresholded form the
-    * oracle computes. The r14 measurement that motivated the switch:
-    * on a colossal identical-prefix cluster the unthresholded DP
-    * cost ~70 µs/pair × the clique — 200 s at 3× (SCALING.md). */
   /** The ONE blocked-pair frame shared by [[editDistancePairs]] and
     * [[jaroWinklerPairs]] — their scaladoc promises IDENTICAL pair
     * selection (lang + length bucket + shared `blockChars` prefix),
@@ -1504,6 +1489,28 @@ object Dedup {
       col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
       col("a.pfx") === col("b.pfx") && col("a.ckey") < col("b.ckey"))
 
+  /** Edit-distance (Levenshtein) near-dup pairs — the fuzzy-dedup
+    * complement to set-based Jaccard: order-sensitive, catches small
+    * in-place edits that leave the token SET identical-ish but not
+    * the sequence.
+    *
+    * Scale shape: (lang, length-bucket) blocking PLUS record-linkage
+    * prefix blocking — candidates must share their first `blockChars`
+    * characters, which collapses the within-block pair count from
+    * quadratic to near-linear (measured 122k→1k candidate pairs at
+    * sf0.1, 24 s→sub-second; the all-pairs variant blew the bench
+    * envelope). The recall trade is explicit and standard: a pair
+    * whose edit lands inside the first `blockChars` characters is
+    * missed — shrink `blockChars` (or union several offset blocks)
+    * to trade cost for recall. DP cost per surviving pair is bounded
+    * by the fixed-length prefixes AND by the 3-arg THRESHOLDED
+    * `levenshtein` (banded DP, early-abandon past `maxDist`:
+    * O((2k+1)·n) cells instead of O(n²)): over-threshold pairs
+    * return −1 and drop at the filter, so kept rows and their
+    * distances are bit-identical to the unthresholded form the
+    * oracle computes. The r14 measurement that motivated the switch:
+    * on a colossal identical-prefix cluster the unthresholded DP
+    * cost ~70 µs/pair × the clique — 200 s at 3× (SCALING.md). */
   def editDistancePairs(documents: DataFrame, maxDist: Int, prefixLen: Int = 64,
                         blockChars: Int = 8,
                         mode: PairMode = PairMode.Full): DataFrame = releasingOnBudgetError {

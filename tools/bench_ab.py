@@ -66,8 +66,25 @@ def wait_idle(timeout_s=600, threshold=0.6):
     return load
 
 
+def reject_floor_probe(art, where):
+    """A floor-probe capture (SPARK_GRAFT_BENCH_FLOOR=1) is
+    shape-identical to a real artifact but measures the one-stage
+    harness floor, not the operators — diffed against a real capture
+    it reads as a ~7x speedup. Refuse it everywhere this tooling
+    ingests an artifact."""
+    if art.get("methodology", {}).get("floor_probe"):
+        sys.exit(f"[ab] {where}: artifact is a FLOOR PROBE "
+                 "(methodology.floor_probe=true) — it measures the harness "
+                 "floor, not the queries, and cannot be A/B'd or committed "
+                 "as bench_full.json. Re-capture without SPARK_GRAFT_BENCH_FLOOR.")
+
+
 def run_bench(tree, out_path, sf_dir, cpus, runs, require_idle, label):
     env = dict(os.environ)
+    # an inherited floor flag would silently turn BOTH captures into
+    # floor probes (reject_floor_probe would then catch it; strip the
+    # cause, not just the symptom)
+    env.pop("SPARK_GRAFT_BENCH_FLOOR", None)
     env.update({
         "SPARK_GRAFT_SF_DIR": sf_dir,
         "SPARK_GRAFT_CPUS": str(cpus),
@@ -96,7 +113,9 @@ def run_bench(tree, out_path, sf_dir, cpus, runs, require_idle, label):
             # exits 0 — surface that as a message, not a traceback
             try:
                 with open(out_path) as f:
-                    return json.loads(f.read())
+                    art = json.loads(f.read())
+                reject_floor_probe(art, label)
+                return art
             except OSError as e:
                 sys.exit(f"[ab] {label}: bench exited 0 but wrote no artifact "
                          f"at {out_path} ({e}) — check its stderr for "
@@ -123,7 +142,7 @@ def closing_control_md(a):
         f"| old {a['anchor_commit'][:9]} | {a['anchor_captured_at']} | "
         f"{a['anchor_total']:.2f} | "
         f"{', '.join(f'{t:.2f}' for t in a.get('anchor_runs', []))} |",
-        f"| new {a.get('anchor_head', 'HEAD')[:9]} | {a['captured_at']} | "
+        f"| new {a.get('head_commit', a.get('anchor_head', 'HEAD'))[:9]} | {a['captured_at']} | "
         f"{a['value']:.2f} | "
         f"{', '.join(f'{t:.2f}' for t in [r['total'] for r in a.get('runs', [])])} |",
         "",
@@ -252,7 +271,10 @@ def main():
         anchored["anchor_runs"] = [r["total"] for r in old.get("runs", [])]
         anchored["anchor_captured_at"] = t_old
         anchored["captured_at"] = t_new
-        anchored["anchor_head"] = head + ("+dirty" if dirty else "")
+        # head_commit, NOT anchor_head (r14 advisor): the anchor_*
+        # prefix is reserved for the OLD capture's fields — the prior
+        # name invited reading the new head as the anchor commit
+        anchored["head_commit"] = head + ("+dirty" if dirty else "")
         with open(args.emit_anchored, "w") as f:
             json.dump(anchored, f)
         print(f"[ab] anchored capture written to {args.emit_anchored}\n")

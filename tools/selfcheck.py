@@ -99,4 +99,17 @@ for fname, pat in [('SURVEY.md',   r'(\d+) declared queries total'),
     elif int(m.group(1)) != len(oracle):
         print(f'{fname} says {m.group(1)} queries ({pat}); oracle_sql.json has {len(oracle)}')
         fails.append(key)
+# the checked-in bench capture must be a REAL capture: a floor probe
+# (SPARK_GRAFT_BENCH_FLOOR=1) is shape-identical but measures the
+# one-stage harness floor, so committed/diffed it reads as a ~7x
+# speedup (r14 advisor)
+_bf = os.path.join(root, 'bench_full.json')
+if os.path.exists(_bf):
+    try:
+        if json.load(open(_bf)).get('methodology', {}).get('floor_probe'):
+            print('bench_full.json: FLOOR PROBE artifact (methodology.floor_probe='
+                  'true) — recapture without SPARK_GRAFT_BENCH_FLOOR')
+            fails.append('bench_full_floor_probe')
+    except Exception as e:
+        print(f'bench_full.json: unreadable ({e})'); fails.append('bench_full_unreadable')
 print('---'); print('FAILED:', fails if fails else 'none')
