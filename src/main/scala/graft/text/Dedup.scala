@@ -173,6 +173,38 @@ object Dedup {
     }
   }
 
+  /** The shared `maxCandidates` guard of the component/cluster
+    * operators: computes the EXACT number of candidate pairs the
+    * bucket-keyed self-join over `banded` will evaluate —
+    * Σ over `keys`-groups of n·(n−1)/2, the count of `<`-ordered
+    * row pairs per bucket — and throws
+    * [[CandidateBudgetExceededException]] BEFORE that join launches
+    * if it exceeds the budget.
+    *
+    * Exactness contract: every guarded join is an equi-join on
+    * `keys` over a frame with at most one row per (item, bucket), so
+    * n·(n−1)/2 is precisely the rows the join's confirm/residual
+    * predicates will evaluate (residual predicates — jaccard's
+    * size/positional bounds, minhash agreement, simhash hamming,
+    * cosine — filter per matched row and cannot reduce the matched
+    * count). The count runs as ONE narrow aggregation over the
+    * bucket keys: group-count then sum, no arrays, no wide columns —
+    * the same metadata-pass shape as [[PairMode.Bounded]]'s guard.
+    * n·(n−1) on a colossal bucket can overflow Long; under ANSI that
+    * throws rather than wrapping — a bucket past 3B distinct items
+    * is itself the loudest possible budget breach. shiftright halves
+    * exactly on the guaranteed-even product. */
+  private[text] def guardCandidates(banded: DataFrame, keys: Seq[String],
+                                    maxCandidates: Long, family: String): Unit = {
+    require(maxCandidates >= 0L, s"need maxCandidates >= 0, got $maxCandidates")
+    val predicted = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(shiftright(col("n") * (col("n") - 1L), 1).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    if (predicted > maxCandidates)
+      throw new CandidateBudgetExceededException(predicted, maxCandidates, family)
+  }
+
   /** Exact dedup via content hash: one shuffle on md5(text).
     * `min(doc_id)` is the canonical survivor (deterministic).
     *
@@ -759,20 +791,37 @@ object Dedup {
     * the banded self-join of distinct signatures only, the component
     * search runs on the rep graph, and members rejoin via a streamed
     * hash join. */
+  /** @param maxCandidates optional budget on the internal banded
+    *        candidate join (Σ_bucket n·(n−1)/2 over distinct
+    *        signatures — see [[guardCandidates]]); breach throws
+    *        [[CandidateBudgetExceededException]] before the join
+    *        launches. None (default) is the historical unguarded
+    *        path, bit-identical. */
   def minhashComponents(spark: SparkSession, documents: DataFrame,
-                        minAgree: Int = 12, rowsPerBand: Int = 4): DataFrame = {
+                        minAgree: Int = 12, rowsPerBand: Int = 4,
+                        maxCandidates: Option[Long] = None): DataFrame =
+      releasingOnBudgetError {
     require(minAgree >= 1 && minAgree <= MinhashFuncs,
       s"need minAgree in [1, $MinhashFuncs], got $minAgree")
     // cached (actions = 2: edge materialization inside
-    // connectedComponents + the caller's action): the references span
-    // two actions, which no plan-level branch sharing can bridge —
-    // without the cache every reference repeats the tokenize+16-hash
-    // corpus pass. Clean sf0.1 A/B: 2.62 s → 2.55 s locally, and at
-    // 100 TB the saved corpus passes dominate the narrow cache write.
-    val full = registerCache(signatureClusters(documents), actions = 2)
+    // connectedComponents + the caller's action; +1 when guarded —
+    // the guard's narrow count action reads the signature table
+    // too): the references span multiple actions, which no
+    // plan-level branch sharing can bridge — without the cache every
+    // reference repeats the tokenize+16-hash corpus pass. Clean
+    // sf0.1 A/B: 2.62 s → 2.55 s locally, and at 100 TB the saved
+    // corpus passes dominate the narrow cache write.
+    val full = registerCache(signatureClusters(documents),
+      actions = if (maxCandidates.isDefined) 3 else 2)
     val members = full.select(col("doc_id"), col("sig_key"))
     val reps = members.groupBy(col("sig_key")).agg(min(col("doc_id")).as("rep_id"))
     val sigs = full.select(col("sig_key"), col("mhs")).distinct()
+    // bandedSigs' (band, bkey) histogram is bandedSigsCarrying's
+    // exactly (same rows minus the carried signature payload), so
+    // the prediction counts precisely the pairs the agreement
+    // confirm below will evaluate
+    maxCandidates.foreach(guardCandidates(bandedSigs(sigs, rowsPerBand),
+      Seq("band", "bkey"), _, "minhashComponents"))
     // Confirm INLINE in the band join: the fixed 16-int signatures
     // ride the banded rows (bandedSigsCarrying — constant 4×64 B per
     // signature, attached BEFORE the quadratic expansion), so the
@@ -1046,12 +1095,19 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"band recall guarantee holds for maxHamming in [0, 3], got $maxHamming")
 
-  private def simhashFpPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
-    requireMaxHamming(maxHamming)
-    val fps = sh.select(col("simhash")).distinct()
-    val banded = fps.select(col("simhash"), posexplode(array((0 until 4).map(b =>
+  /** (simhash, band, bkey) band rows of a DISTINCT-fingerprint frame
+    * — 4 byte-slice bands per fingerprint, one row per (fp, band).
+    * The ONE banding of the simhash family: the candidate self-join
+    * and the `maxCandidates` guard count over the same frame, so the
+    * prediction cannot drift from the join. */
+  private def simhashBanded(fps: DataFrame): DataFrame =
+    fps.select(col("simhash"), posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
       .select(col("simhash"), col("pos").as("band"), col("col").as("bkey"))
+
+  private def simhashFpPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    requireMaxHamming(maxHamming)
+    val banded = simhashBanded(sh.select(col("simhash")).distinct())
     // hamming confirm BEFORE the pair-dedup distinct (r12 A/B):
     // bit_count(xor) is one codegen'd instruction pair, and filtering
     // first commutes exactly with distinct while shrinking the
@@ -1093,14 +1149,26 @@ object Dedup {
     * (min-label propagation + pointer jumping, O(log diameter)
     * rounds), and members join their rep's component back with a
     * streamed hash join. */
+  /** @param maxCandidates optional budget on the internal banded
+    *        candidate join (Σ_bucket n·(n−1)/2 over distinct
+    *        fingerprints — [[guardCandidates]]); breach throws
+    *        [[CandidateBudgetExceededException]] before the join
+    *        launches. None (default) = historical unguarded path. */
   def simhashComponents(spark: SparkSession, documents: DataFrame,
-                        maxHamming: Int = 1): DataFrame = {
+                        maxHamming: Int = 1,
+                        maxCandidates: Option[Long] = None): DataFrame =
+      releasingOnBudgetError {
     requireMaxHamming(maxHamming) // before registerCache, as in
     // simhashNearDupPairs — fail fast with nothing persisted
     // actions = 2: the edge list is consumed eagerly inside
     // connectedComponents; the member join runs under the caller's
-    // action on the returned frame
-    val sh = registerCache(simhash(spark, documents), actions = 2)
+    // action on the returned frame (+1 when guarded: the guard's
+    // narrow count reads the fingerprint table too)
+    val sh = registerCache(simhash(spark, documents),
+      actions = if (maxCandidates.isDefined) 3 else 2)
+    maxCandidates.foreach(guardCandidates(
+      simhashBanded(sh.select(col("simhash")).distinct()),
+      Seq("band", "bkey"), _, "simhashComponents"))
     val reps = sh.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id"))
     val repEdges = simhashFpPairs(sh, maxHamming)
       .join(reps.as("ra"), col("fp_a") === col("ra.simhash"))
@@ -1219,7 +1287,8 @@ object Dedup {
     * quadratic core both the pair expansion and the component
     * builder share. */
   private def setPairs(withKey: DataFrame, threshold: Double,
-                       actions: Int = 1): DataFrame = {
+                       actions: Int = 1,
+                       maxCandidates: Option[Long] = None): DataFrame = {
     // guard on the shared core so EVERY entry point (pairs,
     // components) fails fast: threshold 0 would edge-connect all
     // token-sharing docs — catastrophic over-dedup, silently
@@ -1233,8 +1302,8 @@ object Dedup {
     // t=0.3 shingle +25%). 0.5 is the crossover's conservative side:
     // at t=0.5 the prefix is still half the tokens → candidate join
     // a quarter of the co-count's df² term.
-    if (usesPrefixPlan(threshold)) prefixSetPairs(withKey, threshold, actions)
-    else coCountSetPairs(withKey, threshold)
+    if (usesPrefixPlan(threshold)) prefixSetPairs(withKey, threshold, actions, maxCandidates)
+    else coCountSetPairs(withKey, threshold, maxCandidates)
   }
 
   /** Which [[setPairs]] plan a threshold selects — exposed to the
@@ -1258,17 +1327,27 @@ object Dedup {
     * |A∪B| = |A| + |B| − |A∩B|. Intermediate is Σ_token df(token)²
     * within each block — acceptable when the prefix filter cannot
     * shrink it much anyway. */
-  private[text] def coCountSetPairs(withKey: DataFrame, threshold: Double): DataFrame = {
+  private[text] def coCountSetPairs(withKey: DataFrame, threshold: Double,
+                                    maxCandidates: Option[Long] = None): DataFrame = {
     // distinct-set token table WITHOUT a first(toks) collapse: an
     // array-valued aggregation buffer cannot hash-aggregate (plans a
     // SortAggregate — same fix as the LSH banding). Exploding every
     // member's tokens and distinct-ing the primitive quintuple is the
     // same relation, hash-aggregable, with map-side partial dedup
     // collapsing duplicate-heavy corpora before the shuffle.
-    val tok = withKey.select(
+    val tok0 = withKey.select(
         col("set_key"), col("lang"), col("bkt"),
         size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
       .distinct()
+    // guarded runs scope-cache the narrow token table across the
+    // guard's count and the co-count join (2 actions) — the guard's
+    // materialized frame IS the join input, so acceptance costs one
+    // cache round-trip, not a second tokenize+explode+distinct pass.
+    // Unguarded keeps the historical uncached plan (cache measured
+    // ~20% slower in the one-action shape — shared exchanges).
+    val tok = if (maxCandidates.isDefined) registerCache(tok0, actions = 2) else tok0
+    maxCandidates.foreach(guardCandidates(tok, Seq("lang", "bkt", "tok"), _,
+      "jaccardComponents (co-count plan)"))
     // shuffled-hash, not sort-merge: this is a many-to-many join
     // (every key repeats df(token) times per side) and SMJ buffers
     // each duplicate group; a per-partition hash build streams the
@@ -1291,7 +1370,8 @@ object Dedup {
     * the RETURNED frame: the internal collapsed-sets cache is scoped
     * to that count (see the entry points' scaladoc). */
   private[text] def prefixSetPairs(withKey: DataFrame, threshold: Double,
-                                   actions: Int = 1): DataFrame = {
+                                   actions: Int = 1,
+                                   maxCandidates: Option[Long] = None): DataFrame = {
     // Prefix filtering (the PPJoin family's candidate bound): under
     // ANY fixed total order of the token universe, two sets with
     // |A∩B| ≥ α must share a token among the first |S|−α+1 of each
@@ -1322,16 +1402,28 @@ object Dedup {
     // would re-run the tokenize map over the whole corpus (measured
     // +60% on the family at sf0.1). Post-collapse it is |distinct
     // sets| rows, the narrow-expensive shape the registry exists for.
+    // +1 action when guarded: the guard's narrow count reads the
+    // collapsed sets (through the prefix explode) before the
+    // candidate join and the verification joins do
     val sets = registerCache(withKey
       .select(col("set_key"), col("lang"), col("bkt"), col("toks"),
         size(col("toks")).as("sz"))
-      .dropDuplicates("set_key"), actions)
+      .dropDuplicates("set_key"),
+      if (maxCandidates.isDefined) actions + 1 else actions)
     // posexplode: `pos` is the 0-based index of the prefix token in
     // the FULL sorted array (the slice starts at 1), feeding the
     // positional bound below
     val pfx = sets.select(col("set_key"), col("lang"), col("bkt"), col("sz"),
       posexplode(expr(s"slice(toks, 1, cast(floor((1.0d - $tEff) * size(toks)) + 1 as int))")))
       .withColumnRenamed("col", "tok")
+    // guard counts the EQUI-matched pairs of the candidate join below
+    // (per (lang, bkt, prefix-token) bucket): the size/positional
+    // residual predicates evaluate per matched row and cannot shrink
+    // the matched count, so this is exactly the rows the join will
+    // evaluate — the work metric, deliberately ≥ the post-residual
+    // candidate output
+    maxCandidates.foreach(guardCandidates(pfx, Seq("lang", "bkt", "tok"), _,
+      "jaccardComponents (prefix plan)"))
     // Positional filter (PPJoin's second bound, exact on recall): let
     // w be the FIRST common token of a matching pair, at 0-based
     // sorted positions i in A, j in B. Every common token is ≥ w in
@@ -1594,18 +1686,30 @@ object Dedup {
   /** CACHE SCOPE: `actions` = consuming actions the CALLER will run
     * on the returned frame (default 1; see [[jaccardNearDupPairs]]) —
     * the internal edge materialization adds its own. */
+  /** @param maxCandidates optional budget on the internal candidate
+    *        join's matched-pair volume ([[guardCandidates]]: prefix
+    *        plan — equi-matched prefix-token pairs; co-count plan —
+    *        token co-occurrence rows, the plan's Σ df² term); breach
+    *        throws [[CandidateBudgetExceededException]] before the
+    *        join launches. None (default) = historical unguarded
+    *        path, bit-identical. */
   def jaccardComponents(documents: DataFrame, threshold: Double, ngram: Int = 1,
-                        actions: Int = 1): DataFrame = {
-    // keyedTokenSets actions = 1 + caller's: the edge list is
+                        actions: Int = 1,
+                        maxCandidates: Option[Long] = None): DataFrame =
+      releasingOnBudgetError {
+    // keyedTokenSets actions = 1 + caller's (+1 when guarded: the
+    // guard's count reads the token map too): the edge list is
     // consumed eagerly inside connectedComponents; the member join
     // runs under the caller's action(s) on the returned frame.
     // setPairs' internal sets cache is only read under the eager
-    // edge pass, so IT stays at 1. Caching follows the plan choice
+    // edge pass, so IT stays at 1 (its own +1 under the guard lives
+    // in prefixSetPairs). Caching follows the plan choice
     // (see usesPrefixPlan): the prefix plan reads this under
     // heterogeneous exchange keys, the co-count plan's shared
     // exchanges measured faster uncached.
+    val baseActions = 1 + actions + (if (maxCandidates.isDefined) 1 else 0)
     val withKey = {
-      val base = keyedTokenSets(documents, ngram, threshold, actions = 1 + actions)
+      val base = keyedTokenSets(documents, ngram, threshold, actions = baseActions)
       // the co-count plan skips the cache on the SINGLE-action pairs
       // path (measured slower there: shared exchanges + array
       // round-trip) — but components span TWO actions (the eager edge
@@ -1615,11 +1719,12 @@ object Dedup {
       // minhashComponents cross-action rationale applies to BOTH plans
       // here.
       if (usesPrefixPlan(threshold)) base
-      else registerCache(base, actions = 1 + actions)
+      else registerCache(base, actions = baseActions)
     }
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = members.groupBy(col("set_key")).agg(min(col("doc_id")).as("rep_id"))
-    val repPairs = setPairs(withKey, threshold)
+    val repPairs = setPairs(withKey, threshold, actions = 1,
+        maxCandidates = maxCandidates)
       .join(reps.as("ra"), col("set_a") === col("ra.set_key"))
       .join(reps.as("rb"), col("set_b") === col("rb.set_key"))
       .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
@@ -1658,11 +1763,15 @@ object Dedup {
     * same way. Quality is the shared `TextOps.qualityScore` blend,
     * identical on both engine and oracle. */
   def keepBestPerCluster(documents: DataFrame, threshold: Double,
-                         ngram: Int = 1, actions: Int = 1): DataFrame = {
+                         ngram: Int = 1, actions: Int = 1,
+                         maxCandidates: Option[Long] = None): DataFrame = {
     // `actions` (caller's consuming-action count on the returned
     // frame, default 1) rides through to the cluster search's cache
-    // scope — see jaccardNearDupPairs' CACHE SCOPE note
-    val comp = jaccardComponents(documents, threshold, ngram, actions)
+    // scope — see jaccardNearDupPairs' CACHE SCOPE note.
+    // `maxCandidates` guards the cluster search's candidate join
+    // (jaccardComponents' scaladoc) — the selection aggregate below
+    // adds no quadratic term of its own.
+    val comp = jaccardComponents(documents, threshold, ngram, actions, maxCandidates)
     val quality = TextOps.qualityScore(documents).select(col("doc_id"), col("quality"))
     comp.join(quality, "doc_id")
       .groupBy(col("component"))

@@ -89,3 +89,28 @@ final class PairBudgetExceededException(
       "use PairMode.Star (linear, same transitive closure) or the cluster/component " +
       "operators (jaccardComponents / minhashComponents / simhashComponents / " +
       "keepBestPerCluster), or raise the budget deliberately.")
+
+/** Thrown by the component/cluster operators' `maxCandidates` guard
+  * when the INTERNAL banded candidate join would evaluate more
+  * candidate pairs than the budget — BEFORE that join launches.
+  *
+  * This is the [[PairBudgetExceededException]] of the operators
+  * [[PairMode]] itself routes dense callers to: the components'
+  * OUTPUT is linear (one component label per doc), but their
+  * candidate+confirm join still evaluates Σ_bucket n·(n−1)/2 pairs
+  * of distinct signatures/sets/vectors — quadratic in banding-bucket
+  * sizes, the same blow-up `PairMode.Bounded` refuses on the pair
+  * operators. Exact duplicates are ALREADY collapsed before every
+  * such join, so a breach means genuinely many DISTINCT items share
+  * a bucket: tighten the banding (higher threshold → shorter
+  * prefixes; larger rowsPerBand / more nPlanes → more selective
+  * buckets), or raise the budget deliberately — the predicted count
+  * in this message is exact, so the re-budget is informed. */
+final class CandidateBudgetExceededException(
+    val predictedCandidates: Long, val maxCandidates: Long, family: String)
+  extends RuntimeException(
+    s"$family's banded candidate join would evaluate $predictedCandidates candidate " +
+      s"pairs (> maxCandidates = $maxCandidates). Candidate volume is quadratic in " +
+      "banding-bucket sizes (exact duplicates are already collapsed); tighten the " +
+      "banding parameters (threshold / rowsPerBand / nPlanes / blocking width) or " +
+      "raise the budget deliberately — the predicted count is exact.")

@@ -541,8 +541,15 @@ object Similarity {
     * the component search runs on the rep graph via
     * [[graft.core.Graph.connectedComponents]], and members rejoin
     * through a streamed hash join. */
+  /** @param maxCandidates optional budget on the internal banded
+    *        candidate join (Σ_(band,bkt) n·(n−1)/2 over rep vectors
+    *        — [[Dedup.guardCandidates]]); breach throws
+    *        [[CandidateBudgetExceededException]] before the join
+    *        launches. None (default) = historical unguarded path. */
   def embeddingComponents(embeddings: DataFrame, threshold: Double,
-                          nPlanes: Int = 4, nBands: Int = 4): DataFrame = {
+                          nPlanes: Int = 4, nBands: Int = 4,
+                          maxCandidates: Option[Long] = None): DataFrame =
+      Dedup.releasingOnBudgetError {
     // NULL embeddings are excluded EXPLICITLY (family convention:
     // tokenless docs drop) — before r12 they vanished by accident of
     // the non-null-safe membership rejoin, which is the same outcome
@@ -557,10 +564,25 @@ object Similarity {
     // materialization — uncached, the rep-collapse shuffle recomputed
     // once per reference. actions = 2: consumed by the edge
     // materialization inside connectedComponents, then by the
-    // caller's terminal action on the returned frame.
+    // caller's terminal action on the returned frame (+1 when
+    // guarded: the guard's narrow bucket count reads it too).
     val reps = graft.text.Dedup.registerCache(
-      keyed.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id")), actions = 2)
+      keyed.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id")),
+      actions = if (maxCandidates.isDefined) 3 else 2)
     val repVecs = reps.select(col("rep_id").as("vec_id"), col("embedding"))
+    // same band/bucket derivation as bandedCosinePairs below (shared
+    // lshBandBucket primitive), minus the carried vector payload —
+    // the histogram counts exactly the `<`-ordered pairs its
+    // (band, bkt) self-join will evaluate. Zero-norm reps ride along
+    // deliberately: the join buckets them too (their sims drop at
+    // the confirm), so excluding them would under-predict.
+    maxCandidates.foreach { budget =>
+      val banded = repVecs.select(explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            lshBandBucket(col("embedding"), b, nPlanes).as("bkt"))): _*)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+      Dedup.guardCandidates(banded, Seq("band", "bkt"), budget, "embeddingComponents")
+    }
     val edges = embeddingNearDupPairs(repVecs, threshold, nPlanes, nBands)
       .select(col("id_a"), col("id_b"))
     val comp = graft.core.Graph.connectedComponents(edges, "id_a", "id_b")

@@ -934,6 +934,65 @@ class DedupPropertySpec extends SparkSpec {
       "blocked-family budget guard left caches behind")
   }
 
+  strictTest("maxCandidates guard on the component/cluster operators: boundary-exact prediction, accepted run identical, throw strands nothing") {
+    // small vocab → heavy duplication → hot banding buckets, the
+    // regime the guard exists for
+    val docs = corpus(seed = 21, nDocs = 150, vocab = 8)
+
+    // the contract, per operator: budget == predicted ACCEPTS and is
+    // identical to the unguarded run; predicted − 1 REFUSES with the
+    // same prediction (the count is exact and stable, not a bound)
+    def boundaryCheck(name: String, run: Option[Long] => DataFrame): Long = {
+      val unguarded = run(None).collect().map(_.toSeq).toSet
+      val e = intercept[CandidateBudgetExceededException] { run(Some(0L)) }
+      val p = e.predictedCandidates
+      assert(p > 0L, s"$name: fixture produced no candidates — test is vacuous")
+      assert(e.maxCandidates == 0L)
+      assert(run(Some(p)).collect().map(_.toSeq).toSet == unguarded,
+        s"$name: guarded-accepted run diverged from the unguarded run")
+      val e2 = intercept[CandidateBudgetExceededException] { run(Some(p - 1)) }
+      assert(e2.predictedCandidates == p,
+        s"$name: prediction unstable (${e2.predictedCandidates} != $p)")
+      p
+    }
+
+    val pMin = boundaryCheck("minhashComponents",
+      mc => Dedup.minhashComponents(spark, docs, maxCandidates = mc))
+    boundaryCheck("simhashComponents",
+      mc => Dedup.simhashComponents(spark, docs, maxCandidates = mc))
+    boundaryCheck("jaccardComponents(prefix)",
+      mc => Dedup.jaccardComponents(docs, 0.8, maxCandidates = mc))
+    boundaryCheck("jaccardComponents(co-count)",
+      mc => Dedup.jaccardComponents(docs, 0.3, ngram = 2, maxCandidates = mc))
+    boundaryCheck("keepBestPerCluster",
+      mc => Dedup.keepBestPerCluster(docs, 0.8, maxCandidates = mc))
+
+    // independent pin of one family's prediction: recompute the
+    // minhash (band, bkey) histogram from the PUBLIC signature
+    // operator with the documented band-key formula (xxhash64(b,
+    // 4-slice) at rowsPerBand = 4) and sum n·(n−1)/2 — the guard's
+    // number must be that, not merely self-consistent
+    val sigs = Dedup.minhashSignatureArrays(docs)
+      .select(xxhash64(col("mhs")).as("sig_key"), col("mhs")).distinct()
+    val expected = sigs
+      .select(col("sig_key"), posexplode(array((0 until 4).map(b =>
+        xxhash64(lit(b), slice(col("mhs"), b * 4 + 1, 4))): _*)))
+      .groupBy(col("pos"), col("col")).count()
+      .agg(coalesce(sum(expr("count * (count - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    assert(pMin == expected,
+      s"minhash prediction $pMin != independently recomputed $expected")
+
+    // refused calls must strand nothing (the family's fail-fast
+    // convention — poll: the release listener fires on the bus thread)
+    val deadline = System.currentTimeMillis() + 15000
+    while ((!Dedup.scopedCaches.isEmpty ||
+            spark.sparkContext.getPersistentRDDs.nonEmpty) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(Dedup.scopedCaches.isEmpty && spark.sparkContext.getPersistentRDDs.isEmpty,
+      "maxCandidates guard left caches behind")
+  }
+
   strictTest("lastPerGroup == Scala overwrite loop on random events") {
     val rnd = new Random(5)
     val rows = (0 until 2000).map { i =>

@@ -277,6 +277,41 @@ class SimilaritySpec extends SparkSpec {
       "embedding budget guard left caches behind")
   }
 
+  test("embeddingComponents maxCandidates guard: boundary-exact prediction, accepted run identical, rep-collapse bounds the count, strands nothing") {
+    // clustered corpus + a 20-member exact-duplicate clique: the
+    // clique collapses to ONE rep before the candidate join, so the
+    // prediction must be bounded by distinct vectors, not rows
+    val base = clustered(seed = 7, nClusters = 3, perCluster = 12, dim = 8)
+    val dupVec = Seq.fill(8)(0.25f)
+    val dups = (100L until 120L).map(i => (i, dupVec)).toDF("vec_id", "embedding")
+    val docs = base.unionByName(dups)
+    def run(mc: Option[Long]) =
+      Similarity.embeddingComponents(docs, 0.9, maxCandidates = mc)
+
+    val unguarded = run(None).collect().map(_.toSeq).toSet
+    val e = intercept[CandidateBudgetExceededException] { run(Some(0L)) }
+    val p = e.predictedCandidates
+    assert(p > 0L, "fixture produced no candidates — test is vacuous")
+    assert(run(Some(p)).collect().map(_.toSeq).toSet == unguarded,
+      "guarded-accepted run diverged from the unguarded run")
+    val e2 = intercept[CandidateBudgetExceededException] { run(Some(p - 1)) }
+    assert(e2.predictedCandidates == p, "prediction unstable")
+    // rep collapse: with 4 bands the prediction can never exceed
+    // nBands · nReps·(nReps−1)/2 — on this fixture far below the
+    // row-level pair count the clique would otherwise contribute
+    val nReps = docs.select("embedding").distinct().count()
+    assert(p <= 4L * nReps * (nReps - 1L) / 2L,
+      s"prediction $p exceeds the distinct-vector bound (nReps=$nReps)")
+
+    val deadline = System.currentTimeMillis() + 15000
+    while ((!graft.text.Dedup.scopedCaches.isEmpty ||
+            spark.sparkContext.getPersistentRDDs.nonEmpty) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(graft.text.Dedup.scopedCaches.isEmpty &&
+      spark.sparkContext.getPersistentRDDs.isEmpty,
+      "embeddingComponents maxCandidates guard left caches behind")
+  }
+
   test("ivfTopK equals brute-force when probing all cells") {
     val vecs = spark.read.parquet(realEmbeddings)
     val exact = Similarity.cosineTopK(vecs, nQueries = 8, k = 5)
