@@ -574,6 +574,26 @@ object SparkEntry {
           size(TextOps.tokens(col("text"))).cast("double").as("nt"))
         .select(col("doc_id"), z.as("z"), (z > 0.0).as("keep"))
     }),
+    // isotonic (PAV) calibration of the same classifier score against
+    // a deterministic quality label: the reliability table with exact
+    // integer bin counts and the monotone calibrated probability —
+    // the oracle recomputes PAV via its minimax characterization
+    // f(i) = max_{j<=i} min_{k>=i} avg(j,k), bit-identical because
+    // every average is one correctly-rounded division of exact
+    // integers and double rounding is monotone
+    "q_classifier_calibrate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val model = graft.core.Learn.LogisticModel(
+        Seq("nc", "nt"), Seq(0.7, -0.3), 0.1, Seq(100.0, 20.0), Seq(50.0, 10.0))
+      val z = graft.core.Learn.linearScore(model)
+      val scored = Tables.documents(s, d)
+        .select(col("n_chars").cast("double").as("nc"),
+          size(TextOps.tokens(col("text"))).cast("double").as("nt"),
+          (col("n_chars") > 150L).cast("int").as("label"))
+        .select(z.as("z"), col("label"))
+      graft.core.Learn.calibrationTable(s,
+        graft.core.Learn.isotonicFit(scored, "z", "label", nBins = 8))
+    }),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "q_ngram_topk" -> ((s, d) => TextOps.ngramTopK(Tables.documents(s, d), 2, 20)),
     "q_chunks" -> ((s, d) => TextOps.chunk(Tables.documents(s, d), 32, 8)),
@@ -1995,6 +2015,38 @@ object SparkEntry {
         |    + (n_chars::DOUBLE - 100.0::DOUBLE) / 50.0::DOUBLE * 0.7::DOUBLE
         |    + (len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::DOUBLE - 20.0::DOUBLE) / 10.0::DOUBLE * (-0.3)::DOUBLE) > 0.0 AS keep
         |FROM documents""".stripMargin,
+
+    // isotonic calibration oracle: same affine z, equi-width 8-bin
+    // assignment (the q_histogram form, every op correctly-rounded in
+    // the engine's shared order), exact integer bin counts, and PAV
+    // recomputed through its minimax characterization
+    // f(i) = max_{j<=i} min_{k>=i} avg(j..k) — avg is ONE double
+    // division of exact integer sums, and min/max of correctly-
+    // rounded values is the correctly-rounded min/max (rounding is
+    // monotone), so this matches the engine's driver-side PAV bitwise
+    "q_classifier_calibrate" ->
+      """WITH t AS (
+        |  SELECT 0.1::DOUBLE
+        |      + (n_chars::DOUBLE - 100.0::DOUBLE) / 50.0::DOUBLE * 0.7::DOUBLE
+        |      + (len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::DOUBLE - 20.0::DOUBLE) / 10.0::DOUBLE * (-0.3)::DOUBLE AS z,
+        |    CASE WHEN n_chars > 150 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |m AS (SELECT min(z) AS lo, max(z) AS hi FROM t),
+        |b AS (SELECT least(floor((z - lo) * 8.0::DOUBLE / (hi - lo)), 7.0::DOUBLE) AS binf, label
+        |      FROM t, m),
+        |g AS (SELECT binf::BIGINT AS bin, count(*)::BIGINT AS n, sum(label)::BIGINT AS pos
+        |      FROM b GROUP BY 1),
+        |iv AS (SELECT j.bin AS jb, k.bin AS kb,
+        |         sum(g2.pos)::DOUBLE / sum(g2.n)::DOUBLE AS a
+        |       FROM g j JOIN g k ON j.bin <= k.bin
+        |       JOIN g g2 ON g2.bin BETWEEN j.bin AND k.bin
+        |       GROUP BY j.bin, k.bin),
+        |mn AS (SELECT iv.jb, i.bin AS ib, min(iv.a) AS mnv
+        |       FROM iv JOIN g i ON iv.jb <= i.bin AND iv.kb >= i.bin
+        |       GROUP BY iv.jb, i.bin),
+        |mm AS (SELECT ib AS bin, max(mnv) AS calibrated FROM mn GROUP BY ib)
+        |SELECT g.bin, g.n, g.pos, g.pos::DOUBLE / g.n::DOUBLE AS rate, mm.calibrated
+        |FROM g JOIN mm USING (bin)""".stripMargin,
 
     // size 32, overlap 8 → starts every 24 tokens; DuckDB list slices
     // clamp at len, matching the Scala slice

@@ -161,4 +161,154 @@ object Learn {
   def scoreLogistic(df: DataFrame, model: LogisticModel,
                     probCol: String = "prob"): DataFrame =
     df.withColumn(probCol, sigmoid(linearScore(model)))
+
+  /** One calibration bin: its id, the exact row/positive counts it
+    * aggregated, the raw positive rate, and the isotonic-calibrated
+    * probability (non-decreasing in bin id). */
+  final case class CalibrationBin(bin: Long, n: Long, pos: Long,
+                                  rate: Double, calibrated: Double)
+
+  /** Fitted isotonic calibration: equi-width binning constants plus
+    * the per-bin table (present bins only, ascending). Apply with
+    * [[applyCalibration]]; inspect/declare with
+    * [[calibrationTable]]. */
+  final case class IsotonicModel(lo: Double, hi: Double, nBins: Int,
+                                 bins: Seq[CalibrationBin]) {
+    require(nBins >= 1 && bins.nonEmpty)
+  }
+
+  /** Isotonic (PAV) probability calibration of a classifier score —
+    * the step [[trainLogistic]]'s raw log-odds need before a
+    * production quality filter can threshold on probabilities (the
+    * FineWeb-Edu recipe bins by score and keeps calibrated slices).
+    *
+    * Fit = ONE stats pass (score min/max, loud null/NaN reject — the
+    * trainer's silently-wrong-model contract) + ONE partial-
+    * aggregable groupBy over `nBins` equi-width score bins shipping
+    * ≤ nBins narrow rows to the driver, where pool-adjacent-
+    * violators runs on the gated bin table (the connected-components
+    * local-solve discipline: driver work bounded by a constant, not
+    * the corpus). Corpus cost is two scans — at 100 TB the binning
+    * aggregate is map-side-combined to nBins rows per task.
+    *
+    * Numeric contract (what makes the declared query hash-match a
+    * SQL oracle): bin counts are exact integers; every reported rate
+    * is ONE correctly-rounded double division of those integers; the
+    * PAV pooled value for a run [j..k] is (Σpos)/(Σn) computed the
+    * same way — and because weighted isotonic regression satisfies
+    * the minimax characterization f(i) = max_{j≤i} min_{k≥i}
+    * avg(j,k) and double rounding is monotone, the driver PAV below
+    * is bit-identical to an engine-independent min/max over interval
+    * averages. Empty bins are simply absent (PAV runs over the
+    * present-bin sequence).
+    *
+    * `labelCol` must be 0/1 (integer-exact positives); scores with
+    * null/NaN/±Inf reject loudly. All-equal scores land in bin 0. */
+  def isotonicFit(df: DataFrame, scoreCol: String, labelCol: String,
+                  nBins: Int = 10): IsotonicModel = {
+    require(nBins >= 1 && nBins <= 100000,
+      s"need 1 <= nBins <= 100000 (the driver solves the gated bin table), got $nBins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    def bad(x: Column): Column =
+      x.isNull || isnan(x) || x === Double.PositiveInfinity ||
+        x === Double.NegativeInfinity
+    val stats = df.agg(
+      min(s).as("lo"), max(s).as("hi"), count(lit(1)).as("n"),
+      sum(when(bad(s) || y.isNull || (y =!= 0L && y =!= 1L), 1L)
+        .otherwise(0L)).as("n_bad")).collect()(0)
+    require(stats.getAs[Long]("n") > 0, "cannot calibrate on an empty frame")
+    val nBad = stats.getAs[Long]("n_bad")
+    if (nBad > 0)
+      throw new IllegalArgumentException(
+        s"isotonicFit: $nBad row(s) have a null/non-finite '$scoreCol' or a " +
+          s"'$labelCol' outside {0, 1} — they would silently skew every bin " +
+          "rate; fix or filter the input")
+    val lo = stats.getAs[Double]("lo")
+    val hi = stats.getAs[Double]("hi")
+    // bin = min(floor((s − lo)·nBins / (hi − lo)), nBins−1): the
+    // q_histogram equi-width form, every op IEEE correctly-rounded in
+    // a fixed order so the assignment is engine-independent; s = hi
+    // lands in the last bin, an all-equal column in bin 0
+    val bin =
+      if (hi == lo) lit(0L)
+      else least(floor((s - lit(lo)) * lit(nBins.toDouble) / lit(hi - lo)),
+        lit((nBins - 1).toLong))
+    val grouped = df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(y).as("pos"))
+      .collect().map(r =>
+        (r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Long]("pos")))
+      .sortBy(_._1)
+    // PAV over the present-bin sequence: pool while the previous
+    // run's rate exceeds the next's. Pooled value = ONE double
+    // division of the exact pooled integers (the minimax-equality
+    // contract above).
+    case class Run(lastBin: Int, n: Long, pos: Long) {
+      def value: Double = pos.toDouble / n.toDouble
+    }
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Run]
+    val members = scala.collection.mutable.ArrayBuffer.empty[Int] // run idx per bin
+    for (((_, n, pos), i) <- grouped.zipWithIndex) {
+      runs += Run(i, n, pos)
+      while (runs.length >= 2 &&
+             runs(runs.length - 2).value > runs.last.value) {
+        val b = runs.remove(runs.length - 1)
+        val a = runs.remove(runs.length - 1)
+        runs += Run(b.lastBin, a.n + b.n, a.pos + b.pos)
+      }
+    }
+    for ((r, ri) <- runs.zipWithIndex; _ <- members.length to r.lastBin)
+      members += ri
+    val binsOut = grouped.zipWithIndex.map { case ((b, n, pos), i) =>
+      CalibrationBin(b, n, pos, pos.toDouble / n.toDouble,
+        runs(members(i)).value)
+    }.toSeq
+    IsotonicModel(lo, hi, nBins, binsOut)
+  }
+
+  /** The fitted calibration as a frame — (bin, n, pos, rate,
+    * calibrated), one row per PRESENT bin — the reliability-diagram
+    * table and the declared-query surface of [[isotonicFit]]. */
+  def calibrationTable(spark: org.apache.spark.sql.SparkSession,
+                       model: IsotonicModel): DataFrame = {
+    import spark.implicits._
+    model.bins.map(b => (b.bin, b.n, b.pos, b.rate, b.calibrated))
+      .toDF("bin", "n", "pos", "rate", "calibrated")
+  }
+
+  /** Apply a fitted calibration: adds `probCol` = the isotonic
+    * probability of the row's score — a pure per-row projection
+    * (bin arithmetic + one literal-array lookup), zero shuffle, the
+    * same scoring shape as [[scoreLogistic]]. Scores outside the
+    * training range clamp to the edge bins; scores landing in a bin
+    * that was EMPTY at fit time take the nearest lower present bin's
+    * value (the isotonic step function is right-continuous), or the
+    * first present bin's below it. Null/NaN scores get a null
+    * probability (scoring is permissive where fitting is strict —
+    * a corpus row must not kill the scoring pass). */
+  def applyCalibration(df: DataFrame, model: IsotonicModel,
+                       scoreCol: String, probCol: String = "calibrated"): DataFrame = {
+    // fill the gated bin axis once on the driver: value per bin id =
+    // nearest present bin at-or-below, else the first present bin
+    val byBin = model.bins.map(b => b.bin -> b.calibrated).toMap
+    val filled = new Array[Double](model.nBins)
+    var cur = model.bins.head.calibrated
+    for (i <- 0 until model.nBins) {
+      cur = byBin.getOrElse(i.toLong, cur)
+      filled(i) = cur
+    }
+    val s = col(scoreCol).cast("double")
+    // ±Inf clamps to the edge bins BEFORE the floor arithmetic —
+    // floor(±Infinity) has no integer value to give
+    val sClamped = greatest(lit(model.lo), least(lit(model.hi), s))
+    val bin =
+      if (model.hi == model.lo) lit(0L)
+      else least(
+        floor((sClamped - lit(model.lo)) * lit(model.nBins.toDouble) /
+          lit(model.hi - model.lo)),
+        lit((model.nBins - 1).toLong))
+    df.withColumn(probCol,
+      when(s.isNull || isnan(s), lit(null).cast("double"))
+        .otherwise(element_at(lit(filled), (bin + 1L).cast("int"))))
+  }
 }

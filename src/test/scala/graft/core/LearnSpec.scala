@@ -114,4 +114,96 @@ class LearnSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Learn.trainLogistic(nanLabel, Seq("f1"), "label"))
   }
+
+  /** Driver-side isotonic reference via the minimax characterization
+    * f(i) = max_{j<=i} min_{k>=i} avg(j..k) over the present-bin
+    * sequence — the engine-independent form the declared query's
+    * DuckDB oracle also computes. */
+  private def refIsotonic(binned: Seq[(Long, Long, Long)]): Seq[Double] = {
+    def avg(j: Int, k: Int): Double = {
+      val s = binned.slice(j, k + 1)
+      s.map(_._3).sum.toDouble / s.map(_._2).sum.toDouble
+    }
+    binned.indices.map { i =>
+      (0 to i).map(j => (i until binned.length).map(k => avg(j, k)).min).max
+    }
+  }
+
+  test("isotonicFit matches the minimax reference and is monotone on random data") {
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new Random(seed)
+      // noisy monotone-ish label so some bins violate and pool
+      val rows = (0 until 400).map { _ =>
+        val s = rnd.nextDouble() * 10.0 - 5.0
+        val p = 1.0 / (1.0 + math.exp(-s))
+        (s, if (rnd.nextDouble() < p) 1 else 0)
+      }
+      val df = rows.toDF("score", "label")
+      val m = Learn.isotonicFit(df, "score", "label", nBins = 6)
+      // replicate the documented bin arithmetic exactly
+      val lo = rows.map(_._1).min
+      val hi = rows.map(_._1).max
+      val expBinned = rows
+        .groupBy(r => math.min(math.floor((r._1 - lo) * 6.0 / (hi - lo)), 5.0).toLong)
+        .toSeq.sortBy(_._1)
+        .map { case (b, rs) => (b, rs.length.toLong, rs.map(_._2.toLong).sum) }
+      assert(m.bins.map(b => (b.bin, b.n, b.pos)) == expBinned,
+        s"seed $seed: bin counts diverged")
+      val expCal = refIsotonic(expBinned)
+      assert(m.bins.map(_.calibrated) == expCal,
+        s"seed $seed: PAV diverged from the minimax reference")
+      assert(m.bins.map(_.calibrated).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)), s"seed $seed: calibration not monotone")
+      assert(m.bins.map(b => (b.bin, b.rate)) ==
+        expBinned.map(t => (t._1, t._3.toDouble / t._2.toDouble)))
+    }
+  }
+
+  test("applyCalibration: per-bin lookup, gap fill-down, range clamp, null passthrough") {
+    // two well-separated score clumps with nBins = 8 → middle bins
+    // empty at fit time; labels make the low clump rate 0, high 1
+    val fit = ((0 until 20).map(i => (0.0 + i * 0.01, 0)) ++
+               (0 until 20).map(i => (10.0 + i * 0.01, 1))).toDF("score", "label")
+    val m = Learn.isotonicFit(fit, "score", "label", nBins = 8)
+    assert(m.bins.length == 2, s"expected 2 present bins, got ${m.bins}")
+    val lowCal = m.bins.head.calibrated
+    val highCal = m.bins.last.calibrated
+    assert(lowCal == 0.0 && highCal == 1.0)
+    val applied = Learn.applyCalibration(
+      Seq(("in_low", Some(0.05)), ("mid_gap", Some(5.0)),
+          ("below", Some(-100.0)), ("above", Some(100.0)),
+          ("nul", None), ("nan", Some(Double.NaN)))
+        .toDF("tag", "score"), m, "score")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    assert(applied("in_low") == lowCal)
+    // a score in an empty training bin takes the nearest LOWER
+    // present bin (right-continuous step function)
+    assert(applied("mid_gap") == lowCal)
+    assert(applied("below") == lowCal, "below-range must clamp to the first bin")
+    assert(applied("above") == highCal, "above-range must clamp to the last bin")
+    assert(applied("nul") == null && applied("nan") == null)
+  }
+
+  test("isotonicFit degenerate and invalid inputs") {
+    // all-equal scores: one bin, rate = calibrated = overall mean
+    val flat = Seq((1.5, 1), (1.5, 0), (1.5, 1), (1.5, 1)).toDF("score", "label")
+    val m = Learn.isotonicFit(flat, "score", "label", nBins = 8)
+    assert(m.bins == Seq(Learn.CalibrationBin(0L, 4L, 3L, 0.75, 0.75)))
+    // applying the degenerate model is a constant function
+    val got = Learn.applyCalibration(Seq(0.0, 99.0).toDF("score"), m, "score")
+      .select("calibrated").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.75, 0.75))
+    // loud rejects: NaN score, out-of-{0,1} label, null label, empty
+    intercept[IllegalArgumentException](Learn.isotonicFit(
+      Seq((Double.NaN, 1), (1.0, 0)).toDF("score", "label"), "score", "label"))
+    intercept[IllegalArgumentException](Learn.isotonicFit(
+      Seq((1.0, 2), (2.0, 0)).toDF("score", "label"), "score", "label"))
+    intercept[IllegalArgumentException](Learn.isotonicFit(
+      Seq((1.0, Some(1)), (2.0, None)).toDF("score", "label"), "score", "label"))
+    intercept[IllegalArgumentException](Learn.isotonicFit(
+      flat.limit(0), "score", "label"))
+    intercept[IllegalArgumentException](Learn.isotonicFit(
+      flat, "score", "label", nBins = 0))
+  }
 }
