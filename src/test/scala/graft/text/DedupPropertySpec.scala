@@ -934,6 +934,76 @@ class DedupPropertySpec extends SparkSpec {
       "blocked-family budget guard left caches behind")
   }
 
+  strictTest("store-probe Star payload contract: every edge is a REAL Full pair naming the corpus-preferring rep") {
+    // crafted clusters where a collapsed-cluster expansion (min over
+    // ALL members) and the contract (corpus-preferring rep) diverge:
+    //   A: corpus member 50 + fresh members 5, 6 — the GLOBAL min (5)
+    //      is fresh, so naive min-collapse would elect 5 and emit
+    //      (5,6)/nothing-for-5; the contract points both fresh dups
+    //      at the already-admitted corpus copy 50
+    //   B: purely-fresh duplicates 7, 8 — min fresh member 7 is the
+    //      elected survivor (no edge), 8 points at it
+    //   C: corpus-only duplicates 60, 61 — no fresh side, NO edges
+    def doc(id: Long, text: String) = (id, "en", text, text.length.toLong)
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "one two three four five six seven"
+    val tC = "red green blue yellow purple orange"
+    val corp = Seq(doc(50, tA), doc(60, tC), doc(61, tC))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val fresh = Seq(doc(5, tA), doc(6, tA), doc(7, tB), doc(8, tB))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    graft.core.Warehouse.writeBucketed(
+      Dedup.minhashBandStore(corp), "band_store_pp", Seq("band", "bkey"), 4)
+    graft.core.Warehouse.writeBucketed(
+      Dedup.minhashMembers(corp), "member_store_pp", Seq("sig_key"), 4)
+    def run(m: PairMode): Set[(Long, Long)] =
+      Dedup.incrementalLshPairsAgainstStore(spark,
+        spark.table("band_store_pp"), spark.table("member_store_pp"), fresh, mode = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = run(PairMode.Full)
+    val star = run(PairMode.Star)
+    // every Star edge is an actual Full pair — endpoints are real
+    // qualifying docs, never a synthetic cluster artifact
+    assert(star.subsetOf(full), s"star emitted ${(star -- full).take(3)} not under Full")
+    // cluster A: both fresh dups point at the CORPUS rep
+    assert(star.contains((5L, 50L)) && star.contains((6L, 50L)),
+      s"fresh duplicates must name the admitted corpus copy, got $star")
+    assert(!star.contains((5L, 6L)),
+      "collapsed-min expansion detected: fresh members linked to their own min")
+    // cluster B: survivor 7 has exactly the (7,8) edge; 8 is flagged
+    assert(star.filter(p => p._1 == 7L || p._2 == 7L) == Set((7L, 8L)))
+    // cluster C: corpus-only clusters are deliberately not re-emitted
+    assert(!star.exists(p => p._1 >= 60L || p._2 >= 60L),
+      "corpus-only cluster leaked into the ingest screen")
+    // verdict equality on the crafted fixture
+    val freshIds = Set(5L, 6L, 7L, 8L)
+    def flagged(ps: Set[(Long, Long)]): Set[Long] =
+      ps.flatMap(p => Seq(p._1, p._2)).intersect(freshIds)
+    assert(flagged(star) == flagged(full))
+
+    // and on a random corpus through the SAME store-probe path (the
+    // batch families' star-subset property, previously pinned only on
+    // the re-derived-corpus overload): subset + verdict equality
+    val docs = corpus(seed = 13, nDocs = 150, vocab = 12)
+    val f2 = docs.filter(col("doc_id") % 3 === 0)
+    val c2 = docs.filter(col("doc_id") % 3 =!= 0)
+    graft.core.Warehouse.writeBucketed(
+      Dedup.minhashBandStore(c2), "band_store_pp2", Seq("band", "bkey"), 4)
+    graft.core.Warehouse.writeBucketed(
+      Dedup.minhashMembers(c2), "member_store_pp2", Seq("sig_key"), 4)
+    def run2(m: PairMode): Set[(Long, Long)] =
+      Dedup.incrementalLshPairsAgainstStore(spark,
+        spark.table("band_store_pp2"), spark.table("member_store_pp2"), f2, mode = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full2 = run2(PairMode.Full)
+    val star2 = run2(PairMode.Star)
+    assert(full2.nonEmpty, "random fixture produced no candidates — vacuous")
+    assert(star2.subsetOf(full2))
+    def flag2(ps: Set[(Long, Long)]): Set[Long] =
+      ps.flatMap(p => Seq(p._1, p._2)).filter(_ % 3 == 0)
+    assert(flag2(star2) == flag2(full2))
+  }
+
   strictTest("maxCandidates guard on the component/cluster operators: boundary-exact prediction, accepted run identical, throw strands nothing") {
     // small vocab → heavy duplication → hot banding buckets, the
     // regime the guard exists for
