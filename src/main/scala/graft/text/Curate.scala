@@ -48,14 +48,21 @@ object Curate {
       .filter(col("ok_word_count") && col("ok_mean_len") && col("ok_symbol_ratio") &&
         col("ok_alpha_ratio") && col("n_stopwords") >= minStopwords)
       .select(col("doc_id"), col("n_words"))
-    val kept = documents.join(gate, "doc_id")
+    // scoped caches (r15): `kept` is read by BOTH the dedup-rep
+    // subtree and the keeper join, and `uniq` by BOTH the language-ID
+    // fold and the final join — without them each self-join re-planned
+    // its entire upstream (the r15 before-plan scanned documents 8×,
+    // re-running the Gopher token fold up to 4×). The caches hold the
+    // already-gated (then already-deduped) slices — the smallest
+    // frames in the chain — and release on the query's own action.
+    val kept = Dedup.registerCache(documents.join(gate, "doc_id"))
     // THE library's exact-dedup operator, not an inline re-spelling
     // (the docstring's "each stage the library's own operator" is a
     // real dependency: Dedup.exactDedup's canonical-survivor rule and
     // NULL-text group semantics are pinned in NullInputSpec, and an
     // inline copy would silently drift if they ever change)
     val reps = Dedup.exactDedup(kept).select(col("keep_id").as("doc_id"))
-    val uniq = kept.join(reps, "doc_id")
+    val uniq = Dedup.registerCache(kept.join(reps, "doc_id"))
     val lang = TextOps.langId(uniq).select(col("doc_id"), col("predicted"))
     uniq.join(lang, "doc_id")
       .groupBy(col("predicted").as("lang_pred"), col("source"))

@@ -421,6 +421,13 @@ object TextOps {
     // the tf table, so the unfiltered row count inflated every idf
     // (r12 review — denominator symmetry)
     val documents = documents0.filter(col("doc_id").isNotNull)
+    // NOT scope-cached (r15, measured): `tf` feeds both the df
+    // aggregate and the scoring join, so the tokenize flatMap runs
+    // twice — but a registerCache(tf) A/B'd +12–16% SLOWER at sf0.1
+    // in three same-session captures (the persist write/read of the
+    // corpus-expansion-sized (doc,term) table costs more than the
+    // second streaming pass), and at 100 TB persisting a near-corpus-
+    // sized intermediate is the wrong trade for the same reason.
     val tf = docIdText(documents)
       .flatMap { case (id, text) =>
         val toks = tokensOf(text)
@@ -651,28 +658,37 @@ object TextOps {
     // null-id rows drop from features AND totals together — the
     // pmiCollocations denominator-symmetry rule (r12 review)
     val documents = documents0.filter(col("doc_id").isNotNull)
-    def feats = documents.select(col("doc_id"), col("lang"), col("text"))
+    val feats = documents.select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
       .flatMap { case (id, lang, text) =>
         bigramsOf(tokensOf(text)).map(g => (id, lang, g))
       }
       .toDF("doc_id", "lang", "feat")
       .withColumn("bucket", pmod(tokenCode(col("feat")), lit(nBuckets.toLong)))
-    // raw and target counts in ONE conditional aggregation — separate
-    // raw/tgt subtrees would re-run the md5-per-bigram flatMap twice
-    // just to build this 256-row table (ReuseExchange cannot bridge
-    // differing aggregates); count(when) counts non-nulls, matching
-    // the left-join + coalesce(0) formulation
-    val stats = feats.groupBy("bucket")
-      .agg(count(lit(1)).as("r_f"),
-           count(when(col("lang") === targetLang, lit(1))).as("t_f"))
+    // ONE feature pass (r15): the per-(doc, bucket) γ rollup is
+    // computed first (scoped cache — two consumers, no shared
+    // exchange) carrying the doc's target flag, and the 256-row
+    // bucket stats table DERIVES from it: r_f = Σ_docs γ,
+    // t_f = Σ_{target docs} γ — exactly the per-feat-row counts the
+    // old second corpus pass recomputed (lang is constant per doc;
+    // a null lang is not the target under both formulations). The
+    // tokenize+md5 flatMap, THE dominant cost at corpus scale, now
+    // runs once instead of twice, and the stats aggregate collapses
+    // map-side to ≤ nBuckets rows per task over the already-rolled-up
+    // γ table instead of the raw feature stream.
+    val g = Dedup.registerCache(
+      feats.groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("gamma"),
+             max(when(col("lang") === targetLang, 1L).otherwise(0L)).as("is_tgt")))
+    val stats = g.groupBy("bucket")
+      .agg(sum(col("gamma")).as("r_f"),
+           sum(when(col("is_tgt") === 1L, col("gamma")).otherwise(0L)).as("t_f"))
     val totals = documents
       .select(col("lang"), size(tokens(col("text"))).cast(LongType).as("n"))
       .agg(sum(greatest(col("n") - 1L, lit(0L))).as("r_total"),
            sum(when(col("lang") === targetLang, greatest(col("n") - 1L, lit(0L)))
              .otherwise(0L)).as("t_total"))
-    feats.groupBy("doc_id", "bucket").agg(count(lit(1)).as("gamma"))
-      .join(broadcast(stats), "bucket")
+    g.join(broadcast(stats), "bucket")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(sum(col("gamma")).as("n_feats"),
@@ -1165,6 +1181,13 @@ object TextOps {
     * through exactly one exchange, no driver collection. */
   def stripBoilerplate(documents: DataFrame, k: Int = 5, minDocs: Int = 3): DataFrame = {
     import documents.sparkSession.implicits._
+    // Two gram passes ON PURPOSE (r15, measured): a shared scope-
+    // cached positional gram stream (with a first-occurrence flag
+    // feeding the cluster count) A/B'd a wash-to-slower at sf0.1 —
+    // persisting the ~5×-corpus-bytes (doc, start, gram) stream costs
+    // more than re-running the tokenize+shingle flatMap — and at
+    // 100 TB a 5×-corpus persist is strictly worse than a second
+    // streaming pass. The duplicate pass stays.
     val spans = spanClusters(documents, k, minDocs).select(col("span"))
     // grams built by the SAME shinglesOf as spanClusters — the
     // gram==span equi-join below depends on one shared definition

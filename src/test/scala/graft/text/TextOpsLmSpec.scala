@@ -73,6 +73,33 @@ class TextOpsLmSpec extends SparkSpec {
     assert(many == out)
   }
 
+  test("dsirWeight plans ONE corpus feature pass (γ cache shared by stats + rollup)") {
+    // r15 optimization pin: the bucket stats table derives from the
+    // scope-cached per-(doc, bucket) γ rollup, so the tokenize+md5
+    // flatMap appears ONLY inside the cached plan — the consumer plan
+    // reads the cache twice (stats branch + final rollup) and carries
+    // NO typed-map pass of its own. A regression to the two-pass
+    // shape puts a SerializeFromObject back into the consumer plan.
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "de", "der hund sitzt auf der matte")).toDF("doc_id", "lang", "text")
+    val out = TextOps.dsirWeight(docs, "en", 16)
+    // optimizedPlan, not executedPlan: AQE wraps the physical plan in
+    // an AdaptiveSparkPlanExec whose stages only exist after execution
+    val opt = out.queryExecution.optimizedPlan
+    val cacheReads = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cacheReads.size == 2,
+      s"expected the shared γ cache read twice (stats + rollup), got ${cacheReads.size}")
+    val typedMaps = opt.collect {
+      case m: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject => m
+    }
+    assert(typedMaps.isEmpty,
+      "the corpus flatMap must live inside the cached γ plan, not re-run in the consumer")
+    Dedup.releaseCaches()
+  }
+
   test("invertedIndex: per-doc-distinct df, minDf filter, capped sorted postings head") {
     val docs = Seq((3L, "a b c b"), (1L, "b c"), (2L, "b"))
       .toDF("doc_id", "text")
