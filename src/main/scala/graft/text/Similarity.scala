@@ -386,42 +386,99 @@ object Similarity {
     * SILENTLY in the typed flatMap path. */
   def gramMatrix(embeddings: DataFrame): DataFrame = {
     import embeddings.sparkSession.implicits._
+    // Partial aggregation INSIDE the typed pass (r15): the old
+    // flatMap emitted one encoded (i, j, p) tuple per cell per row —
+    // rows × d(d+1)/2 tuples through the object/Tungsten boundary and
+    // the hash aggregate (4.2M at sf0.1) just to collapse map-side to
+    // ≤ 2080 keys anyway. The per-partition triangular accumulator
+    // below does the same collapse in primitive long arrays (one
+    // multiplyExact + one addExact per cell per row, no allocation),
+    // emits ≤ d(d+1)/2 rows per partition, and leaves the final
+    // cross-partition merge to the same decimal-exact aggregate.
+    //
+    // Exactness/overflow: every partial is an int64 accumulated with
+    // addExact. This cannot overflow on any input whose DECLARED
+    // output exists: diagonal partials are monotone nondecreasing
+    // (q_i² ≥ 0) and bounded by their final cell value, which the
+    // final LongType cast requires to fit int64; every off-diagonal
+    // running sum is bounded by (Σ|q_i·q_j| ≤ (Σq_i² + Σq_j²)/2),
+    // i.e. by the two diagonals that must themselves fit. An input
+    // past the documented range still fails LOUDLY — addExact in the
+    // accumulator instead of the ANSI cast at the end. (The
+    // docstring's "drop the final cast to read sums past int64"
+    // escape hatch consequently also requires widening this
+    // accumulator — both edits live in this one method.)
     embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .flatMap { case (id, v) =>
-        // a NULL embedding is a vectorless row — the family's
-        // convention (semanticDedup/embeddingComponents filter the
-        // same rows; removeTopPC's posexplode drops them): it
-        // contributes nothing to the Gram sum. A bare v.map would
-        // NPE the executor with no row context instead.
-        if (v == null) Iterator.empty
-        else {
-        val q = v.map { f =>
-          val x = f.toDouble
-          // explicit, named failure for the two silent paths the r12
-          // review found: BigDecimal(NaN/∞) throws an opaque
-          // NumberFormatException with no row context, and .toLong
-          // WRAPS for |x·1e6| past 2^63 — before multiplyExact could
-          // ever observe the documented range violation
-          require(!x.isNaN && !x.isInfinity,
-            s"gramMatrix: non-finite embedding component $x in vec_id=$id — " +
-              "quarantine upstream (Validate.finiteSample)")
-          val bd = BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
-          require(bd.abs <= BigDecimal(Long.MaxValue),
-            s"gramMatrix: component $x in vec_id=$id overflows the 1e6 fixed-point " +
-              "long range (|x| <= ~9.2e12)")
-          bd.toLong
+      .mapPartitions { it =>
+        var d = 0
+        // triangular jagged layout: cell (i, j) at (i)(j - i)
+        var cnt: Array[Array[Long]] = Array.empty
+        var acc: Array[Array[Long]] = Array.empty
+        def ensure(len: Int): Unit = if (len > d) {
+          val nc = Array.tabulate(len)(i => new Array[Long](len - i))
+          val na = Array.tabulate(len)(i => new Array[Long](len - i))
+          var i = 0
+          while (i < d) {
+            System.arraycopy(cnt(i), 0, nc(i), 0, d - i)
+            System.arraycopy(acc(i), 0, na(i), 0, d - i)
+            i += 1
+          }
+          cnt = nc; acc = na; d = len
         }
-        // multiplyExact enforces the documented fail-loudly range
-        // contract — a bare * would wrap silently past 2^63 and the
-        // decimal sum would faithfully aggregate the garbage
-        for (i <- q.indices; j <- i until q.length)
-          yield (i.toLong, j.toLong, Math.multiplyExact(q(i), q(j)))
+        it.foreach { case (id, v) =>
+          // a NULL embedding is a vectorless row — the family's
+          // convention (semanticDedup/embeddingComponents filter the
+          // same rows; removeTopPC's posexplode drops them): it
+          // contributes nothing to the Gram sum.
+          if (v != null) {
+            val n = v.length
+            val q = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val x = v(i).toDouble
+              // explicit, named failure for the two silent paths the
+              // r12 review found: BigDecimal(NaN/∞) throws an opaque
+              // NumberFormatException with no row context, and
+              // .toLong WRAPS for |x·1e6| past 2^63 — before
+              // multiplyExact could ever observe the documented
+              // range violation
+              require(!x.isNaN && !x.isInfinity,
+                s"gramMatrix: non-finite embedding component $x in vec_id=$id — " +
+                  "quarantine upstream (Validate.finiteSample)")
+              val bd = BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+              require(bd.abs <= BigDecimal(Long.MaxValue),
+                s"gramMatrix: component $x in vec_id=$id overflows the 1e6 fixed-point " +
+                  "long range (|x| <= ~9.2e12)")
+              q(i) = bd.toLong
+              i += 1
+            }
+            ensure(n)
+            i = 0
+            while (i < n) {
+              val qi = q(i); val ci = cnt(i); val ai = acc(i)
+              var j = i
+              while (j < n) {
+                val k = j - i
+                // multiplyExact enforces the documented fail-loudly
+                // range contract — a bare * would wrap silently
+                ai(k) = Math.addExact(ai(k), Math.multiplyExact(qi, q(j)))
+                ci(k) += 1L
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        (0 until d).iterator.flatMap { i =>
+          (i until d).iterator
+            .filter(j => cnt(i)(j - i) > 0L)
+            .map(j => (i.toLong, j.toLong, cnt(i)(j - i), acc(i)(j - i)))
         }
       }
-      .toDF("i", "j", "p")
+      .toDF("i", "j", "cnt", "psum")
       .groupBy("i", "j")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(col("psum").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .cast(org.apache.spark.sql.types.LongType).as("gram_u2"))
   }
 

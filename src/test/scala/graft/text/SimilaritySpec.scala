@@ -128,6 +128,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == 3, s"upper triangle of d=2 has 3 cells: ${got.keySet}")
   }
 
+  test("gramMatrix: mixed-length vectors across many partitions match the brute force") {
+    // r15 optimization pin: the per-partition triangular accumulator
+    // (grow-on-longer-vector, per-cell counts, cross-partition merge)
+    // must reproduce the naive cell-per-row-per-pair aggregation on a
+    // corpus with ragged dimensions spread over more partitions than
+    // rows-per-partition.
+    val rnd = new Random(7)
+    val rows = (1L to 37L).map { i =>
+      val d = 1 + rnd.nextInt(5) // lengths 1..5
+      (i, Seq.fill(d)((rnd.nextDouble() * 4 - 2).toFloat))
+    }
+    val got = Similarity.gramMatrix(rows.toDF("vec_id", "embedding").repartition(13))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    def quant(f: Float): Long =
+      BigDecimal(f.toDouble * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = rows.flatMap { case (_, v) =>
+      val q = v.map(quant)
+      for (i <- q.indices; j <- i until q.length)
+        yield (i.toLong, j.toLong) -> q(i) * q(j)
+    }.groupBy(_._1).map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._2).sum) }
+    assert(got == expected,
+      s"accumulated cells diverge from brute force: got ${got.size} cells, expected ${expected.size}")
+  }
+
   test("topPrincipalComponent finds the dominant direction; removeTopPC orthogonalizes") {
     // corpus stretched along (3,4)/5: top PC must align with it
     val dir = Array(0.6, 0.8)
