@@ -250,7 +250,10 @@ object Dedup {
     documents.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull).as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        // per-partition code memo, not a bare MessageDigest (r15):
+        // the md5 per distinct-token-per-doc dominated this fold, and
+        // a Zipf vocabulary repeats tokens across the partition's docs
+        val memo = new TextOps.TokenCodeMemo()
         it.flatMap { case (id, text) =>
           val toks = TextOps.tokensOf(text)
           if (toks.isEmpty) Iterator.empty
@@ -259,7 +262,7 @@ object Dedup {
             val seen = new java.util.HashSet[String]()
             toks.foreach { t =>
               if (seen.add(t)) {
-                val code = TextOps.tokenCodeOf(md, t) % MinhashPrime
+                val code = memo.code(t) % MinhashPrime
                 var p = 0
                 while (p < MinhashFuncs) {
                   val h = (code * (p * 2L + 1L) + (p * 101L + 7L)) % MinhashPrime
@@ -1026,7 +1029,8 @@ object Dedup {
     documents.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull).as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        // per-partition code memo — same rationale as the minhash fold
+        val memo = new TextOps.TokenCodeMemo()
         it.flatMap { case (id, text) =>
           val toks = TextOps.tokensOf(text)
           if (toks.isEmpty) Iterator.empty
@@ -1036,7 +1040,7 @@ object Dedup {
             val seen = new java.util.HashSet[String]()
             toks.foreach { t =>
               if (seen.add(t)) {
-                val code = TextOps.tokenCodeOf(md, t)
+                val code = memo.code(t)
                 n += 1L
                 var b = 0
                 while (b < 32) { ones(b) += (code >> b) & 1L; b += 1 }

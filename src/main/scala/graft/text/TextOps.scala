@@ -179,6 +179,32 @@ object TextOps {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Size-capped per-partition memo around [[tokenCodeOf]] (r15): a
+    * Zipf vocabulary repeats the same tokens across documents, so the
+    * md5 per distinct-token-per-DOC of the minhash/simhash folds
+    * recomputes the same code thousands of times per partition — and
+    * those folds deliberately re-run per reference (the measured
+    * no-corpus-cache trade), multiplying the md5 cost again. One memo
+    * instance per partition makes the cost one md5 per distinct token
+    * per PARTITION for the head of the distribution; identical codes
+    * by construction. The cap (default 64k entries ≈ a few MB) bounds
+    * task memory on open-vocabulary corpora — past it, tail tokens
+    * just pay the md5 (first-come residency ≈ the Zipf head, which is
+    * where the repeats are). */
+  final class TokenCodeMemo(cap: Int = 1 << 16) {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private val m = new java.util.HashMap[String, java.lang.Long](1024)
+    def code(tok: String): Long = {
+      val c = m.get(tok)
+      if (c != null) c.longValue()
+      else {
+        val v = tokenCodeOf(md, tok)
+        if (m.size < cap) m.put(tok, java.lang.Long.valueOf(v))
+        v
+      }
+    }
+  }
+
   /** Per-document token statistics: whitespace token count, distinct
     * count, BPE-ish subword count (letter runs / digit runs / single
     * punctuation), mean token length. Token-less documents (empty or
