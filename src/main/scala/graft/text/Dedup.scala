@@ -387,22 +387,24 @@ object Dedup {
       .select(col("sig_key"), col("pos").as("band"), col("col").as("bkey"))
       .distinct()
 
-  /** Banded rows CARRYING the signature: (sig_key, mhs, band, bkey),
-    * one row per (sig, band), for the confirm-inline component path.
-    * Input must be ONE row per distinct signature (the `sigs`
-    * collapse), so no distinct is needed — and the fixed 16-int
-    * signature rides each band row. That direction is scale-safe BY
-    * CONSTRUCTION: the payload attached before the quadratic band
-    * expansion is a constant 4×64 B per signature, whereas fetching
+  /** Banded rows CARRYING the signature: (sig_key, mhs, rep_id, band,
+    * bkey), one row per (sig, band), for the confirm-inline component
+    * path. Input must be ONE row per distinct signature (the `sigs`
+    * collapse, which also carries the cluster's min-doc rep_id), so
+    * no distinct is needed — and the fixed 16-int signature rides
+    * each band row. That direction is scale-safe BY CONSTRUCTION: the
+    * payload attached before the quadratic band expansion is a
+    * constant 4×64 B (+8 B rep) per signature, whereas fetching
     * signatures onto the collision stream afterwards ships 2×64 B per
     * COLLISION row — unbounded exactly when the corpus is
     * duplicate-heavy (contrast the jaccard token sets, where the
     * carried payload would be O(|S|) per prefix row and the fetch
     * plan is the one that cannot blow up; see SCALING.md r11). */
   private def bandedSigsCarrying(sigs: DataFrame, rowsPerBand: Int): DataFrame =
-    sigs.select(col("sig_key"), col("mhs"),
+    sigs.select(col("sig_key"), col("mhs"), col("rep_id"),
         posexplode(array(bandKeyCols(rowsPerBand): _*)))
-      .select(col("sig_key"), col("mhs"), col("pos").as("band"), col("col").as("bkey"))
+      .select(col("sig_key"), col("mhs"), col("rep_id"),
+        col("pos").as("band"), col("col").as("bkey"))
 
   /** Incremental near-dup screen: LSH candidate pairs with at least
     * one side in the `fresh` batch — the ingest-time shape of dedup.
@@ -818,7 +820,16 @@ object Dedup {
       actions = if (maxCandidates.isDefined) 3 else 2)
     val members = full.select(col("doc_id"), col("sig_key"))
     val reps = members.groupBy(col("sig_key")).agg(min(col("doc_id")).as("rep_id"))
-    val sigs = full.select(col("sig_key"), col("mhs")).distinct()
+    // the sigs collapse carries the cluster's rep alongside the
+    // distinct signature: grouping KEYS may contain the array (an
+    // UnsafeRow key hash-aggregates fine — it is array-valued
+    // aggregation BUFFERS that fall to SortAggregate, the sigBandPairs
+    // rationale), and the min(doc_id) buffer is one primitive long.
+    // The confirm stream below then emits rep pairs directly instead
+    // of joining the reps aggregate onto it twice (r15 — two
+    // corpus-distinct-sized exchanges + two aggregate re-runs gone).
+    val sigs = full.groupBy(col("sig_key"), col("mhs"))
+      .agg(min(col("doc_id")).as("rep_id"))
     // bandedSigs' (band, bkey) histogram is bandedSigsCarrying's
     // exactly (same rows minus the carried signature payload), so
     // the prediction counts precisely the pairs the agreement
@@ -840,16 +851,16 @@ object Dedup {
       zip_with(col("x.mhs"), col("y.mhs"), (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
     val banded = bandedSigsCarrying(sigs, rowsPerBand)
-    val confirmed = banded.as("x")
+    // rep pairs straight off the confirm stream: rep_id is unique per
+    // sig_key (per-signature doc sets are disjoint, so min doc_ids
+    // differ), hence distinct over the rep pair ≡ distinct over the
+    // sig pair, and the two rep-mapping joins are gone (r15)
+    val repPairs = banded.as("x")
       .join(banded.as("y").hint("shuffle_hash"), Seq("band", "bkey"))
       .filter(col("x.sig_key") < col("y.sig_key") && agree >= minAgree)
-      .select(col("x.sig_key").as("sig_a"), col("y.sig_key").as("sig_b"))
+      .select(least(col("x.rep_id"), col("y.rep_id")).as("rep_a"),
+              greatest(col("x.rep_id"), col("y.rep_id")).as("rep_b"))
       .distinct()
-    val repPairs = confirmed
-      .join(reps.as("ra"), col("sig_a") === col("ra.sig_key"))
-      .join(reps.as("rb"), col("sig_b") === col("rb.sig_key"))
-      .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
-              greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
     val comp = graft.core.Graph.connectedComponents(repPairs, "rep_a", "rep_b")
     // regime-sensitive comp side (componentJoinSide): broadcast the
     // gate-bounded local solve, shuffled-hash pin the stat-less
@@ -1109,6 +1120,18 @@ object Dedup {
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
       .select(col("simhash"), col("pos").as("band"), col("col").as("bkey"))
 
+  /** [[simhashBanded]] over the rep table, carrying each distinct
+    * fingerprint's min-doc rep_id (+8 B per band row) — the
+    * component path's confirm join emits rep pairs directly instead
+    * of joining the reps aggregate onto the fingerprint-pair stream
+    * twice (r15, the bandedSigsCarrying rationale). */
+  private def simhashBandedCarrying(reps: DataFrame): DataFrame =
+    reps.select(col("simhash"), col("rep_id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
+      .select(col("simhash"), col("rep_id"),
+        col("pos").as("band"), col("col").as("bkey"))
+
   private def simhashFpPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     requireMaxHamming(maxHamming)
     val banded = simhashBanded(sh.select(col("simhash")).distinct())
@@ -1174,11 +1197,20 @@ object Dedup {
       simhashBanded(sh.select(col("simhash")).distinct()),
       Seq("band", "bkey"), _, "simhashComponents"))
     val reps = sh.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id"))
-    val repEdges = simhashFpPairs(sh, maxHamming)
-      .join(reps.as("ra"), col("fp_a") === col("ra.simhash"))
-      .join(reps.as("rb"), col("fp_b") === col("rb.simhash"))
-      .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
-              greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
+    // the reps aggregate IS the distinct-fingerprint collapse the
+    // banding wants, so band it directly with the rep riding along:
+    // rep_id is unique per fingerprint (per-fp doc sets are disjoint,
+    // so min doc_ids differ), hence distinct over rep pairs ≡ distinct
+    // over fp pairs and the two rep-mapping joins are gone (r15).
+    // Same predicates/order as simhashFpPairs: hamming confirm before
+    // the pair-dedup distinct (the r12 A/B rationale).
+    val banded = simhashBandedCarrying(reps)
+    val repEdges = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .filter(col("x.simhash") < col("y.simhash"))
+      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming)
+      .select(least(col("x.rep_id"), col("y.rep_id")).as("rep_a"),
+              greatest(col("x.rep_id"), col("y.rep_id")).as("rep_b"))
+      .distinct()
     val comp = graft.core.Graph.connectedComponents(repEdges, "rep_a", "rep_b")
     // regime-sensitive comp side, as in jaccardComponents
     sh.join(reps.hint("shuffle_hash"), "simhash")
@@ -1292,7 +1324,8 @@ object Dedup {
     * builder share. */
   private def setPairs(withKey: DataFrame, threshold: Double,
                        actions: Int = 1,
-                       maxCandidates: Option[Long] = None): DataFrame = {
+                       maxCandidates: Option[Long] = None,
+                       withReps: Boolean = false): DataFrame = {
     // guard on the shared core so EVERY entry point (pairs,
     // components) fails fast: threshold 0 would edge-connect all
     // token-sharing docs — catastrophic over-dedup, silently
@@ -1306,7 +1339,8 @@ object Dedup {
     // t=0.3 shingle +25%). 0.5 is the crossover's conservative side:
     // at t=0.5 the prefix is still half the tokens → candidate join
     // a quarter of the co-count's df² term.
-    if (usesPrefixPlan(threshold)) prefixSetPairs(withKey, threshold, actions, maxCandidates)
+    if (usesPrefixPlan(threshold))
+      prefixSetPairs(withKey, threshold, actions, maxCandidates, withReps)
     else coCountSetPairs(withKey, threshold, maxCandidates)
   }
 
@@ -1375,7 +1409,8 @@ object Dedup {
     * to that count (see the entry points' scaladoc). */
   private[text] def prefixSetPairs(withKey: DataFrame, threshold: Double,
                                    actions: Int = 1,
-                                   maxCandidates: Option[Long] = None): DataFrame = {
+                                   maxCandidates: Option[Long] = None,
+                                   withReps: Boolean = false): DataFrame = {
     // Prefix filtering (the PPJoin family's candidate bound): under
     // ANY fixed total order of the token universe, two sets with
     // |A∩B| ≥ α must share a token among the first |S|−α+1 of each
@@ -1408,11 +1443,29 @@ object Dedup {
     // sets| rows, the narrow-expensive shape the registry exists for.
     // +1 action when guarded: the guard's narrow count reads the
     // collapsed sets (through the prefix explode) before the
-    // candidate join and the verification joins do
-    val sets = registerCache(withKey
-      .select(col("set_key"), col("lang"), col("bkt"), col("toks"),
-        size(col("toks")).as("sz"))
-      .dropDuplicates("set_key"),
+    // candidate join and the verification joins do.
+    // withReps (the components path): rep_id = min(doc_id) per set
+    // rides the SAME aggregate the dropDuplicates collapse plans (one
+    // more partial-aggregable function, 8 B/row in the cache), and
+    // the verified pair stream carries rep_a/rep_b out — the caller
+    // skips the two rep-mapping joins that each re-ran and
+    // re-shuffled the reps aggregate (r15: two corpus-sized exchanges
+    // + two aggregate re-runs removed from the eager edge job). The
+    // pairs entry points keep the historical rep-free collapse
+    // bit-identically.
+    val collapsed =
+      if (withReps) withKey
+        .select(col("set_key"), col("doc_id"), col("lang"), col("bkt"), col("toks"),
+          size(col("toks")).as("sz"))
+        .groupBy(col("set_key"))
+        .agg(min(col("doc_id")).as("rep_id"), first(col("lang")).as("lang"),
+          first(col("bkt")).as("bkt"), first(col("toks")).as("toks"),
+          first(col("sz")).as("sz"))
+      else withKey
+        .select(col("set_key"), col("lang"), col("bkt"), col("toks"),
+          size(col("toks")).as("sz"))
+        .dropDuplicates("set_key")
+    val sets = registerCache(collapsed,
       if (maxCandidates.isDefined) actions + 1 else actions)
     // posexplode: `pos` is the 0-based index of the prefix token in
     // the FULL sorted array (the slice starts at 1), feeding the
@@ -1471,15 +1524,22 @@ object Dedup {
     // factor at the effective prefix length. Duplicate rows carry
     // identical jaccard by construction, so the post-filter
     // dropDuplicates is a pure dedup, never a choice.
+    val aCols = Seq(col("set_key").as("set_a"), col("toks").as("toks_a"),
+      col("sz").as("sz_a")) ++ (if (withReps) Seq(col("rep_id").as("rep_a")) else Nil)
+    val bCols = Seq(col("set_key").as("set_b"), col("toks").as("toks_b"),
+      col("sz").as("sz_b")) ++ (if (withReps) Seq(col("rep_id").as("rep_b")) else Nil)
     val scored = cand
-      .join(sets.select(col("set_key").as("set_a"), col("toks").as("toks_a"),
-        col("sz").as("sz_a")).hint("shuffle_hash"), "set_a")
-      .join(sets.select(col("set_key").as("set_b"), col("toks").as("toks_b"),
-        col("sz").as("sz_b")).hint("shuffle_hash"), "set_b")
+      .join(sets.select(aCols: _*).hint("shuffle_hash"), "set_a")
+      .join(sets.select(bCols: _*).hint("shuffle_hash"), "set_b")
       .withColumn("c", graft.functions.SetExpressions
         .sorted_intersect_count(col("toks_a"), col("toks_b")))
     val j = col("c").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("c"))
-    scored.select(col("set_a"), col("set_b"), round(j, 6).as("jaccard"))
+    // rep_a/rep_b are functionally dependent on (set_a, set_b), so the
+    // pair dedup key is unchanged and the extra columns are a pure
+    // carry for the components caller
+    val outCols = Seq(col("set_a"), col("set_b"), round(j, 6).as("jaccard")) ++
+      (if (withReps) Seq(col("rep_a"), col("rep_b")) else Nil)
+    scored.select(outCols: _*)
       .filter(col("jaccard") >= threshold)
       .dropDuplicates("set_a", "set_b")
   }
@@ -1727,12 +1787,25 @@ object Dedup {
     }
     val members = withKey.select(col("doc_id"), col("set_key"))
     val reps = members.groupBy(col("set_key")).agg(min(col("doc_id")).as("rep_id"))
-    val repPairs = setPairs(withKey, threshold, actions = 1,
-        maxCandidates = maxCandidates)
-      .join(reps.as("ra"), col("set_a") === col("ra.set_key"))
-      .join(reps.as("rb"), col("set_b") === col("rb.set_key"))
-      .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
-              greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
+    val pairs = setPairs(withKey, threshold, actions = 1,
+        maxCandidates = maxCandidates, withReps = usesPrefixPlan(threshold))
+    // prefix plan: rep_a/rep_b ride the verified pair stream (the
+    // sets collapse aggregates min(doc_id) alongside the canonical
+    // row — see prefixSetPairs), so the edge job skips the two
+    // rep-mapping joins that each re-ran and re-shuffled the reps
+    // aggregate (r15). The co-count plan has no collapsed-sets frame
+    // to carry a rep on; it keeps the historical join mapping. Both
+    // compute the identical rep = min(doc_id) over the set_key group.
+    val repPairs =
+      if (usesPrefixPlan(threshold))
+        pairs.select(least(col("rep_a"), col("rep_b")).as("rep_a"),
+                     greatest(col("rep_a"), col("rep_b")).as("rep_b"))
+      else
+        pairs
+          .join(reps.as("ra"), col("set_a") === col("ra.set_key"))
+          .join(reps.as("rb"), col("set_b") === col("rb.set_key"))
+          .select(least(col("ra.rep_id"), col("rb.rep_id")).as("rep_a"),
+                  greatest(col("ra.rep_id"), col("rb.rep_id")).as("rep_b"))
     val comp = graft.core.Graph.connectedComponents(repPairs, "rep_a", "rep_b")
     // comp side follows the regime CC decided (componentJoinSide):
     // the local solve broadcasts (exchange-free member join), the
