@@ -83,11 +83,16 @@ object Demo {
     val d = new java.io.File(dst)
     recursiveDelete(d)
     d.mkdirs()
-    Option(new java.io.File(src).listFiles).getOrElse(Array.empty)
+    // copies in parallel (r15): the reset runs inside the compaction
+    // demo's timed region, and a serial per-file loop over a
+    // many-small-files dir is driver-side dead time; copies are
+    // independent (distinct destination names)
+    val files = Option(new java.io.File(src).listFiles).getOrElse(Array.empty)
       .filter(_.isFile)
-      .foreach { f =>
-        java.nio.file.Files.copy(f.toPath, new java.io.File(d, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    java.util.Arrays.stream(files).parallel().forEach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(d, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
   }
 }

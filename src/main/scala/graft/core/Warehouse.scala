@@ -282,6 +282,92 @@ object Warehouse {
   def zoneMapManifest(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/_zonemap_history/v${zoneMapCurrentVersion(dir)}")
 
+  /** Signals [[footerZoneStats]] cannot serve a table — falls back to
+    * the scan-derived stats job. Control flow only, never escapes. */
+  private case object FooterStatsUnavailable
+    extends Exception with scala.util.control.NoStackTrace
+
+  /** Per-file zone stats (file, mn, mx, n_rows) read from the parquet
+    * FOOTERS instead of re-scanning the written data (r15, guide §6):
+    * row-group statistics for an INT32/INT64 column are the exact
+    * min/max of its non-null values, and the record count is footer
+    * metadata — so the post-write stats pass needs zero data reads.
+    * Binary/floating columns fall back to the scan job (None):
+    * parquet binary stats may be truncated by writers, and double
+    * stats are dropped when NaN is present — only the integral types
+    * are unconditionally trustworthy.
+    *
+    * Matches the scan-derived stats row-for-row: `file` strings are
+    * the `file:///`-form URIs `input_file_name()` produces, files
+    * with zero rows are OMITTED (the groupBy never saw them), and an
+    * all-null file carries null mn/mx (min/max skip nulls). Any stats
+    * gap — missing column chunk, absent statistics, unknown null
+    * count — abandons the footer path for the whole table rather than
+    * guessing. */
+  private[core] def footerZoneStats(spark: org.apache.spark.sql.SparkSession,
+                              files: Seq[String], statCol: String,
+                              statType: org.apache.spark.sql.types.DataType)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    if (statType != LongType && statType != IntegerType) return None
+    val hconf = spark.sparkContext.hadoopConfiguration
+    try {
+      val rows = files.flatMap { uri =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(uri), hconf))
+        try {
+          val blocks = r.getFooter.getBlocks.asScala
+          var n = 0L
+          var mn: Option[Long] = None
+          var mx: Option[Long] = None
+          blocks.foreach { b =>
+            n += b.getRowCount
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == statCol)
+              .getOrElse(throw FooterStatsUnavailable)
+            val expected = if (statType == LongType)
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+            else org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32
+            if (cc.getPrimitiveType.getPrimitiveTypeName != expected)
+              throw FooterStatsUnavailable
+            val st = cc.getStatistics
+            if (st == null) throw FooterStatsUnavailable
+            if (st.hasNonNullValue) {
+              val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Long, b: java.lang.Long) => (a.longValue, b.longValue)
+                case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  (a.intValue.toLong, b.intValue.toLong)
+                case _ => throw FooterStatsUnavailable
+              }
+              mn = Some(mn.fold(lo)(math.min(_, lo)))
+              mx = Some(mx.fold(hi)(math.max(_, hi)))
+            } else if (st.getNumNulls != cc.getValueCount) {
+              // not provably all-null (stats dropped or null count
+              // unknown) — the scan job is the only exact source
+              throw FooterStatsUnavailable
+            }
+          }
+          if (n == 0L) Nil // the scan-derived groupBy never emits empty files
+          else {
+            def box(v: Option[Long]): Any =
+              if (statType == LongType) v.map(java.lang.Long.valueOf).orNull
+              else v.map(l => java.lang.Integer.valueOf(l.toInt)).orNull
+            val fileUri = if (uri.startsWith("file:")) uri else s"file://$uri"
+            Seq(org.apache.spark.sql.Row(fileUri, box(mn), box(mx), n))
+          }
+        } finally r.close()
+      }
+      val schema = StructType(Seq(
+        StructField("file", StringType, nullable = true),
+        StructField("mn", statType, nullable = true),
+        StructField("mx", statType, nullable = true),
+        StructField("n_rows", LongType, nullable = true)))
+      Some(spark.createDataFrame(rows.asJava, schema))
+    } catch { case FooterStatsUnavailable => None }
+  }
+
   /** Range-clustered parquet layout + a zone-map MANIFEST (the
     * Iceberg/Delta data-skipping pattern, one level above parquet's
     * own footer pruning): rows are range-partitioned and sorted on
@@ -295,10 +381,12 @@ object Warehouse {
     * needs no file OPEN at all (footer pruning still opens every
     * footer; a manifest is one driver-side read of nFiles rows).
     *
-    * The stats pass here re-scans the written column once (local
-    * demo); a cluster writer collects the same per-file min/max from
-    * the write tasks' commit messages instead — the manifest FORMAT
-    * and the prune path are what this models. */
+    * The stats pass reads the written files' FOOTERS for integral
+    * stat columns (exact row-group min/max — zero data re-read; see
+    * [[footerZoneStats]]) and falls back to a one-column re-scan
+    * otherwise; a cluster writer collects the same per-file min/max
+    * from the write tasks' commit messages instead — the manifest
+    * FORMAT and the prune path are what this models. */
   def writeZoneMapped(df: DataFrame, dir: String, statCol: String, nFiles: Int = 16): Unit = {
     require(nFiles >= 1, s"need nFiles >= 1, got $nFiles")
     // CREATE OR REPLACE: any previous incarnation's metadata restarts.
@@ -319,13 +407,21 @@ object Warehouse {
     df.repartitionByRange(nFiles, col(statCol))
       .sortWithinPartitions(col(statCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
-    df.sparkSession.read.parquet(s"$dir/data")
-      .select(input_file_name().as("file"), col(statCol))
-      .groupBy("file")
-      .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
-           count(lit(1)).as("n_rows"))
-      .coalesce(1)
-      .write.parquet(s"$dir/_zonemap_history/v1")
+    // stats from the FOOTERS when the stat column is integral (r15,
+    // guide §6): exact row-group min/max + record counts, zero data
+    // re-read. Non-integral stat columns keep the scan job.
+    val written = Option(new java.io.File(s"$dir/data").listFiles)
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toIndexedSeq.sorted
+    val stats = footerZoneStats(df.sparkSession, written, statCol,
+        df.schema(statCol).dataType)
+      .getOrElse(df.sparkSession.read.parquet(s"$dir/data")
+        .select(input_file_name().as("file"), col(statCol))
+        .groupBy("file")
+        .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
+             count(lit(1)).as("n_rows")))
+    stats.coalesce(1).write.parquet(s"$dir/_zonemap_history/v1")
     commitZoneMapVersion(dir, 1)
   }
 
@@ -617,12 +713,17 @@ object Warehouse {
         dest.getAbsolutePath
       }.toSeq
     deleteRecursively(mergeTmp)
-    // manifest delta: stats from the NEW files only (merge-sized scan)
-    val freshStats = spark.read.parquet(fresh: _*)
-      .select(input_file_name().as("file"), col(statCol))
-      .groupBy("file")
-      .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
-           count(lit(1)).as("n_rows"))
+    // manifest delta: stats from the NEW files only — read from the
+    // parquet footers when the key is integral (r15, guide §6: exact
+    // row-group min/max, zero re-read of the rewritten data), scan
+    // job otherwise
+    val freshStats = footerZoneStats(spark, fresh, statCol,
+        updates.schema(statCol).dataType)
+      .getOrElse(spark.read.parquet(fresh: _*)
+        .select(input_file_name().as("file"), col(statCol))
+        .groupBy("file")
+        .agg(min(col(statCol)).as("mn"), max(col(statCol)).as("mx"),
+             count(lit(1)).as("n_rows")))
     // stage to an attempt-unique dir: two concurrent merges must
     // never overwrite each other's staged manifest — the commit CAS
     // below decides which one claims the version number
@@ -802,7 +903,11 @@ object Warehouse {
     // a no-op, not a schema-inference failure from reading zero files
     if (before.isEmpty) return (0, 0)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val nRows = before.map { f =>
+    // footers in parallel: a many-small-files dir is exactly the case
+    // where a serial driver loop over file opens becomes the wall
+    // (guide §7.3 — driver-side listing/metadata bottlenecks); the
+    // sum is order-independent
+    val nRows = java.util.Arrays.stream(before).parallel().mapToLong { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getPath), hconf))

@@ -645,6 +645,54 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(after == before)
   }
 
+  test("footer-derived zone stats == scan-derived stats (nulls, merge delta, non-integral fallback)") {
+    // integral key with nulls: the footer path must reproduce the
+    // scan job's rows exactly — min/max skip nulls, an all-null file
+    // carries null mn/mx, zero-row files are omitted
+    val dir = java.nio.file.Files.createTempDirectory("graft_footerstats").toString
+    val rows = (1 to 400).map { i =>
+      (if (i % 7 == 0) None else Some(i.toLong * 3), s"v$i")
+    }.toDF("k", "s")
+    Warehouse.writeZoneMapped(rows, dir, "k", nFiles = 8)
+    def scanStats(): Map[String, (Option[Long], Option[Long], Long)] =
+      spark.read.parquet(s"$dir/data")
+        .select(input_file_name().as("file"), col("k"))
+        .groupBy("file")
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+             count(lit(1)).as("n_rows"))
+        .collect()
+        .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))).toMap
+    def manifest(): Map[String, (Option[Long], Option[Long], Long)] =
+      Warehouse.zoneMapManifest(spark, dir).collect()
+        .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))).toMap
+    assert(manifest() == scanStats(), "v1 manifest diverges from scan-derived stats")
+    // the footer path must actually ENGAGE for an integral key (a
+    // silent fallback to the scan job would make the equality above
+    // vacuously true) and must refuse a non-integral one
+    val dataFiles = Option(new java.io.File(s"$dir/data").listFiles).get
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toIndexedSeq
+    assert(Warehouse.footerZoneStats(spark, dataFiles, "k",
+      org.apache.spark.sql.types.LongType).isDefined,
+      "footer stats did not engage for a bigint stat column")
+    assert(Warehouse.footerZoneStats(spark, dataFiles, "s",
+      org.apache.spark.sql.types.StringType).isEmpty,
+      "footer stats must refuse a string stat column")
+    // merge delta: the freshStats footer path must agree too
+    val updates = (1 to 50).map(i => (Some(i.toLong * 3), s"u$i")).toDF("k", "s")
+    Warehouse.mergeZoneMapped(spark, dir, "k", updates, assumeUniqueKeys = true)
+    assert(manifest() == scanStats(), "post-merge manifest diverges from scan-derived stats")
+    // non-integral stat column: falls back to the scan job and the
+    // committed manifest still prunes correctly end to end
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_footerstats2").toString
+    val sRows = (1 to 100).map(i => (f"k$i%03d", i)).toDF("sk", "v")
+    Warehouse.writeZoneMapped(sRows, dir2, "sk", nFiles = 4)
+    val man2 = Warehouse.zoneMapManifest(spark, dir2).collect()
+    assert(man2.map(_.getAs[Long]("n_rows")).sum == 100L)
+    assert(man2.forall(r => r.getAs[String]("mn") <= r.getAs[String]("mx")))
+  }
+
   test("salted join == plain join on skewed data") {
     // 90% of big-side rows hit one key — the salting target
     val big = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong % 50 else 7L, i))
