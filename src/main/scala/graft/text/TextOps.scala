@@ -507,22 +507,32 @@ object TextOps {
     // the pmiCollocations denominator-symmetry rule (r12 review)
     val documents = documents0.filter(col("doc_id").isNotNull)
     // persisted (scoped, one consuming action — the bm25TopK
-    // pattern): `bi` feeds both the model's count aggregate and the
-    // scoring join, branches that share no exchange (one shuffles
-    // partial-agg rows, the other raw bigrams) — uncached, the
-    // corpus tokenize+bigram flatMap, THE dominant cost at corpus
-    // scale, runs twice
-    val bi = Dedup.registerCache(
+    // pattern): the token table feeds the model's count aggregate,
+    // the vocabulary count AND the scoring join, branches that share
+    // no exchange — uncached, the corpus tokenize flatMap, THE
+    // dominant cost at corpus scale, runs once per branch.
+    // The bigram rows plus ONE tail row per non-empty doc (its last
+    // token, null successor): rows with a successor are exactly the
+    // bigrams, and distinct(w1) is exactly the vocabulary — every
+    // token is w1 of a bigram row except each doc's last, which the
+    // tail row covers (including single-token docs that produce no
+    // bigram). This folds the former separate vocab pass (a full
+    // corpus re-tokenize — it could not read the bigram cache because
+    // bigrams lose last tokens and single-token docs) into the same
+    // cached pass (r15, guide §1.2 step 1: 2 tokenize passes → 1).
+    val tk = Dedup.registerCache(
       docIdText(documents)
         .flatMap { case (id, text) =>
-          bigramPairsOf(tokensOf(text)).map { case (a, b) => (id, a, b) }
+          val ts = tokensOf(text)
+          if (ts.isEmpty) Iterator.empty
+          else bigramPairsOf(ts).map { case (a, b) => (id, a, b) } ++
+            Iterator((id, ts.last, null: String))
         }
         .toDF("doc_id", "w1", "w2"))
+    val bi = tk.filter(col("w2").isNotNull).select("doc_id", "w1", "w2")
     val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val hist = counts.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = documents
-      .select(explode(tokens(col("text"))).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
+    val vocab = tk.agg(countDistinct(col("w1")).as("v"))
     val model = counts.join(hist, "w1").crossJoin(broadcast(vocab))
     val lp = round(log((col("c12") + 1).cast(DoubleType) / (col("c1") + col("v"))), 6)
       .cast(DecimalType(12, 6))
