@@ -488,13 +488,14 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.simhash(s, Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDupPairs(s, Tables.documentsSpread(s, d), 1)),
     // degree histogram of the simhash near-dup graph incl. isolated
-    // docs — the hub-document diagnostic behind confirm thresholds
+    // docs — the hub-document diagnostic behind confirm thresholds.
+    // Fused cluster-graph form (r15): bit-identical to
+    // degreeHistogram(simhashNearDupPairs(docs, 1)) — GraphSpec pins
+    // the equality — without materializing the quadratic pair list
     "q_degree_hist" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documentsSpread(s, d)
-      graft.core.Graph.degreeHistogram(
-        Dedup.simhashNearDupPairs(s, docs, 1), "doc_a", "doc_b",
-        docs.select(col("doc_id")), "doc_id")
+      Dedup.simhashDegreeHistogram(s, docs, 1, docs.select(col("doc_id")), "doc_id")
     }),
     "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documentsSpread(s, d), 0.8)),
     "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documentsSpread(s, d), 0.3, ngram = 2)),

@@ -388,6 +388,57 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** [[degreeHistogram]] computed on the CLUSTER graph instead of the
+    * expanded pair list (r15, the optimization guide's "decide with
+    * small rows" rule): when the pair list is the full expansion of a
+    * distinct-cluster edge set — every member pair within a cluster
+    * plus every cross pair per cluster edge, each exactly once, the
+    * `expandDocPairs` Full contract — every member of cluster f has
+    * the SAME degree
+    *   deg(f) = (|C_f| − 1) + Σ_{g adjacent to f} |C_g|,
+    * so the histogram falls out of cluster sizes and the cluster-pair
+    * stream with NO quadratic doc-pair materialization: output-linear
+    * where the composed form is output-quadratic on duplicate-heavy
+    * corpora.
+    *
+    * Equivalence preconditions (both hold for the declared usage,
+    * pinned by the GraphSpec equality test): `nodes` rows are unique,
+    * and every member doc appears in `nodes` (members not in the node
+    * universe would be counted here but dropped by the composed
+    * form's left join). Null or absent-from-members node rows land in
+    * the degree-0 bucket exactly as the composed form's unmatched
+    * left join does. Cluster keys and member doc ids must be
+    * non-null (the dedup families' silent-drop convention upstream).
+    *
+    * Shape: two partial-agg shuffles over |clusters|-sized frames plus
+    * one 1-row × 1-row cross join for the degree-0 bucket — the
+    * heavy operand (members) is read only for the size aggregate. */
+  def clusterDegreeHistogram(members: DataFrame, clusterPairs: DataFrame,
+                             nodes: DataFrame, nodeCol: String): DataFrame = {
+    val sizes = members.groupBy(col("ckey")).agg(count(lit(1)).as("csize"))
+    val adj = clusterPairs.select(col("ck_a").as("ckey"), col("ck_b").as("nb"))
+      .unionByName(clusterPairs.select(col("ck_b").as("ckey"), col("ck_a").as("nb")))
+    val mass = adj
+      .join(sizes.select(col("ckey").as("nb"), col("csize").as("nb_size"))
+        .hint("shuffle_hash"), "nb")
+      .groupBy(col("ckey")).agg(sum(col("nb_size")).as("cross_deg"))
+    val deg = sizes.join(mass, Seq("ckey"), "left")
+      .select((coalesce(col("cross_deg"), lit(0L)) + col("csize") - 1L).as("degree"),
+        col("csize"))
+    val positive = deg.filter(col("degree") > 0)
+      .groupBy(col("degree")).agg(sum(col("csize")).as("n_nodes"))
+    // degree-0 bucket: every node-universe row not in a positive-
+    // degree cluster (isolated singleton clusters, fingerprint-less
+    // docs, null ids). 1-row × 1-row cross join — scalar arithmetic,
+    // never a data-sized join.
+    val zero = nodes.agg(count(lit(1)).as("n_total"))
+      .crossJoin(deg.filter(col("degree") > 0)
+        .agg(coalesce(sum(col("csize")), lit(0L)).as("n_pos")))
+      .select(lit(0L).as("degree"), (col("n_total") - col("n_pos")).as("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    positive.unionByName(zero)
+  }
+
   /** PageRank by power iteration over a DIRECTED edge list — the
     * link-graph quality signal web-corpus curation weighs domains by
     * (a crawl's "is this host worth keeping" prior). Fixed `iters`

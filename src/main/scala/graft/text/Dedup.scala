@@ -1101,6 +1101,32 @@ object Dedup {
       mode, "simhashNearDupPairs")
   }
 
+  /** Degree histogram of the SimHash near-dup graph, computed on the
+    * CLUSTER graph (r15): bit-identical to
+    * `Graph.degreeHistogram(simhashNearDupPairs(docs, h), …)` — the
+    * GraphSpec equality property pins it — but via
+    * [[graft.core.Graph.clusterDegreeHistogram]]'s cluster-size
+    * arithmetic, so the quadratic doc-pair expansion is never
+    * materialized: every member of a fingerprint cluster has the same
+    * degree, and the histogram needs only the distinct-fingerprint
+    * edge set plus cluster sizes. Output-linear on duplicate-heavy
+    * corpora where the composed form is output-quadratic. `nodes`
+    * must be unique and cover every fingerprinted doc (the declared
+    * usage passes the corpus's own doc_id column). */
+  def simhashDegreeHistogram(spark: SparkSession, documents: DataFrame,
+                             maxHamming: Int, nodes: DataFrame,
+                             nodeCol: String): DataFrame = {
+    requireMaxHamming(maxHamming)
+    // (doc_id, simhash) scope-cached exactly as simhashNearDupPairs
+    // does: the fingerprint fold feeds both the size aggregate and
+    // the banded pair search
+    val sh = registerCache(simhash(spark, documents), actions = 1)
+    val members = sh.select(col("doc_id"), col("simhash").as("ckey"))
+    val fpPairs = simhashFpPairs(sh, maxHamming)
+      .select(col("fp_a").as("ck_a"), col("fp_b").as("ck_b"))
+    graft.core.Graph.clusterDegreeHistogram(members, fpPairs, nodes, nodeCol)
+  }
+
   /** (fp_a, fp_b, hamming): near-dup edges between DISTINCT
     * fingerprints — the 8-bit banded candidate join plus the
     * `bit_count(xor)` confirm, shared by the pair and component

@@ -320,6 +320,41 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("clusterDegreeHistogram == degreeHistogram over the expanded pair list (simhash family, random corpora)") {
+    // the fused cluster-graph histogram must be BIT-IDENTICAL to the
+    // composed form it replaces in q_degree_hist — duplicate-heavy
+    // clusters, near-dup variants, isolated docs, empty text and a
+    // null doc_id all in one corpus
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val base = (1 to 12).map(_ => (1 to (3 + rnd.nextInt(10)))
+        .map(_ => s"w${rnd.nextInt(20)}").mkString(" "))
+      val docs0 = (0 until 120).map { i =>
+        val t = base(rnd.nextInt(base.length))
+        val text = rnd.nextInt(4) match {
+          case 0 => t                        // exact duplicate cluster
+          case 1 => t + s" x${rnd.nextInt(6)}" // near-dup variant
+          case 2 => s"unique ${trial}_$i " + (1 to 5).map(_ => s"u${rnd.nextInt(1000)}").mkString(" ")
+          case _ => if (i % 17 == 0) "" else t + " " + t
+        }
+        (i.toLong, text, "en")
+      }
+      val docs = docs0.toDF("doc_id", "text", "lang")
+        .unionByName(Seq((null.asInstanceOf[java.lang.Long], "null id doc", "en"))
+          .toDF("doc_id", "text", "lang"))
+      val nodes = docs.select(col("doc_id"))
+      for (h <- Seq(0, 1)) {
+        val composed = Graph.degreeHistogram(
+            graft.text.Dedup.simhashNearDupPairs(spark, docs, h), "doc_a", "doc_b",
+            nodes, "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val fused = graft.text.Dedup.simhashDegreeHistogram(spark, docs, h, nodes, "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(fused == composed, s"trial $trial maxHamming $h: $fused vs $composed")
+      }
+    }
+  }
+
   test("pageRank: empty edges, bad ids, and checkpoint hygiene") {
     assert(pr(Seq.empty).isEmpty)
     intercept[IllegalArgumentException](
