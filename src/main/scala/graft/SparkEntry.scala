@@ -495,7 +495,11 @@ object SparkEntry {
     "q_degree_hist" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documentsSpread(s, d)
-      Dedup.simhashDegreeHistogram(s, docs, 1, docs.select(col("doc_id")), "doc_id")
+      // node universe from the UNSPREAD scan: the fused form only
+      // counts it (1-row aggregate), so the spread's repartition
+      // exchange under the count is pure cost; same rows either way
+      Dedup.simhashDegreeHistogram(s, docs, 1,
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
     }),
     "q_jaccard_neardup" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documentsSpread(s, d), 0.8)),
     "q_shingle_jaccard" -> ((s, d) => Dedup.jaccardNearDupPairs(Tables.documentsSpread(s, d), 0.3, ngram = 2)),

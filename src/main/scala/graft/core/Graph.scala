@@ -412,28 +412,48 @@ object Graph {
     *
     * Shape: two partial-agg shuffles over |clusters|-sized frames plus
     * one 1-row × 1-row cross join for the degree-0 bucket — the
-    * heavy operand (members) is read only for the size aggregate. */
+    * heavy operand (members) is read only for the size aggregate.
+    *
+    * The positive-degree cluster frame is referenced TWICE (the
+    * histogram aggregate and the degree-0 bucket's n_pos total), and
+    * lazily that re-runs the whole sizes/adjacency/mass pipeline —
+    * including the caller's cluster-pair derivation, typically an LSH
+    * band join — per reference (r16, found in the q_degree_hist bench
+    * regression). `cacheDeg` lets a lifecycle-owning caller persist
+    * exactly that frame (two longs × |positive clusters| rows — never
+    * corpus-sized) for the duration of its one consuming action;
+    * default identity keeps the function self-contained. */
   def clusterDegreeHistogram(members: DataFrame, clusterPairs: DataFrame,
-                             nodes: DataFrame, nodeCol: String): DataFrame = {
+                             nodes: DataFrame, nodeCol: String,
+                             cacheDeg: DataFrame => DataFrame = identity): DataFrame = {
     val sizes = members.groupBy(col("ckey")).agg(count(lit(1)).as("csize"))
-    val adj = clusterPairs.select(col("ck_a").as("ckey"), col("ck_b").as("nb"))
-      .unionByName(clusterPairs.select(col("ck_b").as("ckey"), col("ck_a").as("nb")))
+    // endpoints unpivot via explode, not a self-union — the same
+    // rule [[degreeHistogram]] documents: a union of two projections
+    // plans the caller's cluster-pair pipeline (typically an LSH band
+    // join) as two independent subtrees and executes it twice
+    val adj = clusterPairs
+      .select(explode(array(
+        struct(col("ck_a").as("ckey"), col("ck_b").as("nb")),
+        struct(col("ck_b").as("ckey"), col("ck_a").as("nb")))).as("e"))
+      .select(col("e.ckey").as("ckey"), col("e.nb").as("nb"))
     val mass = adj
       .join(sizes.select(col("ckey").as("nb"), col("csize").as("nb_size"))
         .hint("shuffle_hash"), "nb")
       .groupBy(col("ckey")).agg(sum(col("nb_size")).as("cross_deg"))
-    val deg = sizes.join(mass, Seq("ckey"), "left")
+    // (degree, csize) of POSITIVE-degree clusters only — both
+    // consumers below filtered identically, so the filter rides
+    // inside the (cacheable) shared frame
+    val deg = cacheDeg(sizes.join(mass, Seq("ckey"), "left")
       .select((coalesce(col("cross_deg"), lit(0L)) + col("csize") - 1L).as("degree"),
         col("csize"))
-    val positive = deg.filter(col("degree") > 0)
-      .groupBy(col("degree")).agg(sum(col("csize")).as("n_nodes"))
+      .filter(col("degree") > 0))
+    val positive = deg.groupBy(col("degree")).agg(sum(col("csize")).as("n_nodes"))
     // degree-0 bucket: every node-universe row not in a positive-
     // degree cluster (isolated singleton clusters, fingerprint-less
     // docs, null ids). 1-row × 1-row cross join — scalar arithmetic,
     // never a data-sized join.
     val zero = nodes.agg(count(lit(1)).as("n_total"))
-      .crossJoin(deg.filter(col("degree") > 0)
-        .agg(coalesce(sum(col("csize")), lit(0L)).as("n_pos")))
+      .crossJoin(deg.agg(coalesce(sum(col("csize")), lit(0L)).as("n_pos")))
       .select(lit(0L).as("degree"), (col("n_total") - col("n_pos")).as("n_nodes"))
       .filter(col("n_nodes") > 0)
     positive.unionByName(zero)

@@ -1124,7 +1124,14 @@ object Dedup {
     val members = sh.select(col("doc_id"), col("simhash").as("ckey"))
     val fpPairs = simhashFpPairs(sh, maxHamming)
       .select(col("fp_a").as("ck_a"), col("fp_b").as("ck_b"))
-    graft.core.Graph.clusterDegreeHistogram(members, fpPairs, nodes, nodeCol)
+    // the per-cluster degree frame is read twice (histogram + n_pos
+    // total); scope-cache it so the banding/confirm pipeline above it
+    // runs ONCE — without this the fused form re-ran the whole band
+    // join per reference and benched 2× the composed form (r16).
+    // Two longs × |positive-degree fingerprints| rows, never
+    // corpus-sized; released by the query's own action.
+    graft.core.Graph.clusterDegreeHistogram(members, fpPairs, nodes, nodeCol,
+      cacheDeg = registerCache(_, actions = 1))
   }
 
   /** (fp_a, fp_b, hamming): near-dup edges between DISTINCT
