@@ -113,6 +113,12 @@ object Plans {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n```\n$plan```\n")
+      // release scoped caches between dumps: a prior query's persisted
+      // frame would otherwise substitute (sameResult) into a LATER
+      // query's explain, making the dumped skeleton depend on dump
+      // ORDER (bit PlansDocSpec in r16 when the size-derived spread
+      // made documentsSpread ≡ documents at sf0.01)
+      graft.text.Dedup.releaseCaches()
     }
 
     // Appendix (NOT a declared-query section — the store must be

@@ -37,6 +37,19 @@ object Sessions {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // WindowExec's "No Partition Defined" warning is EXPECTED from
+    // this library: the exact-ntile verification harnesses
+    // (rfmSegments/equiDepthHistogram/paretoFront at relErr = 0) run
+    // a deliberate global window — their documented 100 TB twins
+    // (the `_approx` operators, approx cut arrays + comparison
+    // bucketing, zero windows) are the scale path, and the exact
+    // forms exist to oracle-check them. Eight copies of the warning
+    // per run buried real warnings (r15 verdict), so this one logger
+    // drops to ERROR; everything else keeps the session level.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // logging backend is best-effort
     org.apache.spark.sql.graft.FunctionBridge.registerAll(spark)
     spark
   }

@@ -282,6 +282,16 @@ object Warehouse {
   def zoneMapManifest(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/_zonemap_history/v${zoneMapCurrentVersion(dir)}")
 
+  /** Manifest `file` strings are percent-ENCODED URIs (the
+    * input_file_name() form). Spark's path-string reader does NOT
+    * decode them (`new Path(str)` keeps "%20" literal), so every
+    * consumer that re-READS a manifest-listed file must go through
+    * this decode — otherwise a table dir containing a space/%/# reads
+    * back a nonexistent literal path (r16, the ADVICE URI finding's
+    * consumer side). */
+  private def pathOfManifestUri(f: String): String =
+    new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString
+
   /** Signals [[footerZoneStats]] cannot serve a table — falls back to
     * the scan-derived stats job. Control flow only, never escapes. */
   private case object FooterStatsUnavailable
@@ -310,6 +320,12 @@ object Warehouse {
       : Option[DataFrame] = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
+    // an empty file list is a broken LISTING, not an empty table — a
+    // Some(empty manifest) here would commit a zone map that prunes
+    // every read to nothing (r15 verdict); fail loudly instead
+    require(files.nonEmpty,
+      "footerZoneStats: empty file list — the caller's data-dir listing " +
+        "found no parquet files; refusing to derive an empty manifest")
     if (statType != LongType && statType != IntegerType) return None
     val hconf = spark.sparkContext.hadoopConfiguration
     try {
@@ -354,7 +370,24 @@ object Warehouse {
             def box(v: Option[Long]): Any =
               if (statType == LongType) v.map(java.lang.Long.valueOf).orNull
               else v.map(l => java.lang.Integer.valueOf(l.toInt)).orNull
-            val fileUri = if (uri.startsWith("file:")) uri else s"file://$uri"
+            // percent-ENCODED URI, exactly the string input_file_name()
+            // produces for the same file — raw "file://" + path broke
+            // on paths with a space/%/# (ADVICE r15): the consumers
+            // (vacuum's pathOf, merge cleanup's `new URI(f)`) parse
+            // these strings as URIs, so footer- and scan-derived rows
+            // must stay interchangeable for ANY path. Hadoop Path
+            // encodes on construction; makeQualified pins the
+            // file:/// spelling the scan job emits. (WarehouseSpec
+            // asserts footer==scan row-for-row under a space-dir.)
+            val fileUri = {
+              val p = new org.apache.hadoop.fs.Path(uri)
+              val q = p.getFileSystem(hconf).makeQualified(p).toUri
+              // scheme + "://" + authority + raw (encoded) path — the
+              // exact spelling input_file_name() emits ("file:///…",
+              // not java.net.URI's authority-less "file:/…")
+              q.getScheme + "://" +
+                Option(q.getRawAuthority).getOrElse("") + q.getRawPath
+            }
             Seq(org.apache.spark.sql.Row(fileUri, box(mn), box(mx), n))
           }
         } finally r.close()
@@ -409,13 +442,29 @@ object Warehouse {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
     // stats from the FOOTERS when the stat column is integral (r15,
     // guide §6): exact row-group min/max + record counts, zero data
-    // re-read. Non-integral stat columns keep the scan job.
-    val written = Option(new java.io.File(s"$dir/data").listFiles)
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).toIndexedSeq.sorted
-    val stats = footerZoneStats(df.sparkSession, written, statCol,
-        df.schema(statCol).dataType)
+    // re-read. Non-integral stat columns keep the scan job. Listing
+    // via Hadoop FS, not java.io.File (r16, the eventsFromLongTs
+    // discipline): the footer reads below already go through
+    // HadoopInputFile, so the listing must survive the same
+    // non-local warehouse dirs. An EMPTY listing (a zero-row df can
+    // legitimately write no part files) keeps the scan job — the
+    // only exact source for "what did the write produce".
+    val written: Seq[String] = {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+      val fs = dataPath.getFileSystem(conf)
+      if (!fs.exists(dataPath)) Seq.empty
+      // Path.toString, NOT Path.toUri.toString: the uri form is
+      // percent-encoded and `new Path(encodedString)` does not
+      // decode, so a "%20" would be searched for literally on disk
+      else fs.listStatus(dataPath).toIndexedSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
+    }
+    val stats = (if (written.nonEmpty)
+        footerZoneStats(df.sparkSession, written, statCol,
+          df.schema(statCol).dataType)
+      else None)
       .getOrElse(df.sparkSession.read.parquet(s"$dir/data")
         .select(input_file_name().as("file"), col(statCol))
         .groupBy("file")
@@ -456,7 +505,7 @@ object Warehouse {
       s"(have: ${zoneMapVersions(dir).mkString(", ")})")
     val files = spark.read.parquet(man.getPath)
       .select("file").collect().map(_.getString(0))
-    spark.read.parquet(files.toIndexedSeq: _*)
+    spark.read.parquet(files.toIndexedSeq.map(pathOfManifestUri): _*)
   }
 
   /** Reclaim storage: drop manifest versions older than `keepFrom`,
@@ -531,7 +580,7 @@ object Warehouse {
       .select("file").collect().map(_.getString(0))
     val data =
       if (kept.isEmpty) spark.read.parquet(s"$dir/data").filter(lit(false))
-      else spark.read.parquet(kept.toIndexedSeq: _*)
+      else spark.read.parquet(kept.toIndexedSeq.map(pathOfManifestUri): _*)
     data.filter(col(statCol) >= lit(lo) && col(statCol) <= lit(hi))
   }
 
@@ -676,7 +725,7 @@ object Warehouse {
         // Footer-only metadata cost, |before| small by construction.
         if (before.nonEmpty) {
           val stored = spark.read.option("mergeSchema", "true")
-            .parquet(before.toSeq: _*).schema
+            .parquet(before.toSeq.map(pathOfManifestUri): _*).schema
           val a = stored.fields.map(f => (f.name, f.dataType)).toSet
           val b = updates.schema.fields.map(f => (f.name, f.dataType)).toSet
           require(a == b,
@@ -685,7 +734,7 @@ object Warehouse {
         }
         updates.limit(0)
       }
-      else spark.read.parquet(touched.toSeq: _*)
+      else spark.read.parquet(touched.toSeq.map(pathOfManifestUri): _*)
         .join(updates.select(col(statCol)).distinct(), Seq(statCol), "left_anti")
     // fresh = files this merge creates, identified DETERMINISTICALLY:
     // write to a merge-private staging dir, then move each part file

@@ -60,6 +60,11 @@ class PlansDocSpec extends SparkSpec {
     val drifted = committed.toSeq.sortBy(_._1).flatMap { case (name, dumped) =>
       val live = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // release scoped caches between explains, exactly as the
+      // generator does — a prior query's persisted frame would
+      // otherwise substitute (sameResult) into this explain and make
+      // the comparison depend on iteration order
+      graft.text.Dedup.releaseCaches()
       val (want, got) = (skeleton(dumped), skeleton(live))
       if (want == got) None
       else Some(s"$name:\n  committed: ${want.mkString(" | ")}\n  live:      ${got.mkString(" | ")}")

@@ -691,6 +691,44 @@ class WarehouseSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val man2 = Warehouse.zoneMapManifest(spark, dir2).collect()
     assert(man2.map(_.getAs[Long]("n_rows")).sum == 100L)
     assert(man2.forall(r => r.getAs[String]("mn") <= r.getAs[String]("mx")))
+    // a table dir with a SPACE (URI-hostile path): footer- and
+    // scan-derived manifest rows must stay interchangeable — the file
+    // strings are parsed as URIs by vacuum's pathOf and the merge
+    // cleanup (r15 ADVICE: the raw "file://" + path concat produced
+    // malformed URIs here). Equality vs the scan job pins the
+    // encoding; the merge exercises the URI-parsing cleanup consumer.
+    val dirSp = java.nio.file.Files.createTempDirectory("graft_footer sp").toString
+    Warehouse.writeZoneMapped(rows, dirSp, "k", nFiles = 4)
+    def scanStatsAt(d: String): Map[String, (Option[Long], Option[Long], Long)] =
+      spark.read.parquet(s"$d/data")
+        .select(input_file_name().as("file"), col("k"))
+        .groupBy("file")
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+             count(lit(1)).as("n_rows"))
+        .collect()
+        .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))).toMap
+    def manifestAt(d: String): Map[String, (Option[Long], Option[Long], Long)] =
+      Warehouse.zoneMapManifest(spark, d).collect()
+        .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))).toMap
+    assert(manifestAt(dirSp) == scanStatsAt(dirSp),
+      "space-dir manifest diverges from scan-derived stats")
+    // every manifest string must round-trip through the consumers'
+    // parse (merge cleanup / vacuum do `new File(new URI(f))`)
+    manifestAt(dirSp).keys.foreach { f =>
+      assert(new java.io.File(new java.net.URI(f)).isFile, s"unparseable manifest URI $f")
+    }
+    Warehouse.mergeZoneMapped(spark, dirSp, "k",
+      (1 to 30).map(i => (Some(i.toLong * 3), s"u$i")).toDF("k", "s"),
+      assumeUniqueKeys = true)
+    assert(manifestAt(dirSp) == scanStatsAt(dirSp),
+      "space-dir post-merge manifest diverges from scan-derived stats")
+    // an EMPTY file list is a broken listing, never an empty manifest
+    intercept[IllegalArgumentException] {
+      Warehouse.footerZoneStats(spark, Seq.empty, "k",
+        org.apache.spark.sql.types.LongType)
+    }
   }
 
   test("salted join == plain join on skewed data") {
